@@ -1,0 +1,138 @@
+"""Public analytical apps over a built Graph — the builtin-app surface.
+
+Each function mirrors a reference builtin (`python/graphscope/analytical/app/
+*.py` wrappers over the C++ apps listed in SURVEY.md §2.2) and returns a
+``ray.data.Dataset`` of per-vertex rows in vid space (join back to oids via
+``Graph.vertices_ds``).  Graph-view requirements:
+
+- pagerank / sssp / bfs / hits / eigenvector / katz: 'directed'
+  (hits additionally needs ``store_in_edges=True``)
+- wcc / kcore / triangles / lcc: 'undirected'
+- cdlp: 'undirected_multi'
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from graphscope_ray.graph.build import Graph, RunResult
+
+
+def pagerank(
+    g: Graph,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_rounds: int = 100,
+    **run_kwargs,
+) -> tuple[ray.data.Dataset, RunResult]:
+    """NetworkX-semantics PageRank (apps/pagerank/pagerank_networkx.h:54-163)."""
+    res = g.run_program("pagerank", alpha=alpha, tol=tol, max_rounds=max_rounds, **run_kwargs)
+    return g.program_state(res.name), res
+
+
+def wcc(g: Graph, **run_kwargs) -> tuple[ray.data.Dataset, RunResult]:
+    """Weakly connected components, comp = min vid (apps/projected/wcc_projected.h:70-182)."""
+    res = g.run_program("wcc", **run_kwargs)
+    return g.program_state(res.name), res
+
+
+def cdlp(g: Graph, max_rounds: int = 10, **run_kwargs) -> tuple[ray.data.Dataset, RunResult]:
+    """LDBC community detection by label propagation (grape::CDLP semantics)."""
+    res = g.run_program("cdlp", max_rounds=max_rounds, **run_kwargs)
+    return g.program_state(res.name), res
+
+
+def sssp(g: Graph, source: int, max_rounds: int | None = None, **run_kwargs):
+    res = g.run_program("sssp", source=source, max_rounds=max_rounds, **run_kwargs)
+    return g.program_state(res.name), res
+
+
+def bfs(g: Graph, source: int, depth_limit: int | None = None, **run_kwargs):
+    res = g.run_program("bfs", source=source, max_rounds=depth_limit, **run_kwargs)
+    return g.program_state(res.name), res
+
+
+def hits(g: Graph, tol: float = 1e-8, max_rounds: int = 100, **run_kwargs):
+    assert g.has_in, "hits needs build_graph(store_in_edges=True)"
+    res = g.run_program("hits", tol=tol, max_rounds=2 * max_rounds, **run_kwargs)
+    return g.program_state(res.name), res
+
+
+def kcore(g: Graph, k: int, **run_kwargs):
+    res = g.run_program("kcore", k=k, **run_kwargs)
+    return g.program_state(res.name), res
+
+
+def eigenvector_centrality(g: Graph, tol: float = 1e-9, max_rounds: int = 100, **run_kwargs):
+    res = g.run_program("eigenvector", tol=tol, max_rounds=max_rounds, **run_kwargs)
+    return g.program_state(res.name), res
+
+
+def katz_centrality(
+    g: Graph, alpha: float = 0.1, beta: float = 1.0, tol: float = 1e-9, max_rounds: int = 1000, **run_kwargs
+):
+    res = g.run_program("katz", alpha=alpha, beta=beta, tol=tol, max_rounds=max_rounds, **run_kwargs)
+    return g.program_state(res.name), res
+
+
+def triangles(g: Graph) -> tuple[int, ray.data.Dataset]:
+    """Exact triangle counts: (global_count, per-vertex Dataset(vid, tri, deg))."""
+    assert g.view == "undirected", "triangles needs the 'undirected' view"
+    return g.triangles()
+
+
+def lcc(g: Graph) -> ray.data.Dataset:
+    """Local clustering coefficient lcc = 2·tri / (deg·(deg-1)) on the
+    undirected view (apps/clustering/*.h LCC semantics)."""
+    _, per_vertex = triangles(g)
+
+    def _lcc(t: pa.Table) -> pa.Table:
+        deg = t["deg"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tri = t["tri"].to_numpy(zero_copy_only=False).astype(np.float64)
+        denom = deg * (deg - 1.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            v = np.where(denom > 0, 2.0 * tri / denom, 0.0)
+        return pa.table({"vid": t["vid"], "lcc": pa.array(v)})
+
+    return per_vertex.map_batches(_lcc, batch_format="pyarrow")
+
+
+def degree_centrality(g: Graph) -> ray.data.Dataset:
+    """degree / (N-1) (apps/centrality/degree semantics, directed: out+in?
+    Here: degree on the built view — callers pick the view)."""
+    N = max(g.N, 2)
+
+    def _dc(t: pa.Table) -> pa.Table:
+        d = t["out_deg"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {"vid": t["vid"], "degree": t["out_deg"], "centrality": pa.array(d / (N - 1))}
+        )
+
+    return g.degrees().map_batches(_dc, batch_format="pyarrow")
+
+
+def transitivity(g: Graph) -> float:
+    """Global transitivity = 3·triangles / open+closed wedges (undirected view)."""
+    total, per_vertex = triangles(g)
+    wedges = per_vertex.map_batches(
+        lambda t: pa.table(
+            {
+                "w": pc.multiply(
+                    pc.cast(t["deg"], pa.float64()),
+                    pc.cast(pc.subtract(t["deg"], 1), pa.float64()),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).sum("w")
+    wedges = (wedges or 0) / 2.0
+    return float(3.0 * total / wedges) if wedges else 0.0
+
+
+def avg_clustering(g: Graph) -> float:
+    ds = lcc(g)
+    n = max(g.N, 1)
+    return float((ds.sum("lcc") or 0.0) / n)

@@ -1,0 +1,402 @@
+"""FragmentActor — one graph partition as numpy CSR state inside a Ray actor.
+
+The Ray-native analogue of a GRAPE worker holding an
+``ArrowProjectedFragment`` (reference:
+``analytical_engine/core/fragment/arrow_projected_fragment.h:710-740``) plus
+its per-app context (``grape_instance.cc:314-347``).  Partitioning is
+``part = vid % P``, ``local = vid // P`` — the dense-vid equivalent of the
+reference's gid = (fid, offset) packing
+(``core/vertex_map/arrow_projected_vertex_map.h:110-155``).
+
+Edges are routed to the owner of their *source* vertex (edge-cut), so every
+out-edge of a vertex is co-located and out-degree is locally exact.  For
+pull-shaped algorithms (HITS hub phase) an optional reversed CSR (edges
+routed by destination) is built as well.
+
+Messages between fragments are pre-combined per destination partition at the
+sender (GRAPE's message combiner / ``SendMsgThroughOEdges`` strategies,
+``apps/pagerank/pagerank_networkx.h:42-43,71``): for each target partition q
+we precompute, once at build time, the edge indices sorted by destination
+local id together with run boundaries, so a scatter is a vectorized
+``np.{add,minimum,maximum}.reduceat`` producing a sparse
+``(dst_local_ids, reduced_values)`` message — sized by the number of
+*distinct* boundary vertices, not by edge count.  This is the actor-pool
+"shared mutable index" case where raw Ray actors are warranted instead of
+Dataset shuffles: the CSR + per-vertex state persists across supersteps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+_EMPTY_F64 = np.empty(0, dtype=np.float64)
+
+_REDUCERS = {"sum": np.add, "min": np.minimum, "max": np.maximum}
+
+
+class Csr:
+    """Compressed sparse rows over one partition's edges + per-target message index."""
+
+    def __init__(
+        self,
+        part: int,
+        num_parts: int,
+        n_local: int,
+        src_local: np.ndarray,
+        dst: np.ndarray,
+        weight: np.ndarray | None = None,
+    ):
+        self.part = part
+        self.P = num_parts
+        self.n_local = n_local
+        order = np.lexsort((dst, src_local))  # adjacency sorted by vid within vertex
+        self.dst = np.ascontiguousarray(dst[order])
+        self.weight = np.ascontiguousarray(weight[order]) if weight is not None else None
+        counts = (
+            np.bincount(src_local, minlength=n_local).astype(np.int64)
+            if n_local
+            else np.zeros(0, np.int64)
+        )
+        self.deg = counts
+        self.indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        dst_part = self.dst % num_parts
+        self.dst_local = self.dst // num_parts
+        # per-target-partition message index: edge ids sorted by dst_local
+        self.tgt_sel: list[np.ndarray] = []
+        self.tgt_uniq: list[np.ndarray] = []
+        self.tgt_runstarts: list[np.ndarray] = []
+        for q in range(num_parts):
+            sel = np.flatnonzero(dst_part == q)
+            dl = self.dst_local[sel]
+            o = np.argsort(dl, kind="stable")
+            sel, dl = sel[o], dl[o]
+            if dl.size:
+                starts = np.concatenate([[0], np.flatnonzero(np.diff(dl)) + 1]).astype(np.int64)
+                uniq = dl[starts]
+            else:
+                starts, uniq = _EMPTY_I64, _EMPTY_I64
+            self.tgt_sel.append(sel)
+            self.tgt_uniq.append(uniq)
+            self.tgt_runstarts.append(starts)
+
+    # ---- message kernels -------------------------------------------------
+
+    def push_reduce(self, edge_values: np.ndarray, op: str) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Reduce per-edge values per destination vertex, grouped by target partition."""
+        red_fn = _REDUCERS[op]
+        out = []
+        for q in range(self.P):
+            sel = self.tgt_sel[q]
+            if sel.size == 0:
+                out.append((_EMPTY_I64, _EMPTY_F64))
+                continue
+            out.append((self.tgt_uniq[q], red_fn.reduceat(edge_values[sel], self.tgt_runstarts[q])))
+        return out
+
+    def push_reduce_masked(
+        self, edge_values: np.ndarray, vmask: np.ndarray, op: str
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Like push_reduce but only edges whose *source* vertex is in vmask (frontier)."""
+        red_fn = _REDUCERS[op]
+        emask = np.repeat(vmask, self.deg)
+        out = []
+        for q in range(self.P):
+            sel = self.tgt_sel[q]
+            sel = sel[emask[sel]]  # stays sorted by dst_local
+            if sel.size == 0:
+                out.append((_EMPTY_I64, _EMPTY_F64))
+                continue
+            dl = self.dst_local[sel]
+            starts = np.concatenate([[0], np.flatnonzero(np.diff(dl)) + 1]).astype(np.int64)
+            out.append((dl[starts], red_fn.reduceat(edge_values[sel], starts)))
+        return out
+
+    def push_label_counts(
+        self, vertex_labels: np.ndarray
+    ) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """CDLP combiner: per target partition, counts per (dst_local, label)."""
+        edge_labels = np.repeat(vertex_labels, self.deg)
+        out = []
+        for q in range(self.P):
+            sel = self.tgt_sel[q]
+            if sel.size == 0:
+                out.append((_EMPTY_I64, _EMPTY_I64, _EMPTY_I64))
+                continue
+            dl = self.dst_local[sel]
+            lab = edge_labels[sel]
+            o = np.lexsort((lab, dl))
+            dl, lab = dl[o], lab[o]
+            change = np.flatnonzero((np.diff(dl) != 0) | (np.diff(lab) != 0)) + 1
+            starts = np.concatenate([[0], change]).astype(np.int64)
+            counts = np.diff(np.concatenate([starts, [dl.size]]))
+            out.append((dl[starts], lab[starts], counts))
+        return out
+
+
+def acc_sum(n_local: int, msgs) -> np.ndarray:
+    acc = np.zeros(n_local, dtype=np.float64)
+    for uniq, vals in msgs:
+        if len(uniq):
+            acc[uniq] += vals  # uniq unique within one message → fancy += is safe
+    return acc
+
+
+def acc_min(n_local: int, msgs, init: float = np.inf) -> np.ndarray:
+    acc = np.full(n_local, init, dtype=np.float64)
+    for uniq, vals in msgs:
+        if len(uniq):
+            acc[uniq] = np.minimum(acc[uniq], vals)
+    return acc
+
+
+def mode_min_labels(msgs) -> tuple[np.ndarray, np.ndarray]:
+    """Merge (dst_local, label, count) triples → per dst the most frequent label,
+    ties broken by smallest label (LDBC CDLP rule, `docs/.../builtin_algorithms.md:236-247`)."""
+    parts = [m for m in msgs if len(m[0])]
+    if not parts:
+        return _EMPTY_I64, _EMPTY_I64
+    dl = np.concatenate([m[0] for m in parts])
+    lab = np.concatenate([m[1] for m in parts])
+    cnt = np.concatenate([m[2] for m in parts])
+    o = np.lexsort((lab, dl))
+    dl, lab, cnt = dl[o], lab[o], cnt[o]
+    change = np.flatnonzero((np.diff(dl) != 0) | (np.diff(lab) != 0)) + 1
+    starts = np.concatenate([[0], change]).astype(np.int64)
+    tot = np.add.reduceat(cnt, starts)
+    dl_u, lab_u = dl[starts], lab[starts]
+    # pick per dst: max count, then min label — sort by (dst asc, count desc, label asc)
+    o2 = np.lexsort((lab_u, -tot, dl_u))
+    dl_s, lab_s = dl_u[o2], lab_u[o2]
+    first = np.concatenate([[0], np.flatnonzero(np.diff(dl_s)) + 1]).astype(np.int64)
+    return dl_s[first], lab_s[first]
+
+
+@ray.remote
+class FragmentActor:
+    """One partition: out-CSR (+ optional in-CSR), per-vertex program state."""
+
+    def __init__(
+        self,
+        part: int,
+        num_parts: int,
+        num_vertices: int,
+        out_blocks: list,
+        in_blocks: list | None = None,
+    ):
+        self.part = part
+        self.P = num_parts
+        self.N = num_vertices
+        self.n_local = max(0, (num_vertices - part + num_parts - 1) // num_parts)
+        self.out = self._build_csr(out_blocks, by="src")
+        self.inc = self._build_csr(in_blocks, by="dst") if in_blocks is not None else None
+        self.programs: dict[str, object] = {}
+
+    def _build_csr(self, blocks: list, by: str) -> Csr:
+        blocks = [b if isinstance(b, pa.Table) else ray.get(b) for b in (blocks or [])]
+        tables = [t for t in blocks if t.num_rows]
+        if tables:
+            t = pa.concat_tables(tables)
+            src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            w = (
+                t["weight"].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+                if "weight" in t.column_names
+                else None
+            )
+        else:
+            src = dst = _EMPTY_I64
+            w = None
+        if by == "src":
+            return Csr(self.part, self.P, self.n_local, src // self.P, dst, w)
+        # reversed CSR: local rows are destinations, neighbor list = sources
+        return Csr(self.part, self.P, self.n_local, dst // self.P, src, w)
+
+    # ---- introspection ---------------------------------------------------
+
+    def num_edges(self) -> int:
+        return int(self.out.dst.size)
+
+    def owned_vids(self) -> np.ndarray:
+        return np.arange(self.n_local, dtype=np.int64) * self.P + self.part
+
+    def degrees(self) -> tuple[np.ndarray, np.ndarray | None]:
+        return self.out.deg, (self.inc.deg if self.inc is not None else None)
+
+    # ---- generic vertex-program protocol --------------------------------
+
+    def p_init(self, name: str, algo: str, params: dict) -> dict:
+        from graphscope_ray.graph.programs import PROGRAMS
+
+        prog = PROGRAMS[algo].cls(self, **params)
+        self.programs[name] = prog
+        return prog.init()
+
+    def p_prestep(self, name: str, step: int, glob: dict) -> dict:
+        return self.programs[name].prestep(step, glob)
+
+    def p_scatter(self, name: str, step: int, glob: dict):
+        return tuple(self.programs[name].scatter(step, glob))
+
+    def p_gather(self, name: str, step: int, glob: dict, *msgs) -> dict:
+        return self.programs[name].gather(step, glob, msgs)
+
+    def p_finalize(self, name: str, glob: dict) -> None:
+        prog = self.programs[name]
+        if hasattr(prog, "finalize"):
+            prog.finalize(glob)
+
+    def p_state(self, name: str) -> pa.Table:
+        cols = self.programs[name].state_columns()
+        vids = self.owned_vids()
+        arrays = {"vid": pa.array(vids)}
+        for k, v in cols.items():
+            arrays[k] = pa.array(v)
+        return pa.table(arrays)
+
+    def p_load_state(self, name: str, algo: str, params: dict, table: pa.Table) -> None:
+        from graphscope_ray.graph.programs import PROGRAMS
+
+        prog = PROGRAMS[algo].cls(self, **params)
+        prog.init()
+        prog.load_state_columns(
+            {c: table[c].to_numpy(zero_copy_only=False) for c in table.column_names if c != "vid"}
+        )
+        self.programs[name] = prog
+
+    # ---- triangle counting (degree-ordered, apps/clustering/triangles.h:43-158) ---
+
+    def deg_requests(self) -> list[np.ndarray]:
+        """Distinct destination local-ids per target partition (= outer vertices)."""
+        return self.out.tgt_uniq
+
+    def deg_reply(self, req: np.ndarray) -> np.ndarray:
+        return self.out.deg[req] if req.size else _EMPTY_I64
+
+    def tri_orient(self, *deg_replies) -> int:
+        """Build oriented adjacency: keep u→v iff (deg,vid) of u < of v
+        (the reference's degree order incl. gid tiebreak, triangles.h:70-94).
+        Requires a symmetrized, deduplicated graph (out.deg == undirected degree)."""
+        o = self.out
+        deg_dst = np.empty(o.dst.size, dtype=np.int64)
+        for q in range(self.P):
+            sel, starts, rep = o.tgt_sel[q], o.tgt_runstarts[q], deg_replies[q]
+            if sel.size:
+                lengths = np.diff(np.concatenate([starts, [sel.size]]))
+                deg_dst[sel] = np.repeat(rep, lengths)
+        src_local = np.repeat(np.arange(self.n_local, dtype=np.int64), o.deg)
+        src_vid = src_local * self.P + self.part
+        deg_src = np.repeat(o.deg, o.deg)
+        keep = (deg_src < deg_dst) | ((deg_src == deg_dst) & (src_vid < o.dst))
+        kd, ks, kdd = o.dst[keep], src_local[keep], deg_dst[keep]
+        # membership CSR: per vertex sorted by neighbor vid (CSR is already (src,dst)-sorted)
+        kcounts = (
+            np.bincount(ks, minlength=self.n_local).astype(np.int64)
+            if self.n_local
+            else np.zeros(0, np.int64)
+        )
+        self.tri_indptr = np.concatenate([[0], np.cumsum(kcounts)]).astype(np.int64)
+        self.tri_adj = kd
+        self.tri_deg = kcounts
+        # wedge-generation order: per vertex sorted by (deg, vid) of the neighbor
+        o2 = np.lexsort((kd, kdd, ks))
+        self.tri_wadj = kd[o2]
+        self.tri_counts = np.zeros(self.n_local, dtype=np.int64)
+        return int(kd.size)
+
+    def tri_wedges(self) -> tuple:
+        """Emit wedges (v_local, w, u_vid) grouped by owner(v); owner checks w∈adj+(v).
+        Enumeration loops over neighbor rank i (bounded by max oriented out-degree
+        ≤ O(sqrt(m))), vectorized across all vertices per rank."""
+        indptr, wadj = self.tri_indptr, self.tri_wadj
+        deg = self.tri_deg
+        vs, ws, us = [], [], []
+        maxd = int(deg.max()) if deg.size else 0
+        owned = np.arange(self.n_local, dtype=np.int64) * self.P + self.part
+        for i in range(maxd - 1):
+            has = np.flatnonzero(deg > i + 1)
+            if has.size == 0:
+                break
+            v_i = wadj[indptr[has] + i]  # pivot neighbor at rank i
+            reps = deg[has] - (i + 1)
+            starts = indptr[has] + i + 1
+            idx = np.repeat(starts, reps) + _ragged_arange(reps)
+            ws.append(wadj[idx])
+            vs.append(np.repeat(v_i, reps))
+            us.append(np.repeat(owned[has], reps))
+        if vs:
+            v = np.concatenate(vs)
+            w = np.concatenate(ws)
+            u = np.concatenate(us)
+        else:
+            v = w = u = _EMPTY_I64
+        out = []
+        vpart = v % self.P
+        for q in range(self.P):
+            sel = np.flatnonzero(vpart == q)
+            out.append((v[sel] // self.P, w[sel], u[sel]))
+        return tuple(out)
+
+    def tri_check(self, *wedge_msgs) -> tuple:
+        """Check wedge closure w ∈ adj+(v) for owned v; count v-corners locally,
+        return u/w corner increments grouped by owner partition."""
+        parts = [m for m in wedge_msgs if len(m[0])]
+        corners = []
+        if parts:
+            v = np.concatenate([m[0] for m in parts])
+            w = np.concatenate([m[1] for m in parts])
+            u = np.concatenate([m[2] for m in parts])
+            # membership: adj pairs (v_local, nbr) are lexsorted; encode to int64 key
+            indptr, adj = self.tri_indptr, self.tri_adj
+            if adj.size:
+                keyspace = max(int(self.N), 1)
+                assert self.n_local * keyspace < 2**62, "vid keyspace overflow; raise P"
+                vloc = np.repeat(
+                    np.arange(self.n_local, dtype=np.int64), np.diff(indptr)
+                )
+                pair_keys = vloc * keyspace + adj
+                qkeys = v * keyspace + w
+                pos = np.searchsorted(pair_keys, qkeys)
+                pos = np.minimum(pos, pair_keys.size - 1)
+                found = pair_keys[pos] == qkeys
+            else:
+                found = np.zeros(v.size, dtype=bool)
+            if found.any():
+                vf, uf, wf = v[found], u[found], w[found]
+                self.tri_counts += np.bincount(vf, minlength=self.n_local)
+                corners = [uf, wf]
+        if corners:
+            c = np.concatenate(corners)
+        else:
+            c = _EMPTY_I64
+        cpart = c % self.P
+        return tuple(c[cpart == q] for q in range(self.P))
+
+    def tri_apply(self, *corner_msgs) -> int:
+        for m in corner_msgs:
+            if len(m):
+                self.tri_counts += np.bincount(m // self.P, minlength=self.n_local)
+        return int(self.tri_counts.sum())
+
+    def tri_state(self) -> pa.Table:
+        return pa.table(
+            {
+                "vid": pa.array(self.owned_vids()),
+                "tri": pa.array(self.tri_counts),
+                "deg": pa.array(self.out.deg),
+            }
+        )
+
+
+def _ragged_arange(reps: np.ndarray) -> np.ndarray:
+    """[0..reps[0]), [0..reps[1]), ... concatenated, vectorized."""
+    total = int(reps.sum())
+    if total == 0:
+        return _EMPTY_I64
+    out = np.ones(total, dtype=np.int64)
+    ends = np.cumsum(reps)
+    out[0] = 0
+    out[ends[:-1]] = 1 - reps[:-1]
+    return np.cumsum(out)

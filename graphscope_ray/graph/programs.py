@@ -1,0 +1,417 @@
+"""Vertex programs — the PIE/Pregel-style extension surface.
+
+A program is a plain Python class instantiated inside each FragmentActor
+(once per partition — the analogue of a GRAPE app context,
+``apps/pagerank/pagerank_networkx_context.h:65-76``).  Per superstep the
+driver calls, on every fragment:
+
+    prestep(step, glob) -> dict     # local scalars for global reduction
+    scatter(step, glob) -> [msg]*P  # pre-combined messages per target part
+    gather(step, glob, msgs) -> dict
+
+All returned dicts are reduced by summation on the driver and merged into
+``glob`` (the analogue of ``grape::Communicator::Sum`` allreduces,
+``pagerank_networkx.h:85,146``).  Convergence is decided driver-side by the
+program's spec.  This mirrors the reference's user-extension surface
+(PIE ``AppBase`` / Pregel vertex programs, ``core/app/pregel/
+i_vertex_program.h:45-90``) without any codegen: new algorithms subclass
+``VertexProgram`` and register a ``ProgramSpec``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import numpy as np
+
+from graphscope_ray.graph.fragment import (
+    _EMPTY_F64,
+    _EMPTY_I64,
+    acc_min,
+    acc_sum,
+    mode_min_labels,
+)
+
+
+class VertexProgram:
+    def __init__(self, frag):
+        self.frag = frag
+
+    def init(self) -> dict:
+        return {}
+
+    def prestep(self, step: int, glob: dict) -> dict:
+        return {}
+
+    def scatter(self, step: int, glob: dict):
+        return [(_EMPTY_I64, _EMPTY_F64)] * self.frag.P
+
+    def gather(self, step: int, glob: dict, msgs) -> dict:
+        return {}
+
+    def state_columns(self) -> dict[str, np.ndarray]:
+        return {}
+
+    def load_state_columns(self, cols: dict[str, np.ndarray]) -> None:
+        for k, v in cols.items():
+            setattr(self, k, np.asarray(v))
+
+
+class ProgramSpec(NamedTuple):
+    cls: type
+    converged: Callable[[dict, dict, int, int], bool]  # (glob, params, N, step)
+    default_max_rounds: int
+
+
+# --------------------------------------------------------------------------
+class PageRank(VertexProgram):
+    """NetworkX-formulation PageRank (apps/pagerank/pagerank_networkx.h:54-163):
+    init 1/N; r'[v] = α·Σ_{u→v} r[u]/outdeg[u] + (1-α)/N + α·dangling_sum/N;
+    dangling mass summed globally each round (:82-85); L1 stop Σ|Δ| < tol·N (:147)."""
+
+    def __init__(self, frag, alpha: float = 0.85, tol: float = 1e-6, max_rounds: int = 100):
+        super().__init__(frag)
+        self.alpha, self.tol = float(alpha), float(tol)
+
+    def init(self) -> dict:
+        f = self.frag
+        n, N = f.n_local, max(f.N, 1)
+        self.score = np.full(n, 1.0 / N, dtype=np.float64)
+        self.dangling = f.out.deg == 0
+        with np.errstate(divide="ignore"):
+            self.invdeg = np.where(self.dangling, 0.0, 1.0 / f.out.deg)
+        return {}
+
+    def prestep(self, step, glob):
+        return {"dangling_sum": float(self.score[self.dangling].sum())}
+
+    def scatter(self, step, glob):
+        contrib = np.repeat(self.score * self.invdeg, self.frag.out.deg)
+        return self.frag.out.push_reduce(contrib, "sum")
+
+    def gather(self, step, glob, msgs):
+        f = self.frag
+        N = max(f.N, 1)
+        insum = acc_sum(f.n_local, msgs)
+        a = self.alpha
+        new = a * insum + (a * glob["dangling_sum"] + (1.0 - a)) / N
+        resid = float(np.abs(new - self.score).sum())
+        self.score = new
+        return {"residual": resid}
+
+    def state_columns(self):
+        return {"score": self.score}
+
+
+# --------------------------------------------------------------------------
+class Wcc(VertexProgram):
+    """Min-label propagation WCC (apps/projected/wcc_projected.h:70-182):
+    comp = own vid; push min over edges; frontier = changed; stop on no change.
+    Requires an undirected (symmetrized) graph view — weak connectivity."""
+
+    def __init__(self, frag, max_rounds: int = 0):
+        super().__init__(frag)
+
+    def init(self) -> dict:
+        f = self.frag
+        self.comp = f.owned_vids().astype(np.float64)
+        self.changed = np.ones(f.n_local, dtype=bool)
+        return {}
+
+    def scatter(self, step, glob):
+        vals = np.repeat(self.comp, self.frag.out.deg)
+        return self.frag.out.push_reduce_masked(vals, self.changed, "min")
+
+    def gather(self, step, glob, msgs):
+        f = self.frag
+        incoming = acc_min(f.n_local, msgs)
+        new = np.minimum(self.comp, incoming)
+        self.changed = new < self.comp
+        self.comp = new
+        return {"changed": int(self.changed.sum())}
+
+    def state_columns(self):
+        return {"comp": self.comp.astype(np.int64)}
+
+    def load_state_columns(self, cols):
+        self.comp = np.asarray(cols["comp"], dtype=np.float64)
+        self.changed = np.ones(self.frag.n_local, dtype=bool)
+
+
+# --------------------------------------------------------------------------
+class Cdlp(VertexProgram):
+    """Synchronous label propagation, LDBC-deterministic (grape::CDLP semantics,
+    .gs_conf.yaml:80-87; twin apps/flash/clustering/lpa.h:43-80): init label =
+    own vid; per round label = most frequent incoming neighbor label, ties →
+    smallest label; fixed round count (builtin_algorithms.md:236-247).
+    Run on an 'undirected_multi' view so u↔v pairs count once per direction."""
+
+    def __init__(self, frag, max_rounds: int = 10):
+        super().__init__(frag)
+
+    def init(self) -> dict:
+        self.label = self.frag.owned_vids()
+        return {}
+
+    def scatter(self, step, glob):
+        return self.frag.out.push_label_counts(self.label)
+
+    def gather(self, step, glob, msgs):
+        dl, lab = mode_min_labels(msgs)
+        changed = 0
+        if len(dl):
+            changed = int((self.label[dl] != lab).sum())
+            new = self.label.copy()
+            new[dl] = lab  # vertices with no incoming labels keep their own
+            self.label = new
+        return {"changed": changed}
+
+    def state_columns(self):
+        return {"label": self.label}
+
+
+# --------------------------------------------------------------------------
+class Sssp(VertexProgram):
+    """Frontier Bellman-Ford SSSP (apps/sssp/*.h semantics): dist init ∞ except
+    source=0; relax along out-edges with edge weight (default 1.0); stop when
+    no distance improves.  Unreached vertices report +inf."""
+
+    def __init__(self, frag, source: int = 0, max_rounds: int = 0):
+        super().__init__(frag)
+        self.source = int(source)
+
+    def init(self) -> dict:
+        f = self.frag
+        self.dist = np.full(f.n_local, np.inf, dtype=np.float64)
+        self.frontier = np.zeros(f.n_local, dtype=bool)
+        if f.N and self.source % f.P == f.part:
+            self.dist[self.source // f.P] = 0.0
+            self.frontier[self.source // f.P] = True
+        return {}
+
+    def scatter(self, step, glob):
+        o = self.frag.out
+        w = o.weight if o.weight is not None else 1.0
+        vals = np.repeat(self.dist, o.deg) + w
+        return o.push_reduce_masked(vals, self.frontier, "min")
+
+    def gather(self, step, glob, msgs):
+        incoming = acc_min(self.frag.n_local, msgs)
+        new = np.minimum(self.dist, incoming)
+        self.frontier = new < self.dist
+        self.dist = new
+        return {"changed": int(self.frontier.sum())}
+
+    def state_columns(self):
+        return {"dist": self.dist}
+
+
+class Bfs(Sssp):
+    """BFS depth = SSSP with unit weights (apps/bfs/bfs_generic.h semantics,
+    depth output format); depth_limit honored via max_rounds."""
+
+    def scatter(self, step, glob):
+        o = self.frag.out
+        vals = np.repeat(self.dist, o.deg) + 1.0
+        return o.push_reduce_masked(vals, self.frontier, "min")
+
+    def state_columns(self):
+        depth = np.where(np.isinf(self.dist), -1, self.dist).astype(np.int64)
+        return {"depth": depth}
+
+
+# --------------------------------------------------------------------------
+class Hits(VertexProgram):
+    """HITS (apps/hits/hits.h:27-66 semantics, L1-normalized per half-round):
+    auth ∝ Σ_in hub ; hub ∝ Σ_out auth.  Two driver steps per iteration:
+    even step pushes hub along out-edges (computes raw auth), odd step pushes
+    normalized auth along in-edges (computes raw hub).  Needs in-CSR."""
+
+    def __init__(self, frag, tol: float = 1e-8, max_rounds: int = 100):
+        super().__init__(frag)
+        self.tol = float(tol)
+
+    def init(self) -> dict:
+        n, N = self.frag.n_local, max(self.frag.N, 1)
+        self.auth = np.full(n, 1.0 / N)
+        self.hub = np.full(n, 1.0 / N)
+        self.raw_auth = np.zeros(n)
+        self.raw_hub = np.zeros(n)
+        return {}
+
+    def prestep(self, step, glob):
+        if step % 2 == 0:
+            if step == 0:
+                return {}
+            s = glob.get("hub_sum", 0.0) or 1.0
+            new = self.raw_hub / s
+            resid = float(np.abs(new - self.hub).sum())
+            self.hub = new
+            return {"resid_hub": resid}
+        s = glob.get("auth_sum", 0.0) or 1.0
+        new = self.raw_auth / s
+        resid = float(np.abs(new - self.auth).sum())
+        self.auth = new
+        return {"resid_auth": resid}
+
+    def scatter(self, step, glob):
+        if step % 2 == 0:
+            vals = np.repeat(self.hub, self.frag.out.deg)
+            return self.frag.out.push_reduce(vals, "sum")
+        vals = np.repeat(self.auth, self.frag.inc.deg)
+        return self.frag.inc.push_reduce(vals, "sum")
+
+    def gather(self, step, glob, msgs):
+        if step % 2 == 0:
+            self.raw_auth = acc_sum(self.frag.n_local, msgs)
+            return {"auth_sum": float(self.raw_auth.sum())}
+        self.raw_hub = acc_sum(self.frag.n_local, msgs)
+        return {"hub_sum": float(self.raw_hub.sum())}
+
+    def finalize(self, glob):
+        s = glob.get("hub_sum", 0.0) or 1.0
+        self.hub = self.raw_hub / s
+
+    def state_columns(self):
+        return {"auth": self.auth, "hub": self.hub}
+
+
+def _hits_converged(glob, params, N, step):
+    if step < 3 or step % 2 == 0:
+        return False
+    tol = params.get("tol", 1e-8)
+    return glob.get("resid_auth", np.inf) + glob.get("resid_hub", np.inf) < tol * max(N, 1)
+
+
+# --------------------------------------------------------------------------
+class KCore(VertexProgram):
+    """Iterative peeling k-core membership (apps/kcore/kcore.h:32-58):
+    repeatedly remove vertices with current degree < k, decrementing their
+    neighbors, until stable.  Undirected (symmetrized, distinct) view."""
+
+    def __init__(self, frag, k: int = 3, max_rounds: int = 0):
+        super().__init__(frag)
+        self.k = int(k)
+
+    def init(self) -> dict:
+        self.alive = np.ones(self.frag.n_local, dtype=bool)
+        self.degc = self.frag.out.deg.astype(np.float64)
+        return {}
+
+    def scatter(self, step, glob):
+        o = self.frag.out
+        remove = self.alive & (self.degc < self.k)
+        self._removed = int(remove.sum())
+        self.alive &= ~remove
+        ones = np.ones(o.dst.size, dtype=np.float64)
+        return o.push_reduce_masked(ones, remove, "sum")
+
+    def gather(self, step, glob, msgs):
+        dec = acc_sum(self.frag.n_local, msgs)
+        self.degc -= dec
+        return {"removed": self._removed}
+
+    def state_columns(self):
+        return {"in_core": self.alive.astype(np.int64)}
+
+
+# --------------------------------------------------------------------------
+class Eigenvector(VertexProgram):
+    """Eigenvector centrality, power iteration x' = Aᵀx, L2-normalized per
+    round (apps/centrality/eigenvector semantics); stop Σ|Δ| < tol·N."""
+
+    def __init__(self, frag, tol: float = 1e-9, max_rounds: int = 100):
+        super().__init__(frag)
+        self.tol = float(tol)
+
+    def init(self) -> dict:
+        n, N = self.frag.n_local, max(self.frag.N, 1)
+        self.x = np.full(n, 1.0 / N)
+        self.raw = np.zeros(n)
+        return {}
+
+    def prestep(self, step, glob):
+        if step == 0:
+            return {}
+        norm = np.sqrt(glob.get("sumsq", 0.0)) or 1.0
+        new = self.raw / norm
+        resid = float(np.abs(new - self.x).sum())
+        self.x = new
+        return {"resid": resid}
+
+    def scatter(self, step, glob):
+        vals = np.repeat(self.x, self.frag.out.deg)
+        return self.frag.out.push_reduce(vals, "sum")
+
+    def gather(self, step, glob, msgs):
+        # x' includes the previous value (A+I power iteration, avoids 2-cycles)
+        self.raw = acc_sum(self.frag.n_local, msgs) + self.x
+        return {"sumsq": float((self.raw**2).sum())}
+
+    def finalize(self, glob):
+        norm = np.sqrt(glob.get("sumsq", 0.0)) or 1.0
+        self.x = self.raw / norm
+
+    def state_columns(self):
+        return {"centrality": self.x}
+
+
+class Katz(VertexProgram):
+    """Katz centrality x' = α·Aᵀx + β, L2-normalized at the end
+    (apps/centrality/katz semantics); stop Σ|Δ| < tol·N."""
+
+    def __init__(self, frag, alpha: float = 0.1, beta: float = 1.0, tol: float = 1e-9, max_rounds: int = 100):
+        super().__init__(frag)
+        self.alpha, self.beta, self.tol = float(alpha), float(beta), float(tol)
+
+    def init(self) -> dict:
+        self.x = np.zeros(self.frag.n_local)
+        return {}
+
+    def scatter(self, step, glob):
+        vals = np.repeat(self.x, self.frag.out.deg)
+        return self.frag.out.push_reduce(vals, "sum")
+
+    def gather(self, step, glob, msgs):
+        new = self.alpha * acc_sum(self.frag.n_local, msgs) + self.beta
+        resid = float(np.abs(new - self.x).sum())
+        self.x = new
+        return {"resid": resid, "sumsq": float((new**2).sum())}
+
+    def finalize(self, glob):
+        norm = np.sqrt(glob.get("sumsq", 0.0)) or 1.0
+        self.x = self.x / norm
+
+    def state_columns(self):
+        return {"centrality": self.x}
+
+
+# --------------------------------------------------------------------------
+def _never(glob, params, N, step):
+    return False
+
+
+PROGRAMS: dict[str, ProgramSpec] = {
+    "pagerank": ProgramSpec(
+        PageRank,
+        lambda glob, params, N, step: glob.get("residual", np.inf)
+        < params.get("tol", 1e-6) * max(N, 1),
+        100,
+    ),
+    "wcc": ProgramSpec(Wcc, lambda glob, p, N, s: glob.get("changed", 1) == 0, 10_000),
+    "cdlp": ProgramSpec(Cdlp, _never, 10),
+    "sssp": ProgramSpec(Sssp, lambda glob, p, N, s: glob.get("changed", 1) == 0, 10_000),
+    "bfs": ProgramSpec(Bfs, lambda glob, p, N, s: glob.get("changed", 1) == 0, 10_000),
+    "hits": ProgramSpec(Hits, _hits_converged, 200),
+    "kcore": ProgramSpec(KCore, lambda glob, p, N, s: glob.get("removed", 1) == 0, 10_000),
+    "eigenvector": ProgramSpec(
+        Eigenvector,
+        lambda glob, p, N, s: s > 0 and glob.get("resid", np.inf) < p.get("tol", 1e-9) * max(N, 1),
+        100,
+    ),
+    "katz": ProgramSpec(
+        Katz,
+        lambda glob, p, N, s: glob.get("resid", np.inf) < p.get("tol", 1e-9) * max(N, 1),
+        100,
+    ),
+}
