@@ -292,6 +292,7 @@ def build_graph(
     store_in_edges: bool = False,
     num_vertices: int | None = None,
     weight: bool = False,
+    actor_cpus: float = 0,
 ) -> Graph:
     """Route edges (int64 ``src``/``dst`` vids in [0, N)) to P FragmentActors.
 
@@ -321,8 +322,11 @@ def build_graph(
     out_splits = _route(ds, P, by="src")
     in_splits = _route(ds, P, by="dst") if store_in_edges else None
 
+    # num_cpus=0 + SPREAD: all P fragments co-schedule (supersteps run in
+    # lockstep, one numpy thread each); on a multi-node cluster SPREAD places
+    # one fragment per node first, like one MPI worker per host.
     actors = [
-        FragmentActor.remote(
+        FragmentActor.options(num_cpus=actor_cpus, scheduling_strategy="SPREAD").remote(
             p,
             P,
             num_vertices,
@@ -348,6 +352,8 @@ def _route(ds: ray.data.Dataset, P: int, by: str) -> list[list]:
         return t.append_column("part", part)
 
     with_part = ds.map_batches(_addpart, batch_format="pyarrow")
+    if P == 1:
+        return [with_part.materialize().to_arrow_refs()]
     counts = {int(r["part"]): int(r["count()"]) for r in with_part.groupby("part").count().take_all()}
     boundaries = np.cumsum([counts.get(p, 0) for p in range(P)])[:-1].tolist()
     parts = with_part.sort("part").materialize().split_at_indices(boundaries)

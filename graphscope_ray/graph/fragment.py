@@ -238,7 +238,10 @@ class FragmentActor:
         return self.programs[name].prestep(step, glob)
 
     def p_scatter(self, name: str, step: int, glob: dict):
-        return tuple(self.programs[name].scatter(step, glob))
+        msgs = tuple(self.programs[name].scatter(step, glob))
+        # P==1: the driver calls without num_returns; hand back the single
+        # message directly so gather(*msgs) sees one message, not a 1-tuple.
+        return msgs[0] if self.P == 1 else msgs
 
     def p_gather(self, name: str, step: int, glob: dict, *msgs) -> dict:
         return self.programs[name].gather(step, glob, msgs)
@@ -337,7 +340,7 @@ class FragmentActor:
         for q in range(self.P):
             sel = np.flatnonzero(vpart == q)
             out.append((v[sel] // self.P, w[sel], u[sel]))
-        return tuple(out)
+        return out[0] if self.P == 1 else tuple(out)
 
     def tri_check(self, *wedge_msgs) -> tuple:
         """Check wedge closure w ∈ adj+(v) for owned v; count v-corners locally,
@@ -372,7 +375,8 @@ class FragmentActor:
         else:
             c = _EMPTY_I64
         cpart = c % self.P
-        return tuple(c[cpart == q] for q in range(self.P))
+        msgs = tuple(c[cpart == q] for q in range(self.P))
+        return msgs[0] if self.P == 1 else msgs
 
     def tri_apply(self, *corner_msgs) -> int:
         for m in corner_msgs:

@@ -1,0 +1,71 @@
+"""End-to-end link-graph pipeline: repos table → edges → Graph → analytics.
+
+The flagship path of the north star: read the source-file table, compute
+sha256 lineage, mine import references, resolve them to repo→repo edges
+(broadcast join), build partitioned CSR fragments, run the four analytical
+apps as supersteps.  Matches the reference lifecycle
+(SURVEY.md §3.1: load → project → app → context) re-expressed Ray-Data-first.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from graphscope_ray.graph import algorithms as alg
+from graphscope_ray.graph.build import Graph, build_graph_from_oids
+from graphscope_ray.stages.ingest import lineage, with_sha256
+from graphscope_ray.stages.mine import build_exports, mine_imports, resolve_edges
+
+
+def mine_edges(
+    repos_ds: ray.data.Dataset,
+    lineage_path: str | None = None,
+) -> ray.data.Dataset:
+    """repos table → distinct weighted edge table (src_oid, dst_oid, weight)."""
+    ds = with_sha256(repos_ds)
+    if lineage_path:
+        lineage(ds).write_parquet(lineage_path)
+    exports = build_exports(ds)
+    imports = mine_imports(ds)
+    return resolve_edges(imports, exports)
+
+
+def build_link_graph(
+    repos_ds: ray.data.Dataset,
+    num_partitions: int = 8,
+    view: str = "directed",
+    lineage_path: str | None = None,
+    **kwargs,
+) -> Graph:
+    edges = mine_edges(repos_ds, lineage_path=lineage_path)
+    return build_graph_from_oids(
+        edges, num_partitions=num_partitions, view=view, **kwargs
+    )
+
+
+def _with_oids(g: Graph, ds: ray.data.Dataset, value_cols: list[str]) -> pd.DataFrame:
+    """Join a vid-space result back to repo oids (small driver-side result)."""
+    vmap = g.vertices_ds.to_pandas()
+    out = ds.to_pandas().merge(vmap, on="vid")
+    return out[["oid"] + value_cols].sort_values("oid").reset_index(drop=True)
+
+
+def flagship(repos_ds: ray.data.Dataset, num_partitions: int = 8) -> pd.DataFrame:
+    """PageRank to 1e-6 + WCC + CDLP + triangle counts over the mined graph;
+    one row per repo: (oid, score, comp, label, tri)."""
+    edges = mine_edges(repos_ds).materialize()
+    gd = build_graph_from_oids(edges, num_partitions=num_partitions, view="directed")
+    pr, _ = alg.pagerank(gd, tol=1e-6)
+    gu = build_graph_from_oids(edges, num_partitions=num_partitions, view="undirected")
+    comp, _ = alg.wcc(gu)
+    _, tri = alg.triangles(gu)
+    gm = build_graph_from_oids(edges, num_partitions=num_partitions, view="undirected_multi")
+    lab, _ = alg.cdlp(gm)
+    out = _with_oids(gd, pr, ["score"])
+    out = out.merge(_with_oids(gu, comp, ["comp"]), on="oid")
+    out = out.merge(_with_oids(gu, tri.select_columns(["vid", "tri"]), ["tri"]), on="oid")
+    out = out.merge(_with_oids(gm, lab, ["label"]), on="oid")
+    return out

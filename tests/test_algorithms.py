@@ -1,0 +1,163 @@
+"""Engine vs pure-Python oracles on micro-graphs and a seeded random graph,
+at two partition counts (parallelism invariance — the in-sandbox analogue of
+test_scalability.py:40-57)."""
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from graphscope_ray.graph import algorithms as alg
+from graphscope_ray.graph.build import build_graph
+
+from . import oracles
+
+MICROS = {
+    "chain5": ([(0, 1), (1, 2), (2, 3), (3, 4)], 5),
+    "two_cliques": (
+        [(a, b) for a, b in itertools.permutations(range(4), 2)]
+        + [(a + 4, b + 4) for a, b in itertools.permutations(range(3), 2)],
+        7,
+    ),
+    "star_hub": ([(i, 0) for i in range(1, 12)], 12),
+    "self_loop_dup": ([(0, 0), (0, 1), (0, 1), (1, 2), (2, 0)], 3),
+    "diamond": ([(0, 1), (0, 2), (1, 3), (2, 3)], 4),
+}
+
+
+def _rand_graph(n=60, m=300, seed=7):
+    rng = np.random.RandomState(seed)
+    e = rng.randint(0, n, size=(m, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    e = list({(int(a), int(b)) for a, b in e})
+    e.sort()
+    return e, n
+
+
+GRAPHS = dict(MICROS)
+GRAPHS["rand60"] = _rand_graph()
+
+
+def _tbl(edges):
+    return pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.int64()),
+            "dst": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+
+
+def _build(edges, n, P, view="directed", **kw):
+    return build_graph(_tbl(edges), num_partitions=P, view=view, num_vertices=n, **kw)
+
+
+def _col(ds, col):
+    df = ds.to_pandas().sort_values("vid")
+    return df[col].to_numpy()
+
+
+@pytest.mark.parametrize("gname", list(GRAPHS))
+@pytest.mark.parametrize("P", [1, 3])
+def test_pagerank(gname, P):
+    edges, n = GRAPHS[gname]
+    g = _build(edges, n, P)
+    ds, res = alg.pagerank(g, tol=1e-10, max_rounds=200)
+    got = _col(ds, "score")
+    want = oracles.pagerank(edges, n, tol=1e-10, max_rounds=200)
+    assert np.allclose(got, want, atol=1e-9)
+    assert abs(got.sum() - 1.0) < 1e-9
+
+
+@pytest.mark.parametrize("gname", list(GRAPHS))
+@pytest.mark.parametrize("P", [1, 3])
+def test_wcc(gname, P):
+    edges, n = GRAPHS[gname]
+    g = _build(edges, n, P, view="undirected")
+    ds, _ = alg.wcc(g)
+    assert _col(ds, "comp").tolist() == oracles.wcc(edges, n)
+
+
+@pytest.mark.parametrize("gname", list(GRAPHS))
+@pytest.mark.parametrize("P", [1, 3])
+def test_cdlp(gname, P):
+    edges, n = GRAPHS[gname]
+    g = _build(edges, n, P, view="undirected_multi")
+    ds, _ = alg.cdlp(g, max_rounds=10)
+    assert _col(ds, "label").tolist() == oracles.cdlp(edges, n, rounds=10)
+
+
+@pytest.mark.parametrize("gname", list(GRAPHS))
+@pytest.mark.parametrize("P", [1, 3])
+def test_triangles(gname, P):
+    edges, n = GRAPHS[gname]
+    g = _build(edges, n, P, view="undirected")
+    total, ds = alg.triangles(g)
+    want_total, want_tri = oracles.triangles(edges, n)
+    assert total == want_total
+    assert _col(ds, "tri").tolist() == want_tri
+
+
+@pytest.mark.parametrize("gname", ["chain5", "two_cliques", "rand60"])
+@pytest.mark.parametrize("P", [1, 3])
+def test_sssp_bfs(gname, P):
+    edges, n = GRAPHS[gname]
+    g = _build(edges, n, P)
+    ds, _ = alg.sssp(g, source=0)
+    assert np.allclose(_col(ds, "dist"), oracles.sssp(edges, n, 0))
+    ds2, _ = alg.bfs(g, source=0)
+    assert _col(ds2, "depth").tolist() == oracles.bfs_depth(edges, n, 0)
+
+
+@pytest.mark.parametrize("gname", ["two_cliques", "rand60", "star_hub"])
+@pytest.mark.parametrize("P", [1, 3])
+def test_hits(gname, P):
+    edges, n = GRAPHS[gname]
+    g = _build(edges, n, P, store_in_edges=True)
+    ds, _ = alg.hits(g, tol=1e-12, max_rounds=300)
+    auth, hub = oracles.hits(edges, n, tol=1e-12, max_rounds=300)
+    assert np.allclose(_col(ds, "auth"), auth, atol=1e-6)
+    assert np.allclose(_col(ds, "hub"), hub, atol=1e-6)
+
+
+@pytest.mark.parametrize("gname", ["two_cliques", "rand60"])
+@pytest.mark.parametrize("k", [2, 3])
+def test_kcore(gname, k):
+    edges, n = GRAPHS[gname]
+    g = _build(edges, n, 3, view="undirected")
+    ds, _ = alg.kcore(g, k=k)
+    assert _col(ds, "in_core").astype(bool).tolist() == oracles.kcore(edges, n, k)
+
+
+def test_lcc_and_global_stats():
+    edges, n = GRAPHS["two_cliques"]
+    g = _build(edges, n, 3, view="undirected")
+    lcc = _col(alg.lcc(g), "lcc")
+    assert np.allclose(lcc, [1, 1, 1, 1, 1, 1, 1])  # cliques: lcc = 1
+    assert abs(alg.transitivity(g) - 1.0) < 1e-12
+    assert abs(alg.avg_clustering(g) - 1.0) < 1e-12
+
+
+def test_empty_graph():
+    g = _build([], 5, 2)
+    ds, _ = alg.pagerank(g)
+    assert np.allclose(_col(ds, "score"), [0.2] * 5)
+    gu = _build([], 5, 2, view="undirected")
+    total, _ = alg.triangles(gu)
+    assert total == 0
+
+
+def test_centralities_run():
+    edges, n = GRAPHS["rand60"]
+    g = _build(edges, n, 3)
+    ds, _ = alg.eigenvector_centrality(g, max_rounds=50)
+    x = _col(ds, "centrality")
+    assert np.isfinite(x).all() and abs((x**2).sum() - 1.0) < 1e-6
+    ds2, _ = alg.katz_centrality(g, alpha=0.05, max_rounds=200)
+    x2 = _col(ds2, "centrality")
+    assert np.isfinite(x2).all() and abs((x2**2).sum() - 1.0) < 1e-6
+    dc = alg.degree_centrality(g).to_pandas().sort_values("vid")
+    outdeg = np.zeros(n, dtype=int)
+    for s, d in edges:
+        outdeg[s] += 1
+    assert dc["degree"].tolist() == outdeg.tolist()
