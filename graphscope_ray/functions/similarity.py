@@ -1,0 +1,147 @@
+"""Similarity search over an embedding column (list<float>).
+
+- brute-force cosine top-k: the query matrix is broadcast once (ray.put);
+  each batch computes a blocked matmul and emits its LOCAL top-k per query;
+  a tiny groupby merges partials into the global top-k.  This streams the
+  corpus — only (num_queries × k) rows per block leave the workers.
+- IVF variant: coarse k-means centroids (trained on a sample, driver-side),
+  per-batch cluster assignment, search restricted to the nprobe closest
+  clusters — the scale path when the corpus is too large for full scans.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _topk_partial_fn(ref, k: int, id_col: str, vec_col: str):
+    def _block(t: pa.Table) -> pa.Table:
+        Q, qids = ray.get(ref)
+        V = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sims = Q @ V.T  # (nq, nblock)
+        kk = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows_q, rows_v, rows_s = [], [], []
+        for qi in range(sims.shape[0]):
+            rows_q.append(np.full(kk, qids[qi], dtype=np.int64))
+            rows_v.append(ids[idx[qi]])
+            rows_s.append(sims[qi, idx[qi]])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(rows_q)),
+                "vec_id": pa.array(np.concatenate(rows_v).astype(np.int64)),
+                "score": pa.array(np.concatenate(rows_s)),
+            }
+        )
+
+    return _block
+
+
+def topk_cosine(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Exact cosine top-k for each query row: (query_id, vec_id, score)."""
+    Q = np.asarray(queries, dtype=np.float64)
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((Q, np.asarray(query_ids, dtype=np.int64)))
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        _topk_partial_fn(ref, k, id_col, vec_col), batch_format="pyarrow", batch_size=4096
+    )
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+
+    return partials.groupby("query_id").map_groups(_merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+
+
+def train_centroids(ds: ray.data.Dataset, n_clusters: int = 16, iters: int = 10, sample: float = 1.0, seed: int = 0, vec_col: str = "embedding") -> np.ndarray:
+    """Coarse k-means on a (sampled) materialized slice — the IVF codebook.
+    The sample is small by construction; training is a driver-side numpy loop."""
+    s = ds if sample >= 1.0 else ds.random_sample(sample, seed=seed)
+    X = np.stack(s.select_columns([vec_col]).to_pandas()[vec_col].to_numpy()).astype(np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
+    for _ in range(iters):
+        a = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            m = a == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                C[c] = v / max(np.linalg.norm(v), 1e-12)
+    return C
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Approximate top-k: per batch, score only vectors whose nearest centroid
+    is among each query's nprobe closest centroids."""
+    C = train_centroids(ds, n_clusters=n_clusters, vec_col=vec_col)
+    Q = np.asarray(queries, dtype=np.float64)
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    qprobe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    ref = ray.put((Q, np.asarray(query_ids, dtype=np.int64), C, qprobe))
+
+    def _block(t: pa.Table) -> pa.Table:
+        Qm, qids, Cm, probe = ray.get(ref)
+        V = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        assign = np.argmax(V @ Cm.T, axis=1)
+        rows_q, rows_v, rows_s = [], [], []
+        for qi in range(len(Qm)):
+            m = np.isin(assign, probe[qi])
+            if not m.any():
+                continue
+            sims = Qm[qi] @ V[m].T
+            kk = min(k, sims.shape[0])
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            rows_q.append(np.full(kk, qids[qi], dtype=np.int64))
+            rows_v.append(ids[m][idx])
+            rows_s.append(sims[idx])
+        if not rows_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(rows_q)),
+                "vec_id": pa.array(np.concatenate(rows_v).astype(np.int64)),
+                "score": pa.array(np.concatenate(rows_s)),
+            }
+        )
+
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        _block, batch_format="pyarrow", batch_size=4096
+    )
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+
+    return partials.groupby("query_id").map_groups(_merge, batch_format="pandas")

@@ -1,0 +1,341 @@
+"""ANSI-SQL (DuckDB) oracles mirroring every oracle-checkable pipeline.
+
+Iterative algorithms are expressed as programmatically UNROLLED chains of
+CTEs (one per superstep) with identical update rules, tie-breaks and guard
+semantics as the engine programs; floats are rounded to 8 decimals on BOTH
+sides.  The link graph shares its derivation CTE with
+pipelines/testdata.py (src = l_orderkey % MOD, dst = l_partkey % MOD).
+"""
+
+from __future__ import annotations
+
+from graphscope_ray.pipelines.testdata import LG_MOD
+
+_BASE = f"""
+e AS MATERIALIZED (
+  SELECT DISTINCT (l_orderkey % {LG_MOD}) AS src, (l_partkey % {LG_MOD}) AS dst
+  FROM lineitem WHERE (l_orderkey % {LG_MOD}) <> (l_partkey % {LG_MOD})
+),
+v AS MATERIALIZED (SELECT src AS oid FROM e UNION SELECT dst FROM e),
+nv AS MATERIALIZED (SELECT count(*) AS n FROM v),
+ue AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+me AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+outd AS MATERIALIZED (SELECT src AS oid, count(*) AS d FROM e GROUP BY src)
+"""
+
+
+def lg_edges_sql() -> str:
+    return f"WITH {_BASE} SELECT src, dst FROM e"
+
+
+def lg_vertices_sql() -> str:
+    return f"WITH {_BASE} SELECT oid, row_number() OVER (ORDER BY oid) - 1 AS vid FROM v"
+
+
+def lg_degree_sql() -> str:
+    return (
+        f"WITH {_BASE} SELECT v.oid, coalesce(o.d, 0) AS out_deg "
+        "FROM v LEFT JOIN outd o ON o.oid = v.oid"
+    )
+
+
+def lg_undirected_edge_count_sql() -> str:
+    return f"WITH {_BASE} SELECT count(*) AS n_undirected_edges FROM ue"
+
+
+def lg_pagerank_sql(rounds: int = 15, alpha: float = 0.85) -> str:
+    """Unrolled NetworkX PageRank: r' = α·insum + (α·dangling + (1-α))/N."""
+    ctes = [f"p0 AS MATERIALIZED (SELECT oid, 1.0/(SELECT n FROM nv) AS score FROM v)"]
+    for k in range(rounds):
+        ctes.append(
+            f"d{k} AS MATERIALIZED (SELECT coalesce(sum(p.score),0) AS ds FROM p{k} p "
+            f"LEFT JOIN outd o ON o.oid=p.oid WHERE o.d IS NULL)"
+        )
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT e.dst AS oid, sum(p.score / o.d) AS insum "
+            f"FROM e JOIN p{k} p ON p.oid=e.src JOIN outd o ON o.oid=e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"p{k + 1} AS MATERIALIZED (SELECT v.oid, {alpha}*coalesce(s.insum,0) + "
+            f"({alpha}*(SELECT ds FROM d{k}) + {1 - alpha:.2f})/(SELECT n FROM nv) AS score "
+            f"FROM v LEFT JOIN s{k} s ON s.oid=v.oid)"
+        )
+    return f"WITH {_BASE}, " + ",\n".join(ctes) + f" SELECT oid, round(score, 8) AS score FROM p{rounds}"
+
+
+def lg_wcc_sql() -> str:
+    return (
+        f"WITH RECURSIVE {_BASE}, "
+        "reach(rv, c) AS MATERIALIZED (SELECT oid, oid FROM v UNION "
+        "SELECT ue.dst, r.c FROM reach r JOIN ue ON ue.src = r.rv) "
+        "SELECT rv AS oid, min(c) AS comp_oid FROM reach GROUP BY rv"
+    )
+
+
+def lg_cdlp_sql(rounds: int = 10) -> str:
+    """Unrolled synchronous LPA over the neighbor multiset; mode with min-label
+    tie-break; isolated vertices keep their label."""
+    ctes = ["l0 AS MATERIALIZED (SELECT oid, oid AS label FROM v)"]
+    for k in range(rounds):
+        ctes.append(
+            f"c{k} AS MATERIALIZED (SELECT me.dst AS oid, l.label, count(*) AS cnt "
+            f"FROM me JOIN l{k} l ON l.oid = me.src GROUP BY me.dst, l.label)"
+        )
+        ctes.append(
+            f"m{k} AS MATERIALIZED (SELECT oid, label FROM (SELECT oid, label, "
+            f"row_number() OVER (PARTITION BY oid ORDER BY cnt DESC, label ASC) AS rn "
+            f"FROM c{k}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"l{k + 1} AS MATERIALIZED (SELECT v.oid, coalesce(m.label, l.label) AS label "
+            f"FROM v JOIN l{k} l ON l.oid=v.oid LEFT JOIN m{k} m ON m.oid=v.oid)"
+        )
+    return (
+        f"WITH {_BASE}, " + ",\n".join(ctes) + f" SELECT oid, label AS label_oid FROM l{rounds}"
+    )
+
+
+_TRI = """
+deg AS MATERIALIZED (SELECT src AS tv, count(*) AS d FROM ue GROUP BY src),
+oe AS MATERIALIZED (SELECT ue.src AS a, ue.dst AS b FROM ue
+       JOIN deg da ON da.tv = ue.src JOIN deg db ON db.tv = ue.dst
+       WHERE da.d < db.d OR (da.d = db.d AND ue.src < ue.dst)),
+tr AS MATERIALIZED (SELECT ab.a AS u, ab.b AS w1, bc.b AS w2 FROM oe ab
+       JOIN oe bc ON bc.a = ab.b JOIN oe ac ON ac.a = ab.a AND ac.b = bc.b)
+"""
+
+
+def lg_triangles_sql() -> str:
+    return (
+        f"WITH {_BASE}, {_TRI}, "
+        "corners AS MATERIALIZED (SELECT u AS oid FROM tr UNION ALL SELECT w1 FROM tr UNION ALL SELECT w2 FROM tr) "
+        "SELECT v.oid, coalesce(c.tri, 0) AS tri FROM v LEFT JOIN "
+        "(SELECT oid, count(*) AS tri FROM corners GROUP BY oid) c ON c.oid = v.oid"
+    )
+
+
+def lg_triangle_total_sql() -> str:
+    return f"WITH {_BASE}, {_TRI} SELECT count(*) AS n_triangles FROM tr"
+
+
+def lg_lcc_sql() -> str:
+    return (
+        f"WITH {_BASE}, {_TRI}, "
+        "corners AS MATERIALIZED (SELECT u AS oid FROM tr UNION ALL SELECT w1 FROM tr UNION ALL SELECT w2 FROM tr), "
+        "tc AS MATERIALIZED (SELECT oid, count(*) AS tri FROM corners GROUP BY oid) "
+        "SELECT v.oid, round(CASE WHEN coalesce(d.d,0) > 1 "
+        "THEN 2.0 * coalesce(tc.tri,0) / (d.d * (d.d - 1)) ELSE 0 END, 8) AS lcc "
+        "FROM v LEFT JOIN deg d ON d.tv = v.oid LEFT JOIN tc ON tc.oid = v.oid"
+    )
+
+
+def lg_bfs_sql(max_depth: int = 200) -> str:
+    return (
+        f"WITH RECURSIVE {_BASE}, "
+        "src0 AS MATERIALIZED (SELECT min(oid) AS s FROM v), "
+        f"walk(wv, d) AS MATERIALIZED (SELECT s, 0 FROM src0 UNION "
+        f"SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.wv WHERE w.d < {max_depth}) "
+        "SELECT wv AS oid, min(d) AS depth FROM walk GROUP BY wv"
+    )
+
+
+def lg_sssp_sql(max_depth: int = 200) -> str:
+    return (
+        f"WITH RECURSIVE {_BASE}, "
+        "src0 AS MATERIALIZED (SELECT min(oid) AS s FROM v), "
+        f"walk(wv, d) AS MATERIALIZED (SELECT s, 0 FROM src0 UNION "
+        f"SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.wv WHERE w.d < {max_depth}) "
+        "SELECT wv AS oid, CAST(min(d) AS DOUBLE) AS dist FROM walk GROUP BY wv"
+    )
+
+
+def lg_hits_sql(iters: int = 5) -> str:
+    ctes = ["h0 AS MATERIALIZED (SELECT oid, 1.0/(SELECT n FROM nv) AS hub FROM v)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"ra{k} AS MATERIALIZED (SELECT e.dst AS oid, sum(h.hub) AS s FROM e "
+            f"JOIN h{k - 1} h ON h.oid = e.src GROUP BY e.dst)"
+        )
+        ctes.append(f"sa{k} AS MATERIALIZED (SELECT coalesce(sum(s),0) AS t FROM ra{k})")
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT v.oid, CASE WHEN (SELECT t FROM sa{k}) = 0 THEN 0 "
+            f"ELSE coalesce(ra.s, 0)/(SELECT t FROM sa{k}) END AS auth "
+            f"FROM v LEFT JOIN ra{k} ra ON ra.oid = v.oid)"
+        )
+        ctes.append(
+            f"rh{k} AS MATERIALIZED (SELECT e.src AS oid, sum(a.auth) AS s FROM e "
+            f"JOIN a{k} a ON a.oid = e.dst GROUP BY e.src)"
+        )
+        ctes.append(f"sh{k} AS MATERIALIZED (SELECT coalesce(sum(s),0) AS t FROM rh{k})")
+        ctes.append(
+            f"h{k} AS MATERIALIZED (SELECT v.oid, CASE WHEN (SELECT t FROM sh{k}) = 0 THEN 0 "
+            f"ELSE coalesce(rh.s, 0)/(SELECT t FROM sh{k}) END AS hub "
+            f"FROM v LEFT JOIN rh{k} rh ON rh.oid = v.oid)"
+        )
+    return (
+        f"WITH {_BASE}, " + ",\n".join(ctes)
+        + f" SELECT a.oid, round(a.auth, 8) AS auth, round(h.hub, 8) AS hub "
+        f"FROM a{iters} a JOIN h{iters} h ON h.oid = a.oid"
+    )
+
+
+def lg_eigenvector_sql(iters: int = 10) -> str:
+    ctes = ["x0 AS MATERIALIZED (SELECT oid, 1.0/(SELECT n FROM nv) AS x FROM v)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"r{k} AS MATERIALIZED (SELECT v.oid, coalesce(s.s, 0) + x.x AS r FROM v "
+            f"JOIN x{k - 1} x ON x.oid = v.oid LEFT JOIN "
+            f"(SELECT e.dst AS oid, sum(x2.x) AS s FROM e JOIN x{k - 1} x2 ON x2.oid = e.src "
+            f"GROUP BY e.dst) s ON s.oid = v.oid)"
+        )
+        ctes.append(f"n{k} AS MATERIALIZED (SELECT sqrt(sum(r*r)) AS nn FROM r{k})")
+        ctes.append(
+            f"x{k} AS MATERIALIZED (SELECT oid, r / (CASE WHEN (SELECT nn FROM n{k}) = 0 THEN 1 "
+            f"ELSE (SELECT nn FROM n{k}) END) AS x FROM r{k})"
+        )
+    return (
+        f"WITH {_BASE}, " + ",\n".join(ctes)
+        + f" SELECT oid, round(x, 8) AS centrality FROM x{iters}"
+    )
+
+
+def lg_katz_sql(iters: int = 8, alpha: float = 0.05, beta: float = 1.0) -> str:
+    ctes = ["x0 AS MATERIALIZED (SELECT oid, 0.0 AS x FROM v)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"x{k} AS MATERIALIZED (SELECT v.oid, CAST({alpha} AS DOUBLE)*coalesce(s.s, 0) + CAST({beta} AS DOUBLE) AS x FROM v LEFT JOIN "
+            f"(SELECT e.dst AS oid, sum(x2.x) AS s FROM e JOIN x{k - 1} x2 ON x2.oid = e.src "
+            f"GROUP BY e.dst) s ON s.oid = v.oid)"
+        )
+    return (
+        f"WITH {_BASE}, " + ",\n".join(ctes)
+        + f", nrm AS MATERIALIZED (SELECT CASE WHEN sqrt(sum(x*x)) = 0 THEN 1 ELSE sqrt(sum(x*x)) END AS nn FROM x{iters}) "
+        f"SELECT oid, round(x / (SELECT nn FROM nrm), 8) AS centrality FROM x{iters}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational / text / similarity / events oracles
+
+
+def op_filter_project_sql() -> str:
+    return (
+        "SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem WHERE l_quantity > 30"
+    )
+
+
+def op_groupby_agg_sql() -> str:
+    return (
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 6) AS sum_qty, "
+        "round(sum(l_extendedprice), 4) AS sum_price, count(*) AS n "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    )
+
+
+def op_sort_topk_sql() -> str:
+    return (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    )
+
+
+def op_join_addcolumn_sql() -> str:
+    return (
+        "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders "
+        "LEFT JOIN customer ON c_custkey = o_custkey"
+    )
+
+
+def op_distinct_sql() -> str:
+    return "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def op_union_distinct_sql() -> str:
+    return (
+        "SELECT DISTINCT nationkey FROM (SELECT c_nationkey AS nationkey FROM customer "
+        "UNION ALL SELECT s_nationkey FROM supplier)"
+    )
+
+
+def op_consolidate_sql() -> str:
+    return (
+        "SELECT p_partkey, printf('[%d,%.2f]', p_size, p_retailprice) AS consolidated FROM part"
+    )
+
+
+def events_window_sql(window_s: int = 3600) -> str:
+    return (
+        f"SELECT event_type, CAST(floor(epoch(ts) / {window_s}) AS BIGINT) * {window_s} "
+        "AS window_start, count(*) AS n_events, round(sum(value), 8) AS sum_value "
+        "FROM events GROUP BY event_type, window_start"
+    )
+
+
+def sessionize_sql(gap_s: int = 1800) -> str:
+    return f"""
+WITH x AS MATERIALIZED (
+  SELECT user_id, epoch(ts) AS tss, value,
+    CASE WHEN lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+          OR epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) > {gap_s}
+         THEN 1 ELSE 0 END AS new
+  FROM events),
+y AS MATERIALIZED (SELECT *, sum(new) OVER (PARTITION BY user_id ORDER BY tss
+        ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+SELECT user_id, count(*) AS n_events, round(min(tss), 6) AS t_start,
+       round(max(tss), 6) AS t_end, round(sum(value), 8) AS sum_value
+FROM y GROUP BY user_id, sid
+"""
+
+
+def dedup_exact_sql() -> str:
+    return (
+        "SELECT doc_id, sha256(text) AS text_sha256 FROM documents "
+        "QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1"
+    )
+
+
+def text_tokens_sql() -> str:
+    return (
+        "SELECT doc_id, CAST(length(list_filter(string_split_regex(text, '\\s+'), "
+        "x -> x <> '')) AS BIGINT) AS n_tokens FROM documents"
+    )
+
+
+def text_stats_sql() -> str:
+    return (
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+        "CAST(length(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_words, "
+        "CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha, "
+        "CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit "
+        "FROM documents"
+    )
+
+
+def text_quality_sql() -> str:
+    return """
+WITH s AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(length(text) AS DOUBLE) AS chars,
+    CAST(length(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS DOUBLE) AS words,
+    CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha
+  FROM documents)
+SELECT doc_id, round(
+  0.4 * (CASE WHEN chars >= 50 AND chars <= 100000 THEN 1 ELSE 0 END)
+  + 0.4 * (CASE WHEN chars > 0 THEN alpha / chars ELSE 0 END)
+  + 0.2 * (CASE WHEN words > 0 AND chars/words >= 3 AND chars/words <= 12 THEN 1 ELSE 0 END), 8)
+  AS quality
+FROM s
+"""
+
+
+def sim_topk_sql(n_queries: int = 5, k: int = 10) -> str:
+    return f"""
+WITH q AS MATERIALIZED (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < {n_queries}),
+s AS MATERIALIZED (SELECT q.query_id, e.vec_id,
+        list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+      FROM q CROSS JOIN embeddings e)
+SELECT query_id, vec_id, round(sim, 8) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM s)
+WHERE rn <= {k}
+"""

@@ -1,0 +1,306 @@
+"""Pipelines over the driver-provided testdata tables (TESTDATA.md).
+
+The link graph ``lg`` is derived deterministically from ``lineitem``:
+``src = l_orderkey % LG_MOD, dst = l_partkey % LG_MOD``, self-loops dropped,
+distinct — a dense directed graph with cycles/triangles whose derivation is
+equally expressible in the DuckDB oracle SQL (pipelines/oracle_sql.py).
+Vertex ids (oids) are already ints; dense vids = rank of oid (order
+preserving), so min-vid component labels == min-oid labels.
+
+Graphs are cached per (sf_dir, view): the FragmentActor pools persist across
+queries in one session, like the reference keeps fragments in the object
+manager between RUN_APP calls (grape_instance.cc:314-347).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from graphscope_ray.graph import algorithms as alg
+from graphscope_ray.graph.build import Graph, build_graph_from_oids
+
+LG_MOD = 1000
+
+_GRAPH_CACHE: dict = {}
+
+
+def read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# link-graph derivation
+
+
+def lg_edges(sf_dir: str) -> ray.data.Dataset:
+    """Distinct (src, dst) with src = l_orderkey % MOD, dst = l_partkey % MOD."""
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def _derive(t: pa.Table) -> pa.Table:
+        src = t["l_orderkey"].to_numpy(zero_copy_only=False) % LG_MOD
+        dst = t["l_partkey"].to_numpy(zero_copy_only=False) % LG_MOD
+        keep = src != dst
+        return pa.table(
+            {"src": pa.array(src[keep].astype(np.int64)), "dst": pa.array(dst[keep].astype(np.int64))}
+        )
+
+    return (
+        li.map_batches(_derive, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .count()
+        .select_columns(["src", "dst"])
+    )
+
+
+def lg_graph(sf_dir: str, view: str = "directed", **kwargs) -> Graph:
+    key = (sf_dir, view, tuple(sorted(kwargs.items())))
+    if key not in _GRAPH_CACHE:
+        edges = lg_edges(sf_dir).rename_columns({"src": "src_oid", "dst": "dst_oid"})
+        _GRAPH_CACHE[key] = build_graph_from_oids(
+            edges, num_partitions=kwargs.pop("num_partitions", 4), view=view, **kwargs
+        )
+    return _GRAPH_CACHE[key]
+
+
+def _oid_space(g: Graph, ds: ray.data.Dataset, cols: list[str]) -> pd.DataFrame:
+    vmap = g.vertices_ds.to_pandas()
+    df = ds.to_pandas().merge(vmap, on="vid")
+    return df[["oid"] + cols].sort_values("oid").reset_index(drop=True)
+
+
+def lg_vertices(sf_dir: str) -> pd.DataFrame:
+    g = lg_graph(sf_dir)
+    return g.vertices_ds.to_pandas().sort_values("oid").reset_index(drop=True)
+
+
+def lg_degree(sf_dir: str) -> pd.DataFrame:
+    g = lg_graph(sf_dir)
+    out = _oid_space(g, g.degrees(), ["out_deg"])
+    return out
+
+
+def lg_pagerank_fixed(sf_dir: str, rounds: int = 15, alpha: float = 0.85) -> pd.DataFrame:
+    """Exactly `rounds` PageRank iterations (tol=0) — the oracle-matched form."""
+    g = lg_graph(sf_dir)
+    ds, _ = alg.pagerank(g, alpha=alpha, tol=0.0, max_rounds=rounds)
+    out = _oid_space(g, ds, ["score"])
+    out["score"] = out["score"].round(8)
+    return out
+
+
+def lg_pagerank_converged(sf_dir: str, tol: float = 1e-6) -> pd.DataFrame:
+    g = lg_graph(sf_dir)
+    ds, _ = alg.pagerank(g, tol=tol)
+    return _oid_space(g, ds, ["score"])
+
+
+def lg_wcc(sf_dir: str) -> pd.DataFrame:
+    g = lg_graph(sf_dir, view="undirected")
+    ds, _ = alg.wcc(g)
+    vmap = g.vertices_ds.to_pandas()
+    df = ds.to_pandas().merge(vmap, on="vid")
+    # component label vid → oid (order-preserving encoding)
+    df = df.merge(vmap.rename(columns={"vid": "comp", "oid": "comp_oid"}), on="comp")
+    return df[["oid", "comp_oid"]].sort_values("oid").reset_index(drop=True)
+
+
+def lg_cdlp(sf_dir: str, rounds: int = 10) -> pd.DataFrame:
+    g = lg_graph(sf_dir, view="undirected_multi")
+    ds, _ = alg.cdlp(g, max_rounds=rounds)
+    vmap = g.vertices_ds.to_pandas()
+    df = ds.to_pandas().merge(vmap, on="vid")
+    df = df.merge(vmap.rename(columns={"vid": "label", "oid": "label_oid"}), on="label")
+    return df[["oid", "label_oid"]].sort_values("oid").reset_index(drop=True)
+
+
+def lg_triangles(sf_dir: str) -> pd.DataFrame:
+    g = lg_graph(sf_dir, view="undirected")
+    _, pv = alg.triangles(g)
+    return _oid_space(g, pv.select_columns(["vid", "tri"]), ["tri"])
+
+
+def lg_triangle_total(sf_dir: str) -> pd.DataFrame:
+    g = lg_graph(sf_dir, view="undirected")
+    total, _ = alg.triangles(g)
+    return pd.DataFrame({"n_triangles": [total]})
+
+
+def lg_lcc(sf_dir: str) -> pd.DataFrame:
+    g = lg_graph(sf_dir, view="undirected")
+    out = _oid_space(g, alg.lcc(g), ["lcc"])
+    out["lcc"] = out["lcc"].round(8)
+    return out
+
+
+def lg_bfs(sf_dir: str) -> pd.DataFrame:
+    """Hop distance from the min-oid vertex (vid 0) along directed edges;
+    only reached vertices."""
+    g = lg_graph(sf_dir)
+    ds, _ = alg.bfs(g, source=0)
+    out = _oid_space(g, ds, ["depth"])
+    return out[out.depth >= 0].reset_index(drop=True)
+
+
+def lg_sssp(sf_dir: str) -> pd.DataFrame:
+    """Same as lg_bfs but float distances (unit weights)."""
+    g = lg_graph(sf_dir)
+    ds, _ = alg.sssp(g, source=0)
+    out = _oid_space(g, ds, ["dist"])
+    out = out[np.isfinite(out.dist)].reset_index(drop=True)
+    return out
+
+
+def lg_hits_fixed(sf_dir: str, iters: int = 5) -> pd.DataFrame:
+    g = lg_graph(sf_dir, store_in_edges=True)
+    ds, _ = alg.hits(g, tol=0.0, max_rounds=iters)
+    out = _oid_space(g, ds, ["auth", "hub"])
+    out["auth"] = out["auth"].round(8)
+    out["hub"] = out["hub"].round(8)
+    return out
+
+
+def lg_kcore(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    g = lg_graph(sf_dir, view="undirected")
+    ds, _ = alg.kcore(g, k=k)
+    return _oid_space(g, ds, ["in_core"])
+
+
+def lg_eigenvector_fixed(sf_dir: str, iters: int = 10) -> pd.DataFrame:
+    g = lg_graph(sf_dir)
+    ds, _ = alg.eigenvector_centrality(g, tol=0.0, max_rounds=iters)
+    out = _oid_space(g, ds, ["centrality"])
+    out["centrality"] = out["centrality"].round(8)
+    return out
+
+
+def lg_katz_fixed(sf_dir: str, iters: int = 8, a: float = 0.05) -> pd.DataFrame:
+    g = lg_graph(sf_dir)
+    ds, _ = alg.katz_centrality(g, alpha=a, tol=0.0, max_rounds=iters)
+    out = _oid_space(g, ds, ["centrality"])
+    out["centrality"] = out["centrality"].round(8)
+    return out
+
+
+def lg_undirected_edge_count(sf_dir: str) -> pd.DataFrame:
+    """TO_UNDIRECTED parity: distinct symmetrized edge count."""
+    g = lg_graph(sf_dir, view="undirected")
+    return pd.DataFrame({"n_undirected_edges": [g.num_edges]})
+
+
+# ---------------------------------------------------------------------------
+# relational / framework-op parity (PROJECT, ADD_COLUMN, sorts, distinct, …)
+
+
+def op_filter_project(sf_dir: str) -> ray.data.Dataset:
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity", "l_extendedprice"])
+    import pyarrow.compute as pc
+
+    return li.map_batches(
+        lambda t: t.filter(pc.greater(t["l_quantity"], 30.0)), batch_format="pyarrow"
+    )
+
+
+def op_groupby_agg(sf_dir: str) -> pd.DataFrame:
+    li = read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    out = (
+        li.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_price"),
+            Count(alias_name="n"),
+        )
+        .to_pandas()
+    )
+    out["sum_qty"] = out["sum_qty"].round(6)
+    out["sum_price"] = out["sum_price"].round(4)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def op_sort_topk(sf_dir: str) -> pd.DataFrame:
+    o = read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return (
+        o.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+
+
+def op_join_addcolumn(sf_dir: str) -> ray.data.Dataset:
+    """ADD_COLUMN analogue: broadcast-join orders with the (small) customer
+    dimension to attach c_mktsegment."""
+    import ray as _ray
+
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = cust["c_custkey"].to_numpy()
+    order = np.argsort(keys)
+    ref = _ray.put((keys[order], cust["c_mktsegment"].to_numpy()[order]))
+
+    def _join(t: pa.Table) -> pa.Table:
+        k_sorted, seg_sorted = _ray.get(ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(k_sorted, ck)
+        pos = np.minimum(pos, len(k_sorted) - 1)
+        hit = k_sorted[pos] == ck
+        seg = np.where(hit, seg_sorted[pos], None)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "c_mktsegment": pa.array(seg.tolist(), pa.string()),
+            }
+        )
+
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    return orders.map_batches(_join, batch_format="pyarrow")
+
+
+def op_distinct(sf_dir: str) -> pd.DataFrame:
+    li = read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
+    return (
+        li.groupby(["l_returnflag", "l_linestatus"])
+        .count()
+        .select_columns(["l_returnflag", "l_linestatus"])
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+
+
+def op_union_distinct(sf_dir: str) -> pd.DataFrame:
+    c = read(sf_dir, "customer", columns=["c_nationkey"]).rename_columns(
+        {"c_nationkey": "nationkey"}
+    )
+    s = read(sf_dir, "supplier", columns=["s_nationkey"]).rename_columns(
+        {"s_nationkey": "nationkey"}
+    )
+    return (
+        c.union(s)
+        .groupby("nationkey")
+        .count()
+        .select_columns(["nationkey"])
+        .to_pandas()
+        .sort_values("nationkey")
+        .reset_index(drop=True)
+    )
+
+
+def op_consolidate_columns(sf_dir: str) -> ray.data.Dataset:
+    """CONSOLIDATE_COLUMNS parity: merge two numeric columns into one list col
+    (exported stringified for oracle comparability)."""
+    p = read(sf_dir, "part", columns=["p_partkey", "p_size", "p_retailprice"])
+
+    def _c(t: pa.Table) -> pa.Table:
+        size = t["p_size"].to_numpy(zero_copy_only=False).astype(np.float64)
+        price = t["p_retailprice"].to_numpy(zero_copy_only=False)
+        lst = [f"[{a:.0f},{b:.2f}]" for a, b in zip(size, price)]
+        return pa.table({"p_partkey": t["p_partkey"], "consolidated": pa.array(lst, pa.string())})
+
+    return p.map_batches(_c, batch_format="pyarrow")

@@ -1,0 +1,105 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+and its oracle_sql() side-by-side via DuckDB, compare row count + schema +
+order-insensitive values.  Usage:
+
+    python scripts/verify_oracles.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import ray
+
+
+def to_pandas(obj):
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(obj, ray.data.Dataset):
+        return obj.to_pandas()
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].round(8)
+        elif np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype(np.int64)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    n_ok = n_bad = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            got = canon(to_pandas(fn(sf_dir)))
+        except Exception as e:
+            print(f"FAIL {name}: query raised {type(e).__name__}: {str(e)[:200]}")
+            n_bad += 1
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(got)} rows)")
+            n_ok += 1
+            continue
+        try:
+            want = canon(con.execute(oracles[name]).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: oracle raised {type(e).__name__}: {str(e)[:200]}")
+            n_bad += 1
+            continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
+            n_bad += 1
+            continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
+            n_bad += 1
+            continue
+        eq = True
+        for c in got.columns:
+            a, b = got[c].to_numpy(), want[c].to_numpy()
+            if np.issubdtype(got[c].dtype, np.floating):
+                ok = np.allclose(a.astype(float), b.astype(float), atol=1e-7, equal_nan=True)
+            else:
+                ok = (a == b).all()
+            if not ok:
+                bad = np.flatnonzero(a != b)[:3] if a.dtype == b.dtype else [0]
+                print(f"FAIL {name}: column {c} differs, e.g. rows {bad.tolist() if hasattr(bad,'tolist') else bad}")
+                for i in list(bad)[:3]:
+                    print(f"   got={got.iloc[int(i)].to_dict()}\n  want={want.iloc[int(i)].to_dict()}")
+                eq = False
+                break
+        if eq:
+            print(f"OK   {name} ({len(got)} rows)")
+            n_ok += 1
+        else:
+            n_bad += 1
+    print(f"\n{n_ok} ok, {n_bad} bad")
+    ray.shutdown()
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
