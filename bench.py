@@ -1,0 +1,182 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Default: headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+with ray.init(num_cpus=$RAY_GRAFT_CPUS or 32).
+
+--scaling: the north-rule two-cluster-size evidence — the SAME synthetic
+link-graph PageRank job (V=4M, E=48M, seeded) at num_cpus=8 (P=8 fragments)
+and num_cpus=32 (P=32 fragments) in fresh processes; reports throughput in
+edges/sec per superstep at both levels and scaling_efficiency =
+thr(4N) / (4·thr(N)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+SCALE_V = 4_000_000
+SCALE_E = 48_000_000
+SCALE_ROUNDS = 10
+
+
+def _init(ncpu: int):
+    import logging
+
+    import ray
+    import ray.data
+
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def _scale_edges():
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.RandomState(7)
+    src = rng.randint(0, SCALE_V, SCALE_E, dtype=np.int64)
+    dst = rng.randint(0, SCALE_V, SCALE_E, dtype=np.int64)
+    return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+
+def scaling_child(ncpu: int) -> dict:
+    _init(ncpu)
+    import ray
+
+    from graphscope_ray.graph import algorithms as alg
+    from graphscope_ray.graph.build import build_graph
+
+    t0 = time.perf_counter()
+    g = build_graph(_scale_edges(), num_partitions=ncpu, num_vertices=SCALE_V)
+    t_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _, res = alg.pagerank(g, tol=0.0, max_rounds=SCALE_ROUNDS)
+    t_pr = time.perf_counter() - t0
+    thr = g.num_edges * res.rounds / t_pr
+    out = {
+        "ncpu": ncpu,
+        "num_edges": g.num_edges,
+        "rounds": res.rounds,
+        "t_build_s": round(t_build, 3),
+        "t_pagerank_s": round(t_pr, 3),
+        "edges_per_sec_per_superstep": round(thr, 0),
+    }
+    ray.shutdown()
+    return out
+
+
+def scaling() -> dict:
+    res = {}
+    for ncpu in (8, 32):
+        out = subprocess.run(
+            [sys.executable, __file__, "--scaling-child", str(ncpu)],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        res[ncpu] = json.loads(out.strip().splitlines()[-1])
+    lo, hi = res[8], res[32]
+    eff = hi["edges_per_sec_per_superstep"] / (4 * lo["edges_per_sec_per_superstep"])
+    return {
+        "metric": "PageRank edges/sec/superstep, N=8 vs 4N=32 cpus",
+        "n8": lo,
+        "n32": hi,
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+# ---------------------------------------------------------------------------
+
+
+def headline() -> dict:
+    _init(NCPU)
+    import ray
+    import ray.data
+
+    from graphscope_ray.graph import algorithms as alg
+    from graphscope_ray.pipelines import testdata as td
+    from graphscope_ray.pipelines.linkgraph import flagship
+    from graphscope_ray.sources import generate_repos
+
+    # warm the page cache (untimed)
+    ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet").count()
+    ray.data.read_parquet(f"{SF_DIR}/documents.parquet").count()
+
+    qtimes: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        r = fn()
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+        return r
+
+    P = min(NCPU, 16)
+    timed("lg_build", lambda: td.lg_graph(SF_DIR, num_partitions=P))
+    g = td.lg_graph(SF_DIR, num_partitions=P)
+    pr_meta = {}
+
+    def _pr():
+        ds, res = alg.pagerank(g, tol=1e-6)
+        ds.count()
+        pr_meta["rounds"] = res.rounds
+        return res
+
+    timed("pagerank_1e6", _pr)
+    timed("wcc", lambda: alg.wcc(td.lg_graph(SF_DIR, view="undirected", num_partitions=P))[0].count())
+    timed("cdlp", lambda: alg.cdlp(td.lg_graph(SF_DIR, view="undirected_multi", num_partitions=P))[0].count())
+    timed("triangles", lambda: alg.triangles(td.lg_graph(SF_DIR, view="undirected", num_partitions=P))[0])
+    repos = generate_repos(n_repos=2000, seed=42, mean_files=6)
+    timed("mine_flagship", lambda: flagship(ray.data.from_arrow(repos), num_partitions=P))
+    timed("text_tokens", lambda: __import__("graphscope_ray.functions.text", fromlist=["token_counts"]).token_counts(ray.data.read_parquet(f"{SF_DIR}/documents.parquet")).count())
+    from graphscope_ray.functions.dedup import exact_dedup
+    from graphscope_ray.functions.similarity import topk_cosine
+
+    timed("dedup_exact", lambda: exact_dedup(ray.data.read_parquet(f"{SF_DIR}/documents.parquet")).count())
+
+    emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    qdf = emb.to_pandas()
+    import numpy as np
+
+    qv = np.stack(qdf[qdf.vec_id < 16].sort_values("vec_id")["embedding"].to_numpy())
+    timed("sim_topk", lambda: topk_cosine(emb, qv, np.arange(len(qv)), k=10).count())
+
+    total = round(sum(qtimes.values()), 3)
+    pr_edges = g.num_edges
+    out = {
+        "metric": "headline pipelines wall-clock",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        "pagerank_rounds": pr_meta.get("rounds"),
+        "pagerank_edges": pr_edges,
+        "pagerank_edges_per_sec_per_superstep": round(
+            pr_edges * pr_meta.get("rounds", 1) / max(qtimes["pagerank_1e6"], 1e-9), 0
+        ),
+    }
+    ray.shutdown()
+    return out
+
+
+if __name__ == "__main__":
+    if "--scaling-child" in sys.argv:
+        print(json.dumps(scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))))
+    elif "--scaling" in sys.argv:
+        print(json.dumps(scaling()))
+    else:
+        print(json.dumps(headline()))

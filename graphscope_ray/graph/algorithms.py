@@ -5,10 +5,11 @@ Each function mirrors a reference builtin (`python/graphscope/analytical/app/
 ``ray.data.Dataset`` of per-vertex rows in vid space (join back to oids via
 ``Graph.vertices_ds``).  Graph-view requirements:
 
-- pagerank / sssp / bfs / hits / eigenvector / katz: 'directed'
-  (hits additionally needs ``store_in_edges=True``)
-- wcc / kcore / triangles / lcc: 'undirected'
-- cdlp: 'undirected_multi'
+The preferred build is ONE directed graph with ``store_in_edges=True``
+(the GRAPE fragment shape): wcc/cdlp push along out+in edges, kcore/
+triangles/lcc run on the actor-local merged undirected adjacency.  Legacy
+pre-symmetrized views ('undirected' / 'undirected_multi', no in-CSR) are
+also accepted.
 """
 
 from __future__ import annotations
@@ -80,13 +81,16 @@ def katz_centrality(
 
 def triangles(g: Graph) -> tuple[int, ray.data.Dataset]:
     """Exact triangle counts: (global_count, per-vertex Dataset(vid, tri, deg))."""
-    assert g.view == "undirected", "triangles needs the 'undirected' view"
+    assert g.view == "undirected" or g.has_in, (
+        "triangles needs the 'undirected' view or a directed graph built with "
+        "store_in_edges=True"
+    )
     return g.triangles()
 
 
 def lcc(g: Graph) -> ray.data.Dataset:
     """Local clustering coefficient lcc = 2·tri / (deg·(deg-1)) on the
-    undirected view (apps/clustering/*.h LCC semantics)."""
+    undirected adjacency (apps/clustering/*.h LCC semantics)."""
     _, per_vertex = triangles(g)
 
     def _lcc(t: pa.Table) -> pa.Table:

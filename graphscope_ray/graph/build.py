@@ -303,6 +303,12 @@ def build_graph(
     ds = _to_dataset(edges)
     cols = ["src", "dst"] + (["weight"] if weight else [])
     ds = ds.select_columns(cols)
+    # The edge table feeds several consumers (symmetrize, max, routing count,
+    # routing sort) — pin it once so the upstream pipeline (parquet read,
+    # mining, dedup groupby) doesn't re-execute per consumer.  This IS the
+    # loaded graph (the reference holds it in vineyard similarly); blocks
+    # spill to disk under memory pressure.
+    ds = ds.materialize()
     if view == "undirected":
         ds = _distinct_src_dst(ds.select_columns(["src", "dst"]).union(
             ds.map_batches(_reverse_batch, batch_format="pyarrow").select_columns(["src", "dst"])
@@ -311,6 +317,8 @@ def build_graph(
         ds = ds.union(ds.map_batches(_reverse_batch, batch_format="pyarrow"))
     elif view != "directed":
         raise ValueError(view)
+    if view != "directed":
+        ds = ds.materialize()
 
     if num_vertices is None:
         mx = ds.max(["src", "dst"])
@@ -375,6 +383,7 @@ def build_graph_from_oids(
     (repos, not files); swap for a hash join if the vertex set outgrows the
     object store.
     """
+    edges = edges.materialize()  # consumed 3× (src ids, dst ids, encode)
     ids = edges.select_columns([src_col]).rename_columns({src_col: "oid"}).union(
         edges.select_columns([dst_col]).rename_columns({dst_col: "oid"})
     )

@@ -136,17 +136,25 @@ class Csr:
         return out
 
 
+def _parts(msgs):
+    """Flatten messages: each message is a tuple of (…) parts — one part per
+    CSR pushed on (out-only programs send 1 part, out+in programs send 2)."""
+    for msg in msgs:
+        for part in msg:
+            yield part
+
+
 def acc_sum(n_local: int, msgs) -> np.ndarray:
     acc = np.zeros(n_local, dtype=np.float64)
-    for uniq, vals in msgs:
+    for uniq, vals in _parts(msgs):
         if len(uniq):
-            acc[uniq] += vals  # uniq unique within one message → fancy += is safe
+            acc[uniq] += vals  # uniq unique within one part → fancy += is safe
     return acc
 
 
 def acc_min(n_local: int, msgs, init: float = np.inf) -> np.ndarray:
     acc = np.full(n_local, init, dtype=np.float64)
-    for uniq, vals in msgs:
+    for uniq, vals in _parts(msgs):
         if len(uniq):
             acc[uniq] = np.minimum(acc[uniq], vals)
     return acc
@@ -155,7 +163,7 @@ def acc_min(n_local: int, msgs, init: float = np.inf) -> np.ndarray:
 def mode_min_labels(msgs) -> tuple[np.ndarray, np.ndarray]:
     """Merge (dst_local, label, count) triples → per dst the most frequent label,
     ties broken by smallest label (LDBC CDLP rule, `docs/.../builtin_algorithms.md:236-247`)."""
-    parts = [m for m in msgs if len(m[0])]
+    parts = [m for m in _parts(msgs) if len(m[0])]
     if not parts:
         return _EMPTY_I64, _EMPTY_I64
     dl = np.concatenate([m[0] for m in parts])
@@ -192,7 +200,32 @@ class FragmentActor:
         self.n_local = max(0, (num_vertices - part + num_parts - 1) // num_parts)
         self.out = self._build_csr(out_blocks, by="src")
         self.inc = self._build_csr(in_blocks, by="dst") if in_blocks is not None else None
+        self._ucsr: Csr | None = None
         self.programs: dict[str, object] = {}
+
+    def ucsr(self) -> Csr:
+        """Undirected deduplicated adjacency, built locally on demand by
+        merging the out- and in-neighbor lists per owned vertex (the view a
+        symmetrize+distinct build would produce, without any shuffle).
+        If the graph was built without in-edges it is assumed symmetric."""
+        if self.inc is None:
+            return self.out
+        if self._ucsr is None:
+            sl = np.concatenate(
+                [
+                    np.repeat(np.arange(self.n_local, dtype=np.int64), self.out.deg),
+                    np.repeat(np.arange(self.n_local, dtype=np.int64), self.inc.deg),
+                ]
+            )
+            d = np.concatenate([self.out.dst, self.inc.dst])
+            if sl.size:
+                keys = sl * max(self.N, 1) + d
+                _, first = np.unique(keys, return_index=True)
+                sl, d = sl[first], d[first]
+            # drop self-loops (undirected simple graph, triangles.h semantics)
+            keep = sl * self.P + self.part != d
+            self._ucsr = Csr(self.part, self.P, self.n_local, sl[keep], d[keep])
+        return self._ucsr
 
     def _build_csr(self, blocks: list, by: str) -> Csr:
         blocks = [b if isinstance(b, pa.Table) else ray.get(b) for b in (blocks or [])]
@@ -218,6 +251,11 @@ class FragmentActor:
 
     def num_edges(self) -> int:
         return int(self.out.dst.size)
+
+    def num_undirected_edges(self) -> int:
+        """Edge endpoints in the local undirected dedup adjacency (Σ over
+        partitions counts each undirected edge twice)."""
+        return int(self.ucsr().dst.size)
 
     def owned_vids(self) -> np.ndarray:
         return np.arange(self.n_local, dtype=np.int64) * self.P + self.part
@@ -273,16 +311,16 @@ class FragmentActor:
 
     def deg_requests(self) -> list[np.ndarray]:
         """Distinct destination local-ids per target partition (= outer vertices)."""
-        return self.out.tgt_uniq
+        return self.ucsr().tgt_uniq
 
     def deg_reply(self, req: np.ndarray) -> np.ndarray:
-        return self.out.deg[req] if req.size else _EMPTY_I64
+        return self.ucsr().deg[req] if req.size else _EMPTY_I64
 
     def tri_orient(self, *deg_replies) -> int:
         """Build oriented adjacency: keep u→v iff (deg,vid) of u < of v
         (the reference's degree order incl. gid tiebreak, triangles.h:70-94).
-        Requires a symmetrized, deduplicated graph (out.deg == undirected degree)."""
-        o = self.out
+        Runs on the undirected deduplicated adjacency (ucsr)."""
+        o = self.ucsr()
         deg_dst = np.empty(o.dst.size, dtype=np.int64)
         for q in range(self.P):
             sel, starts, rep = o.tgt_sel[q], o.tgt_runstarts[q], deg_replies[q]
@@ -389,7 +427,7 @@ class FragmentActor:
             {
                 "vid": pa.array(self.owned_vids()),
                 "tri": pa.array(self.tri_counts),
-                "deg": pa.array(self.out.deg),
+                "deg": pa.array(self.ucsr().deg),
             }
         )
 

@@ -33,6 +33,11 @@ from graphscope_ray.graph.fragment import (
 )
 
 
+def _wrap(*pushes):
+    """Combine per-CSR push outputs into per-target messages (tuples of parts)."""
+    return [tuple(parts) for parts in zip(*pushes)]
+
+
 class VertexProgram:
     def __init__(self, frag):
         self.frag = frag
@@ -44,7 +49,7 @@ class VertexProgram:
         return {}
 
     def scatter(self, step: int, glob: dict):
-        return [(_EMPTY_I64, _EMPTY_F64)] * self.frag.P
+        return [((_EMPTY_I64, _EMPTY_F64),)] * self.frag.P
 
     def gather(self, step: int, glob: dict, msgs) -> dict:
         return {}
@@ -87,7 +92,7 @@ class PageRank(VertexProgram):
 
     def scatter(self, step, glob):
         contrib = np.repeat(self.score * self.invdeg, self.frag.out.deg)
-        return self.frag.out.push_reduce(contrib, "sum")
+        return _wrap(self.frag.out.push_reduce(contrib, "sum"))
 
     def gather(self, step, glob, msgs):
         f = self.frag
@@ -107,7 +112,9 @@ class PageRank(VertexProgram):
 class Wcc(VertexProgram):
     """Min-label propagation WCC (apps/projected/wcc_projected.h:70-182):
     comp = own vid; push min over edges; frontier = changed; stop on no change.
-    Requires an undirected (symmetrized) graph view — weak connectivity."""
+    Weak connectivity: on a directed graph built with in-edges, pushes along
+    BOTH out- and in-edges (exactly wcc_projected.h:109 SendMsgThroughOEdges +
+    SyncStateOnOuterVertex); on a pre-symmetrized view, out-edges suffice."""
 
     def __init__(self, frag, max_rounds: int = 0):
         super().__init__(frag)
@@ -119,8 +126,15 @@ class Wcc(VertexProgram):
         return {}
 
     def scatter(self, step, glob):
-        vals = np.repeat(self.comp, self.frag.out.deg)
-        return self.frag.out.push_reduce_masked(vals, self.changed, "min")
+        f = self.frag
+        pushes = [
+            f.out.push_reduce_masked(np.repeat(self.comp, f.out.deg), self.changed, "min")
+        ]
+        if f.inc is not None:
+            pushes.append(
+                f.inc.push_reduce_masked(np.repeat(self.comp, f.inc.deg), self.changed, "min")
+            )
+        return _wrap(*pushes)
 
     def gather(self, step, glob, msgs):
         f = self.frag
@@ -144,7 +158,9 @@ class Cdlp(VertexProgram):
     .gs_conf.yaml:80-87; twin apps/flash/clustering/lpa.h:43-80): init label =
     own vid; per round label = most frequent incoming neighbor label, ties →
     smallest label; fixed round count (builtin_algorithms.md:236-247).
-    Run on an 'undirected_multi' view so u↔v pairs count once per direction."""
+    The LDBC neighbor multiset (each directed edge counted in both
+    directions) = push along out- AND in-edges of the directed graph; a
+    pre-built 'undirected_multi' view (no in-CSR) behaves identically."""
 
     def __init__(self, frag, max_rounds: int = 10):
         super().__init__(frag)
@@ -154,7 +170,11 @@ class Cdlp(VertexProgram):
         return {}
 
     def scatter(self, step, glob):
-        return self.frag.out.push_label_counts(self.label)
+        f = self.frag
+        pushes = [f.out.push_label_counts(self.label)]
+        if f.inc is not None:
+            pushes.append(f.inc.push_label_counts(self.label))
+        return _wrap(*pushes)
 
     def gather(self, step, glob, msgs):
         dl, lab = mode_min_labels(msgs)
@@ -193,7 +213,7 @@ class Sssp(VertexProgram):
         o = self.frag.out
         w = o.weight if o.weight is not None else 1.0
         vals = np.repeat(self.dist, o.deg) + w
-        return o.push_reduce_masked(vals, self.frontier, "min")
+        return _wrap(o.push_reduce_masked(vals, self.frontier, "min"))
 
     def gather(self, step, glob, msgs):
         incoming = acc_min(self.frag.n_local, msgs)
@@ -213,7 +233,7 @@ class Bfs(Sssp):
     def scatter(self, step, glob):
         o = self.frag.out
         vals = np.repeat(self.dist, o.deg) + 1.0
-        return o.push_reduce_masked(vals, self.frontier, "min")
+        return _wrap(o.push_reduce_masked(vals, self.frontier, "min"))
 
     def state_columns(self):
         depth = np.where(np.isinf(self.dist), -1, self.dist).astype(np.int64)
@@ -257,9 +277,9 @@ class Hits(VertexProgram):
     def scatter(self, step, glob):
         if step % 2 == 0:
             vals = np.repeat(self.hub, self.frag.out.deg)
-            return self.frag.out.push_reduce(vals, "sum")
+            return _wrap(self.frag.out.push_reduce(vals, "sum"))
         vals = np.repeat(self.auth, self.frag.inc.deg)
-        return self.frag.inc.push_reduce(vals, "sum")
+        return _wrap(self.frag.inc.push_reduce(vals, "sum"))
 
     def gather(self, step, glob, msgs):
         if step % 2 == 0:
@@ -287,7 +307,8 @@ def _hits_converged(glob, params, N, step):
 class KCore(VertexProgram):
     """Iterative peeling k-core membership (apps/kcore/kcore.h:32-58):
     repeatedly remove vertices with current degree < k, decrementing their
-    neighbors, until stable.  Undirected (symmetrized, distinct) view."""
+    neighbors, until stable.  Runs on the locally-merged undirected dedup
+    adjacency (FragmentActor.ucsr)."""
 
     def __init__(self, frag, k: int = 3, max_rounds: int = 0):
         super().__init__(frag)
@@ -295,16 +316,16 @@ class KCore(VertexProgram):
 
     def init(self) -> dict:
         self.alive = np.ones(self.frag.n_local, dtype=bool)
-        self.degc = self.frag.out.deg.astype(np.float64)
+        self.degc = self.frag.ucsr().deg.astype(np.float64)
         return {}
 
     def scatter(self, step, glob):
-        o = self.frag.out
+        o = self.frag.ucsr()
         remove = self.alive & (self.degc < self.k)
         self._removed = int(remove.sum())
         self.alive &= ~remove
         ones = np.ones(o.dst.size, dtype=np.float64)
-        return o.push_reduce_masked(ones, remove, "sum")
+        return _wrap(o.push_reduce_masked(ones, remove, "sum"))
 
     def gather(self, step, glob, msgs):
         dec = acc_sum(self.frag.n_local, msgs)
@@ -341,7 +362,7 @@ class Eigenvector(VertexProgram):
 
     def scatter(self, step, glob):
         vals = np.repeat(self.x, self.frag.out.deg)
-        return self.frag.out.push_reduce(vals, "sum")
+        return _wrap(self.frag.out.push_reduce(vals, "sum"))
 
     def gather(self, step, glob, msgs):
         # x' includes the previous value (A+I power iteration, avoids 2-cycles)
@@ -370,7 +391,7 @@ class Katz(VertexProgram):
 
     def scatter(self, step, glob):
         vals = np.repeat(self.x, self.frag.out.deg)
-        return self.frag.out.push_reduce(vals, "sum")
+        return _wrap(self.frag.out.push_reduce(vals, "sum"))
 
     def gather(self, step, glob, msgs):
         new = self.alpha * acc_sum(self.frag.n_local, msgs) + self.beta

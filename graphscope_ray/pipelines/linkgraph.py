@@ -54,18 +54,19 @@ def _with_oids(g: Graph, ds: ray.data.Dataset, value_cols: list[str]) -> pd.Data
 
 
 def flagship(repos_ds: ray.data.Dataset, num_partitions: int = 8) -> pd.DataFrame:
-    """PageRank to 1e-6 + WCC + CDLP + triangle counts over the mined graph;
-    one row per repo: (oid, score, comp, label, tri)."""
-    edges = mine_edges(repos_ds).materialize()
-    gd = build_graph_from_oids(edges, num_partitions=num_partitions, view="directed")
-    pr, _ = alg.pagerank(gd, tol=1e-6)
-    gu = build_graph_from_oids(edges, num_partitions=num_partitions, view="undirected")
-    comp, _ = alg.wcc(gu)
-    _, tri = alg.triangles(gu)
-    gm = build_graph_from_oids(edges, num_partitions=num_partitions, view="undirected_multi")
-    lab, _ = alg.cdlp(gm)
-    out = _with_oids(gd, pr, ["score"])
-    out = out.merge(_with_oids(gu, comp, ["comp"]), on="oid")
-    out = out.merge(_with_oids(gu, tri.select_columns(["vid", "tri"]), ["tri"]), on="oid")
-    out = out.merge(_with_oids(gm, lab, ["label"]), on="oid")
+    """PageRank to 1e-6 + WCC + CDLP + triangle counts over ONE mined graph
+    (directed + in-edges — the GRAPE fragment shape, loaded once and reused
+    across apps); one row per repo: (oid, score, comp, label, tri)."""
+    edges = mine_edges(repos_ds)
+    g = build_graph_from_oids(
+        edges, num_partitions=num_partitions, view="directed", store_in_edges=True
+    )
+    pr, _ = alg.pagerank(g, tol=1e-6)
+    comp, _ = alg.wcc(g)
+    _, tri = alg.triangles(g)
+    lab, _ = alg.cdlp(g)
+    out = _with_oids(g, pr, ["score"])
+    out = out.merge(_with_oids(g, comp, ["comp"]), on="oid")
+    out = out.merge(_with_oids(g, tri.select_columns(["vid", "tri"]), ["tri"]), on="oid")
+    out = out.merge(_with_oids(g, lab, ["label"]), on="oid")
     return out

@@ -56,12 +56,15 @@ def lg_edges(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def lg_graph(sf_dir: str, view: str = "directed", **kwargs) -> Graph:
-    key = (sf_dir, view, tuple(sorted(kwargs.items())))
+def lg_graph(sf_dir: str, num_partitions: int = 4, **_ignored) -> Graph:
+    """ONE directed graph with in-edges per sf_dir — all algorithms run on it
+    (wcc/cdlp via out+in pushes, triangles/kcore via the local undirected
+    merge), like the reference reuses one loaded fragment across apps."""
+    key = (sf_dir, num_partitions)
     if key not in _GRAPH_CACHE:
         edges = lg_edges(sf_dir).rename_columns({"src": "src_oid", "dst": "dst_oid"})
         _GRAPH_CACHE[key] = build_graph_from_oids(
-            edges, num_partitions=kwargs.pop("num_partitions", 4), view=view, **kwargs
+            edges, num_partitions=num_partitions, view="directed", store_in_edges=True
         )
     return _GRAPH_CACHE[key]
 
@@ -99,7 +102,7 @@ def lg_pagerank_converged(sf_dir: str, tol: float = 1e-6) -> pd.DataFrame:
 
 
 def lg_wcc(sf_dir: str) -> pd.DataFrame:
-    g = lg_graph(sf_dir, view="undirected")
+    g = lg_graph(sf_dir)
     ds, _ = alg.wcc(g)
     vmap = g.vertices_ds.to_pandas()
     df = ds.to_pandas().merge(vmap, on="vid")
@@ -109,7 +112,7 @@ def lg_wcc(sf_dir: str) -> pd.DataFrame:
 
 
 def lg_cdlp(sf_dir: str, rounds: int = 10) -> pd.DataFrame:
-    g = lg_graph(sf_dir, view="undirected_multi")
+    g = lg_graph(sf_dir)
     ds, _ = alg.cdlp(g, max_rounds=rounds)
     vmap = g.vertices_ds.to_pandas()
     df = ds.to_pandas().merge(vmap, on="vid")
@@ -118,19 +121,19 @@ def lg_cdlp(sf_dir: str, rounds: int = 10) -> pd.DataFrame:
 
 
 def lg_triangles(sf_dir: str) -> pd.DataFrame:
-    g = lg_graph(sf_dir, view="undirected")
+    g = lg_graph(sf_dir)
     _, pv = alg.triangles(g)
     return _oid_space(g, pv.select_columns(["vid", "tri"]), ["tri"])
 
 
 def lg_triangle_total(sf_dir: str) -> pd.DataFrame:
-    g = lg_graph(sf_dir, view="undirected")
+    g = lg_graph(sf_dir)
     total, _ = alg.triangles(g)
     return pd.DataFrame({"n_triangles": [total]})
 
 
 def lg_lcc(sf_dir: str) -> pd.DataFrame:
-    g = lg_graph(sf_dir, view="undirected")
+    g = lg_graph(sf_dir)
     out = _oid_space(g, alg.lcc(g), ["lcc"])
     out["lcc"] = out["lcc"].round(8)
     return out
@@ -155,7 +158,7 @@ def lg_sssp(sf_dir: str) -> pd.DataFrame:
 
 
 def lg_hits_fixed(sf_dir: str, iters: int = 5) -> pd.DataFrame:
-    g = lg_graph(sf_dir, store_in_edges=True)
+    g = lg_graph(sf_dir)
     ds, _ = alg.hits(g, tol=0.0, max_rounds=iters)
     out = _oid_space(g, ds, ["auth", "hub"])
     out["auth"] = out["auth"].round(8)
@@ -164,7 +167,7 @@ def lg_hits_fixed(sf_dir: str, iters: int = 5) -> pd.DataFrame:
 
 
 def lg_kcore(sf_dir: str, k: int = 5) -> pd.DataFrame:
-    g = lg_graph(sf_dir, view="undirected")
+    g = lg_graph(sf_dir)
     ds, _ = alg.kcore(g, k=k)
     return _oid_space(g, ds, ["in_core"])
 
@@ -186,9 +189,16 @@ def lg_katz_fixed(sf_dir: str, iters: int = 8, a: float = 0.05) -> pd.DataFrame:
 
 
 def lg_undirected_edge_count(sf_dir: str) -> pd.DataFrame:
-    """TO_UNDIRECTED parity: distinct symmetrized edge count."""
-    g = lg_graph(sf_dir, view="undirected")
-    return pd.DataFrame({"n_undirected_edges": [g.num_edges]})
+    """TO_UNDIRECTED parity: distinct symmetrized edge count (from the
+    actor-local undirected merge)."""
+    import ray as _ray
+
+    g = lg_graph(sf_dir)
+    # Σ local adjacency sizes counts each undirected pair once per endpoint —
+    # exactly the row count of the symmetrized-distinct edge table the SQL
+    # oracle builds (the graph has no self-loops by derivation).
+    counts = _ray.get([a.num_undirected_edges.remote() for a in g.actors])
+    return pd.DataFrame({"n_undirected_edges": [int(sum(counts))]})
 
 
 # ---------------------------------------------------------------------------
