@@ -79,13 +79,13 @@ def katz_centrality(
     return g.program_state(res.name), res
 
 
-def triangles(g: Graph) -> tuple[int, ray.data.Dataset]:
+def triangles(g: Graph, dense_threshold: int = 16384) -> tuple[int, ray.data.Dataset]:
     """Exact triangle counts: (global_count, per-vertex Dataset(vid, tri, deg))."""
     assert g.view == "undirected" or g.has_in, (
         "triangles needs the 'undirected' view or a directed graph built with "
         "store_in_edges=True"
     )
-    return g.triangles()
+    return g.triangles(dense_threshold=dense_threshold)
 
 
 def lcc(g: Graph) -> ray.data.Dataset:

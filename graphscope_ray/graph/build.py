@@ -228,9 +228,14 @@ class Graph:
 
     # ---- triangle counting driver ---------------------------------------
 
-    def triangles(self) -> tuple[int, ray.data.Dataset]:
+    def triangles(self, dense_threshold: int = 16384) -> tuple[int, ray.data.Dataset]:
         """Global + per-vertex triangle counts (degree-ordered forward algorithm,
-        apps/clustering/triangles.h:43-158).  Graph view must be 'undirected'."""
+        apps/clustering/triangles.h:43-158).  Two physical plans:
+        - N ≤ dense_threshold: broadcast the oriented adjacency as a bitset
+          matrix (≤ 32 MB) and count via AND+popcount — dense graphs generate
+          quadratically many wedges, the bitset path sidesteps them entirely.
+        - otherwise: ship dedup'd wedge queries to the pivot owner (the
+          scalable sparse path)."""
         P = self.P
         acts = self.actors
         reqs = ray.get([a.deg_requests.remote() for a in acts])
@@ -238,22 +243,51 @@ class Graph:
             [acts[q].deg_reply.remote(reqs[p][q]) for q in range(P)] for p in range(P)
         ]
         ray.get([acts[p].tri_orient.remote(*replies[p]) for p in range(P)])
+        if self.N <= dense_threshold:
+            row_refs = [a.tri_rows.remote() for a in acts]
+            if P == 1:
+                inc_refs = [[acts[0].tri_dense.remote(*row_refs)]]
+            else:
+                inc_refs = [
+                    a.tri_dense.options(num_returns=P).remote(*row_refs) for a in acts
+                ]
+            totals = ray.get(
+                [
+                    acts[q].tri_dense_apply.remote(*[inc_refs[p][q] for p in range(P)])
+                    for q in range(P)
+                ]
+            )
+            per_vertex = ray.data.from_arrow_refs([a.tri_state.remote() for a in acts])
+            return int(sum(totals)) // 3, per_vertex
+        # phase 1: dedup'd wedge queries p→owner(v)=q
         if P == 1:
             wedge_refs = [[acts[0].tri_wedges.remote()]]
         else:
             wedge_refs = [a.tri_wedges.options(num_returns=P).remote() for a in acts]
+        # phase 2: owners check membership, count v corners, reply found bitmaps
         if P == 1:
-            corner_refs = [[acts[0].tri_check.remote(wedge_refs[0][0])]]
+            check_refs = [[acts[0].tri_check.remote(wedge_refs[0][0])]]
         else:
-            corner_refs = [
+            check_refs = [
                 acts[q].tri_check.options(num_returns=P).remote(
                     *[wedge_refs[p][q] for p in range(P)]
                 )
                 for q in range(P)
             ]
+        # phase 3: senders apply u corners, route w-corner increments
+        if P == 1:
+            u_refs = [[acts[0].tri_u_apply.remote(check_refs[0][0])]]
+        else:
+            u_refs = [
+                acts[p].tri_u_apply.options(num_returns=P).remote(
+                    *[check_refs[q][p] for q in range(P)]
+                )
+                for p in range(P)
+            ]
+        # phase 4: owners apply w corners
         totals = ray.get(
             [
-                acts[q].tri_apply.remote(*[corner_refs[p][q] for p in range(P)])
+                acts[q].tri_w_apply.remote(*[u_refs[p][q] for p in range(P)])
                 for q in range(P)
             ]
         )
@@ -293,6 +327,7 @@ def build_graph(
     num_vertices: int | None = None,
     weight: bool = False,
     actor_cpus: float = 0,
+    dedup_edges: bool = False,
 ) -> Graph:
     """Route edges (int64 ``src``/``dst`` vids in [0, N)) to P FragmentActors.
 
@@ -340,6 +375,7 @@ def build_graph(
             num_vertices,
             out_splits[p],
             in_splits[p] if in_splits is not None else None,
+            dedup_edges,
         )
         for p in range(P)
     ]
@@ -386,6 +422,11 @@ def build_graph_from_oids(
     edges = edges.materialize()  # consumed 3× (src ids, dst ids, encode)
     ids = edges.select_columns([src_col]).rename_columns({src_col: "oid"}).union(
         edges.select_columns([dst_col]).rename_columns({dst_col: "oid"})
+    )
+    # local combiner: per-batch unique before the global distinct shuffle
+    ids = ids.map_batches(
+        lambda t: pa.table({"oid": pa.array(np.unique(t["oid"].to_numpy(zero_copy_only=False)))}),
+        batch_format="pyarrow",
     )
     distinct = ids.groupby("oid").count().select_columns(["oid"]).sort("oid")
     oid_arr = distinct.to_pandas()["oid"].to_numpy()

@@ -36,6 +36,9 @@ _EMPTY_F64 = np.empty(0, dtype=np.float64)
 
 _REDUCERS = {"sum": np.add, "min": np.minimum, "max": np.maximum}
 
+# uint8 popcount lookup table (numpy 1.x has no bitwise_count)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
 
 class Csr:
     """Compressed sparse rows over one partition's edges + per-target message index."""
@@ -193,11 +196,13 @@ class FragmentActor:
         num_vertices: int,
         out_blocks: list,
         in_blocks: list | None = None,
+        dedup_edges: bool = False,
     ):
         self.part = part
         self.P = num_parts
         self.N = num_vertices
         self.n_local = max(0, (num_vertices - part + num_parts - 1) // num_parts)
+        self.dedup_edges = dedup_edges
         self.out = self._build_csr(out_blocks, by="src")
         self.inc = self._build_csr(in_blocks, by="dst") if in_blocks is not None else None
         self._ucsr: Csr | None = None
@@ -243,9 +248,19 @@ class FragmentActor:
             src = dst = _EMPTY_I64
             w = None
         if by == "src":
-            return Csr(self.part, self.P, self.n_local, src // self.P, dst, w)
-        # reversed CSR: local rows are destinations, neighbor list = sources
-        return Csr(self.part, self.P, self.n_local, dst // self.P, src, w)
+            sl, d = src // self.P, dst
+        else:  # reversed CSR: local rows are destinations, neighbor list = sources
+            sl, d = dst // self.P, src
+        if self.dedup_edges and sl.size:
+            # local dedup after routing — replaces a global distinct groupby
+            # (the all-to-all already happened; uniqueness is a local property
+            # of the (owner, neighbor) pair)
+            order = np.lexsort((d, sl))
+            sl, d = sl[order], d[order]
+            keep = np.concatenate([[True], (np.diff(sl) != 0) | (np.diff(d) != 0)])
+            sl, d = sl[keep], d[keep]
+            w = w[order][keep] if w is not None else None
+        return Csr(self.part, self.P, self.n_local, sl, d, w)
 
     # ---- introspection ---------------------------------------------------
 
@@ -348,9 +363,13 @@ class FragmentActor:
         return int(kd.size)
 
     def tri_wedges(self) -> tuple:
-        """Emit wedges (v_local, w, u_vid) grouped by owner(v); owner checks w∈adj+(v).
-        Enumeration loops over neighbor rank i (bounded by max oriented out-degree
-        ≤ O(sqrt(m))), vectorized across all vertices per rank."""
+        """Emit wedge-closure queries grouped by owner(v), DEDUPLICATED per
+        (v, w) pair with multiplicity — on dense graphs many wedges share the
+        same (v, w) (one per common predecessor u), so shipping unique pairs +
+        counts instead of raw (v, w, u) tuples cuts message volume by up to
+        the average co-predecessor count.  The (u, pair) attribution stays
+        local for the response phase.  Enumeration loops over neighbor rank i
+        (bounded by max oriented out-degree ≤ O(sqrt(m)))."""
         indptr, wadj = self.tri_indptr, self.tri_wadj
         deg = self.tri_deg
         vs, ws, us = [], [], []
@@ -373,53 +392,163 @@ class FragmentActor:
             u = np.concatenate(us)
         else:
             v = w = u = _EMPTY_I64
+        # group by owner(v), dedup (v, w) within each target
+        self._tri_u = []
+        self._tri_inv = []
+        self._tri_req_w = []
+        self._tri_req_c = []
         out = []
         vpart = v % self.P
         for q in range(self.P):
             sel = np.flatnonzero(vpart == q)
-            out.append((v[sel] // self.P, w[sel], u[sel]))
+            vq, wq, uq = v[sel], w[sel], u[sel]
+            if vq.size:
+                order = np.lexsort((wq, vq))
+                vq, wq, uq = vq[order], wq[order], uq[order]
+                newpair = np.concatenate(
+                    [[True], (np.diff(vq) != 0) | (np.diff(wq) != 0)]
+                )
+                inv = np.cumsum(newpair) - 1
+                starts = np.flatnonzero(newpair)
+                cnt = np.diff(np.concatenate([starts, [vq.size]]))
+                req_w = wq[starts]
+                req = (vq[starts] // self.P, req_w, cnt)
+            else:
+                inv = _EMPTY_I64
+                req_w = cnt = _EMPTY_I64
+                req = (_EMPTY_I64, _EMPTY_I64, _EMPTY_I64)
+            self._tri_u.append(uq)
+            self._tri_inv.append(inv)
+            self._tri_req_w.append(req_w)
+            self._tri_req_c.append(cnt)
+            out.append(req)
         return out[0] if self.P == 1 else tuple(out)
 
     def tri_check(self, *wedge_msgs) -> tuple:
-        """Check wedge closure w ∈ adj+(v) for owned v; count v-corners locally,
-        return u/w corner increments grouped by owner partition."""
-        parts = [m for m in wedge_msgs if len(m[0])]
-        corners = []
-        if parts:
-            v = np.concatenate([m[0] for m in parts])
-            w = np.concatenate([m[1] for m in parts])
-            u = np.concatenate([m[2] for m in parts])
-            # membership: adj pairs (v_local, nbr) are lexsorted; encode to int64 key
-            indptr, adj = self.tri_indptr, self.tri_adj
-            if adj.size:
-                keyspace = max(int(self.N), 1)
-                assert self.n_local * keyspace < 2**62, "vid keyspace overflow; raise P"
-                vloc = np.repeat(
-                    np.arange(self.n_local, dtype=np.int64), np.diff(indptr)
-                )
-                pair_keys = vloc * keyspace + adj
-                qkeys = v * keyspace + w
-                pos = np.searchsorted(pair_keys, qkeys)
-                pos = np.minimum(pos, pair_keys.size - 1)
-                found = pair_keys[pos] == qkeys
-            else:
-                found = np.zeros(v.size, dtype=bool)
-            if found.any():
-                vf, uf, wf = v[found], u[found], w[found]
-                self.tri_counts += np.bincount(vf, minlength=self.n_local)
-                corners = [uf, wf]
-        if corners:
-            c = np.concatenate(corners)
+        """For each sender's unique (v_local, w, count) queries: test
+        w ∈ adj+(v), count v-corners locally (weighted by multiplicity),
+        reply the found bitmap to the sender."""
+        responses = []
+        indptr, adj = self.tri_indptr, self.tri_adj
+        if adj.size:
+            vloc_all = np.repeat(np.arange(self.n_local, dtype=np.int64), np.diff(indptr))
+            keyspace = max(int(self.N), 1)
+            assert self.n_local * keyspace < 2**62, "vid keyspace overflow; raise P"
+            pair_keys = vloc_all * keyspace + adj
         else:
-            c = _EMPTY_I64
-        cpart = c % self.P
-        msgs = tuple(c[cpart == q] for q in range(self.P))
-        return msgs[0] if self.P == 1 else msgs
+            pair_keys = _EMPTY_I64
+        for m in wedge_msgs:
+            v, w, cnt = m
+            if len(v) == 0 or pair_keys.size == 0:
+                responses.append(np.zeros(len(v), dtype=bool))
+                continue
+            qkeys = v * max(int(self.N), 1) + w
+            pos = np.searchsorted(pair_keys, qkeys)
+            pos = np.minimum(pos, pair_keys.size - 1)
+            found = pair_keys[pos] == qkeys
+            if found.any():
+                self.tri_counts += np.bincount(
+                    v[found], weights=cnt[found], minlength=self.n_local
+                ).astype(np.int64)
+            responses.append(found)
+        return responses[0] if self.P == 1 else tuple(responses)
 
-    def tri_apply(self, *corner_msgs) -> int:
-        for m in corner_msgs:
+    def tri_u_apply(self, *responses) -> tuple:
+        """Apply u-corner counts from the found bitmaps; emit per-owner
+        (w_local, count) increments for the w corners."""
+        agg_w = []
+        agg_c = []
+        for q, found in enumerate(responses):
+            uq, inv = self._tri_u[q], self._tri_inv[q]
+            if len(uq) == 0:
+                continue
+            hit = found[inv]
+            if not hit.any():
+                continue
+            self.tri_counts += np.bincount(
+                uq[hit] // self.P, minlength=self.n_local
+            )
+            # w corners: one increment per found wedge; aggregate per unique pair
+            # was already done at v — here per unique (w) with multiplicity
+            # = count of found wedges with that w.  Recover w from the request
+            # we sent: found pairs' w values with their counts.
+            # (store per-q request ws for this)
+            agg_w.append(self._tri_req_w[q][found])
+            agg_c.append(self._tri_req_c[q][found])
+        if agg_w:
+            w_all = np.concatenate(agg_w)
+            c_all = np.concatenate(agg_c)
+        else:
+            w_all = c_all = _EMPTY_I64
+        out = []
+        wpart = w_all % self.P
+        for q in range(self.P):
+            sel = np.flatnonzero(wpart == q)
+            out.append((w_all[sel] // self.P, c_all[sel]))
+        self._tri_u = self._tri_inv = self._tri_req_w = self._tri_req_c = None
+        return out[0] if self.P == 1 else tuple(out)
+
+    def tri_w_apply(self, *msgs) -> int:
+        for m in msgs:
+            wl, cnt = m
+            if len(wl):
+                self.tri_counts += np.bincount(
+                    wl, weights=cnt, minlength=self.n_local
+                ).astype(np.int64)
+        return int(self.tri_counts.sum())
+
+    # ---- dense-graph triangle fast path (N small): bitset adjacency ------
+
+    def tri_rows(self) -> np.ndarray:
+        """Packed bitset rows (n_local × ceil(N/8) uint8) of the oriented
+        adjacency — broadcast to all fragments when N is small enough that
+        the full matrix fits comfortably (N ≤ ~16k → ≤ 32 MB)."""
+        nbytes = (self.N + 7) // 8
+        M = np.zeros((self.n_local, nbytes), dtype=np.uint8)
+        if self.tri_adj.size:
+            rows = np.repeat(
+                np.arange(self.n_local, dtype=np.int64), np.diff(self.tri_indptr)
+            )
+            flat = np.zeros((self.n_local, nbytes * 8), dtype=np.uint8)
+            flat[rows, self.tri_adj] = 1
+            M = np.packbits(flat, axis=1)
+        return M
+
+    def tri_dense(self, *row_blocks) -> tuple:
+        """Count triangles via bitwise AND + popcount over the full oriented
+        adjacency matrix: for each owned u and each v ∈ adj+(u),
+        I = adj+(v) ∩ adj+(u); tri[u] += |I|, tri[v] += |I|, tri[w] += 1 ∀w∈I.
+        Returns per-partition increment vectors for the remote v/w corners."""
+        P, N = self.P, self.N
+        nbytes = (N + 7) // 8
+        rows = [b for b in row_blocks]
+        M = np.zeros((N, nbytes), dtype=np.uint8)
+        for q in range(P):
+            n_q = rows[q].shape[0]
+            if n_q:
+                M[np.arange(n_q, dtype=np.int64) * P + q] = rows[q]
+        pop = _POP8
+        incr = np.zeros(N, dtype=np.int64)
+        indptr, adj = self.tri_indptr, self.tri_adj
+        owned = np.arange(self.n_local, dtype=np.int64) * P + self.part
+        wsum = np.zeros(nbytes * 8, dtype=np.int64)
+        for li in range(self.n_local):
+            a = adj[indptr[li] : indptr[li + 1]]
+            if a.size == 0:
+                continue
+            inter = M[a] & M[owned[li]]
+            counts_v = pop[inter].sum(axis=1)
+            self.tri_counts[li] += int(counts_v.sum())
+            incr[a] += counts_v
+            wsum += np.unpackbits(inter, axis=1).sum(axis=0, dtype=np.int64)
+        incr += wsum[:N]
+        out = tuple(incr[q::P] for q in range(P))
+        return out[0] if P == 1 else out
+
+    def tri_dense_apply(self, *incrs) -> int:
+        for m in incrs:
             if len(m):
-                self.tri_counts += np.bincount(m // self.P, minlength=self.n_local)
+                self.tri_counts += m
         return int(self.tri_counts.sum())
 
     def tri_state(self) -> pa.Table:

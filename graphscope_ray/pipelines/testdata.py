@@ -62,9 +62,27 @@ def lg_graph(sf_dir: str, num_partitions: int = 4, **_ignored) -> Graph:
     merge), like the reference reuses one loaded fragment across apps."""
     key = (sf_dir, num_partitions)
     if key not in _GRAPH_CACHE:
-        edges = lg_edges(sf_dir).rename_columns({"src": "src_oid", "dst": "dst_oid"})
+        li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+        def _derive(t: pa.Table) -> pa.Table:
+            src = t["l_orderkey"].to_numpy(zero_copy_only=False) % LG_MOD
+            dst = t["l_partkey"].to_numpy(zero_copy_only=False) % LG_MOD
+            keep = src != dst
+            return pa.table(
+                {
+                    "src_oid": pa.array(src[keep].astype(np.int64)),
+                    "dst_oid": pa.array(dst[keep].astype(np.int64)),
+                }
+            )
+
+        # no global distinct: duplicates are deduped locally in the fragments
+        edges = li.map_batches(_derive, batch_format="pyarrow")
         _GRAPH_CACHE[key] = build_graph_from_oids(
-            edges, num_partitions=num_partitions, view="directed", store_in_edges=True
+            edges,
+            num_partitions=num_partitions,
+            view="directed",
+            store_in_edges=True,
+            dedup_edges=True,
         )
     return _GRAPH_CACHE[key]
 

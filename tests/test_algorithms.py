@@ -89,10 +89,11 @@ def test_cdlp(gname, P):
 
 @pytest.mark.parametrize("gname", list(GRAPHS))
 @pytest.mark.parametrize("P", [1, 3])
-def test_triangles(gname, P):
+@pytest.mark.parametrize("dense", [0, 16384], ids=["sparse", "dense"])
+def test_triangles(gname, P, dense):
     edges, n = GRAPHS[gname]
     g = _build(edges, n, P, view="undirected")
-    total, ds = alg.triangles(g)
+    total, ds = alg.triangles(g, dense_threshold=dense)
     want_total, want_tri = oracles.triangles(edges, n)
     assert total == want_total
     assert _col(ds, "tri").tolist() == want_tri
