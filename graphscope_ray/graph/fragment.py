@@ -67,8 +67,17 @@ class Csr:
         self.indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
         dst_part = self.dst % num_parts
         self.dst_local = self.dst // num_parts
-        # per-target-partition message index: edge ids sorted by dst_local
+        src_local_per_edge = np.repeat(np.arange(n_local, dtype=np.int64), counts)
+        # per-target-partition message index, pre-permuted into dst_local order:
+        #   tgt_src[q]  — source LOCAL id per edge (int32; gathers read the
+        #                 vertex-sized value array directly, no edge repeat)
+        #   tgt_uniq[q] — distinct destination local ids (int32)
+        #   tgt_runstarts[q] — reduceat run boundaries
+        #   tgt_sel[q]  — original edge ids (triangle orientation only)
         self.tgt_sel: list[np.ndarray] = []
+        self.tgt_src: list[np.ndarray] = []
+        self.tgt_dl: list[np.ndarray] = []
+        self.tgt_w: list[np.ndarray] | None = [] if weight is not None else None
         self.tgt_uniq: list[np.ndarray] = []
         self.tgt_runstarts: list[np.ndarray] = []
         for q in range(num_parts):
@@ -78,58 +87,75 @@ class Csr:
             sel, dl = sel[o], dl[o]
             if dl.size:
                 starts = np.concatenate([[0], np.flatnonzero(np.diff(dl)) + 1]).astype(np.int64)
-                uniq = dl[starts]
+                uniq = dl[starts].astype(np.int32)
             else:
                 starts, uniq = _EMPTY_I64, _EMPTY_I64
             self.tgt_sel.append(sel)
+            self.tgt_src.append(src_local_per_edge[sel].astype(np.int32))
+            self.tgt_dl.append(dl.astype(np.int32))
+            if self.tgt_w is not None:
+                self.tgt_w.append(self.weight[sel])
             self.tgt_uniq.append(uniq)
             self.tgt_runstarts.append(starts)
 
-    # ---- message kernels -------------------------------------------------
+    # ---- message kernels (vertex-value based: the per-edge value is
+    # f(source vertex) [+ edge weight], gathered straight from the
+    # vertex-sized array in destination order) -----------------------------
 
-    def push_reduce(self, edge_values: np.ndarray, op: str) -> list[tuple[np.ndarray, np.ndarray]]:
-        """Reduce per-edge values per destination vertex, grouped by target partition."""
+    def push_reduce(
+        self, vertex_vals: np.ndarray, op: str, add_weight: bool = False
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Per-destination reduce of vertex_vals[src] (+weight), per target part."""
         red_fn = _REDUCERS[op]
         out = []
         for q in range(self.P):
-            sel = self.tgt_sel[q]
-            if sel.size == 0:
+            src = self.tgt_src[q]
+            if src.size == 0:
                 out.append((_EMPTY_I64, _EMPTY_F64))
                 continue
-            out.append((self.tgt_uniq[q], red_fn.reduceat(edge_values[sel], self.tgt_runstarts[q])))
+            v = vertex_vals[src]
+            if add_weight:
+                v = v + (self.tgt_w[q] if self.tgt_w is not None else 1.0)
+            out.append((self.tgt_uniq[q], red_fn.reduceat(v, self.tgt_runstarts[q])))
         return out
 
     def push_reduce_masked(
-        self, edge_values: np.ndarray, vmask: np.ndarray, op: str
+        self, vertex_vals: np.ndarray, vmask: np.ndarray, op: str, add_weight: bool = False
     ) -> list[tuple[np.ndarray, np.ndarray]]:
         """Like push_reduce but only edges whose *source* vertex is in vmask (frontier)."""
         red_fn = _REDUCERS[op]
-        emask = np.repeat(vmask, self.deg)
         out = []
         for q in range(self.P):
-            sel = self.tgt_sel[q]
-            sel = sel[emask[sel]]  # stays sorted by dst_local
-            if sel.size == 0:
+            src = self.tgt_src[q]
+            if src.size == 0:
                 out.append((_EMPTY_I64, _EMPTY_F64))
                 continue
-            dl = self.dst_local[sel]
+            m = vmask[src]
+            if not m.any():
+                out.append((_EMPTY_I64, _EMPTY_F64))
+                continue
+            src = src[m]
+            dl = self.tgt_dl[q][m]  # stays sorted
+            v = vertex_vals[src]
+            if add_weight:
+                w = self.tgt_w[q][m] if self.tgt_w is not None else 1.0
+                v = v + w
             starts = np.concatenate([[0], np.flatnonzero(np.diff(dl)) + 1]).astype(np.int64)
-            out.append((dl[starts], red_fn.reduceat(edge_values[sel], starts)))
+            out.append((dl[starts], red_fn.reduceat(v, starts)))
         return out
 
     def push_label_counts(
         self, vertex_labels: np.ndarray
     ) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """CDLP combiner: per target partition, counts per (dst_local, label)."""
-        edge_labels = np.repeat(vertex_labels, self.deg)
         out = []
         for q in range(self.P):
-            sel = self.tgt_sel[q]
-            if sel.size == 0:
+            src = self.tgt_src[q]
+            if src.size == 0:
                 out.append((_EMPTY_I64, _EMPTY_I64, _EMPTY_I64))
                 continue
-            dl = self.dst_local[sel]
-            lab = edge_labels[sel]
+            dl = self.tgt_dl[q]
+            lab = vertex_labels[src]
             o = np.lexsort((lab, dl))
             dl, lab = dl[o], lab[o]
             change = np.flatnonzero((np.diff(dl) != 0) | (np.diff(lab) != 0)) + 1
@@ -206,6 +232,7 @@ class FragmentActor:
         self.out = self._build_csr(out_blocks, by="src")
         self.inc = self._build_csr(in_blocks, by="dst") if in_blocks is not None else None
         self._ucsr: Csr | None = None
+        self._glob: dict[str, dict] = {}
         self.programs: dict[str, object] = {}
 
     def ucsr(self) -> Csr:
@@ -296,8 +323,36 @@ class FragmentActor:
         # message directly so gather(*msgs) sees one message, not a 1-tuple.
         return msgs[0] if self.P == 1 else msgs
 
+    def p_scatter_all(self, name: str, step: int, glob: dict):
+        """Shared-scatter mode: ALL P messages in one object; receivers pick
+        their slice zero-copy out of the shared object store."""
+        return tuple(self.programs[name].scatter(step, glob))
+
     def p_gather(self, name: str, step: int, glob: dict, *msgs) -> dict:
         return self.programs[name].gather(step, glob, msgs)
+
+    def p_gather_shared(self, name: str, step: int, glob: dict, *sender_outputs) -> dict:
+        msgs = [s[self.part] for s in sender_outputs]
+        return self.programs[name].gather(step, glob, msgs)
+
+    # ---- pipelined rounds: no driver round-trip per superstep ------------
+    # Each actor maintains its own copy of the reduced global scalars by
+    # summing the P stat dicts of the previous round itself (deterministic,
+    # identical on every fragment — a decentralized allreduce).  The driver
+    # only ray.get()s every K rounds to test convergence.
+
+    def p_scatter_pipe(self, name: str, step: int, *prev_stats):
+        glob = self._glob.setdefault(name, {})
+        merged: dict = {}
+        for d in prev_stats:
+            for k, v in d.items():
+                merged[k] = merged.get(k, 0) + v
+        glob.update(merged)
+        return tuple(self.programs[name].scatter(step, glob))
+
+    def p_gather_pipe(self, name: str, step: int, *sender_outputs) -> dict:
+        msgs = [s[self.part] for s in sender_outputs]
+        return self.programs[name].gather(step, self._glob.setdefault(name, {}), msgs)
 
     def p_finalize(self, name: str, glob: dict) -> None:
         prog = self.programs[name]

@@ -39,6 +39,8 @@ def _wrap(*pushes):
 
 
 class VertexProgram:
+    has_prestep = False  # True → the driver runs the prestep RPC wave
+
     def __init__(self, frag):
         self.frag = frag
 
@@ -85,14 +87,11 @@ class PageRank(VertexProgram):
         self.dangling = f.out.deg == 0
         with np.errstate(divide="ignore"):
             self.invdeg = np.where(self.dangling, 0.0, 1.0 / f.out.deg)
-        return {}
-
-    def prestep(self, step, glob):
+        # dangling mass for round 0; each gather returns it for the next round
         return {"dangling_sum": float(self.score[self.dangling].sum())}
 
     def scatter(self, step, glob):
-        contrib = np.repeat(self.score * self.invdeg, self.frag.out.deg)
-        return _wrap(self.frag.out.push_reduce(contrib, "sum"))
+        return _wrap(self.frag.out.push_reduce(self.score * self.invdeg, "sum"))
 
     def gather(self, step, glob, msgs):
         f = self.frag
@@ -102,7 +101,7 @@ class PageRank(VertexProgram):
         new = a * insum + (a * glob["dangling_sum"] + (1.0 - a)) / N
         resid = float(np.abs(new - self.score).sum())
         self.score = new
-        return {"residual": resid}
+        return {"residual": resid, "dangling_sum": float(self.score[self.dangling].sum())}
 
     def state_columns(self):
         return {"score": self.score}
@@ -127,13 +126,9 @@ class Wcc(VertexProgram):
 
     def scatter(self, step, glob):
         f = self.frag
-        pushes = [
-            f.out.push_reduce_masked(np.repeat(self.comp, f.out.deg), self.changed, "min")
-        ]
+        pushes = [f.out.push_reduce_masked(self.comp, self.changed, "min")]
         if f.inc is not None:
-            pushes.append(
-                f.inc.push_reduce_masked(np.repeat(self.comp, f.inc.deg), self.changed, "min")
-            )
+            pushes.append(f.inc.push_reduce_masked(self.comp, self.changed, "min"))
         return _wrap(*pushes)
 
     def gather(self, step, glob, msgs):
@@ -210,10 +205,9 @@ class Sssp(VertexProgram):
         return {}
 
     def scatter(self, step, glob):
-        o = self.frag.out
-        w = o.weight if o.weight is not None else 1.0
-        vals = np.repeat(self.dist, o.deg) + w
-        return _wrap(o.push_reduce_masked(vals, self.frontier, "min"))
+        return _wrap(
+            self.frag.out.push_reduce_masked(self.dist, self.frontier, "min", add_weight=True)
+        )
 
     def gather(self, step, glob, msgs):
         incoming = acc_min(self.frag.n_local, msgs)
@@ -231,9 +225,9 @@ class Bfs(Sssp):
     depth output format); depth_limit honored via max_rounds."""
 
     def scatter(self, step, glob):
-        o = self.frag.out
-        vals = np.repeat(self.dist, o.deg) + 1.0
-        return _wrap(o.push_reduce_masked(vals, self.frontier, "min"))
+        return _wrap(
+            self.frag.out.push_reduce_masked(self.dist, self.frontier, "min", add_weight=True)
+        )
 
     def state_columns(self):
         depth = np.where(np.isinf(self.dist), -1, self.dist).astype(np.int64)
@@ -242,6 +236,8 @@ class Bfs(Sssp):
 
 # --------------------------------------------------------------------------
 class Hits(VertexProgram):
+    has_prestep = True
+
     """HITS (apps/hits/hits.h:27-66 semantics, L1-normalized per half-round):
     auth ∝ Σ_in hub ; hub ∝ Σ_out auth.  Two driver steps per iteration:
     even step pushes hub along out-edges (computes raw auth), odd step pushes
@@ -276,10 +272,8 @@ class Hits(VertexProgram):
 
     def scatter(self, step, glob):
         if step % 2 == 0:
-            vals = np.repeat(self.hub, self.frag.out.deg)
-            return _wrap(self.frag.out.push_reduce(vals, "sum"))
-        vals = np.repeat(self.auth, self.frag.inc.deg)
-        return _wrap(self.frag.inc.push_reduce(vals, "sum"))
+            return _wrap(self.frag.out.push_reduce(self.hub, "sum"))
+        return _wrap(self.frag.inc.push_reduce(self.auth, "sum"))
 
     def gather(self, step, glob, msgs):
         if step % 2 == 0:
@@ -324,7 +318,7 @@ class KCore(VertexProgram):
         remove = self.alive & (self.degc < self.k)
         self._removed = int(remove.sum())
         self.alive &= ~remove
-        ones = np.ones(o.dst.size, dtype=np.float64)
+        ones = np.ones(self.frag.n_local, dtype=np.float64)
         return _wrap(o.push_reduce_masked(ones, remove, "sum"))
 
     def gather(self, step, glob, msgs):
@@ -338,6 +332,8 @@ class KCore(VertexProgram):
 
 # --------------------------------------------------------------------------
 class Eigenvector(VertexProgram):
+    has_prestep = True
+
     """Eigenvector centrality, power iteration x' = Aᵀx, L2-normalized per
     round (apps/centrality/eigenvector semantics); stop Σ|Δ| < tol·N."""
 
@@ -361,8 +357,7 @@ class Eigenvector(VertexProgram):
         return {"resid": resid}
 
     def scatter(self, step, glob):
-        vals = np.repeat(self.x, self.frag.out.deg)
-        return _wrap(self.frag.out.push_reduce(vals, "sum"))
+        return _wrap(self.frag.out.push_reduce(self.x, "sum"))
 
     def gather(self, step, glob, msgs):
         # x' includes the previous value (A+I power iteration, avoids 2-cycles)
@@ -390,8 +385,7 @@ class Katz(VertexProgram):
         return {}
 
     def scatter(self, step, glob):
-        vals = np.repeat(self.x, self.frag.out.deg)
-        return _wrap(self.frag.out.push_reduce(vals, "sum"))
+        return _wrap(self.frag.out.push_reduce(self.x, "sum"))
 
     def gather(self, step, glob, msgs):
         new = self.alpha * acc_sum(self.frag.n_local, msgs) + self.beta

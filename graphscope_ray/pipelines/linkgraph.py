@@ -24,13 +24,40 @@ def mine_edges(
     repos_ds: ray.data.Dataset,
     lineage_path: str | None = None,
 ) -> ray.data.Dataset:
-    """repos table → distinct weighted edge table (src_oid, dst_oid, weight)."""
-    ds = with_sha256(repos_ds)
+    """repos table → distinct weighted edge table (src_oid, dst_oid, weight).
+
+    ONE streaming pass over the corpus (scan_corpus: sha256 + regex mining +
+    export derivation fused, content dropped immediately); the narrow
+    per-file scan output is pinned and reused by the lineage sink, the
+    exports broadcast side and the import explode — the corpus itself is
+    never read twice."""
+    import pyarrow as pa
+
+    from graphscope_ray.stages.mine import scan_corpus
+
+    scan = scan_corpus(repos_ds).materialize()
     if lineage_path:
-        lineage(ds).write_parquet(lineage_path)
-    exports = build_exports(ds)
-    imports = mine_imports(ds)
-    return resolve_edges(imports, exports)
+        scan.select_columns(["repo", "path", "commit", "content_sha256"]).write_parquet(
+            lineage_path
+        )
+    def _dedup_batch(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(t.to_pandas().drop_duplicates(), preserve_index=False)
+
+    # two-level dedup (per-batch, then per-coalesced-block) so the driver
+    # only collects ~one row per repo
+    exports = (
+        scan.select_columns(["export_module", "repo"])
+        .map_batches(_dedup_batch, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(_dedup_batch, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates()
+        .rename(columns={"export_module": "module"})
+    )
+
+    from graphscope_ray.stages.mine import resolve_edges_fused
+
+    return resolve_edges_fused(scan.select_columns(["repo", "modules"]), exports)
 
 
 def build_link_graph(

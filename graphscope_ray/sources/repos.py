@@ -70,6 +70,7 @@ def generate_repos(
     mean_imports: float = 3.0,
     clique_k: int = 4,
     n_components: int = 2,
+    body_lines: int = 5,
 ) -> pa.Table:
     rng = np.random.RandomState(seed)
     rows_repo, rows_path, rows_commit, rows_lang, rows_content = [], [], [], [], []
@@ -106,7 +107,7 @@ def generate_repos(
                     tgt = int(group[rng.choice(len(group), p=w)])
                     if tgt != i:
                         lines.append(_import_line(lang, mods[tgt]))
-            for k in range(3 + rng.randint(5)):
+            for k in range(body_lines + rng.randint(5)):
                 lines.append(f"void fn_{i}_{j}_{k}() {{ /* body {rng.randint(1 << 30)} */ }}")
             rows_repo.append(names[i])
             rows_path.append(f"src/{mods[i]}/file{j}.{_EXT[lang]}")
@@ -129,3 +130,63 @@ def write_repos_parquet(path: str, **kwargs) -> str:
 
     pq.write_table(generate_repos(**kwargs), path)
     return path
+
+
+def _gen_file(repo_i: int, file_j: int, n_repos: int, seed: int, mean_imports: int, body_lines: int):
+    """Deterministic content for file (repo_i, file_j) — seeded only by ids,
+    so generation parallelizes over any partitioning of the file index."""
+    rng = np.random.RandomState((seed * 1_000_003 + repo_i * 8191 + file_j) % (2**31))
+    lang = LANGS[repo_i % len(LANGS)]
+    lines = [f"// {repo_name(repo_i)} file {file_j}"]
+    w_hub = rng.rand(mean_imports)
+    for r in w_hub:
+        if r < 0.2:
+            std = _STDLIB[lang]
+            lines.append(_import_line(lang, std[rng.randint(len(std))]))
+        else:
+            # power-law-ish target: hub repos = low indices
+            tgt = int(n_repos * (rng.rand() ** 3))
+            if tgt != repo_i:
+                lines.append(_import_line(lang, _module_name(tgt)))
+    for k in range(body_lines):
+        lines.append(f"void fn_{repo_i}_{file_j}_{k}() {{ /* body {rng.randint(1 << 30)} */ }}")
+    return lang, "\n".join(lines)
+
+
+def generate_repos_dataset(
+    n_repos: int = 10_000,
+    files_per_repo: int = 10,
+    seed: int = 42,
+    mean_imports: int = 5,
+    body_lines: int = 40,
+):
+    """Parallel deterministic corpus as a ray Dataset (bench-scale path:
+    generation is a map_batches over the file-index range, so a multi-GB
+    corpus materializes at cluster speed)."""
+    import pyarrow as pa
+    import ray.data
+
+    total = n_repos * files_per_repo
+
+    def _gen(batch) -> pa.Table:
+        ids = batch["id"]
+        rows = {"repo": [], "path": [], "commit": [], "lang": [], "content": []}
+        for fid in ids.tolist():
+            i, j = divmod(int(fid), files_per_repo)
+            lang, content = _gen_file(i, j, n_repos, seed, mean_imports, body_lines)
+            rows["repo"].append(repo_name(i))
+            rows["path"].append(f"src/{_module_name(i)}/file{j}.{_EXT[lang]}")
+            rows["commit"].append(hashlib.sha1(f"{seed}:{repo_name(i)}".encode()).hexdigest())
+            rows["lang"].append(lang)
+            rows["content"].append(content)
+        return pa.table(
+            {
+                "repo": pa.array(rows["repo"], pa.string()),
+                "path": pa.array(rows["path"], pa.string()),
+                "commit": pa.array(rows["commit"], pa.string()),
+                "lang": pa.array(rows["lang"], pa.string()),
+                "content": pa.array(rows["content"], pa.string()),
+            }
+        )
+
+    return ray.data.range(total).map_batches(_gen, batch_format="numpy", batch_size=4096)

@@ -36,13 +36,28 @@ IMPORT_PATTERNS: dict[str, list[str]] = {
 }
 
 
-class ImportMiner:
-    """Actor-pool stage: explode each file into its imported module tokens."""
+_COMPILED: dict | None = None
 
-    def __init__(self):
-        self.patterns = {
+
+def _compiled_patterns() -> dict:
+    """Compiled per-language regexes, cached per worker process (module-level
+    — stateless map_batches tasks reuse warm workers, so compilation is
+    amortized exactly like actor __init__ state, while the stage stays
+    elastic and scales to every free CPU)."""
+    global _COMPILED
+    if _COMPILED is None:
+        _COMPILED = {
             lang: [re.compile(p, re.M) for p in pats] for lang, pats in IMPORT_PATTERNS.items()
         }
+    return _COMPILED
+
+
+class ImportMiner:
+    """Explode each file into its imported module tokens (vectorized pandas
+    str.findall per language)."""
+
+    def __init__(self):
+        self.patterns = _compiled_patterns()
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out_src, out_mod = [], []
@@ -65,13 +80,56 @@ class ImportMiner:
         )
 
 
-def mine_imports(ds: ray.data.Dataset, concurrency: int | tuple = (1, 8)) -> ray.data.Dataset:
-    """repos table → (src_repo, module) reference rows (actor pool: regexes
-    compiled once per actor; autoscaling pool so reads aren't starved)."""
+def _mine_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    return ImportMiner()(batch)
+
+
+def scan_corpus(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """ONE streaming pass over the (huge) corpus → a NARROW per-file table:
+    (repo, path, commit, lang, content_sha256, modules list<string>,
+    export_module).  The wide ``content`` column is read once, hashed and
+    mined in the same task, and dropped immediately (SURVEY.md §7.4) — at
+    100 TB this is the only stage that touches file bodies; everything else
+    (lineage, exports, imports, edges) derives from this output."""
+    from graphscope_ray.utils import sha256_column
+
+    def _scan(t: pa.Table) -> pa.Table:
+        pats = _compiled_patterns()
+        langs = t["lang"].to_pylist()
+        contents = t["content"].to_pylist()
+        mods: list[list[str]] = []
+        for lang, content in zip(langs, contents):
+            found: list[str] = []
+            for pat in pats.get(lang, ()):
+                found.extend(pat.findall(content))
+            mods.append(found)
+        paths = t["path"].to_pylist()
+        exp = []
+        for p in paths:
+            parts = p.split("/")
+            exp.append(parts[1] if len(parts) > 1 and parts[0] == "src" else parts[0].split(".")[0])
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "commit": t["commit"],
+                "lang": t["lang"],
+                "content_sha256": sha256_column(t["content"]),
+                "modules": pa.array(mods, pa.list_(pa.string())),
+                "export_module": pa.array(exp, pa.string()),
+            }
+        )
+
+    return ds.map_batches(_scan, batch_format="pyarrow")
+
+
+def mine_imports(ds: ray.data.Dataset, concurrency=None) -> ray.data.Dataset:
+    """repos table → (src_repo, module) reference rows.  Stateless tasks:
+    regexes are compiled once per worker process (module cache), and the
+    stage scales elastically to every free CPU instead of a fixed pool."""
     ds = ds.select_columns(["repo", "lang", "content"])
-    return ds.map_batches(
-        ImportMiner, batch_format="pandas", batch_size=1024, concurrency=concurrency
-    )
+    kwargs = {"concurrency": concurrency} if concurrency else {}
+    return ds.map_batches(_mine_batch, batch_format="pandas", batch_size=512, **kwargs)
 
 
 def build_exports(ds: ray.data.Dataset) -> pd.DataFrame:
@@ -86,8 +144,14 @@ def build_exports(ds: ray.data.Dataset) -> pd.DataFrame:
             mods.append(parts[1] if len(parts) > 1 and parts[0] == "src" else parts[0].split(".")[0])
         return pa.table({"module": pa.array(mods, pa.string()), "repo": t["repo"]})
 
+    def _dedup(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # small side (one row per repo): per-batch dedup then a driver-side
+    # drop_duplicates — no shuffle (vs a groupby all-to-all)
     mods = ds.select_columns(["repo", "path"]).map_batches(_mods, batch_format="pyarrow")
-    return mods.groupby(["module", "repo"]).count().select_columns(["module", "repo"]).to_pandas()
+    return mods.map_batches(_dedup, batch_format="pyarrow").to_pandas().drop_duplicates().reset_index(drop=True)
 
 
 def resolve_edges(imports_ds: ray.data.Dataset, exports: pd.DataFrame) -> ray.data.Dataset:
@@ -112,15 +176,70 @@ def resolve_edges(imports_ds: ray.data.Dataset, exports: pd.DataFrame) -> ray.da
             {"src_oid": pa.array(src[keep], pa.string()), "dst_oid": pa.array(dst[keep], pa.string())}
         )
 
+    from graphscope_ray.utils import hash_groupby_sum
+
     resolved = imports_ds.map_batches(_resolve, batch_format="pyarrow")
-    edges = (
-        resolved.groupby(["src_oid", "dst_oid"])
-        .count()
-        .map_batches(
-            lambda t: pa.table(
-                {"src_oid": t["src_oid"], "dst_oid": t["dst_oid"], "weight": t["count()"]}
-            ),
-            batch_format="pyarrow",
+    # explicit hash exchange (local combine → hash split → partition reduce);
+    # the shuffle moves distinct (src,dst) pairs, not raw references
+    return hash_groupby_sum(resolved, ["src_oid", "dst_oid"], None, "weight")
+
+
+@ray.remote
+def _edge_reduce(*dfs) -> pa.Table:
+    nonempty = [d for d in dfs if len(d)]
+    if not nonempty:
+        return pa.table(
+            {
+                "src_oid": pa.array([], pa.string()),
+                "dst_oid": pa.array([], pa.string()),
+                "weight": pa.array([], pa.int64()),
+            }
         )
+    alldf = pd.concat(nonempty, ignore_index=True)
+    red = alldf.groupby(["src_oid", "dst_oid"], as_index=False)["n"].sum()
+    red = red.rename(columns={"n": "weight"})
+    return pa.Table.from_pandas(red, preserve_index=False)
+
+
+def resolve_edges_fused(scan_ds: ray.data.Dataset, exports: pd.DataFrame, K: int = 32) -> ray.data.Dataset:
+    """Fused edge derivation from the narrow scan table: ONE task per scan
+    block does explode → broadcast module→repo lookup → local (src,dst)
+    combine → K-way hash split; K reduce tasks finish the groupby.  No
+    intermediate Dataset materialization between mining and the exchange."""
+    mod_arr = np.sort(exports["module"].to_numpy())
+    order = np.argsort(exports["module"].to_numpy(), kind="stable")
+    repo_arr = exports["repo"].to_numpy()[order]
+    ref = ray.put((mod_arr, repo_arr))
+
+    @ray.remote
+    def _mine_split(t: pa.Table):
+        mods_sorted, repos_sorted = ray.get(ref)
+        mods = t["modules"]
+        lens = pa.compute.list_value_length(mods).to_numpy(zero_copy_only=False)
+        src_all = np.repeat(t["repo"].to_numpy(zero_copy_only=False), lens)
+        m = pa.compute.list_flatten(mods).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(mods_sorted, m)
+        pos_c = np.minimum(pos, max(len(mods_sorted) - 1, 0))
+        hit = (len(mods_sorted) > 0) & (mods_sorted[pos_c] == m)
+        src = src_all[hit]
+        dst = repos_sorted[pos_c[hit]]
+        keep = src != dst
+        df = pd.DataFrame({"src_oid": src[keep], "dst_oid": dst[keep]})
+        df = df.groupby(["src_oid", "dst_oid"], as_index=False).size().rename(columns={"size": "n"})
+        h = (
+            pd.util.hash_pandas_object(df["src_oid"], index=False).to_numpy()
+            * np.uint64(1000003)
+            + pd.util.hash_pandas_object(df["dst_oid"], index=False).to_numpy()
+        )
+        part = (h % np.uint64(K)).astype(np.int64)
+        parts = tuple(df[part == p] for p in range(K))
+        return parts if K > 1 else parts[0]
+
+    blocks = scan_ds.to_arrow_refs()
+    if K == 1:
+        refs = [[_mine_split.remote(b)] for b in blocks]
+        return ray.data.from_arrow_refs([_edge_reduce.remote(*[r[0] for r in refs])])
+    split_refs = [_mine_split.options(num_returns=K).remote(b) for b in blocks]
+    return ray.data.from_arrow_refs(
+        [_edge_reduce.remote(*[split_refs[i][k] for i in range(len(blocks))]) for k in range(K)]
     )
-    return edges

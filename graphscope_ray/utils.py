@@ -37,6 +37,60 @@ def stable_hash64(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
     return out
 
 
+def hash_groupby_sum(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    val: str | None,
+    out: str,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Distributed groupby-sum via an explicit hash exchange: per-block local
+    combine (pandas groupby) → split by hash(keys) % K (one task per block,
+    K return slots) → per-partition pandas reduce.  Replaces
+    ``Dataset.groupby().aggregate(Sum(...))`` where Ray's sort-based
+    aggregate is overhead-bound (string keys, many small blocks); same
+    all-to-all volume, ~10× less fixed cost.  ``val=None`` counts rows."""
+    import pandas as pd
+
+    K = num_partitions
+    blocks = ds.materialize().to_arrow_refs()
+
+    @ray.remote
+    def _split(t: pa.Table):
+        df = t.to_pandas()
+        if len(df) == 0:
+            empty = df.iloc[0:0]
+            return tuple(empty for _ in range(K)) if K > 1 else empty
+        if val is None:
+            df = df.groupby(keys, as_index=False).size().rename(columns={"size": out})
+        else:
+            df = df.groupby(keys, as_index=False)[val].sum().rename(columns={val: out})
+        h = np.zeros(len(df), dtype=np.uint64)
+        for k in keys:
+            h = h * np.uint64(1000003) + pd.util.hash_pandas_object(df[k], index=False).to_numpy()
+        part = (h % np.uint64(K)).astype(np.int64)
+        parts = tuple(df[part == p] for p in range(K))
+        return parts if K > 1 else parts[0]
+
+    @ray.remote
+    def _reduce(*dfs) -> pa.Table:
+        import pandas as pd
+
+        alldf = pd.concat([d for d in dfs if len(d)], ignore_index=True) if dfs else None
+        if alldf is None or len(alldf) == 0:
+            return pa.table({})
+        red = alldf.groupby(keys, as_index=False)[out].sum()
+        return pa.Table.from_pandas(red, preserve_index=False)
+
+    if K == 1:
+        refs = [[_split.remote(b)] for b in blocks]
+        return ray.data.from_arrow_refs([_reduce.remote(*[r[0] for r in refs])])
+    split_refs = [_split.options(num_returns=K).remote(b) for b in blocks]
+    return ray.data.from_arrow_refs(
+        [_reduce.remote(*[split_refs[i][k] for i in range(len(blocks))]) for k in range(K)]
+    )
+
+
 def zip_with_index(ds: "ray.data.Dataset", key: str, index_col: str = "vid") -> "ray.data.Dataset":
     """Globally sort ``ds`` by ``key`` and append a dense 0-based index column.
 
