@@ -216,6 +216,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_eigenvector": td.lg_eigenvector_fixed,
         "lg_katz": td.lg_katz_fixed,
         "lg_kcore": td.lg_kcore,
+        "lg_degree_centrality": td.lg_degree_centrality,
+        "lg_assortativity": td.lg_assortativity,
+        "lg_avg_degree_connectivity": td.lg_avg_degree_connectivity,
+        "lg_node_boundary": td.lg_node_boundary,
+        "lg_edge_boundary": td.lg_edge_boundary,
+        "lg_transitivity": td.lg_transitivity,
+        "lg_avg_clustering": td.lg_avg_clustering,
         # relational / framework-op parity
         "op_filter_project": td.op_filter_project,
         "op_groupby_agg": td.op_groupby_agg,
@@ -267,6 +274,13 @@ def oracle_sql() -> dict[str, str]:
         "lg_hits": osql.lg_hits_sql(iters=5),
         "lg_eigenvector": osql.lg_eigenvector_sql(iters=10),
         "lg_katz": osql.lg_katz_sql(iters=8),
+        "lg_degree_centrality": osql.lg_degree_centrality_sql(),
+        "lg_assortativity": osql.lg_assortativity_sql(),
+        "lg_avg_degree_connectivity": osql.lg_avg_degree_connectivity_sql(),
+        "lg_node_boundary": osql.lg_node_boundary_sql(),
+        "lg_edge_boundary": osql.lg_edge_boundary_sql(),
+        "lg_transitivity": osql.lg_transitivity_sql(),
+        "lg_avg_clustering": osql.lg_avg_clustering_sql(),
         "op_filter_project": osql.op_filter_project_sql(),
         "op_groupby_agg": osql.op_groupby_agg_sql(),
         "op_sort_topk": osql.op_sort_topk_sql(),

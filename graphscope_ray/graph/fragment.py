@@ -294,6 +294,10 @@ class FragmentActor:
     def num_edges(self) -> int:
         return int(self.out.dst.size)
 
+    def tri_state_degrees(self) -> pa.Table:
+        """(vid, deg) over the undirected dedup adjacency (no triangle run needed)."""
+        return pa.table({"vid": pa.array(self.owned_vids()), "deg": pa.array(self.ucsr().deg)})
+
     def num_undirected_edges(self) -> int:
         """Edge endpoints in the local undirected dedup adjacency (Σ over
         partitions counts each undirected edge twice)."""

@@ -214,6 +214,60 @@ def lg_katz_sql(iters: int = 8, alpha: float = 0.05, beta: float = 1.0) -> str:
     )
 
 
+def lg_degree_centrality_sql() -> str:
+    return (
+        f"WITH {_BASE} SELECT v.oid, round(coalesce(o.d, 0) / "
+        "(CAST((SELECT n FROM nv) AS DOUBLE) - 1), 8) AS centrality "
+        "FROM v LEFT JOIN outd o ON o.oid = v.oid"
+    )
+
+
+def lg_assortativity_sql() -> str:
+    return (
+        f"WITH {_BASE}, deg AS MATERIALIZED (SELECT src AS tv, count(*) AS d FROM ue GROUP BY src) "
+        "SELECT round(corr(CAST(da.d AS DOUBLE), CAST(db.d AS DOUBLE)), 8) AS assortativity "
+        "FROM ue JOIN deg da ON da.tv = ue.src JOIN deg db ON db.tv = ue.dst"
+    )
+
+
+def lg_avg_degree_connectivity_sql() -> str:
+    return (
+        f"WITH {_BASE}, deg AS MATERIALIZED (SELECT src AS tv, count(*) AS d FROM ue GROUP BY src) "
+        "SELECT da.d AS k, round(avg(CAST(db.d AS DOUBLE)), 8) AS avg_conn "
+        "FROM ue JOIN deg da ON da.tv = ue.src JOIN deg db ON db.tv = ue.dst GROUP BY da.d"
+    )
+
+
+def lg_node_boundary_sql(s_max: int = 100) -> str:
+    return (
+        f"WITH {_BASE} SELECT DISTINCT dst AS oid FROM e WHERE src < {s_max} AND dst >= {s_max}"
+    )
+
+
+def lg_edge_boundary_sql(s_max: int = 100) -> str:
+    return f"WITH {_BASE} SELECT src, dst FROM e WHERE src < {s_max} AND dst >= {s_max}"
+
+
+def lg_transitivity_sql() -> str:
+    return (
+        f"WITH {_BASE}, {_TRI}, "
+        "w AS MATERIALIZED (SELECT sum(d * (d - 1)) / 2.0 AS wedges FROM deg) "
+        "SELECT round(3.0 * (SELECT count(*) FROM tr) / (SELECT wedges FROM w), 8) AS transitivity"
+    )
+
+
+def lg_avg_clustering_sql() -> str:
+    return (
+        f"WITH {_BASE}, {_TRI}, "
+        "corners AS MATERIALIZED (SELECT u AS oid FROM tr UNION ALL SELECT w1 FROM tr UNION ALL SELECT w2 FROM tr), "
+        "tc AS MATERIALIZED (SELECT oid, count(*) AS tri FROM corners GROUP BY oid), "
+        "l AS MATERIALIZED (SELECT v.oid, CASE WHEN coalesce(d.d,0) > 1 "
+        "THEN 2.0 * coalesce(tc.tri,0) / (d.d * (d.d - 1)) ELSE 0 END AS lcc "
+        "FROM v LEFT JOIN deg d ON d.tv = v.oid LEFT JOIN tc ON tc.oid = v.oid) "
+        "SELECT round(sum(lcc) / (SELECT n FROM nv), 8) AS avg_clustering FROM l"
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational / text / similarity / events oracles
 

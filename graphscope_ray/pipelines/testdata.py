@@ -219,6 +219,134 @@ def lg_undirected_edge_count(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_undirected_edges": [int(sum(counts))]})
 
 
+def _lg_ue(sf_dir: str) -> ray.data.Dataset:
+    """Undirected distinct edge rows (both directions) — the SQL `ue` CTE."""
+    e = lg_edges(sf_dir)
+    rev = e.map_batches(
+        lambda t: pa.table({"src": t["dst"], "dst": t["src"]}), batch_format="pyarrow"
+    )
+    return e.union(rev).groupby(["src", "dst"]).count().select_columns(["src", "dst"])
+
+
+def _lg_udeg(sf_dir: str) -> np.ndarray:
+    """Undirected degree per oid (dense, index = oid) from the fragments'
+    locally-merged adjacency; broadcast-sized (one entry per vertex)."""
+    import ray as _ray
+
+    g = lg_graph(sf_dir)
+    tables = _ray.get([a.tri_state_degrees.remote() for a in g.actors])
+    deg = np.zeros(LG_MOD, dtype=np.int64)
+    vmap = g.vertices_ds.to_pandas().sort_values("vid")
+    oid_by_vid = vmap["oid"].to_numpy()
+    for t in tables:
+        vids = t["vid"].to_numpy()
+        deg[oid_by_vid[vids]] = t["deg"].to_numpy()
+    return deg
+
+
+def lg_degree_centrality(sf_dir: str) -> pd.DataFrame:
+    """Degree centrality = out_deg/(N-1) (apps/centrality/degree semantics)."""
+    g = lg_graph(sf_dir)
+    out = _oid_space(g, g.degrees(), ["out_deg"])
+    out["centrality"] = (out["out_deg"] / (g.N - 1)).round(8)
+    return out[["oid", "centrality"]]
+
+
+def lg_assortativity(sf_dir: str) -> pd.DataFrame:
+    """Degree assortativity = Pearson corr of (deg(src), deg(dst)) over the
+    undirected edge rows (apps/assortativity semantics).  Streaming partial
+    sums per batch against the broadcast degree table — no driver loop."""
+    import ray as _ray
+
+    deg = _lg_udeg(sf_dir)
+    ref = _ray.put(deg)
+
+    def _partials(t: pa.Table) -> pa.Table:
+        d = _ray.get(ref)
+        x = d[t["src"].to_numpy(zero_copy_only=False)].astype(np.float64)
+        y = d[t["dst"].to_numpy(zero_copy_only=False)].astype(np.float64)
+        return pa.table(
+            {
+                "n": pa.array([float(len(x))]),
+                "sx": pa.array([x.sum()]),
+                "sy": pa.array([y.sum()]),
+                "sxy": pa.array([(x * y).sum()]),
+                "sxx": pa.array([(x * x).sum()]),
+                "syy": pa.array([(y * y).sum()]),
+            }
+        )
+
+    p = _lg_ue(sf_dir).map_batches(_partials, batch_format="pyarrow").to_pandas().sum()
+    num = p.n * p.sxy - p.sx * p.sy
+    den = np.sqrt((p.n * p.sxx - p.sx**2) * (p.n * p.syy - p.sy**2))
+    r = num / den if den else 0.0
+    return pd.DataFrame({"assortativity": [round(float(r), 8)]})
+
+
+def lg_avg_degree_connectivity(sf_dir: str) -> pd.DataFrame:
+    """knn(k): mean neighbor degree over edge rows grouped by source degree
+    (apps/assortativity average_degree_connectivity semantics)."""
+    import ray as _ray
+
+    deg = _lg_udeg(sf_dir)
+    ref = _ray.put(deg)
+
+    def _partials(t: pa.Table) -> pa.Table:
+        d = _ray.get(ref)
+        k = d[t["src"].to_numpy(zero_copy_only=False)]
+        dd = d[t["dst"].to_numpy(zero_copy_only=False)].astype(np.float64)
+        df = pd.DataFrame({"k": k, "s": dd}).groupby("k").agg(s=("s", "sum"), c=("s", "size"))
+        return pa.table(
+            {
+                "k": pa.array(df.index.to_numpy(np.int64)),
+                "s": pa.array(df["s"].to_numpy()),
+                "c": pa.array(df["c"].to_numpy(np.int64)),
+            }
+        )
+
+    p = _lg_ue(sf_dir).map_batches(_partials, batch_format="pyarrow").to_pandas()
+    agg = p.groupby("k", as_index=False).sum()
+    agg["avg_conn"] = (agg["s"] / agg["c"]).round(8)
+    return agg[["k", "avg_conn"]].sort_values("k").reset_index(drop=True)
+
+
+def lg_node_boundary(sf_dir: str, s_max: int = 100) -> pd.DataFrame:
+    """Node boundary of S = {oid < s_max}: successors of S outside S
+    (apps/boundary semantics: semi-join edges against the S set)."""
+    e = lg_edges(sf_dir)
+
+    def _f(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        keep = (src < s_max) & (dst >= s_max)
+        return pa.table({"oid": pa.array(np.unique(dst[keep]))})
+
+    out = e.map_batches(_f, batch_format="pyarrow").to_pandas().drop_duplicates()
+    return out.sort_values("oid").reset_index(drop=True)
+
+
+def lg_edge_boundary(sf_dir: str, s_max: int = 100) -> pd.DataFrame:
+    e = lg_edges(sf_dir)
+
+    def _f(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        keep = (src < s_max) & (dst >= s_max)
+        return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+
+    return e.map_batches(_f, batch_format="pyarrow").to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+def lg_transitivity(sf_dir: str) -> pd.DataFrame:
+    g = lg_graph(sf_dir)
+    return pd.DataFrame({"transitivity": [round(alg.transitivity(g), 8)]})
+
+
+def lg_avg_clustering(sf_dir: str) -> pd.DataFrame:
+    g = lg_graph(sf_dir)
+    return pd.DataFrame({"avg_clustering": [round(alg.avg_clustering(g), 8)]})
+
+
 # ---------------------------------------------------------------------------
 # relational / framework-op parity (PROJECT, ADD_COLUMN, sorts, distinct, …)
 
