@@ -223,6 +223,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_edge_boundary": td.lg_edge_boundary,
         "lg_transitivity": td.lg_transitivity,
         "lg_avg_clustering": td.lg_avg_clustering,
+        "lg_voterank": td.lg_voterank,
+        "lg_closeness_sampled": td.lg_closeness,
         # relational / framework-op parity
         "op_filter_project": td.op_filter_project,
         "op_groupby_agg": td.op_groupby_agg,

@@ -118,6 +118,61 @@ def degree_centrality(g: Graph) -> ray.data.Dataset:
     return g.degrees().map_batches(_dc, batch_format="pyarrow")
 
 
+def voterank(g: Graph, num_elected: int = 10) -> list[int]:
+    """Elect the top-k influencers by iterative voting (apps/voterank
+    semantics, deterministic min-vid tie-break); returns elected vids in
+    order.  Two supersteps per election (apply decrement, vote)."""
+    import ray as _ray
+
+    degs = _ray.get([a.tri_state_degrees.remote() for a in g.actors])
+    total_deg = sum(int(t["deg"].to_numpy().sum()) for t in degs)
+    avg_deg = total_deg / max(g.N, 1)
+    f = 1.0 / avg_deg if avg_deg else 0.0
+    name = "voterank"
+    _ray.get([a.p_init.remote(name, "voterank", {"f": f}) for a in g.actors])
+    elected: list[int] = []
+    last = -1
+    for i in range(num_elected):
+        for phase in (0, 1):
+            step = 2 * i + phase
+            glob = {"elected_vid": last}
+            refs = [a.p_scatter_all.remote(name, step, glob) for a in g.actors]
+            stats = _ray.get(
+                [q.p_gather_shared.remote(name, step, glob, *refs) for q in g.actors]
+            )
+        cands = [(s["cand_score"], s["cand_vid"]) for s in stats if s.get("cand_vid", -1) >= 0]
+        if not cands:
+            break
+        best = max(cands, key=lambda sv: (sv[0], -sv[1]))  # max score, tie → min vid
+        if best[0] <= 0:
+            break
+        last = best[1]
+        elected.append(last)
+    return elected
+
+
+def closeness_sampled(g: Graph, num_sources: int = 8, seed: int = 0) -> ray.data.Dataset:
+    """Approximate (harmonic) closeness from k sampled BFS sources
+    (apps/centrality/closeness is per-source Brandes fan-out; the sampled
+    pivot estimate is the scale path): c(v) = Σ_s 1/d(s,v) / k."""
+    rng = np.random.RandomState(seed)
+    sources = rng.choice(g.N, size=min(num_sources, g.N), replace=False)
+    acc = None
+    for i, s in enumerate(sources):
+        res = g.run_program("bfs", name=f"bfs_s{i}", source=int(s))
+        df = g.program_state(res.name).to_pandas().sort_values("vid")
+        d = df["depth"].to_numpy().astype(np.float64)
+        inv = np.where(d > 0, 1.0 / np.maximum(d, 1), 0.0)
+        acc = inv if acc is None else acc + inv
+    out = pa.table(
+        {
+            "vid": pa.array(np.arange(g.N, dtype=np.int64)),
+            "closeness": pa.array(acc / max(len(sources), 1)),
+        }
+    )
+    return ray.data.from_arrow(out)
+
+
 def transitivity(g: Graph) -> float:
     """Global transitivity = 3·triangles / open+closed wedges (undirected view)."""
     total, per_vertex = triangles(g)

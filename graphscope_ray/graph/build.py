@@ -465,6 +465,74 @@ def _route(ds: ray.data.Dataset, P: int, by: str) -> list[list]:
     return [[split_refs[i][p] for i in range(len(blocks))] for p in range(P)]
 
 
+def save_graph(g: Graph, path: str) -> str:
+    """SERIALIZE_GRAPH parity (dag_utils.py:1115-1166): write the loaded
+    graph as per-partition Parquet (edges pre-partitioned by owner, vertices,
+    meta.json manifest) — reload skips the routing shuffle entirely."""
+    os.makedirs(os.path.join(path, "edges"), exist_ok=True)
+
+    @ray.remote
+    def _write(table: pa.Table, p: str):
+        tmp = p + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, p)
+        return True
+
+    ray.get(
+        [
+            _write.remote(a.edges_table.remote(), os.path.join(path, "edges", f"part={p}.parquet"))
+            for p, a in enumerate(g.actors)
+        ]
+    )
+    if g.vertices_ds is not None:
+        pq.write_table(
+            pa.Table.from_pandas(g.vertices_ds.to_pandas(), preserve_index=False),
+            os.path.join(path, "vertices.parquet"),
+        )
+    meta = {
+        "num_partitions": g.P,
+        "num_vertices": g.N,
+        "num_edges": g.num_edges,
+        "view": g.view,
+        "has_in": g.has_in,
+        "has_vertices": g.vertices_ds is not None,
+    }
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return path
+
+
+def load_graph(path: str, store_in_edges: bool | None = None) -> Graph:
+    """DESERIALIZE_GRAPH: rebuild FragmentActors from a save_graph layout.
+    Edges are already partitioned by source owner — each actor reads only its
+    own file; in-edges (if requested) still need the one routing exchange."""
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    P, N = meta["num_partitions"], meta["num_vertices"]
+    has_in = meta["has_in"] if store_in_edges is None else store_in_edges
+
+    @ray.remote
+    def _read(p: str) -> pa.Table:
+        return pq.read_table(p)
+
+    out_refs = [[_read.remote(os.path.join(path, "edges", f"part={p}.parquet"))] for p in range(P)]
+    in_splits = None
+    if has_in:
+        ds = ray.data.read_parquet(os.path.join(path, "edges"))
+        in_splits = _route(ds.select_columns(["src", "dst"]).materialize(), P, by="dst")
+    actors = [
+        FragmentActor.options(num_cpus=0, scheduling_strategy="SPREAD").remote(
+            p, P, N, out_refs[p], in_splits[p] if in_splits is not None else None
+        )
+        for p in range(P)
+    ]
+    vertices_ds = None
+    if meta.get("has_vertices") and os.path.exists(os.path.join(path, "vertices.parquet")):
+        vertices_ds = ray.data.read_parquet(os.path.join(path, "vertices.parquet"))
+    g = Graph(actors, P, N, meta["num_edges"], meta["view"], has_in, vertices_ds)
+    return g
+
+
 def build_graph_from_oids(
     edges: ray.data.Dataset,
     src_col: str = "src_oid",

@@ -294,6 +294,16 @@ class FragmentActor:
     def num_edges(self) -> int:
         return int(self.out.dst.size)
 
+    def edges_table(self) -> pa.Table:
+        """This partition's out-edges as (src, dst[, weight]) — the
+        SERIALIZE_GRAPH payload (already partitioned: reload skips routing)."""
+        o = self.out
+        src = np.repeat(self.owned_vids(), o.deg)
+        cols = {"src": pa.array(src), "dst": pa.array(o.dst)}
+        if o.weight is not None:
+            cols["weight"] = pa.array(o.weight)
+        return pa.table(cols)
+
     def tri_state_degrees(self) -> pa.Table:
         """(vid, deg) over the undirected dedup adjacency (no triangle run needed)."""
         return pa.table({"vid": pa.array(self.owned_vids()), "deg": pa.array(self.ucsr().deg)})

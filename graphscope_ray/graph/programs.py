@@ -402,6 +402,53 @@ class Katz(VertexProgram):
 
 
 # --------------------------------------------------------------------------
+class VoteRank(VertexProgram):
+    """VoteRank influence election (apps/voterank/voterank.h semantics,
+    deterministic variant): undirected neighbors vote with their current
+    voting ability (init 1); per election the top scorer (tie → smallest vid)
+    is elected and excluded, and its neighbors lose f = 1/⟨deg⟩ ability.
+    Driven by algorithms.voterank (two phases per election: apply, vote)."""
+
+    def __init__(self, frag, f: float = 0.1, max_rounds: int = 0):
+        super().__init__(frag)
+        self.f = float(f)
+
+    def init(self) -> dict:
+        n = self.frag.n_local
+        self.ability = np.ones(n, dtype=np.float64)
+        self.excluded = np.zeros(n, dtype=bool)
+        return {}
+
+    def scatter(self, step, glob):
+        f_ = self.frag
+        u = f_.ucsr()
+        if step % 2 == 0:  # apply phase: decrement neighbors of the elected
+            elected = int(glob.get("elected_vid", -1))
+            mask = np.zeros(f_.n_local, dtype=bool)
+            if elected >= 0 and elected % f_.P == f_.part:
+                mask[elected // f_.P] = True
+                self.excluded[elected // f_.P] = True
+            dec = np.full(f_.n_local, self.f, dtype=np.float64)
+            return _wrap(u.push_reduce_masked(dec, mask, "sum"))
+        return _wrap(u.push_reduce(self.ability, "sum"))  # vote phase
+
+    def gather(self, step, glob, msgs):
+        f_ = self.frag
+        if step % 2 == 0:
+            dec = acc_sum(f_.n_local, msgs)
+            self.ability = np.maximum(self.ability - dec, 0.0)
+            return {}
+        scores = acc_sum(f_.n_local, msgs)
+        scores[self.excluded] = -1.0
+        if scores.size == 0 or scores.max() < 0:
+            return {"cand_score": -1.0, "cand_vid": -1}
+        li = int(np.argmax(scores))  # argmax returns first (lowest local id) on ties
+        return {"cand_score": float(scores[li]), "cand_vid": int(li * f_.P + f_.part)}
+
+    def state_columns(self):
+        return {"ability": self.ability, "excluded": self.excluded.astype(np.int64)}
+
+
 def _never(glob, params, N, step):
     return False
 
@@ -424,6 +471,7 @@ PROGRAMS: dict[str, ProgramSpec] = {
         lambda glob, p, N, s: s > 0 and glob.get("resid", np.inf) < p.get("tol", 1e-9) * max(N, 1),
         100,
     ),
+    "voterank": ProgramSpec(VoteRank, _never, 10_000),
     "katz": ProgramSpec(
         Katz,
         lambda glob, p, N, s: glob.get("resid", np.inf) < p.get("tol", 1e-9) * max(N, 1),

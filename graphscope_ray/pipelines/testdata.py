@@ -347,6 +347,22 @@ def lg_avg_clustering(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"avg_clustering": [round(alg.avg_clustering(g), 8)]})
 
 
+def lg_voterank(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    g = lg_graph(sf_dir)
+    elected = alg.voterank(g, num_elected=k)
+    vmap = g.vertices_ds.to_pandas().set_index("vid")["oid"]
+    return pd.DataFrame(
+        {"rank": np.arange(len(elected), dtype=np.int64), "oid": [int(vmap[v]) for v in elected]}
+    )
+
+
+def lg_closeness(sf_dir: str, num_sources: int = 8) -> pd.DataFrame:
+    g = lg_graph(sf_dir)
+    out = _oid_space(g, alg.closeness_sampled(g, num_sources=num_sources), ["closeness"])
+    out["closeness"] = out["closeness"].round(8)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # relational / framework-op parity (PROJECT, ADD_COLUMN, sorts, distinct, …)
 

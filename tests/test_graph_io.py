@@ -1,0 +1,52 @@
+"""SERIALIZE/DESERIALIZE_GRAPH parity (save_graph/load_graph) + voterank +
+sampled closeness."""
+
+import numpy as np
+import pyarrow as pa
+
+from graphscope_ray.graph import algorithms as alg
+from graphscope_ray.graph.build import build_graph, load_graph, save_graph
+
+from .test_algorithms import GRAPHS, _col, _tbl
+
+
+def test_save_load_roundtrip(tmp_path):
+    edges, n = GRAPHS["rand60"]
+    g = build_graph(_tbl(edges), num_partitions=3, num_vertices=n, store_in_edges=True)
+    want_pr = _col(alg.pagerank(g, tol=1e-10)[0], "score")
+    want_wcc = _col(alg.wcc(g)[0], "comp").tolist()
+
+    path = str(tmp_path / "gsave")
+    save_graph(g, path)
+    g2 = load_graph(path)
+    assert g2.P == g.P and g2.N == g.N and g2.num_edges == g.num_edges
+    assert np.allclose(_col(alg.pagerank(g2, tol=1e-10)[0], "score"), want_pr)
+    assert _col(alg.wcc(g2)[0], "comp").tolist() == want_wcc
+
+
+def test_voterank_star():
+    # hub with 11 leaves: hub must be elected first
+    edges, n = GRAPHS["star_hub"]
+    g = build_graph(_tbl(edges), num_partitions=3, num_vertices=n, store_in_edges=True)
+    elected = alg.voterank(g, num_elected=3)
+    assert elected[0] == 0
+    assert len(set(elected)) == len(elected)
+
+
+def test_voterank_deterministic_across_partitions():
+    edges, n = GRAPHS["rand60"]
+    a = alg.voterank(
+        build_graph(_tbl(edges), num_partitions=1, num_vertices=n, store_in_edges=True), 5
+    )
+    b = alg.voterank(
+        build_graph(_tbl(edges), num_partitions=4, num_vertices=n, store_in_edges=True), 5
+    )
+    assert a == b
+
+
+def test_closeness_sampled():
+    edges, n = GRAPHS["two_cliques"]
+    g = build_graph(_tbl(edges), num_partitions=2, num_vertices=n, store_in_edges=True)
+    out = alg.closeness_sampled(g, num_sources=7, seed=1).to_pandas().sort_values("vid")
+    assert len(out) == n
+    assert (out.closeness >= 0).all()
