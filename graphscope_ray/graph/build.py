@@ -270,13 +270,15 @@ class Graph:
             return pq.read_table(path)
 
         refs = [_read.remote(os.path.join(ckpt_dir, rel)) for rel in manifest["parts"]]
-        ray.get(
+        resume_stats = ray.get(
             [
                 a.p_load_state.remote(name, algo, params, r)
                 for a, r in zip(self.actors, refs)
             ]
         )
-        return step + 1, dict(manifest["glob"])
+        glob = dict(manifest["glob"])
+        glob.update(_reduce([s for s in resume_stats if s]))
+        return step + 1, glob
 
     # ---- triangle counting driver ---------------------------------------
 
@@ -347,12 +349,7 @@ class Graph:
         return int(sum(totals)) // 3, per_vertex
 
 
-def _reduce(dicts: list[dict]) -> dict:
-    out: dict = {}
-    for d in dicts:
-        for k, v in d.items():
-            out[k] = out.get(k, 0) + v
-    return out
+from graphscope_ray.graph.fragment import reduce_stats as _reduce
 
 
 def _latest_complete_step(ckpt_dir: str):
@@ -380,6 +377,7 @@ def build_graph(
     weight: bool = False,
     actor_cpus: float = 0,
     dedup_edges: bool = False,
+    hub_threshold: int | None = None,
 ) -> Graph:
     """Route edges (int64 ``src``/``dst`` vids in [0, N)) to P FragmentActors.
 
@@ -414,6 +412,41 @@ def build_graph(
         )
     P = max(1, num_partitions)
 
+    # degree-skew hub splitting (the north rule's explicit requirement):
+    # a vertex whose out-edges exceed hub_threshold would concentrate its
+    # entire adjacency on one fragment.  Its edges are instead routed by
+    # DESTINATION — each fragment holds the hub→local-dst shard, and per
+    # superstep the (few) hub scores travel in the reduced global dict, so
+    # hub traffic needs NO message exchange at all (apply is fragment-local).
+    hub_vids = hub_deg = None
+    hub_splits = None
+    if hub_threshold is not None and view == "directed":
+        from graphscope_ray.utils import hash_groupby_sum
+
+        degs = hash_groupby_sum(
+            ds.select_columns(["src"]), ["src"], None, "d", num_partitions=P
+        ).to_pandas()
+        hubs = degs[degs["d"] > hub_threshold].sort_values("src")
+        if len(hubs):
+            hub_vids = hubs["src"].to_numpy(np.int64)
+            hub_deg = hubs["d"].to_numpy(np.int64)
+            href = ray.put(hub_vids)
+
+            def _split_hub(t: pa.Table, want_hub: bool) -> pa.Table:
+                hv = ray.get(href)
+                src = t["src"].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(hv, src)
+                is_hub = hv[np.minimum(pos, len(hv) - 1)] == src
+                return t.filter(pa.array(is_hub if want_hub else ~is_hub))
+
+            hub_ds = ds.map_batches(
+                lambda t: _split_hub(t, True), batch_format="pyarrow"
+            ).materialize()
+            ds = ds.map_batches(
+                lambda t: _split_hub(t, False), batch_format="pyarrow"
+            ).materialize()
+            hub_splits = _route(hub_ds, P, by="dst")
+
     out_splits = _route(ds, P, by="src")
     in_splits = _route(ds, P, by="dst") if store_in_edges else None
 
@@ -428,6 +461,9 @@ def build_graph(
             out_splits[p],
             in_splits[p] if in_splits is not None else None,
             dedup_edges,
+            hub_splits[p] if hub_splits is not None else None,
+            hub_vids,
+            hub_deg,
         )
         for p in range(P)
     ]

@@ -165,6 +165,19 @@ class Csr:
         return out
 
 
+def reduce_stats(dicts) -> dict:
+    """Merge per-fragment stat dicts: numbers sum (grape::Communicator::Sum
+    analogue), dict-valued entries merge by key (hub score tables)."""
+    out: dict = {}
+    for d in dicts:
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out.setdefault(k, {}).update(v)
+            else:
+                out[k] = out.get(k, 0) + v
+    return out
+
+
 def _parts(msgs):
     """Flatten messages: each message is a tuple of (…) parts — one part per
     CSR pushed on (out-only programs send 1 part, out+in programs send 2)."""
@@ -223,6 +236,9 @@ class FragmentActor:
         out_blocks: list,
         in_blocks: list | None = None,
         dedup_edges: bool = False,
+        hub_blocks: list | None = None,
+        hub_vids: np.ndarray | None = None,
+        hub_deg: np.ndarray | None = None,
     ):
         self.part = part
         self.P = num_parts
@@ -231,6 +247,41 @@ class FragmentActor:
         self.dedup_edges = dedup_edges
         self.out = self._build_csr(out_blocks, by="src")
         self.inc = self._build_csr(in_blocks, by="dst") if in_blocks is not None else None
+        # --- degree-skew hub shard: edges of split hubs whose dst lives HERE.
+        # Stored as (hub index, dst_local) runs; per superstep the hub scores
+        # arrive via the reduced global dict and the apply is purely local.
+        self.hub_vids = hub_vids
+        self.hub_deg = hub_deg
+        self.hs_idx = self.hs_uniq = self.hs_runstarts = None
+        if hub_blocks is not None and hub_vids is not None:
+            tables = [b if isinstance(b, pa.Table) else ray.get(b) for b in hub_blocks]
+            tables = [t for t in tables if t.num_rows]
+            if tables:
+                t = pa.concat_tables(tables)
+                src = t["src"].to_numpy(zero_copy_only=False)
+                dst = t["dst"].to_numpy(zero_copy_only=False)
+                if dedup_edges and src.size:
+                    o = np.lexsort((dst, src))
+                    src, dst = src[o], dst[o]
+                    keep = np.concatenate(
+                        [[True], (np.diff(src) != 0) | (np.diff(dst) != 0)]
+                    )
+                    src, dst = src[keep], dst[keep]
+                dl = dst // self.P
+                o = np.argsort(dl, kind="stable")
+                dl = dl[o]
+                self.hs_idx = np.searchsorted(hub_vids, src[o]).astype(np.int32)
+                starts = (
+                    np.concatenate([[0], np.flatnonzero(np.diff(dl)) + 1]).astype(np.int64)
+                    if dl.size
+                    else _EMPTY_I64
+                )
+                self.hs_runstarts = starts
+                self.hs_uniq = dl[starts] if dl.size else _EMPTY_I64
+            else:
+                self.hs_idx = np.empty(0, np.int32)
+                self.hs_runstarts = _EMPTY_I64
+                self.hs_uniq = _EMPTY_I64
         self._ucsr: Csr | None = None
         self._glob: dict[str, dict] = {}
         self.programs: dict[str, object] = {}
@@ -317,13 +368,48 @@ class FragmentActor:
         return np.arange(self.n_local, dtype=np.int64) * self.P + self.part
 
     def degrees(self) -> tuple[np.ndarray, np.ndarray | None]:
-        return self.out.deg, (self.inc.deg if self.inc is not None else None)
+        return self.true_outdeg(), (self.inc.deg if self.inc is not None else None)
+
+    # ---- hub-split helpers ----------------------------------------------
+
+    def true_outdeg(self) -> np.ndarray:
+        """Out-degree including split-hub edges routed elsewhere (owners of
+        hub vertices report the authoritative global out-degree)."""
+        deg = self.out.deg
+        if self.hub_vids is not None and self.hub_vids.size:
+            m = self.hub_vids % self.P == self.part
+            if m.any():
+                deg = deg.copy()
+                deg[self.hub_vids[m] // self.P] = self.hub_deg[m]
+        return deg
+
+    def owned_hub_locals(self) -> np.ndarray:
+        if self.hub_vids is None:
+            return _EMPTY_I64
+        m = self.hub_vids % self.P == self.part
+        return self.hub_vids[m] // self.P
+
+    def hub_apply(self, hub_scores: dict) -> tuple[np.ndarray, np.ndarray]:
+        """Local application of split-hub contributions: score/outdeg per hub
+        (from the global dict) summed per local destination — no shuffle."""
+        if self.hs_idx is None or self.hs_idx.size == 0:
+            return _EMPTY_I64, _EMPTY_F64
+        vals = np.array(
+            [hub_scores[int(v)] for v in self.hub_vids], dtype=np.float64
+        ) / self.hub_deg
+        v = vals[self.hs_idx]
+        return self.hs_uniq, np.add.reduceat(v, self.hs_runstarts)
 
     # ---- generic vertex-program protocol --------------------------------
 
     def p_init(self, name: str, algo: str, params: dict) -> dict:
         from graphscope_ray.graph.programs import PROGRAMS
 
+        if algo != "pagerank" and self.hs_idx is not None:
+            raise NotImplementedError(
+                "hub splitting is currently wired for pagerank only; build the "
+                "graph without hub_threshold for other programs"
+            )
         prog = PROGRAMS[algo].cls(self, **params)
         self.programs[name] = prog
         return prog.init()
@@ -357,11 +443,7 @@ class FragmentActor:
 
     def p_scatter_pipe(self, name: str, step: int, *prev_stats):
         glob = self._glob.setdefault(name, {})
-        merged: dict = {}
-        for d in prev_stats:
-            for k, v in d.items():
-                merged[k] = merged.get(k, 0) + v
-        glob.update(merged)
+        glob.update(reduce_stats(prev_stats))
         return tuple(self.programs[name].scatter(step, glob))
 
     def p_gather_pipe(self, name: str, step: int, *sender_outputs) -> dict:
@@ -390,6 +472,7 @@ class FragmentActor:
             {c: table[c].to_numpy(zero_copy_only=False) for c in table.column_names if c != "vid"}
         )
         self.programs[name] = prog
+        return prog.resume_stats()
 
     # ---- triangle counting (degree-ordered, apps/clustering/triangles.h:43-158) ---
 

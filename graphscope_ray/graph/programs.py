@@ -63,6 +63,10 @@ class VertexProgram:
         for k, v in cols.items():
             setattr(self, k, np.asarray(v))
 
+    def resume_stats(self) -> dict:
+        """Global-dict entries to re-seed after a checkpoint restore."""
+        return {}
+
 
 class ProgramSpec(NamedTuple):
     cls: type
@@ -84,11 +88,22 @@ class PageRank(VertexProgram):
         f = self.frag
         n, N = f.n_local, max(f.N, 1)
         self.score = np.full(n, 1.0 / N, dtype=np.float64)
-        self.dangling = f.out.deg == 0
+        outdeg = f.true_outdeg()  # hub-split aware
+        self.dangling = outdeg == 0
         with np.errstate(divide="ignore"):
-            self.invdeg = np.where(self.dangling, 0.0, 1.0 / f.out.deg)
+            self.invdeg = np.where(self.dangling, 0.0, 1.0 / outdeg)
         # dangling mass for round 0; each gather returns it for the next round
-        return {"dangling_sum": float(self.score[self.dangling].sum())}
+        return {"dangling_sum": float(self.score[self.dangling].sum()), **self._hub_stats()}
+
+    def _hub_stats(self) -> dict:
+        f = self.frag
+        if f.hub_vids is None:
+            return {}
+        hl = f.owned_hub_locals()
+        return {"hub_scores": {int(li * f.P + f.part): float(self.score[li]) for li in hl}}
+
+    def resume_stats(self) -> dict:
+        return {"dangling_sum": float(self.score[self.dangling].sum()), **self._hub_stats()}
 
     def scatter(self, step, glob):
         return _wrap(self.frag.out.push_reduce(self.score * self.invdeg, "sum"))
@@ -97,11 +112,19 @@ class PageRank(VertexProgram):
         f = self.frag
         N = max(f.N, 1)
         insum = acc_sum(f.n_local, msgs)
+        if f.hs_idx is not None and "hub_scores" in glob:
+            uniq, vals = f.hub_apply(glob["hub_scores"])
+            if len(uniq):
+                insum[uniq] += vals
         a = self.alpha
         new = a * insum + (a * glob["dangling_sum"] + (1.0 - a)) / N
         resid = float(np.abs(new - self.score).sum())
         self.score = new
-        return {"residual": resid, "dangling_sum": float(self.score[self.dangling].sum())}
+        return {
+            "residual": resid,
+            "dangling_sum": float(self.score[self.dangling].sum()),
+            **self._hub_stats(),
+        }
 
     def state_columns(self):
         return {"score": self.score}

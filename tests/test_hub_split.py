@@ -1,0 +1,84 @@
+"""Degree-skew hub splitting: out-edges of high-out-degree vertices are
+routed by destination and applied fragment-locally from broadcast hub scores
+(the north rule's skew requirement) — results must be identical to the
+unsplit build and the oracle."""
+
+import numpy as np
+import pyarrow as pa
+
+from graphscope_ray.graph import algorithms as alg
+from graphscope_ray.graph.build import build_graph
+
+from . import oracles
+
+
+def _skewed_graph(n=200, seed=5):
+    rng = np.random.RandomState(seed)
+    e = rng.randint(0, n, size=(800, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    pairs = {(int(a), int(b)) for a, b in e}
+    # vertex 0 is a mega out-hub: imports everything (like `numpy`'s reverse)
+    pairs |= {(0, d) for d in range(1, n)}
+    # vertex 1 is a mega in-hub
+    pairs |= {(s, 1) for s in range(2, n)}
+    edges = sorted(pairs)
+    return edges, n
+
+
+def _tbl(edges):
+    return pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.int64()),
+            "dst": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+
+
+def test_hub_split_pagerank_matches():
+    edges, n = _skewed_graph()
+    want = oracles.pagerank(edges, n, tol=1e-12, max_rounds=200)
+
+    g_plain = build_graph(_tbl(edges), num_partitions=4, num_vertices=n)
+    ds, _ = alg.pagerank(g_plain, tol=1e-12, max_rounds=200)
+    plain = ds.to_pandas().sort_values("vid")["score"].to_numpy()
+
+    g_hub = build_graph(_tbl(edges), num_partitions=4, num_vertices=n, hub_threshold=50)
+    ds2, _ = alg.pagerank(g_hub, tol=1e-12, max_rounds=200)
+    split = ds2.to_pandas().sort_values("vid")["score"].to_numpy()
+
+    assert np.allclose(plain, want, atol=1e-10)
+    assert np.allclose(split, want, atol=1e-10)
+    assert np.allclose(split, plain, atol=1e-12)
+
+
+def test_hub_split_degrees_and_pipelined():
+    edges, n = _skewed_graph()
+    g = build_graph(_tbl(edges), num_partitions=4, num_vertices=n, hub_threshold=50)
+    deg = g.degrees().to_pandas().sort_values("vid")["out_deg"].to_numpy()
+    outdeg = np.zeros(n, dtype=int)
+    for s, d in edges:
+        outdeg[s] += 1
+    assert deg.tolist() == outdeg.tolist()  # true_outdeg despite split edges
+
+    # pipelined rounds carry the hub-score dict through the actor-side reduce
+    g2 = build_graph(_tbl(edges), num_partitions=4, num_vertices=n, hub_threshold=50)
+    a, _ = alg.pagerank(g, tol=0.0, max_rounds=13)
+    b, _ = alg.pagerank(g2, tol=0.0, max_rounds=13, pipeline=5)
+    av = a.to_pandas().sort_values("vid")["score"].to_numpy()
+    bv = b.to_pandas().sort_values("vid")["score"].to_numpy()
+    assert np.array_equal(av, bv)
+
+
+def test_hub_split_checkpoint_resume(tmp_path):
+    edges, n = _skewed_graph()
+    ckpt = str(tmp_path / "hub_pr")
+    g_full = build_graph(_tbl(edges), num_partitions=3, num_vertices=n, hub_threshold=50)
+    want = (
+        alg.pagerank(g_full, tol=1e-10)[0].to_pandas().sort_values("vid")["score"].to_numpy()
+    )
+    g1 = build_graph(_tbl(edges), num_partitions=3, num_vertices=n, hub_threshold=50)
+    alg.pagerank(g1, tol=1e-10, max_rounds=4, checkpoint_dir=ckpt)
+    g2 = build_graph(_tbl(edges), num_partitions=3, num_vertices=n, hub_threshold=50)
+    ds, _ = alg.pagerank(g2, tol=1e-10, checkpoint_dir=ckpt, resume=True)
+    got = ds.to_pandas().sort_values("vid")["score"].to_numpy()
+    assert np.allclose(got, want, atol=1e-12)
