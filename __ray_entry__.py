@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_avg_clustering": td.lg_avg_clustering,
         "lg_voterank": td.lg_voterank,
         "lg_closeness_sampled": td.lg_closeness,
+        "lg_betweenness_sampled": td.lg_betweenness,
         # relational / framework-op parity
         "op_filter_project": td.op_filter_project,
         "op_groupby_agg": td.op_groupby_agg,

@@ -151,6 +151,40 @@ def voterank(g: Graph, num_elected: int = 10) -> list[int]:
     return elected
 
 
+def betweenness_sampled(
+    g: Graph, sources: list[int] | None = None, num_sources: int = 8, seed: int = 0
+) -> ray.data.Dataset:
+    """Brandes betweenness restricted to sampled sources (exact for
+    sources=range(N)); directed, unnormalized, endpoints excluded.  Each
+    source costs ~2·diameter supersteps."""
+    import ray as _ray
+
+    assert g.has_in, "betweenness needs build_graph(store_in_edges=True)"
+    if sources is None:
+        rng = np.random.RandomState(seed)
+        sources = rng.choice(g.N, size=min(num_sources, g.N), replace=False).tolist()
+    name = "brandes"
+    acts = g.actors
+    _ray.get([a.p_init.remote(name, "brandes", {}) for a in acts])
+
+    def _round(glob):
+        refs = [a.p_scatter_all.remote(name, 0, glob) for a in acts]
+        return _ray.get([q.p_gather_shared.remote(name, 0, glob, *refs) for q in acts])
+
+    for s in sources:
+        _round({"op": "reset", "source": int(s)})
+        k = 0
+        while True:
+            stats = _round({"op": "fwd", "k": k})
+            if sum(st.get("new", 0) for st in stats) == 0:
+                break
+            k += 1
+        for kb in range(k, 0, -1):
+            _round({"op": "bwd", "k": kb})
+        _round({"op": "finish", "source": int(s)})
+    return g.program_state(name)
+
+
 def closeness_sampled(g: Graph, num_sources: int = 8, seed: int = 0) -> ray.data.Dataset:
     """Approximate (harmonic) closeness from k sampled BFS sources
     (apps/centrality/closeness is per-source Brandes fan-out; the sampled

@@ -472,6 +472,78 @@ class VoteRank(VertexProgram):
         return {"ability": self.ability, "excluded": self.excluded.astype(np.int64)}
 
 
+class Brandes(VertexProgram):
+    """Level-synchronous Brandes betweenness (apps/centrality/betweenness
+    semantics, per-source fan-out): forward BFS supersteps accumulate path
+    counts σ; backward supersteps push δ-dependencies along in-edges level by
+    level.  Driven per source by algorithms.betweenness_sampled via glob
+    commands {"op": reset|fwd|bwd|finish, ...}; needs store_in_edges=True."""
+
+    def __init__(self, frag, max_rounds: int = 0):
+        super().__init__(frag)
+
+    def init(self) -> dict:
+        n = self.frag.n_local
+        self.bc = np.zeros(n, dtype=np.float64)
+        self.depth = np.full(n, -1, dtype=np.int64)
+        self.sigma = np.zeros(n, dtype=np.float64)
+        self.delta = np.zeros(n, dtype=np.float64)
+        return {}
+
+    def scatter(self, step, glob):
+        f = self.frag
+        op = glob["op"]
+        empty = [((_EMPTY_I64, _EMPTY_F64),)] * f.P
+        if op == "reset":
+            self.depth.fill(-1)
+            self.sigma.fill(0.0)
+            self.delta.fill(0.0)
+            s = int(glob["source"])
+            if s % f.P == f.part:
+                self.depth[s // f.P] = 0
+                self.sigma[s // f.P] = 1.0
+            return empty
+        if op == "fwd":
+            mask = self.depth == int(glob["k"])
+            return _wrap(f.out.push_reduce_masked(self.sigma, mask, "sum"))
+        if op == "bwd":
+            mask = self.depth == int(glob["k"])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                vals = np.where(self.sigma > 0, (1.0 + self.delta) / self.sigma, 0.0)
+            return _wrap(f.inc.push_reduce_masked(vals, mask, "sum"))
+        return empty  # finish
+
+    def gather(self, step, glob, msgs):
+        f = self.frag
+        op = glob["op"]
+        if op == "fwd":
+            k = int(glob["k"])
+            acc = acc_sum(f.n_local, msgs)
+            hit = np.flatnonzero(acc > 0)
+            fresh = hit[self.depth[hit] < 0]
+            self.depth[fresh] = k + 1
+            lvl = hit[self.depth[hit] == k + 1]
+            self.sigma[lvl] += acc[lvl]
+            return {"new": int(fresh.size)}
+        if op == "bwd":
+            k = int(glob["k"])
+            acc = acc_sum(f.n_local, msgs)
+            m = self.depth == k - 1
+            self.delta[m] += self.sigma[m] * acc[m]
+            return {}
+        if op == "finish":
+            s = int(glob["source"])
+            add = np.where(self.depth >= 0, self.delta, 0.0)
+            if s % f.P == f.part:
+                add[s // f.P] = 0.0
+            self.bc += add
+            return {}
+        return {}
+
+    def state_columns(self):
+        return {"betweenness": self.bc}
+
+
 def _never(glob, params, N, step):
     return False
 
@@ -495,6 +567,7 @@ PROGRAMS: dict[str, ProgramSpec] = {
         100,
     ),
     "voterank": ProgramSpec(VoteRank, _never, 10_000),
+    "brandes": ProgramSpec(Brandes, _never, 10_000),
     "katz": ProgramSpec(
         Katz,
         lambda glob, p, N, s: glob.get("resid", np.inf) < p.get("tol", 1e-9) * max(N, 1),

@@ -356,6 +356,15 @@ def lg_voterank(sf_dir: str, k: int = 10) -> pd.DataFrame:
     )
 
 
+def lg_betweenness(sf_dir: str, num_sources: int = 8) -> pd.DataFrame:
+    g = lg_graph(sf_dir)
+    rng = np.random.RandomState(0)
+    srcs = rng.choice(g.N, size=min(num_sources, g.N), replace=False).tolist()
+    out = _oid_space(g, alg.betweenness_sampled(g, sources=srcs), ["betweenness"])
+    out["betweenness"] = out["betweenness"].round(8)
+    return out
+
+
 def lg_closeness(sf_dir: str, num_sources: int = 8) -> pd.DataFrame:
     g = lg_graph(sf_dir)
     out = _oid_space(g, alg.closeness_sampled(g, num_sources=num_sources), ["closeness"])

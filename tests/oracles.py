@@ -146,6 +146,42 @@ def hits(edges, n, tol=1e-8, max_rounds=100):
     return auth, hub
 
 
+def betweenness(edges, n, sources=None):
+    """Brandes betweenness (directed, unnormalized, endpoints excluded),
+    optionally restricted to the given source set."""
+    from collections import deque
+
+    out = defaultdict(list)
+    for s, d in edges:
+        out[s].append(d)
+    bc = [0.0] * n
+    for s in sources if sources is not None else range(n):
+        sigma = [0.0] * n
+        dist = [-1] * n
+        preds = defaultdict(list)
+        sigma[s] = 1.0
+        dist[s] = 0
+        order = []
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in out.get(v, ()):  # noqa
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = [0.0] * n
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
 def kcore(edges, n, k):
     """k-core membership on the undirected simple graph."""
     adj = defaultdict(set)

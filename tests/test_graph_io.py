@@ -50,3 +50,29 @@ def test_closeness_sampled():
     out = alg.closeness_sampled(g, num_sources=7, seed=1).to_pandas().sort_values("vid")
     assert len(out) == n
     assert (out.closeness >= 0).all()
+
+
+def test_betweenness_exact_vs_oracle():
+    from . import oracles
+
+    edges, n = GRAPHS["rand60"]
+    g = build_graph(_tbl(edges), num_partitions=3, num_vertices=n, store_in_edges=True)
+    ds = alg.betweenness_sampled(g, sources=list(range(n)))  # exact: all sources
+    got = ds.to_pandas().sort_values("vid")["betweenness"].to_numpy()
+    want = oracles.betweenness(edges, n)
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_betweenness_sampled_subset():
+    from . import oracles
+
+    edges, n = GRAPHS["two_cliques"]
+    g = build_graph(_tbl(edges), num_partitions=2, num_vertices=n, store_in_edges=True)
+    srcs = [0, 4]
+    got = (
+        alg.betweenness_sampled(g, sources=srcs)
+        .to_pandas()
+        .sort_values("vid")["betweenness"]
+        .to_numpy()
+    )
+    assert np.allclose(got, oracles.betweenness(edges, n, sources=srcs), atol=1e-12)
