@@ -505,6 +505,11 @@ def save_graph(g: Graph, path: str) -> str:
     """SERIALIZE_GRAPH parity (dag_utils.py:1115-1166): write the loaded
     graph as per-partition Parquet (edges pre-partitioned by owner, vertices,
     meta.json manifest) — reload skips the routing shuffle entirely."""
+    has_hubs = ray.get(g.actors[0].has_hub_shard.remote()) if g.actors else False
+    assert not has_hubs, (
+        "save_graph for hub-split graphs not implemented yet — rebuild with "
+        "hub_threshold=None before serializing"
+    )
     os.makedirs(os.path.join(path, "edges"), exist_ok=True)
 
     @ray.remote

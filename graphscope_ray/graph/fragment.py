@@ -383,6 +383,9 @@ class FragmentActor:
                 deg[self.hub_vids[m] // self.P] = self.hub_deg[m]
         return deg
 
+    def has_hub_shard(self) -> bool:
+        return self.hs_idx is not None
+
     def owned_hub_locals(self) -> np.ndarray:
         if self.hub_vids is None:
             return _EMPTY_I64
