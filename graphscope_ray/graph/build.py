@@ -378,6 +378,7 @@ def build_graph(
     actor_cpus: float = 0,
     dedup_edges: bool = False,
     hub_threshold: int | None = None,
+    p2p_messages: bool = False,
 ) -> Graph:
     """Route edges (int64 ``src``/``dst`` vids in [0, N)) to P FragmentActors.
 
@@ -468,7 +469,10 @@ def build_graph(
         for p in range(P)
     ]
     num_edges = sum(ray.get([a.num_edges.remote() for a in actors]))
-    return Graph(actors, P, num_vertices, num_edges, view, store_in_edges)
+    return Graph(
+        actors, P, num_vertices, num_edges, view, store_in_edges,
+        p2p_messages=p2p_messages,
+    )
 
 
 @ray.remote

@@ -28,6 +28,14 @@ def lg_edges_sql() -> str:
     return f"WITH {_BASE} SELECT src, dst FROM e"
 
 
+def lg_edges_weighted_sql() -> str:
+    return (
+        f"SELECT (l_orderkey % {LG_MOD}) AS src, (l_partkey % {LG_MOD}) AS dst, "
+        "count(*) AS weight FROM lineitem "
+        f"WHERE (l_orderkey % {LG_MOD}) <> (l_partkey % {LG_MOD}) GROUP BY src, dst"
+    )
+
+
 def lg_vertices_sql() -> str:
     return f"WITH {_BASE} SELECT oid, row_number() OVER (ORDER BY oid) - 1 AS vid FROM v"
 

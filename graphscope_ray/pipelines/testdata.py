@@ -56,6 +56,26 @@ def lg_edges(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def lg_edges_weighted(sf_dir: str) -> pd.DataFrame:
+    """Weighted edge table: weight = number of lineitem rows mapping to the
+    pair (the repo-graph analogue: number of importing files per edge)."""
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def _derive(t: pa.Table) -> pa.Table:
+        src = t["l_orderkey"].to_numpy(zero_copy_only=False) % LG_MOD
+        dst = t["l_partkey"].to_numpy(zero_copy_only=False) % LG_MOD
+        keep = src != dst
+        return pa.table(
+            {"src": pa.array(src[keep].astype(np.int64)), "dst": pa.array(dst[keep].astype(np.int64))}
+        )
+
+    from graphscope_ray.utils import hash_groupby_sum
+
+    pairs = li.map_batches(_derive, batch_format="pyarrow")
+    out = hash_groupby_sum(pairs, ["src", "dst"], None, "weight", num_partitions=8).to_pandas()
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
 def lg_graph(sf_dir: str, num_partitions: int = 4, **_ignored) -> Graph:
     """ONE directed graph with in-edges per sf_dir — all algorithms run on it
     (wcc/cdlp via out+in pushes, triangles/kcore via the local undirected

@@ -162,3 +162,34 @@ def test_centralities_run():
     for s, d in edges:
         outdeg[s] += 1
     assert dc["degree"].tolist() == outdeg.tolist()
+
+
+def test_sssp_weighted():
+    edges, n = GRAPHS["rand60"]
+    rng = np.random.RandomState(11)
+    w = rng.randint(1, 6, size=len(edges)).astype(float)
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.int64()),
+            "dst": pa.array([e[1] for e in edges], pa.int64()),
+            "weight": pa.array(w),
+        }
+    )
+    g = build_graph(t, num_partitions=3, num_vertices=n, weight=True)
+    ds, _ = alg.sssp(g, source=0)
+    got = _col(ds, "dist")
+    want = oracles.sssp(edges, n, 0, weights=list(w))
+    assert np.allclose(got, want)
+
+
+def test_p2p_message_mode_matches_shared():
+    edges, n = GRAPHS["rand60"]
+    g_shared = _build(edges, n, 3)
+    g_p2p = build_graph(_tbl(edges), num_partitions=3, num_vertices=n, p2p_messages=True)
+    a = _col(alg.pagerank(g_shared, tol=1e-10)[0], "score")
+    b = _col(alg.pagerank(g_p2p, tol=1e-10)[0], "score")
+    assert np.array_equal(a, b)
+    gu = build_graph(
+        _tbl(edges), num_partitions=3, num_vertices=n, store_in_edges=True, p2p_messages=True
+    )
+    assert _col(alg.wcc(gu)[0], "comp").tolist() == oracles.wcc(edges, n)
