@@ -167,12 +167,19 @@ class Csr:
 
 def reduce_stats(dicts) -> dict:
     """Merge per-fragment stat dicts: numbers sum (grape::Communicator::Sum
-    analogue), dict-valued entries merge by key (hub score tables)."""
+    analogue); dict-valued entries merge by key (hub score tables — each key
+    owned by one fragment), except keys prefixed 'min:' which combine
+    per-entry with min (hub feedback from many fragments)."""
     out: dict = {}
     for d in dicts:
         for k, v in d.items():
             if isinstance(v, dict):
-                out.setdefault(k, {}).update(v)
+                tgt = out.setdefault(k, {})
+                if k.startswith("min:"):
+                    for k2, v2 in v.items():
+                        tgt[k2] = min(tgt.get(k2, v2), v2)
+                else:
+                    tgt.update(v)
             else:
                 out[k] = out.get(k, 0) + v
     return out
@@ -270,6 +277,7 @@ class FragmentActor:
                 dl = dst // self.P
                 o = np.argsort(dl, kind="stable")
                 dl = dl[o]
+                self.hs_dl = dl.astype(np.int32)
                 self.hs_idx = np.searchsorted(hub_vids, src[o]).astype(np.int32)
                 starts = (
                     np.concatenate([[0], np.flatnonzero(np.diff(dl)) + 1]).astype(np.int64)
@@ -278,10 +286,24 @@ class FragmentActor:
                 )
                 self.hs_runstarts = starts
                 self.hs_uniq = dl[starts] if dl.size else _EMPTY_I64
+                # hub-order view for the feedback direction (dst → hub)
+                hb = np.argsort(self.hs_idx, kind="stable")
+                hsorted = self.hs_idx[hb]
+                self._hs_by_hub = hb
+                self._hs_hub_starts = (
+                    np.concatenate([[0], np.flatnonzero(np.diff(hsorted)) + 1]).astype(np.int64)
+                    if hsorted.size
+                    else _EMPTY_I64
+                )
+                self._hs_hub_uniq = hsorted[self._hs_hub_starts] if hsorted.size else _EMPTY_I64
             else:
                 self.hs_idx = np.empty(0, np.int32)
+                self.hs_dl = np.empty(0, np.int32)
                 self.hs_runstarts = _EMPTY_I64
                 self.hs_uniq = _EMPTY_I64
+                self._hs_by_hub = _EMPTY_I64
+                self._hs_hub_starts = _EMPTY_I64
+                self._hs_hub_uniq = _EMPTY_I64
         self._ucsr: Csr | None = None
         self._glob: dict[str, dict] = {}
         self.programs: dict[str, object] = {}
@@ -403,15 +425,34 @@ class FragmentActor:
         v = vals[self.hs_idx]
         return self.hs_uniq, np.add.reduceat(v, self.hs_runstarts)
 
+    def hub_apply_min(self, hub_vals: dict) -> tuple[np.ndarray, np.ndarray]:
+        """Min of per-hub values per local shard destination (WCC forward)."""
+        if self.hs_idx is None or self.hs_idx.size == 0:
+            return _EMPTY_I64, _EMPTY_F64
+        vals = np.array([hub_vals[int(v)] for v in self.hub_vids], dtype=np.float64)
+        v = vals[self.hs_idx]
+        return self.hs_uniq, np.minimum.reduceat(v, self.hs_runstarts)
+
+    def hub_collect_min(self, vertex_vals: np.ndarray) -> dict:
+        """Per-hub min over this partition's shard destinations (WCC feedback,
+        merged globally with min via the 'min:' stats convention)."""
+        if self.hs_idx is None or self.hs_idx.size == 0:
+            return {}
+        dv = vertex_vals[self.hs_dl[self._hs_by_hub]]
+        mins = np.minimum.reduceat(dv, self._hs_hub_starts)
+        return {
+            int(self.hub_vids[hi]): float(m) for hi, m in zip(self._hs_hub_uniq, mins)
+        }
+
     # ---- generic vertex-program protocol --------------------------------
 
     def p_init(self, name: str, algo: str, params: dict) -> dict:
         from graphscope_ray.graph.programs import PROGRAMS
 
-        if algo != "pagerank" and self.hs_idx is not None:
+        if algo not in ("pagerank", "wcc") and self.hs_idx is not None:
             raise NotImplementedError(
-                "hub splitting is currently wired for pagerank only; build the "
-                "graph without hub_threshold for other programs"
+                "hub splitting is currently wired for pagerank and wcc; build "
+                "the graph without hub_threshold for other programs"
             )
         prog = PROGRAMS[algo].cls(self, **params)
         self.programs[name] = prog

@@ -145,7 +145,20 @@ class Wcc(VertexProgram):
         f = self.frag
         self.comp = f.owned_vids().astype(np.float64)
         self.changed = np.ones(f.n_local, dtype=bool)
-        return {}
+        return self._hub_stats()
+
+    def _hub_stats(self) -> dict:
+        f = self.frag
+        stats = {}
+        if f.hub_vids is not None:
+            hl = f.owned_hub_locals()
+            stats["hub_comps"] = {
+                int(li * f.P + f.part): float(self.comp[li]) for li in hl
+            }
+        return stats
+
+    def resume_stats(self) -> dict:
+        return self._hub_stats()
 
     def scatter(self, step, glob):
         f = self.frag
@@ -157,10 +170,25 @@ class Wcc(VertexProgram):
     def gather(self, step, glob, msgs):
         f = self.frag
         incoming = acc_min(f.n_local, msgs)
+        # split-hub forward: hub comps (global dict) → local shard dsts
+        if f.hs_idx is not None and "hub_comps" in glob:
+            uniq, mins = f.hub_apply_min(glob["hub_comps"])
+            if len(uniq):
+                incoming[uniq] = np.minimum(incoming[uniq], mins)
         new = np.minimum(self.comp, incoming)
+        # split-hub feedback: per-hub min over shard dsts from last round
+        if f.hub_vids is not None and "min:hub_mins" in glob:
+            hm = glob["min:hub_mins"]
+            for li in f.owned_hub_locals():
+                vid = int(li * f.P + f.part)
+                if vid in hm and hm[vid] < new[li]:
+                    new[li] = hm[vid]
         self.changed = new < self.comp
         self.comp = new
-        return {"changed": int(self.changed.sum())}
+        stats = {"changed": int(self.changed.sum()), **self._hub_stats()}
+        if f.hs_idx is not None and f.hs_idx.size:
+            stats["min:hub_mins"] = f.hub_collect_min(self.comp)
+        return stats
 
     def state_columns(self):
         return {"comp": self.comp.astype(np.int64)}

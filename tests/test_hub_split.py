@@ -82,3 +82,33 @@ def test_hub_split_checkpoint_resume(tmp_path):
     ds, _ = alg.pagerank(g2, tol=1e-10, checkpoint_dir=ckpt, resume=True)
     got = ds.to_pandas().sort_values("vid")["score"].to_numpy()
     assert np.allclose(got, want, atol=1e-12)
+
+
+def test_hub_split_wcc_matches():
+    edges, n = _skewed_graph()
+    g_plain = build_graph(
+        _tbl(edges), num_partitions=4, num_vertices=n, store_in_edges=True
+    )
+    want = (
+        alg.wcc(g_plain)[0].to_pandas().sort_values("vid")["comp"].tolist()
+    )
+    assert want == oracles.wcc(edges, n)
+    g_hub = build_graph(
+        _tbl(edges), num_partitions=4, num_vertices=n,
+        store_in_edges=True, hub_threshold=50,
+    )
+    got = alg.wcc(g_hub)[0].to_pandas().sort_values("vid")["comp"].tolist()
+    assert got == want
+
+
+def test_hub_split_wcc_disconnected():
+    # two components, each with its own split hub
+    edges = [(0, d) for d in range(2, 50)] + [(1, d) for d in range(50, 99)]
+    edges += [(5, 6), (60, 61)]
+    n = 99
+    g = build_graph(
+        _tbl(edges), num_partitions=3, num_vertices=n,
+        store_in_edges=True, hub_threshold=10,
+    )
+    got = alg.wcc(g)[0].to_pandas().sort_values("vid")["comp"].tolist()
+    assert got == oracles.wcc(edges, n)
