@@ -422,6 +422,12 @@ def build_graph(
     hub_vids = hub_deg = None
     hub_splits = None
     if hub_threshold is not None and view == "directed":
+        # hub out-degrees are counted over the rows as given — feed a
+        # pre-deduplicated edge table when combining with dedup_edges
+        assert not dedup_edges, (
+            "hub_threshold counts raw rows; dedup the edge table before the "
+            "build instead of using dedup_edges"
+        )
         from graphscope_ray.utils import hash_groupby_sum
 
         degs = hash_groupby_sum(
