@@ -178,6 +178,12 @@ def reduce_stats(dicts) -> dict:
                 if k.startswith("min:"):
                     for k2, v2 in v.items():
                         tgt[k2] = min(tgt.get(k2, v2), v2)
+                elif k.startswith("sum:"):
+                    # nested dict-of-dict counters (hub label multisets)
+                    for k2, inner in v.items():
+                        t2 = tgt.setdefault(k2, {})
+                        for k3, v3 in inner.items():
+                            t2[k3] = t2.get(k3, 0) + v3
                 else:
                     tgt.update(v)
             else:
@@ -433,6 +439,39 @@ class FragmentActor:
         v = vals[self.hs_idx]
         return self.hs_uniq, np.minimum.reduceat(v, self.hs_runstarts)
 
+    def hub_shard_label_triples(self, hub_labels: dict):
+        """CDLP forward for split hubs: per-(shard dst, hub label) counts —
+        the local stand-in for the hub's label messages."""
+        if self.hs_idx is None or self.hs_idx.size == 0:
+            return (_EMPTY_I64, _EMPTY_I64, _EMPTY_I64)
+        labs_by_hub = np.array([hub_labels[int(v)] for v in self.hub_vids], dtype=np.int64)
+        lab = labs_by_hub[self.hs_idx]
+        dl = self.hs_dl.astype(np.int64)
+        o = np.lexsort((lab, dl))
+        dl, lab = dl[o], lab[o]
+        change = np.flatnonzero((np.diff(dl) != 0) | (np.diff(lab) != 0)) + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        counts = np.diff(np.concatenate([starts, [dl.size]]))
+        return (dl[starts], lab[starts], counts)
+
+    def hub_collect_label_counts(self, vertex_labels: np.ndarray) -> dict:
+        """CDLP feedback for split hubs: per-hub multiset of shard-dst labels
+        (nested dict, merged globally with the 'sum:' convention)."""
+        if self.hs_idx is None or self.hs_idx.size == 0:
+            return {}
+        hb = self._hs_by_hub
+        hub_sorted = self.hs_idx[hb]
+        labs = vertex_labels[self.hs_dl[hb]]
+        o2 = np.lexsort((labs, hub_sorted))
+        h2, l2 = hub_sorted[o2], labs[o2]
+        change = np.flatnonzero((np.diff(h2) != 0) | (np.diff(l2) != 0)) + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        counts = np.diff(np.concatenate([starts, [h2.size]]))
+        out: dict = {}
+        for hi, lb, c in zip(h2[starts], l2[starts], counts):
+            out.setdefault(int(self.hub_vids[hi]), {})[int(lb)] = int(c)
+        return out
+
     def hub_collect_min(self, vertex_vals: np.ndarray) -> dict:
         """Per-hub min over this partition's shard destinations (WCC feedback,
         merged globally with min via the 'min:' stats convention)."""
@@ -449,9 +488,9 @@ class FragmentActor:
     def p_init(self, name: str, algo: str, params: dict) -> dict:
         from graphscope_ray.graph.programs import PROGRAMS
 
-        if algo not in ("pagerank", "wcc") and self.hs_idx is not None:
+        if algo not in ("pagerank", "wcc", "cdlp") and self.hs_idx is not None:
             raise NotImplementedError(
-                "hub splitting is currently wired for pagerank and wcc; build "
+                "hub splitting is currently wired for pagerank/wcc/cdlp; build "
                 "the graph without hub_threshold for other programs"
             )
         prog = PROGRAMS[algo].cls(self, **params)

@@ -213,7 +213,22 @@ class Cdlp(VertexProgram):
 
     def init(self) -> dict:
         self.label = self.frag.owned_vids()
-        return {}
+        return self._hub_stats()
+
+    def _hub_stats(self) -> dict:
+        f = self.frag
+        stats = {}
+        if f.hub_vids is not None:
+            hl = f.owned_hub_locals()
+            stats["hub_labels"] = {
+                int(li * f.P + f.part): int(self.label[li]) for li in hl
+            }
+            if f.hs_idx is not None and f.hs_idx.size:
+                stats["sum:hub_label_counts"] = f.hub_collect_label_counts(self.label)
+        return stats
+
+    def resume_stats(self) -> dict:
+        return self._hub_stats()
 
     def scatter(self, step, glob):
         f = self.frag
@@ -223,14 +238,40 @@ class Cdlp(VertexProgram):
         return _wrap(*pushes)
 
     def gather(self, step, glob, msgs):
-        dl, lab = mode_min_labels(msgs)
+        f = self.frag
+        extra = []
+        # split-hub forward: this partition's shard edges stand in for the
+        # hub's label messages (same round vintage as the pushed labels)
+        if f.hs_idx is not None and "hub_labels" in glob:
+            extra.append((f.hub_shard_label_triples(glob["hub_labels"]),))
+        # split-hub feedback: owned hubs receive the shard-dst label multiset
+        if f.hub_vids is not None and "sum:hub_label_counts" in glob:
+            hlc = glob["sum:hub_label_counts"]
+            dls, labs, cnts = [], [], []
+            for li in f.owned_hub_locals():
+                vid = int(li * f.P + f.part)
+                for lb, c in hlc.get(vid, {}).items():
+                    dls.append(li)
+                    labs.append(lb)
+                    cnts.append(c)
+            if dls:
+                extra.append(
+                    (
+                        (
+                            np.asarray(dls, dtype=np.int64),
+                            np.asarray(labs, dtype=np.int64),
+                            np.asarray(cnts, dtype=np.int64),
+                        ),
+                    )
+                )
+        dl, lab = mode_min_labels(list(msgs) + extra)
         changed = 0
         if len(dl):
             changed = int((self.label[dl] != lab).sum())
             new = self.label.copy()
             new[dl] = lab  # vertices with no incoming labels keep their own
             self.label = new
-        return {"changed": changed}
+        return {"changed": changed, **self._hub_stats()}
 
     def state_columns(self):
         return {"label": self.label}

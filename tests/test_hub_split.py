@@ -112,3 +112,18 @@ def test_hub_split_wcc_disconnected():
     )
     got = alg.wcc(g)[0].to_pandas().sort_values("vid")["comp"].tolist()
     assert got == oracles.wcc(edges, n)
+
+
+def test_hub_split_cdlp_matches():
+    edges, n = _skewed_graph()
+    g_plain = build_graph(
+        _tbl(edges), num_partitions=4, num_vertices=n, store_in_edges=True
+    )
+    want = alg.cdlp(g_plain, max_rounds=10)[0].to_pandas().sort_values("vid")["label"].tolist()
+    assert want == oracles.cdlp(edges, n, rounds=10)
+    g_hub = build_graph(
+        _tbl(edges), num_partitions=4, num_vertices=n,
+        store_in_edges=True, hub_threshold=50,
+    )
+    got = alg.cdlp(g_hub, max_rounds=10)[0].to_pandas().sort_values("vid")["label"].tolist()
+    assert got == want
