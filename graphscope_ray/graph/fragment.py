@@ -147,15 +147,27 @@ class Csr:
     def push_label_counts(
         self, vertex_labels: np.ndarray
     ) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
-        """CDLP combiner: per target partition, counts per (dst_local, label)."""
+        """CDLP combiner: per target partition, counts per (dst_local, label).
+        Labels and local ids both fit 31 bits at any realistic scale, so the
+        two-key grouping is ONE sort of packed (dl<<32 | label) keys — ~2×
+        faster than np.lexsort on the hottest CDLP kernel."""
         out = []
         for q in range(self.P):
             src = self.tgt_src[q]
             if src.size == 0:
                 out.append((_EMPTY_I64, _EMPTY_I64, _EMPTY_I64))
                 continue
-            dl = self.tgt_dl[q]
             lab = vertex_labels[src]
+            if lab.max(initial=0) < 2**32:
+                # packed-key message: (keys = dl<<32 | label, counts) —
+                # 2 arrays instead of 3 and a single-key sort at both ends
+                keys = np.sort((self.tgt_dl[q].astype(np.int64) << np.int64(32)) | lab)
+                change = np.flatnonzero(np.diff(keys) != 0) + 1
+                starts = np.concatenate([[0], change]).astype(np.int64)
+                counts = np.diff(np.concatenate([starts, [keys.size]]))
+                out.append((keys[starts], counts))
+                continue
+            dl = self.tgt_dl[q]
             o = np.lexsort((lab, dl))
             dl, lab = dl[o], lab[o]
             change = np.flatnonzero((np.diff(dl) != 0) | (np.diff(lab) != 0)) + 1
@@ -216,21 +228,51 @@ def acc_min(n_local: int, msgs, init: float = np.inf) -> np.ndarray:
 
 
 def mode_min_labels(msgs) -> tuple[np.ndarray, np.ndarray]:
-    """Merge (dst_local, label, count) triples → per dst the most frequent label,
-    ties broken by smallest label (LDBC CDLP rule, `docs/.../builtin_algorithms.md:236-247`)."""
+    """Merge label-count messages → per dst the most frequent label, ties
+    broken by smallest label (LDBC CDLP rule,
+    `docs/.../builtin_algorithms.md:236-247`).  Parts are either packed
+    2-tuples (keys = dl<<32 | label, counts) or 3-tuples (dl, label, counts);
+    triples are packed on the fly when labels fit 32 bits, else the whole
+    merge falls back to the lexsort path."""
     parts = [m for m in _parts(msgs) if len(m[0])]
     if not parts:
         return _EMPTY_I64, _EMPTY_I64
-    dl = np.concatenate([m[0] for m in parts])
-    lab = np.concatenate([m[1] for m in parts])
-    cnt = np.concatenate([m[2] for m in parts])
-    o = np.lexsort((lab, dl))
-    dl, lab, cnt = dl[o], lab[o], cnt[o]
-    change = np.flatnonzero((np.diff(dl) != 0) | (np.diff(lab) != 0)) + 1
+    if any(len(m) == 3 and m[1].max(initial=0) >= 2**32 for m in parts):
+        # huge label space: plain lexsort merge over (dl, label, count)
+        dl_a = np.concatenate(
+            [m[0] if len(m) == 3 else (m[0] >> np.int64(32)) for m in parts]
+        )
+        lab_a = np.concatenate(
+            [m[1] if len(m) == 3 else (m[0] & np.int64(0xFFFFFFFF)) for m in parts]
+        )
+        cnt_a = np.concatenate([m[2] if len(m) == 3 else m[1] for m in parts])
+        o = np.lexsort((lab_a, dl_a))
+        dl_a, lab_a, cnt_a = dl_a[o], lab_a[o], cnt_a[o]
+        change = np.flatnonzero((np.diff(dl_a) != 0) | (np.diff(lab_a) != 0)) + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        tot = np.add.reduceat(cnt_a, starts)
+        dl_u, lab_u = dl_a[starts], lab_a[starts]
+        o2 = np.lexsort((lab_u, -tot, dl_u))
+        dl_s, lab_s = dl_u[o2], lab_u[o2]
+        first = np.concatenate([[0], np.flatnonzero(np.diff(dl_s)) + 1]).astype(np.int64)
+        return dl_s[first], lab_s[first]
+    packed = [
+        m[0] if len(m) == 2 else ((m[0].astype(np.int64) << np.int64(32)) | m[1])
+        for m in parts
+    ]
+    cnts = [m[1] if len(m) == 2 else m[2] for m in parts]
+    keys = np.concatenate(packed)
+    cnt = np.concatenate(cnts)
+    o = np.argsort(keys, kind="stable")
+    keys, cnt = keys[o], cnt[o]
+    change = np.flatnonzero(np.diff(keys) != 0) + 1
     starts = np.concatenate([[0], change]).astype(np.int64)
     tot = np.add.reduceat(cnt, starts)
-    dl_u, lab_u = dl[starts], lab[starts]
-    # pick per dst: max count, then min label — sort by (dst asc, count desc, label asc)
+    ukeys = keys[starts]
+    dl_u = ukeys >> np.int64(32)
+    lab_u = ukeys & np.int64(0xFFFFFFFF)
+    # per dst: max count, then min label — keys within a dst are label-sorted,
+    # so a stable sort by (dst, count desc) keeps min label first per count
     o2 = np.lexsort((lab_u, -tot, dl_u))
     dl_s, lab_s = dl_u[o2], lab_u[o2]
     first = np.concatenate([[0], np.flatnonzero(np.diff(dl_s)) + 1]).astype(np.int64)
