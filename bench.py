@@ -26,7 +26,7 @@ SCALE_E = 48_000_000
 SCALE_ROUNDS = 20
 CORPUS_DIR = "/tmp/graft_scaling_corpus"
 CORPUS_REPOS = 200_000
-CORPUS_FILES = 12  # per repo → 2.4M files, ~4 GB parquet
+CORPUS_FILES = 24  # per repo → 4.8M files, ~8.4 GB parquet
 
 
 def _init(ncpu: int):
@@ -93,7 +93,8 @@ def scaling_child(ncpu: int) -> dict:
     n_files = ds.count()
     scan_corpus(ds).count()  # warm the worker pool
     t_mine = float("inf")
-    for _ in range(2):
+    for _ in range(3):  # best-of-3: single-box run-to-run variance is large
+        time.sleep(2)
         t0 = time.perf_counter()
         n_edges = mine_edges(ds).count()
         t_mine = min(t_mine, time.perf_counter() - t0)
@@ -102,9 +103,11 @@ def scaling_child(ncpu: int) -> dict:
     t0 = time.perf_counter()
     g = build_graph(_scale_edges(), num_partitions=ncpu, num_vertices=SCALE_V)
     t_build = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    _, res = alg.pagerank(g, tol=0.0, max_rounds=SCALE_ROUNDS, pipeline=SCALE_ROUNDS)
-    t_pr = time.perf_counter() - t0
+    t_pr = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _, res = alg.pagerank(g, tol=0.0, max_rounds=SCALE_ROUNDS, pipeline=SCALE_ROUNDS)
+        t_pr = min(t_pr, time.perf_counter() - t0)
     out = {
         "ncpu": ncpu,
         "mine_files": n_files,
