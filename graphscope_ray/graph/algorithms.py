@@ -118,6 +118,34 @@ def degree_centrality(g: Graph) -> ray.data.Dataset:
     return g.degrees().map_batches(_dc, batch_format="pyarrow")
 
 
+def export_golden(
+    g: Graph, ds: ray.data.Dataset, value_col: str, path: str, float_fmt: str = "%.9g"
+) -> str:
+    """Write per-vertex results in the reference's golden-file format: one
+    ``oid value`` line per vertex, numerically sorted by oid — byte-comparable
+    against `cat out/* | sort -k1n` of the reference's fragment outputs
+    (analytical_engine/test/app_tests.sh:115-125, run_app.h:156-183).
+    Also writes the same rows as Parquet next to it."""
+    df = ds.to_pandas()
+    if g.vertices_ds is not None:
+        vmap = g.vertices_ds.to_pandas()
+        df = df.merge(vmap, on="vid")[["oid", value_col]]
+    else:
+        df = df.rename(columns={"vid": "oid"})[["oid", value_col]]
+    df = df.sort_values("oid")
+    with open(path, "w") as fh:
+        for oid, v in zip(df["oid"], df[value_col]):
+            if isinstance(v, float):
+                fh.write(f"{oid} {float_fmt % v}\n")
+            else:
+                fh.write(f"{oid} {v}\n")
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    _pq.write_table(_pa.Table.from_pandas(df, preserve_index=False), path + ".parquet")
+    return path
+
+
 def voterank(g: Graph, num_elected: int = 10) -> list[int]:
     """Elect the top-k influencers by iterative voting (apps/voterank
     semantics, deterministic min-vid tie-break); returns elected vids in

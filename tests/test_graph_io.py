@@ -76,3 +76,15 @@ def test_betweenness_sampled_subset():
         .to_numpy()
     )
     assert np.allclose(got, oracles.betweenness(edges, n, sources=srcs), atol=1e-12)
+
+
+def test_export_golden_format(tmp_path):
+    edges, n = GRAPHS["two_cliques"]
+    g = build_graph(_tbl(edges), num_partitions=2, num_vertices=n, store_in_edges=True)
+    ds, _ = alg.wcc(g)
+    p = alg.export_golden(g, ds.select_columns(["vid", "comp"]), "comp", str(tmp_path / "wcc.txt"))
+    lines = open(p).read().splitlines()
+    assert lines == ["0 0", "1 0", "2 0", "3 0", "4 4", "5 4", "6 4"]
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(p + ".parquet").num_rows == n
