@@ -12,10 +12,14 @@ here calls ray.init()/ray.shutdown().
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # graphscope_ray importable
 
 
 def _quiet():

@@ -1,0 +1,144 @@
+"""CLI golden-test runner — the analogue of the reference's `run_app`
+(`analytical_engine/test/run_app.h:74-138`, driven by
+`test/app_tests.sh:403-417`):
+
+    python -m graphscope_ray.run_app --efile edges.parquet \
+        --application pagerank --out_prefix /tmp/out [--directed] \
+        [--source 0] [--k 3] [--max-rounds 10] [--partitions 8]
+
+Reads an edge table (parquet with src/dst[/weight] columns, or whitespace
+`src dst [w]` text like the reference's .e files), runs the app, and writes
+`<out_prefix>/result` in the reference's golden format (oid value, sorted
+numerically) plus Parquet.  Owns its own Ray session (the only CLI that
+does, per the driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def _read_edges(path: str):
+    import pyarrow as pa
+    import ray.data
+
+    if path.endswith(".parquet") or path.endswith("/"):
+        return ray.data.read_parquet(path)
+    # reference .e format: "src dst [weight]" lines
+    src, dst, w = [], [], []
+    with open(path) as fh:
+        for line in fh:
+            parts = line.split()
+            if len(parts) < 2:
+                continue
+            src.append(int(parts[0]))
+            dst.append(int(parts[1]))
+            w.append(float(parts[2]) if len(parts) > 2 else 1.0)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "weight": pa.array(w, pa.float64()),
+            }
+        )
+    )
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--efile", required=True, help="edge table (.parquet or 'src dst' text)")
+    ap.add_argument(
+        "--application",
+        required=True,
+        choices=[
+            "pagerank", "wcc", "cdlp", "triangles", "sssp", "bfs", "hits",
+            "kcore", "eigenvector", "katz", "lcc", "degree",
+        ],
+    )
+    ap.add_argument("--out_prefix", required=True)
+    ap.add_argument("--partitions", type=int, default=8)
+    ap.add_argument("--source", type=int, default=0)
+    ap.add_argument("--k", type=int, default=3)
+    ap.add_argument("--alpha", type=float, default=0.85)
+    ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--max-rounds", type=int, default=None)
+    ap.add_argument("--hub-threshold", type=int, default=None)
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args(argv)
+
+    import logging
+    import os
+
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from graphscope_ray.graph import algorithms as alg
+    from graphscope_ray.graph.build import build_graph
+
+    edges = _read_edges(args.efile)
+    g = build_graph(
+        edges,
+        num_partitions=args.partitions,
+        store_in_edges=True,
+        hub_threshold=args.hub_threshold,
+    )
+    run_kw = {}
+    if args.checkpoint_dir:
+        run_kw = {"checkpoint_dir": args.checkpoint_dir, "resume": args.resume}
+    app = args.application
+    if app == "pagerank":
+        ds, res = alg.pagerank(g, alpha=args.alpha, tol=args.tol,
+                               max_rounds=args.max_rounds or 100, **run_kw)
+        col = "score"
+    elif app == "wcc":
+        ds, res = alg.wcc(g, **run_kw)
+        col = "comp"
+    elif app == "cdlp":
+        ds, res = alg.cdlp(g, max_rounds=args.max_rounds or 10, **run_kw)
+        col = "label"
+    elif app == "triangles":
+        total, ds = alg.triangles(g)
+        print(f"total_triangles {total}")
+        col = "tri"
+    elif app == "sssp":
+        ds, res = alg.sssp(g, source=args.source, **run_kw)
+        col = "dist"
+    elif app == "bfs":
+        ds, res = alg.bfs(g, source=args.source, **run_kw)
+        col = "depth"
+    elif app == "hits":
+        ds, res = alg.hits(g, tol=args.tol, max_rounds=args.max_rounds or 100)
+        col = "auth"
+    elif app == "kcore":
+        ds, res = alg.kcore(g, k=args.k, **run_kw)
+        col = "in_core"
+    elif app == "eigenvector":
+        ds, res = alg.eigenvector_centrality(g, max_rounds=args.max_rounds or 100)
+        col = "centrality"
+    elif app == "katz":
+        ds, res = alg.katz_centrality(g, alpha=args.alpha if args.alpha < 0.5 else 0.1,
+                                      max_rounds=args.max_rounds or 100)
+        col = "centrality"
+    elif app == "lcc":
+        ds = alg.lcc(g)
+        col = "lcc"
+    else:  # degree
+        ds = alg.degree_centrality(g).select_columns(["vid", "degree"])
+        col = "degree"
+    os.makedirs(args.out_prefix, exist_ok=True)
+    out = alg.export_golden(
+        g, ds.select_columns(["vid", col]), col, os.path.join(args.out_prefix, "result")
+    )
+    print(f"wrote {out} (+ .parquet)")
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
