@@ -68,9 +68,22 @@ def topk_cosine(
 # ---------------------------------------------------------------------------
 
 
-def train_centroids(ds: ray.data.Dataset, n_clusters: int = 16, iters: int = 10, sample: float = 1.0, seed: int = 0, vec_col: str = "embedding") -> np.ndarray:
-    """Coarse k-means on a (sampled) materialized slice — the IVF codebook.
-    The sample is small by construction; training is a driver-side numpy loop."""
+def train_centroids(
+    ds: ray.data.Dataset,
+    n_clusters: int = 16,
+    iters: int = 10,
+    sample: float | None = None,
+    seed: int = 0,
+    vec_col: str = "embedding",
+    max_train: int = 100_000,
+) -> np.ndarray:
+    """Coarse k-means on a bounded sample — the IVF codebook.  By default the
+    training slice is capped at ``max_train`` rows (sample fraction derived
+    from the dataset size) so the driver never materializes the full
+    embedding table; training is a driver-side numpy loop on the sample."""
+    if sample is None:
+        n = ds.count()
+        sample = 1.0 if n <= max_train else max_train / n
     s = ds if sample >= 1.0 else ds.random_sample(sample, seed=seed)
     X = np.stack(s.select_columns([vec_col]).to_pandas()[vec_col].to_numpy()).astype(np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)

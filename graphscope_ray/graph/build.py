@@ -292,6 +292,13 @@ class Graph:
           scalable sparse path)."""
         P = self.P
         acts = self.actors
+        # hub-split graphs route hub out-edges by destination, so the local
+        # undirected merge (ucsr) would silently miss hub adjacency — guard
+        # like p_init/save_graph do (ADVICE r1)
+        assert not (acts and ray.get(acts[0].has_hub_shard.remote())), (
+            "triangles/lcc/transitivity on hub-split graphs not supported — "
+            "build without hub_threshold"
+        )
         reqs = ray.get([a.deg_requests.remote() for a in acts])
         replies = [
             [acts[q].deg_reply.remote(reqs[p][q]) for q in range(P)] for p in range(P)

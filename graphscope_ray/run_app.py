@@ -3,7 +3,7 @@
 `test/app_tests.sh:403-417`):
 
     python -m graphscope_ray.run_app --efile edges.parquet \
-        --application pagerank --out_prefix /tmp/out [--directed] \
+        --application pagerank --out_prefix /tmp/out \
         [--source 0] [--k 3] [--max-rounds 10] [--partitions 8]
 
 Reads an edge table (parquet with src/dst[/weight] columns, or whitespace
@@ -60,8 +60,14 @@ def main(argv=None):
     ap.add_argument("--partitions", type=int, default=8)
     ap.add_argument("--source", type=int, default=0)
     ap.add_argument("--k", type=int, default=3)
-    ap.add_argument("--alpha", type=float, default=0.85)
+    ap.add_argument("--alpha", type=float, default=0.85, help="pagerank damping")
+    ap.add_argument("--katz-alpha", type=float, default=0.1, help="katz attenuation")
     ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument(
+        "--unweighted",
+        action="store_true",
+        help="ignore the weight column even when the input has one",
+    )
     ap.add_argument("--max-rounds", type=int, default=None)
     ap.add_argument("--hub-threshold", type=int, default=None)
     ap.add_argument("--checkpoint-dir", default=None)
@@ -83,10 +89,14 @@ def main(argv=None):
     from graphscope_ray.graph.build import build_graph
 
     edges = _read_edges(args.efile)
+    # weighted by default when the input carries weights (the reference's
+    # golden SSSP fixtures are weighted — run_app.h:96 load_graph_spec)
+    has_weight = "weight" in edges.schema().names and not args.unweighted
     g = build_graph(
         edges,
         num_partitions=args.partitions,
         store_in_edges=True,
+        weight=has_weight,
         hub_threshold=args.hub_threshold,
     )
     run_kw = {}
@@ -123,7 +133,7 @@ def main(argv=None):
         ds, res = alg.eigenvector_centrality(g, max_rounds=args.max_rounds or 100)
         col = "centrality"
     elif app == "katz":
-        ds, res = alg.katz_centrality(g, alpha=args.alpha if args.alpha < 0.5 else 0.1,
+        ds, res = alg.katz_centrality(g, alpha=args.katz_alpha,
                                       max_rounds=args.max_rounds or 100)
         col = "centrality"
     elif app == "lcc":

@@ -198,7 +198,7 @@ def _edge_reduce(*dfs) -> pa.Table:
     alldf = pd.concat(nonempty, ignore_index=True)
     red = alldf.groupby(["src_oid", "dst_oid"], as_index=False)["n"].sum()
     red = red.rename(columns={"n": "weight"})
-    return pa.Table.from_pandas(red, preserve_index=False)
+    return pa.Table.from_pandas(red, preserve_index=False).replace_schema_metadata(None)
 
 
 def resolve_edges_fused(scan_ds: ray.data.Dataset, exports: pd.DataFrame, K: int = 32) -> ray.data.Dataset:

@@ -58,9 +58,9 @@ def hash_groupby_sum(
     @ray.remote
     def _split(t: pa.Table):
         df = t.to_pandas()
-        if len(df) == 0:
-            empty = df.iloc[0:0]
-            return tuple(empty for _ in range(K)) if K > 1 else empty
+        # empty blocks flow through the same combine so every partition sees
+        # the keys+out schema (a zero-column table would break downstream
+        # schema unification — ADVICE r1)
         if val is None:
             df = df.groupby(keys, as_index=False).size().rename(columns={"size": out})
         else:
@@ -76,11 +76,11 @@ def hash_groupby_sum(
     def _reduce(*dfs) -> pa.Table:
         import pandas as pd
 
-        alldf = pd.concat([d for d in dfs if len(d)], ignore_index=True) if dfs else None
-        if alldf is None or len(alldf) == 0:
-            return pa.table({})
+        alldf = pd.concat(dfs, ignore_index=True)
         red = alldf.groupby(keys, as_index=False)[out].sum()
-        return pa.Table.from_pandas(red, preserve_index=False)
+        # strip pandas schema metadata: Ray Data hashes block schemas for
+        # dedup and the metadata dict is unhashable (log-spam fix, ADVICE r1)
+        return pa.Table.from_pandas(red, preserve_index=False).replace_schema_metadata(None)
 
     if K == 1:
         refs = [[_split.remote(b)] for b in blocks]
