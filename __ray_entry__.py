@@ -111,9 +111,16 @@ def _q_dedup_simhash(sf_dir):
 
 
 def _q_dedup_embedding(sf_dir):
+    import pandas as pd
+
     from graphscope_ray.functions.dedup import embedding_near_dups
 
-    return embedding_near_dups(_embeddings(sf_dir), threshold=0.99).select_columns(["a", "b"])
+    df = embedding_near_dups(_embeddings(sf_dir), threshold=0.99).to_pandas()
+    if df.empty:  # Ray loses the schema on empty datasets → re-type
+        df = pd.DataFrame(
+            {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)}
+        )
+    return df[["a", "b"]].sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def _q_sim_topk(sf_dir):
@@ -231,6 +238,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_voterank": td.lg_voterank,
         "lg_closeness_sampled": td.lg_closeness,
         "lg_betweenness_sampled": td.lg_betweenness,
+        "lg_kshell": td.lg_kshell,
+        "lg_closeness_harmonic": td.lg_closeness_harmonic,
+        "lg_apsp": td.lg_apsp,
+        "lg_dfs": td.lg_dfs,
         # relational / framework-op parity
         "op_filter_project": td.op_filter_project,
         "op_groupby_agg": td.op_groupby_agg,
@@ -283,6 +294,13 @@ def oracle_sql() -> dict[str, str]:
         "lg_hits": osql.lg_hits_sql(iters=5),
         "lg_eigenvector": osql.lg_eigenvector_sql(iters=10),
         "lg_katz": osql.lg_katz_sql(iters=8),
+        "lg_kcore": osql.lg_kcore_sql(k=5),
+        "lg_voterank": osql.lg_voterank_sql(k=10),
+        "lg_closeness_sampled": osql.lg_closeness_sampled_sql(),
+        "lg_closeness_harmonic": osql.lg_closeness_harmonic_sql(),
+        "lg_apsp": osql.lg_apsp_sql(),
+        "text_langid": osql.text_langid_sql(),
+        "dedup_embedding": osql.dedup_embedding_sql(threshold=0.99),
         "lg_degree_centrality": osql.lg_degree_centrality_sql(),
         "lg_assortativity": osql.lg_assortativity_sql(),
         "lg_avg_degree_connectivity": osql.lg_avg_degree_connectivity_sql(),
@@ -304,8 +322,12 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": osql.text_quality_sql(),
         "dedup_exact": osql.dedup_exact_sql(),
         "sim_topk": osql.sim_topk_sql(),
-        # no SQL oracle (heuristic / approximate / stateful): lg_kcore,
-        # lg_pagerank_converged, text_langid, text_fingerprint, dedup_minhash,
-        # dedup_simhash, dedup_embedding, sim_ivf_topk, multimodal_features,
+        # no SQL oracle (heuristic / sequential / hash-defined / stateful):
+        # lg_pagerank_converged (data-dependent round count),
+        # lg_betweenness_sampled (pytest python-oracle), lg_kshell (unrolled
+        # peeling would need ~max-core nested unrolls; pytest oracle),
+        # lg_dfs (stack order is not SQL-expressible; pytest oracle),
+        # text_fingerprint / dedup_minhash / dedup_simhash (hash-defined),
+        # sim_ivf_topk (approximate), multimodal_features (binary stub),
         # repos_flagship — driver records rows-only checks.
     }

@@ -24,9 +24,9 @@ NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SCALE_V = 4_000_000
 SCALE_E = 48_000_000
 SCALE_ROUNDS = 20
-CORPUS_DIR = "/tmp/graft_scaling_corpus"
+CORPUS_DIR = "/tmp/graft_scaling_corpus_v2"
 CORPUS_REPOS = 200_000
-CORPUS_FILES = 24  # per repo → 4.8M files, ~8.4 GB parquet
+CORPUS_FILES = 48  # per repo → 9.6M files, ~17 GB parquet
 
 
 def _init(ncpu: int):
@@ -67,7 +67,11 @@ def _ensure_corpus():
     from graphscope_ray.sources.repos import generate_repos_dataset
 
     ds = generate_repos_dataset(
-        n_repos=CORPUS_REPOS, files_per_repo=CORPUS_FILES, seed=42, body_lines=120
+        n_repos=CORPUS_REPOS,
+        files_per_repo=CORPUS_FILES,
+        seed=42,
+        body_lines=120,
+        num_blocks=512,  # ≥512 parquet files → balanced read waves at any P
     )
     ds.write_parquet(CORPUS_DIR)
     open(os.path.join(CORPUS_DIR, "_DONE"), "w").write("ok")
@@ -75,11 +79,13 @@ def _ensure_corpus():
 
 
 def scaling_child(ncpu: int) -> dict:
-    """One cluster size: (a) corpus→edges mining throughput (the stage that
-    dominates at 10^12-file scale — pure CPU, scales with workers),
-    (b) PageRank superstep throughput on a 48M-edge synthetic graph
-    (bandwidth-bound; see BASELINE.md caveat).  Mining is run twice and the
-    best taken (single-box run-to-run variance)."""
+    """One cluster size: (a) corpus→edges mining throughput, STREAMING from
+    parquet (the pipeline shape at 10^12 files: scan+decode+mine+exchange
+    all scale with workers; nothing is pre-materialized), (b) PageRank
+    superstep throughput on a 48M-edge synthetic graph via BOTH message
+    layouts — shared-scatter (single-node zero-copy) and p2p per-(sender,
+    target) objects (the multi-node wire format).  Best-of-2 (run-to-run
+    variance on this box is large)."""
     _init(ncpu)
     import ray
     import ray.data
@@ -87,14 +93,12 @@ def scaling_child(ncpu: int) -> dict:
     from graphscope_ray.graph import algorithms as alg
     from graphscope_ray.graph.build import build_graph
     from graphscope_ray.pipelines.linkgraph import mine_edges
-    from graphscope_ray.stages.mine import scan_corpus
 
-    ds = ray.data.read_parquet(CORPUS_DIR, override_num_blocks=4 * ncpu).materialize()
-    n_files = ds.count()
-    scan_corpus(ds).count()  # warm the worker pool
+    ds = ray.data.read_parquet(CORPUS_DIR, override_num_blocks=256)
+    n_files = CORPUS_REPOS * CORPUS_FILES
+    mine_edges(ds).count()  # warm: page cache + worker pool
     t_mine = float("inf")
-    for _ in range(3):  # best-of-3: single-box run-to-run variance is large
-        time.sleep(2)
+    for _ in range(2):
         t0 = time.perf_counter()
         n_edges = mine_edges(ds).count()
         t_mine = min(t_mine, time.perf_counter() - t0)
@@ -108,6 +112,13 @@ def scaling_child(ncpu: int) -> dict:
         t0 = time.perf_counter()
         _, res = alg.pagerank(g, tol=0.0, max_rounds=SCALE_ROUNDS, pipeline=SCALE_ROUNDS)
         t_pr = min(t_pr, time.perf_counter() - t0)
+    # p2p layout on the SAME fragments (flip the wire format only)
+    g.p2p_messages = True
+    t_pr_p2p = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _, res_p = alg.pagerank(g, tol=0.0, max_rounds=SCALE_ROUNDS, pipeline=SCALE_ROUNDS)
+        t_pr_p2p = min(t_pr_p2p, time.perf_counter() - t0)
     out = {
         "ncpu": ncpu,
         "mine_files": n_files,
@@ -119,9 +130,48 @@ def scaling_child(ncpu: int) -> dict:
         "t_graph_build_s": round(t_build, 3),
         "t_pagerank_s": round(t_pr, 3),
         "pr_edges_per_sec_per_superstep": round(g.num_edges * res.rounds / t_pr, 0),
+        "t_pagerank_p2p_s": round(t_pr_p2p, 3),
+        "pr_p2p_edges_per_sec_per_superstep": round(
+            g.num_edges * res_p.rounds / t_pr_p2p, 0
+        ),
     }
     ray.shutdown()
     return out
+
+
+def hw_ceiling(n_iter: int = 400) -> float:
+    """The box's own pure-compute scaling ceiling: P independent OS processes
+    (zero Ray, zero IO, in-memory data) each run the identical regex kernel;
+    returns aggregate-throughput efficiency 8 → 32 processes.  On this
+    sandbox VM the vCPUs do not deliver 4× compute from 8 → 32 (host-level
+    overcommit/SMT invisible to the guest), so pipeline efficiencies must be
+    read against this ceiling — a real 4×-node cluster multiplies whole
+    machines instead."""
+    import multiprocessing as mp
+    import re
+
+    def worker(n, q):
+        pat = re.compile(r"^\s*import\s+(\w+)|^\s*from\s+(\w+)\s+import", re.M)
+        body = "\n".join(f"import module{i}\nx = {i} * 2  # line" for i in range(60)) * 3
+        t0 = time.perf_counter()
+        c = 0
+        for _ in range(n):
+            c += len(pat.findall(body))
+        q.put(time.perf_counter() - t0)
+
+    def run(P):
+        q = mp.Queue()
+        ps = [mp.Process(target=worker, args=(n_iter, q)) for _ in range(P)]
+        t0 = time.perf_counter()
+        [p.start() for p in ps]
+        [p.join() for p in ps]
+        return P * n_iter / (time.perf_counter() - t0)
+
+    best = 0.0
+    for _ in range(2):
+        t8, t32 = run(8), run(32)
+        best = max(best, t32 / (4 * t8))
+    return round(best, 3)
 
 
 def scaling() -> dict:
@@ -138,12 +188,21 @@ def scaling() -> dict:
     lo, hi = res[8], res[32]
     eff_mine = hi["files_per_sec"] / (4 * lo["files_per_sec"])
     eff_pr = hi["pr_edges_per_sec_per_superstep"] / (4 * lo["pr_edges_per_sec_per_superstep"])
+    eff_p2p = hi["pr_p2p_edges_per_sec_per_superstep"] / (
+        4 * lo["pr_p2p_edges_per_sec_per_superstep"]
+    )
+    hw = hw_ceiling()
     return {
         "metric": "throughput at N=8 vs 4N=32 cpus, same inputs, fresh processes",
         "n8": lo,
         "n32": hi,
         "scaling_efficiency_mining": round(eff_mine, 3),
         "scaling_efficiency_pagerank_supersteps": round(eff_pr, 3),
+        "scaling_efficiency_pagerank_p2p": round(eff_p2p, 3),
+        # this VM's own pure-compute 8→32 process scaling (no Ray, no IO):
+        # the achievable ceiling the pipeline numbers must be read against
+        "hw_compute_ceiling_8_to_32": hw,
+        "scaling_efficiency_vs_hw_ceiling": round(eff_mine / hw, 3) if hw else None,
         "scaling_efficiency": round(eff_mine, 3),
     }
 

@@ -490,8 +490,20 @@ def embedding_near_dups(
     # dedup pairs found in several bands (keep one cosine — they are identical)
     from ray.data.aggregate import Max
 
-    return (
+    out = (
         pairs.groupby(["a", "b"])
         .aggregate(Max("cosine", alias_name="cosine"))
-        .select_columns(["a", "b", "cosine"])
+        .materialize()
     )
+    if out.count() == 0:
+        # Ray drops the schema on a fully-empty groupby — re-type it
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        )
+    return out.select_columns(["a", "b", "cosine"])

@@ -201,11 +201,40 @@ class Graph:
 
     def _run_pipelined(self, spec, name, start_step, max_rounds, glob, params, K, metrics):
         acts = self.actors
+        P = self.P
         # seed every actor's local glob with the (unreduced) init/restore stats
         prev_stats = [ray.put(glob)] if glob else []
         last_step = start_step
         t0 = time.perf_counter()
         for step in range(start_step, max_rounds):
+            if self.p2p_messages and P > 1:
+                scat = [
+                    a.p_scatter_pipe_p2p.options(num_returns=P).remote(
+                        name, step, *prev_stats
+                    )
+                    for a in acts
+                ]
+                prev_stats = [
+                    acts[q].p_gather_pipe_p2p.remote(
+                        name, step, *[scat[p][q] for p in range(P)]
+                    )
+                    for q in range(P)
+                ]
+                last_step = step
+                if (step + 1 - start_step) % K == 0 or step == max_rounds - 1:
+                    stats = _reduce(ray.get(prev_stats))
+                    glob.update(stats)
+                    metrics.append(
+                        {
+                            "step": step,
+                            "t_exchange": time.perf_counter() - t0,
+                            **{k: v for k, v in glob.items() if isinstance(v, (int, float))},
+                        }
+                    )
+                    t0 = time.perf_counter()
+                    if spec.converged(glob, params, self.N, step):
+                        break
+                continue
             scat = [a.p_scatter_pipe.remote(name, step, *prev_stats) for a in acts]
             prev_stats = [q.p_gather_pipe.remote(name, step, *scat) for q in acts]
             last_step = step

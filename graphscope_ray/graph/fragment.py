@@ -575,6 +575,21 @@ class FragmentActor:
         msgs = [s[self.part] for s in sender_outputs]
         return self.programs[name].gather(step, self._glob.setdefault(name, {}), msgs)
 
+    def p_scatter_pipe_p2p(self, name: str, step: int, *prev_stats):
+        """Pipelined p2p scatter: same decentralized glob reduction as
+        p_scatter_pipe, but the P per-target messages are returned as P
+        separate objects (driver submits with num_returns=P) so each only
+        travels to its target's node on a real cluster."""
+        glob = self._glob.setdefault(name, {})
+        glob.update(reduce_stats(prev_stats))
+        msgs = tuple(self.programs[name].scatter(step, glob))
+        return msgs[0] if self.P == 1 else msgs
+
+    def p_gather_pipe_p2p(self, name: str, step: int, *msgs) -> dict:
+        """Pipelined p2p gather: messages arrive one-per-sender already
+        addressed to this fragment (no shared-slice indexing)."""
+        return self.programs[name].gather(step, self._glob.setdefault(name, {}), msgs)
+
     def p_finalize(self, name: str, glob: dict) -> None:
         prog = self.programs[name]
         if hasattr(prog, "finalize"):

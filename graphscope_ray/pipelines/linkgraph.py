@@ -23,41 +23,53 @@ from graphscope_ray.stages.mine import build_exports, mine_imports, resolve_edge
 def mine_edges(
     repos_ds: ray.data.Dataset,
     lineage_path: str | None = None,
+    K: int = 32,
 ) -> ray.data.Dataset:
     """repos table → distinct weighted edge table (src_oid, dst_oid, weight).
 
-    ONE streaming pass over the corpus (scan_corpus: sha256 + regex mining +
-    export derivation fused, content dropped immediately); the narrow
-    per-file scan output is pinned and reused by the lineage sink, the
-    exports broadcast side and the import explode — the corpus itself is
-    never read twice."""
-    import pyarrow as pa
+    Two physical plans:
+    - no lineage sink (default): exports derive from a column-pruned
+      (repo, path) pass that never touches file bodies, then ONE fused
+      streaming pass does mine → broadcast resolve → local combine
+      (stages/mine.mine_edge_partials); only tiny (src, dst, n) partials
+      enter the final hash exchange.  No scan materialization, no driver
+      barrier between mining and the exchange.
+    - lineage requested: the scan_corpus pass (sha256 + mining fused, the
+      north-star per-row content-sha256 invariant) is materialized once and
+      feeds both the lineage sink and the edge derivation."""
+    from graphscope_ray.stages.mine import (
+        build_exports,
+        exchange_edge_counts,
+        mine_edge_partials,
+        resolve_edges_fused,
+        scan_corpus,
+    )
 
-    from graphscope_ray.stages.mine import scan_corpus
-
-    scan = scan_corpus(repos_ds).materialize()
     if lineage_path:
+        scan = scan_corpus(repos_ds).materialize()
         scan.select_columns(["repo", "path", "commit", "content_sha256"]).write_parquet(
             lineage_path
         )
-    def _dedup_batch(t: pa.Table) -> pa.Table:
-        return pa.Table.from_pandas(t.to_pandas().drop_duplicates(), preserve_index=False)
 
-    # two-level dedup (per-batch, then per-coalesced-block) so the driver
-    # only collects ~one row per repo
-    exports = (
-        scan.select_columns(["export_module", "repo"])
-        .map_batches(_dedup_batch, batch_format="pyarrow")
-        .repartition(8)
-        .map_batches(_dedup_batch, batch_format="pyarrow")
-        .to_pandas()
-        .drop_duplicates()
-        .rename(columns={"export_module": "module"})
-    )
+        def _dedup_batch(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pandas(
+                t.to_pandas().drop_duplicates(), preserve_index=False
+            ).replace_schema_metadata(None)
 
-    from graphscope_ray.stages.mine import resolve_edges_fused
+        exports = (
+            scan.select_columns(["export_module", "repo"])
+            .map_batches(_dedup_batch, batch_format="pyarrow")
+            .repartition(8)
+            .map_batches(_dedup_batch, batch_format="pyarrow")
+            .to_pandas()
+            .drop_duplicates()
+            .rename(columns={"export_module": "module"})
+        )
+        return resolve_edges_fused(scan.select_columns(["repo", "modules"]), exports)
 
-    return resolve_edges_fused(scan.select_columns(["repo", "modules"]), exports)
+    exports = build_exports(repos_ds)
+    partials, repo_universe = mine_edge_partials(repos_ds, exports)
+    return exchange_edge_counts(partials, repo_universe, K=K)
 
 
 def build_link_graph(

@@ -276,6 +276,156 @@ def lg_avg_clustering_sql() -> str:
     )
 
 
+def lg_kcore_sql(k: int = 5, rounds: int = 40) -> str:
+    """Unrolled k-core peeling: per round drop alive vertices whose alive-
+    degree < k (same fixpoint as the engine's KCore program; `rounds` must
+    exceed the peel depth — extra rounds are no-ops)."""
+    ctes = ["a0 AS MATERIALIZED (SELECT oid FROM v)"]
+    for r in range(rounds):
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT ue.src AS oid, count(*) AS d FROM ue "
+            f"JOIN a{r} x ON x.oid = ue.src JOIN a{r} y ON y.oid = ue.dst GROUP BY ue.src)"
+        )
+        ctes.append(
+            f"a{r + 1} AS MATERIALIZED (SELECT a.oid FROM a{r} a JOIN d{r} d "
+            f"ON d.oid = a.oid WHERE d.d >= {k})"
+        )
+    return (
+        f"WITH {_BASE}, " + ",\n".join(ctes)
+        + f" SELECT v.oid, CASE WHEN f.oid IS NULL THEN 0 ELSE 1 END AS in_core "
+        f"FROM v LEFT JOIN a{rounds} f ON f.oid = v.oid"
+    )
+
+
+def lg_voterank_sql(k: int = 10) -> str:
+    """Unrolled VoteRank elections: per election score(v) = Σ ability over
+    undirected neighbors, winner = max score (tie → min oid, score > 0),
+    then the winner's neighbors lose f = N/|ue| ability (floor 0)."""
+    ctes = [
+        "f0 AS MATERIALIZED (SELECT CAST((SELECT n FROM nv) AS DOUBLE) / (SELECT count(*) FROM ue) AS f)",
+        "ab0 AS MATERIALIZED (SELECT oid, 1.0 AS ability FROM v)",
+        "ex0 AS MATERIALIZED (SELECT oid FROM v WHERE 1=0)",
+    ]
+    for e in range(k):
+        ctes.append(
+            f"sc{e} AS MATERIALIZED (SELECT ue.dst AS oid, sum(ab.ability) AS score "
+            f"FROM ue JOIN ab{e} ab ON ab.oid = ue.src GROUP BY ue.dst)"
+        )
+        ctes.append(
+            f"w{e} AS MATERIALIZED (SELECT s.oid, s.score FROM sc{e} s "
+            f"LEFT JOIN ex{e} x ON x.oid = s.oid WHERE x.oid IS NULL AND s.score > 0 "
+            f"ORDER BY s.score DESC, s.oid ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"ab{e + 1} AS MATERIALIZED (SELECT a.oid, CASE WHEN nb.oid IS NOT NULL "
+            f"THEN greatest(a.ability - (SELECT f FROM f0), 0) ELSE a.ability END AS ability "
+            f"FROM ab{e} a LEFT JOIN (SELECT DISTINCT ue.dst AS oid FROM ue "
+            f"WHERE ue.src = (SELECT oid FROM w{e})) nb ON nb.oid = a.oid)"
+        )
+        ctes.append(
+            f"ex{e + 1} AS MATERIALIZED (SELECT oid FROM ex{e} UNION SELECT oid FROM w{e})"
+        )
+    ranks = " UNION ALL ".join(
+        f"SELECT {e} AS rank, oid FROM w{e}" for e in range(k)
+    )
+    return f"WITH {_BASE}, " + ",\n".join(ctes) + f" SELECT rank, oid FROM ({ranks}) ORDER BY rank"
+
+
+# NOTE: under WITH RECURSIVE, DuckDB 1.0 stops deduplicating the plain
+# UNION inside the non-recursive `v` CTE (it returns 2·|e| rows) — queries
+# that join or count v in the final select must use the re-deduplicated
+# `vd`/`nvd` below.  (wcc/bfs/sssp are immune: they only aggregate.)
+_WALK_ALL = """
+vd AS MATERIALIZED (SELECT DISTINCT oid FROM v),
+nvd AS MATERIALIZED (SELECT count(*) AS n FROM vd),
+walk(s, wv, d) AS MATERIALIZED (
+  SELECT oid, oid, 0 FROM vd UNION
+  SELECT w.s, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.wv WHERE w.d < 8),
+sp AS MATERIALIZED (SELECT s, wv, min(d) AS d FROM walk GROUP BY s, wv)
+"""
+
+
+def lg_closeness_harmonic_sql() -> str:
+    return (
+        f"WITH RECURSIVE {_BASE}, {_WALK_ALL} "
+        "SELECT vd.oid, round(coalesce(c.h, 0) / (CAST((SELECT n FROM nvd) AS DOUBLE) - 1), 8) AS closeness "
+        "FROM vd LEFT JOIN (SELECT wv AS oid, sum(1.0 / d) AS h FROM sp WHERE d > 0 GROUP BY wv) c "
+        "ON c.oid = vd.oid"
+    )
+
+
+def lg_closeness_sampled_sql(num_sources: int = 8) -> str:
+    """Harmonic closeness from the num_sources smallest oids (the engine's
+    deterministic sampled variant)."""
+    return (
+        f"WITH RECURSIVE {_BASE}, "
+        "vd AS MATERIALIZED (SELECT DISTINCT oid FROM v), "
+        f"s8 AS MATERIALIZED (SELECT oid FROM vd ORDER BY oid LIMIT {num_sources}), "
+        "walk(s, wv, d) AS MATERIALIZED ("
+        "  SELECT oid, oid, 0 FROM s8 UNION "
+        "  SELECT w.s, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.wv WHERE w.d < 8), "
+        "sp AS MATERIALIZED (SELECT s, wv, min(d) AS d FROM walk GROUP BY s, wv) "
+        f"SELECT vd.oid, round(coalesce(c.h, 0) / {num_sources}, 8) AS closeness "
+        "FROM vd LEFT JOIN (SELECT wv AS oid, sum(1.0 / d) AS h FROM sp WHERE d > 0 GROUP BY wv) c "
+        "ON c.oid = vd.oid"
+    )
+
+
+def lg_apsp_sql(s_max: int = 32) -> str:
+    return (
+        f"WITH RECURSIVE {_BASE}, "
+        f"srcs AS MATERIALIZED (SELECT DISTINCT oid FROM v WHERE oid < {s_max}), "
+        "walk(s, wv, d) AS MATERIALIZED ("
+        "  SELECT oid, oid, 0 FROM srcs UNION "
+        "  SELECT w.s, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.wv WHERE w.d < 8) "
+        "SELECT s AS src_oid, wv AS dst_oid, min(d) AS dist FROM walk GROUP BY s, wv"
+    )
+
+
+def text_langid_sql() -> str:
+    """Replicates LangId: stopword-profile scores over letter tokens of the
+    lowercased text; winner = max score (tie → lexicographically largest
+    lang), 'unknown' when best ≤ 0.05."""
+    profiles = {
+        "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+        "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den"],
+        "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "que", "pour"],
+        "es": ["el", "la", "de", "que", "y", "los", "en", "un", "una", "es"],
+    }
+    score_cols = []
+    for lang, words in profiles.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"CASE WHEN length(toks) = 0 THEN 0.0 ELSE "
+            f"CAST(length(list_filter(toks, x -> x IN ({lst}))) AS DOUBLE) / length(toks) END AS s_{lang}"
+        )
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-zäöüéèêàçñ]+') AS toks FROM documents),
+s AS MATERIALIZED (SELECT doc_id, {", ".join(score_cols)} FROM t),
+b AS MATERIALIZED (SELECT doc_id, greatest(s_en, s_de, s_fr, s_es) AS best,
+  CASE WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+       WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+       ELSE 'de' END AS pred
+  FROM s)
+SELECT doc_id, CASE WHEN best > 0.05 THEN pred ELSE 'unknown' END AS lang_pred,
+       round(best, 8) AS lang_score
+FROM b
+"""
+
+
+def dedup_embedding_sql(threshold: float = 0.99) -> str:
+    """Brute-force oracle for the LSH near-dup path: all (a<b) pairs at
+    cosine ≥ threshold (the LSH path has ≈3e-5 per-pair miss probability at
+    0.99 — effectively exhaustive)."""
+    return f"""
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= {threshold}
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational / text / similarity / events oracles
 

@@ -367,6 +367,44 @@ def lg_avg_clustering(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"avg_clustering": [round(alg.avg_clustering(g), 8)]})
 
 
+def lg_kshell(sf_dir: str) -> pd.DataFrame:
+    """K-shell decomposition (core number per vertex)."""
+    g = lg_graph(sf_dir)
+    return _oid_space(g, alg.kshell(g), ["shell"])
+
+
+def lg_closeness_harmonic(sf_dir: str) -> pd.DataFrame:
+    """EXACT harmonic closeness over all sources (chunked multi-source BFS)."""
+    g = lg_graph(sf_dir)
+    out = _oid_space(g, alg.closeness_exact(g, harmonic=True), ["closeness"])
+    out["closeness"] = out["closeness"].round(8)
+    return out
+
+
+def lg_apsp(sf_dir: str, s_max: int = 32) -> pd.DataFrame:
+    """All-pairs shortest path lengths from sources with oid < s_max
+    (apps/apsp parity, restricted fan-out)."""
+    g = lg_graph(sf_dir)
+    vmap = g.vertices_ds.to_pandas()
+    src_vids = vmap[vmap.oid < s_max].sort_values("oid")["vid"].tolist()
+    ap = alg.apsp(g, sources=src_vids).to_pandas()
+    oid_by_vid = vmap.sort_values("vid")["oid"].to_numpy()
+    ap["src_oid"] = oid_by_vid[ap["src"].to_numpy()]
+    ap["dst_oid"] = oid_by_vid[ap["dst"].to_numpy()]
+    return (
+        ap[["src_oid", "dst_oid", "dist"]]
+        .sort_values(["src_oid", "dst_oid"])
+        .reset_index(drop=True)
+    )
+
+
+def lg_dfs(sf_dir: str) -> pd.DataFrame:
+    """DFS preorder from the min-oid vertex, ascending-vid neighbor order."""
+    g = lg_graph(sf_dir)
+    out = _oid_space(g, alg.dfs(g, source=0), ["order", "parent"])
+    return out
+
+
 def lg_voterank(sf_dir: str, k: int = 10) -> pd.DataFrame:
     g = lg_graph(sf_dir)
     elected = alg.voterank(g, num_elected=k)
@@ -377,17 +415,21 @@ def lg_voterank(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
 
 def lg_betweenness(sf_dir: str, num_sources: int = 8) -> pd.DataFrame:
+    """Brandes betweenness from the num_sources smallest-oid vertices
+    (deterministic sources → SQL-oracle-able)."""
     g = lg_graph(sf_dir)
-    rng = np.random.RandomState(0)
-    srcs = rng.choice(g.N, size=min(num_sources, g.N), replace=False).tolist()
+    srcs = list(range(min(num_sources, g.N)))  # vids are oid-rank-ordered
     out = _oid_space(g, alg.betweenness_sampled(g, sources=srcs), ["betweenness"])
     out["betweenness"] = out["betweenness"].round(8)
     return out
 
 
 def lg_closeness(sf_dir: str, num_sources: int = 8) -> pd.DataFrame:
+    """Harmonic closeness estimated from the num_sources smallest-oid
+    sources (deterministic sources → SQL-oracle-able)."""
     g = lg_graph(sf_dir)
-    out = _oid_space(g, alg.closeness_sampled(g, num_sources=num_sources), ["closeness"])
+    srcs = list(range(min(num_sources, g.N)))
+    out = _oid_space(g, alg.closeness_sampled(g, sources=srcs), ["closeness"])
     out["closeness"] = out["closeness"].round(8)
     return out
 

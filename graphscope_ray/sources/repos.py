@@ -159,6 +159,7 @@ def generate_repos_dataset(
     seed: int = 42,
     mean_imports: int = 5,
     body_lines: int = 40,
+    num_blocks: int | None = None,
 ):
     """Parallel deterministic corpus as a ray Dataset (bench-scale path:
     generation is a map_batches over the file-index range, so a multi-GB
@@ -189,4 +190,7 @@ def generate_repos_dataset(
             }
         )
 
-    return ray.data.range(total).map_batches(_gen, batch_format="numpy", batch_size=4096)
+    rng_kwargs = {"override_num_blocks": num_blocks} if num_blocks else {}
+    return ray.data.range(total, **rng_kwargs).map_batches(
+        _gen, batch_format="numpy", batch_size=4096
+    )

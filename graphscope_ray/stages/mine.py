@@ -37,6 +37,7 @@ IMPORT_PATTERNS: dict[str, list[str]] = {
 
 
 _COMPILED: dict | None = None
+_COMBINED: dict | None = None
 
 
 def _compiled_patterns() -> dict:
@@ -50,6 +51,28 @@ def _compiled_patterns() -> dict:
             lang: [re.compile(p, re.M) for p in pats] for lang, pats in IMPORT_PATTERNS.items()
         }
     return _COMPILED
+
+
+def _combined_patterns() -> dict:
+    """One alternation regex per language (single scan of each file body
+    instead of one scan per pattern); matches with multiple groups yield
+    tuples — the module token is the non-empty group."""
+    global _COMBINED
+    if _COMBINED is None:
+        _COMBINED = {
+            lang: re.compile("|".join(f"(?:{p})" for p in pats), re.M)
+            for lang, pats in IMPORT_PATTERNS.items()
+        }
+    return _COMBINED
+
+
+def _findall_modules(pat: re.Pattern, content: str) -> list[str]:
+    found = pat.findall(content)
+    if not found:
+        return []
+    if isinstance(found[0], tuple):
+        return [next((g for g in tup if g), "") for tup in found]
+    return found
 
 
 class ImportMiner:
@@ -199,6 +222,131 @@ def _edge_reduce(*dfs) -> pa.Table:
     red = alldf.groupby(["src_oid", "dst_oid"], as_index=False)["n"].sum()
     red = red.rename(columns={"n": "weight"})
     return pa.Table.from_pandas(red, preserve_index=False).replace_schema_metadata(None)
+
+
+def mine_edge_partials(
+    repos_ds: ray.data.Dataset, exports: pd.DataFrame
+) -> tuple[ray.data.Dataset, np.ndarray]:
+    """THE fused mining pass: ONE streaming map_batches over the corpus does
+    regex mining (one combined alternation per language) → broadcast
+    module→repo-ID resolve → local packed-key combine.  Repos are encoded to
+    dense int32 ids against the sorted repo universe (from the exports
+    table), so each block emits a tiny (key = src_id<<32|dst_id, n) int
+    partial — strings never enter the exchange.  Returns (partials, R) where
+    R is the sorted repo-string universe for decoding.
+
+    This replaces the round-1 scan-materialize → exports → re-dispatch
+    chain whose driver barriers capped mining scaling efficiency at 0.72
+    (BASELINE r1); the elastic single pass has no serial floor beyond the
+    final tiny int-key exchange."""
+    R = np.unique(exports["repo"].to_numpy())
+    mod_arr = np.sort(exports["module"].to_numpy())
+    order = np.argsort(exports["module"].to_numpy(), kind="stable")
+    dst_ids = np.searchsorted(R, exports["repo"].to_numpy()[order]).astype(np.int64)
+    ref = ray.put((mod_arr, dst_ids, R))
+
+    def _f(t: pa.Table) -> pa.Table:
+        pats = _combined_patterns()
+        mods_sorted, dst_by_mod, R_ = ray.get(ref)
+        langs = t["lang"].to_pylist()
+        contents = t["content"].to_pylist()
+        repos = t["repo"].to_pylist()
+        src_list: list[str] = []
+        mod_list: list[str] = []
+        for r, lang, c in zip(repos, langs, contents):
+            pat = pats.get(lang)
+            if pat is None:
+                continue
+            mods = _findall_modules(pat, c)
+            if mods:
+                mod_list.extend(mods)
+                src_list.extend([r] * len(mods))
+        if not mod_list:
+            return pa.table({"key": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+        m = np.asarray(mod_list, dtype=object)
+        pos = np.minimum(np.searchsorted(mods_sorted, m), max(len(mods_sorted) - 1, 0))
+        hit = (len(mods_sorted) > 0) & (mods_sorted[pos] == m)
+        dst = dst_by_mod[pos[hit]]
+        srcs = np.asarray(src_list, dtype=object)[hit]
+        spos = np.minimum(np.searchsorted(R_, srcs), max(len(R_) - 1, 0))
+        shit = R_[spos] == srcs  # corpus repos absent from exports drop out
+        src_id = spos[shit]
+        dst = dst[shit]
+        keep = src_id != dst
+        keys = (src_id[keep].astype(np.uint64) << np.uint64(32)) | dst[keep].astype(np.uint64)
+        uk, counts = np.unique(keys, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(uk.view(np.int64)),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    partials = repos_ds.select_columns(["repo", "lang", "content"]).map_batches(
+        _f, batch_format="pyarrow"
+    )
+    return partials, R
+
+
+_SPLITMIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def exchange_edge_counts(
+    partials: ray.data.Dataset, R: np.ndarray, K: int = 32
+) -> ray.data.Dataset:
+    """Final mining exchange: K-way hash split of the packed-key partials,
+    numpy sort+reduceat reduce per partition, decode ids → repo strings.
+    Pure int arithmetic — no pandas/string hashing anywhere."""
+    Rref = ray.put(R)
+
+    @ray.remote
+    def _split(t: pa.Table):
+        key = t["key"].to_numpy(zero_copy_only=False).view(np.uint64)
+        part = ((key * _SPLITMIX) >> np.uint64(33)) % np.uint64(K)
+        order = np.argsort(part, kind="stable")
+        st = t.take(order)
+        counts = np.bincount(part.astype(np.int64), minlength=K)
+        bounds = np.concatenate([[0], np.cumsum(counts)])
+        out = tuple(st.slice(int(bounds[p]), int(counts[p])) for p in range(K))
+        return out if K > 1 else out[0]
+
+    @ray.remote
+    def _reduce(*tables) -> pa.Table:
+        R_ = ray.get(Rref)
+        ts = [t for t in tables if t.num_rows]
+        if not ts:
+            return pa.table(
+                {
+                    "src_oid": pa.array([], pa.string()),
+                    "dst_oid": pa.array([], pa.string()),
+                    "weight": pa.array([], pa.int64()),
+                }
+            )
+        cat = pa.concat_tables(ts)
+        key = cat["key"].to_numpy(zero_copy_only=False).view(np.uint64)
+        n = cat["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        key, n = key[order], n[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(key) != 0) + 1]).astype(np.int64)
+        uk = key[starts]
+        sums = np.add.reduceat(n, starts)
+        src = R_[(uk >> np.uint64(32)).astype(np.int64)]
+        dst = R_[(uk & np.uint64(0xFFFFFFFF)).astype(np.int64)]
+        return pa.table(
+            {
+                "src_oid": pa.array(src, pa.string()),
+                "dst_oid": pa.array(dst, pa.string()),
+                "weight": pa.array(sums.astype(np.int64)),
+            }
+        )
+
+    blocks = partials.materialize().to_arrow_refs()
+    if K == 1:
+        return ray.data.from_arrow_refs([_reduce.remote(*[_split.remote(b) for b in blocks])])
+    split_refs = [_split.options(num_returns=K).remote(b) for b in blocks]
+    return ray.data.from_arrow_refs(
+        [_reduce.remote(*[split_refs[i][k] for i in range(len(blocks))]) for k in range(K)]
+    )
 
 
 def resolve_edges_fused(scan_ds: ray.data.Dataset, exports: pd.DataFrame, K: int = 32) -> ray.data.Dataset:
