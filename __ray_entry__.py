@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_closeness_sampled": td.lg_closeness,
         "lg_betweenness_sampled": td.lg_betweenness,
         "lg_kshell": td.lg_kshell,
+        "lg_louvain": td.lg_louvain,
         "lg_closeness_harmonic": td.lg_closeness_harmonic,
         "lg_apsp": td.lg_apsp,
         "lg_dfs": td.lg_dfs,

@@ -368,6 +368,187 @@ def dfs(g: Graph, source: int = 0) -> ray.data.Dataset:
     )
 
 
+def _louvain_numpy(src, dst, w, n, self_w=None, max_passes: int = 20):
+    """Sequential weighted Louvain phase-1 on a symmetric edge list (the
+    coarse levels after the distributed level-0 — orders of magnitude
+    smaller).  Deterministic: ascending vertex order, ties → smallest
+    community.  Returns (comm, modularity)."""
+    order = np.argsort(src, kind="stable")
+    src, dst, w = src[order], dst[order], w[order]
+    indptr = np.searchsorted(src, np.arange(n + 1))
+    self_w = self_w if self_w is not None else np.zeros(n)
+    k = np.zeros(n)
+    np.add.at(k, src, w)
+    k += 2.0 * self_w
+    m2 = k.sum()
+    if m2 == 0:
+        return np.arange(n, dtype=np.int64), 0.0
+    comm = np.arange(n, dtype=np.int64)
+    tot = k.copy()
+    for _ in range(max_passes):
+        moves = 0
+        for v in range(n):
+            nbr = dst[indptr[v] : indptr[v + 1]]
+            wv = w[indptr[v] : indptr[v + 1]]
+            if nbr.size == 0:
+                continue
+            cs, inv = np.unique(comm[nbr], return_inverse=True)
+            kvc = np.zeros(len(cs))
+            np.add.at(kvc, inv, wv)
+            a = comm[v]
+            ai = np.searchsorted(cs, a)
+            in_a = kvc[ai] if ai < len(cs) and cs[ai] == a else 0.0
+            tot[a] -= k[v]
+            gain = kvc - k[v] * tot[cs] / m2
+            stay = in_a - k[v] * tot[a] / m2
+            o = np.lexsort((cs, -gain))
+            best = o[0]
+            if gain[best] > stay + 1e-12 and cs[best] != a:
+                comm[v] = cs[best]
+                tot[cs[best]] += k[v]
+                moves += 1
+            else:
+                tot[a] += k[v]
+        if moves == 0:
+            break
+    # modularity
+    within = (comm[src] == comm[dst])
+    s_in = w[within].sum() + 2.0 * self_w.sum()
+    ctot = np.zeros(n)
+    np.add.at(ctot, comm, k)
+    q = s_in / m2 - ((ctot / m2) ** 2).sum()
+    return comm, float(q)
+
+
+def louvain(
+    g: Graph, max_move_rounds: int = 64, max_levels: int = 10
+) -> tuple[ray.data.Dataset, float]:
+    """Louvain community detection (ref apps/pregel/louvain/louvain.h):
+    level 0 (the full graph) runs DISTRIBUTED synchronous local moves with
+    parity alternation — neighbors' community labels travel as pre-combined
+    CDLP-style counts, the community-degree table Σtot is rebuilt by the
+    driver each round from per-fragment contributions and broadcast via
+    ray.put (one float per vertex).  Coarser levels (communities, orders of
+    magnitude smaller) aggregate the edge list by community pair —
+    per-fragment packed-key combine, tiny driver merge — and refine with a
+    sequential weighted Louvain, exactly like the reference runs phase 2 on
+    the contracted graph.  Returns (Dataset(vid, comm), modularity);
+    community ids are canonical min-member original vids."""
+    import ray as _ray
+
+    name = "louvain0"
+    acts = g.actors
+    N = g.N
+    # m = undirected edge count (each edge counted once)
+    m = sum(_ray.get([a.num_undirected_edges.remote() for a in acts])) / 2.0
+    if m == 0:
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vid": pa.array(np.arange(N, dtype=np.int64)),
+                    "comm": pa.array(np.arange(N, dtype=np.int64)),
+                }
+            )
+        )
+        return ds, 0.0
+    _ray.get([a.p_init.remote(name, "louvain_move", {"m": m}) for a in acts])
+    idle = 0
+    for step in range(max_move_rounds):
+        contribs = _ray.get([a.p_call.remote(name, "comm_tot_contrib") for a in acts])
+        tot = np.zeros(N)
+        for ids, vals in contribs:
+            if len(ids):
+                np.add.at(tot, ids, vals)
+        glob = {"tot_ref": _ray.put(tot)}
+        refs = [a.p_scatter_all.remote(name, step, glob) for a in acts]
+        stats = _ray.get(
+            [q.p_gather_shared.remote(name, step, glob, *refs) for q in acts]
+        )
+        moves = sum(s["moves"] for s in stats)
+        idle = idle + 1 if moves == 0 else 0
+        if idle >= 2:  # both parities stable
+            break
+    # level-0 communities (vid space)
+    l0 = g.program_state(name).to_pandas().sort_values("vid")
+    comm0 = l0["comm"].to_numpy(np.int64)
+    # contract: per-fragment packed (comm_src, comm_dst, w) combine
+    cref = _ray.put(comm0)
+
+    @_ray.remote
+    def _coarse(actor):
+        # undirected dedup adjacency (the same view the move phase used);
+        # each edge appears at both endpoints → the merged counts are 2×
+        t = _ray.get(actor.undirected_edges_table.remote())
+        cm = _ray.get(cref)
+        cs = cm[t["src"].to_numpy(zero_copy_only=False)]
+        cd = cm[t["dst"].to_numpy(zero_copy_only=False)]
+        lo, hi = np.minimum(cs, cd), np.maximum(cs, cd)
+        keys = lo.astype(np.uint64) << np.uint64(32) | hi.astype(np.uint64)
+        uk, cnt = np.unique(keys, return_counts=True)
+        return uk, cnt
+
+    parts = _ray.get([_coarse.remote(a) for a in acts])
+    keys = np.concatenate([p[0] for p in parts])
+    cnts = np.concatenate([p[1] for p in parts]).astype(np.float64) / 2.0
+    o = np.argsort(keys, kind="stable")
+    keys, cnts = keys[o], cnts[o]
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(keys) != 0) + 1]).astype(np.int64)
+    uk = keys[starts]
+    w_pair = np.add.reduceat(cnts, starts)
+    lo = (uk >> np.uint64(32)).astype(np.int64)
+    hi = (uk & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    # dense-relabel the level-0 communities
+    cids = np.unique(comm0)
+    remap = np.searchsorted(cids, comm0)
+    lo_d, hi_d = np.searchsorted(cids, lo), np.searchsorted(cids, hi)
+    nc = len(cids)
+    self_m = lo_d == hi_d
+    self_w = np.zeros(nc)
+    np.add.at(self_w, lo_d[self_m], w_pair[self_m])
+    es, ed, ew = lo_d[~self_m], hi_d[~self_m], w_pair[~self_m]
+    src2 = np.concatenate([es, ed])
+    dst2 = np.concatenate([ed, es])
+    w2 = np.concatenate([ew, ew])
+    for _ in range(max_levels):
+        c2, q = _louvain_numpy(src2, dst2, w2, nc, self_w=self_w)
+        if (c2 == np.arange(nc)).all():
+            break
+        # contract again
+        cids2 = np.unique(c2)
+        nc2 = len(cids2)
+        remap = np.searchsorted(cids2, c2[remap])  # vid → dense new coarse id
+        cs2 = np.searchsorted(cids2, c2[src2])
+        cd2 = np.searchsorted(cids2, c2[dst2])
+        sm = cs2 == cd2
+        new_self = np.zeros(nc2)
+        np.add.at(new_self, cs2[sm], w2[sm] / 2.0)
+        old_self = np.zeros(nc2)
+        np.add.at(old_self, np.searchsorted(cids2, c2), self_w)
+        self_w = new_self + old_self
+        keys2 = cs2[~sm].astype(np.uint64) << np.uint64(32) | cd2[~sm].astype(np.uint64)
+        uk2, inv2 = np.unique(keys2, return_inverse=True)
+        w_agg = np.zeros(len(uk2))
+        np.add.at(w_agg, inv2, w2[~sm])
+        src2 = (uk2 >> np.uint64(32)).astype(np.int64)
+        dst2 = (uk2 & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        w2 = w_agg
+        nc = nc2
+    # canonical labels: min original vid per community
+    final = remap
+    canon = np.full(final.max() + 1 if final.size else 1, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(canon, final, np.arange(N, dtype=np.int64))
+    comm_out = canon[final]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vid": pa.array(np.arange(N, dtype=np.int64)),
+                "comm": pa.array(comm_out),
+            }
+        )
+    )
+    return ds, float(q)
+
+
 def transitivity(g: Graph) -> float:
     """Global transitivity = 3·triangles / open+closed wedges (undirected view)."""
     total, per_vertex = triangles(g)

@@ -227,6 +227,25 @@ def acc_min(n_local: int, msgs, init: float = np.inf) -> np.ndarray:
     return acc
 
 
+def merge_label_counts(msgs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Merge label-count messages → (dst_local, label, total_count) sorted by
+    (dst_local, label) — the full multiset (Louvain needs every adjacent
+    community's k_{v,c}, not just the argmax)."""
+    parts = [m for m in _parts(msgs) if len(m[0])]
+    if not parts:
+        return _EMPTY_I64, _EMPTY_I64, _EMPTY_I64
+    dl = np.concatenate([m[0] >> np.int64(32) if len(m) == 2 else m[0] for m in parts])
+    lab = np.concatenate(
+        [m[0] & np.int64(0xFFFFFFFF) if len(m) == 2 else m[1] for m in parts]
+    )
+    cnt = np.concatenate([m[1] if len(m) == 2 else m[2] for m in parts])
+    o = np.lexsort((lab, dl))
+    dl, lab, cnt = dl[o], lab[o], cnt[o]
+    change = np.flatnonzero((np.diff(dl) != 0) | (np.diff(lab) != 0)) + 1
+    starts = np.concatenate([[0], change]).astype(np.int64)
+    return dl[starts], lab[starts], np.add.reduceat(cnt, starts)
+
+
 def mode_min_labels(msgs) -> tuple[np.ndarray, np.ndarray]:
     """Merge label-count messages → per dst the most frequent label, ties
     broken by smallest label (LDBC CDLP rule,
@@ -425,6 +444,14 @@ class FragmentActor:
             cols["weight"] = pa.array(o.weight)
         return pa.table(cols)
 
+    def undirected_edges_table(self) -> pa.Table:
+        """(src vid, dst vid) of the locally-merged undirected dedup
+        adjacency — every undirected edge appears at BOTH endpoints, so a
+        global aggregate over all fragments counts each edge twice."""
+        u = self.ucsr()
+        src = np.repeat(self.owned_vids(), u.deg)
+        return pa.table({"src": pa.array(src), "dst": pa.array(u.dst)})
+
     def tri_state_degrees(self) -> pa.Table:
         """(vid, deg) over the undirected dedup adjacency (no triangle run needed)."""
         return pa.table({"vid": pa.array(self.owned_vids()), "deg": pa.array(self.ucsr().deg)})
@@ -589,6 +616,12 @@ class FragmentActor:
         """Pipelined p2p gather: messages arrive one-per-sender already
         addressed to this fragment (no shared-slice indexing)."""
         return self.programs[name].gather(step, self._glob.setdefault(name, {}), msgs)
+
+    def p_call(self, name: str, method: str, *args):
+        """Invoke an arbitrary method on a registered program (driver-side
+        algorithm loops that need program-specific side channels, e.g.
+        Louvain's community-degree contributions)."""
+        return getattr(self.programs[name], method)(*args)
 
     def p_finalize(self, name: str, glob: dict) -> None:
         prog = self.programs[name]

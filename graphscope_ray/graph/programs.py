@@ -541,6 +541,82 @@ class VoteRank(VertexProgram):
         return {"ability": self.ability, "excluded": self.excluded.astype(np.int64)}
 
 
+class LouvainMove(VertexProgram):
+    """Louvain phase-1 local moves, synchronous with parity alternation
+    (ref apps/pregel/louvain/louvain.h:60-150 — the pregel formulation moves
+    half the vertices per superstep to avoid oscillation).
+
+    Per round each vertex receives its neighbors' community labels
+    (CDLP-style pre-combined label counts → k_{v,c}) and the global
+    community-degree table Σtot (a broadcast numpy array, ray.put by the
+    driver each round — communities live in vid space so the table is one
+    float per vertex).  Move rule: remove v from its community a, join the
+    community c maximizing k_{v,c} − k_v·Σtot_c/(2m), ties → smallest c;
+    stay if no strict gain.  Modularity terms (Σ_in via k_{v,comm_v}) are
+    reduced driver-side for the convergence test."""
+
+    def __init__(self, frag, m: float, max_rounds: int = 0):
+        super().__init__(frag)
+        self.m = float(m)
+
+    def init(self) -> dict:
+        f = self.frag
+        self.comm = f.owned_vids().copy()
+        self.kv = f.ucsr().deg.astype(np.float64)
+        return {}
+
+    def comm_tot_contrib(self):
+        """(community ids, Σ degree) over owned vertices — driver np.add.at's
+        these into the global Σtot array."""
+        order = np.argsort(self.comm, kind="stable")
+        c = self.comm[order]
+        if c.size == 0:
+            return _EMPTY_I64, _EMPTY_F64
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(c)) + 1]).astype(np.int64)
+        return c[starts], np.add.reduceat(self.kv[order], starts)
+
+    def scatter(self, step, glob):
+        return _wrap(self.frag.ucsr().push_label_counts(self.comm))
+
+    def gather(self, step, glob, msgs):
+        import ray as _ray
+
+        from graphscope_ray.graph.fragment import merge_label_counts
+
+        f = self.frag
+        dl, lab, cnt = merge_label_counts(msgs)  # sorted by (dl, lab)
+        tot = _ray.get(glob["tot_ref"])
+        if dl.size == 0:
+            return {"moves": 0, "q_in": 0.0}
+        m2 = 2.0 * self.m
+        ks = cnt.astype(np.float64)
+        a_row = self.comm[dl]
+        kv_row = self.kv[dl]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(dl)) + 1]).astype(np.int64)
+        vloc = dl[starts]
+        # Σ_in contribution: k_{v, comm_v} per vertex (before this round's moves)
+        in_a_rows = np.where(lab == a_row, ks, 0.0)
+        in_a = np.add.reduceat(in_a_rows, starts)
+        # candidate gains per (v, c) row; stay gain per vertex
+        tot_wo = tot[lab] - np.where(lab == a_row, kv_row, 0.0)
+        gain = ks - kv_row * tot_wo / m2
+        stay = in_a - self.kv[vloc] * (tot[self.comm[vloc]] - self.kv[vloc]) / m2
+        # best row per vertex: max gain, tie → smallest community
+        o = np.lexsort((lab, -gain, dl))
+        dl_s = dl[o]
+        first = np.concatenate([[0], np.flatnonzero(np.diff(dl_s)) + 1]).astype(np.int64)
+        best_rows = o[first]
+        best_c = lab[best_rows]
+        best_gain = gain[best_rows]
+        active = ((vloc * f.P + f.part) + step) % 2 == 0  # parity alternation
+        move = active & (best_gain > stay + 1e-12) & (best_c != self.comm[vloc])
+        self.comm[vloc[move]] = best_c[move]
+        return {"moves": int(move.sum()), "q_in": float(in_a.sum())}
+
+    def state_columns(self):
+        return {"comm": self.comm}
+
+
 class MsBfs(VertexProgram):
     """Multi-source BFS: one superstep wave computes BFS depths from S
     sources simultaneously — the distance state is an (n_local, S) matrix and
@@ -731,6 +807,7 @@ PROGRAMS: dict[str, ProgramSpec] = {
     "brandes": ProgramSpec(Brandes, _never, 10_000),
     "msbfs": ProgramSpec(MsBfs, lambda glob, p, N, s: glob.get("changed", 1) == 0, 10_000),
     "kshell": ProgramSpec(KShell, _never, 10_000),
+    "louvain_move": ProgramSpec(LouvainMove, _never, 10_000),
     "katz": ProgramSpec(
         Katz,
         lambda glob, p, N, s: glob.get("resid", np.inf) < p.get("tol", 1e-9) * max(N, 1),

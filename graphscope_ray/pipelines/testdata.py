@@ -405,6 +405,17 @@ def lg_dfs(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def lg_louvain(sf_dir: str) -> pd.DataFrame:
+    """Louvain communities (ref apps/pregel/louvain) — (oid, comm_oid,
+    modularity is data-dependent → rows-only driver check + pytest oracle)."""
+    g = lg_graph(sf_dir)
+    ds, _q = alg.louvain(g)
+    vmap = g.vertices_ds.to_pandas()
+    df = ds.to_pandas().merge(vmap, on="vid")
+    df = df.merge(vmap.rename(columns={"vid": "comm", "oid": "comm_oid"}), on="comm")
+    return df[["oid", "comm_oid"]].sort_values("oid").reset_index(drop=True)
+
+
 def lg_voterank(sf_dir: str, k: int = 10) -> pd.DataFrame:
     g = lg_graph(sf_dir)
     elected = alg.voterank(g, num_elected=k)
