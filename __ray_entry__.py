@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "op_distinct": td.op_distinct,
         "op_union_distinct": td.op_union_distinct,
         "op_consolidate": td.op_consolidate_columns,
+        "op_csv_scan": td.op_csv_scan,
         # events (stream-shaped)
         "events_window": _q_events_window,
         "events_sessionize": _q_sessionize,
@@ -316,6 +317,7 @@ def oracle_sql() -> dict[str, str]:
         "op_distinct": osql.op_distinct_sql(),
         "op_union_distinct": osql.op_union_distinct_sql(),
         "op_consolidate": osql.op_consolidate_sql(),
+        "op_csv_scan": "SELECT r_regionkey, r_name FROM region",
         "events_window": osql.events_window_sql(),
         "events_sessionize": osql.sessionize_sql(),
         "text_tokens": osql.text_tokens_sql(),

@@ -550,12 +550,11 @@ def _route(ds: ray.data.Dataset, P: int, by: str) -> list[list]:
 def save_graph(g: Graph, path: str) -> str:
     """SERIALIZE_GRAPH parity (dag_utils.py:1115-1166): write the loaded
     graph as per-partition Parquet (edges pre-partitioned by owner, vertices,
-    meta.json manifest) — reload skips the routing shuffle entirely."""
+    meta.json manifest) — reload skips the routing shuffle entirely.
+    Hub-split graphs additionally serialize each partition's hub shard (the
+    hub edges routed by destination) plus the hub id/degree tables, so the
+    reload restores the exact split layout."""
     has_hubs = ray.get(g.actors[0].has_hub_shard.remote()) if g.actors else False
-    assert not has_hubs, (
-        "save_graph for hub-split graphs not implemented yet — rebuild with "
-        "hub_threshold=None before serializing"
-    )
     os.makedirs(os.path.join(path, "edges"), exist_ok=True)
 
     @ray.remote
@@ -571,6 +570,22 @@ def save_graph(g: Graph, path: str) -> str:
             for p, a in enumerate(g.actors)
         ]
     )
+    if has_hubs:
+        os.makedirs(os.path.join(path, "hub_edges"), exist_ok=True)
+        ray.get(
+            [
+                _write.remote(
+                    a.hub_edges_table.remote(),
+                    os.path.join(path, "hub_edges", f"part={p}.parquet"),
+                )
+                for p, a in enumerate(g.actors)
+            ]
+        )
+        hub_vids, hub_deg = ray.get(g.actors[0].hub_tables.remote())
+        pq.write_table(
+            pa.table({"hub_vid": pa.array(hub_vids), "hub_deg": pa.array(hub_deg)}),
+            os.path.join(path, "hubs.parquet"),
+        )
     if g.vertices_ds is not None:
         pq.write_table(
             pa.Table.from_pandas(g.vertices_ds.to_pandas(), preserve_index=False),
@@ -583,6 +598,7 @@ def save_graph(g: Graph, path: str) -> str:
         "view": g.view,
         "has_in": g.has_in,
         "has_vertices": g.vertices_ds is not None,
+        "has_hubs": bool(has_hubs),
     }
     with open(os.path.join(path, "meta.json"), "w") as fh:
         json.dump(meta, fh)
@@ -607,9 +623,27 @@ def load_graph(path: str, store_in_edges: bool | None = None) -> Graph:
     if has_in:
         ds = ray.data.read_parquet(os.path.join(path, "edges"))
         in_splits = _route(ds.select_columns(["src", "dst"]).materialize(), P, by="dst")
+    hub_refs = None
+    hub_vids = hub_deg = None
+    if meta.get("has_hubs"):
+        hub_refs = [
+            [_read.remote(os.path.join(path, "hub_edges", f"part={p}.parquet"))]
+            for p in range(P)
+        ]
+        hubs = pq.read_table(os.path.join(path, "hubs.parquet"))
+        hub_vids = hubs["hub_vid"].to_numpy()
+        hub_deg = hubs["hub_deg"].to_numpy()
     actors = [
         FragmentActor.options(num_cpus=0, scheduling_strategy="SPREAD").remote(
-            p, P, N, out_refs[p], in_splits[p] if in_splits is not None else None
+            p,
+            P,
+            N,
+            out_refs[p],
+            in_splits[p] if in_splits is not None else None,
+            False,
+            hub_refs[p] if hub_refs is not None else None,
+            hub_vids,
+            hub_deg,
         )
         for p in range(P)
     ]

@@ -190,6 +190,10 @@ def reduce_stats(dicts) -> dict:
                 if k.startswith("min:"):
                     for k2, v2 in v.items():
                         tgt[k2] = min(tgt.get(k2, v2), v2)
+                elif k.startswith("add:"):
+                    # flat dict summed per entry (hub feedback accumulators)
+                    for k2, v2 in v.items():
+                        tgt[k2] = tgt.get(k2, 0.0) + v2
                 elif k.startswith("sum:"):
                     # nested dict-of-dict counters (hub label multisets)
                     for k2, inner in v.items():
@@ -327,6 +331,7 @@ class FragmentActor:
         self.hub_vids = hub_vids
         self.hub_deg = hub_deg
         self.hs_idx = self.hs_uniq = self.hs_runstarts = None
+        self.hs_w = None
         if hub_blocks is not None and hub_vids is not None:
             tables = [b if isinstance(b, pa.Table) else ray.get(b) for b in hub_blocks]
             tables = [t for t in tables if t.num_rows]
@@ -334,6 +339,11 @@ class FragmentActor:
                 t = pa.concat_tables(tables)
                 src = t["src"].to_numpy(zero_copy_only=False)
                 dst = t["dst"].to_numpy(zero_copy_only=False)
+                w = (
+                    t["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
+                    if "weight" in t.column_names
+                    else None
+                )
                 if dedup_edges and src.size:
                     o = np.lexsort((dst, src))
                     src, dst = src[o], dst[o]
@@ -341,11 +351,13 @@ class FragmentActor:
                         [[True], (np.diff(src) != 0) | (np.diff(dst) != 0)]
                     )
                     src, dst = src[keep], dst[keep]
+                    w = w[o][keep] if w is not None else None
                 dl = dst // self.P
                 o = np.argsort(dl, kind="stable")
                 dl = dl[o]
                 self.hs_dl = dl.astype(np.int32)
                 self.hs_idx = np.searchsorted(hub_vids, src[o]).astype(np.int32)
+                self.hs_w = w[o] if w is not None else None
                 starts = (
                     np.concatenate([[0], np.flatnonzero(np.diff(dl)) + 1]).astype(np.int64)
                     if dl.size
@@ -483,6 +495,9 @@ class FragmentActor:
     def has_hub_shard(self) -> bool:
         return self.hs_idx is not None
 
+    def hub_tables(self) -> tuple[np.ndarray, np.ndarray]:
+        return self.hub_vids, self.hub_deg
+
     def owned_hub_locals(self) -> np.ndarray:
         if self.hub_vids is None:
             return _EMPTY_I64
@@ -507,6 +522,52 @@ class FragmentActor:
         vals = np.array([hub_vals[int(v)] for v in self.hub_vids], dtype=np.float64)
         v = vals[self.hs_idx]
         return self.hs_uniq, np.minimum.reduceat(v, self.hs_runstarts)
+
+    def hub_apply_relax(self, hub_dists: dict) -> tuple[np.ndarray, np.ndarray]:
+        """SSSP/BFS forward over split-hub edges: min(dist[hub] + w) per local
+        shard destination (w = shard edge weight, 1 when unweighted)."""
+        if self.hs_idx is None or self.hs_idx.size == 0:
+            return _EMPTY_I64, _EMPTY_F64
+        vals = np.array(
+            [hub_dists.get(int(v), np.inf) for v in self.hub_vids], dtype=np.float64
+        )
+        v = vals[self.hs_idx] + (self.hs_w if self.hs_w is not None else 1.0)
+        return self.hs_uniq, np.minimum.reduceat(v, self.hs_runstarts)
+
+    def hub_apply_raw(self, hub_vals: dict) -> tuple[np.ndarray, np.ndarray]:
+        """Sum of per-hub values per local shard destination WITHOUT the
+        out-degree division (HITS auth accumulation)."""
+        if self.hs_idx is None or self.hs_idx.size == 0:
+            return _EMPTY_I64, _EMPTY_F64
+        vals = np.array(
+            [hub_vals.get(int(v), 0.0) for v in self.hub_vids], dtype=np.float64
+        )
+        v = vals[self.hs_idx]
+        return self.hs_uniq, np.add.reduceat(v, self.hs_runstarts)
+
+    def hub_collect_sum(self, vertex_vals: np.ndarray) -> dict:
+        """Per-hub Σ over this partition's shard destinations (HITS hub
+        feedback; merged globally with the 'add:' summing convention)."""
+        if self.hs_idx is None or self.hs_idx.size == 0:
+            return {}
+        dv = vertex_vals[self.hs_dl[self._hs_by_hub]]
+        sums = np.add.reduceat(dv, self._hs_hub_starts)
+        return {int(self.hub_vids[hi]): float(s) for hi, s in zip(self._hs_hub_uniq, sums)}
+
+    def hub_edges_table(self) -> pa.Table:
+        """This partition's hub-shard edges as (src=hub vid, dst vid[,
+        weight]) — the save_graph payload for the hub shard."""
+        if self.hs_idx is None or self.hs_idx.size == 0:
+            cols = {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            if self.hs_w is not None:
+                cols["weight"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        src = self.hub_vids[self.hs_idx]
+        dst = self.hs_dl.astype(np.int64) * self.P + self.part
+        cols = {"src": pa.array(src.astype(np.int64)), "dst": pa.array(dst)}
+        if self.hs_w is not None:
+            cols["weight"] = pa.array(self.hs_w)
+        return pa.table(cols)
 
     def hub_shard_label_triples(self, hub_labels: dict):
         """CDLP forward for split hubs: per-(shard dst, hub label) counts —
@@ -557,10 +618,14 @@ class FragmentActor:
     def p_init(self, name: str, algo: str, params: dict) -> dict:
         from graphscope_ray.graph.programs import PROGRAMS
 
-        if algo not in ("pagerank", "wcc", "cdlp") and self.hs_idx is not None:
+        if (
+            algo not in ("pagerank", "wcc", "cdlp", "sssp", "bfs", "hits")
+            and self.hs_idx is not None
+        ):
             raise NotImplementedError(
-                "hub splitting is currently wired for pagerank/wcc/cdlp; build "
-                "the graph without hub_threshold for other programs"
+                "hub splitting is wired for pagerank/wcc/cdlp/sssp/bfs/hits; "
+                "ucsr-based programs (kcore/kshell/triangles/louvain/voterank) "
+                "need the full local adjacency — build without hub_threshold"
             )
         prog = PROGRAMS[algo].cls(self, **params)
         self.programs[name] = prog

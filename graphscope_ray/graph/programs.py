@@ -294,7 +294,23 @@ class Sssp(VertexProgram):
         if f.N and self.source % f.P == f.part:
             self.dist[self.source // f.P] = 0.0
             self.frontier[self.source // f.P] = True
-        return {}
+        return self._hub_stats()
+
+    def _hub_stats(self) -> dict:
+        f = self.frag
+        if f.hub_vids is None:
+            return {}
+        hl = f.owned_hub_locals()
+        return {
+            "hub_dists": {
+                int(li * f.P + f.part): float(self.dist[li])
+                for li in hl
+                if np.isfinite(self.dist[li])
+            }
+        }
+
+    def resume_stats(self) -> dict:
+        return self._hub_stats()
 
     def scatter(self, step, glob):
         return _wrap(
@@ -302,14 +318,24 @@ class Sssp(VertexProgram):
         )
 
     def gather(self, step, glob, msgs):
-        incoming = acc_min(self.frag.n_local, msgs)
+        f = self.frag
+        incoming = acc_min(f.n_local, msgs)
+        # split-hub forward: relax shard edges from the broadcast hub dists
+        if f.hs_idx is not None and glob.get("hub_dists"):
+            uniq, mins = f.hub_apply_relax(glob["hub_dists"])
+            if len(uniq):
+                incoming[uniq] = np.minimum(incoming[uniq], mins)
         new = np.minimum(self.dist, incoming)
         self.frontier = new < self.dist
         self.dist = new
-        return {"changed": int(self.frontier.sum())}
+        return {"changed": int(self.frontier.sum()), **self._hub_stats()}
 
     def state_columns(self):
         return {"dist": self.dist}
+
+    def load_state_columns(self, cols):
+        self.dist = np.asarray(cols["dist"], dtype=np.float64)
+        self.frontier = np.isfinite(self.dist)
 
 
 class Bfs(Sssp):
@@ -324,6 +350,11 @@ class Bfs(Sssp):
     def state_columns(self):
         depth = np.where(np.isinf(self.dist), -1, self.dist).astype(np.int64)
         return {"depth": depth}
+
+    def load_state_columns(self, cols):
+        depth = np.asarray(cols["depth"], dtype=np.float64)
+        self.dist = np.where(depth < 0, np.inf, depth)
+        self.frontier = np.isfinite(self.dist)
 
 
 # --------------------------------------------------------------------------
@@ -345,17 +376,41 @@ class Hits(VertexProgram):
         self.hub = np.full(n, 1.0 / N)
         self.raw_auth = np.zeros(n)
         self.raw_hub = np.zeros(n)
-        return {}
+        self._hub_patched = False
+        return self._hub_stats()
+
+    def _hub_stats(self) -> dict:
+        f = self.frag
+        if f.hub_vids is None:
+            return {}
+        hl = f.owned_hub_locals()
+        return {
+            "hub_hub_scores": {int(li * f.P + f.part): float(self.hub[li]) for li in hl}
+        }
+
+    def _patch_raw_hub(self, glob):
+        """Add the split-hub shard Σauth (collected by other fragments) into
+        the owned hubs' raw_hub — at most once per odd half-round."""
+        f = self.frag
+        if f.hub_vids is None or self._hub_patched or "add:hub_auth" not in glob:
+            return
+        ha = glob["add:hub_auth"]
+        for li in f.owned_hub_locals():
+            vid = int(li * f.P + f.part)
+            if vid in ha:
+                self.raw_hub[li] += ha[vid]
+        self._hub_patched = True
 
     def prestep(self, step, glob):
         if step % 2 == 0:
             if step == 0:
                 return {}
+            self._patch_raw_hub(glob)
             s = glob.get("hub_sum", 0.0) or 1.0
             new = self.raw_hub / s
             resid = float(np.abs(new - self.hub).sum())
             self.hub = new
-            return {"resid_hub": resid}
+            return {"resid_hub": resid, **self._hub_stats()}
         s = glob.get("auth_sum", 0.0) or 1.0
         new = self.raw_auth / s
         resid = float(np.abs(new - self.auth).sum())
@@ -368,13 +423,27 @@ class Hits(VertexProgram):
         return _wrap(self.frag.inc.push_reduce(self.auth, "sum"))
 
     def gather(self, step, glob, msgs):
+        f = self.frag
         if step % 2 == 0:
-            self.raw_auth = acc_sum(self.frag.n_local, msgs)
+            self.raw_auth = acc_sum(f.n_local, msgs)
+            # split-hub forward: the hubs' hub-scores land on shard dsts here
+            if f.hs_idx is not None and glob.get("hub_hub_scores"):
+                uniq, vals = f.hub_apply_raw(glob["hub_hub_scores"])
+                if len(uniq):
+                    self.raw_auth[uniq] += vals
             return {"auth_sum": float(self.raw_auth.sum())}
-        self.raw_hub = acc_sum(self.frag.n_local, msgs)
-        return {"hub_sum": float(self.raw_hub.sum())}
+        self.raw_hub = acc_sum(f.n_local, msgs)
+        self._hub_patched = False
+        stats = {"hub_sum": float(self.raw_hub.sum())}
+        # split-hub feedback: Σ auth over this partition's shard dsts, per hub
+        if f.hs_idx is not None and f.hs_idx.size:
+            ha = f.hub_collect_sum(self.auth)
+            stats["add:hub_auth"] = ha
+            stats["hub_sum"] += float(sum(ha.values()))
+        return stats
 
     def finalize(self, glob):
+        self._patch_raw_hub(glob)
         s = glob.get("hub_sum", 0.0) or 1.0
         self.hub = self.raw_hub / s
 

@@ -546,6 +546,25 @@ def op_union_distinct(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def op_csv_scan(sf_dir: str) -> pd.DataFrame:
+    """CSV source parity (loader.py CSVOptions): export the region dimension
+    to a '|'-delimited CSV once, read it back through the CSV source with
+    column projection, return the projected rows."""
+    import os
+
+    from graphscope_ray.sources.csv import read_csv_source
+
+    path = f"/tmp/graft_csv/{os.path.basename(sf_dir)}_region.csv"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        df = read(sf_dir, "region").to_pandas()
+        tmp = path + ".tmp"
+        df.to_csv(tmp, sep="|", index=False)
+        os.replace(tmp, path)
+    ds = read_csv_source(path, delimiter="|", columns=["r_regionkey", "r_name"])
+    return ds.to_pandas().sort_values("r_regionkey").reset_index(drop=True)
+
+
 def op_consolidate_columns(sf_dir: str) -> ray.data.Dataset:
     """CONSOLIDATE_COLUMNS parity: merge two numeric columns into one list col
     (exported stringified for oracle comparability)."""

@@ -24,6 +24,10 @@ def _read_edges(path: str):
 
     if path.endswith(".parquet") or path.endswith("/"):
         return ray.data.read_parquet(path)
+    if path.endswith(".csv"):
+        from graphscope_ray.sources.csv import read_csv_source
+
+        return read_csv_source(path)
     # reference .e format: "src dst [weight]" lines
     src, dst, w = [], [], []
     with open(path) as fh:

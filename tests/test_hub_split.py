@@ -114,6 +114,66 @@ def test_hub_split_wcc_disconnected():
     assert got == oracles.wcc(edges, n)
 
 
+def test_hub_split_sssp_bfs_hits_match():
+    edges, n = _skewed_graph()
+    kw = dict(num_partitions=4, num_vertices=n, store_in_edges=True)
+    g_plain = build_graph(_tbl(edges), **kw)
+    g_hub = build_graph(_tbl(edges), hub_threshold=50, **kw)
+    for algo, kwargs, col in [
+        ("sssp", dict(source=0), "dist"),
+        ("bfs", dict(source=0), "depth"),
+        ("sssp", dict(source=7), "dist"),
+        ("hits", dict(tol=0.0, max_rounds=6), "auth"),
+    ]:
+        a = getattr(alg, algo)(g_plain, **kwargs)[0].to_pandas().sort_values("vid")
+        b = getattr(alg, algo)(g_hub, **kwargs)[0].to_pandas().sort_values("vid")
+        if col == "auth":
+            assert np.allclose(a["auth"], b["auth"], atol=1e-12), algo
+            assert np.allclose(a["hub"], b["hub"], atol=1e-12), algo
+        else:
+            assert np.array_equal(a[col].to_numpy(), b[col].to_numpy()), (algo, kwargs)
+
+
+def test_hub_split_weighted_sssp_matches():
+    edges, n = _skewed_graph()
+    rng = np.random.RandomState(9)
+    w = rng.uniform(0.5, 3.0, len(edges))
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.int64()),
+            "dst": pa.array([e[1] for e in edges], pa.int64()),
+            "weight": pa.array(w),
+        }
+    )
+    kw = dict(num_partitions=4, num_vertices=n, store_in_edges=True, weight=True)
+    g_plain = build_graph(t, **kw)
+    g_hub = build_graph(t, hub_threshold=50, **kw)
+    a = alg.sssp(g_plain, source=0)[0].to_pandas().sort_values("vid")["dist"].to_numpy()
+    b = alg.sssp(g_hub, source=0)[0].to_pandas().sort_values("vid")["dist"].to_numpy()
+    assert np.allclose(a, b, atol=1e-12, equal_nan=True)
+
+
+def test_hub_split_save_load_roundtrip(tmp_path):
+    from graphscope_ray.graph.build import load_graph, save_graph
+
+    edges, n = _skewed_graph()
+    kw = dict(num_partitions=4, num_vertices=n, store_in_edges=True)
+    g_hub = build_graph(_tbl(edges), hub_threshold=50, **kw)
+    want_pr = (
+        alg.pagerank(g_hub, tol=1e-12)[0].to_pandas().sort_values("vid")["score"].to_numpy()
+    )
+    path = str(tmp_path / "hubg")
+    save_graph(g_hub, path)
+    g2 = load_graph(path)
+    got_pr = (
+        alg.pagerank(g2, tol=1e-12)[0].to_pandas().sort_values("vid")["score"].to_numpy()
+    )
+    assert np.allclose(got_pr, want_pr, atol=1e-12)
+    got_sssp = alg.sssp(g2, source=0)[0].to_pandas().sort_values("vid")["dist"].to_numpy()
+    want_sssp = alg.sssp(g_hub, source=0)[0].to_pandas().sort_values("vid")["dist"].to_numpy()
+    assert np.array_equal(got_sssp, want_sssp)
+
+
 def test_hub_split_cdlp_matches():
     edges, n = _skewed_graph()
     g_plain = build_graph(
