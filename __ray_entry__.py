@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "op_union_distinct": td.op_union_distinct,
         "op_consolidate": td.op_consolidate_columns,
         "op_csv_scan": td.op_csv_scan,
+        "lpa_u2i": td.lpa_u2i_suppliers,
         # events (stream-shaped)
         "events_window": _q_events_window,
         "events_sessionize": _q_sessionize,
@@ -318,6 +319,7 @@ def oracle_sql() -> dict[str, str]:
         "op_union_distinct": osql.op_union_distinct_sql(),
         "op_consolidate": osql.op_consolidate_sql(),
         "op_csv_scan": "SELECT r_regionkey, r_name FROM region",
+        "lpa_u2i": osql.lpa_u2i_sql(),
         "events_window": osql.events_window_sql(),
         "events_sessionize": osql.sessionize_sql(),
         "text_tokens": osql.text_tokens_sql(),

@@ -62,6 +62,38 @@ def hits(g: Graph, tol: float = 1e-8, max_rounds: int = 100, **run_kwargs):
     return g.program_state(res.name), res
 
 
+def lpa_u2i(
+    g: Graph,
+    user_labels: np.ndarray,
+    max_round: int = 20,
+    **run_kwargs,
+) -> tuple[ray.data.Dataset, RunResult]:
+    """Property-graph label propagation over a bipartite U→I graph
+    (apps/lpa/lpa_u2i.h, context lpa_u2i_context.h) — vids [0, n_users)
+    are Users, the rest Items; ``user_labels`` is the (n_users, prop_num)
+    initial label matrix (values exactly 0/1 are pinned seeds).
+
+    Returns the per-USER label columns after ``max_round`` reference rounds
+    (the reference's LPAU2IContext output writes label_0..label_{p-1} for
+    vertex label 0 only, lpa_u2i_context.h:62-66)."""
+    assert g.has_in, "lpa_u2i needs build_graph(store_in_edges=True)"
+    user_labels = np.asarray(user_labels, dtype=np.float64)
+    n_users = user_labels.shape[0]
+    full = np.zeros((g.N, user_labels.shape[1]))
+    full[:n_users] = user_labels
+    res = g.run_program(
+        "lpa_u2i",
+        labels_ref=ray.put(full),
+        n_users=n_users,
+        max_rounds=max_round,
+        **run_kwargs,
+    )
+    users = g.program_state(res.name).filter(
+        expr=f"vid < {n_users}"
+    )
+    return users, res
+
+
 def kcore(g: Graph, k: int, **run_kwargs):
     res = g.run_program("kcore", k=k, **run_kwargs)
     return g.program_state(res.name), res

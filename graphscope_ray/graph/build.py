@@ -622,7 +622,8 @@ def load_graph(path: str, store_in_edges: bool | None = None) -> Graph:
     in_splits = None
     if has_in:
         ds = ray.data.read_parquet(os.path.join(path, "edges"))
-        in_splits = _route(ds.select_columns(["src", "dst"]).materialize(), P, by="dst")
+        cols = ["src", "dst"] + (["weight"] if "weight" in ds.schema().names else [])
+        in_splits = _route(ds.select_columns(cols).materialize(), P, by="dst")
     hub_refs = None
     hub_vids = hub_deg = None
     if meta.get("has_hubs"):
@@ -658,16 +659,24 @@ def build_graph_from_oids(
     edges: ray.data.Dataset,
     src_col: str = "src_oid",
     dst_col: str = "dst_oid",
+    encode: str = "auto",
+    broadcast_limit: int = 20_000_000,
     **kwargs,
 ) -> Graph:
     """Encode arbitrary (string/int) vertex oids to dense vids, then build.
 
     vid = rank of oid in sorted order (order-preserving, so min-vid component
     labels correspond to min-oid — matching the reference's canonical
-    relabeling convention for WCC comparison).  The distinct-oid array is
-    broadcast via ray.put for the searchsorted mapping — the small side
-    (repos, not files); swap for a hash join if the vertex set outgrows the
-    object store.
+    relabeling convention for WCC comparison).
+
+    encode: ``"broadcast"`` collects the distinct-oid array to the driver and
+    broadcasts it via ``ray.put`` for a searchsorted lookup inside
+    ``map_batches`` — right for small vertex sets (repos, not files).
+    ``"join"`` never materializes the vertex set anywhere: the oid→vid
+    mapping is built distributed (``zip_with_index`` over the sorted
+    distinct oids — same rank-order vids) and attached to the edges with two
+    ``hash_join`` exchanges — the >100M-vertex scale path.  ``"auto"``
+    counts the distinct oids and picks (≤ ``broadcast_limit`` → broadcast).
     """
     edges = edges.materialize()  # consumed 3× (src ids, dst ids, encode)
     ids = edges.select_columns([src_col]).rename_columns({src_col: "oid"}).union(
@@ -678,8 +687,12 @@ def build_graph_from_oids(
         lambda t: pa.table({"oid": pa.array(np.unique(t["oid"].to_numpy(zero_copy_only=False)))}),
         batch_format="pyarrow",
     )
-    distinct = ids.groupby("oid").count().select_columns(["oid"]).sort("oid")
-    oid_arr = distinct.to_pandas()["oid"].to_numpy()
+    distinct = ids.groupby("oid").count().select_columns(["oid"]).materialize()
+    if encode == "auto":
+        encode = "broadcast" if distinct.count() <= broadcast_limit else "join"
+    if encode == "join":
+        return _build_from_oids_join(edges, distinct, src_col, dst_col, **kwargs)
+    oid_arr = distinct.sort("oid").to_pandas()["oid"].to_numpy()
     oid_ref = ray.put(oid_arr)
 
     def _encode(t: pa.Table) -> pa.Table:
@@ -697,4 +710,38 @@ def build_graph_from_oids(
     g.vertices_ds = ray.data.from_arrow(
         pa.table({"oid": pa.array(oid_arr), "vid": pa.array(np.arange(len(oid_arr), dtype=np.int64))})
     )
+    return g
+
+
+def _build_from_oids_join(
+    edges: ray.data.Dataset,
+    distinct: ray.data.Dataset,
+    src_col: str,
+    dst_col: str,
+    **kwargs,
+) -> Graph:
+    """Distributed oid→vid encode: no vertex array ever touches the driver
+    or a single broadcast object.  The mapping is range-ranked by
+    ``zip_with_index`` (vid = sorted rank, identical to the broadcast path)
+    and shipped to the edges with two hash-partitioned join exchanges."""
+    from graphscope_ray.utils import hash_join, zip_with_index
+
+    mapping = zip_with_index(distinct, "oid", "vid").materialize()
+    n_vertices = mapping.count()
+    K = max(8, edges.num_blocks() // 4)
+
+    def _fix(name_from, name_to, drop):
+        def _f(t: pa.Table) -> pa.Table:
+            t = t.drop_columns([c for c in drop if c in t.column_names])
+            names = [name_to if c == name_from else c for c in t.column_names]
+            return t.rename_columns(names)
+
+        return _f
+
+    e1 = hash_join(edges, mapping, src_col, "oid", num_partitions=K)
+    e1 = e1.map_batches(_fix("vid", "src", [src_col, "oid"]), batch_format="pyarrow")
+    e2 = hash_join(e1, mapping, dst_col, "oid", num_partitions=K)
+    e2 = e2.map_batches(_fix("vid", "dst", [dst_col, "oid"]), batch_format="pyarrow")
+    g = build_graph(e2, num_vertices=n_vertices, **kwargs)
+    g.vertices_ds = mapping
     return g

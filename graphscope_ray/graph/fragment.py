@@ -119,6 +119,26 @@ class Csr:
             out.append((self.tgt_uniq[q], red_fn.reduceat(v, self.tgt_runstarts[q])))
         return out
 
+    def push_weighted_sum(
+        self, vertex_vals: np.ndarray
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Σ vertex_vals[src] · w per destination, per target part — the
+        weighted-diffusion kernel (lpa_u2i label pulls).  vertex_vals may be
+        2-D (n_local, k): each message part is then a (distinct_dst, k)
+        block, reduced along axis 0."""
+        out = []
+        for q in range(self.P):
+            src = self.tgt_src[q]
+            if src.size == 0:
+                out.append((_EMPTY_I64, _EMPTY_F64))
+                continue
+            v = vertex_vals[src]
+            if self.tgt_w is not None:
+                w = self.tgt_w[q]
+                v = v * (w[:, None] if v.ndim == 2 else w)
+            out.append((self.tgt_uniq[q], np.add.reduceat(v, self.tgt_runstarts[q], axis=0)))
+        return out
+
     def push_reduce_masked(
         self, vertex_vals: np.ndarray, vmask: np.ndarray, op: str, add_weight: bool = False
     ) -> list[tuple[np.ndarray, np.ndarray]]:

@@ -850,6 +850,91 @@ class Brandes(VertexProgram):
         return {"betweenness": self.bc}
 
 
+class LpaU2I(VertexProgram):
+    """Property-graph (multi-label) label propagation U2I
+    (apps/lpa/lpa_u2i.h:44-246, context apps/lpa/lpa_u2i_context.h:38-93):
+    a bipartite graph of Users (vertex label 0) and Items (vertex label 1)
+    with one weighted U→I edge label; ``prop_num`` real-valued label columns
+    diffuse in alternating stages.  Users whose current label value is
+    exactly 0 or 1 are pinned (semi-supervised seeds, checked per prop per
+    round against the CURRENT value, lpa_u2i.h:219-221).
+
+    Encoding here: vids [0, n_users) are Users, [n_users, N) are Items —
+    our single-label fragments carry the role as a vid-range predicate, the
+    smallest property-graph slice the dense-vid layout supports.  Stage map
+    (reference IncEval steps 1..max_round → our supersteps 0..max_round-1):
+
+      step 0      items push their in-degree along the in-CSR → per-user
+                  out_nbr_in_degree_sum (PEval + IncEval step 1)
+      odd steps   u2i: items REPLACE their label with Σ_{u→i} label[u]·w
+      even steps  i2u: users pull t = Σ_{u→i} label[i]·w and update
+                  (t − outdeg·lab) / (Σ_nbr_indeg − outdeg) unless pinned
+                  or the denominator is 0 (lpa_u2i.h:216-233)
+    """
+
+    def __init__(self, frag, labels_ref, n_users: int):
+        super().__init__(frag)
+        self.labels_ref = labels_ref
+        self.n_users = int(n_users)
+
+    def init(self) -> dict:
+        import ray
+
+        f = self.frag
+        full = np.asarray(
+            ray.get(self.labels_ref) if not isinstance(self.labels_ref, np.ndarray)
+            else self.labels_ref,
+            dtype=np.float64,
+        )
+        vids = np.arange(f.n_local, dtype=np.int64) * f.P + f.part
+        self.is_user = vids < self.n_users
+        self.lab = np.ascontiguousarray(full[vids]) if f.n_local else full[:0]
+        self.out_deg = f.out.deg.astype(np.float64)  # users' U→I edge count
+        self.in_deg = f.inc.deg.astype(np.float64)  # items' in-edge count
+        self.s_sum = np.zeros(f.n_local)  # Σ in_deg over out-neighbors
+        return {}
+
+    def scatter(self, step, glob):
+        f = self.frag
+        if step == 0:
+            # items report their in-degree to each in-neighbor (user)
+            return _wrap(f.inc.push_reduce(self.in_deg, "sum"))
+        if step % 2 == 1:  # u2i: user labels flow along out-edges
+            vals = np.where(self.is_user[:, None], self.lab, 0.0)
+            return _wrap(f.out.push_weighted_sum(vals))
+        # i2u: item labels flow back along the same edges (in-CSR push → src)
+        vals = np.where(self.is_user[:, None], 0.0, self.lab)
+        return _wrap(f.inc.push_weighted_sum(vals))
+
+    def gather(self, step, glob, msgs):
+        f = self.frag
+        if step == 0:
+            self.s_sum = acc_sum(f.n_local, msgs)
+            return {}
+        prop = self.lab.shape[1]
+        acc = np.zeros((f.n_local, prop))
+        for part in (p for m in msgs for p in m):
+            uniq, vals = part
+            if len(uniq):
+                acc[uniq] += vals
+        if step % 2 == 1:  # items replace their label wholesale (u2i)
+            self.lab = np.where(self.is_user[:, None], self.lab, acc)
+            return {}
+        # i2u user update with per-prop 0/1 pinning
+        lab = self.lab
+        denom = self.s_sum - self.out_deg
+        safe = np.where(denom == 0.0, 1.0, denom)[:, None]
+        upd = (acc - self.out_deg[:, None] * lab) / safe
+        upd = np.where((denom == 0.0)[:, None], lab, upd)
+        pinned = (lab == 0.0) | (lab == 1.0)
+        new = np.where(pinned, lab, upd)
+        self.lab = np.where(self.is_user[:, None], new, lab)
+        return {}
+
+    def state_columns(self):
+        return {f"label_{i}": self.lab[:, i] for i in range(self.lab.shape[1])}
+
+
 def _never(glob, params, N, step):
     return False
 
@@ -877,6 +962,7 @@ PROGRAMS: dict[str, ProgramSpec] = {
     "msbfs": ProgramSpec(MsBfs, lambda glob, p, N, s: glob.get("changed", 1) == 0, 10_000),
     "kshell": ProgramSpec(KShell, _never, 10_000),
     "louvain_move": ProgramSpec(LouvainMove, _never, 10_000),
+    "lpa_u2i": ProgramSpec(LpaU2I, _never, 20),
     "katz": ProgramSpec(
         Katz,
         lambda glob, p, N, s: glob.get("resid", np.inf) < p.get("tol", 1e-9) * max(N, 1),

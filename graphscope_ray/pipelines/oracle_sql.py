@@ -551,3 +551,50 @@ SELECT query_id, vec_id, round(sim, 8) AS score
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM s)
 WHERE rn <= {k}
 """
+
+
+def lpa_u2i_sql(max_round: int = 8) -> str:
+    """Unrolled lpa_u2i (apps/lpa/lpa_u2i.h IncEval steps 2..max_round) over
+    the supplier→part bipartite graph: u2i at even reference steps (items
+    replace labels with Σ user_label·1), i2u at odd steps ≥3 with the
+    degree-normalized correction and 0/1 pinning on the CURRENT value."""
+    ctes = [
+        "be AS MATERIALIZED (SELECT l_suppkey AS u, l_partkey AS i FROM lineitem)",
+        "odeg AS MATERIALIZED (SELECT u, count(*) AS d FROM be GROUP BY u)",
+        "ideg AS MATERIALIZED (SELECT i, count(*) AS d FROM be GROUP BY i)",
+        "ssum AS MATERIALIZED (SELECT be.u, sum(ideg.d) AS s FROM be "
+        "JOIN ideg ON ideg.i=be.i GROUP BY be.u)",
+        "norm AS MATERIALIZED (SELECT min(s_acctbal) AS lo, max(s_acctbal) AS hi FROM supplier)",
+        "u0 AS MATERIALIZED (SELECT s_suppkey AS u, "
+        "(s_acctbal - (SELECT lo FROM norm)) / ((SELECT hi FROM norm) - (SELECT lo FROM norm)) AS l0, "
+        "((s_suppkey * 37) % 100 + CAST(0.5 AS DOUBLE)) / 101 AS l1 FROM supplier)",
+    ]
+    cur = "u0"
+    for step in range(2, max_round + 1):
+        if step % 2 == 0:  # u2i: items pull user labels
+            ctes.append(
+                f"i{step} AS MATERIALIZED (SELECT be.i, sum(u.l0) AS l0, sum(u.l1) AS l1 "
+                f"FROM be JOIN {cur} u ON u.u=be.u GROUP BY be.i)"
+            )
+        else:  # i2u: users pull item labels with the correction formula
+            ctes.append(
+                f"t{step} AS MATERIALIZED (SELECT be.u, sum(it.l0) AS t0, sum(it.l1) AS t1 "
+                f"FROM be JOIN i{step - 1} it ON it.i=be.i GROUP BY be.u)"
+            )
+            ctes.append(
+                f"u{step} AS MATERIALIZED (SELECT u.u, "
+                f"CASE WHEN u.l0 IN (0, 1) THEN u.l0 "
+                f"WHEN coalesce(s.s, 0) = coalesce(o.d, 0) THEN u.l0 "
+                f"ELSE (coalesce(t.t0, 0) - coalesce(o.d, 0) * u.l0) / (s.s - o.d) END AS l0, "
+                f"CASE WHEN u.l1 IN (0, 1) THEN u.l1 "
+                f"WHEN coalesce(s.s, 0) = coalesce(o.d, 0) THEN u.l1 "
+                f"ELSE (coalesce(t.t1, 0) - coalesce(o.d, 0) * u.l1) / (s.s - o.d) END AS l1 "
+                f"FROM {cur} u LEFT JOIN odeg o ON o.u=u.u "
+                f"LEFT JOIN ssum s ON s.u=u.u LEFT JOIN t{step} t ON t.u=u.u)"
+            )
+            cur = f"u{step}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT u AS s_suppkey, round(l0, 8) AS label_0, round(l1, 8) AS label_1 "
+        f"FROM {cur} ORDER BY s_suppkey"
+    )

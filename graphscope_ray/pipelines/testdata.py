@@ -21,7 +21,7 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 from graphscope_ray.graph import algorithms as alg
-from graphscope_ray.graph.build import Graph, build_graph_from_oids
+from graphscope_ray.graph.build import Graph, build_graph, build_graph_from_oids
 
 LG_MOD = 1000
 
@@ -544,6 +544,44 @@ def op_union_distinct(sf_dir: str) -> pd.DataFrame:
         .sort_values("nationkey")
         .reset_index(drop=True)
     )
+
+
+def lpa_u2i_suppliers(sf_dir: str, max_round: int = 8) -> pd.DataFrame:
+    """Property-graph lpa_u2i (apps/lpa/lpa_u2i.h) over the supplier→part
+    bipartite graph (one edge per lineitem row, multiplicity kept): users =
+    suppliers with label_0 = min-max-normalized acctbal (exact 0/1 at the
+    extremes become pinned seeds, as the reference's semi-supervised design
+    intends) and label_1 = a deterministic fraction; items = parts."""
+    sup = read(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"]).to_pandas()
+    sup = sup.sort_values("s_suppkey").reset_index(drop=True)
+    n_users = int(sup["s_suppkey"].max()) + 1  # keys are 0-based in testdata
+    li = read(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+    n_items = int(read(sf_dir, "part", columns=["p_partkey"]).max("p_partkey")) + 1
+
+    def _edges(t: pa.Table) -> pa.Table:
+        u = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(u), "dst": pa.array(i + n_users)})
+
+    g = build_graph(
+        li.map_batches(_edges, batch_format="pyarrow"),
+        num_partitions=4,
+        num_vertices=n_users + n_items,
+        store_in_edges=True,
+    )
+    lo, hi = sup["s_acctbal"].min(), sup["s_acctbal"].max()
+    lab = np.zeros((n_users, 2))
+    keys = sup["s_suppkey"].to_numpy()
+    lab[keys, 0] = (sup["s_acctbal"].to_numpy() - lo) / (hi - lo)
+    lab[keys, 1] = ((keys * 37) % 100 + 0.5) / 101.0
+    ds, _ = alg.lpa_u2i(g, lab, max_round=max_round)
+    df = ds.to_pandas()
+    df["s_suppkey"] = df["vid"]
+    df = df[df["s_suppkey"].isin(sup["s_suppkey"])]
+    out = df[["s_suppkey", "label_0", "label_1"]].sort_values("s_suppkey")
+    out["label_0"] = out["label_0"].round(8)
+    out["label_1"] = out["label_1"].round(8)
+    return out.reset_index(drop=True)
 
 
 def op_csv_scan(sf_dir: str) -> pd.DataFrame:

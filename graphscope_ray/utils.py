@@ -115,3 +115,60 @@ def zip_with_index(ds: "ray.data.Dataset", key: str, index_col: str = "vid") -> 
 
     new_refs = [_add_index.remote(r, int(o)) for r, o in zip(refs, offsets)]
     return ray.data.from_arrow_refs(new_refs)
+
+
+def hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_on: str,
+    right_on: str,
+    num_partitions: int = 32,
+    how: str = "inner",
+) -> "ray.data.Dataset":
+    """Distributed hash join via the same explicit exchange as
+    ``hash_groupby_sum``: each block of both sides is split by
+    ``hash(key) % K`` (one task per block, K return slots), then one merge
+    task per partition does a pandas join of its left and right slices.
+
+    Scale path for joins whose build side exceeds driver/object-store
+    broadcast limits (e.g. vertex-oid encoding at >100M vertices); for
+    small build sides prefer ``ray.put`` broadcast + ``map_batches`` lookup.
+    """
+    import pandas as pd
+
+    K = num_partitions
+
+    def _splitter(key):
+        @ray.remote
+        def _split(t: pa.Table):
+            df = t.to_pandas()
+            h = pd.util.hash_pandas_object(df[key], index=False).to_numpy()
+            part = (h % np.uint64(K)).astype(np.int64)
+            parts = tuple(df[part == p] for p in range(K))
+            return parts if K > 1 else parts[0]
+
+        return _split
+
+    lrefs = left.materialize().to_arrow_refs()
+    rrefs = right.materialize().to_arrow_refs()
+    lsplit, rsplit = _splitter(left_on), _splitter(right_on)
+
+    def _slots(split, refs):
+        if K == 1:
+            return [[split.remote(b) for b in refs]]
+        out = [split.options(num_returns=K).remote(b) for b in refs]
+        return [[o[k] for o in out] for k in range(K)]  # [partition][block]
+
+    lparts = _slots(lsplit, lrefs)
+    rparts = _slots(rsplit, rrefs)
+
+    @ray.remote
+    def _merge(nleft: int, *dfs) -> pa.Table:
+        ldf = pd.concat(dfs[:nleft], ignore_index=True)
+        rdf = pd.concat(dfs[nleft:], ignore_index=True)
+        out = ldf.merge(rdf, left_on=left_on, right_on=right_on, how=how)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    return ray.data.from_arrow_refs(
+        [_merge.remote(len(lparts[k]), *lparts[k], *rparts[k]) for k in range(K)]
+    )
