@@ -253,6 +253,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "op_consolidate": td.op_consolidate_columns,
         "op_csv_scan": td.op_csv_scan,
         "lpa_u2i": td.lpa_u2i_suppliers,
+        "lg_succs": td.lg_succs,
+        "lg_preds": td.lg_preds,
         # events (stream-shaped)
         "events_window": _q_events_window,
         "events_sessionize": _q_sessionize,
@@ -320,6 +322,8 @@ def oracle_sql() -> dict[str, str]:
         "op_consolidate": osql.op_consolidate_sql(),
         "op_csv_scan": "SELECT r_regionkey, r_name FROM region",
         "lpa_u2i": osql.lpa_u2i_sql(),
+        "lg_succs": osql.lg_succs_sql(),
+        "lg_preds": osql.lg_preds_sql(),
         "events_window": osql.events_window_sql(),
         "events_sessionize": osql.sessionize_sql(),
         "text_tokens": osql.text_tokens_sql(),

@@ -108,6 +108,64 @@ class Graph:
     def program_state(self, name: str) -> ray.data.Dataset:
         return ray.data.from_arrow_refs([a.p_state.remote(name) for a in self.actors])
 
+    # ---- REPORT_GRAPH point queries (core/fragment/fragment_reporter.h:
+    # 96-200; grape_instance.cc reportGraph) — vid-addressed; graphs built
+    # from oids translate through vertices_ds driver-side if needed ---------
+
+    def has_node(self, vid: int) -> bool:
+        """HAS_NODE: dense-vid layout → existence is a range check."""
+        return 0 <= vid < self.N
+
+    def _owner(self, vid: int):
+        if not self.has_node(vid):
+            raise KeyError(f"vid {vid} not in graph (N={self.N})")
+        return self.actors[vid % self.P]
+
+    def successors(self, vid: int) -> np.ndarray:
+        """SUCCS_BY_NODE: one RPC to the owning fragment (plus the hub
+        shards when the vertex is a split hub)."""
+        succs = ray.get(self._owner(vid).point_succs.remote(vid))
+        if self._is_split_hub(vid):
+            shard = ray.get([a.point_hub_shard_succs.remote(vid) for a in self.actors])
+            succs = np.sort(np.concatenate([succs, *shard]))
+        return succs
+
+    def predecessors(self, vid: int) -> np.ndarray:
+        """PREDS_BY_NODE (needs store_in_edges=True)."""
+        assert self.has_in, "predecessors need build_graph(store_in_edges=True)"
+        return ray.get(self._owner(vid).point_preds.remote(vid))
+
+    def has_edge(self, u: int, v: int) -> bool:
+        if not (self.has_node(u) and self.has_node(v)):
+            return False
+        if ray.get(self.actors[u % self.P].point_has_edge.remote(u, v)):
+            return True
+        if self._is_split_hub(u):
+            return bool(
+                ray.get(self.actors[v % self.P].point_hub_shard_has_edge.remote(u, v))
+            )
+        return False
+
+    def edge_data(self, u: int, v: int) -> float | None:
+        """EDGE_DATA: the (u,v) weight, 1.0 when unweighted, None if absent."""
+        self._owner(u), self._owner(v)  # range checks
+        w = ray.get(self.actors[u % self.P].point_edge_data.remote(u, v))
+        if w is None and self._is_split_hub(u):
+            w = ray.get(self.actors[v % self.P].point_hub_shard_edge_data.remote(u, v))
+        return w
+
+    def num_selfloops(self) -> int:
+        """SELFLOOPS_NUM (fragment_reporter.h:87-95)."""
+        return sum(ray.get([a.selfloops_num.remote() for a in self.actors]))
+
+    def _is_split_hub(self, vid: int) -> bool:
+        if not getattr(self, "_hub_vid_cache", None):
+            hubs = ray.get(self.actors[0].hub_tables.remote())[0] if self.actors else None
+            self._hub_vid_cache = (
+                set(int(v) for v in hubs) if hubs is not None else set()
+            ) or {-1}
+        return vid in self._hub_vid_cache
+
     # ---- the PIE superstep loop -----------------------------------------
 
     def run_program(

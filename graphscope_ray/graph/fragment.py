@@ -499,6 +499,70 @@ class FragmentActor:
     def degrees(self) -> tuple[np.ndarray, np.ndarray | None]:
         return self.true_outdeg(), (self.inc.deg if self.inc is not None else None)
 
+    # ---- REPORT_GRAPH point queries (core/fragment/fragment_reporter.h:
+    # 96-200: HAS_NODE / HAS_EDGE / SUCCS_BY_NODE / PREDS_BY_NODE /
+    # EDGE_DATA / SELFLOOPS_NUM) — one RPC to the owning fragment ----------
+
+    def _adj_slice(self, csr: Csr, local: int) -> tuple[int, int]:
+        return int(csr.indptr[local]), int(csr.indptr[local + 1])
+
+    def point_succs(self, vid: int) -> np.ndarray:
+        lo, hi = self._adj_slice(self.out, vid // self.P)
+        return self.out.dst[lo:hi]
+
+    def point_preds(self, vid: int) -> np.ndarray:
+        assert self.inc is not None, "preds need store_in_edges=True"
+        lo, hi = self._adj_slice(self.inc, vid // self.P)
+        return self.inc.dst[lo:hi]  # reversed CSR: neighbor list = sources
+
+    def point_has_edge(self, u: int, v: int) -> bool:
+        lo, hi = self._adj_slice(self.out, u // self.P)
+        adj = self.out.dst[lo:hi]  # sorted within each vertex (Csr lexsort)
+        j = np.searchsorted(adj, v)
+        return bool(j < adj.size and adj[j] == v)
+
+    def point_edge_data(self, u: int, v: int) -> float | None:
+        """Edge weight of (u, v), None when absent (EDGE_DATA analogue —
+        weight is the only edge property the fragments store)."""
+        lo, hi = self._adj_slice(self.out, u // self.P)
+        adj = self.out.dst[lo:hi]
+        j = np.searchsorted(adj, v)
+        if j >= adj.size or adj[j] != v:
+            return None
+        return float(self.out.weight[lo + j]) if self.out.weight is not None else 1.0
+
+    def selfloops_num(self) -> int:
+        src = np.repeat(self.owned_vids(), self.out.deg)
+        return int((src == self.out.dst).sum())
+
+    def _hub_edge_mask(self, hub_vid: int) -> np.ndarray | None:
+        if self.hs_idx is None or self.hub_vids is None:
+            return None
+        hi = np.searchsorted(self.hub_vids, hub_vid)
+        if hi >= len(self.hub_vids) or self.hub_vids[hi] != hub_vid:
+            return None
+        return self.hs_idx == hi
+
+    def point_hub_shard_succs(self, hub_vid: int) -> np.ndarray:
+        """This partition's hub-shard destinations of a split hub."""
+        m = self._hub_edge_mask(hub_vid)
+        if m is None:
+            return _EMPTY_I64
+        return self.hs_dl[m].astype(np.int64) * self.P + self.part
+
+    def point_hub_shard_has_edge(self, u: int, v: int) -> bool:
+        m = self._hub_edge_mask(u)
+        return bool(m is not None and (self.hs_dl[m] == v // self.P).any())
+
+    def point_hub_shard_edge_data(self, u: int, v: int) -> float | None:
+        m = self._hub_edge_mask(u)
+        if m is None:
+            return None
+        hit = np.flatnonzero(m & (self.hs_dl == v // self.P))
+        if hit.size == 0:
+            return None
+        return float(self.hs_w[hit[0]]) if self.hs_w is not None else 1.0
+
     # ---- hub-split helpers ----------------------------------------------
 
     def true_outdeg(self) -> np.ndarray:

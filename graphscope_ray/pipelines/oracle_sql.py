@@ -598,3 +598,19 @@ def lpa_u2i_sql(max_round: int = 8) -> str:
         + f" SELECT u AS s_suppkey, round(l0, 8) AS label_0, round(l1, 8) AS label_1 "
         f"FROM {cur} ORDER BY s_suppkey"
     )
+
+
+def lg_succs_sql() -> str:
+    """REPORT_GRAPH SUCCS_BY_NODE of the min-oid vertex."""
+    return (
+        f"WITH {_BASE} SELECT dst AS succ FROM e "
+        "WHERE src = (SELECT min(oid) FROM v) ORDER BY succ"
+    )
+
+
+def lg_preds_sql() -> str:
+    """REPORT_GRAPH PREDS_BY_NODE of the min-oid vertex."""
+    return (
+        f"WITH {_BASE} SELECT src AS pred FROM e "
+        "WHERE dst = (SELECT min(oid) FROM v) ORDER BY pred"
+    )

@@ -615,3 +615,24 @@ def op_consolidate_columns(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"p_partkey": t["p_partkey"], "consolidated": pa.array(lst, pa.string())})
 
     return p.map_batches(_c, batch_format="pyarrow")
+
+
+def lg_succs(sf_dir: str) -> pd.DataFrame:
+    """REPORT_GRAPH SUCCS_BY_NODE (fragment_reporter.h:145-155): out-
+    neighbors of the min-oid vertex via a single point RPC to its owner."""
+    g = lg_graph(sf_dir)
+    vmap = g.vertices_ds.to_pandas()
+    vid = int(vmap.loc[vmap["oid"].idxmin(), "vid"])
+    succ_vids = g.successors(vid)
+    m = vmap.set_index("vid")["oid"]
+    return pd.DataFrame({"succ": np.sort(m.loc[succ_vids].to_numpy())})
+
+
+def lg_preds(sf_dir: str) -> pd.DataFrame:
+    """REPORT_GRAPH PREDS_BY_NODE: in-neighbors of the min-oid vertex."""
+    g = lg_graph(sf_dir)
+    vmap = g.vertices_ds.to_pandas()
+    vid = int(vmap.loc[vmap["oid"].idxmin(), "vid"])
+    pred_vids = g.predecessors(vid)
+    m = vmap.set_index("vid")["oid"]
+    return pd.DataFrame({"pred": np.sort(m.loc[pred_vids].to_numpy())})
