@@ -255,6 +255,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lpa_u2i": td.lpa_u2i_suppliers,
         "lg_succs": td.lg_succs,
         "lg_preds": td.lg_preds,
+        "lg_simple_paths": td.lg_simple_paths,
+        "lg_is_simple_path": td.lg_is_simple_path,
+        "lg_path_enum": td.lg_path_enum,
         # events (stream-shaped)
         "events_window": _q_events_window,
         "events_sessionize": _q_sessionize,
@@ -324,6 +327,9 @@ def oracle_sql() -> dict[str, str]:
         "lpa_u2i": osql.lpa_u2i_sql(),
         "lg_succs": osql.lg_succs_sql(),
         "lg_preds": osql.lg_preds_sql(),
+        "lg_simple_paths": osql.lg_simple_paths_sql(),
+        "lg_is_simple_path": osql.lg_is_simple_path_sql(),
+        "lg_path_enum": osql.lg_path_enum_sql(),
         "events_window": osql.events_window_sql(),
         "events_sessionize": osql.sessionize_sql(),
         "text_tokens": osql.text_tokens_sql(),

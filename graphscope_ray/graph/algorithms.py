@@ -400,6 +400,130 @@ def dfs(g: Graph, source: int = 0) -> ray.data.Dataset:
     )
 
 
+def all_simple_paths(
+    g: Graph,
+    source: int,
+    targets: list[int],
+    cutoff: int | None = None,
+) -> list[list[int]]:
+    """All simple paths from ``source`` to any of ``targets`` with at most
+    ``cutoff`` edges (apps/simple_path/all_simple_paths.h semantics == nx
+    all_simple_paths).  Distributed part mirrors the reference: a BFS wave
+    prunes to the ≤cutoff-reachable subgraph, whose edge map is collected to
+    the driver (the reference collects it to the source fragment,
+    all_simple_paths.h:145-153); enumeration is a sequential DFS there
+    (writeToCtx/generatePath, :174-240)."""
+    import ray as _ray
+
+    if cutoff is None:
+        cutoff = g.N - 1
+    tset = set(int(t) for t in targets)
+    ds, _ = bfs(g, source=source)
+    dep = ds.to_pandas()
+    keep = dep.loc[(dep["depth"] >= 0) & (dep["depth"] <= cutoff), "vid"].to_numpy()
+    keep_ref = _ray.put(np.sort(keep))
+
+    def _prune(t: pa.Table) -> pa.Table:
+        arr = _ray.get(keep_ref)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        j = np.searchsorted(arr, src)
+        ok = (j < arr.size) & (arr[np.minimum(j, arr.size - 1)] == src)
+        return t.select(["src", "dst"]).filter(pa.array(ok))
+
+    sub = (
+        ray.data.from_arrow_refs([a.edges_table.remote() for a in g.actors])
+        .map_batches(_prune, batch_format="pyarrow")
+        .to_pandas()
+    )
+    src, dst = sub["src"].to_numpy(), sub["dst"].to_numpy()
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    indptr = np.searchsorted(src, np.arange(g.N + 1))
+
+    paths: list[list[int]] = []
+    on_path = np.zeros(g.N, dtype=bool)
+    path = [int(source)]
+    on_path[source] = True
+
+    def _dfs(v: int):
+        depth = len(path) - 1  # edges so far
+        for w in dst[indptr[v] : indptr[v + 1]]:
+            w = int(w)
+            if on_path[w]:
+                continue
+            if w in tset:
+                paths.append(path + [w])
+            if depth + 1 < cutoff:
+                path.append(w)
+                on_path[w] = True
+                _dfs(w)
+                path.pop()
+                on_path[w] = False
+
+    import sys
+
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, cutoff + 100))
+    try:
+        if cutoff >= 1:
+            _dfs(int(source))
+    finally:
+        sys.setrecursionlimit(old)
+    return paths
+
+
+def is_simple_path(g: Graph, path: list[int]) -> bool:
+    """apps/simple_path/is_simple_path.h: the vid list is a simple path iff
+    all vertices exist and are distinct and every consecutive pair is an
+    edge — checked with REPORT_GRAPH point RPCs."""
+    if len(path) == 0:
+        return False
+    if len(set(path)) != len(path):
+        return False
+    if not all(g.has_node(int(v)) for v in path):
+        return False
+    return all(g.has_edge(int(u), int(v)) for u, v in zip(path, path[1:]))
+
+
+def path_enumeration(
+    g: Graph,
+    length: int,
+    start_filter: int | None = None,
+) -> ray.data.Dataset:
+    """k-hop path enumeration by iterative distributed joins — the
+    single-label analogue of apps/sampling_path/sampling_path.h (which
+    expands label-constrained paths hop by hop, shipping partial paths to
+    the frontier owner; here the partial-path table is hash-joined against
+    the edge table per hop, SURVEY §2 'iterative joins with path-state
+    lists').  Returns columns v0..v{length}; ``start_filter`` keeps only
+    paths with v0 < start_filter (bounds the result)."""
+    from graphscope_ray.utils import hash_join
+
+    edges = ray.data.from_arrow_refs([a.edges_table.remote() for a in g.actors])
+    edges = edges.map_batches(
+        lambda t: t.select(["src", "dst"]), batch_format="pyarrow"
+    ).materialize()
+    paths = edges.map_batches(
+        lambda t: t.rename_columns(["v0", "v1"]), batch_format="pyarrow"
+    )
+    if start_filter is not None:
+        paths = paths.filter(expr=f"v0 < {start_filter}")
+    paths = paths.materialize()
+    for hop in range(2, length + 1):
+        joined = hash_join(
+            paths,
+            edges.map_batches(
+                lambda t, h=hop: t.rename_columns(["__s", f"v{h}"]),
+                batch_format="pyarrow",
+            ),
+            f"v{hop - 1}",
+            "__s",
+            num_partitions=max(8, g.P),
+        )
+        paths = joined.drop_columns(["__s"]).materialize()
+    return paths
+
+
 def _louvain_numpy(src, dst, w, n, self_w=None, max_passes: int = 20):
     """Sequential weighted Louvain phase-1 on a symmetric edge list (the
     coarse levels after the distributed level-0 — orders of magnitude

@@ -614,3 +614,38 @@ def lg_preds_sql() -> str:
         f"WITH {_BASE} SELECT src AS pred FROM e "
         "WHERE dst = (SELECT min(oid) FROM v) ORDER BY pred"
     )
+
+
+def lg_simple_paths_sql(targets=(1, 2, 3), cutoff: int = 2) -> str:
+    """Simple paths of ≤2 edges from the min-oid vertex to targets, -1-padded
+    (matches all_simple_paths + reference padding).  Self-loops are absent
+    from e, so only t<>source needs an explicit guard on 2-edge paths."""
+    ts = ", ".join(str(t) for t in targets)
+    assert cutoff == 2, "SQL unrolled for cutoff=2"
+    return (
+        f"WITH {_BASE}, s AS MATERIALIZED (SELECT min(oid) AS s FROM v), "
+        f"p1 AS (SELECT src AS p0, dst AS p1, CAST(-1 AS BIGINT) AS p2 FROM e "
+        f"WHERE src = (SELECT s FROM s) AND dst IN ({ts})), "
+        f"p2 AS (SELECT a.src AS p0, a.dst AS p1, b.dst AS p2 FROM e a "
+        f"JOIN e b ON b.src = a.dst "
+        f"WHERE a.src = (SELECT s FROM s) AND b.dst IN ({ts}) AND b.dst <> a.src) "
+        f"SELECT * FROM p1 UNION ALL SELECT * FROM p2 ORDER BY p0, p1, p2"
+    )
+
+
+def lg_is_simple_path_sql() -> str:
+    return (
+        f"WITH {_BASE} SELECT "
+        "CAST(CASE WHEN EXISTS(SELECT 1 FROM e WHERE src=0 AND dst=1) "
+        "AND EXISTS(SELECT 1 FROM e WHERE src=1 AND dst=2) THEN 1 ELSE 0 END AS BIGINT) "
+        "AS path_012_ok, CAST(0 AS BIGINT) AS path_010_ok"
+    )
+
+
+def lg_path_enum_sql(length: int = 2, start_filter: int = 5) -> str:
+    assert length == 2, "SQL unrolled for length=2"
+    return (
+        f"WITH {_BASE} SELECT a.src AS v0, a.dst AS v1, b.dst AS v2 "
+        f"FROM e a JOIN e b ON b.src = a.dst WHERE a.src < {start_filter} "
+        f"ORDER BY v0, v1, v2"
+    )

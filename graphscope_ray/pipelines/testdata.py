@@ -636,3 +636,38 @@ def lg_preds(sf_dir: str) -> pd.DataFrame:
     pred_vids = g.predecessors(vid)
     m = vmap.set_index("vid")["oid"]
     return pd.DataFrame({"pred": np.sort(m.loc[pred_vids].to_numpy())})
+
+
+def lg_simple_paths(sf_dir: str, targets=(1, 2, 3), cutoff: int = 2) -> pd.DataFrame:
+    """All simple paths from the min-oid vertex to ``targets`` with ≤ cutoff
+    edges (apps/simple_path/all_simple_paths.h), padded to cutoff+1 columns
+    with -1 like the reference writeToCtx (:174-196).  lg oids are dense and
+    rank-encoded, so vid == oid."""
+    g = lg_graph(sf_dir)
+    vmap = g.vertices_ds.to_pandas()
+    source = int(vmap["oid"].min())
+    paths = alg.all_simple_paths(g, source, list(targets), cutoff=cutoff)
+    rows = [p + [-1] * (cutoff + 1 - len(p)) for p in paths]
+    cols = [f"p{i}" for i in range(cutoff + 1)]
+    return (
+        pd.DataFrame(rows, columns=cols, dtype=np.int64)
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+
+
+def lg_is_simple_path(sf_dir: str) -> pd.DataFrame:
+    """apps/simple_path/is_simple_path.h over two fixed candidate vid lists."""
+    g = lg_graph(sf_dir)
+    ok = int(alg.is_simple_path(g, [0, 1, 2]))
+    bad = int(alg.is_simple_path(g, [0, 1, 0]))
+    return pd.DataFrame({"path_012_ok": [ok], "path_010_ok": [bad]})
+
+
+def lg_path_enum(sf_dir: str, length: int = 2, start_filter: int = 5) -> pd.DataFrame:
+    """k-hop path enumeration by iterative hash joins
+    (apps/sampling_path/sampling_path.h analogue, single-label)."""
+    g = lg_graph(sf_dir)
+    ds = alg.path_enumeration(g, length=length, start_filter=start_filter)
+    cols = [f"v{i}" for i in range(length + 1)]
+    return ds.to_pandas()[cols].sort_values(cols).reset_index(drop=True)
