@@ -127,22 +127,32 @@ def _q_sim_topk(sf_dir):
     from graphscope_ray.functions.similarity import topk_cosine
 
     emb = _embeddings(sf_dir)
-    qdf = emb.to_pandas()
-    qdf = qdf[qdf.vec_id < 5].sort_values("vec_id")
+    # only the 5 query vectors come to the driver; the table streams
+    qdf = emb.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
     Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     out = topk_cosine(emb, Q, qdf["vec_id"].to_numpy(), k=10).to_pandas()
     out["score"] = out["score"].round(8)
     return out
 
 
-def _q_sim_ivf(sf_dir):
+def _q_sim_ivf(sf_dir, nprobe=4, n_clusters=16):
     from graphscope_ray.functions.similarity import ivf_topk
 
     emb = _embeddings(sf_dir)
-    qdf = emb.to_pandas()
-    qdf = qdf[qdf.vec_id < 5].sort_values("vec_id")
+    qdf = emb.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
     Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
-    return ivf_topk(emb, Q, qdf["vec_id"].to_numpy(), k=10)
+    return ivf_topk(
+        emb, Q, qdf["vec_id"].to_numpy(), k=10, n_clusters=n_clusters, nprobe=nprobe
+    )
+
+
+def _q_sim_ivf_exact(sf_dir):
+    """IVF with nprobe == n_clusters: every inverted list is probed, so the
+    result is EXACT top-k — oracle-checkable against the brute-force cosine
+    SQL (the correctness gate for the IVF machinery itself)."""
+    out = _q_sim_ivf(sf_dir, nprobe=16, n_clusters=16).to_pandas()
+    out["score"] = out["score"].round(8)
+    return out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
 
 
 def _q_events_window(sf_dir):
@@ -170,25 +180,32 @@ def _q_sessionize(sf_dir):
 
 
 def _q_multimodal(sf_dir):
-    """Multimodal plumbing: deterministic binary payloads derived from the
-    documents text → actor-pool feature extraction (decode stubbed)."""
+    """Multimodal pipeline: deterministic REAL PNG images derived from each
+    document's text bytes → actor-pool probe + pure-Python PNG decode +
+    mean-pool featurization (graphscope_ray/functions/imaging.py)."""
+    import numpy as np
     import pyarrow as pa
     import ray.data
 
+    from graphscope_ray.functions.imaging import encode_png
     from graphscope_ray.functions.multimodal import extract_media_features
 
     def _to_media(t: pa.Table) -> pa.Table:
+        imgs = []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            b = np.frombuffer(s.encode()[:192].ljust(192, b"\0"), dtype=np.uint8)
+            imgs.append(encode_png(b.reshape(8, 8, 3)))
         return pa.table(
-            {
-                "media_id": t["doc_id"],
-                "media": pa.array([s.encode() for s in t["text"].to_pylist()], pa.binary()),
-            }
+            {"media_id": t["doc_id"], "media": pa.array(imgs, pa.binary())}
         )
 
     docs = _documents(sf_dir).select_columns(["doc_id", "text"]).map_batches(
         _to_media, batch_format="pyarrow"
     )
-    return extract_media_features(docs).select_columns(["media_id", "n_bytes", "media_sha256"])
+    feats = extract_media_features(docs, strict=True)  # every payload decodes
+    return feats.select_columns(
+        ["media_id", "n_bytes", "media_sha256", "format", "width", "height"]
+    )
 
 
 def _q_repos_flagship(sf_dir):
@@ -275,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "sim_topk": _q_sim_topk,
         "sim_ivf_topk": _q_sim_ivf,
+        "sim_ivf_exact": _q_sim_ivf_exact,
         # multimodal plumbing
         "multimodal_features": _q_multimodal,
         # the north-star corpus pipeline (rows-only check)
@@ -337,6 +355,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": osql.text_quality_sql(),
         "dedup_exact": osql.dedup_exact_sql(),
         "sim_topk": osql.sim_topk_sql(),
+        "sim_ivf_exact": osql.sim_topk_sql(),
         # no SQL oracle (heuristic / sequential / hash-defined / stateful):
         # lg_pagerank_converged (data-dependent round count),
         # lg_betweenness_sampled (pytest python-oracle), lg_kshell (unrolled

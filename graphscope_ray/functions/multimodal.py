@@ -1,14 +1,14 @@
 """Multimodal (image/audio/video) column plumbing.
 
-Media are opaque ``binary`` columns with typed metadata.  The decode kernels
-themselves are STUBBED (no image/audio libraries in this environment): each
-stage is a real actor-pool ``map_batches`` stage with the production batch
-size / schema / actor signature, but the pixel-level work is either a
-deterministic fake (so the plumbing is testable end-to-end) or raises
-``NotImplementedError`` when ``strict=True``.
-
-Swap ``_decode_stub`` for PIL/ffmpeg in a real deployment — nothing else
-changes: the stage contract is binary in → fixed-shape float features out.
+Media are opaque ``binary`` columns with typed metadata.  The decode stage
+is REAL for PNG — a pure-Python zlib+unfilter decoder (functions/imaging.py)
+produces actual pixels, mean-pooled to fixed-length features — and
+header-real (format/width/height probing) for GIF/BMP/JPEG.  Only unknown
+byte blobs fall back to the deterministic hash stub (or raise under
+``strict=True``).  Audio/video stay stubbed: no codec exists here, but the
+stage contract (binary in → fixed-shape float features out, actor-pool
+``map_batches``, SMALL batch sizes for payload-dominated blocks) is the
+production shape — swap the kernel, nothing else changes.
 """
 
 from __future__ import annotations
@@ -19,6 +19,14 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
+
+from graphscope_ray.functions.imaging import (
+    UnsupportedImageError,
+    decode_png,
+    encode_png,
+    mean_pool_features,
+    probe_image,
+)
 
 
 def _decode_stub(payload: bytes, feat_dim: int) -> np.ndarray:
@@ -40,20 +48,38 @@ class MediaFeatureExtractor:
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError(
-                "media decode requires an image/audio library not present in this environment"
-            )
         payloads = batch["media"].to_pylist()
-        feats = [_decode_stub(p, self.feat_dim) for p in payloads]
+        feats, fmts, widths, heights = [], [], [], []
+        for p in payloads:
+            meta = probe_image(p)
+            fmts.append(meta["format"] if meta else None)
+            widths.append(meta.get("width") if meta else None)
+            heights.append(meta.get("height") if meta else None)
+            if meta and meta["format"] == "png":
+                try:
+                    img = decode_png(p)  # REAL pixels (pure-Python zlib+unfilter)
+                    feats.append(mean_pool_features(img, self.feat_dim))
+                    continue
+                except UnsupportedImageError:
+                    pass
+            if self.strict:
+                raise NotImplementedError(
+                    "only PNG decodes natively here; this payload needs a codec "
+                    f"library (format={fmts[-1]!r})"
+                )
+            feats.append(_decode_stub(p, self.feat_dim))
         shas = [hashlib.sha256(p).hexdigest() for p in payloads]
         return pa.table(
             {
                 "media_id": batch["media_id"],
                 "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
                 "media_sha256": pa.array(shas, pa.string()),
+                "format": pa.array(fmts, pa.string()),
+                "width": pa.array(widths, pa.int64()),
+                "height": pa.array(heights, pa.int64()),
                 "feature": pa.array(
-                    [f.tolist() for f in feats], pa.list_(pa.float32(), self.feat_dim)
+                    [np.asarray(f, np.float32).tolist() for f in feats],
+                    pa.list_(pa.float32(), self.feat_dim),
                 ),
             }
         )
@@ -76,10 +102,18 @@ def extract_media_features(
     )
 
 
-def fake_media_table(n: int = 32, seed: int = 0) -> pa.Table:
-    """Deterministic synthetic binary payloads for plumbing tests."""
+def fake_media_table(n: int = 32, seed: int = 0, kind: str = "blob") -> pa.Table:
+    """Deterministic synthetic binary payloads for plumbing tests.
+    kind="blob" → opaque random bytes (exercises the stub/strict path);
+    kind="png" → REAL deterministic PNG images (exercises the decoder)."""
     rng = np.random.RandomState(seed)
-    payloads = [rng.bytes(64 + int(rng.randint(256))) for _ in range(n)]
+    if kind == "png":
+        payloads = [
+            encode_png(rng.randint(0, 256, (8 + int(rng.randint(8)), 8, 3), dtype=np.uint8))
+            for _ in range(n)
+        ]
+    else:
+        payloads = [rng.bytes(64 + int(rng.randint(256))) for _ in range(n)]
     return pa.table(
         {
             "media_id": pa.array(np.arange(n, dtype=np.int64)),
