@@ -110,12 +110,30 @@ def _q_dedup_simhash(sf_dir):
     return simhash_candidates(simhash_signatures(_documents(sf_dir)))
 
 
-def _q_dedup_embedding(sf_dir):
+def _q_dedup_embedding(sf_dir, n_planted: int = 10):
+    """Embedding near-dup with planted exact duplicates (vec_id+10000, same
+    vector) — the synthetic embeddings are near-orthogonal, so the planted
+    pairs are what makes the 0.99-threshold oracle check non-vacuous."""
     import pandas as pd
+    import pyarrow as pa
 
     from graphscope_ray.functions.dedup import embedding_near_dups
 
-    df = embedding_near_dups(_embeddings(sf_dir), threshold=0.99).to_pandas()
+    emb = _embeddings(sf_dir)
+
+    def _plant(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        m = ids < n_planted
+        extra = t.filter(pa.array(m))
+        extra = extra.set_column(
+            extra.schema.get_field_index("vec_id"),
+            "vec_id",
+            pa.array(extra["vec_id"].to_numpy(zero_copy_only=False) + 10000),
+        )
+        return pa.concat_tables([t, extra])
+
+    planted = emb.map_batches(_plant, batch_format="pyarrow")
+    df = embedding_near_dups(planted, threshold=0.99).to_pandas()
     if df.empty:  # Ray loses the schema on empty datasets → re-type
         df = pd.DataFrame(
             {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)}
@@ -275,6 +293,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_simple_paths": td.lg_simple_paths,
         "lg_is_simple_path": td.lg_is_simple_path,
         "lg_path_enum": td.lg_path_enum,
+        "pg_wcc": td.pg_wcc,
+        "pg_sssp": td.pg_sssp,
         # events (stream-shaped)
         "events_window": _q_events_window,
         "events_sessionize": _q_sessionize,
@@ -348,6 +368,8 @@ def oracle_sql() -> dict[str, str]:
         "lg_simple_paths": osql.lg_simple_paths_sql(),
         "lg_is_simple_path": osql.lg_is_simple_path_sql(),
         "lg_path_enum": osql.lg_path_enum_sql(),
+        "pg_wcc": osql.pg_wcc_sql(),
+        "pg_sssp": osql.pg_sssp_sql(),
         "events_window": osql.events_window_sql(),
         "events_sessionize": osql.sessionize_sql(),
         "text_tokens": osql.text_tokens_sql(),

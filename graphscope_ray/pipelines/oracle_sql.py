@@ -415,14 +415,23 @@ FROM b
 """
 
 
-def dedup_embedding_sql(threshold: float = 0.99) -> str:
-    """Brute-force oracle for the LSH near-dup path: all (a<b) pairs at
-    cosine ≥ threshold (the LSH path has ≈3e-5 per-pair miss probability at
-    0.99 — effectively exhaustive)."""
+def dedup_embedding_sql(threshold: float = 0.99, n_planted: int = 10) -> str:
+    """Brute-force oracle for the LSH near-dup path over the embeddings
+    table with ``n_planted`` planted exact duplicates (vec_id + 10000, same
+    vector — cosine exactly 1, LSH recall exactly 1): the synthetic
+    embeddings are near-orthogonal (max pairwise cosine ≈0.51), so without
+    planting the 0.99-threshold check would pass vacuously at 0 rows."""
     return f"""
+WITH em AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) FROM embeddings
+  WHERE vec_id < {n_planted}
+)
 SELECT a.vec_id AS a, b.vec_id AS b
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= {threshold}
+FROM em a JOIN em b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
+ORDER BY a, b
 """
 
 
@@ -648,4 +657,68 @@ def lg_path_enum_sql(length: int = 2, start_filter: int = 5) -> str:
         f"WITH {_BASE} SELECT a.src AS v0, a.dst AS v1, b.dst AS v2 "
         f"FROM e a JOIN e b ON b.src = a.dst WHERE a.src < {start_filter} "
         f"ORDER BY v0, v1, v2"
+    )
+
+
+_PG_BASE = """
+nc AS MATERIALIZED (SELECT max(c_custkey) + 1 AS n FROM customer),
+nor AS MATERIALIZED (SELECT max(o_orderkey) + 1 AS n FROM orders),
+pe AS MATERIALIZED (
+  SELECT o_custkey AS src, o_orderkey + (SELECT n FROM nc) AS dst FROM orders
+  UNION
+  SELECT l_orderkey + (SELECT n FROM nc),
+         l_partkey + (SELECT n FROM nc) + (SELECT n FROM nor) FROM lineitem
+),
+pv AS MATERIALIZED (SELECT src AS gv FROM pe UNION SELECT dst FROM pe),
+pue AS MATERIALIZED (SELECT src, dst FROM pe UNION SELECT dst AS src, src AS dst FROM pe)
+"""
+
+_PG_SPLIT = """
+  CASE WHEN gv < (SELECT n FROM nc) THEN 'customer'
+       WHEN gv < (SELECT n FROM nc) + (SELECT n FROM nor) THEN 'order'
+       ELSE 'part' END AS v_label,
+  CASE WHEN gv < (SELECT n FROM nc) THEN gv
+       WHEN gv < (SELECT n FROM nc) + (SELECT n FROM nor) THEN gv - (SELECT n FROM nc)
+       ELSE gv - (SELECT n FROM nc) - (SELECT n FROM nor) END AS v_key
+"""
+
+
+def pg_wcc_sql(rounds: int = 32) -> str:
+    """Property-graph WCC over the customer→order→part union (ref
+    apps/property/wcc_property.h — per-label ranges of one fragment, min-gid
+    components) as UNROLLED min-label propagation: the recursive-closure
+    formulation materializes |V|·|labels| rows (explodes on the ~18k-vertex
+    union graph), whereas ``rounds`` ≥ diameter rounds of l' = min(l,
+    min_nbr l) converge exactly like the engine's frontier WCC.  32 rounds
+    is far past this graph's diameter; a too-small bound would fail the
+    hash check loudly, not silently."""
+    ctes = ["w0 AS MATERIALIZED (SELECT gv, gv AS c FROM pv)"]
+    for k in range(rounds):
+        ctes.append(
+            f"n{k} AS MATERIALIZED (SELECT pue.dst AS gv, min(w.c) AS mc "
+            f"FROM pue JOIN w{k} w ON w.gv = pue.src GROUP BY pue.dst)"
+        )
+        ctes.append(
+            f"w{k + 1} AS MATERIALIZED (SELECT w.gv, "
+            f"least(w.c, coalesce(n.mc, w.c)) AS c "
+            f"FROM w{k} w LEFT JOIN n{k} n ON n.gv = w.gv)"
+        )
+    return (
+        f"WITH {_PG_BASE}, " + ",\n".join(ctes)
+        + f" SELECT {_PG_SPLIT}, comp FROM "
+        f"(SELECT gv, c AS comp FROM w{rounds}) "
+        "ORDER BY v_label, v_key"
+    )
+
+
+def pg_sssp_sql(max_depth: int = 64) -> str:
+    """Property SSSP/BFS (ref apps/property/sssp_property.h, unit weights)
+    from customer 0 along directed union edges."""
+    return (
+        f"WITH RECURSIVE {_PG_BASE}, "
+        f"walk(wv, d) AS MATERIALIZED (SELECT CAST(0 AS BIGINT), 0 UNION "
+        f"SELECT pe.dst, w.d + 1 FROM walk w JOIN pe ON pe.src = w.wv WHERE w.d < {max_depth}) "
+        f"SELECT {_PG_SPLIT}, depth FROM "
+        "(SELECT wv AS gv, min(d) AS depth FROM walk GROUP BY wv) "
+        "ORDER BY v_label, v_key"
     )

@@ -671,3 +671,93 @@ def lg_path_enum(sf_dir: str, length: int = 2, start_filter: int = 5) -> pd.Data
     ds = alg.path_enumeration(g, length=length, start_filter=start_filter)
     cols = [f"v{i}" for i in range(length + 1)]
     return ds.to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# property-graph (multi-label) apps: one union graph over labeled vid ranges
+
+
+def _tripartite_graph(sf_dir: str, num_partitions: int = 4):
+    """Property graph with 3 vertex labels (customer, order, part) and 2 edge
+    labels (customer→order from orders, order→part from lineitem), encoded
+    as one dense vid space with per-label offsets — the same label-as-vid-
+    range encoding lpa_u2i uses.  Mirrors the reference's labeled fragments
+    (apps/property/wcc_property.h iterates per-label vertex ranges of ONE
+    fragment; the union semantics are identical)."""
+    key = (sf_dir, "tripartite", num_partitions)
+    if key in _GRAPH_CACHE:
+        return _GRAPH_CACHE[key]
+    n_c = int(read(sf_dir, "customer", columns=["c_custkey"]).max("c_custkey")) + 1
+    n_o = int(read(sf_dir, "orders", columns=["o_orderkey"]).max("o_orderkey")) + 1
+    n_p = int(read(sf_dir, "part", columns=["p_partkey"]).max("p_partkey")) + 1
+
+    co = read(sf_dir, "orders", columns=["o_custkey", "o_orderkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "src": pa.array(t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)),
+                "dst": pa.array(
+                    t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64) + n_c
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    op = read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "src": pa.array(
+                    t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64) + n_c
+                ),
+                "dst": pa.array(
+                    t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+                    + n_c
+                    + n_o
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    g = build_graph(
+        co.union(op),
+        num_partitions=num_partitions,
+        num_vertices=n_c + n_o + n_p,
+        store_in_edges=True,
+        dedup_edges=True,
+    )
+    _GRAPH_CACHE[key] = (g, n_c, n_o, n_p)
+    return _GRAPH_CACHE[key]
+
+
+def _pg_label_split(df: pd.DataFrame, n_c: int, n_o: int) -> pd.DataFrame:
+    lab = np.where(df["vid"] < n_c, "customer", np.where(df["vid"] < n_c + n_o, "order", "part"))
+    key = df["vid"] - np.where(df["vid"] < n_c, 0, np.where(df["vid"] < n_c + n_o, n_c, n_c + n_o))
+    out = df.copy()
+    out.insert(0, "v_label", lab)
+    out.insert(1, "v_key", key.astype(np.int64))
+    return out
+
+
+def pg_wcc(sf_dir: str) -> pd.DataFrame:
+    """WCC over the labeled union graph (apps/property/wcc_property.h — same
+    min-gid semantics per label range); comp = min global vid."""
+    g, n_c, n_o, n_p = _tripartite_graph(sf_dir)
+    ds, _ = alg.wcc(g)
+    df = ds.to_pandas()
+    # drop vids with no incident edges (padding keys absent from the tables
+    # never appear in SQL); they are their own singleton components
+    deg = g.degrees().to_pandas()
+    active = deg[(deg["out_deg"] > 0) | (deg["in_deg"] > 0)]["vid"]
+    df = df[df["vid"].isin(active)]
+    out = _pg_label_split(df, n_c, n_o)[["v_label", "v_key", "comp"]]
+    return out.sort_values(["v_label", "v_key"]).reset_index(drop=True)
+
+
+def pg_sssp(sf_dir: str) -> pd.DataFrame:
+    """Property SSSP (apps/property/sssp_property.h, unit weights) from
+    customer 0 over the union graph; reached vertices only."""
+    g, n_c, n_o, n_p = _tripartite_graph(sf_dir)
+    ds, _ = alg.bfs(g, source=0)
+    df = ds.to_pandas()
+    df = df[df["depth"] >= 0]
+    out = _pg_label_split(df, n_c, n_o)[["v_label", "v_key", "depth"]]
+    return out.sort_values(["v_label", "v_key"]).reset_index(drop=True)
