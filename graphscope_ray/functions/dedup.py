@@ -33,14 +33,45 @@ def with_text_sha(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Data
     )
 
 
-def exact_dedup(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"):
-    """Keep the min-id row per distinct content hash (deterministic winner)."""
+def exact_dedup(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 16,
+):
+    """Keep the min-id row per distinct content hash (deterministic winner)
+    via an explicit hash exchange: per-block local keep-min combiner (the
+    exchange ships at most one row per (block, sha)), split by
+    hash(sha) % K, per-partition keep-min reduce — replaces Ray's
+    sort-based ``groupby().map_groups`` whose fixed cost dominated this
+    stage (~2 s for 50k rows)."""
+    import ray
+
     hashed = with_text_sha(ds, text_col)
+    K = num_partitions
+    blocks = hashed.materialize().to_arrow_refs()
 
-    def _keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    @ray.remote
+    def _split(t: pa.Table):
+        df = t.to_pandas().sort_values(id_col).drop_duplicates("text_sha256", keep="first")
+        h = pd.util.hash_pandas_object(df["text_sha256"], index=False).to_numpy()
+        part = (h % np.uint64(K)).astype(np.int64)
+        parts = tuple(df[part == p] for p in range(K))
+        return parts if K > 1 else parts[0]
 
-    return hashed.groupby("text_sha256").map_groups(_keep_first, batch_format="pandas")
+    @ray.remote
+    def _reduce(*dfs) -> pa.Table:
+        df = pd.concat(dfs, ignore_index=True)
+        df = df.sort_values(id_col).drop_duplicates("text_sha256", keep="first")
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    if K == 1:
+        refs = [_split.remote(b) for b in blocks]
+        return ray.data.from_arrow_refs([_reduce.remote(*refs)])
+    split_refs = [_split.options(num_returns=K).remote(b) for b in blocks]
+    return ray.data.from_arrow_refs(
+        [_reduce.remote(*[s[k] for s in split_refs]) for k in range(K)]
+    )
 
 
 # ---------------------------------------------------------------------------

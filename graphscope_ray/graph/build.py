@@ -740,17 +740,24 @@ def build_graph_from_oids(
     ids = edges.select_columns([src_col]).rename_columns({src_col: "oid"}).union(
         edges.select_columns([dst_col]).rename_columns({dst_col: "oid"})
     )
-    # local combiner: per-batch unique before the global distinct shuffle
+    # local combiner: per-batch unique before any global work
     ids = ids.map_batches(
         lambda t: pa.table({"oid": pa.array(np.unique(t["oid"].to_numpy(zero_copy_only=False)))}),
         batch_format="pyarrow",
-    )
-    distinct = ids.groupby("oid").count().select_columns(["oid"]).materialize()
-    if encode == "auto":
-        encode = "broadcast" if distinct.count() <= broadcast_limit else "join"
-    if encode == "join":
-        return _build_from_oids_join(edges, distinct, src_col, dst_col, **kwargs)
-    oid_arr = distinct.sort("oid").to_pandas()["oid"].to_numpy()
+    ).materialize()
+    # Σ per-block uniques ≥ true distinct count: when even that upper bound
+    # fits the driver, skip the global distinct shuffle entirely and finish
+    # with one local np.unique — saves a whole Ray groupby (~seconds of
+    # fixed cost) on every small/medium build.
+    if encode in ("auto", "broadcast") and ids.count() <= broadcast_limit:
+        oid_arr = np.unique(ids.to_pandas()["oid"].to_numpy())
+    else:
+        distinct = ids.groupby("oid").count().select_columns(["oid"]).materialize()
+        if encode == "auto":
+            encode = "broadcast" if distinct.count() <= broadcast_limit else "join"
+        if encode == "join":
+            return _build_from_oids_join(edges, distinct, src_col, dst_col, **kwargs)
+        oid_arr = np.sort(distinct.to_pandas()["oid"].to_numpy())
     oid_ref = ray.put(oid_arr)
 
     def _encode(t: pa.Table) -> pa.Table:
