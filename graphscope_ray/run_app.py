@@ -58,6 +58,7 @@ def main(argv=None):
         choices=[
             "pagerank", "wcc", "cdlp", "triangles", "sssp", "bfs", "hits",
             "kcore", "eigenvector", "katz", "lcc", "degree",
+            "kshell", "louvain", "closeness", "apsp", "dfs", "voterank",
         ],
     )
     ap.add_argument("--out_prefix", required=True)
@@ -143,6 +144,49 @@ def main(argv=None):
     elif app == "lcc":
         ds = alg.lcc(g)
         col = "lcc"
+    elif app == "kshell":
+        ds = alg.kshell(g)
+        col = "shell"
+    elif app == "louvain":
+        ds, _q = alg.louvain(g)
+        col = "comm"
+    elif app == "closeness":
+        ds = alg.closeness_exact(g)
+        col = "closeness"
+    elif app == "apsp":
+        # golden export is (oid, value): emit per-source OUT-eccentricity
+        # (max finite distance) from the all-pairs (src, dst, dist) rows
+        import pyarrow as pa
+        import ray.data as rd
+
+        pairs = alg.apsp(g, sources=list(range(min(g.N, 4096)))).to_pandas()
+        ecc = pairs.groupby("src")["dist"].max().reset_index()
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "vid": pa.array(ecc["src"].to_numpy()),
+                    "ecc": pa.array(ecc["dist"].to_numpy().astype("float64")),
+                }
+            )
+        )
+        col = "ecc"
+    elif app == "dfs":
+        ds = alg.dfs(g, source=args.source)
+        col = "order"
+    elif app == "voterank":
+        elected = alg.voterank(g, num_elected=args.k)
+        import pyarrow as pa
+        import ray.data as rd
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "vid": pa.array([int(v) for v in elected], pa.int64()),
+                    "rank": pa.array(list(range(len(elected))), pa.int64()),
+                }
+            )
+        )
+        col = "rank"
     else:  # degree
         ds = alg.degree_centrality(g).select_columns(["vid", "degree"])
         col = "degree"
