@@ -343,6 +343,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_kcore": osql.lg_kcore_sql(k=5),
         "lg_voterank": osql.lg_voterank_sql(k=10),
         "lg_closeness_sampled": osql.lg_closeness_sampled_sql(),
+        "lg_betweenness_sampled": osql.lg_betweenness_sql(),
         "lg_closeness_harmonic": osql.lg_closeness_harmonic_sql(),
         "lg_apsp": osql.lg_apsp_sql(),
         "text_langid": osql.text_langid_sql(),
@@ -380,8 +381,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf_exact": osql.sim_topk_sql(),
         # no SQL oracle (heuristic / sequential / hash-defined / stateful):
         # lg_pagerank_converged (data-dependent round count),
-        # lg_betweenness_sampled (pytest python-oracle), lg_kshell (unrolled
-        # peeling would need ~max-core nested unrolls; pytest oracle),
+        # lg_kshell (unrolled peeling; pytest oracle),
         # lg_dfs (stack order is not SQL-expressible; pytest oracle),
         # text_fingerprint / dedup_minhash / dedup_simhash (hash-defined),
         # sim_ivf_topk (approximate), multimodal_features (binary stub),

@@ -722,3 +722,60 @@ def pg_sssp_sql(max_depth: int = 64) -> str:
         "(SELECT wv AS gv, min(d) AS depth FROM walk GROUP BY wv) "
         "ORDER BY v_label, v_key"
     )
+
+
+def lg_betweenness_sql(num_sources: int = 8, max_depth: int = 12) -> str:
+    """Unrolled Brandes betweenness (directed, unnormalized, endpoints
+    excluded) from the ``num_sources`` smallest oids: per source, BFS levels
+    (recursive, depth-capped), σ path counts forward per level, δ
+    dependencies backward per level (δ(v) = Σ_{v→w, lvl(w)=lvl(v)+1}
+    σ(v)/σ(w)·(1+δ(w))); bc(v) = Σ_s δ_s(v), v ≠ s.  Empty levels yield
+    empty CTEs and contribute nothing, so max_depth only needs to be ≥ the
+    true eccentricity of each source."""
+    ctes = []
+    contribs = []
+    for s in range(num_sources):
+        p = f"s{s}"
+        ctes.append(
+            f"lvl_{p}(v, d) AS MATERIALIZED (SELECT CAST({s} AS BIGINT), 0 "
+            f"UNION SELECT e.dst, l.d + 1 FROM lvl_{p} l JOIN e ON e.src = l.v "
+            f"WHERE l.d < {max_depth})"
+        )
+        ctes.append(
+            f"lv_{p} AS MATERIALIZED (SELECT v, min(d) AS d FROM lvl_{p} GROUP BY v)"
+        )
+        ctes.append(f"sg0_{p} AS MATERIALIZED (SELECT CAST({s} AS BIGINT) AS v, CAST(1 AS DOUBLE) AS sig)")
+        for k in range(max_depth):
+            ctes.append(
+                f"sg{k + 1}_{p} AS MATERIALIZED (SELECT e.dst AS v, sum(sg.sig) AS sig "
+                f"FROM e JOIN sg{k}_{p} sg ON sg.v = e.src "
+                f"JOIN lv_{p} l ON l.v = e.dst AND l.d = {k + 1} GROUP BY e.dst)"
+            )
+        ctes.append(
+            f"dl{max_depth}_{p} AS MATERIALIZED (SELECT v, CAST(0 AS DOUBLE) AS del "
+            f"FROM lv_{p} WHERE d = {max_depth})"
+        )
+        for k in range(max_depth - 1, -1, -1):
+            ctes.append(
+                f"dl{k}_{p} AS MATERIALIZED (SELECT sv.v, coalesce(sum("
+                f"(sv.sig / sw.sig) * (1 + dw.del)), 0) AS del "
+                f"FROM sg{k}_{p} sv "
+                f"LEFT JOIN e ON e.src = sv.v "
+                f"LEFT JOIN sg{k + 1}_{p} sw ON sw.v = e.dst "
+                f"LEFT JOIN dl{k + 1}_{p} dw ON dw.v = e.dst "
+                f"GROUP BY sv.v)"
+            )
+        contribs.extend(
+            f"SELECT v, del FROM dl{k}_{p} WHERE v <> {s}" for k in range(max_depth + 1)
+        )
+    union = " UNION ALL ".join(contribs)
+    return (
+        f"WITH RECURSIVE {_BASE}, " + ",\n".join(ctes)
+        + f", contrib AS MATERIALIZED ({union}) "
+        # DISTINCT guard: DuckDB 1.x drops the UNION dedup of non-recursive
+        # CTEs (v) when the statement is WITH RECURSIVE
+        "SELECT v.oid, round(coalesce(c.bc, 0), 8) AS betweenness "
+        "FROM (SELECT DISTINCT oid FROM v) v "
+        "LEFT JOIN (SELECT v, sum(del) AS bc FROM contrib GROUP BY v) c ON c.v = v.oid "
+        "ORDER BY v.oid"
+    )
