@@ -184,6 +184,17 @@ def _q_events_window(sf_dir):
     return df[["event_type", "window_start", "n_events", "sum_value"]]
 
 
+def _q_events_hopping(sf_dir):
+    import ray.data
+
+    from graphscope_ray.functions.windows import hopping_window
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    df = hopping_window(ev, window_s=3600, hop_s=900).to_pandas()
+    df["sum_value"] = df["sum_value"].round(8)
+    return df[["event_type", "window_start", "n_events", "sum_value"]]
+
+
 def _q_sessionize(sf_dir):
     import ray.data
 
@@ -295,8 +306,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_path_enum": td.lg_path_enum,
         "pg_wcc": td.pg_wcc,
         "pg_sssp": td.pg_sssp,
+        "lg_sssp_weighted": td.lg_sssp_weighted,
         # events (stream-shaped)
         "events_window": _q_events_window,
+        "events_hopping": _q_events_hopping,
         "events_sessionize": _q_sessionize,
         # text analysis
         "text_tokens": _q_text_tokens,
@@ -371,7 +384,9 @@ def oracle_sql() -> dict[str, str]:
         "lg_path_enum": osql.lg_path_enum_sql(),
         "pg_wcc": osql.pg_wcc_sql(),
         "pg_sssp": osql.pg_sssp_sql(),
+        "lg_sssp_weighted": osql.lg_sssp_weighted_sql(),
         "events_window": osql.events_window_sql(),
+        "events_hopping": osql.events_hopping_sql(),
         "events_sessionize": osql.sessionize_sql(),
         "text_tokens": osql.text_tokens_sql(),
         "text_stats": osql.text_stats_sql(),

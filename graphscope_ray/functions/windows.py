@@ -69,3 +69,42 @@ def sessionize(
         return out
 
     return ds.groupby(key_col).map_groups(_sessions, batch_format="pandas")
+
+
+def hopping_window(
+    ds: ray.data.Dataset,
+    window_s: int = 3600,
+    hop_s: int = 900,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> ray.data.Dataset:
+    """Hopping (sliding) windows: each event lands in every window of length
+    ``window_s`` that starts on a ``hop_s`` boundary and covers it — a
+    vectorized per-batch replicate (window_s // hop_s copies per row, done
+    with one np.repeat, no Python loop) followed by the same groupby
+    aggregate as the tumbling case.  window_s must be a multiple of hop_s."""
+    assert window_s % hop_s == 0, "window_s must be a multiple of hop_s"
+    k = window_s // hop_s
+
+    def _expand(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        base = (ts // (hop_s * 1_000_000)) * hop_s  # last hop boundary ≤ ts
+        n = len(base)
+        starts = np.repeat(base, k) - np.tile(np.arange(k, dtype=np.int64) * hop_s, n)
+        keep = starts >= 0
+        return pa.table(
+            {
+                "event_type": pa.array(np.repeat(t["event_type"].to_numpy(zero_copy_only=False), k)[keep]),
+                "window_start": pa.array(starts[keep]),
+                value_col: pa.array(np.repeat(t[value_col].to_numpy(zero_copy_only=False), k)[keep]),
+            }
+        )
+
+    return (
+        ds.map_batches(_expand, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum(value_col, alias_name="sum_value"),
+        )
+    )

@@ -779,3 +779,55 @@ def lg_betweenness_sql(num_sources: int = 8, max_depth: int = 12) -> str:
         "LEFT JOIN (SELECT v, sum(del) AS bc FROM contrib GROUP BY v) c ON c.v = v.oid "
         "ORDER BY v.oid"
     )
+
+
+def lg_sssp_weighted_sql(rounds: int = 24, source: int = 0) -> str:
+    """Weighted SSSP as UNROLLED Bellman-Ford rounds (d' = min(d, min over
+    in-edges d[src]+w)) over the multiplicity-weighted lg edges — a
+    recursive walk CTE would enumerate every (vertex, cum-distance) pair and
+    explode on this dense graph; bounded min-propagation converges exactly
+    like the engine's frontier relaxation.  INF is a sentinel (1e18),
+    filtered at the end; ``rounds`` ≥ the hop count of the longest shortest
+    path (diameter ≤ 6 here; 24 is a loud-failure margin)."""
+    ctes = [
+        f"we AS MATERIALIZED (SELECT (l_orderkey % {LG_MOD}) AS src, "
+        f"(l_partkey % {LG_MOD}) AS dst, CAST(count(*) AS DOUBLE) AS w FROM lineitem "
+        f"WHERE (l_orderkey % {LG_MOD}) <> (l_partkey % {LG_MOD}) GROUP BY src, dst)",
+        "wv AS MATERIALIZED (SELECT DISTINCT oid FROM ("
+        f"SELECT src AS oid FROM we UNION ALL SELECT dst FROM we UNION ALL SELECT {source}))",
+        f"b0 AS MATERIALIZED (SELECT oid, CASE WHEN oid = {source} THEN 0.0 "
+        "ELSE 1e18 END AS dist FROM wv)",
+    ]
+    for k in range(rounds):
+        ctes.append(
+            f"r{k} AS MATERIALIZED (SELECT we.dst AS oid, min(b.dist + we.w) AS nd "
+            f"FROM we JOIN b{k} b ON b.oid = we.src WHERE b.dist < 1e17 GROUP BY we.dst)"
+        )
+        ctes.append(
+            f"b{k + 1} AS MATERIALIZED (SELECT b.oid, least(b.dist, coalesce(r.nd, b.dist)) AS dist "
+            f"FROM b{k} b LEFT JOIN r{k} r ON r.oid = b.oid)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT oid, round(dist, 8) AS dist FROM b{rounds} WHERE dist < 1e17 ORDER BY oid"
+    )
+
+
+def events_hopping_sql(window_s: int = 3600, hop_s: int = 900) -> str:
+    """Hopping windows: event → all k = window_s/hop_s covering windows via
+    a generate_series cross join."""
+    k = window_s // hop_s
+    return f"""
+WITH ex AS MATERIALIZED (
+  SELECT event_type,
+         (CAST(epoch_us(ts) AS BIGINT) // ({hop_s} * 1000000)) * {hop_s}
+           - g.i * {hop_s} AS window_start,
+         value
+  FROM events, (SELECT unnest(generate_series(0, {k - 1})) AS i) g
+)
+SELECT event_type, window_start, count(*) AS n_events,
+       round(sum(value), 8) AS sum_value
+FROM ex WHERE window_start >= 0
+GROUP BY event_type, window_start
+ORDER BY event_type, window_start
+"""

@@ -761,3 +761,56 @@ def pg_sssp(sf_dir: str) -> pd.DataFrame:
     df = df[df["depth"] >= 0]
     out = _pg_label_split(df, n_c, n_o)[["v_label", "v_key", "depth"]]
     return out.sort_values(["v_label", "v_key"]).reset_index(drop=True)
+
+
+def lg_graph_weighted(sf_dir: str, num_partitions: int = 4) -> Graph:
+    """Weighted lg graph: weight = lineitem multiplicity per (src, dst) pair
+    (the repo-graph analogue: importing-file count per edge)."""
+    key = (sf_dir, "weighted", num_partitions)
+    if key not in _GRAPH_CACHE:
+        li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+        def _derive(t: pa.Table) -> pa.Table:
+            src = t["l_orderkey"].to_numpy(zero_copy_only=False) % LG_MOD
+            dst = t["l_partkey"].to_numpy(zero_copy_only=False) % LG_MOD
+            keep = src != dst
+            return pa.table(
+                {
+                    "src": pa.array(src[keep].astype(np.int64)),
+                    "dst": pa.array(dst[keep].astype(np.int64)),
+                }
+            )
+
+        from graphscope_ray.utils import hash_groupby_sum
+
+        pairs = li.map_batches(_derive, batch_format="pyarrow")
+        weighted = hash_groupby_sum(pairs, ["src", "dst"], None, "weight", num_partitions=8)
+        weighted = weighted.map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("weight"),
+                "weight",
+                pa.array(t["weight"].to_numpy(zero_copy_only=False).astype(np.float64)),
+            ),
+            batch_format="pyarrow",
+        )
+        _GRAPH_CACHE[key] = build_graph(
+            weighted,
+            num_partitions=num_partitions,
+            num_vertices=LG_MOD,
+            store_in_edges=True,
+            weight=True,
+        )
+    return _GRAPH_CACHE[key]
+
+
+def lg_sssp_weighted(sf_dir: str) -> pd.DataFrame:
+    """Weighted SSSP (Bellman-Ford frontier relaxation) from vertex 0 over
+    the multiplicity-weighted lg graph; reached vertices only.  Weights are
+    integer counts, so distance sums are exact in float64."""
+    g = lg_graph_weighted(sf_dir)
+    ds, _ = alg.sssp(g, source=0)
+    df = ds.to_pandas()
+    df = df[np.isfinite(df["dist"])]
+    out = df[["vid", "dist"]].rename(columns={"vid": "oid"})
+    out["dist"] = out["dist"].round(8)
+    return out.sort_values("oid").reset_index(drop=True)

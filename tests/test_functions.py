@@ -155,3 +155,27 @@ def test_windows():
     # user 7: 00:10 → (40min gap) 00:50 → (70min gap) 02:00 — three sessions
     assert s[s.user_id == 7].n_events.tolist() == [1, 1, 1]
     assert s[s.user_id == 8].n_events.tolist() == [1]
+
+
+def test_hopping_window():
+    import numpy as np
+    import pandas as pd
+
+    from graphscope_ray.functions import windows
+
+    ts = pd.to_datetime(["2024-01-01 00:10", "2024-01-01 00:50", "2024-01-01 01:05"])
+    df = pd.DataFrame({"event_type": ["a", "a", "b"], "ts": ts, "value": [1.0, 2.0, 4.0]})
+    out = (
+        windows.hopping_window(ray.data.from_pandas(df), window_s=3600, hop_s=1800)
+        .to_pandas()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    # event at 00:10 → windows starting 23:30 (prev day, epoch ok) and 00:00, ...
+    base = pd.Timestamp("2024-01-01").timestamp()
+    w = out[(out.event_type == "a") & (out.window_start == base)]
+    assert int(w.n_events.iloc[0]) == 2 and float(w.sum_value.iloc[0]) == 3.0
+    wb = out[(out.event_type == "b") & (out.window_start == base + 1800)]
+    assert int(wb.n_events.iloc[0]) == 1 and float(wb.sum_value.iloc[0]) == 4.0
+    # every event appears in exactly k=2 windows
+    assert out.n_events.sum() == 2 * len(df)
