@@ -141,6 +141,31 @@ def _q_dedup_embedding(sf_dir, n_planted: int = 10):
     return df[["a", "b"]].sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _q_dedup_ngram(sf_dir, n_docs: int = 40, threshold: float = 0.2):
+    """Standalone n-gram Jaccard: ALL pairs under n_docs verified with the
+    distributed pair-verify kernel (pairs dataset ⋈ broadcast candidate
+    texts inside map_batches)."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data
+
+    from graphscope_ray.functions.dedup import jaccard_verify_ds
+
+    ab = list(itertools.combinations(range(n_docs), 2))
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([p[0] for p in ab], pa.int64()),
+                "b": pa.array([p[1] for p in ab], pa.int64()),
+            }
+        )
+    )
+    out = jaccard_verify_ds(pairs, _documents(sf_dir), k=5, threshold=threshold).to_pandas()
+    out["jaccard"] = out["jaccard"].round(8)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def _q_sim_topk(sf_dir):
     from graphscope_ray.functions.similarity import topk_cosine
 
@@ -322,6 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_ngram": _q_dedup_ngram,
         # similarity search
         "sim_topk": _q_sim_topk,
         "sim_ivf_topk": _q_sim_ivf,
@@ -392,6 +418,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": osql.text_stats_sql(),
         "text_quality": osql.text_quality_sql(),
         "dedup_exact": osql.dedup_exact_sql(),
+        "dedup_ngram": osql.dedup_ngram_sql(),
         "sim_topk": osql.sim_topk_sql(),
         "sim_ivf_exact": osql.sim_topk_sql(),
         # no SQL oracle (heuristic / sequential / hash-defined / stateful):

@@ -831,3 +831,22 @@ FROM ex WHERE window_start >= 0
 GROUP BY event_type, window_start
 ORDER BY event_type, window_start
 """
+
+
+def dedup_ngram_sql(n_docs: int = 40, k: int = 5, threshold: float = 0.2) -> str:
+    """Exact character-k-gram Jaccard between all doc pairs under n_docs
+    (the standalone n-gram verifier; the engine computes it over 64-bit
+    shingle hashes — injective in practice, and the texts are ASCII so byte
+    and character windows coincide)."""
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < {n_docs}),
+sh AS MATERIALIZED (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {k}) AS s
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(text) - {k - 1})) AS i) g),
+cnt AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT a, b, round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 8) AS jaccard
+FROM inter JOIN cnt na ON na.doc_id = a JOIN cnt nb ON nb.doc_id = b
+WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= {threshold}
+ORDER BY a, b
+"""
