@@ -302,43 +302,54 @@ def minhash_dedup_clusters(
     bands: int = 16,
     threshold: float = 0.7,
     num_partitions: int = 4,
-) -> pd.DataFrame:
-    """Full near-dup pipeline → (doc_id, cluster) where cluster = min doc_id of
-    the near-dup component (components via the graph engine's WCC).
+) -> "ray.data.Dataset":
+    """Full near-dup pipeline → Dataset of (doc_id, cluster) where cluster =
+    min doc_id of the near-dup component (components via the graph engine's
+    WCC).
 
     Every stage is distributed: signatures (actor pool, vectorized shingle
     hashing), LSH banding (hash groupby), exact-Jaccard verify
     (``jaccard_verify_ds`` — map_batches over pairs, only candidate texts
-    broadcast), WCC over the verified pair graph.  Only the final
-    (doc_id → cluster) frame — one row per doc — reaches the driver."""
+    broadcast), WCC over the verified pair graph, and the final cluster
+    assignment is a ``map_batches`` lookup against the broadcast
+    (near-dup doc → representative) table — that table is bounded by the
+    number of near-duplicate docs, not the corpus, so nothing corpus-sized
+    ever reaches the driver."""
+    import ray as _ray
+
     from graphscope_ray.graph.build import build_graph_from_oids
 
-    ds = ds.materialize()  # consumed twice: signatures + verify semi-join
+    ds = ds.materialize()  # consumed thrice: signatures + verify + assign
     sigs = minhash_signatures(ds, k=k, num_perm=num_perm)
     cand = lsh_candidate_pairs(sigs, bands=bands)
     verified = jaccard_verify_ds(cand, ds, k=k, threshold=threshold).materialize()
-    doc_ids = ds.select_columns(["doc_id"]).to_pandas()
     if verified.count() == 0:
-        out = doc_ids.copy()
-        out["cluster"] = out["doc_id"]
-        return out.sort_values("doc_id").reset_index(drop=True)
-    edges = verified.map_batches(
-        lambda t: pa.table({"src_oid": t["a"], "dst_oid": t["b"]}),
-        batch_format="pyarrow",
-    )
-    g = build_graph_from_oids(edges, num_partitions=num_partitions, view="undirected")
-    from graphscope_ray.graph import algorithms as alg
+        rep_ref = _ray.put({})
+    else:
+        edges = verified.map_batches(
+            lambda t: pa.table({"src_oid": t["a"], "dst_oid": t["b"]}),
+            batch_format="pyarrow",
+        )
+        g = build_graph_from_oids(edges, num_partitions=num_partitions, view="undirected")
+        from graphscope_ray.graph import algorithms as alg
 
-    comp_ds, _ = alg.wcc(g)
-    vmap = g.vertices_ds.to_pandas()
-    comp_df = comp_ds.to_pandas().merge(vmap, on="vid")
-    # comp is a vid; map back to the min oid of the component
-    rep = comp_df.merge(
-        vmap.rename(columns={"vid": "comp", "oid": "cluster"}), on="comp"
-    )[["oid", "cluster"]].rename(columns={"oid": "doc_id"})
-    out = doc_ids.merge(rep, on="doc_id", how="left")
-    out["cluster"] = out["cluster"].fillna(out["doc_id"]).astype(np.int64)
-    return out.sort_values("doc_id").reset_index(drop=True)
+        comp_ds, _ = alg.wcc(g)
+        # the near-dup subgraph's vertex/component tables are bounded by the
+        # number of verified-near-dup docs (≪ corpus after LSH + verify)
+        vmap = g.vertices_ds.to_pandas()
+        comp_df = comp_ds.to_pandas().merge(vmap, on="vid")
+        rep = comp_df.merge(
+            vmap.rename(columns={"vid": "comp", "oid": "cluster"}), on="comp"
+        )
+        rep_ref = _ray.put(dict(zip(rep["oid"], rep["cluster"])))
+
+    def _assign(t: pa.Table) -> pa.Table:
+        lookup = _ray.get(rep_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        clus = np.array([lookup.get(int(i), int(i)) for i in ids], dtype=np.int64)
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64)), "cluster": pa.array(clus)})
+
+    return ds.select_columns(["doc_id"]).map_batches(_assign, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -59,7 +59,7 @@ def test_minhash_clusters_find_near_dups():
     near = base.replace("lazy", "sleepy")
     far = "completely unrelated content about graph engines " * 8
     ds = _docs([base, near, far, base + " tail"], ids=[0, 1, 2, 3])
-    out = dedup.minhash_dedup_clusters(ds, threshold=0.6, num_partitions=2)
+    out = dedup.minhash_dedup_clusters(ds, threshold=0.6, num_partitions=2).to_pandas()
     c = dict(zip(out.doc_id, out.cluster))
     assert c[0] == c[1] == c[3]  # near-dups clustered together
     assert c[2] == 2  # singleton keeps itself
