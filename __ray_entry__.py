@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_wcc": td.pg_wcc,
         "pg_sssp": td.pg_sssp,
         "lg_sssp_weighted": td.lg_sssp_weighted,
+        "lg_ktruss": td.lg_ktruss,
         # events (stream-shaped)
         "events_window": _q_events_window,
         "events_hopping": _q_events_hopping,
@@ -411,6 +412,7 @@ def oracle_sql() -> dict[str, str]:
         "pg_wcc": osql.pg_wcc_sql(),
         "pg_sssp": osql.pg_sssp_sql(),
         "lg_sssp_weighted": osql.lg_sssp_weighted_sql(),
+        "lg_ktruss": osql.lg_ktruss_sql(),
         "events_window": osql.events_window_sql(),
         "events_hopping": osql.events_hopping_sql(),
         "events_sessionize": osql.sessionize_sql(),

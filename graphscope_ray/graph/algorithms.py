@@ -727,3 +727,141 @@ def avg_clustering(g: Graph) -> float:
     ds = lcc(g)
     n = max(g.N, 1)
     return float((ds.sum("lcc") or 0.0) / n)
+
+
+def ktruss(edges: ray.data.Dataset, k: int, max_rounds: int = 50) -> ray.data.Dataset:
+    """k-truss: the maximal subgraph where every edge closes ≥ k-2 triangles
+    (the FLASH suite's truss decomposition building block, ref
+    apps/flash/).  Expressed Ray-Data-first as iterative distributed
+    dataflow — per round:
+
+      1. degree-ordered orientation (a→b iff deg(a)<deg(b), id tie-break —
+         the same wedge-capping trick as the triangle counter) via two
+         hash_joins of the surviving undirected edges against their degree
+         table,
+      2. triangle enumeration oe(a,b) ⋈ oe(b,c) ⋈ oe(a,c) with hash_join,
+      3. per-edge support = count over the 3 canonical edge projections of
+         each triangle (hash_groupby), and
+      4. peel edges with support < k-2; repeat until no edge is removed.
+
+    ``edges`` must be the canonical undirected edge set (src < dst, dedup).
+    Returns the surviving (src, dst) Dataset."""
+    from graphscope_ray.utils import hash_groupby_sum, hash_join
+
+    e = edges.map_batches(lambda t: t.select(["src", "dst"]), batch_format="pyarrow")
+    e = e.materialize()
+    n_prev = e.count()
+    for _ in range(max_rounds):
+        if n_prev == 0:
+            break
+        # undirected incidence → degree per vertex
+        ue = e.map_batches(
+            lambda t: pa.table(
+                {
+                    "tv": pa.array(
+                        np.concatenate(
+                            [
+                                t["src"].to_numpy(zero_copy_only=False),
+                                t["dst"].to_numpy(zero_copy_only=False),
+                            ]
+                        )
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        deg = hash_groupby_sum(ue, ["tv"], None, "d", num_partitions=8)
+
+        # Ray Data may strip the schema off EMPTY blocks flowing through
+        # transforms, so every projection re-states its int64 output schema
+        def _proj(cols: dict):
+            def _f(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0 or t.num_columns == 0:
+                    return pa.table({o: pa.array([], pa.int64()) for o in cols})
+                return pa.table({o: t[s] for o, s in cols.items()})
+
+            return _f
+
+        def _col(t: pa.Table, name: str) -> np.ndarray:
+            return t[name].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        # orient: a→b iff (deg_a, a) < (deg_b, b)
+        j1 = hash_join(e, deg, "src", "tv", num_partitions=8).map_batches(
+            _proj({"src": "src", "dst": "dst", "da": "d"}), batch_format="pyarrow"
+        )
+        j2 = hash_join(j1, deg, "dst", "tv", num_partitions=8)
+
+        def _orient(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or t.num_columns == 0:
+                return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+            s, d = _col(t, "src"), _col(t, "dst")
+            da, db = _col(t, "da"), _col(t, "d")
+            fwd = (da < db) | ((da == db) & (s < d))
+            return pa.table(
+                {"a": pa.array(np.where(fwd, s, d)), "b": pa.array(np.where(fwd, d, s))}
+            )
+
+        oe = j2.map_batches(_orient, batch_format="pyarrow").materialize()
+        # wedges a→b→c closed by a→c; emit each triangle's 3 canonical edges
+        w = hash_join(
+            oe,
+            oe.map_batches(_proj({"b2": "a", "c": "b"}), batch_format="pyarrow"),
+            "b",
+            "b2",
+            num_partitions=8,
+        )
+
+        def _pack(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or t.num_columns == 0:
+                return pa.table(
+                    {n: pa.array([], pa.int64()) for n in ("a", "b", "c", "ac")}
+                )
+            a, b, c = _col(t, "a"), _col(t, "b"), _col(t, "c")
+            return pa.table(
+                {
+                    "a": pa.array(a),
+                    "b": pa.array(b),
+                    "c": pa.array(c),
+                    "ac": pa.array((a << np.int64(32)) | c),
+                }
+            )
+
+        w = w.map_batches(_pack, batch_format="pyarrow")
+
+        def _ok(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or t.num_columns == 0:
+                return pa.table({"ac2": pa.array([], pa.int64())})
+            return pa.table(
+                {"ac2": pa.array((_col(t, "a") << np.int64(32)) | _col(t, "b"))}
+            )
+
+        ok = oe.map_batches(_ok, batch_format="pyarrow")
+        tri = hash_join(w, ok, "ac", "ac2", num_partitions=8)
+
+        def _edges3(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or t.num_columns == 0:
+                return pa.table(
+                    {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+                )
+            a, b, c = _col(t, "a"), _col(t, "b"), _col(t, "c")
+            u = np.concatenate([np.minimum(a, b), np.minimum(b, c), np.minimum(a, c)])
+            v = np.concatenate([np.maximum(a, b), np.maximum(b, c), np.maximum(a, c)])
+            return pa.table({"src": pa.array(u), "dst": pa.array(v)})
+
+        sup = hash_groupby_sum(
+            tri.map_batches(_edges3, batch_format="pyarrow"),
+            ["src", "dst"],
+            None,
+            "support",
+            num_partitions=8,
+        )
+        survived = sup.filter(expr=f"support >= {k - 2}").map_batches(
+            _proj({"src": "src", "dst": "dst"}), batch_format="pyarrow"
+        )
+        survived = survived.materialize()
+        n_now = survived.count()
+        e = survived
+        if n_now == n_prev or n_now == 0:
+            break
+        n_prev = n_now
+    return e

@@ -850,3 +850,42 @@ FROM inter JOIN cnt na ON na.doc_id = a JOIN cnt nb ON nb.doc_id = b
 WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= {threshold}
 ORDER BY a, b
 """
+
+
+def lg_ktruss_sql(k: int = 4, rounds: int = 8) -> str:
+    """Unrolled k-truss peel over the canonical undirected lg edges: per
+    round, degree-ordered orientation, triangle enumeration, per-edge
+    support via the 3 canonical projections, drop support < k-2.  The peel
+    is monotone and idempotent at the fixpoint, so over-unrolling is safe."""
+    ctes = [
+        f"ce0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src, "
+        f"greatest(src, dst) AS dst FROM e)"
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"kd{r} AS MATERIALIZED (SELECT tv, count(*) AS d FROM ("
+            f"SELECT src AS tv FROM ce{r} UNION ALL SELECT dst FROM ce{r}) GROUP BY tv)"
+        )
+        ctes.append(
+            f"ko{r} AS MATERIALIZED (SELECT CASE WHEN fa THEN src ELSE dst END AS a, "
+            f"CASE WHEN fa THEN dst ELSE src END AS b FROM ("
+            f"SELECT ce.src, ce.dst, (da.d < db.d OR (da.d = db.d AND ce.src < ce.dst)) AS fa "
+            f"FROM ce{r} ce JOIN kd{r} da ON da.tv = ce.src JOIN kd{r} db ON db.tv = ce.dst))"
+        )
+        ctes.append(
+            f"kt{r} AS MATERIALIZED (SELECT ab.a, ab.b, bc.b AS c FROM ko{r} ab "
+            f"JOIN ko{r} bc ON bc.a = ab.b JOIN ko{r} ac ON ac.a = ab.a AND ac.b = bc.b)"
+        )
+        ctes.append(
+            f"ks{r} AS MATERIALIZED (SELECT src, dst, count(*) AS sup FROM ("
+            f"SELECT least(a, b) AS src, greatest(a, b) AS dst FROM kt{r} "
+            f"UNION ALL SELECT least(b, c), greatest(b, c) FROM kt{r} "
+            f"UNION ALL SELECT least(a, c), greatest(a, c) FROM kt{r}) GROUP BY src, dst)"
+        )
+        ctes.append(
+            f"ce{r + 1} AS MATERIALIZED (SELECT src, dst FROM ks{r} WHERE sup >= {k - 2})"
+        )
+    return (
+        f"WITH {_BASE}, " + ",\n".join(ctes)
+        + f" SELECT src, dst FROM ce{rounds} ORDER BY src, dst"
+    )

@@ -814,3 +814,31 @@ def lg_sssp_weighted(sf_dir: str) -> pd.DataFrame:
     out = df[["vid", "dist"]].rename(columns={"vid": "oid"})
     out["dist"] = out["dist"].round(8)
     return out.sort_values("oid").reset_index(drop=True)
+
+
+def lg_ktruss(sf_dir: str, k: int = 4) -> pd.DataFrame:
+    """k-truss of the canonical undirected lg edge set (FLASH truss
+    decomposition building block) — iterative distributed hash-join
+    triangle-support peeling (algorithms.ktruss)."""
+    e = lg_edges(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "src": pa.array(
+                    np.minimum(
+                        t["src"].to_numpy(zero_copy_only=False),
+                        t["dst"].to_numpy(zero_copy_only=False),
+                    )
+                ),
+                "dst": pa.array(
+                    np.maximum(
+                        t["src"].to_numpy(zero_copy_only=False),
+                        t["dst"].to_numpy(zero_copy_only=False),
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    e = e.groupby(["src", "dst"]).count().select_columns(["src", "dst"])
+    out = alg.ktruss(e, k=k).to_pandas()
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)

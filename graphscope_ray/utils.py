@@ -61,6 +61,10 @@ def hash_groupby_sum(
         # empty blocks flow through the same combine so every partition sees
         # the keys+out schema (a zero-column table would break downstream
         # schema unification — ADVICE r1)
+        if any(k not in df.columns for k in keys):
+            # schema-stripped empty block (Ray Data quirk): contribute nothing
+            parts = tuple(df.iloc[:0] for _ in range(K))
+            return parts if K > 1 else parts[0]
         if val is None:
             df = df.groupby(keys, as_index=False).size().rename(columns={"size": out})
         else:
@@ -77,6 +81,8 @@ def hash_groupby_sum(
         import pandas as pd
 
         alldf = pd.concat(dfs, ignore_index=True)
+        if any(k not in alldf.columns for k in keys):  # every input was schema-less
+            return pa.table({})
         red = alldf.groupby(keys, as_index=False)[out].sum()
         # strip pandas schema metadata: Ray Data hashes block schemas for
         # dedup and the metadata dict is unhashable (log-spam fix, ADVICE r1)
@@ -142,6 +148,11 @@ def hash_join(
         @ray.remote
         def _split(t: pa.Table):
             df = t.to_pandas()
+            if key not in df.columns:
+                # Ray Data strips the schema off empty blocks mid-pipeline
+                # (and skips map_batches on them) — contribute nothing
+                parts = tuple(df.iloc[:0] for _ in range(K))
+                return parts if K > 1 else parts[0]
             h = pd.util.hash_pandas_object(df[key], index=False).to_numpy()
             part = (h % np.uint64(K)).astype(np.int64)
             parts = tuple(df[part == p] for p in range(K))
@@ -166,6 +177,8 @@ def hash_join(
     def _merge(nleft: int, *dfs) -> pa.Table:
         ldf = pd.concat(dfs[:nleft], ignore_index=True)
         rdf = pd.concat(dfs[nleft:], ignore_index=True)
+        if left_on not in ldf.columns or right_on not in rdf.columns:
+            return pa.table({})  # every contributing block was schema-less
         out = ldf.merge(rdf, left_on=left_on, right_on=right_on, how=how)
         return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 

@@ -92,3 +92,56 @@ def test_path_enumeration_matches_join_oracle():
         if b == b2 and a < 5
     )
     assert [tuple(r) for r in got.to_numpy()] == want
+
+
+def _brute_ktruss(pairs, k):
+    edges = set(pairs)
+    while True:
+        adj = {}
+        for s, d in edges:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+        keep = {
+            (s, d)
+            for s, d in edges
+            if len(adj[s] & adj[d]) >= k - 2
+        }
+        if keep == edges:
+            return edges
+        edges = keep
+
+
+def test_ktruss_matches_brute_force():
+    import ray
+
+    rng = np.random.RandomState(2)
+    pairs = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in zip(rng.randint(0, 20, 120), rng.randint(0, 20, 120))
+            if a != b
+        }
+    )
+    e = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([p[0] for p in pairs], pa.int64()),
+                "dst": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    )
+    for k in (3, 4, 5):
+        got = set(
+            map(tuple, alg.ktruss(e, k=k).to_pandas()[["src", "dst"]].values.tolist())
+        )
+        assert got == _brute_ktruss(pairs, k), k
+
+
+def test_ktruss_fully_peeled():
+    import ray
+
+    # a path graph has no triangles: 3-truss is empty
+    e = ray.data.from_arrow(
+        pa.table({"src": pa.array([0, 1, 2], pa.int64()), "dst": pa.array([1, 2, 3], pa.int64())})
+    )
+    assert alg.ktruss(e, k=3).count() == 0
