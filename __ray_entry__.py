@@ -333,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_sssp": td.pg_sssp,
         "lg_sssp_weighted": td.lg_sssp_weighted,
         "lg_ktruss": td.lg_ktruss,
+        "lg_random_walks": td.lg_random_walks,
         # events (stream-shaped)
         "events_window": _q_events_window,
         "events_hopping": _q_events_hopping,
@@ -413,6 +414,7 @@ def oracle_sql() -> dict[str, str]:
         "pg_sssp": osql.pg_sssp_sql(),
         "lg_sssp_weighted": osql.lg_sssp_weighted_sql(),
         "lg_ktruss": osql.lg_ktruss_sql(),
+        "lg_random_walks": osql.lg_random_walks_sql(),
         "events_window": osql.events_window_sql(),
         "events_hopping": osql.events_hopping_sql(),
         "events_sessionize": osql.sessionize_sql(),

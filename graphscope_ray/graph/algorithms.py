@@ -865,3 +865,113 @@ def ktruss(edges: ray.data.Dataset, k: int, max_rounds: int = 50) -> ray.data.Da
             break
         n_prev = n_now
     return e
+
+
+def random_walks(
+    edges: ray.data.Dataset,
+    n_starts: int,
+    length: int = 4,
+    a: int = 1103515245,
+    b: int = 12345,
+    c: int = 97,
+    mod: int = 2147483647,
+) -> ray.data.Dataset:
+    """Deterministic random-walk corpus generation (the embedding-training
+    sampling op; randomness = the LCG-style hash ((a·walk_id + b·step +
+    c·cur) mod m) mod deg(cur), so walks are reproducible across engines
+    and parallelism levels).  One walk starts at every vertex < n_starts;
+    per step the walk table is hash-joined against the out-degree table and
+    then against the INDEXED adjacency (idx = rank of dst in the sorted
+    neighbor list) on a packed (vertex, idx) key.  Walks stop at sinks
+    (inner join drops them).  Returns rows (walk_id, step, v)."""
+    from graphscope_ray.utils import hash_groupby_sum, hash_join
+
+    PACK = np.int64(1) << np.int64(32)
+    e = edges.map_batches(lambda t: t.select(["src", "dst"]), batch_format="pyarrow")
+    e = e.materialize()
+    deg = hash_groupby_sum(e, ["src"], None, "deg", num_partitions=8).materialize()
+
+    # indexed adjacency: idx = rank of dst within src's ascending neighbors —
+    # per-src ranking is local after the hash exchange by src
+    nbr_parts = hash_join(  # reuse the exchange: join e with deg keyed by src
+        e, deg, "src", "src", num_partitions=8
+    )
+
+    def _index(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.table(
+                {"nkey": pa.array([], pa.int64()), "nxt": pa.array([], pa.int64())}
+            )
+        import pandas as pd
+
+        df = t.to_pandas().sort_values(["src", "dst"])
+        idx = df.groupby("src").cumcount().to_numpy().astype(np.int64)
+        src = df["src"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "nkey": pa.array(src * PACK + idx),
+                "nxt": pa.array(df["dst"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    nbr = nbr_parts.map_batches(_index, batch_format="pyarrow").materialize()
+
+    walks = ray.data.from_arrow(
+        pa.table(
+            {
+                "walk_id": pa.array(np.arange(n_starts, dtype=np.int64)),
+                "v": pa.array(np.arange(n_starts, dtype=np.int64)),
+            }
+        )
+    )
+    outs = [walks.map_batches(
+        lambda t: t.append_column("step", pa.array(np.zeros(t.num_rows, np.int64))),
+        batch_format="pyarrow",
+    )]
+    for step in range(1, length + 1):
+        j = hash_join(walks, deg, "v", "src", num_partitions=8)
+
+        def _choose(t: pa.Table, s=step) -> pa.Table:
+            if t.num_rows == 0 or t.num_columns == 0:
+                return pa.table(
+                    {"walk_id": pa.array([], pa.int64()), "wkey": pa.array([], pa.int64())}
+                )
+            wid = t["walk_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cur = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+            choice = ((a * wid + b * s + c * cur) % mod) % d
+            return pa.table(
+                {"walk_id": pa.array(wid), "wkey": pa.array(cur * PACK + choice)}
+            )
+
+        keyed = j.map_batches(_choose, batch_format="pyarrow")
+        stepped = hash_join(keyed, nbr, "wkey", "nkey", num_partitions=8)
+
+        def _emit(t: pa.Table, s=step) -> pa.Table:
+            if t.num_rows == 0 or t.num_columns == 0:
+                return pa.table(
+                    {"walk_id": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}
+                )
+            return pa.table({"walk_id": t["walk_id"], "v": t["nxt"]})
+
+        walks = stepped.map_batches(_emit, batch_format="pyarrow").materialize()
+        outs.append(
+            walks.map_batches(
+                lambda t, s=step: t.append_column(
+                    "step", pa.array(np.full(t.num_rows, s, np.int64))
+                )
+                if t.num_rows
+                else pa.table(
+                    {
+                        "walk_id": pa.array([], pa.int64()),
+                        "v": pa.array([], pa.int64()),
+                        "step": pa.array([], pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out

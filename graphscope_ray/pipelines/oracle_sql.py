@@ -889,3 +889,35 @@ def lg_ktruss_sql(k: int = 4, rounds: int = 8) -> str:
         f"WITH {_BASE}, " + ",\n".join(ctes)
         + f" SELECT src, dst FROM ce{rounds} ORDER BY src, dst"
     )
+
+
+def lg_random_walks_sql(
+    n_starts: int = 64,
+    length: int = 4,
+    a: int = 1103515245,
+    b: int = 12345,
+    c: int = 97,
+    mod: int = 2147483647,
+) -> str:
+    """Deterministic random walks: per step, next = the ((a·walk_id + b·step
+    + c·cur) mod m mod deg)-th ascending neighbor; walks stop at sinks."""
+    ctes = [
+        "nbr AS MATERIALIZED (SELECT src, dst, "
+        "row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx FROM e)",
+        "dg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+        f"w0 AS MATERIALIZED (SELECT oid AS walk_id, oid AS v FROM v WHERE oid < {n_starts})",
+    ]
+    for s in range(1, length + 1):
+        ctes.append(
+            f"w{s} AS MATERIALIZED (SELECT w.walk_id, n.dst AS v "
+            f"FROM w{s - 1} w JOIN dg ON dg.src = w.v "
+            f"JOIN nbr n ON n.src = w.v "
+            f"AND n.idx = (({a} * w.walk_id + {b} * {s} + {c} * w.v) % {mod}) % dg.deg)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT walk_id, CAST({s} AS BIGINT) AS step, v FROM w{s}" for s in range(length + 1)
+    )
+    return (
+        f"WITH {_BASE}, " + ",\n".join(ctes)
+        + f" SELECT walk_id, step, v FROM ({union}) ORDER BY walk_id, step"
+    )

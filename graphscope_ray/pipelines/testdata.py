@@ -842,3 +842,11 @@ def lg_ktruss(sf_dir: str, k: int = 4) -> pd.DataFrame:
     e = e.groupby(["src", "dst"]).count().select_columns(["src", "dst"])
     out = alg.ktruss(e, k=k).to_pandas()
     return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+def lg_random_walks(sf_dir: str, n_starts: int = 64, length: int = 4) -> pd.DataFrame:
+    """Deterministic random-walk corpus over the lg edges (embedding-
+    training sampling): rows (walk_id, step, v)."""
+    e = lg_edges(sf_dir)
+    out = alg.random_walks(e, n_starts=n_starts, length=length).to_pandas()
+    return out[["walk_id", "step", "v"]].sort_values(["walk_id", "step"]).reset_index(drop=True)

@@ -145,3 +145,32 @@ def test_ktruss_fully_peeled():
         pa.table({"src": pa.array([0, 1, 2], pa.int64()), "dst": pa.array([1, 2, 3], pa.int64())})
     )
     assert alg.ktruss(e, k=3).count() == 0
+
+
+def test_random_walks_sinks_and_determinism():
+    import ray
+
+    # 0→1→2, 2 is a sink; deterministic LCG choice has only one option per step
+    e = ray.data.from_arrow(
+        pa.table({"src": pa.array([0, 1], pa.int64()), "dst": pa.array([1, 2], pa.int64())})
+    )
+    out = (
+        alg.random_walks(e, n_starts=3, length=3)
+        .to_pandas()
+        .sort_values(["walk_id", "step"])
+        .reset_index(drop=True)
+    )
+    rows = set(map(tuple, out[["walk_id", "step", "v"]].values.tolist()))
+    assert rows == {
+        (0, 0, 0), (0, 1, 1), (0, 2, 2),   # stops at sink 2
+        (1, 0, 1), (1, 1, 2),
+        (2, 0, 2),                          # starts at a sink: no steps
+    }
+    # identical output on a second run (determinism)
+    again = (
+        alg.random_walks(e, n_starts=3, length=3)
+        .to_pandas()
+        .sort_values(["walk_id", "step"])
+        .reset_index(drop=True)
+    )
+    assert rows == set(map(tuple, again[["walk_id", "step", "v"]].values.tolist()))
