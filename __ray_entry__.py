@@ -323,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "op_union_distinct": td.op_union_distinct,
         "op_consolidate": td.op_consolidate_columns,
         "op_csv_scan": td.op_csv_scan,
+        "op_orc_scan": td.op_orc_scan,
         "lpa_u2i": td.lpa_u2i_suppliers,
         "lg_succs": td.lg_succs,
         "lg_preds": td.lg_preds,
@@ -334,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_sssp_weighted": td.lg_sssp_weighted,
         "lg_ktruss": td.lg_ktruss,
         "lg_random_walks": td.lg_random_walks,
+        "lg_eccentricity": td.lg_eccentricity,
         # events (stream-shaped)
         "events_window": _q_events_window,
         "events_hopping": _q_events_hopping,
@@ -404,6 +406,7 @@ def oracle_sql() -> dict[str, str]:
         "op_union_distinct": osql.op_union_distinct_sql(),
         "op_consolidate": osql.op_consolidate_sql(),
         "op_csv_scan": "SELECT r_regionkey, r_name FROM region",
+        "op_orc_scan": "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
         "lpa_u2i": osql.lpa_u2i_sql(),
         "lg_succs": osql.lg_succs_sql(),
         "lg_preds": osql.lg_preds_sql(),
@@ -415,6 +418,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_sssp_weighted": osql.lg_sssp_weighted_sql(),
         "lg_ktruss": osql.lg_ktruss_sql(),
         "lg_random_walks": osql.lg_random_walks_sql(),
+        "lg_eccentricity": osql.lg_eccentricity_sql(),
         "events_window": osql.events_window_sql(),
         "events_hopping": osql.events_hopping_sql(),
         "events_sessionize": osql.sessionize_sql(),

@@ -921,3 +921,16 @@ def lg_random_walks_sql(
         f"WITH {_BASE}, " + ",\n".join(ctes)
         + f" SELECT walk_id, step, v FROM ({union}) ORDER BY walk_id, step"
     )
+
+
+def lg_eccentricity_sql(s_max: int = 32) -> str:
+    return (
+        f"WITH RECURSIVE {_BASE}, "
+        f"srcs AS MATERIALIZED (SELECT DISTINCT oid FROM v WHERE oid < {s_max}), "
+        "walk(s, wv, d) AS MATERIALIZED ("
+        "  SELECT oid, oid, 0 FROM srcs UNION "
+        "  SELECT w.s, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.wv WHERE w.d < 8) "
+        "SELECT src_oid, max(dist) AS ecc FROM "
+        "(SELECT s AS src_oid, wv, min(d) AS dist FROM walk GROUP BY s, wv) "
+        "GROUP BY src_oid ORDER BY src_oid"
+    )

@@ -850,3 +850,32 @@ def lg_random_walks(sf_dir: str, n_starts: int = 64, length: int = 4) -> pd.Data
     e = lg_edges(sf_dir)
     out = alg.random_walks(e, n_starts=n_starts, length=length).to_pandas()
     return out[["walk_id", "step", "v"]].sort_values(["walk_id", "step"]).reset_index(drop=True)
+
+
+def op_orc_scan(sf_dir: str) -> pd.DataFrame:
+    """ORC source parity: export the nation dimension to ORC once, read it
+    back through the stripe-streaming ORC source with column projection."""
+    import os
+
+    from graphscope_ray.sources.orc import read_orc_source, write_orc
+
+    path = f"/tmp/graft_orc/{os.path.basename(sf_dir)}_nation.orc"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        t = pa.Table.from_pandas(
+            read(sf_dir, "nation").to_pandas(), preserve_index=False
+        )
+        tmp = path + ".tmp"
+        write_orc(t, tmp)
+        os.replace(tmp, path)
+    ds = read_orc_source(path, columns=["n_nationkey", "n_name", "n_regionkey"])
+    return ds.to_pandas().sort_values("n_nationkey").reset_index(drop=True)
+
+
+def lg_eccentricity(sf_dir: str, s_max: int = 32) -> pd.DataFrame:
+    """Out-eccentricity (max finite shortest-path length) for sources with
+    oid < s_max, plus the diameter restricted to those sources — the
+    FLASH-style diameter/eccentricity surface on the MsBfs sweep."""
+    ap = lg_apsp(sf_dir, s_max=s_max)
+    ecc = ap.groupby("src_oid", as_index=False)["dist"].max().rename(columns={"dist": "ecc"})
+    return ecc.sort_values("src_oid").reset_index(drop=True)
