@@ -324,6 +324,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "op_consolidate": td.op_consolidate_columns,
         "op_csv_scan": td.op_csv_scan,
         "op_orc_scan": td.op_orc_scan,
+        "op_topk_per_group": td.op_topk_per_group,
+        "op_groupby_median": td.op_groupby_median,
         "lpa_u2i": td.lpa_u2i_suppliers,
         "lg_succs": td.lg_succs,
         "lg_preds": td.lg_preds,
@@ -407,6 +409,8 @@ def oracle_sql() -> dict[str, str]:
         "op_consolidate": osql.op_consolidate_sql(),
         "op_csv_scan": "SELECT r_regionkey, r_name FROM region",
         "op_orc_scan": "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+        "op_topk_per_group": osql.op_topk_per_group_sql(),
+        "op_groupby_median": osql.op_groupby_median_sql(),
         "lpa_u2i": osql.lpa_u2i_sql(),
         "lg_succs": osql.lg_succs_sql(),
         "lg_preds": osql.lg_preds_sql(),

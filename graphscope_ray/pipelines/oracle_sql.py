@@ -934,3 +934,19 @@ def lg_eccentricity_sql(s_max: int = 32) -> str:
         "(SELECT s AS src_oid, wv, min(d) AS dist FROM walk GROUP BY s, wv) "
         "GROUP BY src_oid ORDER BY src_oid"
     )
+
+
+def op_topk_per_group_sql(k: int = 3) -> str:
+    return f"""
+SELECT event_id, event_type, round(value, 8) AS value FROM (
+  SELECT event_id, event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+  FROM events) WHERE rn <= {k} ORDER BY event_type, event_id
+"""
+
+
+def op_groupby_median_sql() -> str:
+    return (
+        "SELECT event_type, round(median(value), 8) AS median_value "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    )

@@ -879,3 +879,50 @@ def lg_eccentricity(sf_dir: str, s_max: int = 32) -> pd.DataFrame:
     ap = lg_apsp(sf_dir, s_max=s_max)
     ecc = ap.groupby("src_oid", as_index=False)["dist"].max().rename(columns={"dist": "ecc"})
     return ecc.sort_values("src_oid").reset_index(drop=True)
+
+
+def op_topk_per_group(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Top-k rows per group (windowed rank surface): k highest-value events
+    per event_type, ties broken by event_id.  Distributed as per-block
+    partial top-k (each block keeps ≤ k rows per key) → tiny global merge —
+    the same partial/merge shape as sim_topk."""
+    ev = read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["value", "event_id"], ascending=[False, True])
+            .groupby("event_type", as_index=False)
+            .head(k)
+        )
+
+    partials = ev.map_batches(_partial, batch_format="pandas")
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["value", "event_id"], ascending=[False, True]).head(k)
+
+    out = (
+        partials.groupby("event_type")
+        .map_groups(_merge, batch_format="pandas")
+        .to_pandas()
+    )
+    out["value"] = out["value"].round(8)
+    return out.sort_values(["event_type", "event_id"]).reset_index(drop=True)
+
+
+def op_groupby_median(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group median (order statistics are non-decomposable, so
+    this is a real shuffle: values hash-exchange to their key's partition,
+    one quantile kernel per group)."""
+    ev = read(sf_dir, "events", columns=["event_type", "value"])
+
+    def _median(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "median_value": [float(np.median(g["value"].to_numpy()))],
+            }
+        )
+
+    out = ev.groupby("event_type").map_groups(_median, batch_format="pandas").to_pandas()
+    out["median_value"] = out["median_value"].round(8)
+    return out.sort_values("event_type").reset_index(drop=True)
