@@ -48,10 +48,17 @@ class MediaFeatureExtractor:
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from graphscope_ray.functions.audio import (
+            UnsupportedAudioError,
+            decode_wav,
+            frame_energy_features,
+            probe_wav,
+        )
+
         payloads = batch["media"].to_pylist()
         feats, fmts, widths, heights = [], [], [], []
         for p in payloads:
-            meta = probe_image(p)
+            meta = probe_image(p) or probe_wav(p)
             fmts.append(meta["format"] if meta else None)
             widths.append(meta.get("width") if meta else None)
             heights.append(meta.get("height") if meta else None)
@@ -62,10 +69,17 @@ class MediaFeatureExtractor:
                     continue
                 except UnsupportedImageError:
                     pass
+            if meta and meta["format"] == "wav":
+                try:
+                    samples, _rate = decode_wav(p)  # REAL waveform (PCM parse)
+                    feats.append(frame_energy_features(samples, self.feat_dim))
+                    continue
+                except UnsupportedAudioError:
+                    pass
             if self.strict:
                 raise NotImplementedError(
-                    "only PNG decodes natively here; this payload needs a codec "
-                    f"library (format={fmts[-1]!r})"
+                    "only PNG images and PCM WAV audio decode natively here; "
+                    f"this payload needs a codec library (format={fmts[-1]!r})"
                 )
             feats.append(_decode_stub(p, self.feat_dim))
         shas = [hashlib.sha256(p).hexdigest() for p in payloads]

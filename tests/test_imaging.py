@@ -133,3 +133,42 @@ def test_pipeline_decodes_real_pngs_strict():
     row = out.sort_values("media_id").iloc[0]
     img = decode_png(t["media"][0].as_py())
     assert np.allclose(row["feature"], mean_pool_features(img, 9), atol=1e-6)
+
+
+def test_wav_roundtrip_and_probe():
+    from graphscope_ray.functions.audio import decode_wav, encode_wav, probe_wav
+
+    t = np.linspace(0, 1, 8000)
+    stereo = np.stack([np.sin(2 * np.pi * 440 * t), np.sin(2 * np.pi * 220 * t)], axis=1)
+    wav = encode_wav(stereo, sample_rate=8000)
+    meta = probe_wav(wav)
+    assert meta == {
+        "format": "wav", "channels": 2, "sample_rate": 8000, "bits": 16, "n_frames": 8000,
+    }
+    samples, rate = decode_wav(wav)
+    assert rate == 8000 and samples.shape == (8000, 2)
+    # int16 truncation + the 32767/32768 scale mismatch ≈ 2 LSB
+    assert np.allclose(samples, stereo, atol=1e-4)
+    assert probe_wav(b"not audio at all...........................................") is None
+
+
+def test_pipeline_decodes_wav_strict():
+    from graphscope_ray.functions.audio import encode_wav, frame_energy_features, decode_wav
+
+    rng = np.random.RandomState(4)
+    payloads = [encode_wav(rng.randn(1000) * 0.2, sample_rate=4000) for _ in range(6)]
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "media_id": pa.array(list(range(6)), pa.int64()),
+            "media": pa.array(payloads, pa.binary()),
+        }
+    )
+    out = multimodal.extract_media_features(
+        ray.data.from_arrow(t), feat_dim=6, strict=True
+    ).to_pandas()
+    assert (out["format"] == "wav").all()
+    row = out.sort_values("media_id").iloc[0]
+    want = frame_energy_features(decode_wav(payloads[0])[0], 6)
+    assert np.allclose(row["feature"], want, atol=1e-6)
