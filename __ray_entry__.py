@@ -423,6 +423,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_ktruss": osql.lg_ktruss_sql(),
         "lg_random_walks": osql.lg_random_walks_sql(),
         "lg_eccentricity": osql.lg_eccentricity_sql(),
+        "lg_pagerank_converged": osql.lg_pagerank_converged_sql(),
         "events_window": osql.events_window_sql(),
         "events_hopping": osql.events_hopping_sql(),
         "events_sessionize": osql.sessionize_sql(),
@@ -434,7 +435,6 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk": osql.sim_topk_sql(),
         "sim_ivf_exact": osql.sim_topk_sql(),
         # no SQL oracle (heuristic / sequential / hash-defined / stateful):
-        # lg_pagerank_converged (data-dependent round count),
         # lg_kshell (unrolled peeling; pytest oracle),
         # lg_dfs (stack order is not SQL-expressible; pytest oracle),
         # text_fingerprint / dedup_minhash / dedup_simhash (hash-defined),

@@ -950,3 +950,46 @@ def op_groupby_median_sql() -> str:
         "SELECT event_type, round(median(value), 8) AS median_value "
         "FROM events GROUP BY event_type ORDER BY event_type"
     )
+
+
+def lg_pagerank_converged_sql(
+    tol: float = 1e-6, alpha: float = 0.85, max_rounds: int = 80
+) -> str:
+    """PageRank TO CONVERGENCE — the engine's exact stopping rule replicated
+    in SQL: rounds are unrolled with a per-round L1 residual
+    r_k = Σ|p_k − p_{k−1}|, and the output is p at the FIRST k with
+    r_k < tol·N (pagerank_networkx.h:147), not a fixed round count."""
+    ctes = [f"p0 AS MATERIALIZED (SELECT oid, 1.0/(SELECT n FROM nv) AS score FROM v)"]
+    for k in range(max_rounds):
+        ctes.append(
+            f"d{k} AS MATERIALIZED (SELECT coalesce(sum(p.score),0) AS ds FROM p{k} p "
+            f"LEFT JOIN outd o ON o.oid=p.oid WHERE o.d IS NULL)"
+        )
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT e.dst AS oid, sum(p.score / o.d) AS insum "
+            f"FROM e JOIN p{k} p ON p.oid=e.src JOIN outd o ON o.oid=e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"p{k + 1} AS MATERIALIZED (SELECT v.oid, {alpha}*coalesce(s.insum,0) + "
+            f"({alpha}*(SELECT ds FROM d{k}) + {1 - alpha:.2f})/(SELECT n FROM nv) AS score "
+            f"FROM v LEFT JOIN s{k} s ON s.oid=v.oid)"
+        )
+        ctes.append(
+            f"r{k + 1} AS MATERIALIZED (SELECT sum(abs(a.score - b.score)) AS rv "
+            f"FROM p{k + 1} a JOIN p{k} b ON b.oid = a.oid)"
+        )
+    resid_union = " UNION ALL ".join(
+        f"SELECT {k} AS k, (SELECT rv FROM r{k}) AS rv" for k in range(1, max_rounds + 1)
+    )
+    all_p = " UNION ALL ".join(
+        f"SELECT {k} AS k, oid, score FROM p{k}" for k in range(1, max_rounds + 1)
+    )
+    return (
+        f"WITH {_BASE}, " + ",\n".join(ctes)
+        + f", resids AS MATERIALIZED ({resid_union})"
+        + f", conv AS MATERIALIZED (SELECT coalesce(min(k), {max_rounds}) AS k FROM resids "
+        f"WHERE rv < CAST({tol} AS DOUBLE) * (SELECT n FROM nv))"
+        + f", allp AS MATERIALIZED ({all_p}) "
+        "SELECT oid, round(score, 8) AS score FROM allp WHERE k = (SELECT k FROM conv) "
+        "ORDER BY oid"
+    )
