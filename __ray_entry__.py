@@ -288,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # analytical apps (oracle: unrolled/recursive SQL)
         "lg_pagerank": td.lg_pagerank_fixed,
         "lg_pagerank_converged": td.lg_pagerank_converged,
+        "lg_pagerank_p2p": td.lg_pagerank_p2p,
         "lg_wcc": td.lg_wcc,
         "lg_cdlp": td.lg_cdlp,
         "lg_triangles": td.lg_triangles,
@@ -424,6 +425,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_random_walks": osql.lg_random_walks_sql(),
         "lg_eccentricity": osql.lg_eccentricity_sql(),
         "lg_pagerank_converged": osql.lg_pagerank_converged_sql(),
+        "lg_pagerank_p2p": osql.lg_pagerank_sql(rounds=15),
         "events_window": osql.events_window_sql(),
         "events_hopping": osql.events_hopping_sql(),
         "events_sessionize": osql.sessionize_sql(),

@@ -926,3 +926,19 @@ def op_groupby_median(sf_dir: str) -> pd.DataFrame:
     out = ev.groupby("event_type").map_groups(_median, batch_format="pandas").to_pandas()
     out["median_value"] = out["median_value"].round(8)
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def lg_pagerank_p2p(sf_dir: str, rounds: int = 15, alpha: float = 0.85) -> pd.DataFrame:
+    """Same fixed-round PageRank but over the p2p message layout (one object
+    per (sender, target) pair — the multi-node wire format), so the driver
+    gate also certifies the cluster exchange path, not just shared-scatter."""
+    g = lg_graph(sf_dir)
+    was = g.p2p_messages
+    g.p2p_messages = True
+    try:
+        ds, _ = alg.pagerank(g, alpha=alpha, tol=0.0, max_rounds=rounds)
+    finally:
+        g.p2p_messages = was
+    out = _oid_space(g, ds, ["score"])
+    out["score"] = out["score"].round(8)
+    return out
