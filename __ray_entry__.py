@@ -48,16 +48,22 @@ def entry() -> Any:
 # ---------------------------------------------------------------------------
 
 
-def _documents(sf_dir):
+def _read_clean(path):
+    """read_parquet with metadata-stripped schema (metadata-bearing pyarrow
+    schemas are unhashable -> Ray Data schema-dedup warning on every read)."""
+    import pyarrow.parquet as pq
+
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return ray.data.read_parquet(path, schema=pq.read_schema(path).remove_metadata())
+
+
+def _documents(sf_dir):
+    return _read_clean(f"{sf_dir}/documents.parquet")
 
 
 def _embeddings(sf_dir):
-    import ray.data
-
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _read_clean(f"{sf_dir}/embeddings.parquet")
 
 
 def _q_text_tokens(sf_dir):
@@ -203,7 +209,7 @@ def _q_events_window(sf_dir):
 
     from graphscope_ray.functions.windows import tumbling_window
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    ev = _read_clean(f"{sf_dir}/events.parquet")
     df = tumbling_window(ev, window_s=3600).to_pandas()
     df["sum_value"] = df["sum_value"].round(8)
     return df[["event_type", "window_start", "n_events", "sum_value"]]
@@ -214,7 +220,7 @@ def _q_events_hopping(sf_dir):
 
     from graphscope_ray.functions.windows import hopping_window
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    ev = _read_clean(f"{sf_dir}/events.parquet")
     df = hopping_window(ev, window_s=3600, hop_s=900).to_pandas()
     df["sum_value"] = df["sum_value"].round(8)
     return df[["event_type", "window_start", "n_events", "sum_value"]]
@@ -225,7 +231,7 @@ def _q_sessionize(sf_dir):
 
     from graphscope_ray.functions.windows import sessionize
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    ev = _read_clean(f"{sf_dir}/events.parquet")
     df = sessionize(ev, gap_s=1800).to_pandas()
     df["t_start"] = df["t_start"].round(6)
     df["t_end"] = df["t_end"].round(6)

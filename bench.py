@@ -78,6 +78,22 @@ def _ensure_corpus():
     ray.shutdown()
 
 
+def _read_clean(path, **kw):
+    """read_parquet with metadata-stripped schema (metadata-bearing schemas
+    are unhashable -> Ray Data warns on every read)."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    sample = path
+    import glob as _glob
+    import os as _os
+
+    if _os.path.isdir(path):
+        sample = sorted(_glob.glob(_os.path.join(path, "*.parquet")))[0]
+    return ray.data.read_parquet(path, schema=pq.read_schema(sample).remove_metadata(), **kw)
+
+
 def scaling_child(ncpu: int) -> dict:
     """One cluster size: (a) corpus→edges mining throughput, STREAMING from
     parquet (the pipeline shape at 10^12 files: scan+decode+mine+exchange
@@ -94,7 +110,7 @@ def scaling_child(ncpu: int) -> dict:
     from graphscope_ray.graph.build import build_graph
     from graphscope_ray.pipelines.linkgraph import mine_edges
 
-    ds = ray.data.read_parquet(CORPUS_DIR, override_num_blocks=256)
+    ds = _read_clean(CORPUS_DIR, override_num_blocks=256)
     n_files = CORPUS_REPOS * CORPUS_FILES
     mine_edges(ds).count()  # warm: page cache + worker pool
     t_mine = float("inf")
@@ -221,8 +237,8 @@ def headline() -> dict:
     from graphscope_ray.sources import generate_repos
 
     # warm the page cache (untimed)
-    ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet").count()
-    ray.data.read_parquet(f"{SF_DIR}/documents.parquet").count()
+    _read_clean(f"{SF_DIR}/lineitem.parquet").count()
+    _read_clean(f"{SF_DIR}/documents.parquet").count()
 
     qtimes: dict[str, float] = {}
 
@@ -249,13 +265,13 @@ def headline() -> dict:
     timed("triangles", lambda: alg.triangles(td.lg_graph(SF_DIR, view="undirected", num_partitions=P))[0])
     repos = generate_repos(n_repos=2000, seed=42, mean_files=6)
     timed("mine_flagship", lambda: flagship(ray.data.from_arrow(repos), num_partitions=P))
-    timed("text_tokens", lambda: __import__("graphscope_ray.functions.text", fromlist=["token_counts"]).token_counts(ray.data.read_parquet(f"{SF_DIR}/documents.parquet")).count())
+    timed("text_tokens", lambda: __import__("graphscope_ray.functions.text", fromlist=["token_counts"]).token_counts(_read_clean(f"{SF_DIR}/documents.parquet")).count())
     from graphscope_ray.functions.dedup import exact_dedup
     from graphscope_ray.functions.similarity import topk_cosine
 
-    timed("dedup_exact", lambda: exact_dedup(ray.data.read_parquet(f"{SF_DIR}/documents.parquet")).count())
+    timed("dedup_exact", lambda: exact_dedup(_read_clean(f"{SF_DIR}/documents.parquet")).count())
 
-    emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    emb = _read_clean(f"{SF_DIR}/embeddings.parquet")
     qdf = emb.to_pandas()
     import numpy as np
 

@@ -29,7 +29,16 @@ _GRAPH_CACHE: dict = {}
 
 
 def read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    """read_parquet with the pandas metadata stripped from the schema —
+    pyarrow schemas WITH metadata are unhashable, which made Ray Data's
+    block-schema dedup warn on every read (VERDICT r1 log-spam item)."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{table}.parquet"
+    schema = pq.read_schema(path).remove_metadata()
+    if columns:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return ray.data.read_parquet(path, columns=columns, schema=schema)
 
 
 # ---------------------------------------------------------------------------
