@@ -975,3 +975,139 @@ def random_walks(
     for o in outs[1:]:
         out = out.union(o)
     return out
+
+
+# --------------------------------------------------------------------------
+# FLASH-suite apps (connectivity / matching / subgraph / measurement)
+
+
+def scc(g: Graph) -> tuple[ray.data.Dataset, RunResult]:
+    """Strongly connected components (apps/flash/connectivity/scc.h
+    semantics): label = min vid in the component, via the FW-BW-Trim
+    vertex program."""
+    res = g.run_program("scc")
+    return g.program_state(res.name).select_columns(["vid", "scc"]), res
+
+
+def mis(g: Graph) -> tuple[ray.data.Dataset, RunResult]:
+    """Deterministic maximal independent set (apps/flash/matching/mis.h
+    priority r = deg·N + vid, smallest r wins)."""
+    res = g.run_program("mis")
+    return g.program_state(res.name).select_columns(["vid", "in_mis"]), res
+
+
+def matching(g: Graph) -> tuple[ray.data.Dataset, RunResult]:
+    """Deterministic maximal matching by mutual max-id handshake
+    (apps/flash/matching/mm.h); mate = -1 for unmatched vertices."""
+    res = g.run_program("mm")
+    return g.program_state(res.name).select_columns(["vid", "mate"]), res
+
+
+def coloring(g: Graph) -> tuple[ray.data.Dataset, RunResult]:
+    """Greedy coloring in the reference's priority order (larger degree
+    first, ties larger vid — apps/flash/clustering/color.h).  One degree
+    exchange prepares per-edge priority masks, then the Jones–Plassmann
+    program runs to fixpoint."""
+    import ray as _ray
+
+    acts, P = g.actors, g.P
+    reqs = _ray.get([a.deg_requests.remote() for a in acts])
+    replies = [
+        [acts[q].deg_reply.remote(reqs[p][q]) for q in range(P)] for p in range(P)
+    ]
+    _ray.get([acts[p].color_prio.remote(*replies[p]) for p in range(P)])
+    res = g.run_program("coloring")
+    return g.program_state(res.name).select_columns(["vid", "color"]), res
+
+
+def eccentricity_all(g: Graph, chunk: int = 128) -> "pd.DataFrame":
+    """Exact out-eccentricity for EVERY vertex via chunked multi-source BFS;
+    the per-source max/reach reduce stays in the fragments (p_call
+    col_stats), only S scalars per chunk reach the driver.  Returns a
+    pandas frame (src, ecc, n_reach) — ecc = max FINITE distance from src
+    (directed convention: unreached pairs are excluded, not infinite)."""
+    import pandas as pd
+    import ray as _ray
+
+    N = g.N
+    rows = []
+    for off in range(0, N, chunk):
+        srcs = list(range(off, min(off + chunk, N)))
+        res = g.run_program("msbfs", name=f"eccms_{off}", sources=srcs)
+        parts = _ray.get(
+            [a.p_call.remote(f"eccms_{off}", "col_stats") for a in g.actors]
+        )
+        mx = np.max(np.stack([p[0] for p in parts]), axis=0)
+        nr = np.sum(np.stack([p[1] for p in parts]), axis=0)
+        rows.append(
+            pd.DataFrame({"src": srcs, "ecc": mx.astype(np.int64), "n_reach": nr})
+        )
+    return pd.concat(rows, ignore_index=True)
+
+
+def diameter_radius(g: Graph, chunk: int = 128) -> dict:
+    """Diameter (max finite pairwise distance) and radius (min out-ecc over
+    vertices reaching at least one other vertex) — the exact counterpart of
+    apps/flash/measurement/diameter-approx.h's double-sweep estimate."""
+    ecc = eccentricity_all(g, chunk=chunk)
+    has_out = ecc["ecc"] > 0
+    return {
+        "diameter": int(ecc["ecc"].max()),
+        "radius": int(ecc.loc[has_out, "ecc"].min()) if has_out.any() else 0,
+    }
+
+
+def k_center(g: Graph, k: int = 4) -> list[tuple[int, int]]:
+    """Greedy farthest-point k-center (apps/flash/measurement/k-center.h
+    semantics): start from vid 0, repeatedly add the vertex farthest from
+    the chosen set (unreached = infinitely far; ties → smallest vid).
+    Returns [(center_vid, covering_radius_before_adding)] with radius -1
+    for the seed."""
+    import ray as _ray
+
+    centers = [0]
+    out = [(0, -1)]
+    for i in range(1, k):
+        name = f"kcenter_{i}"
+        g.run_program("msbfs", name=name, sources=[int(c) for c in centers])
+        parts = _ray.get([a.p_call.remote(name, "farthest") for a in g.actors])
+        # global max distance, ties to smallest vid; inf (unreached) first
+        best_d, best_v = max(parts, key=lambda t: (t[0], -t[1]))
+        centers.append(int(best_v))
+        out.append((int(best_v), int(best_d) if np.isfinite(best_d) else -2))
+    return out
+
+
+def rectangles(g: Graph) -> int:
+    """Global rectangle (4-cycle) count on the undirected simple graph
+    (apps/flash/subgraph/rectangle.h).  Wedge pair-counting: fragments emit
+    locally-combined common-neighbor pair counts, a hash exchange sums them,
+    and C4 = Σ C(w,2) / 2 (each cycle counted once per diagonal)."""
+    import ray as _ray
+
+    from graphscope_ray.utils import hash_groupby_sum
+
+    refs = [a.rect_wedge_pairs.remote() for a in g.actors]
+    ds = ray.data.from_arrow_refs(refs)
+    merged = hash_groupby_sum(ds, keys=["pair"], val="cnt", out="w", num_partitions=g.P)
+
+    def _c2(t: pa.Table) -> pa.Table:
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"pairs2": pa.array([int((w * (w - 1) // 2).sum())])})
+
+    total = merged.map_batches(_c2, batch_format="pyarrow").sum("pairs2")
+    return int(total or 0) // 2
+
+
+def densest_core(g: Graph) -> dict:
+    """2-approximate densest subgraph = the max-coreness subgraph
+    (apps/flash/subgraph/densest-sub-2-approx.h:49-92: coreness fixpoint,
+    then density = Σ_{v∈S}|N(v)∩S| / |S| over S = argmax coreness)."""
+    import ray as _ray
+
+    shells = kshell(g).to_pandas()
+    cmax = int(shells["shell"].max())
+    S = shells.loc[shells["shell"] == cmax, "vid"].to_numpy().astype(np.int64)
+    s_ref = ray.put(S)
+    ne = sum(_ray.get([a.core_subgraph_edges.remote(s_ref) for a in g.actors]))
+    return {"core": cmax, "n_vertices": int(S.size), "density": ne / max(S.size, 1)}

@@ -140,9 +140,17 @@ class Csr:
         return out
 
     def push_reduce_masked(
-        self, vertex_vals: np.ndarray, vmask: np.ndarray, op: str, add_weight: bool = False
+        self,
+        vertex_vals: np.ndarray,
+        vmask: np.ndarray,
+        op: str,
+        add_weight: bool = False,
+        edge_masks: list[np.ndarray] | None = None,
     ) -> list[tuple[np.ndarray, np.ndarray]]:
-        """Like push_reduce but only edges whose *source* vertex is in vmask (frontier)."""
+        """Like push_reduce but only edges whose *source* vertex is in vmask
+        (frontier).  ``edge_masks`` (one bool array per target partition,
+        aligned with tgt_src order) further restricts to an edge subset —
+        e.g. the priority-DAG edges of Jones–Plassmann coloring."""
         red_fn = _REDUCERS[op]
         out = []
         for q in range(self.P):
@@ -151,6 +159,8 @@ class Csr:
                 out.append((_EMPTY_I64, _EMPTY_F64))
                 continue
             m = vmask[src]
+            if edge_masks is not None:
+                m = m & edge_masks[q]
             if not m.any():
                 out.append((_EMPTY_I64, _EMPTY_F64))
                 continue
@@ -194,6 +204,39 @@ class Csr:
             starts = np.concatenate([[0], change]).astype(np.int64)
             counts = np.diff(np.concatenate([starts, [dl.size]]))
             out.append((dl[starts], lab[starts], counts))
+        return out
+
+    def push_label_counts_masked(
+        self,
+        vertex_labels: np.ndarray,
+        vmask: np.ndarray,
+        edge_masks: list[np.ndarray] | None = None,
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Frontier-masked label-count push (packed-key format): per target
+        partition, (dl<<32 | label, count) for edges whose source vertex is
+        in ``vmask`` (optionally ∩ an edge subset).  Used by the SCC backward
+        sweep (colors of newly-contained vertices) and JP coloring
+        announcements.  Labels must fit 32 bits (vertex-id-derived labels do
+        at any single-graph scale we target)."""
+        out = []
+        for q in range(self.P):
+            src = self.tgt_src[q]
+            if src.size == 0:
+                out.append((_EMPTY_I64, _EMPTY_I64))
+                continue
+            m = vmask[src]
+            if edge_masks is not None:
+                m = m & edge_masks[q]
+            if not m.any():
+                out.append((_EMPTY_I64, _EMPTY_I64))
+                continue
+            lab = vertex_labels[src[m]].astype(np.int64)
+            dl = self.tgt_dl[q][m]
+            keys = np.sort((dl.astype(np.int64) << np.int64(32)) | lab)
+            change = np.flatnonzero(np.diff(keys) != 0) + 1
+            starts = np.concatenate([[0], change]).astype(np.int64)
+            counts = np.diff(np.concatenate([starts, [keys.size]]))
+            out.append((keys[starts], counts))
         return out
 
 
@@ -804,6 +847,70 @@ class FragmentActor:
 
     def deg_reply(self, req: np.ndarray) -> np.ndarray:
         return self.ucsr().deg[req] if req.size else _EMPTY_I64
+
+    def color_prio(self, *deg_replies) -> None:
+        """Per-edge priority masks over the undirected adjacency for
+        Jones–Plassmann coloring: keep sender→receiver iff the sender
+        precedes the receiver in the reference's coloring order — larger
+        degree first, ties broken by larger vid
+        (apps/flash/clustering/color.h:54-56 ``check``)."""
+        o = self.ucsr()
+        Nn = np.int64(max(self.N, 1))
+        masks = []
+        for q in range(self.P):
+            src, dl, starts = o.tgt_src[q], o.tgt_dl[q], o.tgt_runstarts[q]
+            if src.size == 0:
+                masks.append(np.zeros(0, dtype=bool))
+                continue
+            lengths = np.diff(np.concatenate([starts, [dl.size]]))
+            deg_dst = np.repeat(deg_replies[q], lengths)
+            r_src = o.deg[src].astype(np.int64) * Nn + (
+                src.astype(np.int64) * self.P + self.part
+            )
+            r_dst = deg_dst.astype(np.int64) * Nn + (dl.astype(np.int64) * self.P + q)
+            masks.append(r_src > r_dst)
+        self._color_masks = masks
+
+    def rect_wedge_pairs(self) -> pa.Table:
+        """Partial common-neighbor pair counts for rectangle (C4) counting
+        (apps/flash/subgraph/rectangle.h semantics, re-expressed as wedge
+        pair-counting): for every owned middle vertex m emit each unordered
+        pair {u < v} ⊆ N(m), locally combined to (pair, count).  The global
+        C4 total is Σ_pairs C(w_uv, 2) / 2 after the pair-count merge —
+        each 4-cycle is counted once per diagonal."""
+        o = self.ucsr()
+        indptr, adj, deg = o.indptr, o.dst, o.deg
+        Nn = np.int64(max(self.N, 1))
+        keys_out = []
+        triu_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for li in range(self.n_local):
+            d = int(deg[li])
+            if d < 2:
+                continue
+            a = adj[indptr[li] : indptr[li + 1]].astype(np.int64)
+            iu = triu_cache.get(d)
+            if iu is None:
+                iu = np.triu_indices(d, 1)
+                triu_cache[d] = iu
+            # adjacency is vid-sorted → a[rows] < a[cols]
+            keys_out.append(a[iu[0]] * Nn + a[iu[1]])
+        if keys_out:
+            uk, cnt = np.unique(np.concatenate(keys_out), return_counts=True)
+        else:
+            uk, cnt = _EMPTY_I64, _EMPTY_I64
+        return pa.table({"pair": pa.array(uk), "cnt": pa.array(cnt.astype(np.int64))})
+
+    def core_subgraph_edges(self, core_vids: np.ndarray) -> int:
+        """Σ over owned v in the set of |N_und(v) ∩ set| — the numerator of
+        the max-core density (densest-sub-2-approx.h:82-90 ``local2``)."""
+        o = self.ucsr()
+        inset = np.zeros(max(self.N, 1), dtype=bool)
+        inset[core_vids] = True
+        own = inset[self.owned_vids()]
+        if not own.any() or o.dst.size == 0:
+            return 0
+        src_in = np.repeat(own, o.deg)
+        return int((src_in & inset[o.dst]).sum())
 
     def tri_orient(self, *deg_replies) -> int:
         """Build oriented adjacency: keep u→v iff (deg,vid) of u < of v

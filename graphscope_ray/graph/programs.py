@@ -29,6 +29,7 @@ from graphscope_ray.graph.fragment import (
     _EMPTY_I64,
     acc_min,
     acc_sum,
+    merge_label_counts,
     mode_min_labels,
 )
 
@@ -743,6 +744,31 @@ class MsBfs(VertexProgram):
                 cols[f"d{i}"] = d[:, i]
         return cols
 
+    # -- p_call reductions (keep the column reduce distributed: each fragment
+    #    returns one scalar per source, the driver merges P tiny vectors) ----
+
+    def col_stats(self):
+        """Per-source (local max finite distance, local reach count) — the
+        fragment-side half of eccentricity/diameter/radius."""
+        d = self.dist
+        if d.shape[0] == 0:
+            return np.full(d.shape[1], -1.0), np.zeros(d.shape[1], dtype=np.int64)
+        finite = np.isfinite(d)
+        mx = np.where(finite, d, -1.0).max(axis=0)
+        return mx, finite.sum(axis=0).astype(np.int64)
+
+    def farthest(self):
+        """k-center greedy step: per owned vertex the min distance to the
+        current source set; local argmax with ties to the smallest vid
+        (unreached vertices are infinitely far and picked first)."""
+        f = self.frag
+        if self.dist.shape[0] == 0:
+            return (-1.0, -1)
+        md = self.dist.min(axis=1)
+        best = float(np.max(md))
+        li = int(np.flatnonzero(md == best).min())
+        return (best, li * f.P + f.part)
+
 
 class KShell(VertexProgram):
     """K-shell decomposition (apps/kshell/kshell.h semantics): iterative
@@ -935,6 +961,300 @@ class LpaU2I(VertexProgram):
         return {f"label_{i}": self.lab[:, i] for i in range(self.lab.shape[1])}
 
 
+# --------------------------------------------------------------------------
+class Scc(VertexProgram):
+    """Strongly connected components — FW-BW-Trim with min-vid coloring
+    (semantics of apps/flash/connectivity/scc.h:48-120: forward min-id
+    propagation over the active subgraph, then backward containment within
+    the color class; the component label is the min vid in the SCC).
+
+    Three modes per phase, replicated deterministically in every fragment
+    from the globally-reduced ``chg`` counter:
+      trim — peel active vertices with no active in- OR out-neighbor
+             (singleton SCCs), repeat until none;
+      fwd  — color = min vid over active forward-reachable ancestors
+             (delta-masked min propagation along out-edges);
+      bwd  — packed label-count pushes along in-edges; an active vertex
+             joins the component when it receives its own color (it reaches
+             the color's root, the root reaches it).
+    Joined vertices are assigned + deactivated, back to trim.  Converged
+    when no vertex is unassigned."""
+
+    def __init__(self, frag):
+        super().__init__(frag)
+        if frag.inc is None:
+            raise ValueError("scc needs a directed graph built with store_in_edges=True")
+
+    def init(self) -> dict:
+        f = self.frag
+        n = f.n_local
+        self.scc = np.full(n, -1, dtype=np.int64)
+        self.active = np.ones(n, dtype=bool)
+        self.color = np.full(n, np.inf)
+        self.reached = np.zeros(n, dtype=bool)
+        self.changed = np.zeros(n, dtype=bool)
+        self.mode = "trim"
+        self._synced = -1
+        self.gvid = f.owned_vids().astype(np.float64)
+        self._ones = np.ones(n)
+        return {"unassigned": int(n), "chg": 1}
+
+    def _sync(self, step: int, glob: dict) -> None:
+        """Mode transitions — run once per step, identically on every
+        fragment (glob is the same everywhere)."""
+        if self._synced >= step:
+            return
+        self._synced = step
+        if step == 0:
+            return
+        if glob.get("chg", 0) != 0:
+            return
+        if self.mode == "trim":
+            self.mode = "fwd"
+            self.color = np.where(self.active, self.gvid, np.inf)
+            self.changed = self.active.copy()
+        elif self.mode == "fwd":
+            self.mode = "bwd"
+            self.reached = self.active & (self.color == self.gvid)
+            self.changed = self.reached.copy()
+        elif self.mode == "bwd":
+            m = self.reached
+            self.scc[m] = self.color[m].astype(np.int64)
+            self.active &= ~m
+            self.reached = np.zeros(self.frag.n_local, dtype=bool)
+            self.mode = "trim"
+
+    def scatter(self, step, glob):
+        self._sync(step, glob)
+        f = self.frag
+        if self.mode == "trim":
+            return _wrap(
+                f.out.push_reduce_masked(self._ones, self.active, "sum"),
+                f.inc.push_reduce_masked(self._ones, self.active, "sum"),
+            )
+        if self.mode == "fwd":
+            return _wrap(f.out.push_reduce_masked(self.color, self.changed, "min"))
+        # senders (reached frontier) always have finite colors; zero the rest
+        # so the int cast never sees inf
+        lab = np.where(np.isfinite(self.color), self.color, 0.0).astype(np.int64)
+        return _wrap(f.inc.push_label_counts_masked(lab, self.changed))
+
+    def gather(self, step, glob, msgs):
+        self._sync(step, glob)
+        f = self.frag
+        n = f.n_local
+        if self.mode == "trim":
+            act_in = acc_sum(n, [(m[0],) for m in msgs])
+            act_out = acc_sum(n, [(m[1],) for m in msgs])
+            rem = self.active & ((act_in == 0) | (act_out == 0))
+            self.scc[rem] = self.gvid[rem].astype(np.int64)
+            self.active &= ~rem
+            chg = int(rem.sum())
+        elif self.mode == "fwd":
+            incoming = acc_min(n, msgs)
+            upd = self.active & (incoming < self.color)
+            self.color[upd] = incoming[upd]
+            self.changed = upd
+            chg = int(upd.sum())
+        else:  # bwd
+            dl, lab, _cnt = merge_label_counts(msgs)
+            newly = np.zeros(n, dtype=bool)
+            if dl.size:
+                keys = (dl.astype(np.int64) << np.int64(32)) | lab
+                cand = np.flatnonzero(self.active & ~self.reached & np.isfinite(self.color))
+                if cand.size:
+                    own = (cand.astype(np.int64) << np.int64(32)) | self.color[
+                        cand
+                    ].astype(np.int64)
+                    newly[cand[np.isin(own, keys)]] = True
+            self.reached |= newly
+            self.changed = newly
+            chg = int(newly.sum())
+        return {"chg": chg, "unassigned": int(self.active.sum())}
+
+    def state_columns(self):
+        return {"scc": self.scc}
+
+
+# --------------------------------------------------------------------------
+class Mis(VertexProgram):
+    """Deterministic Luby-style maximal independent set with the reference's
+    priority r(v) = und_deg(v)·N + vid (apps/flash/matching/mis.h:48-56:
+    ``v.r = Deg(id) * n_vertex + id``; a neighbor with smaller r blocks).
+    Round = two supersteps over the undirected deduplicated adjacency:
+      even — undecided vertices push r, min-reduce; an undecided vertex
+             whose own r beats every undecided neighbor's joins the MIS;
+      odd  — new MIS members announce; undecided receivers are excluded."""
+
+    def __init__(self, frag):
+        super().__init__(frag)
+
+    def init(self) -> dict:
+        f = self.frag
+        n = f.n_local
+        u = f.ucsr()
+        self.status = np.zeros(n, dtype=np.int8)  # 0 undecided / 1 MIS / 2 excluded
+        self.new_mis = np.zeros(n, dtype=bool)
+        gvid = f.owned_vids().astype(np.float64)
+        self.r = u.deg.astype(np.float64) * max(f.N, 1) + gvid
+        self._ones = np.ones(n)
+        return {"undecided": int(n)}
+
+    def scatter(self, step, glob):
+        u = self.frag.ucsr()
+        if step % 2 == 0:
+            return _wrap(u.push_reduce_masked(self.r, self.status == 0, "min"))
+        return _wrap(u.push_reduce_masked(self._ones, self.new_mis, "sum"))
+
+    def gather(self, step, glob, msgs):
+        n = self.frag.n_local
+        und = self.status == 0
+        if step % 2 == 0:
+            minnb = acc_min(n, msgs)
+            join = und & (self.r < minnb)
+            self.status[join] = 1
+            self.new_mis = join
+        else:
+            excl = und & (acc_sum(n, msgs) > 0)
+            self.status[excl] = 2
+        return {"undecided": int((self.status == 0).sum())}
+
+    def state_columns(self):
+        return {"in_mis": self.status == 1}
+
+
+# --------------------------------------------------------------------------
+class MaxMatching(VertexProgram):
+    """Deterministic maximal matching by mutual max-id handshake
+    (apps/flash/matching/mm.h:57-67: per round every unmatched vertex sets
+    p = max unmatched neighbor id; edge (u,v) is matched iff p(u)=v ∧
+    p(v)=u).  Mutuality without per-edge addressing: the odd superstep
+    pushes the packed key vid·K + p(vid) with max-reduce — the maximum
+    incoming key at v is exactly p(v)·K + p(p(v)) because K > max p, so the
+    primary sort is on the sender id and v's max unmatched neighbor IS
+    p(v).  Exact while N² < 2^53 (float64 message payload); beyond that the
+    pack must move to two separate pushes."""
+
+    def __init__(self, frag):
+        super().__init__(frag)
+
+    def init(self) -> dict:
+        f = self.frag
+        n = f.n_local
+        self.mate = np.full(n, -1, dtype=np.int64)
+        self.prop = np.full(n, -np.inf)
+        self.gvid = f.owned_vids().astype(np.float64)
+        self.K = float(max(f.N, 1))
+        return {"open": int(n)}
+
+    def scatter(self, step, glob):
+        u = self.frag.ucsr()
+        act = self.mate == -1
+        if step % 2 == 0:
+            return _wrap(u.push_reduce_masked(self.gvid, act, "max"))
+        m = act & np.isfinite(self.prop)
+        packed = self.gvid * self.K + np.where(np.isfinite(self.prop), self.prop, 0.0)
+        return _wrap(u.push_reduce_masked(packed, m, "max"))
+
+    def gather(self, step, glob, msgs):
+        n = self.frag.n_local
+        act = self.mate == -1
+        if step % 2 == 0:
+            self.prop = _acc_max(n, msgs)
+            return {"open": int((act & np.isfinite(self.prop)).sum())}
+        rcv = _acc_max(n, msgs)
+        idx = np.flatnonzero(act & np.isfinite(rcv) & np.isfinite(self.prop))
+        if idx.size:
+            t = np.floor(rcv[idx] / self.K)
+            q = rcv[idx] - t * self.K
+            hit = (t == self.prop[idx]) & (q == self.gvid[idx])
+            mi = idx[hit]
+            self.mate[mi] = t[hit].astype(np.int64)
+        return {"open": int(((self.mate == -1) & np.isfinite(self.prop)).sum())}
+
+    def state_columns(self):
+        return {"mate": self.mate}
+
+
+def _acc_max(n_local: int, msgs) -> np.ndarray:
+    acc = np.full(n_local, -np.inf)
+    for uniq, vals in _parts_of(msgs):
+        if len(uniq):
+            acc[uniq] = np.maximum(acc[uniq], vals)
+    return acc
+
+
+def _parts_of(msgs):
+    for msg in msgs:
+        for part in msg:
+            yield part
+
+
+# --------------------------------------------------------------------------
+class JpColoring(VertexProgram):
+    """Greedy graph coloring, Jones–Plassmann schedule with the reference's
+    priority order — larger und-degree first, ties by larger vid
+    (apps/flash/clustering/color.h:54-56).  Computes the unique stable
+    coloring that the reference's chaotic-relaxation loop converges to:
+    every vertex waits until all higher-priority neighbors are colored,
+    then takes the smallest color unused by them.  Requires the per-edge
+    priority masks prepared by FragmentActor.color_prio (a one-time degree
+    exchange).  Colors are tracked in a 64-bit "used" bitmask per vertex —
+    raises beyond 62 colors (chunked bitplanes are the scale path)."""
+
+    def __init__(self, frag):
+        super().__init__(frag)
+        if getattr(frag, "_color_masks", None) is None:
+            raise RuntimeError("run the color_prio degree exchange before coloring")
+
+    def init(self) -> dict:
+        f = self.frag
+        n = f.n_local
+        self.color = np.full(n, -1, dtype=np.int64)
+        self.cnt = np.zeros(n, dtype=np.int64)  # higher-priority nbrs not yet colored
+        self.used = np.zeros(n, dtype=np.uint64)
+        self.newly = np.zeros(n, dtype=bool)
+        self._ones = np.ones(n)
+        self._all = np.ones(n, dtype=bool)
+        return {"uncolored": int(n)}
+
+    def scatter(self, step, glob):
+        f = self.frag
+        u = f.ucsr()
+        if step == 0:
+            # count higher-priority neighbors per receiver
+            return _wrap(
+                u.push_reduce_masked(self._ones, self._all, "sum", edge_masks=f._color_masks)
+            )
+        return _wrap(
+            u.push_label_counts_masked(self.color, self.newly, edge_masks=f._color_masks)
+        )
+
+    def gather(self, step, glob, msgs):
+        n = self.frag.n_local
+        if step == 0:
+            self.cnt = acc_sum(n, msgs).astype(np.int64)
+        else:
+            dl, lab, cnt = merge_label_counts(msgs)
+            if dl.size:
+                if lab.max(initial=0) >= 62:
+                    raise NotImplementedError(">62 colors: chunked bitplane path needed")
+                np.bitwise_or.at(self.used, dl, np.uint64(1) << lab.astype(np.uint64))
+                dec = np.bincount(dl, weights=cnt, minlength=n).astype(np.int64)
+                self.cnt -= dec
+        ready = (self.color < 0) & (self.cnt == 0)
+        if ready.any():
+            u = self.used[ready]
+            # mex = index of lowest zero bit = log2((~x) & (x+1))
+            low = (~u) & (u + np.uint64(1))
+            self.color[ready] = np.log2(low.astype(np.float64)).astype(np.int64)
+        self.newly = ready
+        return {"uncolored": int((self.color < 0).sum()), "chg": int(ready.sum())}
+
+    def state_columns(self):
+        return {"color": self.color}
+
+
 def _never(glob, params, N, step):
     return False
 
@@ -967,5 +1287,11 @@ PROGRAMS: dict[str, ProgramSpec] = {
         Katz,
         lambda glob, p, N, s: glob.get("resid", np.inf) < p.get("tol", 1e-9) * max(N, 1),
         100,
+    ),
+    "scc": ProgramSpec(Scc, lambda glob, p, N, s: glob.get("unassigned", 1) == 0, 100_000),
+    "mis": ProgramSpec(Mis, lambda glob, p, N, s: glob.get("undecided", 1) == 0, 10_000),
+    "mm": ProgramSpec(MaxMatching, lambda glob, p, N, s: glob.get("open", 1) == 0, 10_000),
+    "coloring": ProgramSpec(
+        JpColoring, lambda glob, p, N, s: glob.get("uncolored", 1) == 0, 10_000
     ),
 }

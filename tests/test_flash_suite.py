@@ -1,0 +1,271 @@
+"""FLASH-suite apps (scc / mis / matching / coloring / rectangles /
+densest-core / diameter / k-center) vs pure-Python oracles, at two partition
+counts (parallelism invariance)."""
+
+import numpy as np
+import pytest
+
+from graphscope_ray.graph import algorithms as alg
+
+from .test_algorithms import GRAPHS, _build
+
+
+def _und_adj(edges, n):
+    """Undirected simple adjacency without self-loops (ucsr semantics)."""
+    adj = [set() for _ in range(n)]
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    return adj
+
+
+def _dir_adj(edges, n):
+    out = [set() for _ in range(n)]
+    inn = [set() for _ in range(n)]
+    for s, d in edges:
+        out[s].add(d)
+        inn[d].add(s)
+    return out, inn
+
+
+# ---------------------------------------------------------------- references
+def ref_scc(edges, n):
+    """Iterative Tarjan; label = min vid in the component."""
+    out, _ = _dir_adj(edges, n)
+    out = [sorted(s) for s in out]
+    index = [-1] * n
+    low = [0] * n
+    onstk = [False] * n
+    stk: list[int] = []
+    label = [0] * n
+    cnt = [0]
+    for v0 in range(n):
+        if index[v0] != -1:
+            continue
+        work = [(v0, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = cnt[0]
+                cnt[0] += 1
+                stk.append(v)
+                onstk[v] = True
+            advanced = False
+            for i in range(pi, len(out[v])):
+                w = out[v][i]
+                if index[w] == -1:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                elif onstk[w]:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stk.pop()
+                    onstk[w] = False
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    label[w] = m
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+    return np.array(label)
+
+
+def ref_mis(edges, n):
+    adj = _und_adj(edges, n)
+    r = {v: len(adj[v]) * n + v for v in range(n)}
+    status = [0] * n
+    while any(s == 0 for s in status):
+        join = [
+            v
+            for v in range(n)
+            if status[v] == 0
+            and all(status[w] != 0 or r[w] > r[v] for w in adj[v])
+        ]
+        for v in join:
+            status[v] = 1
+        for v in join:
+            for w in adj[v]:
+                if status[w] == 0:
+                    status[w] = 2
+    return np.array([s == 1 for s in status])
+
+
+def ref_matching(edges, n):
+    adj = _und_adj(edges, n)
+    mate = [-1] * n
+    while True:
+        act = lambda v: mate[v] == -1
+        p = {}
+        for v in range(n):
+            if act(v):
+                cand = [w for w in adj[v] if act(w)]
+                if cand:
+                    p[v] = max(cand)
+        matched = [(v, p[v]) for v in p if p.get(p[v]) == v and v < p[v]]
+        if not matched:
+            break
+        for u, v in matched:
+            mate[u] = v
+            mate[v] = u
+    return np.array(mate)
+
+
+def ref_coloring(edges, n):
+    """Sequential greedy in (deg desc, vid desc) order == JP fixpoint."""
+    adj = _und_adj(edges, n)
+    order = sorted(range(n), key=lambda v: (-len(adj[v]), -v))
+    color = [-1] * n
+    for v in order:
+        used = {color[w] for w in adj[v] if color[w] >= 0}
+        c = 0
+        while c in used:
+            c += 1
+        color[v] = c
+    return np.array(color)
+
+
+def ref_coreness(edges, n):
+    adj = _und_adj(edges, n)
+    deg = {v: len(adj[v]) for v in range(n)}
+    active = set(range(n))
+    cn = [0] * n
+    k = 0
+    while active:
+        k = max(k, min(deg[v] for v in active))
+        changed = True
+        while changed:
+            rem = [v for v in active if deg[v] <= k]
+            changed = bool(rem)
+            for v in rem:
+                cn[v] = k
+                active.discard(v)
+                for w in adj[v]:
+                    if w in active:
+                        deg[w] -= 1
+    return np.array(cn)
+
+
+def ref_rectangles(edges, n):
+    adj = _und_adj(edges, n)
+    total = 0
+    for u in range(n):
+        for v in range(u + 1, n):
+            w = len(adj[u] & adj[v])
+            total += w * (w - 1) // 2
+    return total // 2
+
+
+def ref_bfs_dists(out, n, src):
+    from collections import deque
+
+    d = [-1] * n
+    d[src] = 0
+    q = deque([src])
+    while q:
+        v = q.popleft()
+        for w in out[v]:
+            if d[w] < 0:
+                d[w] = d[v] + 1
+                q.append(w)
+    return d
+
+
+# ---------------------------------------------------------------- tests
+@pytest.mark.parametrize("gname", list(GRAPHS))
+@pytest.mark.parametrize("P", [1, 3])
+def test_scc(gname, P):
+    edges, n = GRAPHS[gname]
+    g = _build(edges, n, P, store_in_edges=True)
+    ds, _ = alg.scc(g)
+    df = ds.to_pandas().sort_values("vid")
+    got = df["scc"].to_numpy()
+    assert (got == ref_scc(edges, n)).all()
+
+
+@pytest.mark.parametrize("gname", list(GRAPHS))
+@pytest.mark.parametrize("P", [1, 3])
+def test_mis(gname, P):
+    edges, n = GRAPHS[gname]
+    g = _build(edges, n, P, store_in_edges=True)
+    ds, _ = alg.mis(g)
+    got = ds.to_pandas().sort_values("vid")["in_mis"].to_numpy()
+    assert (got == ref_mis(edges, n)).all()
+
+
+@pytest.mark.parametrize("gname", list(GRAPHS))
+@pytest.mark.parametrize("P", [1, 3])
+def test_matching(gname, P):
+    edges, n = GRAPHS[gname]
+    g = _build(edges, n, P, store_in_edges=True)
+    ds, _ = alg.matching(g)
+    got = ds.to_pandas().sort_values("vid")["mate"].to_numpy()
+    assert (got == ref_matching(edges, n)).all()
+
+
+@pytest.mark.parametrize("gname", list(GRAPHS))
+@pytest.mark.parametrize("P", [1, 3])
+def test_coloring(gname, P):
+    edges, n = GRAPHS[gname]
+    g = _build(edges, n, P, store_in_edges=True)
+    ds, _ = alg.coloring(g)
+    got = ds.to_pandas().sort_values("vid")["color"].to_numpy()
+    assert (got == ref_coloring(edges, n)).all()
+
+
+@pytest.mark.parametrize("gname", ["two_cliques", "diamond", "rand60"])
+def test_rectangles(gname):
+    edges, n = GRAPHS[gname]
+    g = _build(edges, n, 3, store_in_edges=True)
+    assert alg.rectangles(g) == ref_rectangles(edges, n)
+
+
+@pytest.mark.parametrize("gname", ["two_cliques", "rand60"])
+def test_densest_core(gname):
+    edges, n = GRAPHS[gname]
+    g = _build(edges, n, 3, store_in_edges=True)
+    got = alg.densest_core(g)
+    cn = ref_coreness(edges, n)
+    cmax = int(cn.max())
+    S = set(np.flatnonzero(cn == cmax).tolist())
+    adj = _und_adj(edges, n)
+    ne = sum(len(adj[v] & S) for v in S)
+    assert got["core"] == cmax
+    assert got["n_vertices"] == len(S)
+    assert got["density"] == pytest.approx(ne / len(S))
+
+
+def test_diameter_kcenter():
+    edges, n = GRAPHS["rand60"]
+    g = _build(edges, n, 3, store_in_edges=True)
+    out, _ = _dir_adj(edges, n)
+    dists = [ref_bfs_dists(out, n, s) for s in range(n)]
+    eccs = [max((d for d in dv if d > 0), default=0) for dv in dists]
+    dia = max(eccs)
+    rad = min(e for e in eccs if e > 0)
+    got = alg.diameter_radius(g, chunk=17)
+    assert got["diameter"] == dia
+    assert got["radius"] == rad
+
+    # greedy farthest-point with the same tie rules
+    centers = [0]
+    for _ in range(1, 4):
+        md = [
+            min((dists[c][v] if dists[c][v] >= 0 else 10**9) for c in centers)
+            for v in range(n)
+        ]
+        best = max(md)
+        nxt = min(v for v in range(n) if md[v] == best)
+        centers.append(nxt)
+    got_c = [c for c, _r in alg.k_center(g, k=4)]
+    assert got_c == centers
