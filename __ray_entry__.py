@@ -345,6 +345,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_ktruss": td.lg_ktruss,
         "lg_random_walks": td.lg_random_walks,
         "lg_eccentricity": td.lg_eccentricity,
+        # FLASH-suite (connectivity / matching / subgraph / measurement)
+        "lg_scc": td.lg_scc,
+        "lg_mis": td.lg_mis,
+        "lg_matching": td.lg_matching,
+        "lg_coloring": td.lg_coloring,
+        "lg_rectangles": td.lg_rectangles,
+        "lg_densest": td.lg_densest,
+        "lg_ecc_all": td.lg_ecc_all,
+        "lg_diameter": td.lg_diameter,
+        "lg_kcenter": td.lg_kcenter,
+        "lg_closeness_exact": td.lg_closeness_exact,
         # events (stream-shaped)
         "events_window": _q_events_window,
         "events_hopping": _q_events_hopping,
@@ -432,6 +443,17 @@ def oracle_sql() -> dict[str, str]:
         "lg_eccentricity": osql.lg_eccentricity_sql(),
         "lg_pagerank_converged": osql.lg_pagerank_converged_sql(),
         "lg_pagerank_p2p": osql.lg_pagerank_sql(rounds=15),
+        "lg_scc": osql.lg_scc_sql(),
+        "lg_mis": osql.lg_mis_sql(),
+        "lg_matching": osql.lg_matching_sql(),
+        "lg_coloring": osql.lg_coloring_sql(),
+        "lg_rectangles": osql.lg_rectangles_sql(),
+        "lg_densest": osql.lg_densest_sql(),
+        "lg_kshell": osql.lg_kshell_sql(),
+        "lg_ecc_all": osql.lg_ecc_all_sql(),
+        "lg_diameter": osql.lg_diameter_sql(),
+        "lg_kcenter": osql.lg_kcenter_sql(),
+        "lg_closeness_exact": osql.lg_closeness_exact_sql(),
         "events_window": osql.events_window_sql(),
         "events_hopping": osql.events_hopping_sql(),
         "events_sessionize": osql.sessionize_sql(),
@@ -443,7 +465,6 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk": osql.sim_topk_sql(),
         "sim_ivf_exact": osql.sim_topk_sql(),
         # no SQL oracle (heuristic / sequential / hash-defined / stateful):
-        # lg_kshell (unrolled peeling; pytest oracle),
         # lg_dfs (stack order is not SQL-expressible; pytest oracle),
         # text_fingerprint / dedup_minhash / dedup_simhash (hash-defined),
         # sim_ivf_topk (approximate), multimodal_features (binary stub),

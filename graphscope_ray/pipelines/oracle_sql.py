@@ -993,3 +993,249 @@ def lg_pagerank_converged_sql(
         "SELECT oid, round(score, 8) AS score FROM allp WHERE k = (SELECT k FROM conv) "
         "ORDER BY oid"
     )
+
+
+# ---------------------------------------------------------------------------
+# FLASH-suite oracles (connectivity / matching / subgraph / measurement).
+# The sparse link graph keeps every (src, dst) with
+# (src*31 + dst*17) % 20 == 0 — the SCC/matching structure of the full lg
+# graph is degenerate (one giant component).
+
+_SBASE = f"""
+se AS MATERIALIZED (
+  SELECT DISTINCT (l_orderkey % {LG_MOD}) AS src, (l_partkey % {LG_MOD}) AS dst
+  FROM lineitem WHERE (l_orderkey % {LG_MOD}) <> (l_partkey % {LG_MOD})
+    AND ((l_orderkey % {LG_MOD})*31 + (l_partkey % {LG_MOD})*17) % 20 = 0
+),
+sv AS MATERIALIZED (SELECT DISTINCT oid FROM
+  (SELECT src AS oid FROM se UNION ALL SELECT dst FROM se)),
+snv AS MATERIALIZED (SELECT count(*) AS n FROM sv),
+sue AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+  (SELECT src, dst FROM se UNION ALL SELECT dst AS src, src AS dst FROM se)),
+sdeg AS MATERIALIZED (SELECT src AS oid, count(*) AS d FROM sue GROUP BY src)
+"""
+
+# all-pairs directed hop distances on the sparse graph (depth-bounded walk)
+_SWALK = """
+swalk(s, wv, d) AS MATERIALIZED (
+  SELECT oid, oid, 0 FROM sv UNION
+  SELECT w.s, se.dst, w.d + 1 FROM swalk w JOIN se ON se.src = w.wv WHERE w.d < 40),
+sdist AS MATERIALIZED (SELECT s, wv, min(d) AS d FROM swalk GROUP BY s, wv)
+"""
+
+
+def lg_scc_sql() -> str:
+    """SCC via the transitive closure: scc(v) = min u with u⇝v and v⇝u
+    (self included) — the FW-BW engine's min-vid component label."""
+    return (
+        f"WITH RECURSIVE {_SBASE}, "
+        "reach(s, t) AS MATERIALIZED (SELECT oid, oid FROM sv UNION "
+        "SELECT r.s, se.dst FROM reach r JOIN se ON se.src = r.t) "
+        "SELECT r1.t AS oid, min(r1.s) AS scc_oid FROM reach r1 "
+        "JOIN reach r2 ON r2.s = r1.t AND r2.t = r1.s GROUP BY r1.t"
+    )
+
+
+def lg_mis_sql(rounds: int = 6) -> str:
+    """Unrolled deterministic Luby MIS with FLASH's priority
+    r = und_deg·C + oid (C > max oid ⇒ lexicographic (deg, id))."""
+    ctes = [
+        "spr AS MATERIALIZED (SELECT sv.oid, coalesce(sd.d, 0)*1000000 + sv.oid AS r "
+        "FROM sv LEFT JOIN sdeg sd ON sd.oid = sv.oid)",
+        "st0 AS MATERIALIZED (SELECT oid, 0 AS st FROM sv)",
+    ]
+    for k in range(rounds):
+        ctes.append(
+            f"j{k} AS MATERIALIZED (SELECT s.oid FROM st{k} s "
+            f"JOIN spr pv ON pv.oid = s.oid WHERE s.st = 0 AND NOT EXISTS ("
+            f"SELECT 1 FROM sue JOIN st{k} t ON t.oid = sue.dst "
+            f"JOIN spr pw ON pw.oid = sue.dst "
+            f"WHERE sue.src = s.oid AND t.st = 0 AND pw.r < pv.r))"
+        )
+        ctes.append(
+            f"st{k + 1} AS MATERIALIZED (SELECT s.oid, "
+            f"CASE WHEN j.oid IS NOT NULL THEN 1 "
+            f"WHEN s.st = 0 AND EXISTS (SELECT 1 FROM sue JOIN j{k} jj "
+            f"ON jj.oid = sue.src WHERE sue.dst = s.oid) THEN 2 "
+            f"ELSE s.st END AS st FROM st{k} s LEFT JOIN j{k} j ON j.oid = s.oid)"
+        )
+    return (
+        f"WITH {_SBASE}, "
+        + ",\n".join(ctes)
+        + f" SELECT oid, CAST(st = 1 AS BIGINT) AS in_mis FROM st{rounds}"
+    )
+
+
+def lg_matching_sql(rounds: int = 13) -> str:
+    """Unrolled mutual max-id handshake (mm.h): p(v) = max unmatched
+    neighbor; edge matched iff p(u)=v ∧ p(v)=u."""
+    ctes = ["m0 AS MATERIALIZED (SELECT oid, CAST(-1 AS BIGINT) AS mate FROM sv)"]
+    for k in range(rounds):
+        ctes.append(
+            f"p{k} AS MATERIALIZED (SELECT sue.src AS oid, max(sue.dst) AS p FROM sue "
+            f"JOIN m{k} a ON a.oid = sue.src AND a.mate = -1 "
+            f"JOIN m{k} b ON b.oid = sue.dst AND b.mate = -1 GROUP BY sue.src)"
+        )
+        ctes.append(
+            f"x{k} AS MATERIALIZED (SELECT p1.oid, p1.p AS mate FROM p{k} p1 "
+            f"JOIN p{k} p2 ON p2.oid = p1.p AND p2.p = p1.oid)"
+        )
+        ctes.append(
+            f"m{k + 1} AS MATERIALIZED (SELECT m.oid, coalesce(x.mate, m.mate) AS mate "
+            f"FROM m{k} m LEFT JOIN x{k} x ON x.oid = m.oid)"
+        )
+    return (
+        f"WITH {_SBASE}, "
+        + ",\n".join(ctes)
+        + f" SELECT oid, mate AS mate_oid FROM m{rounds}"
+    )
+
+
+def lg_coloring_sql(rounds: int = 18) -> str:
+    """Unrolled Jones–Plassmann greedy coloring in the reference priority
+    order (larger degree first, ties larger id — color.h); color = mex of
+    higher-priority neighbor colors once they are all fixed."""
+    ctes = [
+        "cpr AS MATERIALIZED (SELECT sv.oid, coalesce(sd.d, 0)*1000000 + sv.oid AS r "
+        "FROM sv LEFT JOIN sdeg sd ON sd.oid = sv.oid)",
+        "hp AS MATERIALIZED (SELECT sue.src AS w, sue.dst AS v FROM sue "
+        "JOIN cpr pw ON pw.oid = sue.src JOIN cpr pv ON pv.oid = sue.dst "
+        "WHERE pw.r > pv.r)",
+        "c0 AS MATERIALIZED (SELECT oid, CAST(NULL AS BIGINT) AS c FROM sv)",
+    ]
+    for k in range(rounds):
+        ctes.append(
+            f"rdy{k} AS MATERIALIZED (SELECT c.oid FROM c{k} c WHERE c.c IS NULL "
+            f"AND NOT EXISTS (SELECT 1 FROM hp JOIN c{k} cw ON cw.oid = hp.w "
+            f"WHERE hp.v = c.oid AND cw.c IS NULL))"
+        )
+        ctes.append(
+            f"mex{k} AS MATERIALIZED (SELECT r.oid, min(g.g) AS c FROM rdy{k} r "
+            f"CROSS JOIN generate_series(0, 63) g(g) WHERE NOT EXISTS ("
+            f"SELECT 1 FROM hp JOIN c{k} cw ON cw.oid = hp.w "
+            f"WHERE hp.v = r.oid AND cw.c = g.g) GROUP BY r.oid)"
+        )
+        ctes.append(
+            f"c{k + 1} AS MATERIALIZED (SELECT c.oid, coalesce(m.c, c.c) AS c "
+            f"FROM c{k} c LEFT JOIN mex{k} m ON m.oid = c.oid)"
+        )
+    return (
+        f"WITH {_SBASE}, "
+        + ",\n".join(ctes)
+        + f" SELECT oid, c AS color FROM c{rounds}"
+    )
+
+
+def _hindex_ctes(rounds: int) -> str:
+    """Coreness as the fixpoint of the local H-index iteration (Lü et al.;
+    converges to k-core peeling coreness): c'(v) = min(c(v),
+    H({min(c(w), c(v)) : w ∈ N(v)})) with H = max_k min(k, k-th largest)."""
+    ctes = [
+        "hdeg AS MATERIALIZED (SELECT src AS oid, count(*) AS d FROM ue GROUP BY src)",
+        "h0 AS MATERIALIZED (SELECT v.oid, coalesce(hd.d, 0) AS c FROM v "
+        "LEFT JOIN hdeg hd ON hd.oid = v.oid)",
+    ]
+    for k in range(rounds):
+        ctes.append(
+            f"nb{k} AS MATERIALIZED (SELECT ue.src AS nv, least(hw.c, hv.c) AS cw, "
+            f"row_number() OVER (PARTITION BY ue.src ORDER BY least(hw.c, hv.c) DESC) AS rn "
+            f"FROM ue JOIN h{k} hw ON hw.oid = ue.dst JOIN h{k} hv ON hv.oid = ue.src)"
+        )
+        ctes.append(
+            f"h{k + 1} AS MATERIALIZED (SELECT h.oid, least(h.c, coalesce(x.h, 0)) AS c "
+            f"FROM h{k} h LEFT JOIN (SELECT nv, max(least(rn, cw)) AS h FROM nb{k} "
+            f"GROUP BY nv) x ON x.nv = h.oid)"
+        )
+    return ",\n".join(ctes)
+
+
+def lg_kshell_sql(rounds: int = 22) -> str:
+    return (
+        f"WITH {_BASE}, "
+        + _hindex_ctes(rounds)
+        + f" SELECT oid, c AS shell FROM h{rounds}"
+    )
+
+
+def lg_densest_sql(rounds: int = 22) -> str:
+    return (
+        f"WITH {_BASE}, "
+        + _hindex_ctes(rounds)
+        + f""",
+cm AS MATERIALIZED (SELECT max(c) AS cmax FROM h{rounds}),
+s1 AS MATERIALIZED (SELECT oid FROM h{rounds} WHERE c = (SELECT cmax FROM cm)),
+ne AS MATERIALIZED (SELECT count(*) AS cnt FROM ue
+  JOIN s1 a ON a.oid = ue.src JOIN s1 b ON b.oid = ue.dst)
+SELECT (SELECT cmax FROM cm) AS core,
+       (SELECT count(*) FROM s1) AS n_vertices,
+       round((SELECT cnt FROM ne) * 1.0 / (SELECT count(*) FROM s1), 8) AS density"""
+    )
+
+
+def lg_rectangles_sql() -> str:
+    return (
+        f"WITH {_BASE}, "
+        "wpairs AS MATERIALIZED (SELECT u1.dst AS a, u2.dst AS b FROM ue u1 "
+        "JOIN ue u2 ON u2.src = u1.src AND u1.dst < u2.dst), "
+        "wcnt AS MATERIALIZED (SELECT a, b, count(*) AS w FROM wpairs GROUP BY a, b) "
+        "SELECT CAST(coalesce(sum((w*(w-1))//2), 0) // 2 AS BIGINT) AS n_rectangles FROM wcnt"
+    )
+
+
+def lg_ecc_all_sql() -> str:
+    return (
+        f"WITH RECURSIVE {_SBASE}, {_SWALK} "
+        "SELECT s AS oid, max(d) AS ecc, count(*) AS n_reach "
+        "FROM sdist GROUP BY s"
+    )
+
+
+def lg_diameter_sql() -> str:
+    return (
+        f"WITH RECURSIVE {_SBASE}, {_SWALK}, "
+        "eccs AS MATERIALIZED (SELECT s, max(d) AS ecc FROM sdist GROUP BY s) "
+        "SELECT (SELECT max(ecc) FROM eccs) AS diameter, "
+        "coalesce((SELECT min(ecc) FROM eccs WHERE ecc > 0), 0) AS radius"
+    )
+
+
+def lg_kcenter_sql(k: int = 4) -> str:
+    """Greedy farthest-point k-center: seed = min oid; then repeatedly the
+    vertex maximizing min-distance-to-centers (unreached ≡ 10^6, ties →
+    min oid); radius -1 for the seed, -2 when the pick was unreached."""
+    ctes = ["cen1 AS MATERIALIZED (SELECT min(oid) AS oid FROM sv)"]
+    rows = ["SELECT 0 AS rank, (SELECT oid FROM cen1) AS center_oid, CAST(-1 AS BIGINT) AS radius"]
+    for i in range(1, k):
+        ctes.append(
+            f"md{i} AS MATERIALIZED (SELECT sv.oid, coalesce(min(sd.d), 1000000) AS md "
+            f"FROM sv LEFT JOIN sdist sd ON sd.wv = sv.oid "
+            f"AND sd.s IN (SELECT oid FROM cen{i}) GROUP BY sv.oid)"
+        )
+        ctes.append(
+            f"nx{i} AS MATERIALIZED (SELECT oid, md FROM md{i} "
+            f"ORDER BY md DESC, oid ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"cen{i + 1} AS MATERIALIZED (SELECT oid FROM cen{i} UNION SELECT oid FROM nx{i})"
+        )
+        rows.append(
+            f"SELECT {i} AS rank, (SELECT oid FROM nx{i}) AS center_oid, "
+            f"(SELECT CASE WHEN md >= 1000000 THEN -2 ELSE md END FROM nx{i}) AS radius"
+        )
+    return (
+        f"WITH RECURSIVE {_SBASE}, {_SWALK}, "
+        + ",\n".join(ctes)
+        + " "
+        + " UNION ALL ".join(rows)
+    )
+
+
+def lg_closeness_exact_sql() -> str:
+    """Exact harmonic in-closeness on the sparse graph:
+    c(v) = Σ_{s : s⇝v, s≠v} (1/d(s,v)) / (N-1)."""
+    return (
+        f"WITH RECURSIVE {_SBASE}, {_SWALK} "
+        "SELECT sv.oid, round(coalesce(cl.sinv, 0) / ((SELECT n FROM snv) - 1), 8) AS closeness "
+        "FROM sv LEFT JOIN (SELECT wv, sum(1.0/d) AS sinv FROM sdist WHERE d > 0 "
+        "GROUP BY wv) cl ON cl.wv = sv.oid"
+    )

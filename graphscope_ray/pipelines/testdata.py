@@ -951,3 +951,137 @@ def lg_pagerank_p2p(sf_dir: str, rounds: int = 15, alpha: float = 0.85) -> pd.Da
     out = _oid_space(g, ds, ["score"])
     out["score"] = out["score"].round(8)
     return out
+
+
+# ---------------------------------------------------------------------------
+# FLASH-suite queries (connectivity / matching / subgraph / measurement)
+# over lg_sparse — a deterministic ~3-avg-degree subgraph of the link graph
+# ((src*31 + dst*17) % 20 == 0) whose SCC / matching / coloring structure is
+# non-degenerate (the full lg graph is one giant SCC).
+
+SPARSE_MOD = 20
+
+
+def lg_sparse_graph(sf_dir: str, num_partitions: int = 4) -> Graph:
+    key = (sf_dir, num_partitions, "sparse")
+    if key not in _GRAPH_CACHE:
+        li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+        def _derive(t: pa.Table) -> pa.Table:
+            src = t["l_orderkey"].to_numpy(zero_copy_only=False) % LG_MOD
+            dst = t["l_partkey"].to_numpy(zero_copy_only=False) % LG_MOD
+            keep = (src != dst) & ((src * 31 + dst * 17) % SPARSE_MOD == 0)
+            return pa.table(
+                {
+                    "src_oid": pa.array(src[keep].astype(np.int64)),
+                    "dst_oid": pa.array(dst[keep].astype(np.int64)),
+                }
+            )
+
+        edges = li.map_batches(_derive, batch_format="pyarrow")
+        _GRAPH_CACHE[key] = build_graph_from_oids(
+            edges,
+            num_partitions=num_partitions,
+            view="directed",
+            store_in_edges=True,
+            dedup_edges=True,
+        )
+    return _GRAPH_CACHE[key]
+
+
+def lg_scc(sf_dir: str) -> pd.DataFrame:
+    """SCC labels (min oid in component) on the sparse link graph."""
+    g = lg_sparse_graph(sf_dir)
+    ds, _ = alg.scc(g)
+    vmap = g.vertices_ds.to_pandas()
+    df = ds.to_pandas().merge(vmap, on="vid")
+    df = df.merge(vmap.rename(columns={"vid": "scc", "oid": "scc_oid"}), on="scc")
+    return df[["oid", "scc_oid"]].sort_values("oid").reset_index(drop=True)
+
+
+def lg_mis(sf_dir: str) -> pd.DataFrame:
+    g = lg_sparse_graph(sf_dir)
+    ds, _ = alg.mis(g)
+    out = _oid_space(g, ds, ["in_mis"])
+    out["in_mis"] = out["in_mis"].astype("int64")
+    return out
+
+
+def lg_matching(sf_dir: str) -> pd.DataFrame:
+    """Maximal matching: mate oid per vertex, -1 if unmatched."""
+    g = lg_sparse_graph(sf_dir)
+    ds, _ = alg.matching(g)
+    vmap = g.vertices_ds.to_pandas()
+    df = ds.to_pandas().merge(vmap, on="vid")
+    df = df.merge(
+        vmap.rename(columns={"vid": "mate", "oid": "mate_oid"}), on="mate", how="left"
+    )
+    df["mate_oid"] = df["mate_oid"].fillna(-1).astype("int64")
+    return df[["oid", "mate_oid"]].sort_values("oid").reset_index(drop=True)
+
+
+def lg_coloring(sf_dir: str) -> pd.DataFrame:
+    g = lg_sparse_graph(sf_dir)
+    ds, _ = alg.coloring(g)
+    return _oid_space(g, ds, ["color"])
+
+
+def lg_rectangles(sf_dir: str) -> pd.DataFrame:
+    """Global 4-cycle count on the (full) undirected link graph."""
+    g = lg_graph(sf_dir)
+    return pd.DataFrame({"n_rectangles": [alg.rectangles(g)]})
+
+
+def lg_densest(sf_dir: str) -> pd.DataFrame:
+    """Max-coreness subgraph density (densest-sub-2-approx semantics)."""
+    g = lg_graph(sf_dir)
+    d = alg.densest_core(g)
+    return pd.DataFrame(
+        {
+            "core": [d["core"]],
+            "n_vertices": [d["n_vertices"]],
+            "density": [round(d["density"], 8)],
+        }
+    )
+
+
+def lg_ecc_all(sf_dir: str) -> pd.DataFrame:
+    """Exact out-eccentricity + reach count for every vertex (sparse graph)."""
+    g = lg_sparse_graph(sf_dir)
+    ecc = alg.eccentricity_all(g, chunk=128)
+    vmap = g.vertices_ds.to_pandas()
+    df = ecc.merge(vmap, left_on="src", right_on="vid")
+    df = df[["oid", "ecc", "n_reach"]].sort_values("oid").reset_index(drop=True)
+    df["n_reach"] = df["n_reach"].astype("int64")
+    return df
+
+
+def lg_diameter(sf_dir: str) -> pd.DataFrame:
+    g = lg_sparse_graph(sf_dir)
+    d = alg.diameter_radius(g)
+    return pd.DataFrame({"diameter": [d["diameter"]], "radius": [d["radius"]]})
+
+
+def lg_kcenter(sf_dir: str, k: int = 4) -> pd.DataFrame:
+    """Greedy farthest-point k-center on the sparse graph (directed
+    distances; unreached = infinitely far, radius -2 marks an inf pick)."""
+    g = lg_sparse_graph(sf_dir)
+    centers = alg.k_center(g, k=k)
+    vmap = g.vertices_ds.to_pandas().set_index("vid")["oid"]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(len(centers), dtype=np.int64),
+            "center_oid": [int(vmap.loc[c]) for c, _r in centers],
+            "radius": np.array([r for _c, r in centers], dtype=np.int64),
+        }
+    )
+
+
+def lg_closeness_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact harmonic in-closeness over ALL sources (sparse graph):
+    c(v) = Σ_s 1/d(s,v) / (N-1)."""
+    g = lg_sparse_graph(sf_dir)
+    ds = alg.closeness_exact(g, harmonic=True)
+    out = _oid_space(g, ds, ["closeness"])
+    out["closeness"] = out["closeness"].round(8)
+    return out
