@@ -305,6 +305,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_hits": td.lg_hits_fixed,
         "lg_eigenvector": td.lg_eigenvector_fixed,
         "lg_katz": td.lg_katz_fixed,
+        "lg_ppr": td.lg_ppr,
+        "lg_articlerank": td.lg_articlerank,
         "lg_kcore": td.lg_kcore,
         "lg_degree_centrality": td.lg_degree_centrality,
         "lg_assortativity": td.lg_assortativity,
@@ -403,6 +405,8 @@ def oracle_sql() -> dict[str, str]:
         "lg_hits": osql.lg_hits_sql(iters=5),
         "lg_eigenvector": osql.lg_eigenvector_sql(iters=10),
         "lg_katz": osql.lg_katz_sql(iters=8),
+        "lg_ppr": osql.lg_ppr_sql(rounds=10),
+        "lg_articlerank": osql.lg_articlerank_sql(rounds=10),
         "lg_kcore": osql.lg_kcore_sql(k=5),
         "lg_voterank": osql.lg_voterank_sql(k=10),
         "lg_closeness_sampled": osql.lg_closeness_sampled_sql(),

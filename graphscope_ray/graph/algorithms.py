@@ -111,6 +111,18 @@ def katz_centrality(
     return g.program_state(res.name), res
 
 
+def ppr(g: Graph, source: int = 0, max_rounds: int = 10, **run_kwargs):
+    """FLASH personalized PageRank (apps/flash/ranking/ppr.h:41-72)."""
+    res = g.run_program("ppr", source=source, max_rounds=max_rounds, **run_kwargs)
+    return g.program_state(res.name), res
+
+
+def articlerank(g: Graph, damping: float = 0.85, max_rounds: int = 10, **run_kwargs):
+    """FLASH ArticleRank (apps/flash/ranking/articlerank.h:42-74)."""
+    res = g.run_program("articlerank", damping=damping, max_rounds=max_rounds, **run_kwargs)
+    return g.program_state(res.name), res
+
+
 def triangles(g: Graph, dense_threshold: int = 16384) -> tuple[int, ray.data.Dataset]:
     """Exact triangle counts: (global_count, per-vertex Dataset(vid, tri, deg))."""
     assert g.view == "undirected" or g.has_in, (

@@ -1255,6 +1255,88 @@ class JpColoring(VertexProgram):
         return {"color": self.color}
 
 
+# --------------------------------------------------------------------------
+class Ppr(VertexProgram):
+    """FLASH personalized PageRank (apps/flash/ranking/ppr.h:41-72):
+    r0 = e_source; per round r'[v] = 0.5·Σ_{u∈N(v)} r[u]/deg[u] + 0.5·1{v=src}
+    over UNDIRECTED edges (EU) with deg = OutDeg + InDeg (flash_utils.h:47);
+    fixed max_iters rounds, no convergence test."""
+
+    def __init__(self, frag, source: int = 0, max_rounds: int = 10):
+        super().__init__(frag)
+        self.source = int(source)
+
+    def init(self) -> dict:
+        f = self.frag
+        self.score = np.zeros(f.n_local, dtype=np.float64)
+        if f.N and self.source % f.P == f.part:
+            self.score[self.source // f.P] = 1.0
+        outdeg, indeg = f.degrees()
+        deg = outdeg.astype(np.float64)
+        if indeg is not None:
+            deg = deg + indeg
+        with np.errstate(divide="ignore"):
+            self.invdeg = np.where(deg == 0, 0.0, 1.0 / deg)
+        return {}
+
+    def scatter(self, step, glob):
+        f = self.frag
+        contrib = 0.5 * self.score * self.invdeg
+        pushes = [f.out.push_reduce(contrib, "sum")]
+        if f.inc is not None:
+            pushes.append(f.inc.push_reduce(contrib, "sum"))
+        return _wrap(*pushes)
+
+    def gather(self, step, glob, msgs):
+        f = self.frag
+        new = acc_sum(f.n_local, msgs)
+        if f.N and self.source % f.P == f.part:
+            new[self.source // f.P] += 0.5
+        self.score = new
+        return {}
+
+    def state_columns(self):
+        return {"score": self.score}
+
+
+# --------------------------------------------------------------------------
+class ArticleRank(VertexProgram):
+    """FLASH ArticleRank (apps/flash/ranking/articlerank.h:42-74):
+    init val = 0; avg = mean out-degree; per round (directed out-edges, ED)
+    next[v] = d·Σ_{u→v} val[u]/(outdeg[u]+avg); val' = next + 1 − d;
+    fixed max_iters rounds."""
+
+    def __init__(self, frag, damping: float = 0.85, max_rounds: int = 10):
+        super().__init__(frag)
+        self.damping = float(damping)
+
+    def init(self) -> dict:
+        f = self.frag
+        self.score = np.zeros(f.n_local, dtype=np.float64)
+        self.outdeg = f.true_outdeg().astype(np.float64)
+        self.invdeg = None  # needs the global avg outdeg → lazy in scatter
+        return {"ar_deg_total": float(self.outdeg.sum())}
+
+    def resume_stats(self) -> dict:
+        return {"ar_deg_total": float(self.outdeg.sum())}
+
+    def scatter(self, step, glob):
+        f = self.frag
+        if self.invdeg is None:
+            avg = glob["ar_deg_total"] / max(f.N, 1)
+            self.invdeg = 1.0 / (self.outdeg + avg)
+        return _wrap(f.out.push_reduce(self.damping * self.score * self.invdeg, "sum"))
+
+    def gather(self, step, glob, msgs):
+        new = acc_sum(self.frag.n_local, msgs) + (1.0 - self.damping)
+        resid = float(np.abs(new - self.score).sum())
+        self.score = new
+        return {"resid": resid}
+
+    def state_columns(self):
+        return {"score": self.score}
+
+
 def _never(glob, params, N, step):
     return False
 
@@ -1294,4 +1376,6 @@ PROGRAMS: dict[str, ProgramSpec] = {
     "coloring": ProgramSpec(
         JpColoring, lambda glob, p, N, s: glob.get("uncolored", 1) == 0, 10_000
     ),
+    "ppr": ProgramSpec(Ppr, _never, 10),
+    "articlerank": ProgramSpec(ArticleRank, _never, 10),
 }

@@ -71,6 +71,54 @@ def lg_pagerank_sql(rounds: int = 15, alpha: float = 0.85) -> str:
     return f"WITH {_BASE}, " + ",\n".join(ctes) + f" SELECT oid, round(score, 8) AS score FROM p{rounds}"
 
 
+def lg_ppr_sql(rounds: int = 10, source: int = 0) -> str:
+    """Unrolled FLASH PPR (apps/flash/ranking/ppr.h:41-72): r0 = e_source;
+    r'[v] = 0.5·Σ_{u∈N(v)} r[u]/deg[u] + 0.5·1{v=source} over both edge
+    directions (EU) with deg = outdeg + indeg (flash_utils.h:47)."""
+    ctes = [
+        "degb AS MATERIALIZED (SELECT src AS oid, count(*) AS d FROM me GROUP BY src)",
+        f"p0 AS MATERIALIZED (SELECT oid, CASE WHEN oid = {source} THEN 1.0 ELSE 0.0 END AS score FROM v)",
+    ]
+    for k in range(rounds):
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT me.dst AS oid, sum(p.score / b.d) AS insum "
+            f"FROM me JOIN p{k} p ON p.oid = me.src JOIN degb b ON b.oid = me.src "
+            "GROUP BY me.dst)"
+        )
+        ctes.append(
+            f"p{k + 1} AS MATERIALIZED (SELECT v.oid, 0.5*coalesce(s.insum, 0) + "
+            f"CASE WHEN v.oid = {source} THEN 0.5 ELSE 0.0 END AS score "
+            f"FROM v LEFT JOIN s{k} s ON s.oid = v.oid)"
+        )
+    return f"WITH {_BASE}, " + ",\n".join(ctes) + (
+        f" SELECT oid, round(score, 8) AS score FROM p{rounds}"
+    )
+
+
+def lg_articlerank_sql(rounds: int = 10, damping: float = 0.85) -> str:
+    """Unrolled FLASH ArticleRank (apps/flash/ranking/articlerank.h:42-74):
+    r0 = 0; r'[v] = d·Σ_{u→v} r[u]/(outdeg[u]+avg) + (1−d), avg = mean outdeg."""
+    ctes = [
+        "avgd AS MATERIALIZED (SELECT (SELECT CAST(coalesce(sum(d),0) AS DOUBLE) FROM outd)"
+        " / (SELECT n FROM nv) AS a)",
+        "p0 AS MATERIALIZED (SELECT oid, 0.0 AS score FROM v)",
+    ]
+    for k in range(rounds):
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT e.dst AS oid, "
+            "sum(p.score / (o.d + (SELECT a FROM avgd))) AS insum "
+            f"FROM e JOIN p{k} p ON p.oid = e.src JOIN outd o ON o.oid = e.src "
+            "GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"p{k + 1} AS MATERIALIZED (SELECT v.oid, {damping}*coalesce(s.insum, 0) + "
+            f"{1 - damping:.2f} AS score FROM v LEFT JOIN s{k} s ON s.oid = v.oid)"
+        )
+    return f"WITH {_BASE}, " + ",\n".join(ctes) + (
+        f" SELECT oid, round(score, 8) AS score FROM p{rounds}"
+    )
+
+
 def lg_wcc_sql() -> str:
     return (
         f"WITH RECURSIVE {_BASE}, "

@@ -148,6 +148,26 @@ def lg_pagerank_converged(sf_dir: str, tol: float = 1e-6) -> pd.DataFrame:
     return _oid_space(g, ds, ["score"])
 
 
+def lg_ppr(sf_dir: str, source: int = 0, rounds: int = 10) -> pd.DataFrame:
+    """FLASH personalized PageRank (apps/flash/ranking/ppr.h): α=0.5 teleport
+    to the source, undirected pushes, deg = out+in, fixed rounds."""
+    g = lg_graph(sf_dir)
+    ds, _ = alg.ppr(g, source=source, max_rounds=rounds)
+    out = _oid_space(g, ds, ["score"])
+    out["score"] = out["score"].round(8)
+    return out
+
+
+def lg_articlerank(sf_dir: str, damping: float = 0.85, rounds: int = 10) -> pd.DataFrame:
+    """FLASH ArticleRank (apps/flash/ranking/articlerank.h): like PageRank but
+    contributions divide by (outdeg + avg_outdeg); val' = next + 1 − d."""
+    g = lg_graph(sf_dir)
+    ds, _ = alg.articlerank(g, damping=damping, max_rounds=rounds)
+    out = _oid_space(g, ds, ["score"])
+    out["score"] = out["score"].round(8)
+    return out
+
+
 def lg_wcc(sf_dir: str) -> pd.DataFrame:
     g = lg_graph(sf_dir)
     ds, _ = alg.wcc(g)

@@ -201,3 +201,43 @@ def kcore(edges, n, k):
                 for u in adj[v]:
                     deg[u] -= 1
     return alive
+
+
+def ppr(edges, n, source=0, rounds=10):
+    """FLASH PPR (apps/flash/ranking/ppr.h:41-72): r0 = e_source; per round
+    r'[v] = 0.5·Σ_{u∈N(v)} r[u]/deg[u] + 0.5·1{v=source}, undirected multi
+    adjacency (each directed edge both ways), deg = out+in."""
+    nbr = defaultdict(list)
+    for s, d in edges:
+        nbr[s].append(d)
+        nbr[d].append(s)
+    r = [0.0] * n
+    r[source] = 1.0
+    for _ in range(rounds):
+        new = [0.0] * n
+        for u, ds in nbr.items():
+            if not ds:
+                continue
+            c = 0.5 * r[u] / len(ds)
+            for d in ds:
+                new[d] += c
+        new[source] += 0.5
+        r = new
+    return r
+
+
+def articlerank(edges, n, damping=0.85, rounds=10):
+    """FLASH ArticleRank (apps/flash/ranking/articlerank.h:42-74)."""
+    out = defaultdict(list)
+    for s, d in edges:
+        out[s].append(d)
+    avg = len(edges) / n if n else 0.0
+    r = [0.0] * n
+    for _ in range(rounds):
+        new = [0.0] * n
+        for u, ds in out.items():
+            c = damping * r[u] / (len(ds) + avg)
+            for d in ds:
+                new[d] += c
+        r = [x + 1 - damping for x in new]
+    return r

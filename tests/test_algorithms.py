@@ -193,3 +193,25 @@ def test_p2p_message_mode_matches_shared():
         _tbl(edges), num_partitions=3, num_vertices=n, store_in_edges=True, p2p_messages=True
     )
     assert _col(alg.wcc(gu)[0], "comp").tolist() == oracles.wcc(edges, n)
+
+
+@pytest.mark.parametrize("gname", list(GRAPHS))
+@pytest.mark.parametrize("P", [1, 3])
+def test_ppr(gname, P):
+    edges, n = GRAPHS[gname]
+    g = _build(edges, n, P, store_in_edges=True)
+    ds, _ = alg.ppr(g, source=0, max_rounds=10)
+    got = _col(ds, "score")
+    want = oracles.ppr(edges, n, source=0, rounds=10)
+    assert np.allclose(got, want, atol=1e-12)
+
+
+@pytest.mark.parametrize("gname", list(GRAPHS))
+@pytest.mark.parametrize("P", [1, 3])
+def test_articlerank(gname, P):
+    edges, n = GRAPHS[gname]
+    g = _build(edges, n, P)
+    ds, _ = alg.articlerank(g, max_rounds=10)
+    got = _col(ds, "score")
+    want = oracles.articlerank(edges, n, rounds=10)
+    assert np.allclose(got, want, atol=1e-12)
