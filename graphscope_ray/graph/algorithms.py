@@ -879,6 +879,245 @@ def ktruss(edges: ray.data.Dataset, k: int, max_rounds: int = 50) -> ray.data.Da
     return e
 
 
+def _i64(t: pa.Table, name: str) -> np.ndarray:
+    return t[name].to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _guard(cols: list[str]):
+    """Schema for empty blocks (Ray strips schemas off empty blocks)."""
+    return pa.table({c: pa.array([], pa.int64()) for c in cols})
+
+
+def _sumcol(df, name: str) -> int:
+    """Sum of a partials column; 0 when the dataset came back fully empty
+    (Ray drops even the schema of all-empty results)."""
+    return int(df[name].sum()) if name in getattr(df, "columns", []) else 0
+
+
+def undirected_motifs(edges: ray.data.Dataset, num_partitions: int = 8) -> dict:
+    """Undirected motif census over the canonical undirected edge set
+    (src < dst, dedup, no self-loops) — the FLASH subgraph family, expressed
+    as one distributed support computation + per-edge closed forms:
+
+      triangles = Σ_e p(e) / 3                      (flash/subgraph/triangle.h)
+      tailed    = ½ Σ_e p(e)·(deg(s)+deg(d)−4)      (tailed-triangle.h:57-66)
+      n_3paths  = Σ_e (deg(s)−1)(deg(d)−1) − p(e)   (3-path.h:57-66)
+      diamonds  = Σ_e C(p(e), 2)                    (diamond.h:56-73)
+
+    where p(e) = common-neighbor count of the edge (its triangle support),
+    computed with the same degree-ordered wedge join as :func:`ktruss`, and
+    deg is the undirected set degree.  Everything is distributed hash-join /
+    hash-groupby dataflow; only O(1) partial sums reach the driver."""
+    from graphscope_ray.utils import hash_groupby_sum, hash_join
+
+    e = edges.map_batches(lambda t: t.select(["src", "dst"]), batch_format="pyarrow")
+    e = e.materialize()
+
+    def _ends(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return _guard(["tv"])
+        return pa.table({"tv": pa.array(np.concatenate([_i64(t, "src"), _i64(t, "dst")]))})
+
+    deg = hash_groupby_sum(
+        e.map_batches(_ends, batch_format="pyarrow"), ["tv"], None, "d",
+        num_partitions=num_partitions,
+    )
+
+    def _proj(cols: dict):
+        def _f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or t.num_columns == 0:
+                return _guard(list(cols))
+            return pa.table({o: t[s] for o, s in cols.items()})
+
+        return _f
+
+    j1 = hash_join(e, deg, "src", "tv", num_partitions=num_partitions).map_batches(
+        _proj({"src": "src", "dst": "dst", "da": "d"}), batch_format="pyarrow"
+    )
+    ed = hash_join(j1, deg, "dst", "tv", num_partitions=num_partitions).map_batches(
+        _proj({"src": "src", "dst": "dst", "da": "da", "db": "d"}), batch_format="pyarrow"
+    ).materialize()
+
+    # Σ (da−1)(db−1) over ALL edges (support join below only sees p>0 edges)
+    def _pathlhs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return _guard(["lhs"])
+        da, db = _i64(t, "da"), _i64(t, "db")
+        return pa.table({"lhs": pa.array([int(((da - 1) * (db - 1)).sum())])})
+
+    path_lhs = _sumcol(ed.map_batches(_pathlhs, batch_format="pyarrow").to_pandas(), "lhs")
+
+    # degree-ordered orientation → wedges → closure = per-edge support
+    def _orient(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return _guard(["a", "b"])
+        s, d = _i64(t, "src"), _i64(t, "dst")
+        da, db = _i64(t, "da"), _i64(t, "db")
+        fwd = (da < db) | ((da == db) & (s < d))
+        return pa.table({"a": pa.array(np.where(fwd, s, d)), "b": pa.array(np.where(fwd, d, s))})
+
+    oe = ed.map_batches(_orient, batch_format="pyarrow").materialize()
+    w = hash_join(
+        oe, oe.map_batches(_proj({"b2": "a", "c": "b"}), batch_format="pyarrow"),
+        "b", "b2", num_partitions=num_partitions,
+    )
+
+    def _pack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return _guard(["a", "b", "c", "ac"])
+        a, b, c = _i64(t, "a"), _i64(t, "b"), _i64(t, "c")
+        return pa.table(
+            {"a": pa.array(a), "b": pa.array(b), "c": pa.array(c),
+             "ac": pa.array((a << np.int64(32)) | c)}
+        )
+
+    def _ok(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return _guard(["ac2"])
+        return pa.table({"ac2": pa.array((_i64(t, "a") << np.int64(32)) | _i64(t, "b"))})
+
+    tri = hash_join(
+        w.map_batches(_pack, batch_format="pyarrow"),
+        oe.map_batches(_ok, batch_format="pyarrow"),
+        "ac", "ac2", num_partitions=num_partitions,
+    )
+
+    def _edges3(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return _guard(["src", "dst"])
+        a, b, c = _i64(t, "a"), _i64(t, "b"), _i64(t, "c")
+        u = np.concatenate([np.minimum(a, b), np.minimum(b, c), np.minimum(a, c)])
+        v = np.concatenate([np.maximum(a, b), np.maximum(b, c), np.maximum(a, c)])
+        return pa.table({"src": pa.array(u), "dst": pa.array(v)})
+
+    sup = hash_groupby_sum(
+        tri.map_batches(_edges3, batch_format="pyarrow"), ["src", "dst"], None, "p",
+        num_partitions=num_partitions,
+    )
+    s1 = hash_join(sup, deg, "src", "tv", num_partitions=num_partitions).map_batches(
+        _proj({"src": "src", "dst": "dst", "p": "p", "da": "d"}), batch_format="pyarrow"
+    )
+    s2 = hash_join(s1, deg, "dst", "tv", num_partitions=num_partitions)
+
+    def _terms(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return _guard(["psum", "tailed2", "dia"])
+        p, da, db = _i64(t, "p"), _i64(t, "da"), _i64(t, "d")
+        return pa.table(
+            {
+                "psum": pa.array([int(p.sum())]),
+                "tailed2": pa.array([int((p * (da + db - 4)).sum())]),
+                "dia": pa.array([int((p * (p - 1) // 2).sum())]),
+            }
+        )
+
+    parts = s2.map_batches(_terms, batch_format="pyarrow").to_pandas()
+    psum = _sumcol(parts, "psum")
+    return {
+        "triangles": psum // 3,
+        "tailed": _sumcol(parts, "tailed2") // 2,
+        "n_3paths": path_lhs - psum,
+        "diamonds": _sumcol(parts, "dia"),
+    }
+
+
+def directed_triangle_census(edges: ray.data.Dataset, num_partitions: int = 8) -> dict:
+    """Directed triangle census over the dedup directed edge set (no
+    self-loops) — FLASH subgraph semantics:
+
+      cyclic  = |{(s,d,w): s→d, d→w, w→s}| / 3       (cyclic-triangle.h:51-75)
+      acyclic = |{(s,d,w): s→d, s→w, d→w, d≠w}|      (acyclic-triangle.h:50-66)
+      in_tri  = Σ_{recip pairs {s,d}} |out(s)∩out(d)| (in-triangle.h:53-69)
+      out_tri = Σ_{recip pairs {s,d}} |in(s)∩in(d)|   (out-triangle.h:53-70)
+
+    Each count is a distributed wedge hash-join + packed-key closure
+    semijoin; only scalar counts reach the driver."""
+    from graphscope_ray.utils import hash_join
+
+    e = edges.map_batches(lambda t: t.select(["src", "dst"]), batch_format="pyarrow")
+    e = e.materialize()
+
+    def _proj(cols: dict):
+        def _f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or t.num_columns == 0:
+                return _guard(list(cols))
+            return pa.table({o: t[s] for o, s in cols.items()})
+
+        return _f
+
+    def _packk(s_col: str, d_col: str, out: str):
+        def _f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or t.num_columns == 0:
+                return _guard([out])
+            return pa.table({out: pa.array((_i64(t, s_col) << np.int64(32)) | _i64(t, d_col))})
+
+        return _f
+
+    ek = e.map_batches(_packk("src", "dst", "k2"), batch_format="pyarrow").materialize()
+
+    def _count(ds: ray.data.Dataset) -> int:
+        return int(ds.count())
+
+    # cyclic: wedge s→d→w, close with (w,s)
+    wz = hash_join(
+        e, e.map_batches(_proj({"src2": "src", "dst2": "dst"}), batch_format="pyarrow"),
+        "dst", "src2", num_partitions=num_partitions,
+    )
+    cyc = _count(
+        hash_join(
+            wz.map_batches(_packk("dst2", "src", "k"), batch_format="pyarrow"),
+            ek, "k", "k2", num_partitions=num_partitions,
+        )
+    ) // 3
+
+    # acyclic: wedge s→d, s→w (d≠w), close with (d,w)
+    wa = hash_join(
+        e, e.map_batches(_proj({"src2": "src", "dst2": "dst"}), batch_format="pyarrow"),
+        "src", "src2", num_partitions=num_partitions,
+    )
+
+    def _dw(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return _guard(["k"])
+        d, w = _i64(t, "dst"), _i64(t, "dst2")
+        m = d != w
+        return pa.table({"k": pa.array((d[m] << np.int64(32)) | w[m])})
+
+    acy = _count(
+        hash_join(wa.map_batches(_dw, batch_format="pyarrow"), ek, "k", "k2",
+                  num_partitions=num_partitions)
+    )
+
+    # reciprocal pairs {s,d} (canonical s<d) via packed-key self-join
+    def _revk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return _guard(["rk", "s", "d"])
+        s, d = _i64(t, "src"), _i64(t, "dst")
+        m = s < d
+        return pa.table(
+            {"rk": pa.array((d[m] << np.int64(32)) | s[m]),
+             "s": pa.array(s[m]), "d": pa.array(d[m])}
+        )
+
+    rp = hash_join(
+        e.map_batches(_revk, batch_format="pyarrow"), ek, "rk", "k2",
+        num_partitions=num_partitions,
+    ).map_batches(_proj({"s": "s", "d": "d"}), batch_format="pyarrow").materialize()
+
+    # in: w ∈ out(s) ∩ out(d); out: w ∈ in(s) ∩ in(d)
+    ji = hash_join(rp, e, "s", "src", num_partitions=num_partitions)
+    in_tri = _count(
+        hash_join(ji.map_batches(_packk("d", "dst", "k"), batch_format="pyarrow"),
+                  ek, "k", "k2", num_partitions=num_partitions)
+    )
+    jo = hash_join(rp, e, "s", "dst", num_partitions=num_partitions)
+    out_tri = _count(
+        hash_join(jo.map_batches(_packk("src", "d", "k"), batch_format="pyarrow"),
+                  ek, "k", "k2", num_partitions=num_partitions)
+    )
+    return {"cyclic": cyc, "acyclic": acy, "in_tri": in_tri, "out_tri": out_tri}
+
+
 def random_walks(
     edges: ray.data.Dataset,
     n_starts: int,

@@ -1287,3 +1287,48 @@ def lg_closeness_exact_sql() -> str:
         "FROM sv LEFT JOIN (SELECT wv, sum(1.0/d) AS sinv FROM sdist WHERE d > 0 "
         "GROUP BY wv) cl ON cl.wv = sv.oid"
     )
+
+
+def lg_motifs_sql() -> str:
+    """Undirected motif census on the sparse graph — direct join forms of the
+    FLASH per-edge closed formulas (tailed-triangle.h:57-66, 3-path.h:57-66,
+    diamond.h:56-73): p(e) = common-neighbor count of each canonical edge."""
+    return f"""WITH {_SBASE},
+cue AS MATERIALIZED (SELECT src, dst FROM sue WHERE src < dst),
+sup AS MATERIALIZED (
+  SELECT c.src, c.dst, count(*) AS p FROM cue c
+  JOIN sue a ON a.src = c.src
+  JOIN sue b ON b.src = c.dst AND b.dst = a.dst
+  GROUP BY c.src, c.dst),
+terms AS MATERIALIZED (
+  SELECT coalesce(sum(s.p), 0) AS psum,
+         coalesce(sum(s.p * (da.d + db.d - 4)), 0) AS tailed2,
+         coalesce(sum(s.p * (s.p - 1) // 2), 0) AS dia
+  FROM sup s JOIN sdeg da ON da.oid = s.src JOIN sdeg db ON db.oid = s.dst),
+lhs AS MATERIALIZED (
+  SELECT coalesce(sum((da.d - 1) * (db.d - 1)), 0) AS v FROM cue c
+  JOIN sdeg da ON da.oid = c.src JOIN sdeg db ON db.oid = c.dst)
+SELECT CAST(psum // 3 AS BIGINT) AS triangles,
+       CAST(tailed2 // 2 AS BIGINT) AS tailed,
+       CAST((SELECT v FROM lhs) - psum AS BIGINT) AS n_3paths,
+       CAST(dia AS BIGINT) AS diamonds
+FROM terms"""
+
+
+def lg_directed_census_sql() -> str:
+    """Directed triangle census on the sparse graph (cyclic-triangle.h:51-75,
+    acyclic-triangle.h:50-66, in-triangle.h:53-69, out-triangle.h:53-70)."""
+    return f"""WITH {_SBASE},
+cyc AS (SELECT count(*) // 3 AS v FROM se a
+        JOIN se b ON b.src = a.dst JOIN se c ON c.src = b.dst AND c.dst = a.src),
+acy AS (SELECT count(*) AS v FROM se a
+        JOIN se b ON b.src = a.src AND b.dst <> a.dst
+        JOIN se c ON c.src = a.dst AND c.dst = b.dst),
+rp AS MATERIALIZED (SELECT a.src AS s, a.dst AS d FROM se a
+        JOIN se r ON r.src = a.dst AND r.dst = a.src WHERE a.src < a.dst),
+itr AS (SELECT count(*) AS v FROM rp
+        JOIN se b ON b.src = rp.s JOIN se c ON c.src = rp.d AND c.dst = b.dst),
+otr AS (SELECT count(*) AS v FROM rp
+        JOIN se b ON b.dst = rp.s JOIN se c ON c.dst = rp.d AND c.src = b.src)
+SELECT (SELECT v FROM cyc) AS cyclic, (SELECT v FROM acy) AS acyclic,
+       (SELECT v FROM itr) AS in_tri, (SELECT v FROM otr) AS out_tri"""

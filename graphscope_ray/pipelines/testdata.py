@@ -1105,3 +1105,63 @@ def lg_closeness_exact(sf_dir: str) -> pd.DataFrame:
     out = _oid_space(g, ds, ["closeness"])
     out["closeness"] = out["closeness"].round(8)
     return out
+
+
+def _sparse_edges_ds(sf_dir: str) -> ray.data.Dataset:
+    """The sparse link-graph directed dedup edge set as a (src, dst) Dataset
+    (same derivation as lg_sparse_graph, in oid space)."""
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def _derive(t: pa.Table) -> pa.Table:
+        src = t["l_orderkey"].to_numpy(zero_copy_only=False) % LG_MOD
+        dst = t["l_partkey"].to_numpy(zero_copy_only=False) % LG_MOD
+        keep = (src != dst) & ((src * 31 + dst * 17) % SPARSE_MOD == 0)
+        return pa.table(
+            {
+                "src": pa.array(src[keep].astype(np.int64)),
+                "dst": pa.array(dst[keep].astype(np.int64)),
+            }
+        )
+
+    e = li.map_batches(_derive, batch_format="pyarrow")
+    return e.groupby(["src", "dst"]).count().select_columns(["src", "dst"])
+
+
+def lg_motifs(sf_dir: str) -> pd.DataFrame:
+    """Undirected motif census on the sparse graph (FLASH subgraph family:
+    triangle / tailed-triangle / 3-path / diamond counts), computed by one
+    distributed per-edge-support dataflow (algorithms.undirected_motifs)."""
+    e = _sparse_edges_ds(sf_dir)
+
+    def _canon(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"src": pa.array(np.minimum(s, d)), "dst": pa.array(np.maximum(s, d))}
+        )
+
+    cu = e.map_batches(_canon, batch_format="pyarrow")
+    cu = cu.groupby(["src", "dst"]).count().select_columns(["src", "dst"])
+    m = alg.undirected_motifs(cu)
+    return pd.DataFrame(
+        {
+            "triangles": [m["triangles"]],
+            "tailed": [m["tailed"]],
+            "n_3paths": [m["n_3paths"]],
+            "diamonds": [m["diamonds"]],
+        }
+    )
+
+
+def lg_directed_census(sf_dir: str) -> pd.DataFrame:
+    """Directed triangle census on the sparse graph (FLASH cyclic / acyclic /
+    in- / out-triangle counting), via distributed wedge joins."""
+    c = alg.directed_triangle_census(_sparse_edges_ds(sf_dir))
+    return pd.DataFrame(
+        {
+            "cyclic": [c["cyclic"]],
+            "acyclic": [c["acyclic"]],
+            "in_tri": [c["in_tri"]],
+            "out_tri": [c["out_tri"]],
+        }
+    )

@@ -269,3 +269,67 @@ def test_diameter_kcenter():
         centers.append(nxt)
     got_c = [c for c, _r in alg.k_center(g, k=4)]
     assert got_c == centers
+
+
+# ------------------------------------------------------- motif census oracles
+def ref_motifs(edges, n):
+    """Brute-force undirected motif census (simple graph, no self-loops)."""
+    adj = _und_adj(edges, n)
+    cue = sorted({(min(s, d), max(s, d)) for s, d in edges if s != d})
+    tri = tailed = paths = dia = 0
+    lhs = 0
+    for s, d in cue:
+        p = len(adj[s] & adj[d])
+        tri += p
+        tailed += p * (len(adj[s]) + len(adj[d]) - 4)
+        lhs += (len(adj[s]) - 1) * (len(adj[d]) - 1)
+        dia += p * (p - 1) // 2
+    return {
+        "triangles": tri // 3,
+        "tailed": tailed // 2,
+        "n_3paths": lhs - tri,
+        "diamonds": dia,
+    }
+
+
+def ref_directed_census(edges, n):
+    out, inn = _dir_adj(edges, n)
+    e = {(s, d) for s, d in edges if s != d}
+    cyc = sum(1 for (s, d) in e for w in out[d] if (w, s) in e) // 3
+    acy = sum(1 for (s, d) in e for w in out[s] if w != d and (d, w) in e)
+    rp = [(s, d) for (s, d) in e if (d, s) in e and s < d]
+    itr = sum(len(out[s] & out[d]) for s, d in rp)
+    otr = sum(len(inn[s] & inn[d]) for s, d in rp)
+    return {"cyclic": cyc, "acyclic": acy, "in_tri": itr, "out_tri": otr}
+
+
+def _edges_ds(edges, canonical=False):
+    import pyarrow as pa
+    import ray.data
+
+    e = {(s, d) for s, d in edges if s != d}
+    if canonical:
+        e = {(min(s, d), max(s, d)) for s, d in e}
+    e = sorted(e)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([x[0] for x in e], pa.int64()),
+                "dst": pa.array([x[1] for x in e], pa.int64()),
+            }
+        )
+    )
+
+
+@pytest.mark.parametrize("gname", list(GRAPHS))
+def test_undirected_motifs(gname):
+    edges, n = GRAPHS[gname]
+    got = alg.undirected_motifs(_edges_ds(edges, canonical=True))
+    assert got == ref_motifs(edges, n)
+
+
+@pytest.mark.parametrize("gname", list(GRAPHS))
+def test_directed_census(gname):
+    edges, n = GRAPHS[gname]
+    got = alg.directed_triangle_census(_edges_ds(edges))
+    assert got == ref_directed_census(edges, n)
