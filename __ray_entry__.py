@@ -309,6 +309,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_articlerank": td.lg_articlerank,
         "lg_motifs": td.lg_motifs,
         "lg_directed_census": td.lg_directed_census,
+        "lg_degeneracy": td.lg_degeneracy,
+        "lg_onion": td.lg_onion,
         "lg_kcore": td.lg_kcore,
         "lg_degree_centrality": td.lg_degree_centrality,
         "lg_assortativity": td.lg_assortativity,
@@ -411,6 +413,8 @@ def oracle_sql() -> dict[str, str]:
         "lg_articlerank": osql.lg_articlerank_sql(rounds=10),
         "lg_motifs": osql.lg_motifs_sql(),
         "lg_directed_census": osql.lg_directed_census_sql(),
+        "lg_degeneracy": osql.lg_degeneracy_sql(),
+        "lg_onion": osql.lg_onion_sql(),
         "lg_kcore": osql.lg_kcore_sql(k=5),
         "lg_voterank": osql.lg_voterank_sql(k=10),
         "lg_closeness_sampled": osql.lg_closeness_sampled_sql(),

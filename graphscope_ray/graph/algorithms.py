@@ -1021,6 +1021,111 @@ def undirected_motifs(edges: ray.data.Dataset, num_partitions: int = 8) -> dict:
     }
 
 
+def peel_ordering(
+    edges: ray.data.Dataset,
+    cores: ray.data.Dataset,
+    mode: str = "degeneracy",
+    num_partitions: int = 4,
+    max_rounds: int = 500,
+) -> "pd.DataFrame":
+    """FLASH core-ordering rank loops as iterative hash-join dataflow.
+
+    ``mode="degeneracy"`` (apps/flash/core/degeneracy-ordering.h:73-105):
+    dg = max coreness; per round, every unranked vertex with current degree
+    d ≤ dg gets rank = round, then ranked vertices decrement their
+    neighbors' d.
+
+    ``mode="onion"`` (apps/flash/core/onion-layer-ordering.h:66-103): d(v)
+    starts as |{w ∈ N(v): core(w) ≥ core(v)}|; per round unranked v with
+    d ≤ core(v) get rank = round; decrements flow only along SAME-core
+    edges (the reference's ``d.core == s.core`` edge check).
+
+    ``edges``: canonical undirected simple edges (src < dst, oid space);
+    ``cores``: (oid, core) coreness table (e.g. from :func:`kshell`).
+    Returns a pandas DataFrame (oid, core, rank) — vertex-sized.
+    """
+    import pandas as pd
+    from graphscope_ray.utils import hash_groupby_sum, hash_join
+
+    def _both(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return _guard(["src", "dst"])
+        s, d = _i64(t, "src"), _i64(t, "dst")
+        return pa.table(
+            {"src": pa.array(np.concatenate([s, d])), "dst": pa.array(np.concatenate([d, s]))}
+        )
+
+    be = edges.map_batches(_both, batch_format="pyarrow").materialize()
+    # per-edge endpoint cores (static)
+    j = hash_join(be, cores, "src", "oid", num_partitions=num_partitions)
+
+    def _p1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return _guard(["src", "dst", "cs"])
+        return pa.table({"src": t["src"], "dst": t["dst"], "cs": t["core"]})
+
+    ec = hash_join(
+        j.map_batches(_p1, batch_format="pyarrow"), cores, "dst", "oid",
+        num_partitions=num_partitions,
+    )
+
+    def _p2(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return _guard(["src", "dst", "cs", "cd"])
+        return pa.table({"src": t["src"], "dst": t["dst"], "cs": t["cs"], "cd": t["core"]})
+
+    ec = ec.map_batches(_p2, batch_format="pyarrow").materialize()
+
+    if mode == "degeneracy":
+        dec_edges = be
+        d0_src = be
+    elif mode == "onion":
+        dec_edges = ec.filter(expr="cs == cd").materialize()
+        d0_src = ec.filter(expr="cd >= cs")
+    else:
+        raise ValueError(mode)
+
+    d0 = hash_groupby_sum(
+        d0_src.map_batches(
+            lambda t: _guard(["src"]) if t.num_rows == 0 or t.num_columns == 0
+            else t.select(["src"]),
+            batch_format="pyarrow",
+        ),
+        ["src"], None, "d", num_partitions=num_partitions,
+    )
+    # vertex state is vertex-sized (the driver-bound table, like the oid map)
+    V = hash_join(cores, d0, "oid", "src", how="left", num_partitions=num_partitions).to_pandas()
+    V = V[["oid", "core", "d"]].copy()
+    V["d"] = V["d"].fillna(0).astype(np.int64)
+    V["rank"] = np.int64(-1)
+    thr = int(V["core"].max()) if mode == "degeneracy" else None
+
+    for rnd in range(max_rounds):
+        t = thr if thr is not None else V["core"].to_numpy()
+        newly = (V["rank"].to_numpy() == -1) & (V["d"].to_numpy() <= t)
+        if not newly.any():
+            break
+        V.loc[newly, "rank"] = rnd
+        if (V["rank"].to_numpy() == -1).sum() == 0:
+            break
+        nds = ray.data.from_arrow(
+            pa.table({"noid": pa.array(V.loc[newly, "oid"].to_numpy().astype(np.int64))})
+        )
+        hit = hash_join(dec_edges, nds, "src", "noid", num_partitions=num_partitions)
+        dec = hash_groupby_sum(
+            hit.map_batches(
+                lambda t: _guard(["dst"]) if t.num_rows == 0 or t.num_columns == 0
+                else t.select(["dst"]),
+                batch_format="pyarrow",
+            ),
+            ["dst"], None, "c", num_partitions=num_partitions,
+        ).to_pandas()
+        if len(dec):
+            m = V.merge(dec, left_on="oid", right_on="dst", how="left")
+            V["d"] = (V["d"].to_numpy() - m["c"].fillna(0).to_numpy()).astype(np.int64)
+    return V[["oid", "core", "rank"]].sort_values("oid").reset_index(drop=True)
+
+
 def directed_triangle_census(edges: ray.data.Dataset, num_partitions: int = 8) -> dict:
     """Directed triangle census over the dedup directed edge set (no
     self-loops) — FLASH subgraph semantics:

@@ -1174,20 +1174,21 @@ def lg_coloring_sql(rounds: int = 18) -> str:
     )
 
 
-def _hindex_ctes(rounds: int) -> str:
+def _hindex_ctes(rounds: int, ue: str = "ue", v: str = "v") -> str:
     """Coreness as the fixpoint of the local H-index iteration (Lü et al.;
     converges to k-core peeling coreness): c'(v) = min(c(v),
-    H({min(c(w), c(v)) : w ∈ N(v)})) with H = max_k min(k, k-th largest)."""
+    H({min(c(w), c(v)) : w ∈ N(v)})) with H = max_k min(k, k-th largest).
+    ``ue``/``v`` select the graph (full: ue/v, sparse: sue/sv)."""
     ctes = [
-        "hdeg AS MATERIALIZED (SELECT src AS oid, count(*) AS d FROM ue GROUP BY src)",
-        "h0 AS MATERIALIZED (SELECT v.oid, coalesce(hd.d, 0) AS c FROM v "
-        "LEFT JOIN hdeg hd ON hd.oid = v.oid)",
+        f"hdeg AS MATERIALIZED (SELECT src AS oid, count(*) AS d FROM {ue} GROUP BY src)",
+        f"h0 AS MATERIALIZED (SELECT {v}.oid, coalesce(hd.d, 0) AS c FROM {v} "
+        f"LEFT JOIN hdeg hd ON hd.oid = {v}.oid)",
     ]
     for k in range(rounds):
         ctes.append(
-            f"nb{k} AS MATERIALIZED (SELECT ue.src AS nv, least(hw.c, hv.c) AS cw, "
-            f"row_number() OVER (PARTITION BY ue.src ORDER BY least(hw.c, hv.c) DESC) AS rn "
-            f"FROM ue JOIN h{k} hw ON hw.oid = ue.dst JOIN h{k} hv ON hv.oid = ue.src)"
+            f"nb{k} AS MATERIALIZED (SELECT {ue}.src AS nv, least(hw.c, hv.c) AS cw, "
+            f"row_number() OVER (PARTITION BY {ue}.src ORDER BY least(hw.c, hv.c) DESC) AS rn "
+            f"FROM {ue} JOIN h{k} hw ON hw.oid = {ue}.dst JOIN h{k} hv ON hv.oid = {ue}.src)"
         )
         ctes.append(
             f"h{k + 1} AS MATERIALIZED (SELECT h.oid, least(h.c, coalesce(x.h, 0)) AS c "
@@ -1332,3 +1333,57 @@ otr AS (SELECT count(*) AS v FROM rp
         JOIN se b ON b.dst = rp.s JOIN se c ON c.dst = rp.d AND c.src = b.src)
 SELECT (SELECT v FROM cyc) AS cyclic, (SELECT v FROM acy) AS acyclic,
        (SELECT v FROM itr) AS in_tri, (SELECT v FROM otr) AS out_tri"""
+
+
+def _peel_rank_sql(mode: str, core_rounds: int = 22, rank_rounds: int = 40) -> str:
+    """Unrolled FLASH core-ordering rank loops on the sparse graph
+    (degeneracy-ordering.h:73-105 / onion-layer-ordering.h:66-103): coreness
+    via the H-index fixpoint, then peel-layer ranks.  Over-unrolling is safe
+    (once every vertex is ranked no CTE changes anything)."""
+    ctes = [_hindex_ctes(core_rounds, ue="sue", v="sv")]
+    ctes.append(f"crs AS MATERIALIZED (SELECT oid, c AS core FROM h{core_rounds})")
+    if mode == "degeneracy":
+        ctes.append("d0 AS MATERIALIZED (SELECT src AS oid, count(*) AS d FROM sue GROUP BY src)")
+        thr = "(SELECT max(core) FROM crs)"
+        same = ""
+    else:
+        ctes.append(
+            "d0 AS MATERIALIZED (SELECT sue.src AS oid, count(*) AS d FROM sue "
+            "JOIN crs a ON a.oid = sue.src JOIN crs b ON b.oid = sue.dst "
+            "WHERE b.core >= a.core GROUP BY sue.src)"
+        )
+        thr = "s.core"
+        same = " JOIN crs a ON a.oid = sue.src JOIN crs b ON b.oid = sue.dst AND b.core = a.core"
+    ctes.append(
+        "st0 AS MATERIALIZED (SELECT c.oid, c.core, coalesce(d0.d, 0) AS d, "
+        "CAST(-1 AS BIGINT) AS rnk FROM crs c LEFT JOIN d0 ON d0.oid = c.oid)"
+    )
+    for i in range(rank_rounds):
+        thr_i = thr.replace("s.core", f"s{i}x.core") if mode == "onion" else thr
+        ctes.append(
+            f"nw{i} AS MATERIALIZED (SELECT s{i}x.oid FROM st{i} s{i}x "
+            f"WHERE s{i}x.rnk = -1 AND s{i}x.d <= {thr_i})"
+        )
+        ctes.append(
+            f"dc{i} AS MATERIALIZED (SELECT sue.dst AS oid, count(*) AS c FROM sue "
+            f"JOIN nw{i} n ON n.oid = sue.src{same} GROUP BY sue.dst)"
+        )
+        thr_s = thr
+        ctes.append(
+            f"st{i + 1} AS MATERIALIZED (SELECT s.oid, s.core, "
+            f"s.d - coalesce(dc.c, 0) AS d, "
+            f"CASE WHEN s.rnk = -1 AND s.d <= {thr_s} THEN {i} ELSE s.rnk END AS rnk "
+            f"FROM st{i} s LEFT JOIN dc{i} dc ON dc.oid = s.oid)"
+        )
+    return (
+        f"WITH {_SBASE},\n" + ",\n".join(ctes)
+        + f' SELECT oid, core, rnk AS "rank" FROM st{rank_rounds}'
+    )
+
+
+def lg_degeneracy_sql(rank_rounds: int = 40) -> str:
+    return _peel_rank_sql("degeneracy", rank_rounds=rank_rounds)
+
+
+def lg_onion_sql(rank_rounds: int = 40) -> str:
+    return _peel_rank_sql("onion", rank_rounds=rank_rounds)

@@ -1165,3 +1165,55 @@ def lg_directed_census(sf_dir: str) -> pd.DataFrame:
             "out_tri": [c["out_tri"]],
         }
     )
+
+
+def _sparse_canonical_edges(sf_dir: str) -> ray.data.Dataset:
+    e = _sparse_edges_ds(sf_dir)
+
+    def _canon(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"src": pa.array(np.minimum(s, d)), "dst": pa.array(np.maximum(s, d))}
+        )
+
+    cu = e.map_batches(_canon, batch_format="pyarrow")
+    return cu.groupby(["src", "dst"]).count().select_columns(["src", "dst"])
+
+
+def _sparse_cores(sf_dir: str) -> ray.data.Dataset:
+    """Coreness of the sparse graph in oid space (kshell program state)."""
+    from graphscope_ray.utils import hash_join
+
+    g = lg_sparse_graph(sf_dir)
+    ks = alg.kshell(g)  # (vid, shell)
+    j = hash_join(ks, g.vertices_ds, "vid", "vid", num_partitions=4)
+
+    def _p(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.table({"oid": pa.array([], pa.int64()), "core": pa.array([], pa.int64())})
+        return pa.table({"oid": t["oid"], "core": t["shell"]})
+
+    return j.map_batches(_p, batch_format="pyarrow")
+
+
+def lg_degeneracy(sf_dir: str) -> pd.DataFrame:
+    """Degeneracy ordering on the sparse graph (FLASH
+    core/degeneracy-ordering.h): coreness + dg-threshold peel ranks."""
+    out = alg.peel_ordering(
+        _sparse_canonical_edges(sf_dir), _sparse_cores(sf_dir), mode="degeneracy"
+    )
+    for c in ("core", "rank"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def lg_onion(sf_dir: str) -> pd.DataFrame:
+    """Onion-layer ordering on the sparse graph (FLASH
+    core/onion-layer-ordering.h): same-core peel layer per vertex."""
+    out = alg.peel_ordering(
+        _sparse_canonical_edges(sf_dir), _sparse_cores(sf_dir), mode="onion"
+    )
+    for c in ("core", "rank"):
+        out[c] = out[c].astype("int64")
+    return out

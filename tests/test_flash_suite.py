@@ -333,3 +333,69 @@ def test_directed_census(gname):
     edges, n = GRAPHS[gname]
     got = alg.directed_triangle_census(_edges_ds(edges))
     assert got == ref_directed_census(edges, n)
+
+
+# ------------------------------------------------------- peel ordering oracles
+def ref_coreness_exact(adj, n):
+    """Core numbers by k-level peeling."""
+    core = [0] * n
+    deg = [len(adj[v]) for v in range(n)]
+    alive = set(range(n))
+    k = 0
+    while alive:
+        k += 1
+        changed = True
+        while changed:
+            drop = [v for v in alive if deg[v] < k]
+            changed = bool(drop)
+            for v in drop:
+                core[v] = k - 1
+                alive.discard(v)
+                for w in adj[v]:
+                    if w in alive:
+                        deg[w] -= 1
+    return core
+
+
+def ref_peel_rank(edges, n, mode):
+    adj = _und_adj(edges, n)
+    core = ref_coreness_exact(adj, n)
+    if mode == "degeneracy":
+        dg = max(core) if n else 0
+        d = [len(adj[v]) for v in range(n)]
+        thr = [dg] * n
+        dec_ok = lambda u, w: True
+    else:
+        d = [sum(1 for w in adj[v] if core[w] >= core[v]) for v in range(n)]
+        thr = core
+        dec_ok = lambda u, w: core[u] == core[w]
+    rank = [-1] * n
+    for rnd in range(10 * n + 10):
+        newly = [v for v in range(n) if rank[v] == -1 and d[v] <= thr[v]]
+        if not newly:
+            break
+        for v in newly:
+            rank[v] = rnd
+        for v in newly:
+            for w in adj[v]:
+                if dec_ok(v, w):
+                    d[w] -= 1
+    return core, rank
+
+
+@pytest.mark.parametrize("gname", list(GRAPHS))
+@pytest.mark.parametrize("mode", ["degeneracy", "onion"])
+def test_peel_ordering(gname, mode):
+    import pyarrow as pa
+    import ray.data
+
+    edges, n = GRAPHS[gname]
+    core, rank = ref_peel_rank(edges, n, mode)
+    cores = ray.data.from_arrow(
+        pa.table(
+            {"oid": pa.array(range(n), pa.int64()), "core": pa.array(core, pa.int64())}
+        )
+    )
+    got = alg.peel_ordering(_edges_ds(edges, canonical=True), cores, mode=mode)
+    got = got.set_index("oid")
+    assert [int(got.loc[v, "rank"]) for v in range(n)] == rank
