@@ -123,6 +123,34 @@ def articlerank(g: Graph, damping: float = 0.85, max_rounds: int = 10, **run_kwa
     return g.program_state(res.name), res
 
 
+def min_cover_greedy(g: Graph, **run_kwargs):
+    """FLASH greedy vertex cover (apps/flash/matching/min-cover-greedy.h)."""
+    res = g.run_program("mincover", **run_kwargs)
+    return g.program_state(res.name), res
+
+
+def min_dominating_set(g: Graph, **run_kwargs):
+    """FLASH greedy dominating set (apps/flash/matching/min-dominating-set.h)."""
+    res = g.run_program("dominating", **run_kwargs)
+    return g.program_state(res.name), res
+
+
+def min_edge_cover(g: Graph) -> dict:
+    """Minimum edge cover size from the deterministic maximal matching
+    (apps/flash/matching/min-edge-cover.h:82-88 final count: matched
+    pairs + one edge per unmatched non-isolated vertex; the matching
+    itself is our mutual max-id handshake ``mm`` rather than the
+    reference's pointer-chase greedy — same maximal-matching family)."""
+    ds, _ = matching(g)
+    df = ds.to_pandas()
+    degs = ray.get([a.tri_state_degrees.remote() for a in g.actors])
+    deg = pa.concat_tables(degs).to_pandas()
+    m = df.merge(deg, on="vid")
+    matched = int((m["mate"] >= 0).sum()) // 2
+    extra = int(((m["mate"] < 0) & (m["deg"] > 0)).sum())
+    return {"n_edge_cover": matched + extra}
+
+
 def triangles(g: Graph, dense_threshold: int = 16384) -> tuple[int, ray.data.Dataset]:
     """Exact triangle counts: (global_count, per-vertex Dataset(vid, tri, deg))."""
     assert g.view == "undirected" or g.has_in, (

@@ -1256,6 +1256,131 @@ class JpColoring(VertexProgram):
 
 
 # --------------------------------------------------------------------------
+class MinCoverGreedy(VertexProgram):
+    """Greedy minimum vertex cover (apps/flash/matching/min-cover-greedy.h:
+    48-84): per round an ACTIVE vertex joins the cover iff no uncovered
+    neighbor has a larger (remaining-degree, id) pair; newly covered
+    vertices then decrement their uncovered neighbors' degrees; active =
+    uncovered with d > 0 (so isolated/exhausted vertices join in their
+    first active round — the reference's filter1 passes vacuously).
+    Undirected SET adjacency (ucsr), like Mis/MaxMatching.  Two supersteps
+    per round: even = priority max-push, odd = degree-decrement push.
+    Packing (d·N + id in float64) is exact while N² < 2^53."""
+
+    def __init__(self, frag):
+        super().__init__(frag)
+
+    def init(self) -> dict:
+        f = self.frag
+        n = f.n_local
+        u = f.ucsr()
+        self.c = np.zeros(n, dtype=bool)
+        self.d = u.deg.astype(np.float64)
+        self.act = np.ones(n, dtype=bool)
+        self.newly = np.zeros(n, dtype=bool)
+        self.gvid = f.owned_vids().astype(np.float64)
+        self.K = float(max(f.N, 1))
+        self._ones = np.ones(n)
+        return {"open": int(n)}
+
+    def scatter(self, step, glob):
+        u = self.frag.ucsr()
+        if step % 2 == 0:
+            packed = self.d * self.K + self.gvid
+            return _wrap(u.push_reduce_masked(packed, ~self.c, "max"))
+        return _wrap(u.push_reduce_masked(self._ones, self.newly, "sum"))
+
+    def gather(self, step, glob, msgs):
+        n = self.frag.n_local
+        if step % 2 == 0:
+            m = _acc_max(n, msgs)
+            own = self.d * self.K + self.gvid
+            join = self.act & ~self.c & (~np.isfinite(m) | (own > m))
+            self.c[join] = True
+            self.newly = join
+            return {"open": int(self.act.sum())}
+        dec = acc_sum(n, msgs)
+        unc = ~self.c
+        self.d[unc] -= dec[unc]
+        self.act = self.act & ~self.c & (self.d > 0)
+        return {"open": int(self.act.sum())}
+
+    def state_columns(self):
+        return {"in_cover": self.c}
+
+
+# --------------------------------------------------------------------------
+class MinDominatingSet(VertexProgram):
+    """Greedy minimum dominating set (apps/flash/matching/
+    min-dominating-set.h:49-92): each round undominated vertices relax the
+    (undominated-neighbor-count, id) pair twice over undominated neighbors
+    (a 2-hop max), the local maxima join the set and dominate their
+    neighbors, then counts are recomputed.  Undirected SET adjacency.
+    Four supersteps per round: relax, relax, select+dominate, recount."""
+
+    def __init__(self, frag):
+        super().__init__(frag)
+
+    def init(self) -> dict:
+        f = self.frag
+        n = f.n_local
+        u = f.ucsr()
+        self.dom = np.zeros(n, dtype=bool)
+        self.b = np.zeros(n, dtype=bool)
+        self.gvid = f.owned_vids().astype(np.float64)
+        self.mc = u.deg.astype(np.float64)
+        self.mi = self.gvid.copy()
+        self.newly = np.zeros(n, dtype=bool)
+        self.K = float(max(f.N, 1))
+        self._ones = np.ones(n)
+        return {"open": int(n)}
+
+    def _pack(self):
+        return self.mc * self.K + self.mi
+
+    def scatter(self, step, glob):
+        u = self.frag.ucsr()
+        ph = step % 4
+        if ph in (0, 1):
+            return _wrap(u.push_reduce_masked(self._pack(), ~self.dom, "max"))
+        if ph == 2:
+            return _wrap(u.push_reduce_masked(self._ones, self.newly, "max"))
+        return _wrap(u.push_reduce_masked(self._ones, ~self.dom, "sum"))
+
+    def gather(self, step, glob, msgs):
+        n = self.frag.n_local
+        ph = step % 4
+        und = ~self.dom
+        if ph == 0 or ph == 1:
+            m = _acc_max(n, msgs)
+            upd = und & np.isfinite(m) & (m > self._pack())
+            if ph == 0:
+                # select BEFORE the relax of the next phase uses it
+                self.mc[upd] = np.floor(m[upd] / self.K)
+                self.mi[upd] = m[upd] - self.mc[upd] * self.K
+            else:
+                self.mc[upd] = np.floor(m[upd] / self.K)
+                self.mi[upd] = m[upd] - self.mc[upd] * self.K
+                # phase-1 end: local maxima select themselves next phase
+                self.newly = und & (self.mi == self.gvid)
+                self.b[self.newly] = True
+                self.dom[self.newly] = True
+            return {"open": int(und.sum())}
+        if ph == 2:
+            hit = _acc_max(n, msgs)
+            self.dom |= (~self.dom) & np.isfinite(hit) & (hit > 0)
+            return {"open": int((~self.dom).sum())}
+        cnt = acc_sum(n, msgs)
+        und = ~self.dom
+        self.mc[und] = cnt[und]
+        self.mi[und] = self.gvid[und]
+        return {"open": int(und.sum())}
+
+    def state_columns(self):
+        return {"in_set": self.b}
+
+
+# --------------------------------------------------------------------------
 class Ppr(VertexProgram):
     """FLASH personalized PageRank (apps/flash/ranking/ppr.h:41-72):
     r0 = e_source; per round r'[v] = 0.5·Σ_{u∈N(v)} r[u]/deg[u] + 0.5·1{v=src}
@@ -1378,4 +1503,10 @@ PROGRAMS: dict[str, ProgramSpec] = {
     ),
     "ppr": ProgramSpec(Ppr, _never, 10),
     "articlerank": ProgramSpec(ArticleRank, _never, 10),
+    "mincover": ProgramSpec(
+        MinCoverGreedy, lambda glob, p, N, s: glob.get("open", 1) == 0, 10_000
+    ),
+    "dominating": ProgramSpec(
+        MinDominatingSet, lambda glob, p, N, s: glob.get("open", 1) == 0, 10_000
+    ),
 }

@@ -1114,9 +1114,9 @@ def lg_mis_sql(rounds: int = 6) -> str:
     )
 
 
-def lg_matching_sql(rounds: int = 13) -> str:
+def _matching_ctes(rounds: int) -> str:
     """Unrolled mutual max-id handshake (mm.h): p(v) = max unmatched
-    neighbor; edge matched iff p(u)=v ∧ p(v)=u."""
+    neighbor; edge matched iff p(u)=v ∧ p(v)=u.  Final state: m{rounds}."""
     ctes = ["m0 AS MATERIALIZED (SELECT oid, CAST(-1 AS BIGINT) AS mate FROM sv)"]
     for k in range(rounds):
         ctes.append(
@@ -1132,10 +1132,123 @@ def lg_matching_sql(rounds: int = 13) -> str:
             f"m{k + 1} AS MATERIALIZED (SELECT m.oid, coalesce(x.mate, m.mate) AS mate "
             f"FROM m{k} m LEFT JOIN x{k} x ON x.oid = m.oid)"
         )
+    return ",\n".join(ctes)
+
+
+def lg_matching_sql(rounds: int = 13) -> str:
     return (
         f"WITH {_SBASE}, "
-        + ",\n".join(ctes)
+        + _matching_ctes(rounds)
         + f" SELECT oid, mate AS mate_oid FROM m{rounds}"
+    )
+
+
+def lg_edge_cover_sql(rounds: int = 13) -> str:
+    """Minimum edge cover size from the maximal matching
+    (min-edge-cover.h:82-88): matched pairs + one edge per unmatched
+    non-isolated vertex (every sparse-graph vertex has degree ≥ 1)."""
+    return (
+        f"WITH {_SBASE}, "
+        + _matching_ctes(rounds)
+        + f""" SELECT (SELECT count(*) FROM m{rounds} WHERE mate >= 0) // 2
+             + (SELECT count(*) FROM m{rounds} WHERE mate = -1) AS n_edge_cover"""
+    )
+
+
+def lg_min_cover_sql(rounds: int = 25) -> str:
+    """Unrolled greedy vertex cover (min-cover-greedy.h:48-84): active
+    uncovered vertices with the locally maximal (remaining-degree, id)
+    pair join the cover; covered vertices decrement uncovered neighbors."""
+    B = 1000000
+    ctes = [
+        "vc0 AS MATERIALIZED (SELECT sv.oid, 0 AS c, CAST(coalesce(sd.d, 0) AS BIGINT)"
+        " AS d, 1 AS act FROM sv LEFT JOIN sdeg sd ON sd.oid = sv.oid)"
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"nbm{i} AS MATERIALIZED (SELECT sue.src AS oid, max(t.d*{B} + t.oid) AS m "
+            f"FROM sue JOIN vc{i} t ON t.oid = sue.dst AND t.c = 0 GROUP BY sue.src)"
+        )
+        ctes.append(
+            f"jn{i} AS MATERIALIZED (SELECT s.oid FROM vc{i} s "
+            f"LEFT JOIN nbm{i} b ON b.oid = s.oid "
+            f"WHERE s.act = 1 AND s.c = 0 AND (b.m IS NULL OR s.d*{B} + s.oid > b.m))"
+        )
+        ctes.append(
+            f"dcv{i} AS MATERIALIZED (SELECT sue.dst AS oid, count(*) AS c FROM sue "
+            f"JOIN jn{i} j ON j.oid = sue.src GROUP BY sue.dst)"
+        )
+        ctes.append(
+            f"vc{i + 1} AS MATERIALIZED (SELECT s.oid, "
+            f"CASE WHEN j.oid IS NOT NULL THEN 1 ELSE s.c END AS c, "
+            f"CASE WHEN s.c = 0 AND j.oid IS NULL THEN s.d - coalesce(dc.c, 0) "
+            f"ELSE s.d END AS d, "
+            f"CASE WHEN j.oid IS NOT NULL OR s.c = 1 THEN 0 "
+            f"WHEN s.d - coalesce(dc.c, 0) <= 0 THEN 0 ELSE s.act END AS act "
+            f"FROM vc{i} s LEFT JOIN jn{i} j ON j.oid = s.oid "
+            f"LEFT JOIN dcv{i} dc ON dc.oid = s.oid)"
+        )
+    return (
+        f"WITH {_SBASE},\n" + ",\n".join(ctes)
+        + f" SELECT oid, CAST(c AS BIGINT) AS in_cover FROM vc{rounds}"
+    )
+
+
+def lg_dominating_sql(rounds: int = 25) -> str:
+    """Unrolled greedy dominating set (min-dominating-set.h:49-92): two
+    (count, id)-max relaxations over undominated vertices, local maxima
+    join and dominate their neighborhood, counts recomputed."""
+    B = 1000000
+    ctes = [
+        "dm0 AS MATERIALIZED (SELECT sv.oid, 0 AS dom, 0 AS b, "
+        "CAST(coalesce(sd.d, 0) AS BIGINT) AS mc, sv.oid AS mi "
+        "FROM sv LEFT JOIN sdeg sd ON sd.oid = sv.oid)"
+    ]
+    for i in range(rounds):
+        for r in (1, 2):
+            prev = f"dm{i}" if r == 1 else f"rx{i}"
+            out = f"rx{i}" if r == 1 else f"ry{i}"
+            ctes.append(
+                f"{out}m AS MATERIALIZED (SELECT sue.src AS oid, "
+                f"max(t.mc*{B} + t.mi) AS m FROM sue "
+                f"JOIN {prev} t ON t.oid = sue.dst AND t.dom = 0 GROUP BY sue.src)"
+            )
+            ctes.append(
+                f"{out} AS MATERIALIZED (SELECT s.oid, s.dom, s.b, "
+                f"CASE WHEN s.dom = 0 AND x.m IS NOT NULL AND x.m > s.mc*{B} + s.mi "
+                f"THEN x.m // {B} ELSE s.mc END AS mc, "
+                f"CASE WHEN s.dom = 0 AND x.m IS NOT NULL AND x.m > s.mc*{B} + s.mi "
+                f"THEN x.m % {B} ELSE s.mi END AS mi "
+                f"FROM {prev} s LEFT JOIN {out}m x ON x.oid = s.oid)"
+            )
+        ctes.append(
+            f"sl{i} AS MATERIALIZED (SELECT oid FROM ry{i} WHERE dom = 0 AND mi = oid)"
+        )
+        ctes.append(
+            f"dn{i} AS MATERIALIZED (SELECT DISTINCT sue.dst AS oid FROM sue "
+            f"JOIN sl{i} s ON s.oid = sue.src)"
+        )
+        ctes.append(
+            f"ud{i} AS MATERIALIZED (SELECT r.oid FROM ry{i} r "
+            f"LEFT JOIN sl{i} s ON s.oid = r.oid LEFT JOIN dn{i} d ON d.oid = r.oid "
+            f"WHERE r.dom = 0 AND s.oid IS NULL AND d.oid IS NULL)"
+        )
+        ctes.append(
+            f"rc{i} AS MATERIALIZED (SELECT sue.src AS oid, count(*) AS c FROM sue "
+            f"JOIN ud{i} u ON u.oid = sue.dst GROUP BY sue.src)"
+        )
+        ctes.append(
+            f"dm{i + 1} AS MATERIALIZED (SELECT r.oid, "
+            f"CASE WHEN u.oid IS NULL THEN 1 ELSE 0 END AS dom, "
+            f"CASE WHEN s.oid IS NOT NULL THEN 1 ELSE r.b END AS b, "
+            f"CASE WHEN u.oid IS NOT NULL THEN coalesce(rc.c, 0) ELSE r.mc END AS mc, "
+            f"CASE WHEN u.oid IS NOT NULL THEN r.oid ELSE r.mi END AS mi "
+            f"FROM ry{i} r LEFT JOIN sl{i} s ON s.oid = r.oid "
+            f"LEFT JOIN ud{i} u ON u.oid = r.oid LEFT JOIN rc{i} rc ON rc.oid = r.oid)"
+        )
+    return (
+        f"WITH {_SBASE},\n" + ",\n".join(ctes)
+        + f" SELECT oid, CAST(b AS BIGINT) AS in_set FROM dm{rounds}"
     )
 
 

@@ -1217,3 +1217,30 @@ def lg_onion(sf_dir: str) -> pd.DataFrame:
     for c in ("core", "rank"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def lg_min_cover(sf_dir: str) -> pd.DataFrame:
+    """Greedy minimum vertex cover on the sparse graph (FLASH
+    matching/min-cover-greedy.h)."""
+    g = lg_sparse_graph(sf_dir)
+    ds, _ = alg.min_cover_greedy(g)
+    out = _oid_space(g, ds, ["in_cover"])
+    out["in_cover"] = out["in_cover"].astype("int64")
+    return out
+
+
+def lg_dominating(sf_dir: str) -> pd.DataFrame:
+    """Greedy minimum dominating set on the sparse graph (FLASH
+    matching/min-dominating-set.h)."""
+    g = lg_sparse_graph(sf_dir)
+    ds, _ = alg.min_dominating_set(g)
+    out = _oid_space(g, ds, ["in_set"])
+    out["in_set"] = out["in_set"].astype("int64")
+    return out
+
+
+def lg_edge_cover(sf_dir: str) -> pd.DataFrame:
+    """Minimum edge cover size on the sparse graph (FLASH
+    matching/min-edge-cover.h final count over the maximal matching)."""
+    g = lg_sparse_graph(sf_dir)
+    return pd.DataFrame({"n_edge_cover": [alg.min_edge_cover(g)["n_edge_cover"]]})

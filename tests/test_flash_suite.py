@@ -399,3 +399,82 @@ def test_peel_ordering(gname, mode):
     got = alg.peel_ordering(_edges_ds(edges, canonical=True), cores, mode=mode)
     got = got.set_index("oid")
     assert [int(got.loc[v, "rank"]) for v in range(n)] == rank
+
+
+# --------------------------------------------------- cover-family references
+def ref_min_cover(edges, n):
+    adj = _und_adj(edges, n)
+    c = [False] * n
+    d = [len(adj[v]) for v in range(n)]
+    act = [True] * n
+    for _ in range(10 * n + 10):
+        newly = [
+            v
+            for v in range(n)
+            if act[v]
+            and not c[v]
+            and all(c[w] or (d[w], w) < (d[v], v) for w in adj[v])
+        ]
+        if not any(act):
+            break
+        for v in newly:
+            c[v] = True
+        for v in newly:
+            for w in adj[v]:
+                if not c[w]:
+                    d[w] -= 1
+        for v in range(n):
+            act[v] = act[v] and not c[v] and d[v] > 0
+        if not newly and not any(act):
+            break
+    return c
+
+
+def ref_dominating(edges, n):
+    adj = _und_adj(edges, n)
+    dom = [False] * n
+    b = [False] * n
+    mc = [len(adj[v]) for v in range(n)]
+    mi = list(range(n))
+    while not all(dom):
+        for _ in range(2):
+            nmc, nmi = mc[:], mi[:]
+            for v in range(n):
+                if dom[v]:
+                    continue
+                for w in adj[v]:
+                    if not dom[w] and (mc[w], mi[w]) > (nmc[v], nmi[v]):
+                        nmc[v], nmi[v] = mc[w], mi[w]
+            mc, mi = nmc, nmi
+        sel = [v for v in range(n) if not dom[v] and mi[v] == v]
+        for v in sel:
+            b[v] = True
+            dom[v] = True
+        for v in sel:
+            for w in adj[v]:
+                dom[w] = True
+        for v in range(n):
+            if not dom[v]:
+                mc[v] = sum(1 for w in adj[v] if not dom[w])
+                mi[v] = v
+    return b
+
+
+@pytest.mark.parametrize("gname", list(GRAPHS))
+@pytest.mark.parametrize("P", [1, 3])
+def test_min_cover(gname, P):
+    edges, n = GRAPHS[gname]
+    g = _build(edges, n, P, store_in_edges=True)
+    ds, _ = alg.min_cover_greedy(g)
+    got = ds.to_pandas().sort_values("vid")["in_cover"].tolist()
+    assert got == ref_min_cover(edges, n)
+
+
+@pytest.mark.parametrize("gname", list(GRAPHS))
+@pytest.mark.parametrize("P", [1, 3])
+def test_dominating(gname, P):
+    edges, n = GRAPHS[gname]
+    g = _build(edges, n, P, store_in_edges=True)
+    ds, _ = alg.min_dominating_set(g)
+    got = ds.to_pandas().sort_values("vid")["in_set"].tolist()
+    assert got == ref_dominating(edges, n)
