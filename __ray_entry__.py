@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_min_cover": td.lg_min_cover,
         "lg_dominating": td.lg_dominating,
         "lg_edge_cover": td.lg_edge_cover,
+        "lg_msf": td.lg_msf,
         "lg_kcore": td.lg_kcore,
         "lg_degree_centrality": td.lg_degree_centrality,
         "lg_assortativity": td.lg_assortativity,
@@ -421,6 +422,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_min_cover": osql.lg_min_cover_sql(),
         "lg_dominating": osql.lg_dominating_sql(),
         "lg_edge_cover": osql.lg_edge_cover_sql(),
+        "lg_msf": osql.lg_msf_sql(),
         "lg_kcore": osql.lg_kcore_sql(k=5),
         "lg_voterank": osql.lg_voterank_sql(k=10),
         "lg_closeness_sampled": osql.lg_closeness_sampled_sql(),

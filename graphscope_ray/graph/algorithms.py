@@ -1154,6 +1154,54 @@ def peel_ordering(
     return V[["oid", "core", "rank"]].sort_values("oid").reset_index(drop=True)
 
 
+def _kruskal_prune(t: pa.Table) -> pa.Table:
+    """Local Kruskal on one edge block: keep exactly the edges a Kruskal run
+    with the total order (w, src, dst) would accept.  The MSF-filtering
+    property (apps/flash/measurement/msf.h:49-61: local kruskal per
+    fragment, then merged kruskal) guarantees every global-MSF edge of the
+    block survives; the total order makes the global MSF unique, so the
+    final merge is partition-invariant."""
+    if t.num_rows == 0 or t.num_columns == 0:
+        return _guard(["src", "dst", "weight"])
+    s, d, w = _i64(t, "src"), _i64(t, "dst"), _i64(t, "weight")
+    order = np.lexsort((d, s, w))
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    keep = []
+    for i in order:
+        a, b = find(int(s[i])), find(int(d[i]))
+        if a != b:
+            parent[a] = b
+            keep.append(i)
+    k = np.asarray(keep, dtype=np.int64)
+    return pa.table({"src": pa.array(s[k]), "dst": pa.array(d[k]), "weight": pa.array(w[k])})
+
+
+def msf(wedges: ray.data.Dataset, num_partitions: int = 4) -> "pd.DataFrame":
+    """Minimum spanning forest of a weighted undirected edge set
+    (canonical src < dst, int weights) — the reference's two-level design
+    (apps/flash/measurement/msf.h:49-61): per-block local Kruskal prune
+    (each block keeps ≤ |V(block)|−1 edges), one repartition, a second
+    prune, then a driver-side merge Kruskal over the vertex-scale
+    survivors.  Ties broken by the (w, src, dst) total order everywhere →
+    the unique lexicographic-minimum MSF, independent of partitioning."""
+    pruned = wedges.map_batches(_kruskal_prune, batch_format="pyarrow")
+    pruned = pruned.repartition(num_partitions).map_batches(
+        _kruskal_prune, batch_format="pyarrow"
+    )
+    final = _kruskal_prune(pa.Table.from_pandas(pruned.to_pandas(), preserve_index=False))
+    out = final.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    return out
+
+
 def directed_triangle_census(edges: ray.data.Dataset, num_partitions: int = 8) -> dict:
     """Directed triangle census over the dedup directed edge set (no
     self-loops) — FLASH subgraph semantics:

@@ -1500,3 +1500,63 @@ def lg_degeneracy_sql(rank_rounds: int = 40) -> str:
 
 def lg_onion_sql(rank_rounds: int = 40) -> str:
     return _peel_rank_sql("onion", rank_rounds=rank_rounds)
+
+
+def lg_msf_sql(rounds: int = 11, jumps: int = 10) -> str:
+    """Unrolled Borůvka MSF on the weighted sparse graph (msf.h semantics,
+    unique under the packed (w, src, dst) total order): per round every
+    component picks its minimum packed incident edge, the picked
+    component-level functional graph is contracted by 2-cycle-min hooking +
+    pointer doubling (2^jumps ≥ #components), and picked physical edges
+    accumulate into the forest.  Over-unrolling is a no-op."""
+    B, C = 1000000, 1000
+    ctes = [
+        f"""swe AS MATERIALIZED (
+  SELECT least(a, b) AS src, greatest(a, b) AS dst, count(*) AS w FROM (
+    SELECT (l_orderkey % {LG_MOD}) AS a, (l_partkey % {LG_MOD}) AS b FROM lineitem
+    WHERE (l_orderkey % {LG_MOD}) <> (l_partkey % {LG_MOD})
+      AND ((l_orderkey % {LG_MOD})*31 + (l_partkey % {LG_MOD})*17) % 20 = 0)
+  GROUP BY least(a, b), greatest(a, b))""",
+        "cp0 AS MATERIALIZED (SELECT DISTINCT oid, oid AS c FROM "
+        "(SELECT src AS oid FROM swe UNION SELECT dst FROM swe))",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"ce{r} AS MATERIALIZED (SELECT a.c AS cu, b.c AS cv, "
+            f"e.w*{B} + e.src*{C} + e.dst AS k FROM swe e "
+            f"JOIN cp{r} a ON a.oid = e.src JOIN cp{r} b ON b.oid = e.dst "
+            f"WHERE a.c <> b.c)"
+        )
+        ctes.append(
+            f"mn{r} AS MATERIALIZED (SELECT cu AS c, min(k) AS k FROM "
+            f"(SELECT cu, k FROM ce{r} UNION ALL SELECT cv, k FROM ce{r}) GROUP BY cu)"
+        )
+        ctes.append(
+            f"pk{r} AS MATERIALIZED (SELECT DISTINCT (k // {B}) AS w, "
+            f"(k % {B}) // {C} AS src, k % {C} AS dst FROM mn{r})"
+        )
+        ctes.append(
+            f"fn{r} AS MATERIALIZED (SELECT m.c, "
+            f"CASE WHEN a.c = m.c THEN b.c ELSE a.c END AS f FROM mn{r} m "
+            f"JOIN cp{r} a ON a.oid = (m.k % {B}) // {C} "
+            f"JOIN cp{r} b ON b.oid = m.k % {C})"
+        )
+        ctes.append(
+            f"pj{r}_0 AS MATERIALIZED (SELECT f1.c, "
+            f"CASE WHEN f2.f = f1.c THEN least(f1.c, f1.f) ELSE f1.f END AS p "
+            f"FROM fn{r} f1 JOIN fn{r} f2 ON f2.c = f1.f)"
+        )
+        for j in range(jumps):
+            ctes.append(
+                f"pj{r}_{j + 1} AS MATERIALIZED (SELECT a.c, b.p FROM pj{r}_{j} a "
+                f"JOIN pj{r}_{j} b ON b.c = a.p)"
+            )
+        ctes.append(
+            f"cp{r + 1} AS MATERIALIZED (SELECT cp.oid, coalesce(pj.p, cp.c) AS c "
+            f"FROM cp{r} cp LEFT JOIN pj{r}_{jumps} pj ON pj.c = cp.c)"
+        )
+    allpk = " UNION ALL ".join(f"SELECT src, dst, w FROM pk{r}" for r in range(rounds))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT DISTINCT src, dst, CAST(w AS BIGINT) AS weight FROM ({allpk})"
+    )

@@ -1244,3 +1244,28 @@ def lg_edge_cover(sf_dir: str) -> pd.DataFrame:
     matching/min-edge-cover.h final count over the maximal matching)."""
     g = lg_sparse_graph(sf_dir)
     return pd.DataFrame({"n_edge_cover": [alg.min_edge_cover(g)["n_edge_cover"]]})
+
+
+def lg_msf(sf_dir: str) -> pd.DataFrame:
+    """Minimum spanning forest of the weighted sparse graph (FLASH
+    measurement/msf.h): weight = lineitem multiplicity of the canonical
+    undirected pair; unique under the (w, src, dst) tie-break."""
+    from graphscope_ray.utils import hash_groupby_sum
+
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def _derive(t: pa.Table) -> pa.Table:
+        src = t["l_orderkey"].to_numpy(zero_copy_only=False) % LG_MOD
+        dst = t["l_partkey"].to_numpy(zero_copy_only=False) % LG_MOD
+        keep = (src != dst) & ((src * 31 + dst * 17) % SPARSE_MOD == 0)
+        s, d = src[keep].astype(np.int64), dst[keep].astype(np.int64)
+        return pa.table(
+            {"src": pa.array(np.minimum(s, d)), "dst": pa.array(np.maximum(s, d))}
+        )
+
+    raw = li.map_batches(_derive, batch_format="pyarrow")
+    wed = hash_groupby_sum(raw, ["src", "dst"], None, "weight", num_partitions=8)
+    out = alg.msf(wed)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

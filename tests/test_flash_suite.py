@@ -478,3 +478,52 @@ def test_dominating(gname, P):
     ds, _ = alg.min_dominating_set(g)
     got = ds.to_pandas().sort_values("vid")["in_set"].tolist()
     assert got == ref_dominating(edges, n)
+
+
+# ------------------------------------------------------------- MSF reference
+def ref_msf(wedges):
+    """Kruskal with the (w, src, dst) total order (unique MSF)."""
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    keep = []
+    for w, s, d in sorted((w, s, d) for s, d, w in wedges):
+        a, b = find(s), find(d)
+        if a != b:
+            parent[a] = b
+            keep.append((s, d, w))
+    return sorted(keep)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+@pytest.mark.parametrize("nblocks", [1, 5])
+def test_msf(seed, nblocks):
+    import pyarrow as pa
+    import ray.data
+
+    rng = np.random.RandomState(seed)
+    n, m = 40, 150
+    e = rng.randint(0, n, size=(m, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    wedges = sorted(
+        {
+            (min(a, b), max(a, b)): int(w)
+            for (a, b), w in zip(map(tuple, e), rng.randint(1, 6, size=len(e)))
+        }.items()
+    )
+    wedges = [(s, d, w) for (s, d), w in wedges]
+    t = pa.table(
+        {
+            "src": pa.array([x[0] for x in wedges], pa.int64()),
+            "dst": pa.array([x[1] for x in wedges], pa.int64()),
+            "weight": pa.array([x[2] for x in wedges], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(nblocks)
+    got = alg.msf(ds)
+    assert list(map(tuple, got.to_numpy())) == ref_msf(wedges)
