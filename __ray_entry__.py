@@ -315,6 +315,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_dominating": td.lg_dominating,
         "lg_edge_cover": td.lg_edge_cover,
         "lg_msf": td.lg_msf,
+        "lg_bfs_forest": td.lg_bfs_forest,
+        "lg_bridges": td.lg_bridges,
+        "lg_cut_points": td.lg_cut_points,
+        "lg_bcc": td.lg_bcc,
+        "lg_2ecc": td.lg_2ecc,
         "lg_kcore": td.lg_kcore,
         "lg_degree_centrality": td.lg_degree_centrality,
         "lg_assortativity": td.lg_assortativity,
@@ -423,6 +428,11 @@ def oracle_sql() -> dict[str, str]:
         "lg_dominating": osql.lg_dominating_sql(),
         "lg_edge_cover": osql.lg_edge_cover_sql(),
         "lg_msf": osql.lg_msf_sql(),
+        "lg_bfs_forest": osql.lg_bfs_forest_sql(),
+        "lg_bridges": osql.lg_bridges_sql(),
+        "lg_cut_points": osql.lg_cut_points_sql(),
+        "lg_bcc": osql.lg_bcc_sql(),
+        "lg_2ecc": osql.lg_2ecc_sql(),
         "lg_kcore": osql.lg_kcore_sql(k=5),
         "lg_voterank": osql.lg_voterank_sql(k=10),
         "lg_closeness_sampled": osql.lg_closeness_sampled_sql(),

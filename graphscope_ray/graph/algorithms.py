@@ -1543,3 +1543,325 @@ def densest_core(g: Graph) -> dict:
     s_ref = ray.put(S)
     ne = sum(_ray.get([a.core_subgraph_edges.remote(s_ref) for a in g.actors]))
     return {"core": cmax, "n_vertices": int(S.size), "density": ne / max(S.size, 1)}
+
+
+def bfs_forest(g: Graph, **run_kwargs) -> tuple[ray.data.Dataset, RunResult]:
+    """Deterministic min-vid-rooted BFS spanning forest (the tree phase of
+    the FLASH connectivity apps, apps/flash/connectivity/bridge.h:58-104 /
+    bcc.h:58-104; the reference roots at the max-(degree, id) vertex and
+    picks an arbitrary adjacency-order parent — we root at the MIN vid and
+    take the min-vid parent so the forest, and everything derived from it,
+    is deterministic and oracle-checkable)."""
+    res = g.run_program("bfs_forest", **run_kwargs)
+    return g.program_state(res.name), res
+
+
+def _forest_preorder(par: np.ndarray, dis: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Preorder rank + subtree size of a forest given parent vids (roots:
+    par == self), children visited in ascending vid, trees in ascending
+    root vid.  Driver-side vertex-sized pass (like the oid map); the
+    multi-node path is an Euler-tour + list-ranking dataflow."""
+    n = par.size
+    order = np.argsort(par, kind="stable")  # children grouped by parent, vid asc
+    grp_par = par[order]
+    starts = np.searchsorted(grp_par, np.arange(n))
+    ends = np.searchsorted(grp_par, np.arange(n), side="right")
+    pre = np.full(n, -1, dtype=np.int64)
+    size = np.ones(n, dtype=np.int64)
+    roots = np.flatnonzero(dis == 0)
+    ctr = 0
+    stack: list[int] = []
+    for r in roots:
+        stack.append(int(r))
+        while stack:
+            v = stack.pop()
+            if pre[v] >= 0:
+                continue
+            pre[v] = ctr
+            ctr += 1
+            # push children in descending vid so ascending pops first
+            kids = order[starts[v] : ends[v]]
+            for c in kids[::-1]:
+                if c != v:  # roots are their own parent
+                    stack.append(int(c))
+    # subtree sizes: accumulate bottom-up by depth
+    maxd = int(dis.max()) if n else 0
+    for d in range(maxd, 0, -1):
+        sel = np.flatnonzero(dis == d)
+        np.add.at(size, par[sel], size[sel])
+    return pre, size
+
+
+def biconnectivity(
+    g: Graph, edges: ray.data.Dataset, num_partitions: int = 4
+) -> dict[str, "pd.DataFrame"]:
+    """Bridges, articulation points and biconnected-component labels of the
+    undirected graph — the FLASH connectivity family
+    (apps/flash/connectivity/bridge.h, cut-point.h, bcc.h) re-expressed as
+    Tarjan–Vishkin over a deterministic BFS forest instead of the
+    reference's sequential per-fragment cycle-climb union-find:
+
+    1. min-vid-rooted BFS forest (superstep program; the reference builds
+       the same tree at bridge.h:58-104).
+    2. driver preorder/subtree intervals (vertex-sized, like the oid map).
+    3. per-vertex min/max preorder reached by incident non-tree edges —
+       edge-sized map_batches + hash groupby min/max; a BFS forest has no
+       ancestor-descendant non-tree edges, so "exactly one endpoint in
+       subtree(x)" ⟺ the far endpoint's preorder leaves x's interval.
+    4. bridge(p(x), x) ⟺ no non-tree edge leaves subtree(x)  — the exact
+       criterion the reference's cycle-climb tests (bridge.h:106-140).
+    5. Tarjan–Vishkin auxiliary graph on tree edges (edge ≡ its child
+       vertex): non-tree (a,b) joins a~b; tree (w,x) joins x~w when
+       subtree(x) escapes subtree(w).  WCC of the aux graph = biconnected
+       components (bcc.h:106-140's union-find, distributed).
+    6. cut vertex ⟺ incident tree edges span ≥2 blocks (cut-point.h:138-151).
+
+    Returns oid-space DataFrames: forest (oid, root_oid, depth,
+    parent_oid), bridges (src, dst), bcc (oid, bcc_oid — the block of the
+    vertex's parent edge, min member oid; roots/isolated keep their own
+    oid), cut (oid, is_cut), ecc2 (oid, comp2_oid — 2-edge-connected
+    component, min oid over the bridge-free tree relation).
+    """
+    import pandas as pd
+
+    from graphscope_ray.graph.build import build_graph_from_oids
+    from graphscope_ray.utils import hash_groupby_sum
+
+    st, _ = bfs_forest(g)
+    if g.vertices_ds is not None:
+        vmap = g.vertices_ds.to_pandas().sort_values("vid")
+        oids = vmap["oid"].to_numpy().astype(np.int64)  # vid → oid (ascending)
+    else:
+        oids = np.arange(g.N, dtype=np.int64)  # vid-space build: oid ≡ vid
+    F = st.to_pandas().sort_values("vid")
+    dis = F["dis"].to_numpy().astype(np.int64)
+    parv = F["par"].to_numpy().astype(np.int64)  # vid space
+    n = oids.size
+    pre, size = _forest_preorder(parv, dis)
+
+    bc = ray.put({"oids": oids, "par": parv, "dis": dis, "pre": pre})
+
+    def _nontree(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return _guard(["av", "bv"])
+        b = ray.get(bc)
+        sv = np.searchsorted(b["oids"], _i64(t, "src"))
+        dv = np.searchsorted(b["oids"], _i64(t, "dst"))
+        keep = (b["par"][sv] != dv) & (b["par"][dv] != sv)
+        return pa.table({"av": pa.array(sv[keep]), "bv": pa.array(dv[keep])})
+
+    nt = edges.map_batches(_nontree, batch_format="pyarrow").materialize()
+
+    def _reach(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return _guard(["v", "p"])
+        b = ray.get(bc)
+        av, bv = _i64(t, "av"), _i64(t, "bv")
+        return pa.table(
+            {
+                "v": pa.array(np.concatenate([av, bv])),
+                "p": pa.array(np.concatenate([b["pre"][bv], b["pre"][av]])),
+            }
+        )
+
+    reach = nt.map_batches(_reach, batch_format="pyarrow")
+    mn = hash_groupby_sum(reach, ["v"], "p", "mn", num_partitions, agg="min").to_pandas()
+    mx = hash_groupby_sum(reach, ["v"], "p", "mx", num_partitions, agg="max").to_pandas()
+    mnA = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    mxA = np.full(n, -1, dtype=np.int64)
+    if len(mn):
+        mnA[mn["v"].to_numpy().astype(np.int64)] = mn["mn"].to_numpy().astype(np.int64)
+        mxA[mx["v"].to_numpy().astype(np.int64)] = mx["mx"].to_numpy().astype(np.int64)
+    # subtree min/max up-sweep by depth (vertex-sized)
+    maxd = int(dis.max()) if n else 0
+    for d in range(maxd, 0, -1):
+        sel = np.flatnonzero(dis == d)
+        np.minimum.at(mnA, parv[sel], mnA[sel])
+        np.maximum.at(mxA, parv[sel], mxA[sel])
+    nonroot = dis > 0
+    inside = (mnA >= pre) & (mxA < pre + size)  # no non-tree edge escapes
+    is_bridge_child = nonroot & inside
+
+    # Tarjan–Vishkin aux edges.  rule 1: non-tree (a,b) → a~b (skip roots:
+    # a root has no parent edge; its incident non-tree edges chain via rule 2
+    # because the root is outside every proper subtree).
+    def _rule1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return _guard(["src_oid", "dst_oid"])
+        b = ray.get(bc)
+        av, bv = _i64(t, "av"), _i64(t, "bv")
+        keep = (b["dis"][av] > 0) & (b["dis"][bv] > 0)
+        return pa.table(
+            {"src_oid": pa.array(av[keep]), "dst_oid": pa.array(bv[keep])}
+        )
+
+    aux1 = nt.map_batches(_rule1, batch_format="pyarrow")
+    # rule 2: tree edge (w, x): x~w when subtree(x) escapes subtree(w)
+    x = np.flatnonzero(nonroot & (dis[parv] > 0))
+    w = parv[x]
+    esc = (mnA[x] < pre[w]) | (mxA[x] >= pre[w] + size[w])
+    aux2 = ray.data.from_arrow(
+        pa.table(
+            {
+                "src_oid": pa.array(x[esc].astype(np.int64)),
+                "dst_oid": pa.array(w[esc].astype(np.int64)),
+            }
+        )
+    )
+    aux = aux1.union(aux2).materialize()
+    lab = np.arange(n, dtype=np.int64)  # default: own block (roots, bridges)
+    if aux.count() > 0:
+        ag = build_graph_from_oids(
+            aux, num_partitions=num_partitions, view="directed",
+            store_in_edges=True, dedup_edges=True,
+        )
+        cds, _ = wcc(ag)
+        avm = ag.vertices_ds.to_pandas()
+        cdf = cds.to_pandas().merge(avm, on="vid")
+        cdf = cdf.merge(
+            avm.rename(columns={"vid": "comp", "oid": "lab"}), on="comp"
+        )
+        lab[cdf["oid"].to_numpy().astype(np.int64)] = cdf["lab"].to_numpy().astype(np.int64)
+
+    # cut vertices: distinct blocks among incident tree edges — own parent
+    # edge (non-root) plus the children's parent edges (cut-point.h:138-151)
+    kids = np.flatnonzero(nonroot)
+    inc = pd.DataFrame(
+        {
+            "p": np.concatenate([parv[kids], kids]),
+            "l": np.concatenate([lab[kids], lab[kids]]),
+        }
+    )
+    nun = inc.groupby("p")["l"].nunique()
+    is_cut = np.zeros(n, dtype=bool)
+    is_cut[nun.index.to_numpy()[nun.to_numpy() >= 2]] = True
+
+    # 2-edge-connected components: closure over bridge-free tree edges
+    # (u ~ p(u) unless that edge is a bridge) — each class is a connected
+    # tree region with a unique top; vertex-sized pointer doubling
+    link = np.where(nonroot & ~is_bridge_child, parv, np.arange(n))
+    while True:
+        nl = link[link]
+        if np.array_equal(nl, link):
+            break
+        link = nl
+    minv = np.arange(n, dtype=np.int64)
+    np.minimum.at(minv, link, np.arange(n, dtype=np.int64))
+    e2 = minv[link]
+
+    out = {}
+    out["forest"] = pd.DataFrame(
+        {
+            "oid": oids,
+            "root_oid": oids[F["lbl"].to_numpy().astype(np.int64)],
+            "depth": dis,
+            "parent_oid": oids[parv],
+        }
+    ).sort_values("oid").reset_index(drop=True)
+    bsrc = np.minimum(oids[parv[is_bridge_child]], oids[np.flatnonzero(is_bridge_child)])
+    bdst = np.maximum(oids[parv[is_bridge_child]], oids[np.flatnonzero(is_bridge_child)])
+    bord = np.lexsort((bdst, bsrc))
+    out["bridges"] = pd.DataFrame({"src": bsrc[bord], "dst": bdst[bord]}).reset_index(
+        drop=True
+    )
+    out["bcc"] = pd.DataFrame(
+        {"oid": oids, "bcc_oid": oids[np.where(nonroot, lab, np.arange(n))]}
+    ).sort_values("oid").reset_index(drop=True)
+    out["cut"] = pd.DataFrame({"oid": oids, "is_cut": is_cut.astype(np.int64)}).sort_values(
+        "oid"
+    ).reset_index(drop=True)
+    out["ecc2"] = pd.DataFrame({"oid": oids, "comp2_oid": oids[e2]}).sort_values(
+        "oid"
+    ).reset_index(drop=True)
+    return out
+
+
+def kclique_count(edges: ray.data.Dataset, k: int = 4, num_partitions: int = 8) -> int:
+    """K-clique counting (apps/flash/subgraph/k-clique.h:54-95): degree-ordered
+    orientation — edge a→b when (deg, vid) of b is larger — then iterative
+    clique extension.  The reference recurses over per-vertex out-sets; here
+    each extension level is one distributed hash-join wave: frontier of
+    (v0 < … < v_i) oriented paths joins oe on the LAST vertex to propose
+    v_{i+1}, then one packed-key semi-join per earlier vertex keeps proposals
+    adjacent to the whole prefix.  Every k-clique is counted exactly once
+    (its vertices ordered by the orientation's total order)."""
+    from graphscope_ray.utils import hash_groupby_sum, hash_join
+
+    assert k >= 3
+    e = edges.map_batches(lambda t: t.select(["src", "dst"]), batch_format="pyarrow")
+    e = e.materialize()
+
+    def _ends(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return _guard(["tv"])
+        return pa.table({"tv": pa.array(np.concatenate([_i64(t, "src"), _i64(t, "dst")]))})
+
+    deg = hash_groupby_sum(
+        e.map_batches(_ends, batch_format="pyarrow"), ["tv"], None, "d",
+        num_partitions=num_partitions,
+    )
+
+    def _proj(cols: dict):
+        def _f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or t.num_columns == 0:
+                return _guard(list(cols))
+            return pa.table({o: t[s] for o, s in cols.items()})
+
+        return _f
+
+    j1 = hash_join(e, deg, "src", "tv", num_partitions=num_partitions).map_batches(
+        _proj({"src": "src", "dst": "dst", "da": "d"}), batch_format="pyarrow"
+    )
+    ed = hash_join(j1, deg, "dst", "tv", num_partitions=num_partitions).map_batches(
+        _proj({"src": "src", "dst": "dst", "da": "da", "db": "d"}), batch_format="pyarrow"
+    )
+
+    def _orient(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return _guard(["v0", "v1"])
+        s, d = _i64(t, "src"), _i64(t, "dst")
+        da, db = _i64(t, "da"), _i64(t, "d" if "d" in t.column_names else "db")
+        fwd = (da < db) | ((da == db) & (s < d))
+        return pa.table(
+            {"v0": pa.array(np.where(fwd, s, d)), "v1": pa.array(np.where(fwd, d, s))}
+        )
+
+    oe = ed.map_batches(_orient, batch_format="pyarrow").materialize()
+    okeys = oe.map_batches(
+        lambda t: _guard(["ok"]) if t.num_rows == 0 or t.num_columns == 0
+        else pa.table({"ok": pa.array((_i64(t, "v0") << np.int64(32)) | _i64(t, "v1"))}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    F = oe
+    for lvl in range(2, k):
+        last = f"v{lvl - 1}"
+        cols = [f"v{j}" for j in range(lvl)]
+
+        def _prep(t: pa.Table, last=last, cols=cols) -> pa.Table:
+            if t.num_rows == 0 or t.num_columns == 0:
+                return _guard(cols)
+            return t.select(cols)
+
+        ext = hash_join(
+            F.map_batches(_prep, batch_format="pyarrow"),
+            oe.map_batches(_proj({"ja": "v0", f"v{lvl}": "v1"}), batch_format="pyarrow"),
+            last, "ja", num_partitions=num_partitions,
+        )
+        # keep proposals adjacent to every earlier prefix vertex
+        for j in range(lvl - 1):
+            vj, nc = f"v{j}", f"v{lvl}"
+
+            def _pk(t: pa.Table, vj=vj, nc=nc, lvl=lvl) -> pa.Table:
+                if t.num_rows == 0 or t.num_columns == 0:
+                    return _guard([f"v{i}" for i in range(lvl + 1)] + ["pk"])
+                keep = {f"v{i}": t[f"v{i}"] for i in range(lvl + 1)}
+                keep["pk"] = pa.array((_i64(t, vj) << np.int64(32)) | _i64(t, nc))
+                return pa.table(keep)
+
+            ext = hash_join(
+                ext.map_batches(_pk, batch_format="pyarrow"), okeys, "pk", "ok",
+                num_partitions=num_partitions,
+            )
+        F = ext.materialize()
+    return F.count()

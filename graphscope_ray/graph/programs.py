@@ -1256,6 +1256,70 @@ class JpColoring(VertexProgram):
 
 
 # --------------------------------------------------------------------------
+class BfsForest(VertexProgram):
+    """Deterministic BFS spanning forest, one tree per component rooted at
+    the component's min vid (the backbone of the FLASH connectivity apps —
+    apps/flash/connectivity/bridge.h:58-97 builds the same max-priority-root
+    BFS tree before its cycle-climb; we root at the MIN vid and track the
+    min-vid parent).  Lexicographic (root-label, depth, sender) min
+    relaxation over the undirected adjacency; converges to
+    label = component min vid, dis = BFS depth from it, par = min neighbor
+    at depth−1 (roots: par = own vid).  The packed float64 message
+    (lbl·N² + dis·N + sender) is exact while N³ < 2^53 (N ≤ ~200k per
+    message; larger graphs need a two-part push)."""
+
+    def __init__(self, frag, max_rounds: int = 0):
+        super().__init__(frag)
+
+    def init(self) -> dict:
+        f = self.frag
+        n = f.n_local
+        # dis+1 may transiently reach N, so the radix is N+2; exactness of
+        # the float64 pack needs K^3 < 2^53
+        self.K = float(max(f.N, 1) + 2)
+        assert self.K**3 < 2**53, "graph too large for the packed message"
+        gvid = f.owned_vids().astype(np.float64)
+        self.gvid = gvid
+        self.lbl = gvid.copy()
+        self.dis = np.zeros(n)
+        self.par = gvid.copy()
+        self.changed = np.ones(n, dtype=bool)
+        return {}
+
+    def _pack(self):
+        return (self.lbl * self.K + self.dis) * self.K + self.par
+
+    def scatter(self, step, glob):
+        f = self.frag
+        offer = (self.lbl * self.K + (self.dis + 1.0)) * self.K + self.gvid
+        pushes = [f.out.push_reduce_masked(offer, self.changed, "min")]
+        if f.inc is not None:
+            pushes.append(f.inc.push_reduce_masked(offer, self.changed, "min"))
+        return _wrap(*pushes)
+
+    def gather(self, step, glob, msgs):
+        n = self.frag.n_local
+        m = acc_min(n, msgs)
+        better = np.isfinite(m) & (m < self._pack())
+        if better.any():
+            # exact decode: the packed value is an integer < 2^53
+            mi = m[better].astype(np.int64)
+            K = np.int64(self.K)
+            self.par[better] = (mi % K).astype(np.float64)
+            self.dis[better] = ((mi // K) % K).astype(np.float64)
+            self.lbl[better] = (mi // (K * K)).astype(np.float64)
+        self.changed = better
+        return {"changed": int(better.sum())}
+
+    def state_columns(self):
+        return {
+            "lbl": self.lbl.astype(np.int64),
+            "dis": self.dis.astype(np.int64),
+            "par": self.par.astype(np.int64),
+        }
+
+
+# --------------------------------------------------------------------------
 class MinCoverGreedy(VertexProgram):
     """Greedy minimum vertex cover (apps/flash/matching/min-cover-greedy.h:
     48-84): per round an ACTIVE vertex joins the cover iff no uncovered
@@ -1503,6 +1567,9 @@ PROGRAMS: dict[str, ProgramSpec] = {
     ),
     "ppr": ProgramSpec(Ppr, _never, 10),
     "articlerank": ProgramSpec(ArticleRank, _never, 10),
+    "bfs_forest": ProgramSpec(
+        BfsForest, lambda glob, p, N, s: glob.get("changed", 1) == 0, 10_000
+    ),
     "mincover": ProgramSpec(
         MinCoverGreedy, lambda glob, p, N, s: glob.get("open", 1) == 0, 10_000
     ),

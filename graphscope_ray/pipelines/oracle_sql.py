@@ -1560,3 +1560,106 @@ def lg_msf_sql(rounds: int = 11, jumps: int = 10) -> str:
         "WITH " + ",\n".join(ctes)
         + f" SELECT DISTINCT src, dst, CAST(w AS BIGINT) AS weight FROM ({allpk})"
     )
+
+
+# ---------------------------------------------------------------------------
+# FLASH connectivity family (bridge.h / cut-point.h / bcc.h): deterministic
+# min-oid-rooted BFS forest, preorder/subtree intervals, Tarjan–Vishkin
+# auxiliary components — the SQL mirror of graph/algorithms.py
+# biconnectivity() with identical tie-breaks.
+
+_CONN = """
+reach(rv, c) AS MATERIALIZED (SELECT oid, oid FROM sv UNION
+  SELECT sue.dst, r.c FROM reach r JOIN sue ON sue.src = r.rv),
+comp AS MATERIALIZED (SELECT rv AS oid, min(c) AS root FROM reach GROUP BY rv),
+bw(wv, d) AS MATERIALIZED (SELECT oid, 0 FROM comp WHERE oid = root UNION
+  SELECT sue.dst, w.d + 1 FROM bw w JOIN sue ON sue.src = w.wv WHERE w.d < 200),
+dep AS MATERIALIZED (SELECT wv AS oid, min(d) AS dis FROM bw GROUP BY wv),
+parc AS MATERIALIZED (SELECT b.oid, min(sue.src) AS par FROM dep b
+  JOIN sue ON sue.dst = b.oid JOIN dep a ON a.oid = sue.src AND a.dis = b.dis - 1
+  GROUP BY b.oid),
+forest AS MATERIALIZED (SELECT c.oid, c.root, d.dis,
+  CASE WHEN d.dis = 0 THEN c.oid ELSE p.par END AS par
+  FROM comp c JOIN dep d ON d.oid = c.oid LEFT JOIN parc p ON p.oid = c.oid),
+pth(oid, path) AS MATERIALIZED (
+  SELECT oid, lpad(CAST(oid AS VARCHAR), 4, '0') FROM forest WHERE dis = 0
+  UNION ALL
+  SELECT f.oid, p.path || '.' || lpad(CAST(f.oid AS VARCHAR), 4, '0')
+  FROM forest f JOIN pth p ON p.oid = f.par WHERE f.dis > 0),
+pre AS MATERIALIZED (SELECT oid, path, row_number() OVER (ORDER BY path) - 1 AS pr
+  FROM pth),
+sz AS MATERIALIZED (SELECT p1.oid, count(*) AS sub FROM pre p1 JOIN pre p2
+  ON starts_with(p2.path, p1.path) GROUP BY p1.oid),
+nt AS MATERIALIZED (SELECT sue.src AS a, sue.dst AS b FROM sue
+  JOIN forest fa ON fa.oid = sue.src JOIN forest fb ON fb.oid = sue.dst
+  WHERE fa.par <> sue.dst AND fb.par <> sue.src),
+mm AS MATERIALIZED (SELECT pv.oid, min(pb.pr) AS mn, max(pb.pr) AS mx
+  FROM nt JOIN pre pa ON pa.oid = nt.a JOIN pre pb ON pb.oid = nt.b
+  JOIN pre pv ON starts_with(pa.path, pv.path) GROUP BY pv.oid),
+br AS MATERIALIZED (SELECT least(f.par, f.oid) AS src, greatest(f.par, f.oid) AS dst
+  FROM forest f JOIN pre p ON p.oid = f.oid JOIN sz s ON s.oid = f.oid
+  LEFT JOIN mm ON mm.oid = f.oid
+  WHERE f.dis > 0 AND (mm.oid IS NULL OR (mm.mn >= p.pr AND mm.mx < p.pr + s.sub))),
+aux AS MATERIALIZED (
+  SELECT nt.a AS x, nt.b AS y FROM nt
+    JOIN forest fa ON fa.oid = nt.a JOIN forest fb ON fb.oid = nt.b
+    WHERE fa.dis > 0 AND fb.dis > 0
+  UNION
+  SELECT f.oid AS x, f.par AS y FROM forest f
+    JOIN forest fw ON fw.oid = f.par JOIN pre pw ON pw.oid = f.par
+    JOIN sz sw ON sw.oid = f.par JOIN mm ON mm.oid = f.oid
+    WHERE f.dis > 0 AND fw.dis > 0
+      AND (mm.mn < pw.pr OR mm.mx >= pw.pr + sw.sub)),
+auxsym AS MATERIALIZED (SELECT x, y FROM aux UNION SELECT y AS x, x AS y FROM aux),
+areach(rv, c) AS MATERIALIZED (SELECT oid, oid FROM forest WHERE dis > 0 UNION
+  SELECT a.y, r.c FROM areach r JOIN auxsym a ON a.x = r.rv),
+blab AS MATERIALIZED (SELECT rv AS oid, min(c) AS lab FROM areach GROUP BY rv)
+"""
+
+
+def lg_bfs_forest_sql() -> str:
+    return (
+        f"WITH RECURSIVE {_SBASE}, {_CONN} "
+        "SELECT oid, root AS root_oid, dis AS depth, par AS parent_oid "
+        "FROM forest ORDER BY oid"
+    )
+
+
+def lg_bridges_sql() -> str:
+    return f"WITH RECURSIVE {_SBASE}, {_CONN} SELECT src, dst FROM br ORDER BY src, dst"
+
+
+def lg_bcc_sql() -> str:
+    return (
+        f"WITH RECURSIVE {_SBASE}, {_CONN} "
+        "SELECT f.oid, CASE WHEN f.dis = 0 THEN f.oid ELSE b.lab END AS bcc_oid "
+        "FROM forest f LEFT JOIN blab b ON b.oid = f.oid ORDER BY f.oid"
+    )
+
+
+def lg_cut_points_sql() -> str:
+    return (
+        f"WITH RECURSIVE {_SBASE}, {_CONN}, "
+        "incid AS MATERIALIZED ("
+        "SELECT f.par AS p, b.lab AS l FROM forest f JOIN blab b ON b.oid = f.oid "
+        "WHERE f.dis > 0 "
+        "UNION ALL "
+        "SELECT f.oid AS p, b.lab AS l FROM forest f JOIN blab b ON b.oid = f.oid "
+        "WHERE f.dis > 0), "
+        "cnt AS MATERIALIZED (SELECT p AS oid, count(DISTINCT l) AS c FROM incid GROUP BY p) "
+        "SELECT f.oid, CASE WHEN coalesce(c.c, 0) >= 2 THEN 1 ELSE 0 END AS is_cut "
+        "FROM forest f LEFT JOIN cnt c ON c.oid = f.oid ORDER BY f.oid"
+    )
+
+
+def lg_2ecc_sql() -> str:
+    return (
+        f"WITH RECURSIVE {_SBASE}, {_CONN}, "
+        "te AS MATERIALIZED (SELECT f.par AS u, f.oid AS v FROM forest f "
+        "WHERE f.dis > 0 AND NOT EXISTS (SELECT 1 FROM br "
+        "WHERE br.src = least(f.par, f.oid) AND br.dst = greatest(f.par, f.oid))), "
+        "tes AS MATERIALIZED (SELECT u, v FROM te UNION SELECT v AS u, u AS v FROM te), "
+        "ereach(rv, c) AS MATERIALIZED (SELECT oid, oid FROM sv UNION "
+        "SELECT t.v, r.c FROM ereach r JOIN tes t ON t.u = r.rv) "
+        "SELECT rv AS oid, min(c) AS comp2_oid FROM ereach GROUP BY rv ORDER BY oid"
+    )

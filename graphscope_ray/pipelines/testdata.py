@@ -1269,3 +1269,63 @@ def lg_msf(sf_dir: str) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+_BICONN_CACHE: dict = {}
+
+
+def _biconn(sf_dir: str) -> dict:
+    """One shared connectivity decomposition of the sparse graph (FLASH
+    apps/flash/connectivity/{bridge,cut-point,bcc}.h): BFS forest →
+    Tarjan–Vishkin.  Cached — five queries slice it."""
+    if sf_dir not in _BICONN_CACHE:
+        g = lg_sparse_graph(sf_dir)
+        _BICONN_CACHE[sf_dir] = alg.biconnectivity(g, _sparse_canonical_edges(sf_dir))
+    return _BICONN_CACHE[sf_dir]
+
+
+def lg_bfs_forest(sf_dir: str) -> pd.DataFrame:
+    """Min-oid-rooted BFS spanning forest of the sparse graph (the tree
+    phase shared by the FLASH connectivity apps, bridge.h:58-104)."""
+    out = _biconn(sf_dir)["forest"].copy()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def lg_bridges(sf_dir: str) -> pd.DataFrame:
+    """Bridge edges (canonical src<dst) of the sparse graph
+    (apps/flash/connectivity/bridge.h)."""
+    out = _biconn(sf_dir)["bridges"].copy()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def lg_cut_points(sf_dir: str) -> pd.DataFrame:
+    """Articulation points of the sparse graph
+    (apps/flash/connectivity/cut-point.h)."""
+    out = _biconn(sf_dir)["cut"].copy()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def lg_bcc(sf_dir: str) -> pd.DataFrame:
+    """Biconnected-component label per vertex — the block of the vertex's
+    parent tree edge, min member oid; roots keep their own oid
+    (apps/flash/connectivity/bcc.h's per-vertex union-find labels under our
+    min-oid tie-breaks)."""
+    out = _biconn(sf_dir)["bcc"].copy()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def lg_2ecc(sf_dir: str) -> pd.DataFrame:
+    """2-edge-connected components (min member oid) — WCC after bridge
+    removal, derived from the bridge decomposition (bridge.h)."""
+    out = _biconn(sf_dir)["ecc2"].copy()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

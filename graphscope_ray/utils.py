@@ -43,15 +43,21 @@ def hash_groupby_sum(
     val: str | None,
     out: str,
     num_partitions: int = 32,
+    agg: str = "sum",
 ) -> "ray.data.Dataset":
-    """Distributed groupby-sum via an explicit hash exchange: per-block local
+    """Distributed groupby-agg via an explicit hash exchange: per-block local
     combine (pandas groupby) → split by hash(keys) % K (one task per block,
     K return slots) → per-partition pandas reduce.  Replaces
     ``Dataset.groupby().aggregate(Sum(...))`` where Ray's sort-based
     aggregate is overhead-bound (string keys, many small blocks); same
-    all-to-all volume, ~10× less fixed cost.  ``val=None`` counts rows."""
+    all-to-all volume, ~10× less fixed cost.  ``val=None`` counts rows.
+    ``agg`` ∈ {"sum","min","max"}; min/max compose with the same
+    partial-combine (they are idempotent semigroup reductions), while
+    count-then-sum handles ``val=None``."""
     import pandas as pd
 
+    assert agg in ("sum", "min", "max")
+    assert agg == "sum" or val is not None, "row counting composes with sum only"
     K = num_partitions
     blocks = ds.materialize().to_arrow_refs()
 
@@ -68,7 +74,7 @@ def hash_groupby_sum(
         if val is None:
             df = df.groupby(keys, as_index=False).size().rename(columns={"size": out})
         else:
-            df = df.groupby(keys, as_index=False)[val].sum().rename(columns={val: out})
+            df = df.groupby(keys, as_index=False)[val].agg(agg).rename(columns={val: out})
         h = np.zeros(len(df), dtype=np.uint64)
         for k in keys:
             h = h * np.uint64(1000003) + pd.util.hash_pandas_object(df[k], index=False).to_numpy()
@@ -83,7 +89,7 @@ def hash_groupby_sum(
         alldf = pd.concat(dfs, ignore_index=True)
         if any(k not in alldf.columns for k in keys):  # every input was schema-less
             return pa.table({})
-        red = alldf.groupby(keys, as_index=False)[out].sum()
+        red = alldf.groupby(keys, as_index=False)[out].agg(agg)
         # strip pandas schema metadata: Ray Data hashes block schemas for
         # dedup and the metadata dict is unhashable (log-spam fix, ADVICE r1)
         return pa.Table.from_pandas(red, preserve_index=False).replace_schema_metadata(None)
