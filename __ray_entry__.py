@@ -315,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_dominating": td.lg_dominating,
         "lg_edge_cover": td.lg_edge_cover,
         "lg_msf": td.lg_msf,
+        "lg_kclique": td.lg_kclique,
         "lg_bfs_forest": td.lg_bfs_forest,
         "lg_bridges": td.lg_bridges,
         "lg_cut_points": td.lg_cut_points,
@@ -428,6 +429,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_dominating": osql.lg_dominating_sql(),
         "lg_edge_cover": osql.lg_edge_cover_sql(),
         "lg_msf": osql.lg_msf_sql(),
+        "lg_kclique": osql.lg_kclique_sql(),
         "lg_bfs_forest": osql.lg_bfs_forest_sql(),
         "lg_bridges": osql.lg_bridges_sql(),
         "lg_cut_points": osql.lg_cut_points_sql(),

@@ -1663,3 +1663,13 @@ def lg_2ecc_sql() -> str:
         "SELECT t.v, r.c FROM ereach r JOIN tes t ON t.u = r.rv) "
         "SELECT rv AS oid, min(c) AS comp2_oid FROM ereach GROUP BY rv ORDER BY oid"
     )
+
+
+def lg_kclique_sql() -> str:
+    """4-clique count via the same degree-ordered orientation as _TRI."""
+    return (
+        f"WITH {_BASE}, {_TRI} "
+        "SELECT count(*) AS n_4cliques FROM tr "
+        "JOIN oe e1 ON e1.a = tr.w1 JOIN oe e2 ON e2.a = tr.w2 AND e2.b = e1.b "
+        "JOIN oe e3 ON e3.a = tr.u AND e3.b = e1.b"
+    )

@@ -1329,3 +1329,23 @@ def lg_2ecc(sf_dir: str) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def lg_kclique(sf_dir: str, k: int = 4) -> pd.DataFrame:
+    """K-clique count on the full link graph (FLASH
+    apps/flash/subgraph/k-clique.h): degree-ordered orientation + iterative
+    distributed clique-extension joins."""
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def _derive(t: pa.Table) -> pa.Table:
+        src = t["l_orderkey"].to_numpy(zero_copy_only=False) % LG_MOD
+        dst = t["l_partkey"].to_numpy(zero_copy_only=False) % LG_MOD
+        keep = src != dst
+        s, d = src[keep].astype(np.int64), dst[keep].astype(np.int64)
+        return pa.table(
+            {"src": pa.array(np.minimum(s, d)), "dst": pa.array(np.maximum(s, d))}
+        )
+
+    cu = li.map_batches(_derive, batch_format="pyarrow")
+    cu = cu.groupby(["src", "dst"]).count().select_columns(["src", "dst"])
+    return pd.DataFrame({"n_4cliques": [alg.kclique_count(cu, k=k)]})

@@ -527,3 +527,38 @@ def test_msf(seed, nblocks):
     ds = ray.data.from_arrow(t).repartition(nblocks)
     got = alg.msf(ds)
     assert list(map(tuple, got.to_numpy())) == ref_msf(wedges)
+
+
+def ref_kclique(edges, n, k):
+    import itertools
+
+    adj = [set() for _ in range(n)]
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    return sum(
+        1
+        for comb in itertools.combinations(range(n), k)
+        if all(b in adj[a] for a, b in itertools.combinations(comb, 2))
+    )
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+@pytest.mark.parametrize("k", [3, 4, 5])
+def test_kclique(seed, k):
+    import pyarrow as pa
+    import ray.data
+
+    rng = np.random.RandomState(seed)
+    n, m = 16, 70
+    e = rng.randint(0, n, size=(m, 2))
+    edges = sorted({(min(a, b), max(a, b)) for a, b in e if a != b})
+    t = pa.table(
+        {
+            "src": pa.array([x[0] for x in edges], pa.int64()),
+            "dst": pa.array([x[1] for x in edges], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    assert alg.kclique_count(ds, k=k) == ref_kclique(edges, n, k)
