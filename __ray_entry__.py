@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_edge_cover": td.lg_edge_cover,
         "lg_msf": td.lg_msf,
         "lg_kclique": td.lg_kclique,
+        "lg_fluid": td.lg_fluid,
         "lg_bfs_forest": td.lg_bfs_forest,
         "lg_bridges": td.lg_bridges,
         "lg_cut_points": td.lg_cut_points,
@@ -430,6 +431,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_edge_cover": osql.lg_edge_cover_sql(),
         "lg_msf": osql.lg_msf_sql(),
         "lg_kclique": osql.lg_kclique_sql(),
+        "lg_fluid": osql.lg_fluid_sql(),
         "lg_bfs_forest": osql.lg_bfs_forest_sql(),
         "lg_bridges": osql.lg_bridges_sql(),
         "lg_cut_points": osql.lg_cut_points_sql(),

@@ -1865,3 +1865,14 @@ def kclique_count(edges: ray.data.Dataset, k: int = 4, num_partitions: int = 8) 
             )
         F = ext.materialize()
     return F.count()
+
+
+def fluid_community(
+    g: Graph, s: int = 10, max_rounds: int = 15, **run_kwargs
+) -> tuple[ray.data.Dataset, RunResult]:
+    """Fluid communities (apps/flash/clustering/fluid-community.h): s seed
+    labels expand by normalized density.  Deterministic variant — seeds are
+    vids 0..s-1 and updates are synchronous — so a fixed round count is
+    exactly reproducible (and SQL-oracle-checkable)."""
+    res = g.run_program("fluid", s=s, max_rounds=max_rounds, **run_kwargs)
+    return g.program_state(res.name), res

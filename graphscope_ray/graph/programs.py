@@ -1526,6 +1526,73 @@ class ArticleRank(VertexProgram):
         return {"score": self.score}
 
 
+# --------------------------------------------------------------------------
+class FluidCommunity(VertexProgram):
+    """FLASH fluid communities (apps/flash/clustering/fluid-community.h:47-107
+    and the fluid-by-color.h variant): s seed communities expand by density —
+    each vertex adopts the label i maximizing d[i] = (#nbrs with label i +
+    [own label = i]) / |community i|, with the reference's scan rule (take i
+    in ascending order when d[i] > 1e-10 and d[i] > d[cur] + 1e-10; an
+    unlabeled vertex takes the first live label).
+
+    Two determinism changes vs the reference, both documented divergences:
+    seeds are vids 0..s-1 (the reference draws rand_r(time(NULL)) % N —
+    nondeterministic by design), and updates are synchronous over last
+    round's labels and community sizes (the reference's VertexMapSeq
+    updates sequentially inside each fragment, making results depend on the
+    partition count).  Community sizes are exchanged as a global
+    "add:fluid_cnt" dict (s entries); densities use ONE division
+    (count/size) so the engine and the SQL oracle agree bit-for-bit."""
+
+    def __init__(self, frag, s: int = 10, max_rounds: int = 0):
+        super().__init__(frag)
+        self.s = int(s)
+
+    def init(self) -> dict:
+        f = self.frag
+        vids = f.owned_vids()
+        self.lab = np.where(vids < self.s, vids, -1).astype(np.int64)
+        return {"add:fluid_cnt": self._cnt_loc()}
+
+    def _cnt_loc(self) -> dict:
+        c = np.bincount(self.lab[self.lab >= 0], minlength=self.s)
+        return {int(i): int(v) for i, v in enumerate(c) if v}
+
+    def scatter(self, step, glob):
+        f = self.frag
+        return _wrap(f.ucsr().push_label_counts_masked(self.lab, self.lab >= 0))
+
+    def gather(self, step, glob, msgs):
+        f = self.frag
+        n, s = f.n_local, self.s
+        cnt = np.zeros(s, dtype=np.int64)
+        for i, v in glob.get("add:fluid_cnt", {}).items():
+            cnt[int(i)] = v
+        C = np.zeros((n, s), dtype=np.int64)
+        for part in _parts_of(msgs):
+            if len(part) and len(part[0]):
+                keys, c = part
+                np.add.at(C, (keys >> np.int64(32), keys & np.int64(0xFFFFFFFF)), c)
+        has = self.lab >= 0
+        C[np.flatnonzero(has), self.lab[has]] += 1
+        safe = np.where(cnt > 0, cnt, 1).astype(np.float64)
+        d = C / safe  # one IEEE division — matches the SQL oracle exactly
+        cur = self.lab.copy()
+        dcur = np.where(has, d[np.arange(n), np.maximum(cur, 0)], 0.0)
+        for i in range(s):
+            di = d[:, i]
+            take = (di > 1e-10) & ((cur == -1) | (di > dcur + 1e-10))
+            if take.any():
+                cur[take] = i
+                dcur[take] = di[take]
+        changed = int((cur != self.lab).sum())
+        self.lab = cur
+        return {"changed": changed, "add:fluid_cnt": self._cnt_loc()}
+
+    def state_columns(self):
+        return {"lab": self.lab}
+
+
 def _never(glob, params, N, step):
     return False
 
@@ -1567,6 +1634,7 @@ PROGRAMS: dict[str, ProgramSpec] = {
     ),
     "ppr": ProgramSpec(Ppr, _never, 10),
     "articlerank": ProgramSpec(ArticleRank, _never, 10),
+    "fluid": ProgramSpec(FluidCommunity, _never, 100),
     "bfs_forest": ProgramSpec(
         BfsForest, lambda glob, p, N, s: glob.get("changed", 1) == 0, 10_000
     ),

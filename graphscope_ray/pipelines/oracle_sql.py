@@ -1673,3 +1673,54 @@ def lg_kclique_sql() -> str:
         "JOIN oe e1 ON e1.a = tr.w1 JOIN oe e2 ON e2.a = tr.w2 AND e2.b = e1.b "
         "JOIN oe e3 ON e3.a = tr.u AND e3.b = e1.b"
     )
+
+
+def lg_fluid_sql(s: int = 10, rounds: int = 15) -> str:
+    """Unrolled synchronous fluid-community rounds: per round, community
+    sizes, per-vertex neighbor-label counts, densities (ONE bigint/double
+    division — bit-identical to the engine), then the reference's ascending
+    label scan with 1e-10 hysteresis as a chain of CASE steps."""
+    ctes = [
+        "rk AS MATERIALIZED (SELECT oid, row_number() OVER (ORDER BY oid) - 1 AS vid FROM sv)",
+        f"seeds AS MATERIALIZED (SELECT oid AS soid, vid AS i FROM rk WHERE vid < {s})",
+        f"lab0 AS MATERIALIZED (SELECT oid, CASE WHEN vid < {s} THEN vid ELSE -1 END AS l FROM rk)",
+        f"ii AS MATERIALIZED (SELECT range AS i FROM range({s}))",
+    ]
+    for k in range(rounds):
+        ctes.append(
+            f"ck{k} AS MATERIALIZED (SELECT l, count(*) AS c FROM lab{k} "
+            f"WHERE l >= 0 GROUP BY l)"
+        )
+        ctes.append(
+            f"nb{k} AS MATERIALIZED (SELECT sue.dst AS oid, l.l AS lb, count(*) AS c "
+            f"FROM sue JOIN lab{k} l ON l.oid = sue.src WHERE l.l >= 0 "
+            f"GROUP BY sue.dst, l.l)"
+        )
+        ctes.append(
+            f"d{k} AS MATERIALIZED (SELECT v.oid, ii.i AS lb, "
+            f"CASE WHEN c.c IS NULL THEN 0.0 "
+            f"ELSE (coalesce(nb.c, 0) + CASE WHEN lv.l = ii.i THEN 1 ELSE 0 END) "
+            f"/ CAST(c.c AS DOUBLE) END AS d "
+            f"FROM sv v CROSS JOIN ii "
+            f"JOIN lab{k} lv ON lv.oid = v.oid "
+            f"LEFT JOIN nb{k} nb ON nb.oid = v.oid AND nb.lb = ii.i "
+            f"LEFT JOIN ck{k} c ON c.l = ii.i)"
+        )
+        ctes.append(f"s0_{k} AS MATERIALIZED (SELECT oid, l AS cur FROM lab{k})")
+        for i in range(s):
+            ctes.append(
+                f"s{i + 1}_{k} AS MATERIALIZED (SELECT sc.oid, "
+                f"CASE WHEN di.d > 1e-10 AND (sc.cur = -1 OR di.d > dc.d + 1e-10) "
+                f"THEN {i} ELSE sc.cur END AS cur "
+                f"FROM s{i}_{k} sc "
+                f"JOIN d{k} di ON di.oid = sc.oid AND di.lb = {i} "
+                f"LEFT JOIN d{k} dc ON dc.oid = sc.oid AND dc.lb = sc.cur)"
+            )
+        ctes.append(
+            f"lab{k + 1} AS MATERIALIZED (SELECT oid, cur AS l FROM s{s}_{k})"
+        )
+    return (
+        f"WITH {_SBASE},\n" + ",\n".join(ctes) + f" "
+        f"SELECT l.oid, coalesce(se.soid, -1) AS comm_oid "
+        f"FROM lab{rounds} l LEFT JOIN seeds se ON se.i = l.l ORDER BY l.oid"
+    )

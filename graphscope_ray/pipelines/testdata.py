@@ -1349,3 +1349,20 @@ def lg_kclique(sf_dir: str, k: int = 4) -> pd.DataFrame:
     cu = li.map_batches(_derive, batch_format="pyarrow")
     cu = cu.groupby(["src", "dst"]).count().select_columns(["src", "dst"])
     return pd.DataFrame({"n_4cliques": [alg.kclique_count(cu, k=k)]})
+
+
+def lg_fluid(sf_dir: str, s: int = 10, rounds: int = 15) -> pd.DataFrame:
+    """Fluid communities on the sparse graph (FLASH fluid-community.h with
+    deterministic seeds = the s smallest oids, synchronous updates, fixed
+    rounds).  comm_oid = the seed's oid, −1 if no community reached."""
+    g = lg_sparse_graph(sf_dir)
+    ds, _ = alg.fluid_community(g, s=s, max_rounds=rounds)
+    vmap = g.vertices_ds.to_pandas()
+    df = ds.to_pandas().merge(vmap, on="vid")
+    seeds = vmap.sort_values("vid").head(s)["oid"].to_numpy()
+    lab = df["lab"].to_numpy()
+    df["comm_oid"] = np.where(lab >= 0, seeds[np.maximum(lab, 0)], -1)
+    out = df[["oid", "comm_oid"]].sort_values("oid").reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

@@ -562,3 +562,40 @@ def test_kclique(seed, k):
     )
     ds = ray.data.from_arrow(t).repartition(3)
     assert alg.kclique_count(ds, k=k) == ref_kclique(edges, n, k)
+
+
+def ref_fluid(edges, n, s=4, rounds=12):
+    """Synchronous fluid-community reference (fluid-community.h update rule,
+    deterministic seeds 0..s-1)."""
+    adj = _und_adj(edges, n)
+    lab = [v if v < s else -1 for v in range(n)]
+    for _ in range(rounds):
+        cnt = [0] * s
+        for v in range(n):
+            if lab[v] >= 0:
+                cnt[lab[v]] += 1
+        new = list(lab)
+        for v in range(n):
+            d = [0.0] * s
+            for i in range(s):
+                if cnt[i] > 0:
+                    c = sum(1 for w in adj[v] if lab[w] == i) + (1 if lab[v] == i else 0)
+                    d[i] = c / cnt[i]
+            cur = lab[v]
+            dcur = d[cur] if cur >= 0 else 0.0
+            for i in range(s):
+                if d[i] > 1e-10 and (cur == -1 or d[i] > dcur + 1e-10):
+                    cur, dcur = i, d[i]
+            new[v] = cur
+        lab = new
+    return np.array(lab)
+
+
+@pytest.mark.parametrize("gname", ["two_cliques", "chain5", "rand60"])
+@pytest.mark.parametrize("P", [1, 3])
+def test_fluid(gname, P):
+    edges, n = GRAPHS[gname]
+    g = _build(edges, n, P, store_in_edges=True)
+    ds, _ = alg.fluid_community(g, s=4, max_rounds=12)
+    got = ds.to_pandas().sort_values("vid")["lab"].to_numpy()
+    assert (got == ref_fluid(edges, n)).all()
