@@ -268,6 +268,36 @@ def _q_multimodal(sf_dir):
     )
 
 
+def _q_samp_sample(sf_dir):
+    from graphscope_ray.functions.sampling import hash_sample
+
+    return hash_sample(
+        _documents(sf_dir).select_columns(["doc_id", "lang"]), "doc_id", permille=100, salt=1
+    )
+
+
+def _q_samp_split(sf_dir):
+    from graphscope_ray.functions.sampling import hash_split
+
+    ds = hash_split(
+        _documents(sf_dir).select_columns(["doc_id"]), "doc_id", weights=(900, 50, 50), salt=2
+    )
+    return ds.select_columns(["doc_id", "split"])
+
+
+def _q_samp_stratified(sf_dir):
+    from graphscope_ray.functions.sampling import stratified_hash_sample
+
+    return stratified_hash_sample(
+        _documents(sf_dir).select_columns(["doc_id", "lang"]),
+        "doc_id",
+        stratum="lang",
+        permille_by_stratum={"en": 50},
+        default_permille=500,
+        salt=3,
+    )
+
+
 def _q_repos_flagship(sf_dir):
     """North-star pipeline on the synthetic source-file corpus (deterministic,
     independent of sf_dir scale): mine imports → link graph → 4 apps."""
@@ -393,6 +423,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_topk": _q_sim_topk,
         "sim_ivf_topk": _q_sim_ivf,
         "sim_ivf_exact": _q_sim_ivf_exact,
+        # deterministic hash sampling / splitting
+        "samp_sample": _q_samp_sample,
+        "samp_split": _q_samp_split,
+        "samp_stratified": _q_samp_stratified,
         # multimodal plumbing
         "multimodal_features": _q_multimodal,
         # the north-star corpus pipeline (rows-only check)
@@ -498,6 +532,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram": osql.dedup_ngram_sql(),
         "sim_topk": osql.sim_topk_sql(),
         "sim_ivf_exact": osql.sim_topk_sql(),
+        "samp_sample": osql.samp_sample_sql(),
+        "samp_split": osql.samp_split_sql(),
+        "samp_stratified": osql.samp_stratified_sql(),
         # no SQL oracle (heuristic / sequential / hash-defined / stateful):
         # lg_dfs (stack order is not SQL-expressible; pytest oracle),
         # text_fingerprint / dedup_minhash / dedup_simhash (hash-defined),

@@ -1,0 +1,99 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+Training-data pipelines sample and split by CONTENT-STABLE hashes, never by
+row position or RNG state: the decision for a record must survive re-runs,
+repartitioning and incremental ingestion (the reference's sampling surfaces
+— `apps/sampling_path`, graphlearn samplers — are likewise seeded/stable).
+Every operator here is a pure map over a key column using uint64
+wraparound arithmetic, so it is embarrassingly parallel at any scale and
+exactly reproducible in ANSI SQL (HUGEINT mod 2^64) for the oracle gate.
+
+bucket(key) = ((key·C1 + salt·C2 + C3) mod 2^64) >> 33, taken mod 1000 —
+a multiplicative (Knuth) hash; the high bits are the well-mixed ones.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+_C1 = np.uint64(11400714819323198485)  # 2^64 / golden ratio, odd
+_C2 = np.uint64(14029467366897019727)
+_C3 = np.uint64(1609587929392839161)
+
+
+def hash_bucket(keys: np.ndarray, salt: int = 0) -> np.ndarray:
+    """Deterministic bucket in [0, 1000) per int64 key (vectorized)."""
+    k = keys.astype(np.int64).view(np.uint64)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+        h = k * _C1 + np.uint64(salt) * _C2 + _C3
+    return ((h >> np.uint64(33)) % np.uint64(1000)).astype(np.int64)
+
+
+def hash_sample(
+    ds: ray.data.Dataset, key: str = "doc_id", permille: int = 100, salt: int = 0
+) -> ray.data.Dataset:
+    """Keep rows whose hash bucket < ``permille`` (‰ sample rate).
+
+    Stateless per-batch filter: streams at any scale, no shuffle, and the
+    same rows survive regardless of partitioning or run count."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return t
+        b = hash_bucket(t[key].to_numpy(zero_copy_only=False), salt)
+        return t.filter(pa.array(b < permille))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def hash_split(
+    ds: ray.data.Dataset,
+    key: str = "doc_id",
+    weights: tuple[int, ...] = (900, 50, 50),
+    salt: int = 0,
+) -> ray.data.Dataset:
+    """Append a ``split`` column (0..len(weights)-1) by hash-bucket ranges.
+
+    ``weights`` are ‰ and must sum to 1000 (e.g. 900/50/50 train/val/test).
+    Assignment is stable under repartitioning and incremental appends —
+    the property a train/test split must have so records never migrate
+    between splits across pipeline runs."""
+    assert sum(weights) == 1000, "weights are permille and must sum to 1000"
+    bounds = np.cumsum(np.asarray(weights, dtype=np.int64))
+
+    def _f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return t
+        b = hash_bucket(t[key].to_numpy(zero_copy_only=False), salt)
+        s = np.searchsorted(bounds, b, side="right")
+        return t.append_column("split", pa.array(s.astype(np.int64)))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def stratified_hash_sample(
+    ds: ray.data.Dataset,
+    key: str = "doc_id",
+    stratum: str = "lang",
+    permille_by_stratum: dict | None = None,
+    default_permille: int = 100,
+    salt: int = 0,
+) -> ray.data.Dataset:
+    """Per-stratum sampling rates (e.g. keep 100% of rare languages, 5% of
+    the head language) — the balanced-corpus primitive.  Still a stateless
+    per-batch filter; the rate table is tiny and ships in the closure."""
+    rates = permille_by_stratum or {}
+
+    def _f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return t
+        b = hash_bucket(t[key].to_numpy(zero_copy_only=False), salt)
+        sv = t[stratum].to_pylist()
+        thr = np.fromiter(
+            (rates.get(s, default_permille) for s in sv), dtype=np.int64, count=len(sv)
+        )
+        return t.filter(pa.array(b < thr))
+
+    return ds.map_batches(_f, batch_format="pyarrow")

@@ -1724,3 +1724,52 @@ def lg_fluid_sql(s: int = 10, rounds: int = 15) -> str:
         f"SELECT l.oid, coalesce(se.soid, -1) AS comm_oid "
         f"FROM lab{rounds} l LEFT JOIN seeds se ON se.i = l.l ORDER BY l.oid"
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash sampling / splitting (functions/sampling.py)
+
+
+def _bucket_expr(col: str, salt: int) -> str:
+    """ANSI-SQL twin of sampling.hash_bucket: uint64-wraparound Knuth
+    multiplicative hash done in HUGEINT then taken mod 2^64; >>33 == integer
+    division by 2^33. Bit-identical to the numpy kernel (validated 0..5000)."""
+    return (
+        f"CAST((((CAST({col} AS HUGEINT) * CAST(11400714819323198485 AS HUGEINT)"
+        f" + {salt} * CAST(14029467366897019727 AS HUGEINT)"
+        f" + CAST(1609587929392839161 AS HUGEINT))"
+        f" % CAST(18446744073709551616 AS HUGEINT))"
+        f" // CAST(8589934592 AS HUGEINT)) % 1000 AS BIGINT)"
+    )
+
+
+def samp_sample_sql(permille: int = 100, salt: int = 1) -> str:
+    return (
+        f"SELECT doc_id, lang FROM documents "
+        f"WHERE {_bucket_expr('doc_id', salt)} < {permille} ORDER BY doc_id"
+    )
+
+
+def samp_split_sql(weights=(900, 50, 50), salt: int = 2) -> str:
+    bounds, acc = [], 0
+    for w in weights[:-1]:
+        acc += w
+        bounds.append(acc)
+    case = "CASE " + " ".join(
+        f"WHEN b < {b} THEN {i}" for i, b in enumerate(bounds)
+    ) + f" ELSE {len(weights) - 1} END"
+    return (
+        f"WITH h AS (SELECT doc_id, {_bucket_expr('doc_id', salt)} AS b FROM documents) "
+        f"SELECT doc_id, {case} AS split FROM h ORDER BY doc_id"
+    )
+
+
+def samp_stratified_sql(rates: dict | None = None, default_permille: int = 500, salt: int = 3) -> str:
+    rates = rates or {"en": 50}
+    case = "CASE " + " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in rates.items()
+    ) + f" ELSE {default_permille} END"
+    return (
+        f"WITH h AS (SELECT doc_id, lang, {_bucket_expr('doc_id', salt)} AS b FROM documents) "
+        f"SELECT doc_id, lang FROM h WHERE b < ({case}) ORDER BY doc_id"
+    )

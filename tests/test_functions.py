@@ -179,3 +179,43 @@ def test_hopping_window():
     assert int(wb.n_events.iloc[0]) == 1 and float(wb.sum_value.iloc[0]) == 4.0
     # every event appears in exactly k=2 windows
     assert out.n_events.sum() == 2 * len(df)
+
+
+def test_hash_sampling_stable_and_split_disjoint():
+    """sampling.py: decisions are content-stable (invariant under
+    repartitioning), split classes partition the keyspace at the requested
+    rates, and stratified rates are honored per stratum."""
+    from graphscope_ray.functions import sampling
+
+    n = 20000
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "lang": pa.array(["en" if i % 4 else "fr" for i in range(n)], pa.string()),
+        }
+    )
+    ds1 = ray.data.from_arrow(t)
+    ds2 = ray.data.from_arrow(t).repartition(7)
+
+    s1 = sampling.hash_sample(ds1, "doc_id", permille=100, salt=5).to_pandas()
+    s2 = sampling.hash_sample(ds2, "doc_id", permille=100, salt=5).to_pandas()
+    assert sorted(s1.doc_id) == sorted(s2.doc_id)  # partition-invariant
+    assert abs(len(s1) / n - 0.1) < 0.02  # ~10% rate
+    # different salt -> different (decorrelated) sample
+    s3 = sampling.hash_sample(ds1, "doc_id", permille=100, salt=6).to_pandas()
+    assert sorted(s3.doc_id) != sorted(s1.doc_id)
+
+    sp = sampling.hash_split(ds1, "doc_id", weights=(800, 100, 100), salt=1).to_pandas()
+    assert len(sp) == n  # split labels, never drops rows
+    frac = sp.split.value_counts(normalize=True).sort_index()
+    assert abs(frac[0] - 0.8) < 0.02 and abs(frac[1] - 0.1) < 0.015
+    # nested property: sample(permille=p) ⊂ sample(permille=q) for p<q
+    s_small = sampling.hash_sample(ds1, "doc_id", permille=50, salt=5).to_pandas()
+    assert set(s_small.doc_id) <= set(s1.doc_id)
+
+    st = sampling.stratified_hash_sample(
+        ds1, "doc_id", stratum="lang", permille_by_stratum={"fr": 1000}, default_permille=100, salt=2
+    ).to_pandas()
+    assert (st.lang == "fr").sum() == n // 4  # rare stratum kept whole
+    en_rate = (st.lang == "en").sum() / (n - n // 4)
+    assert abs(en_rate - 0.1) < 0.02
