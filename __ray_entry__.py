@@ -368,6 +368,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_closeness_harmonic": td.lg_closeness_harmonic,
         "lg_apsp": td.lg_apsp,
         "lg_dfs": td.lg_dfs,
+        "lg_has_path": td.lg_has_path,
+        "lg_avg_path_length": td.lg_avg_path_length,
+        "lg_sssp_path": td.lg_sssp_path,
+        "lg_attr_assortativity": td.lg_attr_assortativity,
+        "lg_lcc_directed": td.lg_lcc_directed,
         # relational / framework-op parity
         "op_filter_project": td.op_filter_project,
         "op_groupby_agg": td.op_groupby_agg,
@@ -477,6 +482,11 @@ def oracle_sql() -> dict[str, str]:
         "lg_betweenness_sampled": osql.lg_betweenness_sql(),
         "lg_closeness_harmonic": osql.lg_closeness_harmonic_sql(),
         "lg_apsp": osql.lg_apsp_sql(),
+        "lg_has_path": osql.lg_has_path_sql(),
+        "lg_avg_path_length": osql.lg_avg_path_length_sql(),
+        "lg_sssp_path": osql.lg_sssp_path_sql(),
+        "lg_attr_assortativity": osql.lg_attr_assortativity_sql(),
+        "lg_lcc_directed": osql.lg_lcc_directed_sql(),
         "text_langid": osql.text_langid_sql(),
         "dedup_embedding": osql.dedup_embedding_sql(threshold=0.99),
         "lg_degree_centrality": osql.lg_degree_centrality_sql(),

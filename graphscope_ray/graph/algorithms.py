@@ -1049,6 +1049,148 @@ def undirected_motifs(edges: ray.data.Dataset, num_partitions: int = 8) -> dict:
     }
 
 
+def lcc_directed(edges: ray.data.Dataset, num_partitions: int = 8) -> ray.data.Dataset:
+    """Directed local clustering coefficient (Fagiolo 2007), the semantics of
+    grape::LCCDirected (.gs_conf.yaml ``lcc_directed`` → ``lcc/lcc_directed.h``):
+
+        C_i = T_i / (d_tot(i)·(d_tot(i)−1) − 2·d_bidir(i))
+        T_i = ½·[(A+Aᵀ)³]_ii = Σ_{triangles {i,j,k}} w_ij·w_jk·w_ki
+
+    with w_uv = A_uv + A_vu ∈ {1, 2} (reciprocal pairs count double),
+    d_tot = in+out degree, d_bidir = number of reciprocal neighbors, and
+    C_i = 0 when the denominator is 0.
+
+    Fully distributed dataflow: canonical-pair weights → degree-ordered
+    orientation → wedge join → closure join (the same 32-bit packed-key
+    exchange as :func:`undirected_motifs`; vertex ids must fit in int32) →
+    per-corner weighted-triangle groupby.  Only per-vertex tables flow.
+
+    ``edges``: distinct directed (src, dst) rows, no self-loops.
+    Returns a Dataset (oid, lcc_d) over every vertex."""
+    from graphscope_ray.utils import hash_groupby_sum, hash_join
+
+    def _canon(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return _guard(["a", "b"])
+        s, d = _i64(t, "src"), _i64(t, "dst")
+        return pa.table({"a": pa.array(np.minimum(s, d)), "b": pa.array(np.maximum(s, d))})
+
+    # w(a,b) = number of directions present (1 or 2)
+    W = hash_groupby_sum(
+        edges.map_batches(_canon, batch_format="pyarrow"), ["a", "b"], None, "w",
+        num_partitions=num_partitions,
+    ).materialize()
+
+    def _ends(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return _guard(["tv", "w", "bd", "one"])
+        a, b, w = _i64(t, "a"), _i64(t, "b"), _i64(t, "w")
+        return pa.table(
+            {
+                "tv": pa.array(np.concatenate([a, b])),
+                "w": pa.array(np.concatenate([w, w])),
+                "bd": pa.array(np.concatenate([(w == 2).astype(np.int64)] * 2)),
+                "one": pa.array(np.ones(2 * len(a), dtype=np.int64)),
+            }
+        )
+
+    ends = W.map_batches(_ends, batch_format="pyarrow").materialize()
+    dtot = hash_groupby_sum(ends, ["tv"], "w", "dtot", num_partitions=num_partitions)
+    dbid = hash_groupby_sum(ends, ["tv"], "bd", "dbid", num_partitions=num_partitions)
+    degc = hash_groupby_sum(ends, ["tv"], "one", "dc", num_partitions=num_partitions)
+
+    def _proj(cols: dict):
+        def _f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or t.num_columns == 0:
+                return _guard(list(cols))
+            return pa.table({o: t[s] for o, s in cols.items()})
+
+        return _f
+
+    j1 = hash_join(W, degc, "a", "tv", num_partitions=num_partitions).map_batches(
+        _proj({"a": "a", "b": "b", "w": "w", "da": "dc"}), batch_format="pyarrow"
+    )
+    wd = hash_join(j1, degc, "b", "tv", num_partitions=num_partitions).map_batches(
+        _proj({"a": "a", "b": "b", "w": "w", "da": "da", "db": "dc"}),
+        batch_format="pyarrow",
+    )
+
+    def _orient(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return _guard(["u", "v", "w"])
+        a, b = _i64(t, "a"), _i64(t, "b")
+        da, db = _i64(t, "da"), _i64(t, "db")
+        fwd = (da < db) | ((da == db) & (a < b))
+        return pa.table(
+            {"u": pa.array(np.where(fwd, a, b)), "v": pa.array(np.where(fwd, b, a)),
+             "w": t["w"]}
+        )
+
+    oe = wd.map_batches(_orient, batch_format="pyarrow").materialize()
+    wedge = hash_join(
+        oe, oe.map_batches(_proj({"u2": "u", "c": "v", "w2": "w"}), batch_format="pyarrow"),
+        "v", "u2", num_partitions=num_partitions,
+    )
+
+    def _packw(t: pa.Table) -> pa.Table:  # wedge u→v→c, closure key (u,c)
+        if t.num_rows == 0 or t.num_columns == 0:
+            return _guard(["u", "v", "c", "ww", "uc"])
+        u, v, c = _i64(t, "u"), _i64(t, "v"), _i64(t, "c")
+        return pa.table(
+            {"u": pa.array(u), "v": pa.array(v), "c": pa.array(c),
+             "ww": pa.array(_i64(t, "w") * _i64(t, "w2")),
+             "uc": pa.array((u << np.int64(32)) | c)}
+        )
+
+    def _packe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return _guard(["uc2", "w3"])
+        return pa.table(
+            {"uc2": pa.array((_i64(t, "u") << np.int64(32)) | _i64(t, "v")), "w3": t["w"]}
+        )
+
+    tri = hash_join(
+        wedge.map_batches(_packw, batch_format="pyarrow"),
+        oe.map_batches(_packe, batch_format="pyarrow"),
+        "uc", "uc2", num_partitions=num_partitions,
+    )
+
+    def _corners(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return _guard(["tv", "p"])
+        p = _i64(t, "ww") * _i64(t, "w3")
+        return pa.table(
+            {"tv": pa.array(np.concatenate([_i64(t, "u"), _i64(t, "v"), _i64(t, "c")])),
+             "p": pa.array(np.concatenate([p, p, p]))}
+        )
+
+    # zero row per vertex so the final inner joins keep triangle-free vertices
+    zeros = dtot.map_batches(_proj({"tv": "tv"}), batch_format="pyarrow").map_batches(
+        lambda t: t.append_column("p", pa.array(np.zeros(t.num_rows, dtype=np.int64)))
+        if t.num_rows and t.num_columns else _guard(["tv", "p"]),
+        batch_format="pyarrow",
+    )
+    T = hash_groupby_sum(
+        tri.map_batches(_corners, batch_format="pyarrow").union(zeros),
+        ["tv"], "p", "t", num_partitions=num_partitions,
+    )
+
+    f1 = hash_join(dtot, dbid, "tv", "tv", num_partitions=num_partitions).map_batches(
+        _proj({"tv": "tv", "dtot": "dtot", "dbid": "dbid"}), batch_format="pyarrow"
+    )
+    f2 = hash_join(f1, T, "tv", "tv", num_partitions=num_partitions)
+
+    def _final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return _guard(["oid", "lcc_d"])
+        dt, db_, tt = _i64(t, "dtot"), _i64(t, "dbid"), _i64(t, "t")
+        den = (dt * (dt - 1) - 2 * db_).astype(np.float64)
+        c = np.where(den > 0, tt / np.maximum(den, 1.0), 0.0)
+        return pa.table({"oid": t["tv"], "lcc_d": pa.array(c)})
+
+    return f2.map_batches(_final, batch_format="pyarrow")
+
+
 def peel_ordering(
     edges: ray.data.Dataset,
     cores: ray.data.Dataset,

@@ -837,6 +837,14 @@ def lg_sssp_weighted_sql(rounds: int = 24, source: int = 0) -> str:
     like the engine's frontier relaxation.  INF is a sentinel (1e18),
     filtered at the end; ``rounds`` ≥ the hop count of the longest shortest
     path (diameter ≤ 6 here; 24 is a loud-failure margin)."""
+    ctes = _sssp_w_ctes(rounds, source)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT oid, round(dist, 8) AS dist FROM b{rounds} WHERE dist < 1e17 ORDER BY oid"
+    )
+
+
+def _sssp_w_ctes(rounds: int, source: int) -> list[str]:
     ctes = [
         f"we AS MATERIALIZED (SELECT (l_orderkey % {LG_MOD}) AS src, "
         f"(l_partkey % {LG_MOD}) AS dst, CAST(count(*) AS DOUBLE) AS w FROM lineitem "
@@ -855,10 +863,7 @@ def lg_sssp_weighted_sql(rounds: int = 24, source: int = 0) -> str:
             f"b{k + 1} AS MATERIALIZED (SELECT b.oid, least(b.dist, coalesce(r.nd, b.dist)) AS dist "
             f"FROM b{k} b LEFT JOIN r{k} r ON r.oid = b.oid)"
         )
-    return (
-        "WITH " + ",\n".join(ctes)
-        + f" SELECT oid, round(dist, 8) AS dist FROM b{rounds} WHERE dist < 1e17 ORDER BY oid"
-    )
+    return ctes
 
 
 def events_hopping_sql(window_s: int = 3600, hop_s: int = 900) -> str:
@@ -1772,4 +1777,97 @@ def samp_stratified_sql(rates: dict | None = None, default_permille: int = 500, 
     return (
         f"WITH h AS (SELECT doc_id, lang, {_bucket_expr('doc_id', salt)} AS b FROM documents) "
         f"SELECT doc_id, lang FROM h WHERE b < ({case}) ORDER BY doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# sssp_has_path / sssp_average_length / sssp_path / attribute assortativity /
+# directed LCC (the last distinct-semantics apps in the reference registry)
+
+
+def lg_has_path_sql(targets=(1, 500, 999)) -> str:
+    vals = ", ".join(f"({t})" for t in targets)
+    return (
+        f"WITH RECURSIVE {_BASE}, "
+        "src0 AS MATERIALIZED (SELECT min(oid) AS s FROM v), "
+        "walk(wv) AS MATERIALIZED (SELECT s FROM src0 UNION "
+        "SELECT e.dst FROM walk w JOIN e ON e.src = w.wv) "
+        f"SELECT t.target, CASE WHEN r.wv IS NOT NULL THEN 1 ELSE 0 END AS has_path "
+        f"FROM (VALUES {vals}) t(target) "
+        "LEFT JOIN (SELECT DISTINCT wv FROM walk) r ON r.wv = t.target "
+        "ORDER BY t.target"
+    )
+
+
+def lg_avg_path_length_sql(s_max: int = 32, max_depth: int = 8) -> str:
+    return (
+        f"WITH RECURSIVE {_BASE}, "
+        f"srcs AS MATERIALIZED (SELECT DISTINCT oid FROM v WHERE oid < {s_max}), "
+        "walk(s, wv, d) AS MATERIALIZED ("
+        "  SELECT oid, oid, 0 FROM srcs UNION "
+        f"  SELECT w.s, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.wv WHERE w.d < {max_depth}), "
+        "sp AS MATERIALIZED (SELECT s, wv, min(d) AS dist FROM walk GROUP BY s, wv) "
+        "SELECT count(*) AS n_pairs, round(avg(CAST(dist AS DOUBLE)), 8) AS avg_len "
+        "FROM sp WHERE s <> wv"
+    )
+
+
+def lg_sssp_path_sql(rounds: int = 24, source: int = 0) -> str:
+    """Shortest-path tree rows (pred, oid, dist): the Bellman-Ford fixpoint
+    plus the deterministic pred(v) = min src over distance-tight in-edges
+    (exact float equality — integer-valued sums on both sides)."""
+    ctes = _sssp_w_ctes(rounds, source)
+    ctes.append(
+        f"pr AS MATERIALIZED (SELECT we.dst AS oid, min(we.src) AS pred "
+        f"FROM we JOIN b{rounds} bs ON bs.oid = we.src "
+        f"JOIN b{rounds} bd ON bd.oid = we.dst "
+        f"WHERE bs.dist < 1e17 AND bs.dist + we.w = bd.dist GROUP BY we.dst)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT coalesce(pr.pred, {source}) AS pred, b.oid, round(b.dist, 8) AS dist "
+        f"FROM b{rounds} b LEFT JOIN pr ON pr.oid = b.oid "
+        "WHERE b.dist < 1e17 ORDER BY b.oid"
+    )
+
+
+def lg_attr_assortativity_sql(n_cat: int = 5) -> str:
+    return (
+        f"WITH {_BASE}, "
+        "m AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS c FROM e), "
+        f"mix AS MATERIALIZED (SELECT src % {n_cat} AS ai, dst % {n_cat} AS aj, "
+        "count(*) AS c FROM e GROUP BY 1, 2), "
+        "tr AS MATERIALIZED (SELECT coalesce(sum(c), 0) / (SELECT c FROM m) AS t "
+        "FROM mix WHERE ai = aj), "
+        "ra AS MATERIALIZED (SELECT ai, sum(c) / (SELECT c FROM m) AS s FROM mix GROUP BY ai), "
+        "cb AS MATERIALIZED (SELECT aj, sum(c) / (SELECT c FROM m) AS s FROM mix GROUP BY aj), "
+        "ab AS MATERIALIZED (SELECT coalesce(sum(ra.s * cb.s), 0) AS v FROM ra "
+        "JOIN cb ON cb.aj = ra.ai) "
+        "SELECT round(((SELECT t FROM tr) - (SELECT v FROM ab)) / (1.0 - (SELECT v FROM ab)), 8) "
+        "AS coefficient"
+    )
+
+
+def lg_lcc_directed_sql() -> str:
+    """Fagiolo directed clustering on the sparse graph: canonical pair
+    weights w ∈ {1,2}, T_i = Σ_{a<b<c triangles} w_ab·w_bc·w_ac per corner,
+    C_i = T_i / (dtot(dtot−1) − 2·dbid)."""
+    return (
+        f"WITH {_SBASE}, "
+        "pw AS MATERIALIZED (SELECT least(src, dst) AS a, greatest(src, dst) AS b, "
+        "count(*) AS w FROM se GROUP BY 1, 2), "
+        "dt AS MATERIALIZED (SELECT tv, sum(w) AS dtot, "
+        "sum(CASE WHEN w = 2 THEN 1 ELSE 0 END) AS dbid FROM ("
+        "SELECT a AS tv, w FROM pw UNION ALL SELECT b, w FROM pw) GROUP BY tv), "
+        "t3 AS MATERIALIZED (SELECT w1.a AS x, w1.b AS y, w2.b AS z, "
+        "w1.w * w2.w * w3.w AS p "
+        "FROM pw w1 JOIN pw w2 ON w2.a = w1.b "
+        "JOIN pw w3 ON w3.a = w1.a AND w3.b = w2.b), "
+        "tc AS MATERIALIZED (SELECT tv, sum(p) AS t FROM ("
+        "SELECT x AS tv, p FROM t3 UNION ALL SELECT y, p FROM t3 "
+        "UNION ALL SELECT z, p FROM t3) GROUP BY tv) "
+        "SELECT dt.tv AS oid, round(CASE WHEN dt.dtot * (dt.dtot - 1) - 2 * dt.dbid > 0 "
+        "THEN coalesce(tc.t, 0) * 1.0 / (dt.dtot * (dt.dtot - 1) - 2 * dt.dbid) "
+        "ELSE 0 END, 8) AS lcc_d "
+        "FROM dt LEFT JOIN tc ON tc.tv = dt.tv ORDER BY oid"
     )

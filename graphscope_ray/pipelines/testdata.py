@@ -1366,3 +1366,133 @@ def lg_fluid(sf_dir: str, s: int = 10, rounds: int = 15) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def lg_has_path(sf_dir: str, targets=(1, 500, 999)) -> pd.DataFrame:
+    """sssp_has_path parity (apps/sssp/sssp_has_path.h): directed
+    reachability source→target for fixed targets from the min-oid source."""
+    g = lg_graph(sf_dir)
+    ds, _ = alg.bfs(g, source=0)
+    depth = ds.to_pandas().set_index("vid")["depth"]  # vid == oid (dense lg)
+    return pd.DataFrame(
+        {
+            "target": np.asarray(targets, dtype=np.int64),
+            "has_path": np.asarray(
+                [int(depth.get(t, -1) >= 0) for t in targets], dtype=np.int64
+            ),
+        }
+    )
+
+
+def lg_avg_path_length(sf_dir: str, s_max: int = 32) -> pd.DataFrame:
+    """sssp_average_length parity (apps/sssp/sssp_average_length.h): average
+    shortest-path length over ordered reachable pairs (s, t), s ≠ t, from
+    the deterministic source set oid < s_max (same fan-out restriction as
+    lg_apsp — the full all-pairs sum is the identical program with every
+    vertex as a source)."""
+    g = lg_graph(sf_dir)
+    vmap = g.vertices_ds.to_pandas()
+    src_vids = vmap[vmap.oid < s_max].sort_values("oid")["vid"].tolist()
+    ap = alg.apsp(g, sources=src_vids).to_pandas()
+    ap = ap[ap["src"] != ap["dst"]]
+    return pd.DataFrame(
+        {
+            "n_pairs": [np.int64(len(ap))],
+            "avg_len": [round(float(ap["dist"].mean()), 8)],
+        }
+    )
+
+
+def lg_sssp_path(sf_dir: str, source: int = 0) -> pd.DataFrame:
+    """sssp_path parity (apps/sssp/sssp_path.h): the weighted shortest-path
+    tree as (pred, oid, dist) rows.  The reference's predecessor is
+    message-order-dependent; we fix the deterministic tie-break
+    pred(v) = min{u : dist(u) + w(u,v) = dist(v)} (pred(source) = source).
+    Distance sums are integer-valued so the equality test is exact.
+    The tree edge selection is one streaming pass over the weighted edges
+    against the broadcast vertex-sized distance array."""
+    import ray as _ray
+
+    from graphscope_ray.utils import hash_groupby_sum
+
+    g = lg_graph_weighted(sf_dir)
+    ds, _ = alg.sssp(g, source=source)
+    ddf = ds.to_pandas()  # vertex-sized (vid == oid on the dense lg graph)
+    dist = np.full(LG_MOD, np.inf)
+    dist[ddf["vid"].to_numpy()] = ddf["dist"].to_numpy()
+    ref = _ray.put(dist)
+
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def _derive(t: pa.Table) -> pa.Table:
+        src = t["l_orderkey"].to_numpy(zero_copy_only=False) % LG_MOD
+        dst = t["l_partkey"].to_numpy(zero_copy_only=False) % LG_MOD
+        keep = src != dst
+        return pa.table(
+            {
+                "src": pa.array(src[keep].astype(np.int64)),
+                "dst": pa.array(dst[keep].astype(np.int64)),
+            }
+        )
+
+    we = hash_groupby_sum(
+        li.map_batches(_derive, batch_format="pyarrow"), ["src", "dst"], None, "w",
+        num_partitions=4,
+    )
+
+    def _tree_edges(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.table({"oid": pa.array([], pa.int64()), "cand": pa.array([], pa.int64())})
+        d = _ray.get(ref)
+        s = t["src"].to_numpy(zero_copy_only=False)
+        v = t["dst"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = np.isfinite(d[s]) & (d[s] + w == d[v])
+        return pa.table({"oid": pa.array(v[ok]), "cand": pa.array(s[ok])})
+
+    cand = we.map_batches(_tree_edges, batch_format="pyarrow")
+    pred = hash_groupby_sum(cand, ["oid"], "cand", "pred", num_partitions=4, agg="min")
+    out = pred.to_pandas()
+    out = pd.concat(
+        [out, pd.DataFrame({"oid": [source], "pred": [source]})], ignore_index=True
+    )
+    ddf = ddf[np.isfinite(ddf["dist"])].rename(columns={"vid": "oid"})
+    out = out.merge(ddf[["oid", "dist"]], on="oid")
+    out["dist"] = out["dist"].round(8)
+    for c in ("pred", "oid"):
+        out[c] = out[c].astype("int64")
+    return out[["pred", "oid", "dist"]].sort_values("oid").reset_index(drop=True)
+
+
+def lg_attr_assortativity(sf_dir: str, n_cat: int = 5) -> pd.DataFrame:
+    """attribute_assortativity_coefficient parity
+    (apps/assortativity/attribute_assortativity.h): categorical mixing over
+    directed edges with the synthetic vertex attribute attr = oid % n_cat;
+    r = (Σᵢ eᵢᵢ − Σᵢ aᵢ·bᵢ) / (1 − Σᵢ aᵢ·bᵢ).  One streaming pass emitting
+    an n_cat×n_cat partial count matrix per batch."""
+    e = lg_edges(sf_dir)
+
+    def _mix(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.table({"m": pa.array([np.zeros(n_cat * n_cat, dtype=np.int64)])})
+        ai = t["src"].to_numpy(zero_copy_only=False) % n_cat
+        aj = t["dst"].to_numpy(zero_copy_only=False) % n_cat
+        m = np.bincount(ai * n_cat + aj, minlength=n_cat * n_cat).astype(np.int64)
+        return pa.table({"m": pa.array([m])})
+
+    parts = e.map_batches(_mix, batch_format="pyarrow").to_pandas()
+    M = np.sum(np.stack(parts["m"].to_numpy()), axis=0).reshape(n_cat, n_cat)
+    E = M / M.sum()
+    ab = float(E.sum(axis=1) @ E.sum(axis=0))
+    r = (float(np.trace(E)) - ab) / (1.0 - ab)
+    return pd.DataFrame({"coefficient": [round(r, 8)]})
+
+
+def lg_lcc_directed(sf_dir: str) -> pd.DataFrame:
+    """Directed clustering coefficient (grape::LCCDirected / Fagiolo) on the
+    sparse directed graph — distributed weighted-triangle dataflow
+    (algorithms.lcc_directed)."""
+    out = alg.lcc_directed(_sparse_edges_ds(sf_dir)).to_pandas()
+    out["lcc_d"] = out["lcc_d"].round(8)
+    out["oid"] = out["oid"].astype("int64")
+    return out.sort_values("oid").reset_index(drop=True)

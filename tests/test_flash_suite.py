@@ -599,3 +599,39 @@ def test_fluid(gname, P):
     ds, _ = alg.fluid_community(g, s=4, max_rounds=12)
     got = ds.to_pandas().sort_values("vid")["lab"].to_numpy()
     assert (got == ref_fluid(edges, n)).all()
+
+
+def test_lcc_directed_fagiolo():
+    """algorithms.lcc_directed vs a dense-matrix Fagiolo computation on a
+    small directed graph with reciprocal edges."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from graphscope_ray.graph import algorithms as alg
+
+    rng = np.random.default_rng(7)
+    n = 30
+    A = (rng.random((n, n)) < 0.15).astype(np.int64)
+    np.fill_diagonal(A, 0)
+    s, d = np.nonzero(A)
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(s.astype(np.int64)), "dst": pa.array(d.astype(np.int64))})
+    )
+    out = (
+        alg.lcc_directed(ds, num_partitions=3)
+        .to_pandas()
+        .set_index("oid")["lcc_d"]
+        .sort_index()
+    )
+
+    W = A + A.T
+    T = np.diagonal(np.linalg.matrix_power(W, 3)) / 2.0
+    dtot = W.sum(axis=1)
+    dbid = (W == 2).sum(axis=1)
+    den = dtot * (dtot - 1) - 2 * dbid
+    exp = np.where(den > 0, T / np.maximum(den, 1), 0.0)
+    have = np.zeros(n)
+    have[out.index.to_numpy()] = out.to_numpy()
+    # vertices with no incident edges never enter the dataflow ⇒ 0 on both sides
+    assert np.allclose(have, exp, atol=1e-12)
