@@ -268,6 +268,34 @@ def _q_multimodal(sf_dir):
     )
 
 
+def _q_video_features(sf_dir):
+    """Video pipeline: deterministic REAL animated GIFs derived from each
+    document's text bytes → actor-pool LZW frame-sampled decode (stride 2)
+    + temporal pooling (graphscope_ray/functions/video.py)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from graphscope_ray.functions.multimodal import extract_media_features
+    from graphscope_ray.functions.video import encode_gif
+
+    lv = np.array([0, 51, 102, 153, 204, 255], dtype=np.uint8)
+
+    def _to_media(t: pa.Table) -> pa.Table:
+        vids = []
+        for s in t["text"].to_pylist():
+            b = np.frombuffer(s.encode()[:768].ljust(768, b"\0"), dtype=np.uint8)
+            vids.append(encode_gif(lv[(b % 6).reshape(4, 8, 8, 3)]))  # 4 frames 8x8
+        return pa.table({"media_id": t["doc_id"], "media": pa.array(vids, pa.binary())})
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        _to_media, batch_format="pyarrow"
+    )
+    feats = extract_media_features(docs, strict=True, frame_stride=2)
+    return feats.select_columns(
+        ["media_id", "n_bytes", "media_sha256", "format", "width", "height", "n_frames"]
+    )
+
+
 def _q_samp_sample(sf_dir):
     from graphscope_ray.functions.sampling import hash_sample
 
@@ -434,6 +462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "samp_stratified": _q_samp_stratified,
         # multimodal plumbing
         "multimodal_features": _q_multimodal,
+        "video_features": _q_video_features,
         # the north-star corpus pipeline (rows-only check)
         "repos_flagship": _q_repos_flagship,
     }

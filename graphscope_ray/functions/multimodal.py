@@ -1,14 +1,15 @@
 """Multimodal (image/audio/video) column plumbing.
 
 Media are opaque ``binary`` columns with typed metadata.  The decode stage
-is REAL for PNG — a pure-Python zlib+unfilter decoder (functions/imaging.py)
-produces actual pixels, mean-pooled to fixed-length features — and
-header-real (format/width/height probing) for GIF/BMP/JPEG.  Only unknown
-byte blobs fall back to the deterministic hash stub (or raise under
-``strict=True``).  Audio/video stay stubbed: no codec exists here, but the
-stage contract (binary in → fixed-shape float features out, actor-pool
-``map_batches``, SMALL batch sizes for payload-dominated blocks) is the
-production shape — swap the kernel, nothing else changes.
+is REAL for three modalities — PNG images (pure-Python zlib+unfilter,
+functions/imaging.py), PCM WAV audio (functions/audio.py), and animated-GIF
+video (pure-Python LZW with container-level frame sampling,
+functions/video.py) — and header-real (format/width/height probing) for
+BMP/JPEG.  Only unknown byte blobs fall back to the deterministic hash stub
+(or raise under ``strict=True``).  The stage contract (binary in →
+fixed-shape float features out, actor-pool ``map_batches``, SMALL batch
+sizes for payload-dominated blocks) is the production shape — heavier
+codecs swap into the kernel, nothing else changes.
 """
 
 from __future__ import annotations
@@ -42,10 +43,11 @@ class MediaFeatureExtractor:
     feature list<float32>).  batch_size must stay SMALL for large payloads
     (blocks are payload-dominated); concurrency × num_cpus sized per node."""
 
-    def __init__(self, feat_dim: int = 16, strict: bool = False):
+    def __init__(self, feat_dim: int = 16, strict: bool = False, frame_stride: int = 2):
         # real impl would load the model / codec here, once per actor
         self.feat_dim = feat_dim
         self.strict = strict
+        self.frame_stride = frame_stride  # video frame-sampling stride
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from graphscope_ray.functions.audio import (
@@ -55,13 +57,31 @@ class MediaFeatureExtractor:
             probe_wav,
         )
 
+        from graphscope_ray.functions.video import (
+            UnsupportedVideoError,
+            decode_gif_frames,
+            frame_sample_features,
+            probe_gif,
+        )
+
         payloads = batch["media"].to_pylist()
-        feats, fmts, widths, heights = [], [], [], []
+        feats, fmts, widths, heights, nframes = [], [], [], [], []
         for p in payloads:
             meta = probe_image(p) or probe_wav(p)
+            if meta and meta["format"] == "gif":
+                meta = probe_gif(p) or meta  # container-level frame count
             fmts.append(meta["format"] if meta else None)
             widths.append(meta.get("width") if meta else None)
             heights.append(meta.get("height") if meta else None)
+            nframes.append(meta.get("n_frames") if meta else None)
+            if meta and meta["format"] == "gif":
+                try:
+                    # REAL frames: LZW decode of every frame_stride-th frame
+                    frames = decode_gif_frames(p, frame_stride=self.frame_stride)
+                    feats.append(frame_sample_features(frames, self.feat_dim))
+                    continue
+                except UnsupportedVideoError:
+                    pass
             if meta and meta["format"] == "png":
                 try:
                     img = decode_png(p)  # REAL pixels (pure-Python zlib+unfilter)
@@ -78,8 +98,9 @@ class MediaFeatureExtractor:
                     pass
             if self.strict:
                 raise NotImplementedError(
-                    "only PNG images and PCM WAV audio decode natively here; "
-                    f"this payload needs a codec library (format={fmts[-1]!r})"
+                    "only PNG images, PCM WAV audio and GIF video decode "
+                    f"natively here; this payload needs a codec library "
+                    f"(format={fmts[-1]!r})"
                 )
             feats.append(_decode_stub(p, self.feat_dim))
         shas = [hashlib.sha256(p).hexdigest() for p in payloads]
@@ -91,6 +112,7 @@ class MediaFeatureExtractor:
                 "format": pa.array(fmts, pa.string()),
                 "width": pa.array(widths, pa.int64()),
                 "height": pa.array(heights, pa.int64()),
+                "n_frames": pa.array(nframes, pa.int64()),
                 "feature": pa.array(
                     [np.asarray(f, np.float32).tolist() for f in feats],
                     pa.list_(pa.float32(), self.feat_dim),
@@ -105,11 +127,16 @@ def extract_media_features(
     concurrency=(1, 4),
     batch_size: int = 64,
     strict: bool = False,
+    frame_stride: int = 2,
 ) -> ray.data.Dataset:
     """ds must have columns (media_id: int64, media: binary)."""
     return ds.map_batches(
         MediaFeatureExtractor,
-        fn_constructor_kwargs={"feat_dim": feat_dim, "strict": strict},
+        fn_constructor_kwargs={
+            "feat_dim": feat_dim,
+            "strict": strict,
+            "frame_stride": frame_stride,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
