@@ -398,6 +398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_dfs": td.lg_dfs,
         "lg_has_path": td.lg_has_path,
         "lg_avg_path_length": td.lg_avg_path_length,
+        "lg_avg_path_length_weighted": td.lg_avg_path_length_weighted,
         "lg_sssp_path": td.lg_sssp_path,
         "lg_attr_assortativity": td.lg_attr_assortativity,
         "lg_lcc_directed": td.lg_lcc_directed,
@@ -513,6 +514,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_apsp": osql.lg_apsp_sql(),
         "lg_has_path": osql.lg_has_path_sql(),
         "lg_avg_path_length": osql.lg_avg_path_length_sql(),
+        "lg_avg_path_length_weighted": osql.lg_avg_path_length_weighted_sql(),
         "lg_sssp_path": osql.lg_sssp_path_sql(),
         "lg_attr_assortativity": osql.lg_attr_assortativity_sql(),
         "lg_lcc_directed": osql.lg_lcc_directed_sql(),

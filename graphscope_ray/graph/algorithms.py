@@ -344,14 +344,21 @@ def closeness_exact(
     )
 
 
-def apsp(g: Graph, sources: list[int], max_chunk: int = 64) -> ray.data.Dataset:
+def apsp(
+    g: Graph, sources: list[int], max_chunk: int = 64, weighted: bool = False
+) -> ray.data.Dataset:
     """All-pairs shortest path lengths restricted to the given source vids
     (apps/apsp/all_pairs_shortest_path_length.h parity): rows
-    (src, dst, dist) for every reached pair, via multi-source BFS chunks."""
+    (src, dst, dist) for every reached pair, via multi-source BFS chunks.
+    ``weighted=True`` runs the batched Bellman-Ford variant ("mssp") over
+    the graph's edge weights instead (apps/sssp/sssp_average_length.h
+    semantics); dist is then a float64 weighted distance."""
     out_tables = []
+    dist_t = np.float64 if weighted else np.int64
     for off in range(0, len(sources), max_chunk):
         chunk = [int(s) for s in sources[off : off + max_chunk]]
-        res = g.run_program("msbfs", name=f"apsp_{off}", sources=chunk)
+        prog = "mssp" if weighted else "msbfs"
+        res = g.run_program(prog, name=f"apsp_{prog}_{off}", sources=chunk)
         cols = ["vid"] + [f"d{i}" for i in range(len(chunk))]
         df = g.program_state(res.name).select_columns(cols).to_pandas()
         vids = df["vid"].to_numpy()
@@ -363,7 +370,7 @@ def apsp(g: Graph, sources: list[int], max_chunk: int = 64) -> ray.data.Dataset:
                     {
                         "src": pa.array(np.full(int(m.sum()), s, dtype=np.int64)),
                         "dst": pa.array(vids[m]),
-                        "dist": pa.array(d[m].astype(np.int64)),
+                        "dist": pa.array(d[m].astype(dist_t)),
                     }
                 )
             )

@@ -169,7 +169,8 @@ class Csr:
             v = vertex_vals[src]
             if add_weight:
                 w = self.tgt_w[q][m] if self.tgt_w is not None else 1.0
-                v = v + w
+                # 2-D vertex state (multi-source): one weight per edge row
+                v = v + (w[:, None] if v.ndim == 2 and np.ndim(w) == 1 else w)
             starts = np.concatenate([[0], np.flatnonzero(np.diff(dl)) + 1]).astype(np.int64)
             out.append((dl[starts], red_fn.reduceat(v, starts)))
         return out

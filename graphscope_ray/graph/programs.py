@@ -770,6 +770,20 @@ class MsBfs(VertexProgram):
         return (best, li * f.P + f.part)
 
 
+class MsSssp(MsBfs):
+    """Weighted multi-source Bellman-Ford: MsBfs's (n_local, S) distance
+    matrix relaxed with per-edge weights instead of +1 hops — S weighted
+    SSSP runs in ONE superstep wave (the batched form of
+    apps/sssp/sssp_average_length.h's per-source Dijkstra fan-out).
+    Columns whose distance did not improve push +inf (no-ops under min)."""
+
+    def scatter(self, step, glob):
+        f = self.frag
+        vals = np.where(self.fresh, self.dist, np.inf)
+        mask = self.fresh.any(axis=1)
+        return _wrap(f.out.push_reduce_masked(vals, mask, "min", add_weight=True))
+
+
 class KShell(VertexProgram):
     """K-shell decomposition (apps/kshell/kshell.h semantics): iterative
     peeling where the driver raises k whenever the k-peel stabilizes;
@@ -1618,6 +1632,7 @@ PROGRAMS: dict[str, ProgramSpec] = {
     "voterank": ProgramSpec(VoteRank, _never, 10_000),
     "brandes": ProgramSpec(Brandes, _never, 10_000),
     "msbfs": ProgramSpec(MsBfs, lambda glob, p, N, s: glob.get("changed", 1) == 0, 10_000),
+    "mssp": ProgramSpec(MsSssp, lambda glob, p, N, s: glob.get("changed", 1) == 0, 10_000),
     "kshell": ProgramSpec(KShell, _never, 10_000),
     "louvain_move": ProgramSpec(LouvainMove, _never, 10_000),
     "lpa_u2i": ProgramSpec(LpaU2I, _never, 20),

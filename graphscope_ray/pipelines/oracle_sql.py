@@ -844,6 +844,40 @@ def lg_sssp_weighted_sql(rounds: int = 24, source: int = 0) -> str:
     )
 
 
+def lg_avg_path_length_weighted_sql(s_max: int = 16, rounds: int = 24) -> str:
+    """Weighted average path length as MULTI-SOURCE unrolled Bellman-Ford:
+    the b{k} relation carries a source column s, so one round relaxes all
+    s_max sources at once (the SQL mirror of the engine's (n_local, S)
+    matrix relaxation in programs.MsSssp).  Weights are integer lineitem
+    multiplicities, so the avg is exact to 8 decimals."""
+    ctes = [
+        f"we AS MATERIALIZED (SELECT (l_orderkey % {LG_MOD}) AS src, "
+        f"(l_partkey % {LG_MOD}) AS dst, CAST(count(*) AS DOUBLE) AS w FROM lineitem "
+        f"WHERE (l_orderkey % {LG_MOD}) <> (l_partkey % {LG_MOD}) GROUP BY src, dst)",
+        "wv AS MATERIALIZED (SELECT DISTINCT oid FROM ("
+        "SELECT src AS oid FROM we UNION ALL SELECT dst FROM we))",
+        f"srcs AS MATERIALIZED (SELECT unnest(generate_series(0, {s_max - 1})) AS s)",
+        "b0 AS MATERIALIZED (SELECT srcs.s, wv.oid, "
+        "CASE WHEN wv.oid = srcs.s THEN 0.0 ELSE 1e18 END AS dist "
+        "FROM srcs CROSS JOIN wv)",
+    ]
+    for k in range(rounds):
+        ctes.append(
+            f"r{k} AS MATERIALIZED (SELECT b.s, we.dst AS oid, min(b.dist + we.w) AS nd "
+            f"FROM we JOIN b{k} b ON b.oid = we.src WHERE b.dist < 1e17 GROUP BY b.s, we.dst)"
+        )
+        ctes.append(
+            f"b{k + 1} AS MATERIALIZED (SELECT b.s, b.oid, "
+            "least(b.dist, coalesce(r.nd, b.dist)) AS dist "
+            f"FROM b{k} b LEFT JOIN r{k} r ON r.s = b.s AND r.oid = b.oid)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT CAST(count(*) AS BIGINT) AS n_pairs, round(avg(dist), 8) AS avg_len "
+        f"FROM b{rounds} WHERE dist < 1e17 AND s <> oid"
+    )
+
+
 def _sssp_w_ctes(rounds: int, source: int) -> list[str]:
     ctes = [
         f"we AS MATERIALIZED (SELECT (l_orderkey % {LG_MOD}) AS src, "

@@ -1403,6 +1403,25 @@ def lg_avg_path_length(sf_dir: str, s_max: int = 32) -> pd.DataFrame:
     )
 
 
+def lg_avg_path_length_weighted(sf_dir: str, s_max: int = 16) -> pd.DataFrame:
+    """Weighted sssp_average_length parity (apps/sssp/sssp_average_length.h
+    runs SSSP per source and averages the weighted distances): average
+    weighted shortest-path length over ordered reachable pairs (s, t),
+    s ≠ t, sources oid < s_max, on the multiplicity-weighted lg graph.
+    One batched multi-source Bellman-Ford wave ("mssp") relaxes all S
+    sources simultaneously — S columns of one (n_local, S) distance matrix
+    per fragment instead of S sequential SSSP runs."""
+    g = lg_graph_weighted(sf_dir)
+    ap = alg.apsp(g, sources=list(range(s_max)), weighted=True).to_pandas()
+    ap = ap[ap["src"] != ap["dst"]]
+    return pd.DataFrame(
+        {
+            "n_pairs": [np.int64(len(ap))],
+            "avg_len": [round(float(ap["dist"].mean()), 8)],
+        }
+    )
+
+
 def lg_sssp_path(sf_dir: str, source: int = 0) -> pd.DataFrame:
     """sssp_path parity (apps/sssp/sssp_path.h): the weighted shortest-path
     tree as (pred, oid, dist) rows.  The reference's predecessor is

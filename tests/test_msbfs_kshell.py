@@ -71,6 +71,59 @@ def test_apsp():
         assert dict(zip(sub["dst"], sub["dist"])) == want
 
 
+def test_mssp_matches_python_dijkstra():
+    """Weighted multi-source Bellman-Ford ("mssp") vs per-source heapq
+    Dijkstra on a random weighted directed graph, at two partition counts
+    (parallelism invariance)."""
+    import heapq
+
+    rng = np.random.RandomState(11)
+    n, m = 150, 900
+    src = rng.randint(0, n, m).astype(np.int64)
+    dst = rng.randint(0, n, m).astype(np.int64)
+    w = rng.randint(1, 9, m).astype(np.float64)
+    keep = src != dst
+    src, dst, w = src[keep], dst[keep], w[keep]
+    # parallel edges kept in the CSR: min-reduction relaxes over all of
+    # them, so the oracle's min weight per (src, dst) pair is equivalent
+    best = {}
+    for s_, d_, w_ in zip(src, dst, w):
+        k = (int(s_), int(d_))
+        best[k] = min(best.get(k, np.inf), float(w_))
+    adj = collections.defaultdict(list)
+    for (s_, d_), w_ in best.items():
+        adj[s_].append((d_, w_))
+
+    def _dijkstra(s):
+        d = {s: 0.0}
+        pq = [(0.0, s)]
+        while pq:
+            dv, v = heapq.heappop(pq)
+            if dv > d.get(v, np.inf):
+                continue
+            for u, wu in adj[v]:
+                nd = dv + wu
+                if nd < d.get(u, np.inf):
+                    d[u] = nd
+                    heapq.heappush(pq, (nd, u))
+        return d
+
+    srcs = [0, 3, 77, 149]
+    t = pa.table(
+        {"src": pa.array(src), "dst": pa.array(dst), "weight": pa.array(w)}
+    )
+    for P in (1, 3):
+        g = build_graph(
+            t, num_partitions=P, store_in_edges=True, num_vertices=n, weight=True
+        )
+        ap = alg.apsp(g, sources=srcs, weighted=True).to_pandas()
+        for s in srcs:
+            want = _dijkstra(s)
+            sub = ap[ap["src"] == s]
+            got = dict(zip(sub["dst"], sub["dist"]))
+            assert got == want, f"P={P} source {s}"
+
+
 def test_kshell_matches_python_peeling():
     g, n, adj, src, dst = _setup()
     nbr = [set() for _ in range(n)]
