@@ -414,6 +414,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "op_orc_scan": td.op_orc_scan,
         "op_topk_per_group": td.op_topk_per_group,
         "op_groupby_median": td.op_groupby_median,
+        "op_asof_join": td.op_asof_join,
+        "op_range_join": td.op_range_join,
+        "op_semi_join": td.op_semi_join,
+        "op_anti_join": td.op_anti_join,
+        "op_window_funcs": td.op_window_funcs,
+        "op_quantiles": td.op_quantiles,
+        "op_pivot": td.op_pivot,
+        "op_explode": td.op_explode,
         "lpa_u2i": td.lpa_u2i_suppliers,
         "lg_succs": td.lg_succs,
         "lg_preds": td.lg_preds,
@@ -519,6 +527,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_attr_assortativity": osql.lg_attr_assortativity_sql(),
         "lg_lcc_directed": osql.lg_lcc_directed_sql(),
         "text_langid": osql.text_langid_sql(),
+        "text_fingerprint": osql.text_fingerprint_sql(),
         "dedup_embedding": osql.dedup_embedding_sql(threshold=0.99),
         "lg_degree_centrality": osql.lg_degree_centrality_sql(),
         "lg_assortativity": osql.lg_assortativity_sql(),
@@ -538,6 +547,14 @@ def oracle_sql() -> dict[str, str]:
         "op_orc_scan": "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
         "op_topk_per_group": osql.op_topk_per_group_sql(),
         "op_groupby_median": osql.op_groupby_median_sql(),
+        "op_asof_join": osql.op_asof_join_sql(),
+        "op_range_join": osql.op_range_join_sql(),
+        "op_semi_join": osql.op_semi_join_sql(),
+        "op_anti_join": osql.op_anti_join_sql(),
+        "op_window_funcs": osql.op_window_funcs_sql(),
+        "op_quantiles": osql.op_quantiles_sql(),
+        "op_pivot": osql.op_pivot_sql(),
+        "op_explode": osql.op_explode_sql(),
         "lpa_u2i": osql.lpa_u2i_sql(),
         "lg_succs": osql.lg_succs_sql(),
         "lg_preds": osql.lg_preds_sql(),
@@ -578,7 +595,7 @@ def oracle_sql() -> dict[str, str]:
         "samp_stratified": osql.samp_stratified_sql(),
         # no SQL oracle (heuristic / sequential / hash-defined / stateful):
         # lg_dfs (stack order is not SQL-expressible; pytest oracle),
-        # text_fingerprint / dedup_minhash / dedup_simhash (hash-defined),
-        # sim_ivf_topk (approximate), multimodal_features (binary stub),
+        # dedup_minhash / dedup_simhash (hash-defined banding),
+        # sim_ivf_topk (approximate), multimodal_features (binary decode),
         # repos_flagship — driver records rows-only checks.
     }

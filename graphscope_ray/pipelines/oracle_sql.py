@@ -1905,3 +1905,166 @@ def lg_lcc_directed_sql() -> str:
         "ELSE 0 END, 8) AS lcc_d "
         "FROM dt LEFT JOIN tc ON tc.tv = dt.tv ORDER BY oid"
     )
+
+
+# ---------------------------------------------------------------------------
+# relational operators beyond the framework surface (functions/joins.py)
+
+
+def op_asof_join_sql() -> str:
+    """ASOF JOIN with the right side deduped per (key, date) keeping max
+    o_orderkey — the same deterministic tie-break asof_join applies."""
+    return (
+        "WITH od AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey "
+        "FROM orders GROUP BY o_custkey, o_orderdate) "
+        "SELECT e.event_id, e.user_id, o.o_orderkey "
+        "FROM events e ASOF JOIN od o "
+        "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate "
+        "ORDER BY e.event_id"
+    )
+
+
+def op_range_join_sql() -> str:
+    return (
+        "WITH bands(band, lo, hi) AS (VALUES "
+        "('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0), "
+        "('high', 150000.0, 300000.0), ('top', 300000.0, 1000000000.0)) "
+        "SELECT band, count(*) AS n, round(sum(o_totalprice), 4) AS sum_price "
+        "FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi "
+        "GROUP BY band ORDER BY band"
+    )
+
+
+def op_semi_join_sql() -> str:
+    return (
+        "SELECT c_custkey, c_mktsegment FROM customer c "
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_orderpriority = '1-URGENT') ORDER BY c_custkey"
+    )
+
+
+def op_anti_join_sql() -> str:
+    return (
+        "SELECT c_custkey, c_mktsegment FROM customer c "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_orderpriority = '1-URGENT') ORDER BY c_custkey"
+    )
+
+
+def op_window_funcs_sql() -> str:
+    return (
+        "SELECT o_orderkey, o_custkey, "
+        "row_number() OVER w AS rn, "
+        "round(sum(o_totalprice) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 4) AS cum_value, "
+        "round(coalesce(lag(o_totalprice) OVER w, -1.0), 4) AS lag_value "
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) "
+        "ORDER BY o_orderkey"
+    )
+
+
+def op_quantiles_sql(qs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) -> str:
+    lst = "[" + ", ".join(str(q) for q in qs) + "]"
+    return (
+        f"SELECT CAST(unnest(qs) AS DOUBLE) AS q, round(unnest(vals), 8) AS value "
+        f"FROM (SELECT quantile_disc(value, {lst}) AS vals FROM events), "
+        f"(SELECT {lst} AS qs) ORDER BY q"
+    )
+
+
+def op_pivot_sql() -> str:
+    cols = []
+    for cat in ("F", "O", "P"):
+        cols.append(f"count(*) FILTER (o_orderstatus = '{cat}') AS n_{cat}")
+        cols.append(
+            f"round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = '{cat}'), 0.0), 4)"
+            f" AS sum_{cat}"
+        )
+    return (
+        "SELECT o_orderpriority, " + ", ".join(cols) + " FROM orders "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+
+
+def op_explode_sql() -> str:
+    return (
+        "SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos, "
+        "unnest(toks) AS tok "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) "
+        "ORDER BY doc_id, pos"
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint (functions/text.py Fingerprinter) — bit-exact HUGEINT
+# replica of the numpy kernel: per-token polynomial byte hash + murmur fmix64,
+# then a token-level polynomial combine + fmix64.  Valid for the synthetic
+# documents table (pure-ASCII, space-delimited — asserted by the kernel's
+# whitespace set ∩ the data).
+
+
+_Q64 = "18446744073709551616"  # 2^64
+_M32 = "4294967296"  # 2^32
+_SH33 = "8589934592"  # 2^33
+_FNV_B = "1099511628211"
+_MIX1 = str(0xFF51AFD7ED558CCD)
+_MIX2 = str(0xC4CEB9FE1A85EC53)
+
+
+def _mulmod64(x: str, c: str) -> str:
+    """(x * c) mod 2^64 in HUGEINT without 128-bit overflow: split x into
+    32-bit halves (x = a·2^32 + b): a·c mod 2^32 shifted back + b·c."""
+    return (
+        f"((((({x}) // {_M32}) * ({c})) % {_M32} * {_M32}"
+        f" + (({x}) % {_M32}) * ({c})) % {_Q64})"
+    )
+
+
+def _mix64_stages(src: str, keys: str, out_prefix: str) -> tuple[list[str], str]:
+    """CTE chain applying murmur fmix64 to column h of CTE ``src`` (keyed
+    rows); returns (ctes, final_cte_name)."""
+    p = out_prefix
+    xs = f"xor(h, h // {_SH33})"
+    ctes = [
+        f"{p}1 AS (SELECT {keys}, {xs} AS h FROM {src})",
+        f"{p}2 AS (SELECT {keys}, {_mulmod64('h', _MIX1)} AS h FROM {p}1)",
+        f"{p}3 AS (SELECT {keys}, {xs} AS h FROM {p}2)",
+        f"{p}4 AS (SELECT {keys}, {_mulmod64('h', _MIX2)} AS h FROM {p}3)",
+        f"{p}5 AS (SELECT {keys}, {xs} AS h FROM {p}4)",
+    ]
+    return ctes, f"{p}5"
+
+
+def text_fingerprint_sql() -> str:
+    mix_tok, tok_final = _mix64_stages("tp", "doc_id, tj", "u")
+    mix_doc, doc_final = _mix64_stages("dp", "doc_id", "w")
+    ctes = [
+        "tk AS MATERIALIZED (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS tj, "
+        "unnest(toks) AS tok, len(toks) AS ntok FROM "
+        "(SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks "
+        "FROM documents))",
+        "mx AS (SELECT CAST(greatest(coalesce(max(len(tok)), 0), "
+        "coalesce(max(ntok), 0)) AS BIGINT) AS m FROM tk)",
+        f"pw(i, p) AS (SELECT 0, CAST(1 AS HUGEINT) UNION ALL "
+        f"SELECT i + 1, (p * CAST({_FNV_B} AS HUGEINT)) % {_Q64} "
+        f"FROM pw, mx WHERE i < mx.m)",
+        "ch AS MATERIALIZED (SELECT doc_id, tj, generate_subscripts(cs, 1) - 1 AS ci, "
+        "unnest(cs) AS c, len(cs) AS m FROM "
+        "(SELECT doc_id, tj, string_split(tok, '') AS cs FROM tk))",
+        f"tp AS MATERIALIZED (SELECT ch.doc_id, ch.tj, "
+        f"CAST(sum((CAST(ord(ch.c) AS HUGEINT) * pw.p) % {_Q64}) % {_Q64} AS HUGEINT) AS h "
+        f"FROM ch JOIN pw ON pw.i = ch.ci GROUP BY ch.doc_id, ch.tj)",
+        *mix_tok,
+        f"dp AS MATERIALIZED (SELECT t.doc_id, "
+        f"CAST(sum({_mulmod64('u.h', 'pw.p')}) % {_Q64} AS HUGEINT) AS h "
+        f"FROM {tok_final} u JOIN tk t ON t.doc_id = u.doc_id AND t.tj = u.tj "
+        f"JOIN pw ON pw.i = t.ntok - 1 - t.tj GROUP BY t.doc_id)",
+        *mix_doc,
+    ]
+    return (
+        "WITH RECURSIVE " + ",\n".join(ctes) + " "
+        f"SELECT d.doc_id, CAST(CASE WHEN f.h IS NULL THEN 0 "
+        f"WHEN f.h >= 9223372036854775808 THEN f.h - {_Q64} ELSE f.h END AS BIGINT) "
+        f"AS fingerprint FROM documents d "
+        f"LEFT JOIN {doc_final} f ON f.doc_id = d.doc_id ORDER BY d.doc_id"
+    )

@@ -1515,3 +1515,134 @@ def lg_lcc_directed(sf_dir: str) -> pd.DataFrame:
     out["lcc_d"] = out["lcc_d"].round(8)
     out["oid"] = out["oid"].astype("int64")
     return out.sort_values("oid").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# relational operators beyond the framework surface (functions/joins.py):
+# as-of join, range join, semi/anti join, window functions, exact quantiles,
+# pivot, positional explode — each with a DuckDB oracle.
+
+
+def op_asof_join(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each event picks the latest order (same customer key) at
+    or before its timestamp — DuckDB ``ASOF JOIN`` semantics, right side
+    deduped per (key, date) keeping max o_orderkey for determinism."""
+    from graphscope_ray.functions.joins import asof_join
+
+    ev = read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    od = read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+    od = od.rename_columns({"o_custkey": "user_id"})
+    out = asof_join(ev, od, on="user_id", left_ts="ts", right_ts="o_orderdate").to_pandas()
+    out = out[["event_id", "user_id", "o_orderkey"]].astype(np.int64)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def op_range_join(sf_dir: str) -> pd.DataFrame:
+    """Range (interval) join: orders banded by o_totalprice against a static
+    interval table, then count + sum per band."""
+    from graphscope_ray.functions.joins import range_join
+
+    bands = pd.DataFrame(
+        {
+            "band": ["low", "mid", "high", "top"],
+            "lo": [0.0, 50_000.0, 150_000.0, 300_000.0],
+            "hi": [50_000.0, 150_000.0, 300_000.0, 1e9],
+        }
+    )
+    od = read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    joined = range_join(od, bands, val_col="o_totalprice")
+    out = (
+        joined.groupby("band")
+        .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="sum_price"))
+        .to_pandas()
+    )
+    out["sum_price"] = out["sum_price"].round(4)
+    return out.sort_values("band").reset_index(drop=True)
+
+
+def op_semi_join(sf_dir: str) -> pd.DataFrame:
+    """Semi join: customers having at least one URGENT-priority order."""
+    from graphscope_ray.functions.joins import semi_join
+
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    urgent = read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]).filter(
+        expr="o_orderpriority == '1-URGENT'"
+    )
+    out = semi_join(cust, urgent.rename_columns({"o_custkey": "c_custkey"}), on="c_custkey")
+    return out.to_pandas().sort_values("c_custkey").reset_index(drop=True)
+
+
+def op_anti_join(sf_dir: str) -> pd.DataFrame:
+    """Anti join: customers with NO URGENT-priority order (complement of
+    op_semi_join — non-vacuous at every scale factor)."""
+    from graphscope_ray.functions.joins import semi_join
+
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    urgent = read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]).filter(
+        expr="o_orderpriority == '1-URGENT'"
+    )
+    out = semi_join(
+        cust, urgent.rename_columns({"o_custkey": "c_custkey"}), on="c_custkey", anti=True
+    ).to_pandas()
+    if "c_custkey" not in out.columns:  # empty Dataset loses its schema
+        out = pd.DataFrame(
+            {"c_custkey": pd.Series([], dtype=np.int64), "c_mktsegment": pd.Series([], dtype=str)}
+        )
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def op_window_funcs(sf_dir: str) -> pd.DataFrame:
+    """Per-customer ordered window functions over orders: row_number,
+    cumulative spend, previous order's price (ordered by date then key)."""
+    from graphscope_ray.functions.joins import window_funcs
+
+    od = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    out = window_funcs(
+        od, key_col="o_custkey", order_cols=["o_orderdate", "o_orderkey"], value_col="o_totalprice"
+    ).to_pandas()
+    out = out[["o_orderkey", "o_custkey", "rn", "cum_value", "lag_value"]]
+    out["cum_value"] = out["cum_value"].round(4)
+    out["lag_value"] = out["lag_value"].fillna(-1.0).round(4)
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def op_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed quantiles of events.value (quantile_disc semantics:
+    1-based rank ceil(n·q)) via the 2½-pass pivot/histogram/bucket-fetch
+    operator — no full materialization."""
+    from graphscope_ray.functions.joins import exact_quantiles
+
+    ev = read(sf_dir, "events", columns=["value"])
+    out = exact_quantiles(ev, "value", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+    out["value"] = out["value"].round(8)
+    return out.sort_values("q").reset_index(drop=True)
+
+
+def op_pivot(sf_dir: str) -> pd.DataFrame:
+    """Pivot orders: rows = o_orderpriority, columns = order status
+    {F,O,P} × {count, sum(o_totalprice)}."""
+    from graphscope_ray.functions.joins import pivot_agg
+
+    od = read(sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+    out = pivot_agg(
+        od,
+        row_key="o_orderpriority",
+        col_key="o_orderstatus",
+        categories=["F", "O", "P"],
+        value_col="o_totalprice",
+    ).to_pandas()
+    for c in ("sum_F", "sum_O", "sum_P"):
+        out[c] = out[c].round(4)
+    for c in ("n_F", "n_O", "n_P"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def op_explode(sf_dir: str) -> pd.DataFrame:
+    """Positional explode: documents split on single spaces → one row per
+    token with its 0-based position (string_split semantics, empties kept)."""
+    from graphscope_ray.functions.joins import posexplode
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = posexplode(docs, "doc_id", "text", sep=" ").to_pandas()
+    return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)

@@ -1,0 +1,150 @@
+"""Relational operators (functions/joins.py): as-of join, range join,
+semi/anti join, window functions, exact quantiles, pivot, posexplode —
+engine vs pandas/duckdb micro-oracles."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from graphscope_ray.functions.joins import (
+    asof_join,
+    exact_quantiles,
+    pivot_agg,
+    posexplode,
+    range_join,
+    semi_join,
+    window_funcs,
+)
+
+
+def _ds(df):
+    return ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+def test_asof_join_matches_duckdb():
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame(
+        {
+            "id": np.arange(200),
+            "k": rng.integers(0, 10, 200),
+            "t": rng.integers(0, 1000, 200),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 10, 80),
+            "t": rng.integers(0, 1000, 80),
+            "v": np.arange(80),
+        }
+    )
+    out = (
+        asof_join(_ds(left), _ds(right), on="k", left_ts="t", right_ts="t", num_partitions=3)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    exp = con.execute(
+        "WITH rd AS (SELECT k, t, max(v) AS v FROM r GROUP BY k, t) "
+        "SELECT l.id, l.k, l.t AS t_x, rd.t AS t_y, rd.v FROM l ASOF JOIN rd "
+        "ON l.k = rd.k AND l.t >= rd.t ORDER BY l.id"
+    ).fetchdf()
+    assert out["id"].tolist() == exp["id"].tolist()
+    assert out["v"].astype(int).tolist() == exp["v"].astype(int).tolist()
+
+
+def test_range_join_overlapping_intervals():
+    left = pd.DataFrame({"x": [1.0, 5.0, 15.0, 25.0]})
+    ivs = pd.DataFrame(
+        {"name": ["a", "b", "wide"], "lo": [0.0, 10.0, 0.0], "hi": [10.0, 20.0, 30.0]}
+    )
+    out = range_join(_ds(left), ivs, val_col="x").to_pandas()
+    got = sorted(zip(out["x"], out["name"]))
+    assert got == [(1.0, "a"), (1.0, "wide"), (5.0, "a"), (5.0, "wide"), (15.0, "b"), (15.0, "wide"), (25.0, "wide")]
+
+
+def test_semi_and_anti_join():
+    left = pd.DataFrame({"k": [1, 2, 3, 4, 5], "v": list("abcde")})
+    right = pd.DataFrame({"k": [2, 4, 4, 9]})
+    semi = semi_join(_ds(left), _ds(right), on="k").to_pandas()
+    anti = semi_join(_ds(left), _ds(right), on="k", anti=True).to_pandas()
+    assert sorted(semi["k"]) == [2, 4]
+    assert sorted(anti["k"]) == [1, 3, 5]
+
+
+def test_window_funcs_vs_pandas():
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 100),
+            "o": rng.permutation(100),
+            "val": rng.normal(size=100).round(3),
+        }
+    )
+    out = (
+        window_funcs(_ds(df), key_col="k", order_cols=["o"], value_col="val")
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["k", "o"]).reset_index(drop=True)
+    g = exp.groupby("k")["val"]
+    exp["rn"] = g.cumcount() + 1
+    exp["cum_value"] = g.cumsum()
+    exp["lag_value"] = g.shift(1)
+    for c in ("rn", "cum_value"):
+        np.testing.assert_allclose(out[c].to_numpy(float), exp[c].to_numpy(float), rtol=1e-12)
+    np.testing.assert_allclose(
+        out["lag_value"].fillna(-9).to_numpy(float), exp["lag_value"].fillna(-9).to_numpy(float)
+    )
+
+
+def test_exact_quantiles_disc_semantics():
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([rng.normal(size=500), np.full(200, 3.14)])  # skew clump
+    df = pd.DataFrame({"value": vals})
+    qs = [0.01, 0.25, 0.5, 0.75, 0.9, 1.0]
+    out = exact_quantiles(_ds(df), "value", qs, candidates_per_block=8)
+    s = np.sort(vals)
+    n = len(s)
+    for q, v in zip(out["q"], out["value"]):
+        k = max(int(np.ceil(n * q)), 1)
+        assert v == s[k - 1], (q, v, s[k - 1])
+
+
+def test_pivot_agg():
+    df = pd.DataFrame(
+        {
+            "rk": ["x", "x", "y", "y", "y"],
+            "ck": ["A", "B", "A", "A", "C"],
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+    )
+    out = (
+        pivot_agg(_ds(df), "rk", "ck", ["A", "B", "C"], "v")
+        .to_pandas()
+        .sort_values("rk")
+        .reset_index(drop=True)
+    )
+    assert out["n_A"].tolist() == [1, 2]
+    assert out["sum_A"].tolist() == [1.0, 7.0]
+    assert out["n_B"].tolist() == [1, 0]
+    assert out["sum_C"].tolist() == [0.0, 5.0]
+
+
+def test_posexplode_keeps_empties():
+    df = pd.DataFrame({"doc_id": [0, 1, 2], "text": ["a b  c", "", "xy"]})
+    out = (
+        posexplode(_ds(df), "doc_id", "text", sep=" ")
+        .to_pandas()
+        .sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+    )
+    assert out[out.doc_id == 0]["tok"].tolist() == ["a", "b", "", "c"]
+    assert out[out.doc_id == 1]["tok"].tolist() == [""]
+    assert out[out.doc_id == 2]["tok"].tolist() == ["xy"]
+    assert out[out.doc_id == 0]["pos"].tolist() == [0, 1, 2, 3]
