@@ -528,6 +528,8 @@ def oracle_sql() -> dict[str, str]:
         "lg_lcc_directed": osql.lg_lcc_directed_sql(),
         "text_langid": osql.text_langid_sql(),
         "text_fingerprint": osql.text_fingerprint_sql(),
+        "dedup_simhash": osql.dedup_simhash_sql(),
+        "dedup_minhash": osql.dedup_minhash_sql(),
         "dedup_embedding": osql.dedup_embedding_sql(threshold=0.99),
         "lg_degree_centrality": osql.lg_degree_centrality_sql(),
         "lg_assortativity": osql.lg_assortativity_sql(),
@@ -593,9 +595,12 @@ def oracle_sql() -> dict[str, str]:
         "samp_sample": osql.samp_sample_sql(),
         "samp_split": osql.samp_split_sql(),
         "samp_stratified": osql.samp_stratified_sql(),
-        # no SQL oracle (heuristic / sequential / hash-defined / stateful):
+        # no SQL oracle (heuristic / sequential / approximate / stateful):
         # lg_dfs (stack order is not SQL-expressible; pytest oracle),
-        # dedup_minhash / dedup_simhash (hash-defined banding),
-        # sim_ivf_topk (approximate), multimodal_features (binary decode),
-        # repos_flagship — driver records rows-only checks.
+        # lg_louvain (labels data-dependent; pytest modularity oracles),
+        # sim_ivf_topk (approximate; sim_ivf_exact gates the machinery),
+        # multimodal_features / video_features (binary decode; pytest
+        # oracles), lg_random_walks has its own SQL entry; repos_flagship
+        # runs on a generated corpus outside the registered views —
+        # driver records rows-only checks for these.
     }

@@ -2068,3 +2068,143 @@ def text_fingerprint_sql() -> str:
         f"AS fingerprint FROM documents d "
         f"LEFT JOIN {doc_final} f ON f.doc_id = d.doc_id ORDER BY d.doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# simhash candidates (functions/dedup.py SimHasher + simhash_candidates) —
+# bit-exact HUGEINT replica: per-token ascending polynomial hash + fmix64
+# (same kernel as the fingerprint), per-bit ±1 majority over ALL tokens
+# (multiplicity kept), 4×16-bit band bucketing, bucket-min pairing.
+# Valid for the synthetic documents table (ASCII, space-delimited).
+
+
+def _token_hash_ctes(text_expr: str = "lower(text)") -> tuple[list[str], str]:
+    """CTE chain: documents → whitespace tokens → per-token uint64 hash
+    (column h of the returned CTE, keyed by doc_id, tj)."""
+    mix, final = _mix64_stages("tp0", "doc_id, tj", "tu")
+    ctes = [
+        f"tk0 AS MATERIALIZED (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS tj, "
+        f"unnest(toks) AS tok FROM "
+        f"(SELECT doc_id, list_filter(string_split({text_expr}, ' '), x -> x <> '') "
+        f"AS toks FROM documents))",
+        "mx0 AS (SELECT CAST(coalesce(max(len(tok)), 1) AS BIGINT) AS m FROM tk0)",
+        f"pw0(i, p) AS (SELECT 0, CAST(1 AS HUGEINT) UNION ALL "
+        f"SELECT i + 1, (p * CAST({_FNV_B} AS HUGEINT)) % {_Q64} "
+        f"FROM pw0, mx0 WHERE i < mx0.m)",
+        "ch0 AS MATERIALIZED (SELECT doc_id, tj, generate_subscripts(cs, 1) - 1 AS ci, "
+        "unnest(cs) AS c FROM (SELECT doc_id, tj, string_split(tok, '') AS cs FROM tk0))",
+        f"tp0 AS MATERIALIZED (SELECT doc_id, tj, "
+        f"CAST(sum((CAST(ord(c) AS HUGEINT) * pw0.p) % {_Q64}) % {_Q64} AS HUGEINT) AS h "
+        f"FROM ch0 JOIN pw0 ON pw0.i = ch0.ci GROUP BY doc_id, tj)",
+        *mix,
+    ]
+    return ctes, final
+
+
+def dedup_simhash_sql(bands: int = 4) -> str:
+    tok_ctes, th = _token_hash_ctes("lower(text)")
+    width = 64 // bands
+    band_rows = ", ".join(f"({b}, {2 ** (b * width)})" for b in range(bands))
+    ctes = [
+        *tok_ctes,
+        # powers of two for bit extraction
+        "p2(i, p) AS (SELECT 0, CAST(1 AS HUGEINT) UNION ALL "
+        "SELECT i + 1, p * 2 FROM p2 WHERE i < 63)",
+        # ±1 majority per (doc, bit) over every token occurrence
+        f"bv AS MATERIALIZED (SELECT t.doc_id, p2.i AS s, "
+        f"sum(CASE WHEN (t.h // p2.p) % 2 = 1 THEN 1 ELSE -1 END) AS v "
+        f"FROM {th} t CROSS JOIN p2 GROUP BY t.doc_id, p2.i)",
+        "sh AS MATERIALIZED (SELECT bv.doc_id, "
+        "CAST(sum(CASE WHEN bv.v > 0 THEN p2.p ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) "
+        "AS h FROM bv JOIN p2 ON p2.i = bv.s GROUP BY bv.doc_id)",
+        f"bnd(band, p) AS (VALUES {band_rows})",
+        f"bucket AS MATERIALIZED (SELECT bnd.band, "
+        f"(sh.h // CAST(bnd.p AS HUGEINT)) % {2 ** width} AS key, sh.doc_id "
+        f"FROM sh CROSS JOIN bnd)",
+        "mn AS (SELECT band, key, min(doc_id) AS m FROM bucket GROUP BY band, key)",
+    ]
+    return (
+        "WITH RECURSIVE " + ",\n".join(ctes) + " "
+        "SELECT DISTINCT mn.m AS a, bucket.doc_id AS b "
+        "FROM bucket JOIN mn ON mn.band = bucket.band AND mn.key = bucket.key "
+        "WHERE bucket.doc_id > mn.m ORDER BY a, b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash near-dup clusters (functions/dedup.py minhash_dedup_clusters) —
+# bit-exact HUGEINT replica of the WHOLE pipeline: 5-byte sliding-window
+# shingle hashes (descending-power polynomial + fmix64), 64 Mersenne-61
+# permutations (same RandomState(1) constants as MinHasher, uint64-wraparound
+# a·h+b), 16×4 band combine + fmix64, bucket-min candidate pairing, exact
+# hash-set Jaccard ≥ threshold verify, connected components (recursive CTE),
+# cluster = min doc of component.  Valid for ASCII documents ≥ k chars.
+
+
+def dedup_minhash_sql(
+    k: int = 5, num_perm: int = 64, bands: int = 16, threshold: float = 0.7
+) -> str:
+    import numpy as np
+
+    m61 = (1 << 61) - 1
+    rng = np.random.RandomState(1)
+    pa_ = rng.randint(1, m61, size=num_perm, dtype=np.uint64)
+    pb_ = rng.randint(0, m61, size=num_perm, dtype=np.uint64)
+    perm_rows = ", ".join(
+        f"({p}, CAST({int(pa_[p])} AS HUGEINT), CAST({int(pb_[p])} AS HUGEINT))"
+        for p in range(num_perm)
+    )
+    bp = [pow(1099511628211, j, 1 << 64) for j in range(k)]  # B^j mod 2^64
+    r = num_perm // bands
+    bw_rows = ", ".join(
+        f"({j}, CAST({pow(1099511628211, r - 1 - j, 1 << 64)} AS HUGEINT))" for j in range(r)
+    )
+    sh_terms = " + ".join(
+        f"(b{j} * CAST({bp[k - 1 - j]} AS HUGEINT)) % {_Q64}" for j in range(k)
+    )
+    leads = ", ".join(f"lead(byte, {j}) OVER w AS b{j}" for j in range(1, k))
+    mix_sh, sh_final = _mix64_stages("shp", "doc_id, ci", "sm")
+    mix_bh, bh_final = _mix64_stages("bpre", "doc_id, band", "bm")
+    ctes = [
+        "chd AS MATERIALIZED (SELECT doc_id, generate_subscripts(cs, 1) - 1 AS ci, "
+        "CAST(ord(unnest(cs)) AS HUGEINT) AS byte "
+        "FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents))",
+        f"ld AS MATERIALIZED (SELECT doc_id, ci, byte AS b0, {leads} FROM chd "
+        f"WINDOW w AS (PARTITION BY doc_id ORDER BY ci))",
+        f"shp AS MATERIALIZED (SELECT doc_id, ci, "
+        f"CAST(({sh_terms}) % {_Q64} AS HUGEINT) AS h FROM ld WHERE b{k - 1} IS NOT NULL)",
+        *mix_sh,
+        f"dsh AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM {sh_final})",
+        f"perm(p, a, b) AS (VALUES {perm_rows})",
+        f"sig AS MATERIALIZED (SELECT doc_id, perm.p AS pi, "
+        f"min((({_mulmod64('dsh.h', 'perm.a')} + perm.b) % {_Q64}) % {m61}) AS s "
+        f"FROM dsh CROSS JOIN perm GROUP BY doc_id, perm.p)",
+        f"bw(j, p) AS (VALUES {bw_rows})",
+        f"bpre AS MATERIALIZED (SELECT doc_id, pi // {r} AS band, "
+        f"CAST(sum({_mulmod64('sig.s', 'bw.p')}) % {_Q64} AS HUGEINT) AS h "
+        f"FROM sig JOIN bw ON bw.j = pi % {r} GROUP BY doc_id, pi // {r})",
+        *mix_bh,
+        f"mnb AS (SELECT band, h, min(doc_id) AS m FROM {bh_final} GROUP BY band, h)",
+        f"cand AS MATERIALIZED (SELECT DISTINCT mnb.m AS a, t.doc_id AS b "
+        f"FROM {bh_final} t JOIN mnb ON mnb.band = t.band AND mnb.h = t.h "
+        f"WHERE t.doc_id > mnb.m)",
+        "sz AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id)",
+        "inter AS (SELECT c.a, c.b, count(*) AS i FROM cand c "
+        "JOIN dsh x ON x.doc_id = c.a JOIN dsh y ON y.doc_id = c.b AND y.h = x.h "
+        "GROUP BY c.a, c.b)",
+        f"ver AS MATERIALIZED (SELECT c.a, c.b FROM cand c "
+        f"JOIN sz sa ON sa.doc_id = c.a JOIN sz sb ON sb.doc_id = c.b "
+        f"LEFT JOIN inter ON inter.a = c.a AND inter.b = c.b "
+        f"WHERE CAST(coalesce(inter.i, 0) AS DOUBLE) "
+        f"/ (sa.n + sb.n - coalesce(inter.i, 0)) >= {threshold})",
+        "vv AS (SELECT a AS d FROM ver UNION SELECT b FROM ver)",
+        "ee AS (SELECT a AS u, b AS v FROM ver UNION SELECT b, a FROM ver)",
+        "reach(rv, c) AS (SELECT d, d FROM vv UNION "
+        "SELECT e.v, rc.c FROM reach rc JOIN ee e ON e.u = rc.rv)",
+        "comp AS (SELECT rv AS d, min(c) AS cl FROM reach GROUP BY rv)",
+    ]
+    return (
+        "WITH RECURSIVE " + ",\n".join(ctes) + " "
+        "SELECT doc.doc_id, CAST(coalesce(comp.cl, doc.doc_id) AS BIGINT) AS cluster "
+        "FROM documents doc LEFT JOIN comp ON comp.d = doc.doc_id ORDER BY doc.doc_id"
+    )
