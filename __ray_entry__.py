@@ -415,6 +415,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "op_topk_per_group": td.op_topk_per_group,
         "op_groupby_median": td.op_groupby_median,
         "op_asof_join": td.op_asof_join,
+        "op_zscore": td.op_zscore,
+        "op_kmeans": td.op_kmeans,
+        "text_tfidf": td.text_tfidf,
+        "text_bigrams": td.text_bigrams,
         "op_range_join": td.op_range_join,
         "op_semi_join": td.op_semi_join,
         "op_anti_join": td.op_anti_join,
@@ -550,6 +554,10 @@ def oracle_sql() -> dict[str, str]:
         "op_topk_per_group": osql.op_topk_per_group_sql(),
         "op_groupby_median": osql.op_groupby_median_sql(),
         "op_asof_join": osql.op_asof_join_sql(),
+        "op_zscore": osql.op_zscore_sql(),
+        "op_kmeans": osql.op_kmeans_sql(),
+        "text_tfidf": osql.text_tfidf_sql(),
+        "text_bigrams": osql.text_bigrams_sql(),
         "op_range_join": osql.op_range_join_sql(),
         "op_semi_join": osql.op_semi_join_sql(),
         "op_anti_join": osql.op_anti_join_sql(),

@@ -1,0 +1,193 @@
+"""ML-prep operators for training-data pipelines: TF-IDF, n-gram counts,
+per-group standardization, distributed k-means.
+
+Scale shapes:
+- TF-IDF: two hash-exchange groupbys (term-frequency per (doc, tok), then
+  document frequency per tok) + one hash join — no broadcast of the
+  vocabulary, so it survives web-scale vocabularies.
+- bigrams: per-doc vectorized token shift inside ``map_batches`` + one
+  hash-exchange count; nothing doc-sized leaves the batch.
+- standardize: one small groupby (means/stds per group) broadcast back —
+  the group cardinality is the small side by contract.
+- k-means: Lloyd's with the model broadcast per round and ONE partial-sum
+  combine per block (k×d floats per block cross the wire, never points);
+  deterministic init = the k lowest-id points.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from graphscope_ray.utils import hash_groupby_sum, hash_join
+
+
+def tfidf(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """tf·idf per (doc, token): tf = in-doc count, idf = ln(N / df) with
+    df = number of docs containing the token.  Tokens = non-empty
+    single-space splits (the corpus contract)."""
+    from graphscope_ray.functions.joins import posexplode
+
+    n_docs = ds.count()
+    toks = posexplode(ds, id_col, text_col, sep=" ").filter(expr="tok != ''")
+    tf = hash_groupby_sum(
+        toks.select_columns([id_col, "tok"]), [id_col, "tok"], None, "tf",
+        num_partitions=num_partitions,
+    )
+    df = hash_groupby_sum(
+        tf.select_columns(["tok"]), ["tok"], None, "df", num_partitions=num_partitions
+    )
+    joined = hash_join(tf, df, left_on="tok", right_on="tok", num_partitions=num_partitions)
+
+    def _score(t: pa.Table) -> pa.Table:
+        tf_v = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df_v = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("tfidf", pa.array(tf_v * np.log(n_docs / df_v)))
+
+    return joined.map_batches(_score, batch_format="pyarrow")
+
+
+def bigram_counts(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 8,
+    min_count: int = 1,
+) -> ray.data.Dataset:
+    """Corpus-wide bigram counts: per-doc adjacent token pairs (vectorized
+    shift inside the batch), then one hash-exchange count."""
+    import pyarrow.compute as pc
+
+    def _bigrams(t: pa.Table) -> pa.Table:
+        lst = pc.split_pattern(t[text_col], " ")
+        counts = pc.list_value_length(lst).to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.list_flatten(lst).to_numpy(zero_copy_only=False)
+        keep = np.ones(len(toks), dtype=bool)
+        ends = np.cumsum(counts) - 1  # last token of each doc starts no bigram
+        keep[ends[counts > 0]] = False
+        left = toks[keep]
+        right = np.roll(toks, -1)[keep]
+        bg = np.char.add(np.char.add(left.astype(str), " "), right.astype(str))
+        return pa.table({"bigram": pa.array(bg)})
+
+    bg = ds.select_columns([id_col, text_col]).map_batches(_bigrams, batch_format="pyarrow")
+    out = hash_groupby_sum(bg, ["bigram"], None, "n", num_partitions=num_partitions)
+    if min_count > 1:
+        out = out.filter(expr=f"n >= {min_count}")
+    return out
+
+
+def standardize(
+    ds: ray.data.Dataset, group_col: str, value_col: str
+) -> ray.data.Dataset:
+    """Per-group z-score (population std): z = (v − mean_g) / std_g.
+    One small groupby computes the per-group moments; they are broadcast
+    back and applied vectorized per batch."""
+    from ray.data.aggregate import Count, Sum
+
+    def _sq(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({group_col: t[group_col], "v": pa.array(v), "v2": pa.array(v * v)})
+
+    stats = (
+        ds.map_batches(_sq, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Sum("v", alias_name="s"), Sum("v2", alias_name="s2"), Count(alias_name="n"))
+        .to_pandas()
+    )
+    mean = stats["s"].to_numpy() / stats["n"].to_numpy()
+    var = stats["s2"].to_numpy() / stats["n"].to_numpy() - mean * mean
+    ref = ray.put(
+        {
+            g: (m, float(np.sqrt(max(v, 0.0))))
+            for g, m, v in zip(stats[group_col], mean, var)
+        }
+    )
+
+    def _apply(t: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ms = np.array([lookup[x][0] for x in g])
+        ss = np.array([lookup[x][1] for x in g])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(ss > 0, (v - ms) / ss, 0.0)
+        return t.append_column("z", pa.array(z))
+
+    return ds.map_batches(_apply, batch_format="pyarrow")
+
+
+def kmeans(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[ray.data.Dataset, np.ndarray]:
+    """Distributed Lloyd's k-means with deterministic init (the k lowest-id
+    vectors) and a fixed iteration count.
+
+    Per round the (k×d) centroid matrix is broadcast (``ray.put``) and each
+    batch emits only partial sums + counts per centroid — points never
+    leave their block; the driver reduces k×d floats per block.  Ties in
+    the nearest-centroid argmin break to the LOWEST centroid id
+    (np.argmin semantics).  Returns (assignments Dataset, centroids)."""
+    ds = ds.materialize()
+    seed = (
+        ds.sort(id_col)
+        .limit(k)
+        .to_pandas()
+    )
+    C = np.stack(seed[vec_col].to_numpy()).astype(np.float64)
+
+    for _ in range(iters):
+        ref = ray.put(C)
+
+        def _partial(t: pa.Table) -> pa.Table:
+            cents = ray.get(ref)
+            X = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+            d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            kk, dd = cents.shape
+            sums = np.zeros((kk, dd))
+            np.add.at(sums, a, X)
+            cnt = np.bincount(a, minlength=kk).astype(np.float64)
+            return pa.table(
+                {
+                    "cid": pa.array(np.arange(kk, dtype=np.int64)),
+                    "cnt": pa.array(cnt),
+                    "sum": pa.array(list(sums), pa.list_(pa.float64())),
+                }
+            )
+
+        parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+        sums = np.zeros_like(C)
+        cnts = np.zeros(len(C))
+        for cid, cnt, sm in zip(parts["cid"], parts["cnt"], parts["sum"]):
+            sums[cid] += np.asarray(sm)
+            cnts[cid] += cnt
+        nonzero = cnts > 0
+        C = np.where(nonzero[:, None], sums / np.maximum(cnts, 1)[:, None], C)
+
+    ref = ray.put(C)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        cents = ray.get(ref)
+        X = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "cluster": pa.array(d2.argmin(axis=1).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(_assign, batch_format="pyarrow"), C

@@ -2208,3 +2208,84 @@ def dedup_minhash_sql(
         "SELECT doc.doc_id, CAST(coalesce(comp.cl, doc.doc_id) AS BIGINT) AS cluster "
         "FROM documents doc LEFT JOIN comp ON comp.d = doc.doc_id ORDER BY doc.doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# ML-prep operators (functions/mlprep.py)
+
+
+def text_tfidf_sql() -> str:
+    return (
+        "WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+        "x -> x <> '')) AS tok FROM documents), "
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok), "
+        "df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), "
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents) "
+        "SELECT tf.doc_id, tf.tok, tf.tf, "
+        "round(tf.tf * ln(nn.n / df.df), 8) AS tfidf "
+        "FROM tf JOIN df USING (tok), nn ORDER BY tf.doc_id, tf.tok"
+    )
+
+
+def text_bigrams_sql() -> str:
+    return (
+        "WITH tok AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS i, "
+        "unnest(toks) AS tok FROM "
+        "(SELECT doc_id, string_split(text, ' ') AS toks FROM documents)) "
+        "SELECT t1.tok || ' ' || t2.tok AS bigram, count(*) AS n "
+        "FROM tok t1 JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1 "
+        "GROUP BY bigram ORDER BY bigram"
+    )
+
+
+def op_zscore_sql() -> str:
+    return (
+        "SELECT event_id, event_type, "
+        "round(CASE WHEN stddev_pop(value) OVER w > 0 "
+        "THEN (value - avg(value) OVER w) / stddev_pop(value) OVER w ELSE 0.0 END, 8) AS z "
+        "FROM events WINDOW w AS (PARTITION BY event_type) ORDER BY event_id"
+    )
+
+
+def op_kmeans_sql(k: int = 8, iters: int = 5) -> str:
+    """Unrolled Lloyd's: per iteration a distance CTE (point × centroid ×
+    dim sum), argmin assignment with min-cid tie-break, per-(cid, dim)
+    means with empty-centroid carry-over — same semantics as mlprep.kmeans."""
+    ctes = [
+        "pts AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d, "
+        "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)",
+        f"seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid "
+        f"FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))",
+        "c0 AS MATERIALIZED (SELECT s.cid, p.d, p.x FROM seed s "
+        "JOIN pts p ON p.vec_id = s.vec_id)",
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"dist{t} AS MATERIALIZED (SELECT p.vec_id, c.cid, "
+            f"sum((p.x - c.x) * (p.x - c.x)) AS d2 "
+            f"FROM pts p JOIN c{t} c ON c.d = p.d GROUP BY p.vec_id, c.cid)"
+        )
+        ctes.append(
+            f"asg{t} AS MATERIALIZED (SELECT vec_id, cid FROM "
+            f"(SELECT vec_id, cid, row_number() OVER "
+            f"(PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM dist{t}) WHERE rk = 1)"
+        )
+        ctes.append(
+            f"nu{t} AS (SELECT a.cid, p.d, avg(p.x) AS x FROM asg{t} a "
+            f"JOIN pts p ON p.vec_id = a.vec_id GROUP BY a.cid, p.d)"
+        )
+        ctes.append(
+            f"c{t + 1} AS MATERIALIZED (SELECT c.cid, c.d, coalesce(nu.x, c.x) AS x "
+            f"FROM c{t} c LEFT JOIN nu{t} nu ON nu.cid = c.cid AND nu.d = c.d)"
+        )
+    ctes.append(
+        f"distF AS (SELECT p.vec_id, c.cid, sum((p.x - c.x) * (p.x - c.x)) AS d2 "
+        f"FROM pts p JOIN c{iters} c ON c.d = p.d GROUP BY p.vec_id, c.cid)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + " "
+        "SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM "
+        "(SELECT vec_id, cid, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM distF) "
+        "WHERE rk = 1 ORDER BY vec_id"
+    )

@@ -1646,3 +1646,51 @@ def op_explode(sf_dir: str) -> pd.DataFrame:
     docs = read(sf_dir, "documents", columns=["doc_id", "text"])
     out = posexplode(docs, "doc_id", "text", sep=" ").to_pandas()
     return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# ML-prep operators (functions/mlprep.py): TF-IDF, bigram counts,
+# per-group standardization, distributed k-means.
+
+
+def text_tfidf(sf_dir: str) -> pd.DataFrame:
+    from graphscope_ray.functions.mlprep import tfidf
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = tfidf(docs).to_pandas()
+    out["tfidf"] = out["tfidf"].round(8)
+    out["tf"] = out["tf"].astype(np.int64)
+    return out[["doc_id", "tok", "tf", "tfidf"]].sort_values(["doc_id", "tok"]).reset_index(
+        drop=True
+    )
+
+
+def text_bigrams(sf_dir: str) -> pd.DataFrame:
+    from graphscope_ray.functions.mlprep import bigram_counts
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = bigram_counts(docs).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("bigram").reset_index(drop=True)
+
+
+def op_zscore(sf_dir: str) -> pd.DataFrame:
+    from graphscope_ray.functions.mlprep import standardize
+
+    ev = read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    out = standardize(ev, group_col="event_type", value_col="value").to_pandas()
+    out["z"] = out["z"].round(8)
+    return out[["event_id", "event_type", "z"]].sort_values("event_id").reset_index(drop=True)
+
+
+def op_kmeans(sf_dir: str, k: int = 8, iters: int = 5) -> pd.DataFrame:
+    """Distributed Lloyd's k-means over the embeddings table: deterministic
+    seed (k lowest vec_ids), fixed iterations, per-block partial-sum
+    combine — assignment per vector."""
+    from graphscope_ray.functions.mlprep import kmeans
+
+    emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    asg, _ = kmeans(emb, k=k, iters=iters)
+    out = asg.to_pandas()
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    return out.sort_values("vec_id").reset_index(drop=True)

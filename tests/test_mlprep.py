@@ -1,0 +1,60 @@
+"""ML-prep operators (functions/mlprep.py) vs pure-python oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from graphscope_ray.functions.mlprep import bigram_counts, kmeans, standardize, tfidf
+
+
+def _ds(df):
+    return ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+def test_tfidf():
+    docs = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["a b a", "a c", "b b b"]}
+    )
+    out = tfidf(_ds(docs), num_partitions=2).to_pandas()
+    out = out.set_index(["doc_id", "tok"])
+    assert out.loc[(0, "a"), "tf"] == 2
+    # idf(a) = ln(3/2); tfidf(0, a) = 2 ln(1.5)
+    np.testing.assert_allclose(out.loc[(0, "a"), "tfidf"], 2 * np.log(1.5))
+    np.testing.assert_allclose(out.loc[(2, "b"), "tfidf"], 3 * np.log(3 / 2))
+    np.testing.assert_allclose(out.loc[(1, "c"), "tfidf"], np.log(3.0))
+
+
+def test_bigram_counts():
+    docs = pd.DataFrame({"doc_id": [0, 1, 2], "text": ["a b c", "b c", "x"]})
+    out = bigram_counts(_ds(docs), num_partitions=2).to_pandas()
+    got = dict(zip(out["bigram"], out["n"]))
+    assert got == {"a b": 1, "b c": 2}
+
+
+def test_standardize():
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {"g": rng.choice(["p", "q"], 300), "value": rng.normal(2.0, 3.0, 300)}
+    )
+    out = standardize(_ds(df), "g", "value").to_pandas()
+    for g, sub in out.groupby("g"):
+        exp = (sub["value"] - df[df.g == g]["value"].mean()) / df[df.g == g]["value"].std(ddof=0)
+        np.testing.assert_allclose(np.sort(sub["z"]), np.sort(exp), rtol=1e-9)
+
+
+def test_kmeans_separated_clusters():
+    rng = np.random.default_rng(9)
+    centers = np.array([[0.0, 0.0], [10.0, 10.0], [-10.0, 10.0]])
+    X = np.concatenate([c + 0.1 * rng.normal(size=(50, 2)) for c in centers])
+    df = pd.DataFrame({"vec_id": np.arange(150), "embedding": list(X)})
+    asg, C = kmeans(_ds(df), k=3, iters=5)
+    out = asg.to_pandas().sort_values("vec_id")
+    labels = out["cluster"].to_numpy()
+    # each true cluster maps to exactly one learned label
+    for i in range(3):
+        assert len(set(labels[i * 50 : (i + 1) * 50])) == 1
+    assert len(set(labels[::50])) == 3
+    # centroids land near the true centers
+    d = np.abs(np.sort(C[:, 0]) - np.sort(centers[:, 0])).max()
+    assert d < 0.5
