@@ -434,6 +434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_path_enum": td.lg_path_enum,
         "pg_wcc": td.pg_wcc,
         "pg_sssp": td.pg_sssp,
+        "pg_pagerank": td.pg_pagerank,
         "lg_sssp_weighted": td.lg_sssp_weighted,
         "lg_ktruss": td.lg_ktruss,
         "lg_random_walks": td.lg_random_walks,
@@ -573,6 +574,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_path_enum": osql.lg_path_enum_sql(),
         "pg_wcc": osql.pg_wcc_sql(),
         "pg_sssp": osql.pg_sssp_sql(),
+        "pg_pagerank": osql.pg_pagerank_sql(),
         "lg_sssp_weighted": osql.lg_sssp_weighted_sql(),
         "lg_ktruss": osql.lg_ktruss_sql(),
         "lg_random_walks": osql.lg_random_walks_sql(),

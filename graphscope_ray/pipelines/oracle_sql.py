@@ -2289,3 +2289,37 @@ def op_kmeans_sql(k: int = 8, iters: int = 5) -> str:
         "(PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM distF) "
         "WHERE rk = 1 ORDER BY vec_id"
     )
+
+
+def pg_pagerank_sql(rounds: int = 10, alpha: float = 0.85) -> str:
+    """Property-graph PageRank over the labeled union graph: vertices =
+    ALL keys of the three tables (dense spaces — isolated keys dangle),
+    unrolled NetworkX rounds."""
+    ctes = [
+        "pgv AS MATERIALIZED (SELECT c_custkey AS gv FROM customer "
+        "UNION ALL SELECT o_orderkey + (SELECT n FROM nc) FROM orders "
+        "UNION ALL SELECT p_partkey + (SELECT n FROM nc) + (SELECT n FROM nor) FROM part)",
+        "npg AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM pgv)",
+        "pod AS MATERIALIZED (SELECT src AS gv, count(*) AS d FROM pe GROUP BY src)",
+        "q0 AS MATERIALIZED (SELECT gv, 1.0/(SELECT n FROM npg) AS score FROM pgv)",
+    ]
+    for k in range(rounds):
+        ctes.append(
+            f"dg{k} AS MATERIALIZED (SELECT coalesce(sum(q.score), 0) AS ds FROM q{k} q "
+            f"LEFT JOIN pod o ON o.gv = q.gv WHERE o.d IS NULL)"
+        )
+        ctes.append(
+            f"sm{k} AS MATERIALIZED (SELECT pe.dst AS gv, sum(q.score / o.d) AS insum "
+            f"FROM pe JOIN q{k} q ON q.gv = pe.src JOIN pod o ON o.gv = pe.src "
+            f"GROUP BY pe.dst)"
+        )
+        ctes.append(
+            f"q{k + 1} AS MATERIALIZED (SELECT v.gv, {alpha}*coalesce(s.insum, 0) + "
+            f"({alpha}*(SELECT ds FROM dg{k}) + {1 - alpha:.2f})/(SELECT n FROM npg) AS score "
+            f"FROM pgv v LEFT JOIN sm{k} s ON s.gv = v.gv)"
+        )
+    return (
+        f"WITH {_PG_BASE}, " + ",\n".join(ctes)
+        + f" SELECT {_PG_SPLIT}, round(score, 8) AS score FROM q{rounds} "
+        "ORDER BY v_label, v_key"
+    )

@@ -1694,3 +1694,14 @@ def op_kmeans(sf_dir: str, k: int = 8, iters: int = 5) -> pd.DataFrame:
     out = asg.to_pandas()
     out["vec_id"] = out["vec_id"].astype(np.int64)
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def pg_pagerank(sf_dir: str, rounds: int = 10, alpha: float = 0.85) -> pd.DataFrame:
+    """Property-graph PageRank (ref apps/property/ auto variants): NetworkX
+    semantics over the customer→order→part labeled union graph, fixed
+    rounds; isolated keys are dangling vertices (dense key spaces)."""
+    g, n_c, n_o, n_p = _tripartite_graph(sf_dir)
+    ds, _ = alg.pagerank(g, alpha=alpha, tol=0.0, max_rounds=rounds)
+    out = _pg_label_split(ds.to_pandas(), n_c, n_o)[["v_label", "v_key", "score"]]
+    out["score"] = out["score"].round(8)
+    return out.sort_values(["v_label", "v_key"]).reset_index(drop=True)
