@@ -416,6 +416,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "op_groupby_median": td.op_groupby_median,
         "op_asof_join": td.op_asof_join,
         "op_zscore": td.op_zscore,
+        "op_count_distinct": td.op_count_distinct,
+        "op_hll_count": td.op_hll_count,
         "op_kmeans": td.op_kmeans,
         "text_tfidf": td.text_tfidf,
         "text_bigrams": td.text_bigrams,
@@ -556,6 +558,8 @@ def oracle_sql() -> dict[str, str]:
         "op_groupby_median": osql.op_groupby_median_sql(),
         "op_asof_join": osql.op_asof_join_sql(),
         "op_zscore": osql.op_zscore_sql(),
+        "op_count_distinct": osql.op_count_distinct_sql(),
+        "op_hll_count": osql.op_hll_count_sql(),
         "op_kmeans": osql.op_kmeans_sql(),
         "text_tfidf": osql.text_tfidf_sql(),
         "text_bigrams": osql.text_bigrams_sql(),

@@ -171,3 +171,54 @@ def mean_pool_features(img: np.ndarray, feat_dim: int) -> np.ndarray:
             block = gray[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
             cells.append(block.mean() if block.size else 0.0)
     return np.asarray(cells[:feat_dim], dtype=np.float32)
+
+
+# ---------------------------------------------------------------------------
+# BMP (uncompressed 24-bit BI_RGB) — a real decoder: plain byte parsing +
+# one numpy reshape; no codec library involved.
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BI_RGB BMP to an (h, w, 3) uint8 RGB
+    array.  Top-down (negative height) and bottom-up row orders both
+    handled; rows are 4-byte padded per the spec.  Other bit depths /
+    compressions raise ``UnsupportedImageError``."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise UnsupportedImageError("not a BMP")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        raise UnsupportedImageError("BITMAPCOREHEADER not supported")
+    w, h = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if bpp != 24 or compression != 0:
+        raise UnsupportedImageError(f"only 24-bit BI_RGB supported (bpp={bpp})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    need = data_off + stride * h
+    if len(payload) < need:
+        raise UnsupportedImageError("truncated BMP")
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        img = img[::-1]
+    return img[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a bottom-up 24-bit BI_RGB BMP."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # RGB → BGR, bottom-up
+    raw = body.tobytes()
+    file_size = 54 + len(raw)
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", file_size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raw), 2835, 2835, 0, 0)
+    )
+    return hdr + raw

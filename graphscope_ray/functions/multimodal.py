@@ -89,6 +89,15 @@ class MediaFeatureExtractor:
                     continue
                 except UnsupportedImageError:
                     pass
+            if meta and meta["format"] == "bmp":
+                try:
+                    from graphscope_ray.functions.imaging import decode_bmp
+
+                    img = decode_bmp(p)  # REAL pixels (byte parse + reshape)
+                    feats.append(mean_pool_features(img, self.feat_dim))
+                    continue
+                except UnsupportedImageError:
+                    pass
             if meta and meta["format"] == "wav":
                 try:
                     samples, _rate = decode_wav(p)  # REAL waveform (PCM parse)
@@ -98,7 +107,7 @@ class MediaFeatureExtractor:
                     pass
             if self.strict:
                 raise NotImplementedError(
-                    "only PNG images, PCM WAV audio and GIF video decode "
+                    "only PNG/BMP images, PCM WAV audio and GIF video decode "
                     f"natively here; this payload needs a codec library "
                     f"(format={fmts[-1]!r})"
                 )

@@ -1,0 +1,124 @@
+"""Cardinality operators: exact distinct count (hash-exchange) and a
+mergeable HyperLogLog sketch.
+
+- exact: per-block unique (cuts the exchange to distinct-per-block) →
+  hash split → per-partition unique count → sum of K small ints.  The
+  same shape as the engine's dedup exchanges; skew-free for hash keys.
+- HLL: ONE (2^p)-byte register array per block, merged by elementwise max
+  — the classic mergeable sketch shape for 100-TB inputs where even the
+  distinct set is too big to exchange.  Deterministic (fmix64 over the
+  value bytes), standard bias-corrected estimate with small-range
+  (linear counting) and large-range corrections.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _hash64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Deterministic uint64 hash per value: int64 columns use the fmix64
+    avalanche directly; strings hash their utf-8 bytes with the rolling
+    polynomial + fmix64 kernel (one token per value)."""
+    from graphscope_ray.functions.hashing import _pow_table, mix64
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        return mix64(col.to_numpy(zero_copy_only=False).astype(np.uint64))
+    out = np.empty(len(col), dtype=np.uint64)
+    for i, v in enumerate(col.to_pylist()):
+        b = np.frombuffer((v or "").encode("utf-8", "surrogatepass"), dtype=np.uint8)
+        if b.size == 0:
+            out[i] = 0
+            continue
+        pw = _pow_table(b.size)[: b.size][::-1]
+        out[i] = (b.astype(np.uint64) * pw).sum(dtype=np.uint64)
+    return mix64(out)
+
+
+def count_distinct_exact(
+    ds: ray.data.Dataset, col: str, num_partitions: int = 16
+) -> int:
+    """Exact COUNT(DISTINCT col) without ever collecting the distinct set
+    on the driver: per-block unique → hash split (hash routes, VALUES
+    travel — no collision risk) → per-partition unique count → sum."""
+    K = num_partitions
+    blocks = ds.select_columns([col]).materialize().to_arrow_refs()
+
+    @ray.remote
+    def _split(t: pa.Table):
+        empty = pd.Series([], dtype=object)
+        if col not in t.schema.names or t.num_rows == 0:
+            parts = tuple(empty for _ in range(K))
+            return parts if K > 1 else parts[0]
+        u = t[col].to_pandas().drop_duplicates()
+        h = pd.util.hash_pandas_object(u, index=False).to_numpy()
+        part = (h % np.uint64(K)).astype(np.int64)
+        parts = tuple(u[part == p] for p in range(K))
+        return parts if K > 1 else parts[0]
+
+    @ray.remote
+    def _count(*sers) -> int:
+        return int(pd.concat(sers, ignore_index=True).nunique()) if sers else 0
+
+    if K == 1:
+        refs = [_split.remote(b) for b in blocks]
+        return ray.get(_count.remote(*refs))
+    split_refs = [_split.options(num_returns=K).remote(b) for b in blocks]
+    counts = ray.get(
+        [_count.remote(*[s[k] for s in split_refs]) for k in range(K)]
+    )
+    return int(sum(counts))
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_count(ds: ray.data.Dataset, col: str, p: int = 12) -> float:
+    """HyperLogLog cardinality estimate (±1.04/√2^p ≈ ±1.6 % at p=12):
+    per-block 2^p-register partial sketches, merged by elementwise max.
+    Hash collisions aside, the estimate is deterministic — same input,
+    same answer, any partitioning."""
+    m = 1 << p
+    shift = np.uint64(64 - p)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        regs = np.zeros(m, dtype=np.uint8)
+        if col in t.schema.names and t.num_rows:
+            h = _hash64(t[col])
+            idx = (h >> shift).astype(np.int64)
+            rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad low bits
+            # rho = leading zeros of the remaining 64-p bits, + 1
+            rho = np.zeros(len(h), dtype=np.uint8)
+            v = rest.copy()
+            for b in (32, 16, 8, 4, 2, 1):  # branchless CLZ
+                mask = v < (np.uint64(1) << np.uint64(64 - b))
+                rho[mask] += b
+                v[mask] <<= np.uint64(b)
+            rho = np.minimum(rho + 1, 64 - p + 1).astype(np.uint8)
+            np.maximum.at(regs, idx, rho)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    parts = ds.select_columns([col]).map_batches(_partial, batch_format="pyarrow").to_pandas()
+    regs = np.zeros(m, dtype=np.uint8)
+    for rb in parts["regs"]:
+        regs = np.maximum(regs, np.frombuffer(rb, dtype=np.uint8))
+    est = _hll_alpha(m) * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)  # linear counting, small range
+    elif est > (1 << 64) / 30.0:
+        est = -(1 << 64) * np.log(1 - est / (1 << 64))
+    return float(est)

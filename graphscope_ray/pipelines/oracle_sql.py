@@ -2323,3 +2323,58 @@ def pg_pagerank_sql(rounds: int = 10, alpha: float = 0.85) -> str:
         + f" SELECT {_PG_SPLIT}, round(score, 8) AS score FROM q{rounds} "
         "ORDER BY v_label, v_key"
     )
+
+
+# ---------------------------------------------------------------------------
+# cardinality operators (functions/sketch.py)
+
+
+def op_count_distinct_sql() -> str:
+    return (
+        "SELECT count(DISTINCT l_partkey) AS n_parts, "
+        "count(DISTINCT l_suppkey) AS n_supps FROM lineitem"
+    )
+
+
+def _mix64_expr_ctes(src: str, key: str) -> tuple[list[str], str]:
+    """fmix64 stage chain over column h of ``src`` keyed by a plain row id."""
+    xs = f"xor(h, h // {_SH33})"
+    ctes = [
+        f"x1 AS (SELECT {key}, {xs} AS h FROM {src})",
+        f"x2 AS (SELECT {key}, {_mulmod64('h', _MIX1)} AS h FROM x1)",
+        f"x3 AS (SELECT {key}, {xs} AS h FROM x2)",
+        f"x4 AS (SELECT {key}, {_mulmod64('h', _MIX2)} AS h FROM x3)",
+        f"x5 AS (SELECT {key}, {xs} AS h FROM x4)",
+    ]
+    return ctes, "x5"
+
+
+def op_hll_count_sql(p: int = 12) -> str:
+    """Bit-exact SQL replica of sketch.hll_count over l_partkey: fmix64 of
+    the int64 value, bucket = top p bits, rho = CLZ of the low 64-p bits
+    shifted up (computed EXACTLY via bin()-string length), per-bucket max,
+    bias-corrected harmonic estimate with the linear-counting small-range
+    branch."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    low = f"{1 << (64 - p)}"  # 2^(64-p)
+    mix, final = _mix64_expr_ctes("h0", "r")
+    ctes = [
+        "h0 AS MATERIALIZED (SELECT row_number() OVER () AS r, "
+        "CAST(l_partkey AS HUGEINT) AS h FROM lineitem)",
+        *mix,
+        f"rr AS MATERIALIZED (SELECT h // CAST({low} AS HUGEINT) AS bucket, "
+        f"64 - length(bin((h % CAST({low} AS HUGEINT)) * CAST({1 << p} AS HUGEINT) "
+        f"+ {(1 << p) - 1})) + 1 AS rho FROM {final})",
+        f"regs AS (SELECT b.range AS bucket, coalesce(mx.rho, 0) AS reg "
+        f"FROM range({m}) b LEFT JOIN "
+        f"(SELECT bucket, max(rho) AS rho FROM rr GROUP BY bucket) mx "
+        f"ON mx.bucket = b.range)",
+        f"est AS (SELECT CAST({alpha} AS DOUBLE) * {m} * {m} / sum(power(2.0, -reg)) AS e, "
+        f"sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS z FROM regs)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + " "
+        f"SELECT round(CASE WHEN e <= {2.5 * m} AND z > 0 "
+        f"THEN {m} * ln({m} / z) ELSE e END, 4) AS estimate FROM est"
+    )

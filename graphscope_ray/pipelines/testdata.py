@@ -1705,3 +1705,29 @@ def pg_pagerank(sf_dir: str, rounds: int = 10, alpha: float = 0.85) -> pd.DataFr
     out = _pg_label_split(ds.to_pandas(), n_c, n_o)[["v_label", "v_key", "score"]]
     out["score"] = out["score"].round(8)
     return out.sort_values(["v_label", "v_key"]).reset_index(drop=True)
+
+
+def op_count_distinct(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed COUNT(DISTINCT) — per-block unique + hash exchange
+    (values travel, hash only routes); never collects the distinct set."""
+    from graphscope_ray.functions.sketch import count_distinct_exact
+
+    li = read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    return pd.DataFrame(
+        {
+            "n_parts": [count_distinct_exact(li, "l_partkey")],
+            "n_supps": [count_distinct_exact(li, "l_suppkey")],
+        }
+    )
+
+
+def op_hll_count(sf_dir: str, p: int = 12) -> pd.DataFrame:
+    """HyperLogLog estimate over l_partkey — deterministic (fmix64 hash),
+    mergeable per-block register sketches; the SQL oracle replicates the
+    sketch bit-for-bit (bin()-string CLZ), so even the APPROXIMATE op is
+    oracle-gated."""
+    from graphscope_ray.functions.sketch import hll_count
+
+    li = read(sf_dir, "lineitem", columns=["l_partkey"])
+    est = hll_count(li, "l_partkey", p=p)
+    return pd.DataFrame({"estimate": [round(est, 4)]})

@@ -172,3 +172,54 @@ def test_pipeline_decodes_wav_strict():
     row = out.sort_values("media_id").iloc[0]
     want = frame_energy_features(decode_wav(payloads[0])[0], 6)
     assert np.allclose(row["feature"], want, atol=1e-6)
+
+
+def test_bmp_roundtrip_and_variants():
+    from graphscope_ray.functions.imaging import (
+        UnsupportedImageError,
+        decode_bmp,
+        encode_bmp,
+        probe_image,
+    )
+
+    rng = np.random.RandomState(7)
+    for h, w in [(1, 1), (3, 5), (8, 8), (5, 7)]:  # odd widths exercise padding
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        b = encode_bmp(img)
+        assert probe_image(b) == {"format": "bmp", "width": w, "height": h}
+        assert (decode_bmp(b) == img).all()
+    # top-down variant (negative height)
+    img = rng.randint(0, 256, (4, 3, 3), dtype=np.uint8)
+    b = bytearray(encode_bmp(img[::-1]))
+    import struct
+
+    b[22:26] = struct.pack("<i", -4)
+    assert (decode_bmp(bytes(b)) == img[::-1][::-1]).all()
+    import pytest
+
+    with pytest.raises(UnsupportedImageError):
+        decode_bmp(b"BM" + b"\0" * 60)  # bpp=0
+
+
+def test_pipeline_decodes_bmp_strict():
+    from graphscope_ray.functions.imaging import encode_bmp, mean_pool_features, decode_bmp
+
+    rng = np.random.RandomState(9)
+    payloads = [
+        encode_bmp(rng.randint(0, 256, (6, 5, 3), dtype=np.uint8)) for _ in range(5)
+    ]
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "media_id": pa.array(list(range(5)), pa.int64()),
+            "media": pa.array(payloads, pa.binary()),
+        }
+    )
+    out = multimodal.extract_media_features(
+        ray.data.from_arrow(t), feat_dim=8, strict=True
+    ).to_pandas()
+    assert (out["format"] == "bmp").all()
+    row = out.sort_values("media_id").iloc[0]
+    want = mean_pool_features(decode_bmp(payloads[0]), 8)
+    assert np.allclose(row["feature"], want, atol=1e-6)

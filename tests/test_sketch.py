@@ -1,0 +1,39 @@
+"""Cardinality operators (functions/sketch.py): exact hash-exchange
+distinct count and the HyperLogLog sketch (error bound + merge invariance)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from graphscope_ray.functions.sketch import count_distinct_exact, hll_count
+
+
+def _ds(vals, col="x", blocks=4):
+    t = pa.table({col: pa.array(vals)})
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+def test_count_distinct_exact_ints_and_strings():
+    rng = np.random.default_rng(1)
+    ints = rng.integers(0, 500, 3000)
+    assert count_distinct_exact(_ds(ints), "x", num_partitions=4) == len(set(ints.tolist()))
+    strs = [f"s{v}" for v in rng.integers(0, 200, 1500)]
+    assert count_distinct_exact(_ds(strs), "x", num_partitions=3) == len(set(strs))
+
+
+def test_hll_error_bound():
+    rng = np.random.default_rng(7)
+    for true_n in (100, 5000, 50000):
+        vals = rng.integers(0, 1 << 62, true_n)
+        vals = np.unique(vals)  # ~true_n distinct
+        est = hll_count(_ds(np.concatenate([vals, vals]), blocks=6), "x", p=12)
+        assert abs(est - len(vals)) / len(vals) < 0.05, (true_n, est)
+
+
+def test_hll_partitioning_invariant():
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 1 << 60, 20000)
+    a = hll_count(_ds(vals, blocks=2), "x", p=10)
+    b = hll_count(_ds(vals, blocks=13), "x", p=10)
+    assert a == b  # register merge is exact, any block split
