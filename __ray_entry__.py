@@ -381,6 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_bcc": td.lg_bcc,
         "lg_2ecc": td.lg_2ecc,
         "lg_kcore": td.lg_kcore,
+        "lg_kcore_size": td.lg_kcore_size,
         "lg_degree_centrality": td.lg_degree_centrality,
         "lg_assortativity": td.lg_assortativity,
         "lg_avg_degree_connectivity": td.lg_avg_degree_connectivity,
@@ -522,6 +523,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_bcc": osql.lg_bcc_sql(),
         "lg_2ecc": osql.lg_2ecc_sql(),
         "lg_kcore": osql.lg_kcore_sql(k=5),
+        "lg_kcore_size": osql.lg_kcore_size_sql(k=5),
         "lg_voterank": osql.lg_voterank_sql(k=10),
         "lg_closeness_sampled": osql.lg_closeness_sampled_sql(),
         "lg_betweenness_sampled": osql.lg_betweenness_sql(),

@@ -2378,3 +2378,11 @@ def op_hll_count_sql(p: int = 12) -> str:
         f"SELECT round(CASE WHEN e <= {2.5 * m} AND z > 0 "
         f"THEN {m} * ln({m} / z) ELSE e END, 4) AS estimate FROM est"
     )
+
+
+def lg_kcore_size_sql(k: int = 5) -> str:
+    """k-core size (flash k-core-search GlobalRes) over the kcore peel."""
+    inner = lg_kcore_sql(k=k)
+    return (
+        f"SELECT CAST(sum(in_core) AS BIGINT) AS core_size FROM ({inner})"
+    )

@@ -1731,3 +1731,10 @@ def op_hll_count(sf_dir: str, p: int = 12) -> pd.DataFrame:
     li = read(sf_dir, "lineitem", columns=["l_partkey"])
     est = hll_count(li, "l_partkey", p=p)
     return pd.DataFrame({"estimate": [round(est, 4)]})
+
+
+def lg_kcore_size(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """K-core SEARCH (apps/flash/core/k-core-search.h GlobalRes): the size
+    of the k-core — the peeling fixpoint's survivor count as one scalar."""
+    df = lg_kcore(sf_dir, k=k)
+    return pd.DataFrame({"core_size": [int(df["in_core"].sum())]})
