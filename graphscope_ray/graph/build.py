@@ -38,7 +38,7 @@ import ray
 import ray.data
 
 from graphscope_ray.graph.fragment import FragmentActor
-from graphscope_ray.graph.programs import PROGRAMS
+from graphscope_ray.graph.programs import PROGRAMS, ProgramSpec
 
 
 def _to_dataset(edges) -> ray.data.Dataset:
@@ -177,14 +177,26 @@ class Graph:
         checkpoint_every: int = 1,
         resume: bool = False,
         pipeline: int = 1,
+        program: "ProgramSpec | None" = None,
         **params,
     ) -> RunResult:
         """pipeline > 1: submit that many supersteps without a driver
         round-trip — actors reduce global scalars themselves; convergence is
         only tested at sync points, so a tol-based run may execute up to
         pipeline-1 extra (refining) rounds.  Use for fixed-round runs and
-        benchmarks; incompatible with prestep programs and checkpointing."""
-        spec = PROGRAMS[algo]
+        benchmarks; incompatible with prestep programs and checkpointing.
+
+        ``program``: the USER-EXTENSION path (the reference's UDF surface,
+        `@pie`/`@pregel` decorators compiled to gar archives,
+        python/graphscope/analytical/udf/decorators.py:51,124) — pass a
+        ``ProgramSpec`` whose ``cls`` is any ``VertexProgram`` subclass; the
+        class itself ships to the fragment actors via Ray's serializer (no
+        registry entry, no codegen).  ``algo`` then only names the run."""
+        if program is not None:
+            spec = program
+            params["__program_cls__"] = program.cls
+        else:
+            spec = PROGRAMS[algo]
         name = name or algo
         P = self.P
         if max_rounds is None:

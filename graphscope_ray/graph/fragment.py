@@ -755,7 +755,9 @@ class FragmentActor:
                 "ucsr-based programs (kcore/kshell/triangles/louvain/voterank) "
                 "need the full local adjacency — build without hub_threshold"
             )
-        prog = PROGRAMS[algo].cls(self, **params)
+        params = dict(params)
+        cls = params.pop("__program_cls__", None) or PROGRAMS[algo].cls
+        prog = cls(self, **params)
         self.programs[name] = prog
         return prog.init()
 
@@ -832,7 +834,9 @@ class FragmentActor:
     def p_load_state(self, name: str, algo: str, params: dict, table: pa.Table) -> None:
         from graphscope_ray.graph.programs import PROGRAMS
 
-        prog = PROGRAMS[algo].cls(self, **params)
+        params = dict(params)
+        cls = params.pop("__program_cls__", None) or PROGRAMS[algo].cls
+        prog = cls(self, **params)
         prog.init()
         prog.load_state_columns(
             {c: table[c].to_numpy(zero_copy_only=False) for c in table.column_names if c != "vid"}
