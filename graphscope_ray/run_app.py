@@ -62,6 +62,12 @@ def main(argv=None):
         ],
     )
     ap.add_argument("--out_prefix", required=True)
+    ap.add_argument(
+        "--format",
+        choices=["golden", "csv"],
+        default="golden",
+        help="'csv' also writes result.csv (ctx.output file:// parity)",
+    )
     ap.add_argument("--partitions", type=int, default=8)
     ap.add_argument("--source", type=int, default=0)
     ap.add_argument("--k", type=int, default=3)
@@ -194,7 +200,15 @@ def main(argv=None):
     out = alg.export_golden(
         g, ds.select_columns(["vid", col]), col, os.path.join(args.out_prefix, "result")
     )
-    print(f"wrote {out} (+ .parquet)")
+    if args.format == "csv":
+        # ctx.output(fd="file://…") parity (framework/context.py:232-277):
+        # the same sorted rows as a headered CSV next to the golden file
+        import pandas as _pd
+
+        _pd.read_parquet(out + ".parquet").to_csv(out + ".csv", index=False)
+        print(f"wrote {out} (+ .parquet, .csv)")
+    else:
+        print(f"wrote {out} (+ .parquet)")
     ray.shutdown()
 
 
