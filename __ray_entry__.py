@@ -419,6 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "op_zscore": td.op_zscore,
         "op_count_distinct": td.op_count_distinct,
         "op_hll_count": td.op_hll_count,
+        "op_cms_heavy": td.op_cms_heavy,
         "op_kmeans": td.op_kmeans,
         "text_tfidf": td.text_tfidf,
         "text_bigrams": td.text_bigrams,
@@ -562,6 +563,7 @@ def oracle_sql() -> dict[str, str]:
         "op_zscore": osql.op_zscore_sql(),
         "op_count_distinct": osql.op_count_distinct_sql(),
         "op_hll_count": osql.op_hll_count_sql(),
+        "op_cms_heavy": osql.op_cms_heavy_sql(),
         "op_kmeans": osql.op_kmeans_sql(),
         "text_tfidf": osql.text_tfidf_sql(),
         "text_bigrams": osql.text_bigrams_sql(),

@@ -122,3 +122,84 @@ def hll_count(ds: ray.data.Dataset, col: str, p: int = 12) -> float:
     elif est > (1 << 64) / 30.0:
         est = -(1 << 64) * np.log(1 - est / (1 << 64))
     return float(est)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch heavy hitters
+
+
+_CMS_MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+
+
+def _cms_buckets(h: np.ndarray, d: int, w: int) -> np.ndarray:
+    """(len(h), d) bucket indices: row i uses fmix64(h + (i+1)·φ64)."""
+    from graphscope_ray.functions.hashing import mix64
+
+    out = np.empty((len(h), d), dtype=np.int64)
+    for i in range(d):
+        out[:, i] = (mix64(h + np.uint64(i + 1) * _CMS_MIX) % np.uint64(w)).astype(
+            np.int64
+        )
+    return out
+
+
+def cms_heavy_hitters(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    d: int = 4,
+    w: int = 2048,
+    threshold: int = 50,
+) -> pd.DataFrame:
+    """Heavy-hitter tokens via a count-min sketch: every block contributes a
+    d×w partial count table (ADDITIVELY mergeable — the d·w ints are the
+    only thing that crosses the wire, never the token stream), then each
+    candidate token's estimate = min over the d rows.  Deterministic:
+    token hash = the segmented-polynomial fmix64 kernel over lower(text).
+
+    Candidates here are the distinct tokens (collected per-block-unique —
+    small for a vocabulary; at open-web scale feed an external candidate
+    stream instead).  Returns (tok, est) with est ≥ threshold, sorted.
+    CMS guarantees est ≥ true count, so no true heavy hitter is missed."""
+    from graphscope_ray.functions.hashing import batch_token_hashes
+
+    def _partial(t: pa.Table) -> pa.Table:
+        texts = [(x or "").lower() for x in t[text_col].to_pylist()]
+        hs, _ = batch_token_hashes(texts)
+        cms = np.zeros((d, w), dtype=np.int64)
+        if hs.size:
+            b = _cms_buckets(hs, d, w)
+            for i in range(d):
+                np.add.at(cms[i], b[:, i], 1)
+        return pa.table({"cms": pa.array([cms.tobytes()], pa.binary())})
+
+    parts = ds.select_columns([text_col]).map_batches(_partial, batch_format="pyarrow").to_pandas()
+    cms = np.zeros((d, w), dtype=np.int64)
+    for blob in parts["cms"]:
+        cms += np.frombuffer(blob, dtype=np.int64).reshape(d, w)
+
+    # candidate set: distinct tokens, per-block unique first
+    def _cands(t: pa.Table) -> pa.Table:
+        toks = set()
+        for x in t[text_col].to_pylist():
+            toks.update((x or "").lower().split())
+        return pa.table({"tok": pa.array(sorted(toks), pa.string())})
+
+    cand = (
+        ds.select_columns([text_col])
+        .map_batches(_cands, batch_format="pyarrow")
+        .to_pandas()["tok"]
+        .drop_duplicates()
+        .sort_values()
+        .to_numpy()
+    )
+    from graphscope_ray.functions.hashing import token_hashes
+
+    ch = np.array(
+        [token_hashes(t.encode())[0] if t else 0 for t in cand], dtype=np.uint64
+    )
+    cb = _cms_buckets(ch, d, w)
+    est = np.min(cms[np.arange(d)[None, :], cb], axis=1)
+    keep = est >= threshold
+    out = pd.DataFrame({"tok": cand[keep], "est": est[keep].astype(np.int64)})
+    return out.sort_values("tok").reset_index(drop=True)

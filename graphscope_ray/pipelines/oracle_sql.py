@@ -2386,3 +2386,38 @@ def lg_kcore_size_sql(k: int = 5) -> str:
     return (
         f"SELECT CAST(sum(in_core) AS BIGINT) AS core_size FROM ({inner})"
     )
+
+
+def op_cms_heavy_sql(d: int = 4, w: int = 2048, threshold: int = 100) -> str:
+    """Bit-exact SQL replica of sketch.cms_heavy_hitters: per-token-instance
+    fmix64(h + (i+1)·φ64) buckets per row i, per-(row, bucket) counts, and
+    min-over-rows estimates for the distinct-token candidate set."""
+    phi = str(0x9E3779B97F4A7C15)
+    tok_ctes, th = _token_hash_ctes("lower(text)")
+    ivals = ", ".join(f"({i})" for i in range(d))
+    mix_b, bfin = _mix64_stages("hb0", "doc_id, tj, i", "hb")
+    mix_c, cfin = _mix64_stages("cb0", "tok, i", "cb")
+    ctes = [
+        *tok_ctes,
+        f"iv(i) AS (VALUES {ivals})",
+        f"hb0 AS MATERIALIZED (SELECT doc_id, tj, iv.i, "
+        f"(h + (iv.i + 1) * CAST({phi} AS HUGEINT)) % {_Q64} AS h "
+        f"FROM {th} CROSS JOIN iv)",
+        *mix_b,
+        f"bk AS MATERIALIZED (SELECT i, h % {w} AS bucket, count(*) AS c "
+        f"FROM {bfin} GROUP BY i, h % {w})",
+        f"cand AS MATERIALIZED (SELECT DISTINCT t.tok, u.h "
+        f"FROM tk0 t JOIN {th} u ON u.doc_id = t.doc_id AND u.tj = t.tj)",
+        f"cb0 AS (SELECT tok, iv.i, "
+        f"(h + (iv.i + 1) * CAST({phi} AS HUGEINT)) % {_Q64} AS h "
+        f"FROM cand CROSS JOIN iv)",
+        *mix_c,
+        f"cest AS (SELECT cbx.tok, min(coalesce(bk.c, 0)) AS est "
+        f"FROM (SELECT tok, i, h % {w} AS bucket FROM {cfin}) cbx "
+        f"LEFT JOIN bk ON bk.i = cbx.i AND bk.bucket = cbx.bucket GROUP BY cbx.tok)",
+    ]
+    return (
+        "WITH RECURSIVE " + ",\n".join(ctes) + " "
+        f"SELECT tok, CAST(est AS BIGINT) AS est FROM cest "
+        f"WHERE est >= {threshold} ORDER BY tok"
+    )

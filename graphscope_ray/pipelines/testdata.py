@@ -1738,3 +1738,13 @@ def lg_kcore_size(sf_dir: str, k: int = 5) -> pd.DataFrame:
     of the k-core — the peeling fixpoint's survivor count as one scalar."""
     df = lg_kcore(sf_dir, k=k)
     return pd.DataFrame({"core_size": [int(df["in_core"].sum())]})
+
+
+def op_cms_heavy(sf_dir: str, threshold: int = 100) -> pd.DataFrame:
+    """Count-min-sketch heavy-hitter tokens over documents: additively
+    mergeable d×w partial sketches per block; estimates are min-over-rows
+    and never undercount, so no true heavy hitter is missed."""
+    from graphscope_ray.functions.sketch import cms_heavy_hitters
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    return cms_heavy_hitters(docs, threshold=threshold)

@@ -37,3 +37,31 @@ def test_hll_partitioning_invariant():
     a = hll_count(_ds(vals, blocks=2), "x", p=10)
     b = hll_count(_ds(vals, blocks=13), "x", p=10)
     assert a == b  # register merge is exact, any block split
+
+
+def test_cms_heavy_hitters_superset_and_estimates():
+    from graphscope_ray.functions.sketch import cms_heavy_hitters
+
+    rng = np.random.default_rng(4)
+    # 3 heavy tokens + noise vocabulary
+    heavy = ["aaa"] * 400 + ["bbb"] * 250 + ["ccc"] * 120
+    noise = [f"w{v}" for v in rng.integers(0, 3000, 4000)]
+    toks = heavy + noise
+    rng.shuffle(toks)
+    docs = [" ".join(toks[i::40]) for i in range(40)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(40), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        )
+    ).repartition(5)
+    out = cms_heavy_hitters(ds, threshold=100)
+    got = dict(zip(out["tok"], out["est"]))
+    # every true heavy hitter found, estimates never undercount
+    assert got.get("aaa", 0) >= 400
+    assert got.get("bbb", 0) >= 250
+    assert got.get("ccc", 0) >= 120
+    # CMS overestimate is bounded (w=2048, ~4.7k tokens -> small collisions)
+    assert got["aaa"] < 400 + 60
