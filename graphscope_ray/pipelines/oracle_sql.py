@@ -2150,10 +2150,6 @@ def dedup_minhash_sql(
     rng = np.random.RandomState(1)
     pa_ = rng.randint(1, m61, size=num_perm, dtype=np.uint64)
     pb_ = rng.randint(0, m61, size=num_perm, dtype=np.uint64)
-    perm_rows = ", ".join(
-        f"({p}, CAST({int(pa_[p])} AS HUGEINT), CAST({int(pb_[p])} AS HUGEINT))"
-        for p in range(num_perm)
-    )
     bp = [pow(1099511628211, j, 1 << 64) for j in range(k)]  # B^j mod 2^64
     r = num_perm // bands
     bw_rows = ", ".join(
@@ -2175,13 +2171,25 @@ def dedup_minhash_sql(
         f"CAST(({sh_terms}) % {_Q64} AS HUGEINT) AS h FROM ld WHERE b{k - 1} IS NOT NULL)",
         *mix_sh,
         f"dsh AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM {sh_final})",
-        f"perm(p, a, b) AS (VALUES {perm_rows})",
-        f"sig AS MATERIALIZED (SELECT doc_id, perm.p AS pi, "
-        f"min((({_mulmod64('dsh.h', 'perm.a')} + perm.b) % {_Q64}) % {m61}) AS s "
-        f"FROM dsh CROSS JOIN perm GROUP BY doc_id, perm.p)",
+        # a < 2^61 ⇒ h·a + b < 2^126 fits HUGEINT directly (no split-multiply);
+        # 64 min-aggregates in ONE scan of the distinct-shingle table, then
+        # UNPIVOT back to long form — ~5× cheaper than the 9.5M-row
+        # CROSS JOIN + split-mulmod formulation on the same data.
+        f"sigw AS MATERIALIZED (SELECT doc_id, "
+        + ", ".join(
+            f"min(((h * CAST({int(pa_[p])} AS HUGEINT) + {int(pb_[p])}) % {_Q64})"
+            f" % {m61}) AS s{p}"
+            for p in range(num_perm)
+        )
+        + " FROM dsh GROUP BY doc_id)",
+        f"sig AS MATERIALIZED (SELECT doc_id, CAST(substr(pi, 2) AS INT) AS pi, "
+        f"CAST(s AS HUGEINT) AS s FROM (UNPIVOT sigw ON "
+        + ", ".join(f"s{p}" for p in range(num_perm))
+        + " INTO NAME pi VALUE s))",
         f"bw(j, p) AS (VALUES {bw_rows})",
+        # s < 2^61, p < 2^64 ⇒ direct product < 2^125, no split needed
         f"bpre AS MATERIALIZED (SELECT doc_id, pi // {r} AS band, "
-        f"CAST(sum({_mulmod64('sig.s', 'bw.p')}) % {_Q64} AS HUGEINT) AS h "
+        f"CAST(sum((sig.s * bw.p) % {_Q64}) % {_Q64} AS HUGEINT) AS h "
         f"FROM sig JOIN bw ON bw.j = pi % {r} GROUP BY doc_id, pi // {r})",
         *mix_bh,
         f"mnb AS (SELECT band, h, min(doc_id) AS m FROM {bh_final} GROUP BY band, h)",
