@@ -191,3 +191,46 @@ def kmeans(
         )
 
     return ds.map_batches(_assign, batch_format="pyarrow"), C
+
+
+def profile_table(
+    ds: ray.data.Dataset, numeric_cols: list[str]
+) -> pd.DataFrame:
+    """DESCRIBE-style column profile: one streaming pass emits per-block
+    partials (count, nulls, min, max, sum) per column; the driver folds
+    block partials — constant-size state, never the data.  Returns one row
+    per column: (column, n, n_null, min, max, mean)."""
+    import pyarrow.compute as pc
+
+    cols = list(numeric_cols)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        rows = []
+        for c in cols:
+            arr = t[c]
+            n = len(arr)
+            nn = arr.null_count
+            if n - nn > 0:
+                mn = pc.min(arr).as_py()
+                mx = pc.max(arr).as_py()
+                sm = pc.sum(arr).as_py()
+            else:
+                mn, mx, sm = np.inf, -np.inf, 0.0
+            rows.append((c, n, nn, float(mn), float(mx), float(sm)))
+        out = pd.DataFrame(rows, columns=["column", "n", "n_null", "mn", "mx", "sm"])
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("column")
+    out = pd.DataFrame(
+        {
+            "column": sorted(cols),
+            "n": g["n"].sum().reindex(sorted(cols)).to_numpy(np.int64),
+            "n_null": g["n_null"].sum().reindex(sorted(cols)).to_numpy(np.int64),
+            "min": g["mn"].min().reindex(sorted(cols)).to_numpy(np.float64),
+            "max": g["mx"].max().reindex(sorted(cols)).to_numpy(np.float64),
+        }
+    )
+    sm = g["sm"].sum().reindex(sorted(cols)).to_numpy(np.float64)
+    out["mean"] = sm / np.maximum(out["n"] - out["n_null"], 1)
+    return out.reset_index(drop=True)

@@ -2429,3 +2429,14 @@ def op_cms_heavy_sql(d: int = 4, w: int = 2048, threshold: int = 100) -> str:
         f"SELECT tok, CAST(est AS BIGINT) AS est FROM cest "
         f"WHERE est >= {threshold} ORDER BY tok"
     )
+
+
+def op_profile_sql(cols=("l_quantity", "l_extendedprice", "l_discount", "l_tax")) -> str:
+    parts = [
+        f'SELECT \'{c}\' AS "column", count(*) AS n, '
+        f"count(*) - count({c}) AS n_null, "
+        f"round(min({c}), 8) AS min, round(max({c}), 8) AS max, "
+        f"round(sum({c}) / count({c}), 8) AS mean FROM lineitem"
+        for c in sorted(cols)
+    ]
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'

@@ -1748,3 +1748,16 @@ def op_cms_heavy(sf_dir: str, threshold: int = 100) -> pd.DataFrame:
 
     docs = read(sf_dir, "documents", columns=["doc_id", "text"])
     return cms_heavy_hitters(docs, threshold=threshold)
+
+
+def op_profile(sf_dir: str) -> pd.DataFrame:
+    """Column profiler (DESCRIBE parity): constant-size per-block partials
+    folded driver-side — count/nulls/min/max/mean per numeric column."""
+    from graphscope_ray.functions.mlprep import profile_table
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = read(sf_dir, "lineitem", columns=cols)
+    out = profile_table(li, cols)
+    for c in ("min", "max", "mean"):
+        out[c] = out[c].round(8)
+    return out
