@@ -58,3 +58,20 @@ def test_kmeans_separated_clusters():
     # centroids land near the true centers
     d = np.abs(np.sort(C[:, 0]) - np.sort(centers[:, 0])).max()
     assert d < 0.5
+
+
+def test_profile_table_with_nulls():
+    from graphscope_ray.functions.mlprep import profile_table
+
+    df = pd.DataFrame(
+        {
+            "a": [1.0, None, 3.0, 5.0],
+            "b": [None, None, 2.0, 4.0],
+        }
+    )
+    out = profile_table(_ds(df).repartition(2), ["a", "b"]).set_index("column")
+    assert out.loc["a", "n"] == 4 and out.loc["a", "n_null"] == 1
+    assert out.loc["a", "min"] == 1.0 and out.loc["a", "max"] == 5.0
+    np.testing.assert_allclose(out.loc["a", "mean"], 3.0)
+    assert out.loc["b", "n_null"] == 2
+    np.testing.assert_allclose(out.loc["b", "mean"], 3.0)
