@@ -459,6 +459,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "events_hopping": _q_events_hopping,
         "events_sessionize": _q_sessionize,
+        "events_funnel": td.events_funnel,
+        "op_rollup": td.op_rollup,
+        "op_left_join": td.op_left_join,
         # text analysis
         "text_tokens": _q_text_tokens,
         "text_stats": _q_text_stats,
@@ -605,6 +608,9 @@ def oracle_sql() -> dict[str, str]:
         "events_window": osql.events_window_sql(),
         "events_hopping": osql.events_hopping_sql(),
         "events_sessionize": osql.sessionize_sql(),
+        "events_funnel": osql.events_funnel_sql(),
+        "op_rollup": osql.op_rollup_sql(),
+        "op_left_join": osql.op_left_join_sql(),
         "text_tokens": osql.text_tokens_sql(),
         "text_stats": osql.text_stats_sql(),
         "text_quality": osql.text_quality_sql(),

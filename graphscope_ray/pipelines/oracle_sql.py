@@ -2440,3 +2440,46 @@ def op_profile_sql(cols=("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         for c in sorted(cols)
     ]
     return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
+def events_funnel_sql(steps=("view", "click", "purchase")) -> str:
+    ctes = [
+        f"f1 AS (SELECT user_id, min(ts) AS t FROM events "
+        f"WHERE event_type = '{steps[0]}' GROUP BY user_id)"
+    ]
+    for i in range(1, len(steps)):
+        ctes.append(
+            f"f{i + 1} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            f"JOIN f{i} ON f{i}.user_id = e.user_id AND e.ts > f{i}.t "
+            f"WHERE e.event_type = '{steps[i]}' GROUP BY e.user_id)"
+        )
+    case = "CASE " + " ".join(
+        f"WHEN f{k}.t IS NOT NULL THEN {k}" for k in range(len(steps), 0, -1)
+    ) + " ELSE 0 END"
+    joins = " ".join(
+        f"LEFT JOIN f{k} ON f{k}.user_id = u.user_id" for k in range(1, len(steps) + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + " "
+        f"SELECT u.user_id, {case} AS steps "
+        f"FROM (SELECT DISTINCT user_id FROM events) u {joins} ORDER BY u.user_id"
+    )
+
+
+def op_rollup_sql() -> str:
+    return (
+        "SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority, "
+        "coalesce(o_orderstatus, 'ALL') AS o_orderstatus, "
+        "count(*) AS n, round(sum(o_totalprice), 4) AS sum_price "
+        "FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus) "
+        "ORDER BY o_orderpriority, o_orderstatus"
+    )
+
+
+def op_left_join_sql() -> str:
+    return (
+        "SELECT c.c_custkey, count(o.o_orderkey) AS n_orders, "
+        "round(coalesce(sum(o.o_totalprice), 0.0), 4) AS spend "
+        "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_custkey ORDER BY c.c_custkey"
+    )

@@ -1761,3 +1761,102 @@ def op_profile(sf_dir: str) -> pd.DataFrame:
     for c in ("min", "max", "mean"):
         out[c] = out[c].round(8)
     return out
+
+
+def events_funnel(sf_dir: str, steps=("view", "click", "purchase")) -> pd.DataFrame:
+    """Ordered funnel (MATCH_RECOGNIZE-lite): per user, how many of the
+    ordered steps occur with strictly increasing timestamps (step k must
+    happen AFTER the first completion of step k-1).  Per-user sequence scan
+    inside `groupby.map_groups` (the sessionize contract), vectorized per
+    group."""
+    ev = read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def _funnel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        ts = g["ts"].to_numpy()
+        et = g["event_type"].to_numpy()
+        t_prev = None
+        reached = 0
+        for s in steps:
+            m = (et == s) if t_prev is None else ((et == s) & (ts > t_prev))
+            if not m.any():
+                break
+            t_prev = ts[m].min()
+            reached += 1
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "steps": [reached]})
+
+    out = ev.groupby("user_id").map_groups(_funnel, batch_format="pandas").to_pandas()
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["steps"] = out["steps"].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def op_rollup(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP(o_orderpriority, o_orderstatus): counts and sums at all three
+    granularities, totals labeled 'ALL' — three streaming groupbys unioned
+    (each a partial-combine aggregate, no extra scan of the fact table
+    beyond one pass per level)."""
+    od = read(sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def _agg(keys):
+        g = (
+            od.groupby(keys)
+            .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="sum_price"))
+            .to_pandas()
+            if keys
+            else pd.DataFrame(
+                {
+                    "n": [od.count()],
+                    "sum_price": [
+                        od.aggregate(Sum("o_totalprice", alias_name="s"))["s"]
+                    ],
+                }
+            )
+        )
+        for c in ("o_orderpriority", "o_orderstatus"):
+            if c not in g.columns:
+                g[c] = "ALL"
+        return g[["o_orderpriority", "o_orderstatus", "n", "sum_price"]]
+
+    out = pd.concat(
+        [_agg(["o_orderpriority", "o_orderstatus"]), _agg(["o_orderpriority"]), _agg([])],
+        ignore_index=True,
+    )
+    out["sum_price"] = out["sum_price"].astype(np.float64).round(4)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["o_orderpriority", "o_orderstatus"]).reset_index(drop=True)
+
+
+def op_left_join(sf_dir: str) -> pd.DataFrame:
+    """Left outer join with aggregate fill: every customer with order count
+    and total spend (0 for order-less customers) — small aggregated side
+    broadcast onto the dimension scan."""
+    import ray as _ray
+
+    from graphscope_ray.utils import hash_groupby_sum
+
+    od = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    agg = hash_groupby_sum(od, ["o_custkey"], "o_totalprice", "spend", num_partitions=8)
+    cnt = hash_groupby_sum(od, ["o_custkey"], None, "n_orders", num_partitions=8)
+    adf = agg.to_pandas().merge(cnt.to_pandas(), on="o_custkey")
+    keys = adf["o_custkey"].to_numpy()
+    order = np.argsort(keys)
+    ref = _ray.put((keys[order], adf["spend"].to_numpy()[order], adf["n_orders"].to_numpy()[order]))
+
+    def _join(t: pa.Table) -> pa.Table:
+        k_sorted, spend, n = _ray.get(ref)
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(k_sorted, ck), max(len(k_sorted) - 1, 0))
+        hit = (k_sorted[pos] == ck) if len(k_sorted) else np.zeros(len(ck), bool)
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "n_orders": pa.array(np.where(hit, n[pos], 0).astype(np.int64)),
+                "spend": pa.array(np.where(hit, spend[pos], 0.0)),
+            }
+        )
+
+    cust = read(sf_dir, "customer", columns=["c_custkey"])
+    out = cust.map_batches(_join, batch_format="pyarrow").to_pandas()
+    out["spend"] = out["spend"].round(4)
+    return out.sort_values("c_custkey").reset_index(drop=True)
