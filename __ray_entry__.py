@@ -349,6 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_edges_weighted": td.lg_edges_weighted,
         "lg_degree": td.lg_degree,
         "lg_undirected_edge_count": td.lg_undirected_edge_count,
+        "lg_induced_subgraph": td.lg_induced_subgraph,
         # analytical apps (oracle: unrolled/recursive SQL)
         "lg_pagerank": td.lg_pagerank_fixed,
         "lg_pagerank_converged": td.lg_pagerank_converged,
@@ -499,6 +500,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_edges_weighted": osql.lg_edges_weighted_sql(),
         "lg_degree": osql.lg_degree_sql(),
         "lg_undirected_edge_count": osql.lg_undirected_edge_count_sql(),
+        "lg_induced_subgraph": osql.lg_induced_subgraph_sql(),
         "lg_pagerank": osql.lg_pagerank_sql(rounds=15),
         "lg_wcc": osql.lg_wcc_sql(),
         "lg_cdlp": osql.lg_cdlp_sql(rounds=10),

@@ -2483,3 +2483,10 @@ def op_left_join_sql() -> str:
         "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
         "GROUP BY c.c_custkey ORDER BY c.c_custkey"
     )
+
+
+def lg_induced_subgraph_sql(max_oid: int = 100) -> str:
+    return (
+        f"WITH {_BASE} SELECT src, dst FROM e "
+        f"WHERE src < {max_oid} AND dst < {max_oid} ORDER BY src, dst"
+    )

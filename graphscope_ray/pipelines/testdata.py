@@ -1860,3 +1860,21 @@ def op_left_join(sf_dir: str) -> pd.DataFrame:
     out = cust.map_batches(_join, batch_format="pyarrow").to_pandas()
     out["spend"] = out["spend"].round(4)
     return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def lg_induced_subgraph(sf_dir: str, max_oid: int = 100) -> pd.DataFrame:
+    """INDUCE_SUBGRAPH (dag_utils.py:639-737 semantics on the batch engine):
+    edges whose BOTH endpoints fall in the vertex set S = {oid < max_oid} —
+    one streaming filter pass; no rebuild, no driver-side vertex collection
+    (S here is a predicate; an explicit S would broadcast like semi_join)."""
+    e = lg_edges(sf_dir)
+
+    def _induce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "src" not in t.schema.names:
+            return t
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((src < max_oid) & (dst < max_oid)))
+
+    out = e.map_batches(_induce, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
