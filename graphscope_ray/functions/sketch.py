@@ -137,9 +137,10 @@ def _cms_buckets(h: np.ndarray, d: int, w: int) -> np.ndarray:
 
     out = np.empty((len(h), d), dtype=np.int64)
     for i in range(d):
-        out[:, i] = (mix64(h + np.uint64(i + 1) * _CMS_MIX) % np.uint64(w)).astype(
-            np.int64
-        )
+        # (i+1)·φ64 mod 2^64 precomputed in Python ints — numpy warns on
+        # intended uint64 scalar wraparound
+        salt = np.uint64(((i + 1) * int(_CMS_MIX)) % (1 << 64))
+        out[:, i] = (mix64(h + salt) % np.uint64(w)).astype(np.int64)
     return out
 
 
