@@ -90,8 +90,9 @@ def asof_join(
         rdf = pd.concat(dfs[nleft:], ignore_index=True)
         if on not in ldf.columns or len(ldf) == 0:
             return pa.table({})
-        if on not in rdf.columns:
-            rdf = ldf.iloc[:0][[on]].copy()
+        if on not in rdf.columns or right_ts not in rdf.columns:
+            # schema-stripped empty right partition: inner semantics → no rows
+            return pa.table({})
         # deterministic tie-break: per (key, ts) keep the row sorting last
         rdf = rdf.sort_values(list(rdf.columns), kind="mergesort")
         rdf = rdf.drop_duplicates(subset=[on, right_ts], keep="last")

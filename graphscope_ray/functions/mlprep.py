@@ -233,4 +233,8 @@ def profile_table(
     )
     sm = g["sm"].sum().reindex(sorted(cols)).to_numpy(np.float64)
     out["mean"] = sm / np.maximum(out["n"] - out["n_null"], 1)
+    # all-null / empty column: the (inf, -inf) empty-block placeholder must
+    # not leak out — SQL semantics give NULL min/max/mean there
+    degenerate = (out["n"] - out["n_null"]) == 0
+    out.loc[degenerate, ["min", "max", "mean"]] = np.nan
     return out.reset_index(drop=True)

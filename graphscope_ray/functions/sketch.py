@@ -22,22 +22,27 @@ import ray.data
 
 def _hash64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Deterministic uint64 hash per value: int64 columns use the fmix64
-    avalanche directly; strings hash their utf-8 bytes with the rolling
-    polynomial + fmix64 kernel (one token per value)."""
+    avalanche directly; strings hash their utf-8 bytes with the SAME
+    ascending-power polynomial + fmix64 kernel as hashing.token_hashes
+    (one segment per VALUE, whole column in one segmented reduceat — no
+    per-value Python loop).  Empty/null values hash to mix64(0)."""
     from graphscope_ray.functions.hashing import _pow_table, mix64
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_integer(col.type):
         return mix64(col.to_numpy(zero_copy_only=False).astype(np.uint64))
-    out = np.empty(len(col), dtype=np.uint64)
-    for i, v in enumerate(col.to_pylist()):
-        b = np.frombuffer((v or "").encode("utf-8", "surrogatepass"), dtype=np.uint8)
-        if b.size == 0:
-            out[i] = 0
-            continue
-        pw = _pow_table(b.size)[: b.size][::-1]
-        out[i] = (b.astype(np.uint64) * pw).sum(dtype=np.uint64)
+    encoded = [(v or "").encode("utf-8", "surrogatepass") for v in col.to_pylist()]
+    lens = np.fromiter((len(e) for e in encoded), dtype=np.int64, count=len(encoded))
+    out = np.zeros(len(encoded), dtype=np.uint64)
+    nz = np.flatnonzero(lens)
+    if nz.size:
+        b = np.frombuffer(b"".join(encoded), dtype=np.uint8).astype(np.uint64)
+        starts = np.concatenate([[0], np.cumsum(lens[nz])])[:-1].astype(np.int64)
+        # byte position within its value → ascending powers, token_hashes parity
+        pos = np.arange(b.size, dtype=np.int64) - np.repeat(starts, lens[nz])
+        pw = _pow_table(int(lens.max()) + 1)
+        out[nz] = np.add.reduceat(b * pw[pos], starts)
     return mix64(out)
 
 

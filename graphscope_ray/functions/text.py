@@ -111,7 +111,9 @@ class LangId:
             {
                 "doc_id": pa.array(batch["doc_id"].to_numpy()),
                 "lang_pred": pa.array(pred.astype(str).tolist(), pa.string()),
-                "lang_score": pa.array(best),
+                # oracle (text_langid_sql) emits round(best, 8); the driver
+                # hashes raw values, so bake the same rounding in here
+                "lang_score": pa.array(np.round(best, 8)),
             }
         )
 

@@ -145,7 +145,11 @@ def lg_pagerank_fixed(sf_dir: str, rounds: int = 15, alpha: float = 0.85) -> pd.
 def lg_pagerank_converged(sf_dir: str, tol: float = 1e-6) -> pd.DataFrame:
     g = lg_graph(sf_dir)
     ds, _ = alg.pagerank(g, tol=tol)
-    return _oid_space(g, ds, ["score"])
+    out = _oid_space(g, ds, ["score"])
+    # The oracle (oracle_sql.py lg_pagerank_converged_sql) emits round(score, 8);
+    # the driver gate hashes RAW values, so the engine must round identically.
+    out["score"] = out["score"].round(8)
+    return out
 
 
 def lg_ppr(sf_dir: str, source: int = 0, rounds: int = 10) -> pd.DataFrame:

@@ -50,9 +50,11 @@ def write_partitioned(
     Layout: one explicit hash exchange (block → num_buckets slots, same
     pattern as utils.hash_join), then ONE writer task per missing bucket:
     write ``part.parquet.tmp`` → fsync-rename → record rows in the
-    manifest.  The manifest itself is rewritten atomically last, so a crash
-    between bucket commit and manifest flush re-writes at most one bucket
-    (idempotent: same rows, same file)."""
+    manifest.  The manifest is re-flushed atomically as EACH bucket writer
+    returns (ray.wait loop), so a crash mid-run loses at most the buckets
+    still in flight; already-flushed buckets are skipped on retry, and a
+    lost-but-written bucket is simply rewritten (idempotent: same rows,
+    same file)."""
     os.makedirs(path, exist_ok=True)
     manifest = read_manifest(path) if resume else {"buckets": {}}
     missing = [b for b in range(num_buckets) if str(b) not in manifest["buckets"]]
@@ -80,8 +82,9 @@ def write_partitioned(
 
     @ray.remote
     def _write(bucket: int, *dfs) -> int:
-        df = pd.concat(dfs, ignore_index=True)
-        df = df[[c for c in df.columns]]
+        # An empty dataset (zero input blocks) still commits an empty bucket
+        # so the manifest records completion rather than crashing.
+        df = pd.concat(dfs, ignore_index=True) if dfs else pd.DataFrame()
         bdir = os.path.join(path, f"bucket={bucket}")
         os.makedirs(bdir, exist_ok=True)
         tmp = os.path.join(bdir, "part.parquet.tmp")
@@ -91,13 +94,19 @@ def write_partitioned(
         os.replace(tmp, final)
         return len(df)
 
-    rows = ray.get([_write.remote(b, *slots[b]) for b in missing])
-    for b, n in zip(missing, rows):
-        manifest["buckets"][str(b)] = {"rows": int(n)}
-    tmp = _manifest_path(path) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, _manifest_path(path))
+    def _flush():
+        tmp = _manifest_path(path) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, _manifest_path(path))
+
+    pending = {_write.remote(b, *slots[b]): b for b in missing}
+    refs = list(pending)
+    while refs:
+        done, refs = ray.wait(refs, num_returns=1)
+        b = pending[done[0]]
+        manifest["buckets"][str(b)] = {"rows": int(ray.get(done[0]))}
+        _flush()  # per-bucket commit: crash loses only in-flight buckets
     return manifest
 
 

@@ -2,7 +2,12 @@
 and its oracle_sql() side-by-side via DuckDB, compare row count + schema +
 order-insensitive values.  Usage:
 
-    python scripts/verify_oracles.py [sf_dir] [name ...]
+    python scripts/verify_oracles.py [--raw] [sf_dir] [name ...]
+
+--raw replicates the driver's hash gate: NO float rounding on either side —
+values must match bit-for-bit (the engine must bake any round() its oracle
+emits into its own output).  Default mode rounds both sides to 8dp, which
+is more forgiving and CANNOT catch engine-side rounding omissions.
 """
 
 from __future__ import annotations
@@ -26,21 +31,24 @@ def to_pandas(obj):
     return obj
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+def canon(df: pd.DataFrame, raw: bool = False) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif np.issubdtype(df[c].dtype, np.floating):
-            df[c] = df[c].round(8)
+            if not raw:
+                df[c] = df[c].round(8)
         elif np.issubdtype(df[c].dtype, np.integer):
             df[c] = df[c].astype(np.int64)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--raw"]
+    raw = "--raw" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
     ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as entrymod
@@ -54,7 +62,7 @@ def main():
         if only and name not in only:
             continue
         try:
-            got = canon(to_pandas(fn(sf_dir)))
+            got = canon(to_pandas(fn(sf_dir)), raw=raw)
         except Exception as e:
             print(f"FAIL {name}: query raised {type(e).__name__}: {str(e)[:200]}")
             n_bad += 1
@@ -64,7 +72,7 @@ def main():
             n_ok += 1
             continue
         try:
-            want = canon(con.execute(oracles[name]).fetchdf())
+            want = canon(con.execute(oracles[name]).fetchdf(), raw=raw)
         except Exception as e:
             print(f"FAIL {name}: oracle raised {type(e).__name__}: {str(e)[:200]}")
             n_bad += 1
@@ -81,7 +89,9 @@ def main():
         for c in got.columns:
             a, b = got[c].to_numpy(), want[c].to_numpy()
             if np.issubdtype(got[c].dtype, np.floating):
-                ok = np.allclose(a.astype(float), b.astype(float), atol=1e-7, equal_nan=True)
+                atol = 0.0 if raw else 1e-7
+                ok = np.allclose(a.astype(float), b.astype(float), rtol=0.0 if raw else 1e-5,
+                                 atol=atol, equal_nan=True)
             else:
                 ok = (a == b).all()
             if not ok:
