@@ -395,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_betweenness_sampled": td.lg_betweenness,
         "lg_kshell": td.lg_kshell,
         "lg_louvain": td.lg_louvain,
+        "lg_louvain_level1": td.lg_louvain_level1,
         "lg_closeness_harmonic": td.lg_closeness_harmonic,
         "lg_apsp": td.lg_apsp,
         "lg_dfs": td.lg_dfs,
@@ -618,6 +619,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": osql.text_quality_sql(),
         "dedup_exact": osql.dedup_exact_sql(),
         "dedup_ngram": osql.dedup_ngram_sql(),
+        "lg_louvain_level1": osql.lg_louvain_level1_sql(),
         "sim_topk": osql.sim_topk_sql(),
         "sim_ivf_exact": osql.sim_topk_sql(),
         "samp_sample": osql.samp_sample_sql(),

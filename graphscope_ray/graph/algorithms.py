@@ -629,14 +629,16 @@ def louvain(
     """Louvain community detection (ref apps/pregel/louvain/louvain.h):
     level 0 (the full graph) runs DISTRIBUTED synchronous local moves with
     parity alternation — neighbors' community labels travel as pre-combined
-    CDLP-style counts, the community-degree table Σtot is rebuilt by the
-    driver each round from per-fragment contributions and broadcast via
-    ray.put (one float per vertex).  Coarser levels (communities, orders of
-    magnitude smaller) aggregate the edge list by community pair —
-    per-fragment packed-key combine, tiny driver merge — and refine with a
-    sequential weighted Louvain, exactly like the reference runs phase 2 on
-    the contracted graph.  Returns (Dataset(vid, comm), modularity);
-    community ids are canonical min-member original vids."""
+    CDLP-style counts, and the community-degree table Σtot lives SHARDED on
+    the fragments (owner = c % P): contributions are exchanged pre-combined
+    fragment-to-fragment and move rules fetch exactly the entries they need
+    (see _louvain_move_rounds — no driver-side vertex-sized array anywhere).
+    Coarser levels (communities, orders of magnitude smaller) aggregate the
+    edge list by community pair — per-fragment packed-key combine, tiny
+    driver merge — and refine with a sequential weighted Louvain, exactly
+    like the reference runs phase 2 on the contracted graph.  Returns
+    (Dataset(vid, comm), modularity); community ids are canonical
+    min-member original vids."""
     import ray as _ray
 
     name = "louvain0"
@@ -655,44 +657,19 @@ def louvain(
         )
         return ds, 0.0
     _ray.get([a.p_init.remote(name, "louvain_move", {"m": m}) for a in acts])
-    idle = 0
-    for step in range(max_move_rounds):
-        contribs = _ray.get([a.p_call.remote(name, "comm_tot_contrib") for a in acts])
-        tot = np.zeros(N)
-        for ids, vals in contribs:
-            if len(ids):
-                np.add.at(tot, ids, vals)
-        glob = {"tot_ref": _ray.put(tot)}
-        refs = [a.p_scatter_all.remote(name, step, glob) for a in acts]
-        stats = _ray.get(
-            [q.p_gather_shared.remote(name, step, glob, *refs) for q in acts]
-        )
-        moves = sum(s["moves"] for s in stats)
-        idle = idle + 1 if moves == 0 else 0
-        if idle >= 2:  # both parities stable
-            break
-    # level-0 communities (vid space)
-    l0 = g.program_state(name).to_pandas().sort_values("vid")
-    comm0 = l0["comm"].to_numpy(np.int64)
-    # contract: per-fragment packed (comm_src, comm_dst, w) combine
-    cref = _ray.put(comm0)
+    _louvain_move_rounds(g, name, max_move_rounds)
 
-    @_ray.remote
-    def _coarse(actor):
-        # undirected dedup adjacency (the same view the move phase used);
-        # each edge appears at both endpoints → the merged counts are 2×
-        t = _ray.get(actor.undirected_edges_table.remote())
-        cm = _ray.get(cref)
-        cs = cm[t["src"].to_numpy(zero_copy_only=False)]
-        cd = cm[t["dst"].to_numpy(zero_copy_only=False)]
-        lo, hi = np.minimum(cs, cd), np.maximum(cs, cd)
-        keys = lo.astype(np.uint64) << np.uint64(32) | hi.astype(np.uint64)
-        uk, cnt = np.unique(keys, return_counts=True)
-        return uk, cnt
-
-    parts = _ray.get([_coarse.remote(a) for a in acts])
-    keys = np.concatenate([p[0] for p in parts])
-    cnts = np.concatenate([p[1] for p in parts]).astype(np.float64) / 2.0
+    # ---- contract to the community graph.  Driver state from here on is
+    # O(#communities), never O(N): pair weights and min-member vids arrive
+    # pre-combined from the fragments (one more label-exchange wave), and
+    # the final per-vertex labels are applied fragment-side via an
+    # O(#communities) relabel table.
+    P = g.P
+    refs = [a.p_scatter_all.remote(name, max_move_rounds, {}) for a in acts]
+    pair_parts = _ray.get([a.p_call.remote(name, "contract_pairs", *refs) for a in acts])
+    mv_parts = _ray.get([a.p_call.remote(name, "comm_min_vid") for a in acts])
+    keys = np.concatenate([p[0] for p in pair_parts])
+    cnts = np.concatenate([p[1] for p in pair_parts]) / 2.0
     o = np.argsort(keys, kind="stable")
     keys, cnts = keys[o], cnts[o]
     starts = np.concatenate([[0], np.flatnonzero(np.diff(keys) != 0) + 1]).astype(np.int64)
@@ -700,11 +677,17 @@ def louvain(
     w_pair = np.add.reduceat(cnts, starts)
     lo = (uk >> np.uint64(32)).astype(np.int64)
     hi = (uk & np.uint64(0xFFFFFFFF)).astype(np.int64)
-    # dense-relabel the level-0 communities
-    cids = np.unique(comm0)
-    remap = np.searchsorted(cids, comm0)
-    lo_d, hi_d = np.searchsorted(cids, lo), np.searchsorted(cids, hi)
+    # community universe + min member vid per community (covers isolated
+    # communities too — every owned vertex contributes to comm_min_vid)
+    mc_ids = np.concatenate([p[0] for p in mv_parts])
+    mc_min = np.concatenate([p[1] for p in mv_parts])
+    o = np.argsort(mc_ids, kind="stable")
+    mc_ids, mc_min = mc_ids[o], mc_min[o]
+    cstarts = np.concatenate([[0], np.flatnonzero(np.diff(mc_ids) != 0) + 1]).astype(np.int64)
+    cids = mc_ids[cstarts]
+    min_vid_c0 = np.minimum.reduceat(mc_min, cstarts)
     nc = len(cids)
+    lo_d, hi_d = np.searchsorted(cids, lo), np.searchsorted(cids, hi)
     self_m = lo_d == hi_d
     self_w = np.zeros(nc)
     np.add.at(self_w, lo_d[self_m], w_pair[self_m])
@@ -712,6 +695,7 @@ def louvain(
     src2 = np.concatenate([es, ed])
     dst2 = np.concatenate([ed, es])
     w2 = np.concatenate([ew, ew])
+    cmap = np.arange(nc, dtype=np.int64)  # dense level-0 community → coarse id
     for _ in range(max_levels):
         c2, q = _louvain_numpy(src2, dst2, w2, nc, self_w=self_w)
         if (c2 == np.arange(nc)).all():
@@ -719,7 +703,7 @@ def louvain(
         # contract again
         cids2 = np.unique(c2)
         nc2 = len(cids2)
-        remap = np.searchsorted(cids2, c2[remap])  # vid → dense new coarse id
+        cmap = np.searchsorted(cids2, c2[cmap])
         cs2 = np.searchsorted(cids2, c2[src2])
         cd2 = np.searchsorted(cids2, c2[dst2])
         sm = cs2 == cd2
@@ -736,20 +720,97 @@ def louvain(
         dst2 = (uk2 & np.uint64(0xFFFFFFFF)).astype(np.int64)
         w2 = w_agg
         nc = nc2
-    # canonical labels: min original vid per community
-    final = remap
-    canon = np.full(final.max() + 1 if final.size else 1, np.iinfo(np.int64).max, dtype=np.int64)
-    np.minimum.at(canon, final, np.arange(N, dtype=np.int64))
-    comm_out = canon[final]
-    ds = ray.data.from_arrow(
-        pa.table(
-            {
-                "vid": pa.array(np.arange(N, dtype=np.int64)),
-                "comm": pa.array(comm_out),
-            }
+    # canonical labels: min original vid per FINAL community, composed down
+    # to level-0 community ids and applied on the fragments
+    canon = np.full(int(cmap.max()) + 1 if cmap.size else 1, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(canon, cmap, min_vid_c0)
+    labels = canon[cmap]  # level-0 community (dense rank in cids) → label
+    cids_ref, labels_ref = _ray.put(cids), _ray.put(labels)
+    _ray.get([a.p_call.remote(name, "relabel", cids_ref, labels_ref) for a in acts])
+    return g.program_state(name), float(q)
+
+
+def _louvain_move_rounds(g: Graph, name: str, max_move_rounds: int) -> int:
+    """Drive LouvainMove supersteps with the fully fragment-to-fragment Σtot
+    exchange — the driver only routes object refs (6 waves/round: contrib →
+    fold → scatter → prepare → lookup → finish; actor tasks from one caller
+    execute in submission order, so fold always lands before lookup).
+    Returns the number of rounds executed."""
+    import ray as _ray
+
+    acts = g.actors
+    P = g.P
+    idle = 0
+    rounds = 0
+    for step in range(max_move_rounds):
+        rounds += 1
+        if P == 1:
+            a = acts[0]
+            c = a.p_call.remote(name, "tot_contrib_parts")
+            a.p_call.remote(name, "fold_tot", c)
+            refs = [a.p_scatter_all.remote(name, step, {})]
+            req = a.p_call.remote(name, "gather_prepare", step, *refs)
+            vals = a.p_call.remote(name, "tot_lookup", req)
+            stats = _ray.get([a.p_call.remote(name, "gather_finish", step, vals)])
+        else:
+            creq = [
+                a.p_call.options(num_returns=P).remote(name, "tot_contrib_parts")
+                for a in acts
+            ]
+            for o_ in range(P):
+                acts[o_].p_call.remote(
+                    name, "fold_tot", *[creq[q][o_] for q in range(P)]
+                )
+            refs = [a.p_scatter_all.remote(name, step, {}) for a in acts]
+            preq = [
+                a.p_call.options(num_returns=P).remote(name, "gather_prepare", step, *refs)
+                for a in acts
+            ]
+            lresp = [
+                acts[o_].p_call.options(num_returns=P).remote(
+                    name, "tot_lookup", *[preq[q][o_] for q in range(P)]
+                )
+                for o_ in range(P)
+            ]
+            stats = _ray.get(
+                [
+                    acts[p].p_call.remote(
+                        name, "gather_finish", step, *[lresp[o_][p] for o_ in range(P)]
+                    )
+                    for p in range(P)
+                ]
+            )
+        moves = sum(s["moves"] for s in stats)
+        idle = idle + 1 if moves == 0 else 0
+        if idle >= 2:  # both parities stable
+            break
+    return rounds
+
+
+def louvain_level1(g: Graph) -> ray.data.Dataset:
+    """ONE deterministic synchronous Louvain move round, every vertex active
+    (no parity), ties → smallest community — the driver-checkable variant
+    with an exact unrolled SQL oracle (oracle_sql.lg_louvain_level1_sql).
+    Returns Dataset(vid, comm) with raw community ids (initial community =
+    own vid, so labels are vids)."""
+    import ray as _ray
+
+    name = "louvain_l1"
+    acts = g.actors
+    m = sum(_ray.get([a.num_undirected_edges.remote() for a in acts])) / 2.0
+    if m == 0:
+        N = g.N
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vid": pa.array(np.arange(N, dtype=np.int64)),
+                    "comm": pa.array(np.arange(N, dtype=np.int64)),
+                }
+            )
         )
-    )
-    return ds, float(q)
+    _ray.get([a.p_init.remote(name, "louvain_move", {"m": m, "parity": False}) for a in acts])
+    _louvain_move_rounds(g, name, 1)
+    return g.program_state(name)
 
 
 def transitivity(g: Graph) -> float:

@@ -495,12 +495,19 @@ def build_graph(
     ds = _to_dataset(edges)
     cols = ["src", "dst"] + (["weight"] if weight else [])
     ds = ds.select_columns(cols)
-    # The edge table feeds several consumers (symmetrize, max, routing count,
-    # routing sort) — pin it once so the upstream pipeline (parquet read,
-    # mining, dedup groupby) doesn't re-execute per consumer.  This IS the
-    # loaded graph (the reference holds it in vineyard similarly); blocks
-    # spill to disk under memory pressure.
-    ds = ds.materialize()
+    # The edge table usually feeds several consumers (symmetrize, max,
+    # routing) — pin it once so the upstream pipeline (parquet read, mining,
+    # dedup groupby) doesn't re-execute per consumer.  This IS the loaded
+    # graph (the reference holds it in vineyard similarly); blocks spill to
+    # disk under memory pressure.  EXCEPTION: a directed build with a known
+    # vertex count and no hub split has exactly ONE consumer (the routing
+    # exchange), so the pin would only add a full extra pass — stream the
+    # upstream straight into the exchange instead.
+    single_consumer = (
+        view == "directed" and num_vertices is not None and hub_threshold is None
+    )
+    if not single_consumer:
+        ds = ds.materialize()
     if view == "undirected":
         ds = _distinct_src_dst(ds.select_columns(["src", "dst"]).union(
             ds.map_batches(_reverse_batch, batch_format="pyarrow").select_columns(["src", "dst"])
@@ -560,8 +567,13 @@ def build_graph(
             ).materialize()
             hub_splits = _route(hub_ds, P, by="dst")
 
-    out_splits = _route(ds, P, by="src")
-    in_splits = _route(ds, P, by="dst") if store_in_edges else None
+    if store_in_edges and hub_splits is None:
+        # one exchange task per block routes by BOTH endpoints (2P returns)
+        # instead of two passes — halves task launches and block reads
+        out_splits, in_splits = _route_both(ds, P)
+    else:
+        out_splits = _route(ds, P, by="src")
+        in_splits = _route(ds, P, by="dst") if store_in_edges else None
 
     # num_cpus=0 + SPREAD: all P fragments co-schedule (supersteps run in
     # lockstep, one numpy thread each); on a multi-node cluster SPREAD places
@@ -602,6 +614,39 @@ def _split_block(t: pa.Table, P: int, by: str):
     counts = np.bincount(part, minlength=P)
     bounds = np.concatenate([[0], np.cumsum(counts)])
     return tuple(sorted_t.slice(int(bounds[p]), int(counts[p])) for p in range(P))
+
+
+@ray.remote
+def _split_block_bidir(t: pa.Table, P: int):
+    """One exchange task per block for graphs that store BOTH edge
+    directions: returns 2P tables — slices routed by src (first P) then by
+    dst (last P).  Each direction is one stable argsort + take, exactly like
+    _split_block, but the block is shipped to a worker once instead of
+    twice."""
+    if "src" not in t.column_names or t.num_rows == 0:
+        empty = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        return tuple(empty for _ in range(2 * P))
+    out = []
+    for by in ("src", "dst"):
+        key = t[by].to_numpy(zero_copy_only=False)
+        part = key % P
+        order = np.argsort(part, kind="stable")
+        sorted_t = t.take(order)
+        counts = np.bincount(part, minlength=P)
+        bounds = np.concatenate([[0], np.cumsum(counts)])
+        out.extend(sorted_t.slice(int(bounds[p]), int(counts[p])) for p in range(P))
+    return tuple(out)
+
+
+def _route_both(ds: ray.data.Dataset, P: int) -> tuple[list[list], list[list]]:
+    """Hash-route by src AND dst in a single pass over the blocks."""
+    blocks = ds.to_arrow_refs()
+    if P == 1:
+        return [blocks], [blocks]
+    refs = [_split_block_bidir.options(num_returns=2 * P).remote(b, P) for b in blocks]
+    out = [[r[p] for r in refs] for p in range(P)]
+    ins = [[r[P + p] for r in refs] for p in range(P)]
+    return out, ins
 
 
 def _route(ds: ray.data.Dataset, P: int, by: str) -> list[list]:
@@ -748,22 +793,48 @@ def build_graph_from_oids(
     ``hash_join`` exchanges — the >100M-vertex scale path.  ``"auto"``
     counts the distinct oids and picks (≤ ``broadcast_limit`` → broadcast).
     """
-    edges = edges.materialize()  # consumed 3× (src ids, dst ids, encode)
-    ids = edges.select_columns([src_col]).rename_columns({src_col: "oid"}).union(
-        edges.select_columns([dst_col]).rename_columns({dst_col: "oid"})
-    )
-    # local combiner: per-batch unique before any global work
-    ids = ids.map_batches(
-        lambda t: pa.table({"oid": pa.array(np.unique(t["oid"].to_numpy(zero_copy_only=False)))}),
-        batch_format="pyarrow",
-    ).materialize()
+    edges = edges.materialize()  # consumed 2× (distinct-id scan, encode)
+
+    # local combiner as RAW per-block tasks over the pinned blocks (no extra
+    # Dataset execution): each task returns (n_unique, unique_array); the
+    # driver checks the Σ-per-block-unique UPPER BOUND from the small ints
+    # alone before fetching a single id array.
+    @ray.remote(num_returns=2)
+    def _block_unique(t: pa.Table):
+        if src_col not in t.column_names or t.num_rows == 0:
+            return 0, np.empty(0, dtype=np.int64)
+        u = np.unique(
+            np.concatenate(
+                [
+                    t[src_col].to_numpy(zero_copy_only=False),
+                    t[dst_col].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return len(u), u
+
+    uniq_refs = [_block_unique.remote(b) for b in edges.to_arrow_refs()]
+    upper_bound = sum(ray.get([r[0] for r in uniq_refs]))
     # Σ per-block uniques ≥ true distinct count: when even that upper bound
     # fits the driver, skip the global distinct shuffle entirely and finish
     # with one local np.unique — saves a whole Ray groupby (~seconds of
     # fixed cost) on every small/medium build.
-    if encode in ("auto", "broadcast") and ids.count() <= broadcast_limit:
-        oid_arr = np.unique(ids.to_pandas()["oid"].to_numpy())
+    if encode in ("auto", "broadcast") and upper_bound <= broadcast_limit:
+        parts = ray.get([r[1] for r in uniq_refs])
+        parts = [p for p in parts if len(p)]
+        oid_arr = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
     else:
+        # >broadcast_limit vertices: distinct via the Dataset groupby path
+        del uniq_refs
+        ids = edges.select_columns([src_col]).rename_columns({src_col: "oid"}).union(
+            edges.select_columns([dst_col]).rename_columns({dst_col: "oid"})
+        )
+        ids = ids.map_batches(
+            lambda t: pa.table(
+                {"oid": pa.array(np.unique(t["oid"].to_numpy(zero_copy_only=False)))}
+            ),
+            batch_format="pyarrow",
+        )
         distinct = ids.groupby("oid").count().select_columns(["oid"]).materialize()
         if encode == "auto":
             encode = "broadcast" if distinct.count() <= broadcast_limit else "join"

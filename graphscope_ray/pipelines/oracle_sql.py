@@ -1714,6 +1714,27 @@ def lg_kclique_sql() -> str:
     )
 
 
+def lg_louvain_level1_sql() -> str:
+    """Exact replica of algorithms.louvain_level1: ONE all-active synchronous
+    Louvain move round from singleton communities over the undirected dedup
+    adjacency — gain(v→c) = 1 − deg_v·deg_c/(2m) (k_{v,c}=1, Σtot_c=deg_c at
+    round 0), stay = 0, ties → (gain DESC, community ASC), move iff
+    gain > 1e-12.  Integer-degree products are exact in float64, so the
+    float comparisons are bit-identical to the engine's."""
+    return (
+        f"WITH {_BASE}, "
+        "ud AS MATERIALIZED (SELECT src AS vv, count(*) AS d FROM ue GROUP BY src), "
+        "mm AS MATERIALIZED (SELECT count(*) / 2.0 AS m FROM ue), "
+        "gain AS (SELECT u.src AS vv, u.dst AS c, "
+        "1.0 - (dv.d * dc.d) / (2.0 * (SELECT m FROM mm)) AS g "
+        "FROM ue u JOIN ud dv ON dv.vv = u.src JOIN ud dc ON dc.vv = u.dst), "
+        "best AS (SELECT vv, c, g, row_number() OVER "
+        "(PARTITION BY vv ORDER BY g DESC, c ASC) AS rn FROM gain) "
+        "SELECT v.oid, CAST(CASE WHEN b.g > 1e-12 THEN b.c ELSE v.oid END AS BIGINT) "
+        "AS comm_oid FROM v LEFT JOIN best b ON b.vv = v.oid AND b.rn = 1"
+    )
+
+
 def lg_fluid_sql(s: int = 10, rounds: int = 15) -> str:
     """Unrolled synchronous fluid-community rounds: per round, community
     sizes, per-vertex neighbor-label counts, densities (ONE bigint/double

@@ -449,6 +449,19 @@ def lg_louvain(sf_dir: str) -> pd.DataFrame:
     return df[["oid", "comm_oid"]].sort_values("oid").reset_index(drop=True)
 
 
+def lg_louvain_level1(sf_dir: str) -> pd.DataFrame:
+    """ONE deterministic synchronous Louvain move round (all vertices
+    active, ties → smallest community) — the driver-checkable Louvain entry
+    with an exact SQL oracle (VERDICT r2 next-step #4); the full heuristic
+    stays under pytest modularity oracles.  Returns (oid, comm_oid)."""
+    g = lg_graph(sf_dir)
+    ds = alg.louvain_level1(g)
+    vmap = g.vertices_ds.to_pandas()
+    df = ds.to_pandas().merge(vmap, on="vid")
+    df = df.merge(vmap.rename(columns={"vid": "comm", "oid": "comm_oid"}), on="comm")
+    return df[["oid", "comm_oid"]].sort_values("oid").reset_index(drop=True)
+
+
 def lg_voterank(sf_dir: str, k: int = 10) -> pd.DataFrame:
     g = lg_graph(sf_dir)
     elected = alg.voterank(g, num_elected=k)

@@ -181,8 +181,15 @@ def hash_join(
 
     @ray.remote
     def _merge(nleft: int, *dfs) -> pa.Table:
-        ldf = pd.concat(dfs[:nleft], ignore_index=True)
-        rdf = pd.concat(dfs[nleft:], ignore_index=True)
+        lframes, rframes = dfs[:nleft], dfs[nleft:]
+        if not lframes:  # zero-block left side
+            return pa.table({})
+        ldf = pd.concat(lframes, ignore_index=True)
+        if not rframes:  # zero-block right side
+            if how == "left":
+                return pa.Table.from_pandas(ldf, preserve_index=False).replace_schema_metadata(None)
+            return pa.table({})
+        rdf = pd.concat(rframes, ignore_index=True)
         if left_on not in ldf.columns or right_on not in rdf.columns:
             return pa.table({})  # every contributing block was schema-less
         out = ldf.merge(rdf, left_on=left_on, right_on=right_on, how=how)
