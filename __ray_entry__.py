@@ -346,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # link-graph derivation + framework ops
         "lg_edges": lambda sf: td.lg_edges(sf),
         "lg_vertices": td.lg_vertices,
+        "lg_graphar_roundtrip": td.lg_graphar_roundtrip,
         "lg_edges_weighted": td.lg_edges_weighted,
         "lg_degree": td.lg_degree,
         "lg_undirected_edge_count": td.lg_undirected_edge_count,
@@ -498,6 +499,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "lg_edges": osql.lg_edges_sql(),
         "lg_vertices": osql.lg_vertices_sql(),
+        "lg_graphar_roundtrip": osql.lg_edges_sql(),
         "lg_edges_weighted": osql.lg_edges_weighted_sql(),
         "lg_degree": osql.lg_degree_sql(),
         "lg_undirected_edge_count": osql.lg_undirected_edge_count_sql(),

@@ -128,8 +128,12 @@ def scaling_child(ncpu: int) -> dict:
         t0 = time.perf_counter()
         _, res = alg.pagerank(g, tol=0.0, max_rounds=SCALE_ROUNDS, pipeline=SCALE_ROUNDS)
         t_pr = min(t_pr, time.perf_counter() - t0)
-    # p2p layout on the SAME fragments (flip the wire format only)
+    # p2p layout on the SAME fragments (flip the wire format only).
+    # Node-grouped wire: 8 fragments per simulated node at BOTH levels, so
+    # ncpu=8 is one node and ncpu=32 is four — the N vs 4N cluster shape.
+    # Objects/round: P×⌈P/8⌉ (128 at P=32) instead of P² (1024).
     g.p2p_messages = True
+    g.p2p_group = 8
     t_pr_p2p = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()

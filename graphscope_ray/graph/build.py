@@ -90,6 +90,14 @@ class Graph:
         self.has_in = has_in
         self.vertices_ds = vertices_ds  # optional (oid, vid) mapping Dataset
         self.p2p_messages = p2p_messages
+        # p2p wire granularity: fragments per *node group*.  1 = one object
+        # per (sender, target fragment) — P² objects/round, minimal bytes to
+        # any single target but pure overhead when fragments share a node.
+        # g>1 = one object per (sender, target NODE of g fragments) — P·⌈P/g⌉
+        # objects/round; each object travels once to the target node and all
+        # g fragments there read their slice zero-copy (the layout a real
+        # multi-node cluster wants: set g = fragments-per-node).
+        self.p2p_group = 1
 
     # ---- exports ---------------------------------------------------------
 
@@ -224,16 +232,20 @@ class Graph:
                 glob.update(_reduce(pre))
             t1 = time.perf_counter()
             if self.p2p_messages and P > 1:
-                # p2p: one object per (sender, target) pair — minimal bytes on
-                # the wire for a real multi-node cluster
+                # p2p: one object per (sender, target node-group) — the
+                # multi-node wire format (see Graph.p2p_group)
+                gsz = max(1, min(self.p2p_group, P))
+                G = (P + gsz - 1) // gsz
                 msg_refs = [
-                    a.p_scatter.options(num_returns=P).remote(name, step, glob)
+                    a.p_scatter_grp.options(num_returns=G).remote(name, step, glob, gsz)
                     for a in self.actors
                 ]
+                if G == 1:
+                    msg_refs = [[r] for r in msg_refs]
                 stats = ray.get(
                     [
-                        self.actors[q].p_gather.remote(
-                            name, step, glob, *[msg_refs[p][q] for p in range(P)]
+                        self.actors[q].p_gather_grp.remote(
+                            name, step, glob, gsz, *[msg_refs[p][q // gsz] for p in range(P)]
                         )
                         for q in range(P)
                     ]
@@ -278,15 +290,19 @@ class Graph:
         t0 = time.perf_counter()
         for step in range(start_step, max_rounds):
             if self.p2p_messages and P > 1:
+                gsz = max(1, min(self.p2p_group, P))
+                G = (P + gsz - 1) // gsz
                 scat = [
-                    a.p_scatter_pipe_p2p.options(num_returns=P).remote(
-                        name, step, *prev_stats
+                    a.p_scatter_pipe_p2p.options(num_returns=G).remote(
+                        name, step, gsz, *prev_stats
                     )
                     for a in acts
                 ]
+                if G == 1:
+                    scat = [[r] for r in scat]
                 prev_stats = [
                     acts[q].p_gather_pipe_p2p.remote(
-                        name, step, *[scat[p][q] for p in range(P)]
+                        name, step, gsz, *[scat[p][q // gsz] for p in range(P)]
                     )
                     for q in range(P)
                 ]

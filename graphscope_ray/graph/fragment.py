@@ -782,6 +782,22 @@ class FragmentActor:
         msgs = [s[self.part] for s in sender_outputs]
         return self.programs[name].gather(step, glob, msgs)
 
+    def _group_msgs(self, msgs: tuple, gsz: int):
+        """Package P per-target messages into ⌈P/g⌉ contiguous node-group
+        tuples (one wire object per target node; G==1 returns the single
+        group directly — the driver submits with num_returns=1 then)."""
+        P = self.P
+        groups = [tuple(msgs[q] for q in range(s, min(s + gsz, P))) for s in range(0, P, gsz)]
+        return groups[0] if len(groups) == 1 else tuple(groups)
+
+    def p_scatter_grp(self, name: str, step: int, glob: dict, gsz: int):
+        return self._group_msgs(tuple(self.programs[name].scatter(step, glob)), gsz)
+
+    def p_gather_grp(self, name: str, step: int, glob: dict, gsz: int, *group_msgs) -> dict:
+        idx = self.part % gsz
+        msgs = [s[idx] for s in group_msgs]
+        return self.programs[name].gather(step, glob, msgs)
+
     # ---- pipelined rounds: no driver round-trip per superstep ------------
     # Each actor maintains its own copy of the reduced global scalars by
     # summing the P stat dicts of the previous round itself (deterministic,
@@ -797,19 +813,21 @@ class FragmentActor:
         msgs = [s[self.part] for s in sender_outputs]
         return self.programs[name].gather(step, self._glob.setdefault(name, {}), msgs)
 
-    def p_scatter_pipe_p2p(self, name: str, step: int, *prev_stats):
+    def p_scatter_pipe_p2p(self, name: str, step: int, gsz: int, *prev_stats):
         """Pipelined p2p scatter: same decentralized glob reduction as
-        p_scatter_pipe, but the P per-target messages are returned as P
-        separate objects (driver submits with num_returns=P) so each only
-        travels to its target's node on a real cluster."""
+        p_scatter_pipe, but the per-target messages are returned as ⌈P/gsz⌉
+        separate node-group objects (driver submits with num_returns=G) so
+        each travels only to its target node on a real cluster, where all
+        gsz fragments read their slice zero-copy."""
         glob = self._glob.setdefault(name, {})
         glob.update(reduce_stats(prev_stats))
-        msgs = tuple(self.programs[name].scatter(step, glob))
-        return msgs[0] if self.P == 1 else msgs
+        return self._group_msgs(tuple(self.programs[name].scatter(step, glob)), gsz)
 
-    def p_gather_pipe_p2p(self, name: str, step: int, *msgs) -> dict:
-        """Pipelined p2p gather: messages arrive one-per-sender already
-        addressed to this fragment (no shared-slice indexing)."""
+    def p_gather_pipe_p2p(self, name: str, step: int, gsz: int, *group_msgs) -> dict:
+        """Pipelined p2p gather: one node-group object per sender; this
+        fragment's message is its slot within the group."""
+        idx = self.part % gsz
+        msgs = [s[idx] for s in group_msgs]
         return self.programs[name].gather(step, self._glob.setdefault(name, {}), msgs)
 
     def p_call(self, name: str, method: str, *args):

@@ -65,6 +65,34 @@ def lg_edges(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def lg_graphar_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """ARCHIVE_GRAPH parity (ref dag_utils.py:1085-1114): archive the link
+    graph in the open GraphAr-style layout, re-read the chunked archive with
+    the external reader, decode vids back to oids positionally — the result
+    must equal lg_edges exactly (same oracle)."""
+    import shutil
+    import tempfile
+
+    from graphscope_ray.sources import graphar
+
+    g = lg_graph(sf_dir)
+    path = tempfile.mkdtemp(prefix="graphar_", dir="/tmp")
+    try:
+        graphar.save_graphar(g, path, vertex_chunk_size=256)
+        edges = graphar.read_graphar_edges(path).to_pandas()
+        verts = graphar.read_graphar_vertices(path).to_pandas()
+        m = verts.set_index("vid")["oid"]
+        out = pd.DataFrame(
+            {
+                "src": edges["src"].map(m).astype(np.int64),
+                "dst": edges["dst"].map(m).astype(np.int64),
+            }
+        )
+        return out.sort_values(["src", "dst"]).reset_index(drop=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def lg_edges_weighted(sf_dir: str) -> pd.DataFrame:
     """Weighted edge table: weight = number of lineitem rows mapping to the
     pair (the repo-graph analogue: number of importing files per edge)."""

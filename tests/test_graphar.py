@@ -1,0 +1,142 @@
+"""GraphAr-style archive (ARCHIVE_GRAPH parity, ref dag_utils.py:1085-1114):
+round-trip equality with the engine-private save_graph layout, positional
+vertex-id contract, offset-array correctness, external readability."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray
+
+from graphscope_ray.graph import algorithms as alg
+from graphscope_ray.graph.build import build_graph, build_graph_from_oids
+from graphscope_ray.sources.graphar import (
+    _yaml_dump,
+    _yaml_load,
+    load_graphar,
+    read_graphar_edges,
+    read_graphar_vertices,
+    save_graphar,
+)
+
+
+def _edges(n=50, m=400, seed=11):
+    rng = np.random.RandomState(seed)
+    src = rng.randint(0, n, m).astype(np.int64)
+    dst = rng.randint(0, n, m).astype(np.int64)
+    keep = src != dst
+    w = rng.rand(keep.sum())
+    return (
+        pa.table(
+            {
+                "src": pa.array(src[keep]),
+                "dst": pa.array(dst[keep]),
+                "weight": pa.array(w),
+            }
+        ),
+        n,
+    )
+
+
+def _sorted_edges(ds) -> pd.DataFrame:
+    df = ds.to_pandas().sort_values(["src", "dst", "weight"]).reset_index(drop=True)
+    return df[["src", "dst", "weight"]]
+
+
+def test_yaml_roundtrip():
+    d = {
+        "label": "vertex",
+        "chunk_size": 16,
+        "property_groups": [
+            {"prefix": "id/", "file_type": "parquet",
+             "properties": [{"name": "oid", "data_type": "int64", "is_primary": True}]},
+        ],
+        "vertices": ["a.vertex.yml"],
+        "version": "gar/v1",
+    }
+    assert _yaml_load(_yaml_dump(d))["chunk_size"] == 16
+    got = _yaml_load(_yaml_dump(d))
+    assert got["property_groups"][0]["properties"] == d["property_groups"][0]["properties"]
+    assert got["vertices"] == ["a.vertex.yml"]
+
+
+def test_graphar_roundtrip(tmp_path):
+    t, n = _edges()
+    g = build_graph(t, num_partitions=3, num_vertices=n, weight=True, dedup_edges=True)
+    path = str(tmp_path / "gar")
+    save_graphar(g, path, vertex_chunk_size=16, edge_chunk_size=64)
+
+    # edge table survives byte-for-byte (modulo order)
+    src_orig = _sorted_edges(ray.data.from_arrow([ray.get(a.edges_table.remote()) for a in g.actors]))
+    back = _sorted_edges(read_graphar_edges(path))
+    pd.testing.assert_frame_equal(src_orig, back, check_exact=True)
+
+    # a rebuilt graph (same partition count → identical summation order)
+    # computes bit-identical algorithm results
+    g2 = load_graphar(path, num_partitions=3, store_in_edges=True)
+    assert g2.N == g.N
+    a = alg.pagerank(g, tol=1e-10)[0].to_pandas().sort_values("vid").reset_index(drop=True)
+    b = alg.pagerank(g2, tol=1e-10)[0].to_pandas().sort_values("vid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_graphar_offsets_and_counts(tmp_path):
+    t, n = _edges(seed=5)
+    g = build_graph(t, num_partitions=2, num_vertices=n, dedup_edges=True)
+    path = str(tmp_path / "gar")
+    save_graphar(g, path, vertex_chunk_size=16, edge_chunk_size=32)
+    # external readability: plain pyarrow + the offset contract
+    deg = np.zeros(n, dtype=np.int64)
+    df = read_graphar_edges(path).to_pandas()
+    np.add.at(deg, df["src"].to_numpy(), 1)
+    base = os.path.join(path, "edge", "vertex_links_vertex", "ordered_by_source")
+    total = 0
+    for k in range(-(-n // 16)):
+        off = pq.read_table(os.path.join(base, "offset", f"chunk{k}.parquet"))["offset"].to_numpy()
+        lo = k * 16
+        expect = np.concatenate([[0], np.cumsum(deg[lo : min(lo + 16, n)])])
+        assert (off == expect).all()
+        total += int(open(os.path.join(base, f"edge_count{k}")).read())
+        # adjacency within the chunk is (src, dst)-sorted
+        parts_dir = os.path.join(base, "adj_list", f"part{k}")
+        rows = pa.concat_tables(
+            [pq.read_table(os.path.join(parts_dir, f)) for f in sorted(os.listdir(parts_dir))]
+        )
+        s = rows["_graphArSrcIndex"].to_numpy()
+        assert (np.diff(s) >= 0).all()
+    assert total == len(df) == g.num_edges
+
+
+def test_graphar_oid_vertices_positional(tmp_path):
+    # oid-built graph: the vertex property chunks carry the oid mapping,
+    # reconstructed positionally (vid = chunk*chunk_size + row)
+    t, n = _edges(n=40, m=300, seed=7)
+    oids = pa.table(
+        {
+            "src_oid": pa.array((t["src"].to_numpy() * 7 + 1000).astype(np.int64)),
+            "dst_oid": pa.array((t["dst"].to_numpy() * 7 + 1000).astype(np.int64)),
+        }
+    )
+    g = build_graph_from_oids(ray.data.from_arrow(oids), num_partitions=3, dedup_edges=True)
+    path = str(tmp_path / "gar")
+    save_graphar(g, path, vertex_chunk_size=8)
+    vback = read_graphar_vertices(path).to_pandas().sort_values("vid").reset_index(drop=True)
+    vorig = g.vertices_ds.to_pandas().sort_values("vid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        vorig[["vid", "oid"]], vback[["vid", "oid"]], check_exact=True, check_like=True
+    )
+
+
+def test_graphar_empty_chunks(tmp_path):
+    # a vertex chunk with zero out-edges still gets a (all-zero) offset chunk
+    t = pa.table({"src": pa.array([0, 1], pa.int64()), "dst": pa.array([1, 0], pa.int64())})
+    g = build_graph(t, num_partitions=2, num_vertices=40)
+    path = str(tmp_path / "gar")
+    save_graphar(g, path, vertex_chunk_size=8)
+    base = os.path.join(path, "edge", "vertex_links_vertex", "ordered_by_source")
+    off = pq.read_table(os.path.join(base, "offset", "chunk4.parquet"))["offset"].to_numpy()
+    assert off.shape == (9,) and (off == 0).all()
+    assert read_graphar_edges(path).count() == 2

@@ -60,3 +60,30 @@ def test_p2p_matches_shared_pipelined():
     ds_p, res_p = alg.pagerank(g_p2p, tol=0.0, max_rounds=12, pipeline=6)
     assert res_s.rounds == res_p.rounds == 12
     pd.testing.assert_frame_equal(_frame(ds_s), _frame(ds_p), check_exact=True)
+
+
+def test_p2p_node_grouped_matches_shared():
+    """p2p_group > 1: one wire object per (sender, target node of g
+    fragments) — every group size (incl. non-dividing and ≥P) must be
+    bit-identical to shared-scatter in both driver loops."""
+    t, n = _edges()
+    g_shared = build_graph(
+        t, num_partitions=4, store_in_edges=True, num_vertices=n, dedup_edges=True
+    )
+    ds_s, res_s = alg.pagerank(g_shared, tol=1e-10)
+    pipe_s, _ = alg.pagerank(g_shared, tol=0.0, max_rounds=12, pipeline=6)
+    for gsz in (2, 3, 4, 16):
+        g = build_graph(
+            t,
+            num_partitions=4,
+            store_in_edges=True,
+            num_vertices=n,
+            dedup_edges=True,
+            p2p_messages=True,
+        )
+        g.p2p_group = gsz
+        ds_p, res_p = alg.pagerank(g, tol=1e-10)
+        assert res_s.rounds == res_p.rounds, gsz
+        pd.testing.assert_frame_equal(_frame(ds_s), _frame(ds_p), check_exact=True)
+        pipe_p, _ = alg.pagerank(g, tol=0.0, max_rounds=12, pipeline=6)
+        pd.testing.assert_frame_equal(_frame(pipe_s), _frame(pipe_p), check_exact=True)
