@@ -268,6 +268,39 @@ def _q_multimodal(sf_dir):
     )
 
 
+def _q_jpeg_features(sf_dir):
+    """JPEG pipeline: deterministic REAL baseline JPEGs derived from each
+    document's text bytes → actor-pool baseline-DCT decode + mean-pool
+    featurization (graphscope_ray/functions/jpeg.py); strict — every
+    payload must really decode, no stub fallback."""
+    import numpy as np
+    import pyarrow as pa
+
+    from graphscope_ray.functions.jpeg import encode_jpeg
+    from graphscope_ray.functions.multimodal import extract_media_features
+
+    def _to_media(t: pa.Table) -> pa.Table:
+        imgs = []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            b = np.frombuffer(s.encode()[:768].ljust(768, b"\0"), dtype=np.uint8)
+            imgs.append(
+                encode_jpeg(
+                    b.reshape(16, 16, 3),
+                    quality=90,
+                    subsampling="4:2:0" if did % 2 else "4:4:4",
+                )
+            )
+        return pa.table({"media_id": t["doc_id"], "media": pa.array(imgs, pa.binary())})
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        _to_media, batch_format="pyarrow"
+    )
+    feats = extract_media_features(docs, strict=True)
+    return feats.select_columns(
+        ["media_id", "n_bytes", "media_sha256", "format", "width", "height"]
+    )
+
+
 def _q_video_features(sf_dir):
     """Video pipeline: deterministic REAL animated GIFs derived from each
     document's text bytes → actor-pool LZW frame-sampled decode (stride 2)
@@ -487,6 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "samp_stratified": _q_samp_stratified,
         # multimodal plumbing
         "multimodal_features": _q_multimodal,
+        "jpeg_features": _q_jpeg_features,
         "video_features": _q_video_features,
         # the north-star corpus pipeline (rows-only check)
         "repos_flagship": _q_repos_flagship,

@@ -1,10 +1,11 @@
-"""Pure-Python image kernels: format probing + a real PNG decoder.
+"""Pure-Python image kernels: format probing + real PNG/BMP decoders.
 
 No codec libraries exist in this environment, but PNG needs only ``zlib``
-(stdlib) plus per-scanline unfiltering, and header probing for PNG/GIF/BMP/
-JPEG is plain byte parsing — so the multimodal pipeline's decode stage is
-REAL for PNG (pixels out) and header-real for the other formats (dimensions
-out), with the hash-stub only as the fallback for unknown bytes.
+(stdlib) plus per-scanline unfiltering, BMP is plain byte parsing, and
+baseline-DCT JPEG is implemented from the public spec in
+functions/jpeg.py — so the multimodal pipeline's decode stage is REAL for
+every probed format, with the hash-stub only as the fallback for unknown
+bytes.
 
 Decoder scope (documented limits, asserted): 8-bit depth, color types
 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced — the standard

@@ -1,15 +1,16 @@
 """Multimodal (image/audio/video) column plumbing.
 
 Media are opaque ``binary`` columns with typed metadata.  The decode stage
-is REAL for three modalities — PNG images (pure-Python zlib+unfilter,
-functions/imaging.py), PCM WAV audio (functions/audio.py), and animated-GIF
-video (pure-Python LZW with container-level frame sampling,
-functions/video.py) — and header-real (format/width/height probing) for
-BMP/JPEG.  Only unknown byte blobs fall back to the deterministic hash stub
-(or raise under ``strict=True``).  The stage contract (binary in →
-fixed-shape float features out, actor-pool ``map_batches``, SMALL batch
-sizes for payload-dominated blocks) is the production shape — heavier
-codecs swap into the kernel, nothing else changes.
+is REAL for every probed format — PNG (pure-Python zlib+unfilter) and BMP
+in functions/imaging.py, baseline-DCT JPEG in functions/jpeg.py, PCM WAV
+audio (functions/audio.py), and animated-GIF video (pure-Python LZW with
+container-level frame sampling, functions/video.py).  Only unknown byte
+blobs (or unsupported format variants, e.g. progressive JPEG) fall back to
+the deterministic hash stub — or raise under ``strict=True``.  The stage
+contract (binary in → fixed-shape float features out, actor-pool
+``map_batches``, SMALL batch sizes for payload-dominated blocks) is the
+production shape — heavier codecs swap into the kernel, nothing else
+changes.
 """
 
 from __future__ import annotations
@@ -98,6 +99,15 @@ class MediaFeatureExtractor:
                     continue
                 except UnsupportedImageError:
                     pass
+            if meta and meta["format"] == "jpeg":
+                try:
+                    from graphscope_ray.functions.jpeg import decode_jpeg
+
+                    img = decode_jpeg(p)  # REAL pixels (baseline-DCT decode)
+                    feats.append(mean_pool_features(img, self.feat_dim))
+                    continue
+                except UnsupportedImageError:
+                    pass
             if meta and meta["format"] == "wav":
                 try:
                     samples, _rate = decode_wav(p)  # REAL waveform (PCM parse)
@@ -107,8 +117,9 @@ class MediaFeatureExtractor:
                     pass
             if self.strict:
                 raise NotImplementedError(
-                    "only PNG/BMP images, PCM WAV audio and GIF video decode "
-                    f"natively here; this payload needs a codec library "
+                    "only PNG/BMP/baseline-JPEG images, PCM WAV audio and GIF "
+                    "video decode natively here; this payload is an unknown "
+                    "blob or an unsupported variant (e.g. progressive JPEG) "
                     f"(format={fmts[-1]!r})"
                 )
             feats.append(_decode_stub(p, self.feat_dim))
@@ -155,12 +166,23 @@ def extract_media_features(
 def fake_media_table(n: int = 32, seed: int = 0, kind: str = "blob") -> pa.Table:
     """Deterministic synthetic binary payloads for plumbing tests.
     kind="blob" → opaque random bytes (exercises the stub/strict path);
-    kind="png" → REAL deterministic PNG images (exercises the decoder)."""
+    kind="png"/"jpeg" → REAL deterministic images (exercise the decoders)."""
     rng = np.random.RandomState(seed)
     if kind == "png":
         payloads = [
             encode_png(rng.randint(0, 256, (8 + int(rng.randint(8)), 8, 3), dtype=np.uint8))
             for _ in range(n)
+        ]
+    elif kind == "jpeg":
+        from graphscope_ray.functions.jpeg import encode_jpeg
+
+        payloads = [
+            encode_jpeg(
+                rng.randint(0, 256, (8 + int(rng.randint(8)), 8, 3), dtype=np.uint8),
+                quality=90,
+                subsampling="4:2:0" if i % 2 else "4:4:4",
+            )
+            for i in range(n)
         ]
     else:
         payloads = [rng.bytes(64 + int(rng.randint(256))) for _ in range(n)]
