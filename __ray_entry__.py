@@ -380,6 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_edges": lambda sf: td.lg_edges(sf),
         "lg_vertices": td.lg_vertices,
         "lg_graphar_roundtrip": td.lg_graphar_roundtrip,
+        "dyn_mutations": td.dyn_mutations,
         "lg_edges_weighted": td.lg_edges_weighted,
         "lg_degree": td.lg_degree,
         "lg_undirected_edge_count": td.lg_undirected_edge_count,
@@ -534,6 +535,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_edges": osql.lg_edges_sql(),
         "lg_vertices": osql.lg_vertices_sql(),
         "lg_graphar_roundtrip": osql.lg_edges_sql(),
+        "dyn_mutations": osql.dyn_mutations_sql(),
         "lg_edges_weighted": osql.lg_edges_weighted_sql(),
         "lg_degree": osql.lg_degree_sql(),
         "lg_undirected_edge_count": osql.lg_undirected_edge_count_sql(),

@@ -28,6 +28,18 @@ def lg_edges_sql() -> str:
     return f"WITH {_BASE} SELECT src, dst FROM e"
 
 
+def dyn_mutations_sql() -> str:
+    """Replays testdata.dyn_mutations' mutation trace as set algebra."""
+    return f"""
+WITH {_BASE},
+surv AS (SELECT src, dst FROM e WHERE src % 7 <> 3 AND dst % 7 <> 3),
+added AS (SELECT i AS src, (i * 2 + 1) % {LG_MOD} AS dst FROM range(100) t(i)),
+unioned AS (SELECT src, dst FROM surv UNION SELECT src, dst FROM added),
+deld AS (SELECT i AS src, (i * 2 + 1) % {LG_MOD} AS dst FROM range(50) t(i))
+SELECT src, dst FROM unioned EXCEPT SELECT src, dst FROM deld
+"""
+
+
 def lg_edges_weighted_sql() -> str:
     return (
         f"SELECT (l_orderkey % {LG_MOD}) AS src, (l_partkey % {LG_MOD}) AS dst, "

@@ -93,6 +93,24 @@ def lg_graphar_roundtrip(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def dyn_mutations(sf_dir: str) -> pd.DataFrame:
+    """Dynamic-graph mutation pipeline (nx MODIFY/CLEAR surface, ref
+    dag_utils.py:359-412): bulk-load the link-graph edges into a mutable
+    DynamicGraph, delete every vertex with oid % 7 == 3 (incident edges go
+    with it, across partitions), add 100 synthetic edges (i, (2i+1) % MOD),
+    delete the first 50 of them again, and return the surviving edge set —
+    a pure set-algebra trace the SQL oracle replays exactly."""
+    from graphscope_ray.graph.dynamic import DynamicGraph
+
+    dg = DynamicGraph(num_partitions=4, directed=True)
+    dg.add_edges_dataset(lg_edges(sf_dir))
+    dg.del_nodes([i for i in range(LG_MOD) if i % 7 == 3])
+    dg.add_edges([(i, (i * 2 + 1) % LG_MOD) for i in range(100)])
+    dg.del_edges([(i, (i * 2 + 1) % LG_MOD) for i in range(50)])
+    out = dg.edges_dataset().to_pandas()[["src", "dst"]].astype(np.int64)
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
 def lg_edges_weighted(sf_dir: str) -> pd.DataFrame:
     """Weighted edge table: weight = number of lineitem rows mapping to the
     pair (the repo-graph analogue: number of importing files per edge)."""
