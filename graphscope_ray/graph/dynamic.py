@@ -218,6 +218,39 @@ class DynamicFragmentActor:
         }
         return nodes, adj, pred, self.directed
 
+    def edge_induced_state(self, edge_set):
+        """Edge-induced subgraph state (nx.edge_subgraph): keep exactly the
+        listed edges plus their endpoints.  The edge set is broadcast; an
+        undirected graph matches either orientation.  Both endpoint owners
+        see every kept edge (through adj and its mirror), so this stays a
+        pure per-fragment transform like the node-induced case."""
+        keep = edge_set if isinstance(edge_set, set) else ray.get(edge_set)
+
+        def _hit(u, v):
+            return (u, v) in keep or (not self.directed and (v, u) in keep)
+
+        adj = {}
+        endpoints = set()
+        for u, d in self.adj.items():
+            kept = {v: a for v, a in d.items() if _hit(u, v)}
+            if kept:
+                adj[u] = kept
+                endpoints.add(u)
+                endpoints.update(kept)
+        pred = {}
+        if self.directed:
+            for v, d in self.pred.items():
+                kept = {u: a for u, a in d.items() if _hit(u, v)}
+                if kept:
+                    pred[v] = kept
+                    endpoints.add(v)
+        nodes = {u: a for u, a in self.nodes.items() if u in endpoints}
+        for u in nodes:
+            adj.setdefault(u, {})
+            if self.directed:
+                pred.setdefault(u, {})
+        return nodes, adj, pred, self.directed
+
     # ---- reports (dynamic_fragment.h point queries) ------------------------
 
     def counts(self) -> tuple[int, int, int]:
@@ -414,6 +447,12 @@ class DynamicGraph:
         """INDUCE_SUBGRAPH (node-induced): the node set is broadcast once."""
         ref = ray.put(set(nodes))
         states = ray.get([a.induced_state.remote(ref) for a in self.actors])
+        return self._from_states(states, self.directed)
+
+    def edge_subgraph(self, edges) -> "DynamicGraph":
+        """INDUCE_SUBGRAPH (edge-induced; ref create_subgraph edges=...)."""
+        ref = ray.put({(u, v) for u, v in edges})
+        states = ray.get([a.edge_induced_state.remote(ref) for a in self.actors])
         return self._from_states(states, self.directed)
 
     # ---- reports -------------------------------------------------------------

@@ -115,6 +115,19 @@ def test_subgraph_induced():
     _edges_equal(sub, g.subgraph([0, 1, 2, 5, 6, 7]))
 
 
+def test_edge_subgraph():
+    edges = [(i, (i + 1) % 10) for i in range(10)] + [(0, 5), (2, 7)]
+    keep = [(0, 1), (2, 7), (9, 0)]
+    dg = DynamicGraph(num_partitions=3, directed=True).add_edges(edges)
+    _edges_equal(dg.edge_subgraph(keep), nx.DiGraph(edges).edge_subgraph(keep))
+    # undirected: either orientation matches
+    dgu = DynamicGraph(num_partitions=3, directed=False).add_edges(edges)
+    _edges_equal(
+        dgu.edge_subgraph([(1, 0), (2, 7)]),
+        nx.Graph(edges).edge_subgraph([(1, 0), (2, 7)]),
+    )
+
+
 def test_randomized_mutation_fuzz_vs_networkx():
     rng = np.random.RandomState(7)
     dg = DynamicGraph(num_partitions=4, directed=True)
