@@ -94,7 +94,7 @@ def _read_clean(path, **kw):
     return ray.data.read_parquet(path, schema=pq.read_schema(sample).remove_metadata(), **kw)
 
 
-def scaling_child(ncpu: int) -> dict:
+def scaling_child(ncpu: int, mine_only: bool = False) -> dict:
     """One cluster size: (a) corpus→edges mining throughput, STREAMING from
     parquet (the pipeline shape at 10^12 files: scan+decode+mine+exchange
     all scale with workers; nothing is pre-materialized), (b) PageRank
@@ -119,6 +119,16 @@ def scaling_child(ncpu: int) -> dict:
         n_edges = mine_edges(ds).count()
         t_mine = min(t_mine, time.perf_counter() - t0)
     del ds
+    if mine_only:
+        out = {
+            "ncpu": ncpu,
+            "mine_files": n_files,
+            "mine_edges": n_edges,
+            "t_mine_s": round(t_mine, 3),
+            "files_per_sec": round(n_files / t_mine, 1),
+        }
+        ray.shutdown()
+        return out
 
     t0 = time.perf_counter()
     g = build_graph(_scale_edges(), num_partitions=ncpu, num_vertices=SCALE_V)
@@ -159,14 +169,20 @@ def scaling_child(ncpu: int) -> dict:
     return out
 
 
-def hw_ceiling(n_iter: int = 400) -> float:
+def hw_ceiling(n_iter: int = 2500) -> float:
     """The box's own pure-compute scaling ceiling: P independent OS processes
     (zero Ray, zero IO, in-memory data) each run the identical regex kernel;
     returns aggregate-throughput efficiency 8 → 32 processes.  On this
     sandbox VM the vCPUs do not deliver 4× compute from 8 → 32 (host-level
     overcommit/SMT invisible to the guest), so pipeline efficiencies must be
     read against this ceiling — a real 4×-node cluster multiplies whole
-    machines instead."""
+    machines instead.
+
+    Instrumentation: workers SELF-TIME their compute window and the wall is
+    max(end)-min(start) across workers, so process spawn/teardown (~100 ms
+    at P=32, which at small n_iter both skewed the ceiling down and made it
+    noisy run-to-run) never enters the measurement; kernel sized ≥1 s so
+    scheduler jitter amortizes; best-of-2 per level."""
     import multiprocessing as mp
     import re
 
@@ -177,25 +193,186 @@ def hw_ceiling(n_iter: int = 400) -> float:
         c = 0
         for _ in range(n):
             c += len(pat.findall(body))
-        q.put(time.perf_counter() - t0)
+        q.put((t0, time.perf_counter()))
 
     def run(P):
         q = mp.Queue()
         ps = [mp.Process(target=worker, args=(n_iter, q)) for _ in range(P)]
-        t0 = time.perf_counter()
         [p.start() for p in ps]
+        spans = [q.get() for _ in range(P)]
         [p.join() for p in ps]
-        return P * n_iter / (time.perf_counter() - t0)
+        wall = max(e for _, e in spans) - min(s for s, _ in spans)
+        return P * n_iter / wall
 
-    best = 0.0
-    for _ in range(2):
-        t8, t32 = run(8), run(32)
-        best = max(best, t32 / (4 * t8))
-    return round(best, 3)
+    # best throughput PER LEVEL across trials, then one ratio — a max over
+    # per-trial ratios would inflate whenever the window shifts between a
+    # trial's 8- and 32-process phases (observed: a "1.66 ceiling")
+    t8 = max(run(8) for _ in range(2))
+    t32 = max(run(32) for _ in range(2))
+    return round(t32 / (4 * t8), 3)
+
+
+def kernel_ceiling() -> dict:
+    """THE decisive scaling control: the identical end-to-end mining kernel
+    (parquet read + decode + combined-regex mine + searchsorted resolve +
+    packed-key combine) run by P INDEPENDENT OS processes with ZERO Ray —
+    each process owns files [p::P] of the same corpus.  Whatever efficiency
+    this reaches from 8 → 32 processes is this box's true roof for the
+    mining PIPELINE (the regex-only probe is cache-resident and roofs at
+    ~0.9; the pipeline also streams ~17 GB through parquet decode, which
+    contends on DRAM).  Engine loss = pipeline efficiency ÷ this number."""
+    import glob
+    import multiprocessing as mp
+
+    _ensure_corpus()
+    files = sorted(glob.glob(os.path.join(CORPUS_DIR, "*.parquet")))
+
+    # exports table (module → repo id), computed once, inherited via fork
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    repos_seen = set()
+    for f in files[:: max(1, len(files) // 64)]:
+        repos_seen.update(pq.read_table(f, columns=["repo"])["repo"].to_pylist())
+    # module = repo's exported name — the synthetic corpus exports path stem
+    # per repo exactly like build_exports derives; module == repo name here
+    R = np.array(sorted(repos_seen))
+    mod_arr = R.copy()
+    dst_ids = np.arange(len(R), dtype=np.int64)
+
+    def worker(p, P, q):
+        from graphscope_ray.stages.mine import _combined_patterns, _findall_modules
+
+        pats = _combined_patterns()
+        t0 = time.perf_counter()
+        nf = 0
+        ne = 0
+        for f in files[p::P]:
+            t = pq.read_table(f, columns=["repo", "lang", "content"])
+            langs = t["lang"].to_pylist()
+            contents = t["content"].to_pylist()
+            repos = t["repo"].to_pylist()
+            nf += len(repos)
+            src_list, mod_list = [], []
+            for r, lang, c in zip(repos, langs, contents):
+                pat = pats.get(lang)
+                if pat is None:
+                    continue
+                mods = _findall_modules(pat, c)
+                if mods:
+                    src_list.extend([r] * len(mods))
+                    mod_list.extend(mods)
+            if mod_list:
+                m = np.asarray(mod_list)
+                pos = np.searchsorted(mod_arr, m)
+                pos_c = np.minimum(pos, max(len(mod_arr) - 1, 0))
+                hit = mod_arr[pos_c] == m
+                src = np.asarray(src_list)[hit]
+                dst = dst_ids[pos_c[hit]]
+                sidx = np.searchsorted(R, src)
+                key = (sidx.astype(np.int64) << 32) | dst
+                uk, cnt = np.unique(key, return_counts=True)
+                ne += len(uk)
+        q.put((t0, time.perf_counter(), nf, ne))
+
+    def run(P):
+        q = mp.Queue()
+        ps = [mp.Process(target=worker, args=(p, P, q)) for p in range(P)]
+        [pr.start() for pr in ps]
+        spans = [q.get() for _ in range(P)]
+        [pr.join() for pr in ps]
+        wall = max(e for _, e, _, _ in spans) - min(s for s, _, _, _ in spans)
+        nf = sum(s[2] for s in spans)
+        return nf / wall
+
+    thr8 = run(8)
+    thr32 = run(32)
+    return {
+        "metric": "no-Ray full-kernel mining ceiling (P independent processes)",
+        "files_per_sec_8": round(thr8, 1),
+        "files_per_sec_32": round(thr32, 1),
+        "kernel_ceiling_8_to_32": round(thr32 / (4 * thr8), 3),
+    }
+
+
+def scaling_paired() -> dict:
+    """ONE-window scaling evidence: hw probe → [control@8, pipeline@8,
+    control@32, pipeline@32] → hw probe, interleaved so every ratio is
+    same-window.  control = kernel_ceiling's no-Ray process fan-out;
+    pipeline = the Ray mining child.  The pair of within-level ratios
+    (pipeline ÷ control) isolates engine overhead from the box's own
+    scaling roof."""
+    _ensure_corpus()
+    hw_before = hw_ceiling()
+    ctl = kernel_ceiling()
+    res = {}
+    for ncpu in (8, 32):
+        out = subprocess.run(
+            [sys.executable, __file__, "--scaling-child", str(ncpu), "--mine-only"],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        res[ncpu] = json.loads(out.strip().splitlines()[-1])
+    hw_after = hw_ceiling()
+    eff_pipe = res[32]["files_per_sec"] / (4 * res[8]["files_per_sec"])
+    eff_ctl = ctl["files_per_sec_32"] / (4 * ctl["files_per_sec_8"])
+    return {
+        "metric": "paired one-window scaling: no-Ray control vs Ray pipeline",
+        "control": ctl,
+        "pipeline_8": res[8],
+        "pipeline_32": res[32],
+        "eff_pipeline": round(eff_pipe, 3),
+        "eff_control": round(eff_ctl, 3),
+        "pipeline_vs_control_at_8": round(
+            res[8]["files_per_sec"] / ctl["files_per_sec_8"], 3
+        ),
+        "pipeline_vs_control_at_32": round(
+            res[32]["files_per_sec"] / ctl["files_per_sec_32"], 3
+        ),
+        "hw_compute_ceiling_before": hw_before,
+        "hw_compute_ceiling_after": hw_after,
+        "window_stable": abs(hw_before - hw_after) <= 0.08,
+    }
+
+
+def scaling_mine_only() -> dict:
+    """Cheap mining-only retry of the scaling protocol (~5 min): bracketed
+    hw probes + the corpus→edges pipeline at 8 and 32 CPUs.  Used to hunt a
+    calm VM window without re-running the PageRank half."""
+    _ensure_corpus()
+    hw_before = hw_ceiling()
+    res = {}
+    for ncpu in (8, 32):
+        out = subprocess.run(
+            [sys.executable, __file__, "--scaling-child", str(ncpu), "--mine-only"],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        res[ncpu] = json.loads(out.strip().splitlines()[-1])
+    hw_after = hw_ceiling()
+    eff = res[32]["files_per_sec"] / (4 * res[8]["files_per_sec"])
+    hw = min(hw_before, hw_after)
+    return {
+        "metric": "mining-only scaling retry",
+        "n8": res[8],
+        "n32": res[32],
+        "scaling_efficiency_mining": round(eff, 3),
+        "hw_compute_ceiling_before": hw_before,
+        "hw_compute_ceiling_after": hw_after,
+        "window_stable": abs(hw_before - hw_after) <= 0.08,
+        "scaling_efficiency_vs_hw_ceiling": round(eff / hw, 3) if hw else None,
+    }
 
 
 def scaling() -> dict:
     _ensure_corpus()
+    # BRACKETING probes: the box's own pure-compute ceiling measured BEFORE
+    # and AFTER the pipeline runs — a window is only trustworthy when both
+    # probes agree (this VM has documented degraded windows where identical
+    # work runs 2-4× slower; see BASELINE.md).
+    hw_before = hw_ceiling()
     res = {}
     for ncpu in (8, 32):
         out = subprocess.run(
@@ -205,13 +382,14 @@ def scaling() -> dict:
             check=True,
         ).stdout
         res[ncpu] = json.loads(out.strip().splitlines()[-1])
+    hw_after = hw_ceiling()
     lo, hi = res[8], res[32]
     eff_mine = hi["files_per_sec"] / (4 * lo["files_per_sec"])
     eff_pr = hi["pr_edges_per_sec_per_superstep"] / (4 * lo["pr_edges_per_sec_per_superstep"])
     eff_p2p = hi["pr_p2p_edges_per_sec_per_superstep"] / (
         4 * lo["pr_p2p_edges_per_sec_per_superstep"]
     )
-    hw = hw_ceiling()
+    hw = min(hw_before, hw_after)
     return {
         "metric": "throughput at N=8 vs 4N=32 cpus, same inputs, fresh processes",
         "n8": lo,
@@ -220,8 +398,12 @@ def scaling() -> dict:
         "scaling_efficiency_pagerank_supersteps": round(eff_pr, 3),
         "scaling_efficiency_pagerank_p2p": round(eff_p2p, 3),
         # this VM's own pure-compute 8→32 process scaling (no Ray, no IO):
-        # the achievable ceiling the pipeline numbers must be read against
+        # the achievable ceiling the pipeline numbers must be read against,
+        # probed before AND after so the window is provably stable
+        "hw_compute_ceiling_before": hw_before,
+        "hw_compute_ceiling_after": hw_after,
         "hw_compute_ceiling_8_to_32": hw,
+        "window_stable": abs(hw_before - hw_after) <= 0.08,
         "scaling_efficiency_vs_hw_ceiling": round(eff_mine / hw, 3) if hw else None,
         "scaling_efficiency": round(eff_mine, 3),
     }
@@ -320,7 +502,20 @@ def headline() -> dict:
 
 if __name__ == "__main__":
     if "--scaling-child" in sys.argv:
-        print(json.dumps(scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))))
+        print(
+            json.dumps(
+                scaling_child(
+                    int(sys.argv[sys.argv.index("--scaling-child") + 1]),
+                    mine_only="--mine-only" in sys.argv,
+                )
+            )
+        )
+    elif "--scaling-mine" in sys.argv:
+        print(json.dumps(scaling_mine_only()))
+    elif "--kernel-ceiling" in sys.argv:
+        print(json.dumps(kernel_ceiling()))
+    elif "--scaling-paired" in sys.argv:
+        print(json.dumps(scaling_paired()))
     elif "--scaling" in sys.argv:
         print(json.dumps(scaling()))
     else:
