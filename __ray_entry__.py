@@ -381,6 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_vertices": td.lg_vertices,
         "lg_graphar_roundtrip": td.lg_graphar_roundtrip,
         "dyn_mutations": td.dyn_mutations,
+        "dyn_view_undirected": td.dyn_view_undirected,
         "lg_edges_weighted": td.lg_edges_weighted,
         "lg_degree": td.lg_degree,
         "lg_undirected_edge_count": td.lg_undirected_edge_count,
@@ -536,6 +537,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_vertices": osql.lg_vertices_sql(),
         "lg_graphar_roundtrip": osql.lg_edges_sql(),
         "dyn_mutations": osql.dyn_mutations_sql(),
+        "dyn_view_undirected": osql.dyn_view_undirected_sql(),
         "lg_edges_weighted": osql.lg_edges_weighted_sql(),
         "lg_degree": osql.lg_degree_sql(),
         "lg_undirected_edge_count": osql.lg_undirected_edge_count_sql(),

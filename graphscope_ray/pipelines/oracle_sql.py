@@ -28,6 +28,13 @@ def lg_edges_sql() -> str:
     return f"WITH {_BASE} SELECT src, dst FROM e"
 
 
+def dyn_view_undirected_sql() -> str:
+    return f"""
+WITH {_BASE}
+SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst FROM e
+"""
+
+
 def dyn_mutations_sql() -> str:
     """Replays testdata.dyn_mutations' mutation trace as set algebra."""
     return f"""

@@ -111,6 +111,22 @@ def dyn_mutations(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["src", "dst"]).reset_index(drop=True)
 
 
+def dyn_view_undirected(sf_dir: str) -> pd.DataFrame:
+    """VIEW_GRAPH parity (ref dag_utils.py:639-663): undirected view of the
+    mutable link graph — each edge reported once as (min, max) endpoint
+    pair, exactly DISTINCT (least, greatest) over the directed edge set."""
+    from graphscope_ray.graph.dynamic import DynamicGraph
+
+    dg = DynamicGraph(num_partitions=4, directed=True)
+    dg.add_edges_dataset(lg_edges(sf_dir))
+    ud = dg.view("undirected")
+    out = ud.edges_dataset().to_pandas()[["src", "dst"]].astype(np.int64)
+    lo = out[["src", "dst"]].min(axis=1)
+    hi = out[["src", "dst"]].max(axis=1)
+    out = pd.DataFrame({"src": lo, "dst": hi}).drop_duplicates()
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
 def lg_edges_weighted(sf_dir: str) -> pd.DataFrame:
     """Weighted edge table: weight = number of lineitem rows mapping to the
     pair (the repo-graph analogue: number of importing files per edge)."""

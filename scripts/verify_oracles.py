@@ -57,26 +57,32 @@ def main():
     con = duckdb.connect()
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    import time as _time
+
     n_ok = n_bad = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        _tq = _time.perf_counter()
         try:
             got = canon(to_pandas(fn(sf_dir)), raw=raw)
         except Exception as e:
             print(f"FAIL {name}: query raised {type(e).__name__}: {str(e)[:200]}")
             n_bad += 1
             continue
+        _tq = _time.perf_counter() - _tq
         if name not in oracles:
-            print(f"ok   {name}: rows-only ({len(got)} rows)")
+            print(f"ok   {name}: rows-only ({len(got)} rows) [q {_tq:.1f}s]")
             n_ok += 1
             continue
+        _to = _time.perf_counter()
         try:
             want = canon(con.execute(oracles[name]).fetchdf(), raw=raw)
         except Exception as e:
             print(f"FAIL {name}: oracle raised {type(e).__name__}: {str(e)[:200]}")
             n_bad += 1
             continue
+        _to = _time.perf_counter() - _to
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
             n_bad += 1
@@ -102,7 +108,7 @@ def main():
                 eq = False
                 break
         if eq:
-            print(f"OK   {name} ({len(got)} rows)")
+            print(f"OK   {name} ({len(got)} rows) [q {_tq:.1f}s, oracle {_to:.1f}s]")
             n_ok += 1
         else:
             n_bad += 1
