@@ -402,19 +402,38 @@ def lg_voterank_sql(k: int = 10) -> str:
 # UNION inside the non-recursive `v` CTE (it returns 2·|e| rows) — queries
 # that join or count v in the final select must use the re-deduplicated
 # `vd`/`nvd` below.  (wcc/bfs/sssp are immune: they only aggregate.)
-_WALK_ALL = """
-vd AS MATERIALIZED (SELECT DISTINCT oid FROM v),
-nvd AS MATERIALIZED (SELECT count(*) AS n FROM vd),
-walk(s, wv, d) AS MATERIALIZED (
-  SELECT oid, oid, 0 FROM vd UNION
-  SELECT w.s, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.wv WHERE w.d < 8),
-sp AS MATERIALIZED (SELECT s, wv, min(d) AS d FROM walk GROUP BY s, wv)
-"""
+def _bfs_unrolled(sources_cte: str, depth: int = 8) -> str:
+    """Level-synchronous all-sources BFS as unrolled frontier CTEs ending in
+    sp(s, wv, d) — each frontier is (new pairs) EXCEPT (already reached), so
+    the work is Σ|frontier| instead of the walk-enumeration blowup (the
+    recursive-CTE form materialized every (s, wv, d) walk tuple and was the
+    single most expensive oracle in the gate: 44 s → ~a few s)."""
+    parts = [
+        f"f0 AS MATERIALIZED (SELECT oid AS s, oid AS wv FROM {sources_cte})",
+        "r0 AS MATERIALIZED (SELECT s, wv FROM f0)",
+        "sp0 AS (SELECT s, wv, 0 AS d FROM f0)",
+    ]
+    for d in range(1, depth + 1):
+        parts.append(
+            f"f{d} AS MATERIALIZED (SELECT DISTINCT w.s, e.dst AS wv "
+            f"FROM f{d-1} w JOIN e ON e.src = w.wv "
+            f"EXCEPT SELECT s, wv FROM r{d-1})"
+        )
+        parts.append(
+            f"r{d} AS MATERIALIZED (SELECT s, wv FROM r{d-1} UNION ALL SELECT s, wv FROM f{d})"
+        )
+        parts.append(f"sp{d} AS (SELECT s, wv, {d} AS d FROM f{d})")
+    union = " UNION ALL ".join(f"SELECT * FROM sp{d}" for d in range(depth + 1))
+    parts.append(f"sp AS MATERIALIZED ({union})")
+    return ",\n".join(parts)
 
 
 def lg_closeness_harmonic_sql() -> str:
     return (
-        f"WITH RECURSIVE {_BASE}, {_WALK_ALL} "
+        f"WITH {_BASE}, "
+        "vd AS MATERIALIZED (SELECT DISTINCT oid FROM v), "
+        "nvd AS MATERIALIZED (SELECT count(*) AS n FROM vd), "
+        f"{_bfs_unrolled('vd')} "
         "SELECT vd.oid, round(coalesce(c.h, 0) / (CAST((SELECT n FROM nvd) AS DOUBLE) - 1), 8) AS closeness "
         "FROM vd LEFT JOIN (SELECT wv AS oid, sum(1.0 / d) AS h FROM sp WHERE d > 0 GROUP BY wv) c "
         "ON c.oid = vd.oid"
