@@ -231,8 +231,11 @@ def kernel_ceiling() -> dict:
     import numpy as np
     import pyarrow.parquet as pq
 
+    # scan EVERY file's repo column (cheap single-column read) so the control
+    # resolves against the identical module table as the Ray pipeline — a
+    # subsampled universe under-resolves and inflates eff_control (ADVICE r3)
     repos_seen = set()
-    for f in files[:: max(1, len(files) // 64)]:
+    for f in files:
         repos_seen.update(pq.read_table(f, columns=["repo"])["repo"].to_pylist())
     # module = repo's exported name — the synthetic corpus exports path stem
     # per repo exactly like build_exports derives; module == repo name here

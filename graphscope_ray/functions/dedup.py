@@ -474,8 +474,10 @@ def embedding_near_dups(
     href = _ray.put(H)
 
     def _bucket(t: pa.Table) -> pa.Table:
+        from graphscope_ray.utils import vecs2d
+
         Hm = _ray.get(href)
-        V = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+        V = vecs2d(t[vec_col])
         V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         bits = (V @ Hm) > 0  # (n, bands*r)
         ids = t[id_col].to_numpy(zero_copy_only=False)

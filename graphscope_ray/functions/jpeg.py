@@ -489,6 +489,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         i += 2 + seg_len
     if frame is None or scan_comps is None:
         raise UnsupportedImageError("no frame/scan found")
+    if len(scan_comps) != len(frame["comps"]):
+        # legal T.81 variant we don't decode: non-interleaved multi-scan
+        # baseline (one SOS per component) — refusing keeps the "strict mode
+        # never produces wrong pixels" contract (ADVICE r3)
+        raise UnsupportedImageError(
+            f"non-interleaved scan (SOS ns={len(scan_comps)} != SOF ncomp={len(frame['comps'])})"
+        )
 
     # entropy-coded data: up to the next non-RST marker; record RST cuts
     cuts = []

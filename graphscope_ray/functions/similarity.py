@@ -17,11 +17,13 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from graphscope_ray.utils import vecs2d
+
 
 def _topk_partial_fn(ref, k: int, id_col: str, vec_col: str):
     def _block(t: pa.Table) -> pa.Table:
         Q, qids = ray.get(ref)
-        V = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+        V = vecs2d(t[vec_col])
         V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         ids = t[id_col].to_numpy(zero_copy_only=False)
         sims = Q @ V.T  # (nq, nblock)
@@ -85,7 +87,8 @@ def train_centroids(
         n = ds.count()
         sample = 1.0 if n <= max_train else max_train / n
     s = ds if sample >= 1.0 else ds.random_sample(sample, seed=seed)
-    X = np.stack(s.select_columns([vec_col]).to_pandas()[vec_col].to_numpy()).astype(np.float64)
+    tabs = ray.get(s.select_columns([vec_col]).materialize().to_arrow_refs())
+    X = np.concatenate([vecs2d(t[vec_col]) for t in tabs if t.num_rows], axis=0)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
     C = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
@@ -119,7 +122,7 @@ def ivf_topk(
 
     def _block(t: pa.Table) -> pa.Table:
         Qm, qids, Cm, probe = ray.get(ref)
-        V = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+        V = vecs2d(t[vec_col])
         V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         ids = t[id_col].to_numpy(zero_copy_only=False)
         assign = np.argmax(V @ Cm.T, axis=1)

@@ -185,8 +185,11 @@ class DynamicFragmentActor:
             if self.directed:
                 return self.nodes, self.adj, self.pred, True
             # each undirected edge appears at both endpoints → both arcs
-            # exist; the mirror equals the adjacency
-            return self.nodes, self.adj, dict(self.adj), True
+            # exist; the mirror equals the adjacency.  Deep-copy the inner
+            # dicts: correctness must not depend on Ray pickling the two
+            # state members independently (ADVICE r3 — a local load_state
+            # would otherwise alias adj and pred)
+            return self.nodes, self.adj, {v: dict(d) for v, d in self.adj.items()}, True
         if view == "undirected":
             if not self.directed:
                 return self.nodes, self.adj, {}, False
@@ -194,7 +197,13 @@ class DynamicFragmentActor:
             for v, d in self.pred.items():
                 m = merged.setdefault(v, {})
                 for u, attrs in d.items():
-                    m.setdefault(u, attrs)  # out-edge attrs win (documented)
+                    # when both arcs (u,v) and (v,u) exist with different
+                    # attrs, pick the winner by an endpoint-order-independent
+                    # rule — attrs of the arc whose (repr(src), repr(dst)) is
+                    # lexicographically minimal — so owner(u) and owner(v)
+                    # agree on the single undirected attr dict (ADVICE r3)
+                    if u not in m or (repr(u), repr(v)) < (repr(v), repr(u)):
+                        m[u] = attrs
             return self.nodes, merged, {}, False
         raise ValueError(view)
 

@@ -57,11 +57,13 @@ def lg_edges(sf_dir: str) -> ray.data.Dataset:
             {"src": pa.array(src[keep].astype(np.int64)), "dst": pa.array(dst[keep].astype(np.int64))}
         )
 
-    return (
-        li.map_batches(_derive, batch_format="pyarrow")
-        .groupby(["src", "dst"])
-        .count()
-        .select_columns(["src", "dst"])
+    from graphscope_ray.utils import hash_groupby_sum
+
+    # distinct via the explicit hash exchange (same plan as lg_edges_weighted):
+    # Ray's sort-based groupby is overhead-bound here (VERDICT r3 #5)
+    pairs = li.map_batches(_derive, batch_format="pyarrow")
+    return hash_groupby_sum(pairs, ["src", "dst"], None, "__n", num_partitions=8).select_columns(
+        ["src", "dst"]
     )
 
 

@@ -124,6 +124,13 @@ def _split_by_src_chunk(t: pa.Table, vcs: int, n_chunks: int):
         empty = t.slice(0, 0)
         return tuple(empty for _ in range(n_chunks)) if n_chunks > 1 else empty
     key = t["src"].to_numpy(zero_copy_only=False) // vcs
+    if key.max() >= n_chunks:
+        # an understated vertex count would silently drop these edges from
+        # the bincount slices below (ADVICE r3)
+        raise ValueError(
+            f"graphar: edge src {int(t['src'][int(np.argmax(key))])} exceeds the "
+            f"declared vertex count ({n_chunks} chunks × {vcs})"
+        )
     order = np.argsort(key, kind="stable")
     st = t.take(order)
     counts = np.bincount(key, minlength=n_chunks)
