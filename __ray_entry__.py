@@ -195,6 +195,32 @@ def _q_sim_ivf(sf_dir, nprobe=4, n_clusters=16):
     )
 
 
+def _q_sim_ivf_indexed(sf_dir):
+    """IVF over a MATERIALIZED centroid-partitioned index (the 100-TB read
+    path: search opens only probed bucket files, not the corpus).  Run at
+    nprobe == n_clusters so the result is exact top-k — oracle-checked
+    against the same brute-force cosine SQL as sim_topk/sim_ivf_exact; the
+    pruned-nprobe equivalence vs the scan-based IVF is pytest-gated
+    (tests/test_functions.py)."""
+    import shutil
+    import tempfile
+
+    from graphscope_ray.functions.similarity import build_ivf_index, ivf_topk_indexed
+
+    emb = _embeddings(sf_dir)
+    qdf = emb.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    path = tempfile.mkdtemp(prefix="ivfidx_", dir="/tmp")
+    try:
+        build_ivf_index(emb, path, n_clusters=16, resume=False)
+        ds, stats = ivf_topk_indexed(path, Q, qdf["vec_id"].to_numpy(), k=10, nprobe=16)
+        out = ds.to_pandas()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    out["score"] = out["score"].round(8)
+    return out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+
 def _q_sim_ivf_exact(sf_dir):
     """IVF with nprobe == n_clusters: every inverted list is probed, so the
     result is EXACT top-k — oracle-checkable against the brute-force cosine
@@ -516,6 +542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_topk": _q_sim_topk,
         "sim_ivf_topk": _q_sim_ivf,
         "sim_ivf_exact": _q_sim_ivf_exact,
+        "sim_ivf_indexed": _q_sim_ivf_indexed,
         # deterministic hash sampling / splitting
         "samp_sample": _q_samp_sample,
         "samp_split": _q_samp_split,
@@ -662,6 +689,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_louvain_level1": osql.lg_louvain_level1_sql(),
         "sim_topk": osql.sim_topk_sql(),
         "sim_ivf_exact": osql.sim_topk_sql(),
+        "sim_ivf_indexed": osql.sim_topk_sql(),
         "samp_sample": osql.samp_sample_sql(),
         "samp_split": osql.samp_split_sql(),
         "samp_stratified": osql.samp_stratified_sql(),

@@ -43,9 +43,15 @@ def write_partitioned(
     key: str,
     num_buckets: int = 16,
     resume: bool = True,
+    direct: bool = False,
 ) -> dict:
     """Write ``ds`` bucketed by ``hash(key) % num_buckets``; returns the
     manifest.  Committed buckets are skipped on re-run (``resume=True``).
+
+    ``direct=True`` buckets by the key VALUE itself (an int already in
+    ``[0, num_buckets)``) instead of its hash — the layout a reader needs
+    when the bucket id is semantic (e.g. the IVF nearest-centroid id:
+    probing cluster c means reading exactly ``bucket=c/``).
 
     Layout: one explicit hash exchange (block → num_buckets slots, same
     pattern as utils.hash_join), then ONE writer task per missing bucket:
@@ -68,8 +74,16 @@ def write_partitioned(
         if key not in df.columns:
             parts = tuple(df.iloc[:0] for _ in range(K))
             return parts if K > 1 else parts[0]
-        h = pd.util.hash_pandas_object(df[key], index=False).to_numpy()
-        part = (h % np.uint64(K)).astype(np.int64)
+        if direct:
+            part = df[key].to_numpy().astype(np.int64)
+            if len(part) and (part.min() < 0 or part.max() >= K):
+                raise ValueError(
+                    f"direct bucketing: key {key} outside [0, {K}) "
+                    f"(min={part.min()}, max={part.max()})"
+                )
+        else:
+            h = pd.util.hash_pandas_object(df[key], index=False).to_numpy()
+            part = (h % np.uint64(K)).astype(np.int64)
         parts = tuple(df[part == p] for p in range(K))
         return parts if K > 1 else parts[0]
 

@@ -121,6 +121,66 @@ def test_ivf_topk_recall():
     assert hits / 50 >= 0.6  # approximate search: decent recall with nprobe=4/8
 
 
+def test_ivf_indexed_matches_scan_and_prunes(tmp_path):
+    """The materialized centroid-partitioned index must (a) return EXACTLY
+    what the scan-based IVF returns at the same centroids/nprobe, (b) read
+    fewer inverted lists than exist (IO pruning evidence), and (c) resume:
+    a second build over a committed index rewrites nothing."""
+    rng = np.random.RandomState(2)
+    M = rng.randn(300, 8)
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(300, dtype=np.int64)),
+                "embedding": pa.array([r.tolist() for r in M], pa.list_(pa.float64())),
+            }
+        )
+    )
+    C = similarity.train_centroids(emb, n_clusters=8, seed=0)
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, idx, centroids=C)
+
+    def _canon(df):
+        df = df.copy()
+        df["score"] = df["score"].round(10)
+        return df.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+    for nprobe in (2, 4, 8):
+        ds, stats = similarity.ivf_topk_indexed(idx, M[:5], np.arange(5), k=10, nprobe=nprobe)
+        got = _canon(ds.to_pandas())
+        # scan-based IVF with the SAME centroids (bypass retraining by
+        # reusing the module's deterministic trainer seed/state)
+        want = _canon(_scan_ivf_with_centroids(emb, C, M[:5], np.arange(5), 10, nprobe))
+        pd.testing.assert_frame_equal(got, want)
+        assert stats["clusters_total"] == 8
+        if nprobe < 8:
+            assert stats["clusters_read"] <= 5 * nprobe  # union of probe sets
+    # nprobe = n_clusters is exact
+    ds, stats = similarity.ivf_topk_indexed(idx, M[:5], np.arange(5), k=10, nprobe=8)
+    out = ds.to_pandas()
+    exact = similarity.topk_cosine(emb, M[:5], np.arange(5), k=10).to_pandas()
+    pd.testing.assert_frame_equal(_canon(out), _canon(exact))
+    # resume: mtimes unchanged after a second build with resume=True
+    import os
+
+    f = os.path.join(idx, "bucket=0", "part.parquet")
+    mt = os.path.getmtime(f)
+    similarity.build_ivf_index(emb, idx, centroids=C, resume=True)
+    assert os.path.getmtime(f) == mt
+
+
+def _scan_ivf_with_centroids(emb, C, Q, qids, k, nprobe):
+    """ivf_topk's scan plan with injected centroids (for parity testing)."""
+    import graphscope_ray.functions.similarity as sim
+
+    orig = sim.train_centroids
+    sim.train_centroids = lambda *a, **kw: C
+    try:
+        return sim.ivf_topk(emb, Q, qids, k=k, n_clusters=len(C), nprobe=nprobe).to_pandas()
+    finally:
+        sim.train_centroids = orig
+
+
 def test_multimodal_plumbing():
     t = multimodal.fake_media_table(n=16, seed=3)
     ds = ray.data.from_arrow(t)
