@@ -504,6 +504,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_wcc": td.pg_wcc,
         "pg_sssp": td.pg_sssp,
         "pg_pagerank": td.pg_pagerank,
+        "pg_project_wcc": td.pg_project_wcc,
+        "pg_addcol_consolidate": td.pg_addcol_consolidate,
         "lg_sssp_weighted": td.lg_sssp_weighted,
         "lg_ktruss": td.lg_ktruss,
         "lg_random_walks": td.lg_random_walks,
@@ -658,6 +660,8 @@ def oracle_sql() -> dict[str, str]:
         "pg_wcc": osql.pg_wcc_sql(),
         "pg_sssp": osql.pg_sssp_sql(),
         "pg_pagerank": osql.pg_pagerank_sql(),
+        "pg_project_wcc": osql.pg_project_wcc_sql(),
+        "pg_addcol_consolidate": osql.pg_addcol_consolidate_sql(),
         "lg_sssp_weighted": osql.lg_sssp_weighted_sql(),
         "lg_ktruss": osql.lg_ktruss_sql(),
         "lg_random_walks": osql.lg_random_walks_sql(),

@@ -792,6 +792,7 @@ def build_graph_from_oids(
     dst_col: str = "dst_oid",
     encode: str = "auto",
     broadcast_limit: int = 20_000_000,
+    vertices: ray.data.Dataset | None = None,
     **kwargs,
 ) -> Graph:
     """Encode arbitrary (string/int) vertex oids to dense vids, then build.
@@ -808,6 +809,11 @@ def build_graph_from_oids(
     distinct oids — same rank-order vids) and attached to the edges with two
     ``hash_join`` exchanges — the >100M-vertex scale path.  ``"auto"``
     counts the distinct oids and picks (≤ ``broadcast_limit`` → broadcast).
+
+    ``vertices``: optional one-column ('oid') Dataset declaring the vertex
+    universe explicitly — oids absent from the edge table stay in the graph
+    as isolated vertices (the property-graph project_to_simple contract:
+    the label's whole vertex table is the universe, ref graph.py:816-869).
     """
     edges = edges.materialize()  # consumed 2× (distinct-id scan, encode)
 
@@ -830,6 +836,17 @@ def build_graph_from_oids(
         return len(u), u
 
     uniq_refs = [_block_unique.remote(b) for b in edges.to_arrow_refs()]
+    if vertices is not None:
+        vertices = vertices.select_columns(["oid"]).materialize()
+
+        @ray.remote(num_returns=2)
+        def _vblock_unique(t: pa.Table):
+            if "oid" not in t.column_names or t.num_rows == 0:
+                return 0, np.empty(0, dtype=np.int64)
+            u = np.unique(t["oid"].to_numpy(zero_copy_only=False))
+            return len(u), u
+
+        uniq_refs += [_vblock_unique.remote(b) for b in vertices.to_arrow_refs()]
     upper_bound = sum(ray.get([r[0] for r in uniq_refs]))
     # Σ per-block uniques ≥ true distinct count: when even that upper bound
     # fits the driver, skip the global distinct shuffle entirely and finish
@@ -845,6 +862,8 @@ def build_graph_from_oids(
         ids = edges.select_columns([src_col]).rename_columns({src_col: "oid"}).union(
             edges.select_columns([dst_col]).rename_columns({dst_col: "oid"})
         )
+        if vertices is not None:
+            ids = ids.union(vertices)
         ids = ids.map_batches(
             lambda t: pa.table(
                 {"oid": pa.array(np.unique(t["oid"].to_numpy(zero_copy_only=False)))}

@@ -797,6 +797,35 @@ def pg_wcc_sql(rounds: int = 32) -> str:
     )
 
 
+def pg_project_wcc_sql() -> str:
+    """Oracle for PROJECT_TO_SIMPLE + WCC on the (order, next) labeled
+    projection: the 'next' edges chain each customer's orders, so a weakly-
+    connected component is exactly one customer's order set and the min-oid
+    component id is the customer's smallest orderkey (single-order customers
+    are isolated vertices: comp = self)."""
+    return (
+        "SELECT o_orderkey AS oid, "
+        "min(o_orderkey) OVER (PARTITION BY o_custkey) AS comp "
+        "FROM orders ORDER BY oid"
+    )
+
+
+def pg_addcol_consolidate_sql() -> str:
+    """Oracle for ADD_COLUMN + CONSOLIDATE_COLUMNS on the labeled graph:
+    out/in degree of the per-customer order chain is 1 unless the order is
+    the customer's last/first; consolidated as the stringified [out,in]
+    pair the engine exports."""
+    return (
+        "WITH d AS (SELECT o_orderkey AS oid, "
+        "CASE WHEN LEAD(o_orderkey) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderkey) IS NULL THEN 0 ELSE 1 END AS outd, "
+        "CASE WHEN LAG(o_orderkey) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderkey) IS NULL THEN 0 ELSE 1 END AS ind "
+        "FROM orders) "
+        "SELECT oid, '[' || outd || ',' || ind || ']' AS deg FROM d ORDER BY oid"
+    )
+
+
 def pg_sssp_sql(max_depth: int = 64) -> str:
     """Property SSSP/BFS (ref apps/property/sssp_property.h, unit weights)
     from customer 0 along directed union edges."""

@@ -787,70 +787,77 @@ def lg_path_enum(sf_dir: str, length: int = 2, start_filter: int = 5) -> pd.Data
 # property-graph (multi-label) apps: one union graph over labeled vid ranges
 
 
+def _tripartite_pgraph(sf_dir: str):
+    """The first-class multi-label property graph: 3 vertex labels
+    (customer, order, part — keyed by their TPC-H keys, properties loaded
+    per label) and 2 edge labels (places: customer→order, contains:
+    order→part).  This is the reference's ArrowFragment data model
+    (graph_schema.py:249-480) expressed as per-label lazy Datasets."""
+    from graphscope_ray.graph.property import PropertyGraph
+
+    return (
+        PropertyGraph(directed=True)
+        .add_vertices(
+            read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"]),
+            "customer",
+            vid_field="c_custkey",
+        )
+        .add_vertices(
+            read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]),
+            "order",
+            vid_field="o_orderkey",
+        )
+        .add_vertices(
+            read(sf_dir, "part", columns=["p_partkey", "p_size", "p_retailprice"]),
+            "part",
+            vid_field="p_partkey",
+        )
+        .add_edges(
+            read(sf_dir, "orders", columns=["o_custkey", "o_orderkey"]),
+            "places",
+            src_label="customer",
+            dst_label="order",
+            src_field="o_custkey",
+            dst_field="o_orderkey",
+        )
+        .add_edges(
+            read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]),
+            "contains",
+            src_label="order",
+            dst_label="part",
+            src_field="l_orderkey",
+            dst_field="l_partkey",
+        )
+    )
+
+
 def _tripartite_graph(sf_dir: str, num_partitions: int = 4):
-    """Property graph with 3 vertex labels (customer, order, part) and 2 edge
-    labels (customer→order from orders, order→part from lineitem), encoded
-    as one dense vid space with per-label offsets — the same label-as-vid-
-    range encoding lpa_u2i uses.  Mirrors the reference's labeled fragments
-    (apps/property/wcc_property.h iterates per-label vertex ranges of ONE
-    fragment; the union semantics are identical)."""
+    """Flatten the labeled property graph to the union simple graph the
+    property apps run on (apps/property/wcc_property.h iterates per-label
+    vertex ranges of ONE fragment; flatten(encode='dense') reproduces the
+    same per-label dense vid blocks, so absent keys are isolated vertices
+    exactly like the reference's dense per-label vertex maps)."""
     key = (sf_dir, "tripartite", num_partitions)
     if key in _GRAPH_CACHE:
         return _GRAPH_CACHE[key]
-    n_c = int(read(sf_dir, "customer", columns=["c_custkey"]).max("c_custkey")) + 1
-    n_o = int(read(sf_dir, "orders", columns=["o_orderkey"]).max("o_orderkey")) + 1
-    n_p = int(read(sf_dir, "part", columns=["p_partkey"]).max("p_partkey")) + 1
-
-    co = read(sf_dir, "orders", columns=["o_custkey", "o_orderkey"]).map_batches(
-        lambda t: pa.table(
-            {
-                "src": pa.array(t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)),
-                "dst": pa.array(
-                    t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64) + n_c
-                ),
-            }
-        ),
-        batch_format="pyarrow",
+    pgraph = _tripartite_pgraph(sf_dir).project(
+        vertices={"customer": [], "order": [], "part": []},
+        edges={"places": [], "contains": []},
     )
-    op = read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]).map_batches(
-        lambda t: pa.table(
-            {
-                "src": pa.array(
-                    t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64) + n_c
-                ),
-                "dst": pa.array(
-                    t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-                    + n_c
-                    + n_o
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    g = build_graph(
-        co.union(op),
+    g, info = pgraph.flatten(
+        encode="dense",
         num_partitions=num_partitions,
-        num_vertices=n_c + n_o + n_p,
         store_in_edges=True,
         dedup_edges=True,
     )
-    _GRAPH_CACHE[key] = (g, n_c, n_o, n_p)
+    _GRAPH_CACHE[key] = (g, info)
     return _GRAPH_CACHE[key]
-
-
-def _pg_label_split(df: pd.DataFrame, n_c: int, n_o: int) -> pd.DataFrame:
-    lab = np.where(df["vid"] < n_c, "customer", np.where(df["vid"] < n_c + n_o, "order", "part"))
-    key = df["vid"] - np.where(df["vid"] < n_c, 0, np.where(df["vid"] < n_c + n_o, n_c, n_c + n_o))
-    out = df.copy()
-    out.insert(0, "v_label", lab)
-    out.insert(1, "v_key", key.astype(np.int64))
-    return out
 
 
 def pg_wcc(sf_dir: str) -> pd.DataFrame:
     """WCC over the labeled union graph (apps/property/wcc_property.h — same
     min-gid semantics per label range); comp = min global vid."""
-    g, n_c, n_o, n_p = _tripartite_graph(sf_dir)
+    g, info = _tripartite_graph(sf_dir)
     ds, _ = alg.wcc(g)
     df = ds.to_pandas()
     # drop vids with no incident edges (padding keys absent from the tables
@@ -858,19 +865,101 @@ def pg_wcc(sf_dir: str) -> pd.DataFrame:
     deg = g.degrees().to_pandas()
     active = deg[(deg["out_deg"] > 0) | (deg["in_deg"] > 0)]["vid"]
     df = df[df["vid"].isin(active)]
-    out = _pg_label_split(df, n_c, n_o)[["v_label", "v_key", "comp"]]
+    out = info.split(df)[["v_label", "v_key", "comp"]]
     return out.sort_values(["v_label", "v_key"]).reset_index(drop=True)
 
 
 def pg_sssp(sf_dir: str) -> pd.DataFrame:
     """Property SSSP (apps/property/sssp_property.h, unit weights) from
     customer 0 over the union graph; reached vertices only."""
-    g, n_c, n_o, n_p = _tripartite_graph(sf_dir)
+    g, info = _tripartite_graph(sf_dir)
     ds, _ = alg.bfs(g, source=0)
     df = ds.to_pandas()
     df = df[df["depth"] >= 0]
-    out = _pg_label_split(df, n_c, n_o)[["v_label", "v_key", "depth"]]
+    out = info.split(df)[["v_label", "v_key", "depth"]]
     return out.sort_values(["v_label", "v_key"]).reset_index(drop=True)
+
+
+def pg_project_wcc(sf_dir: str) -> pd.DataFrame:
+    """PROJECT_TO_SIMPLE on the labeled graph (ref graph.py:816-869 +
+    grape_instance.cc:275-313): vertex label 'order' with a self-relating
+    edge label 'next' (each customer's orders chained in o_orderkey order),
+    projected to a simple graph — the label's WHOLE vertex table is the
+    universe, so single-order customers survive as isolated vertices — and
+    run through WCC.  Components are exactly 'orders of one customer';
+    comp is reported in oid space (rank vids are order-preserving, so
+    min-vid ≡ min-oid like lg_wcc)."""
+    from graphscope_ray.graph.property import PropertyGraph
+
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def _chain(gdf: pd.DataFrame) -> pd.DataFrame:
+        k = np.sort(gdf["o_orderkey"].to_numpy())
+        return pd.DataFrame({"src": k[:-1], "dst": k[1:]})
+
+    chain = (
+        orders.groupby("o_custkey")
+        .map_groups(_chain, batch_format="pandas")
+    )
+    pgraph = (
+        PropertyGraph(directed=True)
+        .add_vertices(orders, "order", vid_field="o_orderkey", properties=["o_custkey"])
+        .add_edges(chain, "next", src_label="order", dst_label="order")
+    )
+    sub = pgraph.project(vertices={"order": []}, edges={"next": []})
+    g = sub.project_to_simple(num_partitions=4, store_in_edges=True)
+    ds, _ = alg.wcc(g)
+    vmap = g.vertices_ds.to_pandas()
+    df = ds.to_pandas().merge(vmap, on="vid")
+    m = vmap.set_index("vid")["oid"]
+    out = pd.DataFrame(
+        {"oid": df["oid"].astype(np.int64), "comp": m.loc[df["comp"]].to_numpy().astype(np.int64)}
+    )
+    return out.sort_values("oid").reset_index(drop=True)
+
+
+def pg_addcol_consolidate(sf_dir: str) -> pd.DataFrame:
+    """ADD_COLUMN + CONSOLIDATE_COLUMNS on the labeled graph (ref
+    graph.py:715-814): project to (order, next), compute degrees on the
+    simple projection, ADD them back onto the 'order' vertex label as new
+    property columns (distributed hash join on oid), then CONSOLIDATE the
+    two same-type degree columns into one list column; exported stringified
+    like op_consolidate for oracle comparability."""
+    from graphscope_ray.graph.property import PropertyGraph
+
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def _chain(gdf: pd.DataFrame) -> pd.DataFrame:
+        k = np.sort(gdf["o_orderkey"].to_numpy())
+        return pd.DataFrame({"src": k[:-1], "dst": k[1:]})
+
+    chain = orders.groupby("o_custkey").map_groups(_chain, batch_format="pandas")
+    pgraph = (
+        PropertyGraph(directed=True)
+        .add_vertices(orders, "order", vid_field="o_orderkey", properties=[])
+        .add_edges(chain, "next", src_label="order", dst_label="order")
+    )
+    g = pgraph.project_to_simple(num_partitions=4, store_in_edges=True)
+    deg = g.degrees()  # (vid, out_deg, in_deg)
+    vmap = g.vertices_ds
+    from graphscope_ray.utils import hash_join
+
+    deg_oid = hash_join(deg, vmap, "vid", "vid", num_partitions=8).map_batches(
+        lambda t: t.select(["oid", "out_deg", "in_deg"]), batch_format="pyarrow"
+    )
+    g2 = pgraph.add_column("order", deg_oid, key="oid")
+    g3 = g2.consolidate_columns("order", ["out_deg", "in_deg"], "deg")
+
+    def _fmt(t: pa.Table) -> pa.Table:
+        from graphscope_ray.utils import vecs2d
+
+        d = vecs2d(t["deg"], dtype=np.int64)
+        s = [f"[{a},{b}]" for a, b in d]
+        return pa.table({"oid": t["oid"], "deg": pa.array(s, pa.string())})
+
+    out = g3.vertex_table("order").map_batches(_fmt, batch_format="pyarrow").to_pandas()
+    out["oid"] = out["oid"].astype(np.int64)
+    return out.sort_values("oid").reset_index(drop=True)
 
 
 def lg_graph_weighted(sf_dir: str, num_partitions: int = 4) -> Graph:
@@ -1781,9 +1870,9 @@ def pg_pagerank(sf_dir: str, rounds: int = 10, alpha: float = 0.85) -> pd.DataFr
     """Property-graph PageRank (ref apps/property/ auto variants): NetworkX
     semantics over the customer→order→part labeled union graph, fixed
     rounds; isolated keys are dangling vertices (dense key spaces)."""
-    g, n_c, n_o, n_p = _tripartite_graph(sf_dir)
+    g, info = _tripartite_graph(sf_dir)
     ds, _ = alg.pagerank(g, alpha=alpha, tol=0.0, max_rounds=rounds)
-    out = _pg_label_split(ds.to_pandas(), n_c, n_o)[["v_label", "v_key", "score"]]
+    out = info.split(ds.to_pandas())[["v_label", "v_key", "score"]]
     out["score"] = out["score"].round(8)
     return out.sort_values(["v_label", "v_key"]).reset_index(drop=True)
 
