@@ -1,5 +1,11 @@
 from graphscope_ray.stages.ingest import with_sha256, lineage
-from graphscope_ray.stages.mine import ImportMiner, mine_imports, build_exports, resolve_edges
+from graphscope_ray.stages.mine import (
+    ImportMiner,
+    mine_imports,
+    build_exports,
+    resolve_edges,
+    resolve_edges_join,
+)
 
 __all__ = [
     "with_sha256",
@@ -8,4 +14,5 @@ __all__ = [
     "mine_imports",
     "build_exports",
     "resolve_edges",
+    "resolve_edges_join",
 ]

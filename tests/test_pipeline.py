@@ -45,6 +45,30 @@ def test_mining_resolves_only_real_modules():
     assert "os" not in set(exports["module"])
 
 
+def test_resolve_join_path_matches_broadcast():
+    """The distributed hash-join resolver (the >broadcast_limit universe
+    fallback, VERDICT r3 #3) must emit the identical weighted edge set as
+    the broadcast searchsorted resolver."""
+    from graphscope_ray.stages.mine import resolve_edges
+
+    t = generate_repos(n_repos=40, seed=7, clique_k=4)
+    ds = ray.data.from_arrow(t)
+    exports = build_exports(ds)
+    imports = mine_imports(ds).materialize()
+
+    def canon(d):
+        return (
+            d.to_pandas()
+            .sort_values(["src_oid", "dst_oid"])
+            .reset_index(drop=True)[["src_oid", "dst_oid", "weight"]]
+        )
+
+    bc = canon(resolve_edges(imports, exports))  # broadcast path
+    jn = canon(resolve_edges(imports, exports, broadcast_limit=0))  # forced join path
+    assert len(bc) > 0
+    assert bc.equals(jn)
+
+
 def test_planted_structure():
     t = generate_repos(n_repos=40, seed=42, clique_k=4, n_components=2)
     ds = ray.data.from_arrow(t)
