@@ -40,6 +40,70 @@ _REDUCERS = {"sum": np.add, "min": np.minimum, "max": np.maximum}
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
 
+# ---- varint+delta adjacency codec (the reference's ``compact_edges``
+# memory option, arrow_projected_fragment.h:727-735 / graph_builder.py:61:
+# per-vertex neighbor lists are sorted ascending, so LEB128-encoded deltas
+# compress the dominant int64 dst arrays ~4-6×; supersteps never touch the
+# blob — they run on the per-target message index — and point/triangle
+# kernels decode on demand, trading CPU for residency exactly like the
+# reference's compact traversal) ---------------------------------------------
+
+
+def _varint_encode(vals: np.ndarray) -> np.ndarray:
+    """Vectorized LEB128: uint8 blob of the non-negative int64 values."""
+    v = vals.astype(np.uint64)
+    nb = np.ones(len(v), dtype=np.int64)
+    x = v >> np.uint64(7)
+    while (x > 0).any():
+        nb += x > 0
+        x >>= np.uint64(7)
+    out = np.empty(int(nb.sum()), dtype=np.uint8)
+    starts = np.concatenate([[0], np.cumsum(nb)[:-1]]).astype(np.int64)
+    rem = v.copy()
+    active = np.arange(len(v), dtype=np.int64)
+    k = 0
+    while active.size:
+        more = nb[active] > (k + 1)
+        out[starts[active] + k] = (rem[active] & np.uint64(0x7F)).astype(np.uint8) | (
+            more.astype(np.uint8) << 7
+        )
+        rem[active] >>= np.uint64(7)
+        active = active[more]
+        k += 1
+    return out
+
+
+def _varint_decode(blob: np.ndarray, n: int) -> np.ndarray:
+    """Inverse of _varint_encode — fully vectorized (reduceat over value
+    starts; bytes shifted by 7·position-in-value)."""
+    if n == 0:
+        return _EMPTY_I64
+    cont = (blob & 0x80) != 0
+    is_start = np.empty(len(blob), dtype=bool)
+    is_start[0] = True
+    is_start[1:] = ~cont[:-1]
+    start_idx = np.flatnonzero(is_start)
+    gid = np.cumsum(is_start) - 1
+    pos = np.arange(len(blob), dtype=np.int64) - start_idx[gid]
+    parts = (blob & 0x7F).astype(np.uint64) << (np.uint64(7) * pos.astype(np.uint64))
+    return np.bitwise_or.reduceat(parts, start_idx).astype(np.int64)
+
+
+def _delta_encode_rows(vals: np.ndarray, indptr: np.ndarray) -> np.ndarray:
+    """Per-row delta (rows sorted ascending): row head stays absolute."""
+    delta = np.diff(vals, prepend=0)
+    heads = indptr[:-1][np.diff(indptr) > 0]
+    delta[heads] = vals[heads]
+    return delta
+
+
+def _delta_decode_rows(delta: np.ndarray, indptr: np.ndarray) -> np.ndarray:
+    cs = np.cumsum(delta)
+    rowlens = np.diff(indptr)
+    offsets = np.where(indptr[:-1] > 0, cs[np.maximum(indptr[:-1] - 1, 0)], 0)
+    return cs - np.repeat(offsets, rowlens)
+
+
 class Csr:
     """Compressed sparse rows over one partition's edges + per-target message index."""
 
@@ -51,12 +115,14 @@ class Csr:
         src_local: np.ndarray,
         dst: np.ndarray,
         weight: np.ndarray | None = None,
+        compact: bool = False,
     ):
         self.part = part
         self.P = num_parts
         self.n_local = n_local
         order = np.lexsort((dst, src_local))  # adjacency sorted by vid within vertex
-        self.dst = np.ascontiguousarray(dst[order])
+        dst_sorted = np.ascontiguousarray(dst[order])
+        self.n_edges = int(dst_sorted.size)
         self.weight = np.ascontiguousarray(weight[order]) if weight is not None else None
         counts = (
             np.bincount(src_local, minlength=n_local).astype(np.int64)
@@ -65,8 +131,8 @@ class Csr:
         )
         self.deg = counts
         self.indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-        dst_part = self.dst % num_parts
-        self.dst_local = self.dst // num_parts
+        dst_part = dst_sorted % num_parts
+        dst_local = dst_sorted // num_parts
         src_local_per_edge = np.repeat(np.arange(n_local, dtype=np.int64), counts)
         # per-target-partition message index, pre-permuted into dst_local order:
         #   tgt_src[q]  — source LOCAL id per edge (int32; gathers read the
@@ -80,23 +146,57 @@ class Csr:
         self.tgt_w: list[np.ndarray] | None = [] if weight is not None else None
         self.tgt_uniq: list[np.ndarray] = []
         self.tgt_runstarts: list[np.ndarray] = []
+        # per-fragment edge counts fit int32 (a >2B-edge fragment would be
+        # mis-partitioned long before this overflows)
+        sel_t = np.int32 if self.n_edges < 2**31 else np.int64
         for q in range(num_parts):
             sel = np.flatnonzero(dst_part == q)
-            dl = self.dst_local[sel]
+            dl = dst_local[sel]
             o = np.argsort(dl, kind="stable")
             sel, dl = sel[o], dl[o]
             if dl.size:
-                starts = np.concatenate([[0], np.flatnonzero(np.diff(dl)) + 1]).astype(np.int64)
+                starts = np.concatenate([[0], np.flatnonzero(np.diff(dl)) + 1]).astype(sel_t)
                 uniq = dl[starts].astype(np.int32)
             else:
                 starts, uniq = _EMPTY_I64, _EMPTY_I64
-            self.tgt_sel.append(sel)
+            self.tgt_sel.append(sel.astype(sel_t))
             self.tgt_src.append(src_local_per_edge[sel].astype(np.int32))
             self.tgt_dl.append(dl.astype(np.int32))
             if self.tgt_w is not None:
                 self.tgt_w.append(self.weight[sel])
             self.tgt_uniq.append(uniq)
             self.tgt_runstarts.append(starts)
+        # primary adjacency: raw int64, or varint+delta blob (compact_edges)
+        self.compact = bool(compact)
+        if compact:
+            self._dst = None
+            self._dst_blob = _varint_encode(_delta_encode_rows(dst_sorted, self.indptr))
+        else:
+            self._dst = dst_sorted
+            self._dst_blob = None
+
+    @property
+    def dst(self) -> np.ndarray:
+        """Destination vids in adjacency order; compact layouts decode the
+        varint+delta blob on demand (point/triangle/export paths only —
+        supersteps run on the per-target message index above)."""
+        if self._dst is not None:
+            return self._dst
+        return _delta_decode_rows(
+            _varint_decode(self._dst_blob, self.n_edges), self.indptr
+        )
+
+    def resident_bytes(self) -> int:
+        """Resident adjacency+index memory of this CSR (graph meta)."""
+        total = self.deg.nbytes + self.indptr.nbytes
+        total += self._dst.nbytes if self._dst is not None else self._dst_blob.nbytes
+        if self.weight is not None:
+            total += self.weight.nbytes
+        for lst in (self.tgt_sel, self.tgt_src, self.tgt_dl, self.tgt_uniq, self.tgt_runstarts):
+            total += sum(a.nbytes for a in lst)
+        if self.tgt_w is not None:
+            total += sum(a.nbytes for a in self.tgt_w)
+        return int(total)
 
     # ---- message kernels (vertex-value based: the per-edge value is
     # f(source vertex) [+ edge weight], gathered straight from the
@@ -381,12 +481,14 @@ class FragmentActor:
         hub_blocks: list | None = None,
         hub_vids: np.ndarray | None = None,
         hub_deg: np.ndarray | None = None,
+        compact: bool = False,
     ):
         self.part = part
         self.P = num_parts
         self.N = num_vertices
         self.n_local = max(0, (num_vertices - part + num_parts - 1) // num_parts)
         self.dedup_edges = dedup_edges
+        self.compact = compact
         self.out = self._build_csr(out_blocks, by="src")
         self.inc = self._build_csr(in_blocks, by="dst") if in_blocks is not None else None
         # --- degree-skew hub shard: edges of split hubs whose dst lives HERE.
@@ -472,7 +574,10 @@ class FragmentActor:
                 sl, d = sl[first], d[first]
             # drop self-loops (undirected simple graph, triangles.h semantics)
             keep = sl * self.P + self.part != d
-            self._ucsr = Csr(self.part, self.P, self.n_local, sl[keep], d[keep])
+            self._ucsr = Csr(
+                self.part, self.P, self.n_local, sl[keep], d[keep],
+                compact=getattr(self, "compact", False),
+            )
         return self._ucsr
 
     def _build_csr(self, blocks: list, by: str) -> Csr:
@@ -503,12 +608,22 @@ class FragmentActor:
             keep = np.concatenate([[True], (np.diff(sl) != 0) | (np.diff(d) != 0)])
             sl, d = sl[keep], d[keep]
             w = w[order][keep] if w is not None else None
-        return Csr(self.part, self.P, self.n_local, sl, d, w)
+        return Csr(self.part, self.P, self.n_local, sl, d, w, compact=getattr(self, "compact", False))
 
     # ---- introspection ---------------------------------------------------
 
     def num_edges(self) -> int:
-        return int(self.out.dst.size)
+        return int(self.out.n_edges)
+
+    def resident_bytes(self) -> dict:
+        """Adjacency+index residency per CSR (graph meta; the compact_edges
+        knob is judged by this number)."""
+        out = {"out": self.out.resident_bytes(), "compact": getattr(self, "compact", False)}
+        if self.inc is not None:
+            out["in"] = self.inc.resident_bytes()
+        if self._ucsr is not None:
+            out["ucsr"] = self._ucsr.resident_bytes()
+        return out
 
     def edges_table(self) -> pa.Table:
         """This partition's out-edges as (src, dst[, weight]) — the
@@ -535,7 +650,7 @@ class FragmentActor:
     def num_undirected_edges(self) -> int:
         """Edge endpoints in the local undirected dedup adjacency (Σ over
         partitions counts each undirected edge twice)."""
-        return int(self.ucsr().dst.size)
+        return int(self.ucsr().n_edges)
 
     def owned_vids(self) -> np.ndarray:
         return np.arange(self.n_local, dtype=np.int64) * self.P + self.part
@@ -958,7 +1073,7 @@ class FragmentActor:
         inset = np.zeros(max(self.N, 1), dtype=bool)
         inset[core_vids] = True
         own = inset[self.owned_vids()]
-        if not own.any() or o.dst.size == 0:
+        if not own.any() or o.n_edges == 0:
             return 0
         src_in = np.repeat(own, o.deg)
         return int((src_in & inset[o.dst]).sum())
@@ -968,7 +1083,7 @@ class FragmentActor:
         (the reference's degree order incl. gid tiebreak, triangles.h:70-94).
         Runs on the undirected deduplicated adjacency (ucsr)."""
         o = self.ucsr()
-        deg_dst = np.empty(o.dst.size, dtype=np.int64)
+        deg_dst = np.empty(o.n_edges, dtype=np.int64)
         for q in range(self.P):
             sel, starts, rep = o.tgt_sel[q], o.tgt_runstarts[q], deg_replies[q]
             if sel.size:
@@ -977,8 +1092,9 @@ class FragmentActor:
         src_local = np.repeat(np.arange(self.n_local, dtype=np.int64), o.deg)
         src_vid = src_local * self.P + self.part
         deg_src = np.repeat(o.deg, o.deg)
-        keep = (deg_src < deg_dst) | ((deg_src == deg_dst) & (src_vid < o.dst))
-        kd, ks, kdd = o.dst[keep], src_local[keep], deg_dst[keep]
+        dstv = o.dst  # one decode under compact layouts
+        keep = (deg_src < deg_dst) | ((deg_src == deg_dst) & (src_vid < dstv))
+        kd, ks, kdd = dstv[keep], src_local[keep], deg_dst[keep]
         # membership CSR: per vertex sorted by neighbor vid (CSR is already (src,dst)-sorted)
         kcounts = (
             np.bincount(ks, minlength=self.n_local).astype(np.int64)
