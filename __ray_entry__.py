@@ -406,6 +406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_edges": lambda sf: td.lg_edges(sf),
         "lg_vertices": td.lg_vertices,
         "lg_graphar_roundtrip": td.lg_graphar_roundtrip,
+        "lg_graphar_dest": lambda sf: td.lg_graphar_roundtrip(sf, order="dst"),
         "dyn_mutations": td.dyn_mutations,
         "dyn_view_undirected": td.dyn_view_undirected,
         "lg_edges_weighted": td.lg_edges_weighted,
@@ -565,6 +566,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_edges": osql.lg_edges_sql(),
         "lg_vertices": osql.lg_vertices_sql(),
         "lg_graphar_roundtrip": osql.lg_edges_sql(),
+        "lg_graphar_dest": osql.lg_edges_sql(),
         "dyn_mutations": osql.dyn_mutations_sql(),
         "dyn_view_undirected": osql.dyn_view_undirected_sql(),
         "lg_edges_weighted": osql.lg_edges_weighted_sql(),

@@ -67,11 +67,13 @@ def lg_edges(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def lg_graphar_roundtrip(sf_dir: str) -> pd.DataFrame:
+def lg_graphar_roundtrip(sf_dir: str, order: str = "src") -> pd.DataFrame:
     """ARCHIVE_GRAPH parity (ref dag_utils.py:1085-1114): archive the link
     graph in the open GraphAr-style layout, re-read the chunked archive with
     the external reader, decode vids back to oids positionally — the result
-    must equal lg_edges exactly (same oracle)."""
+    must equal lg_edges exactly (same oracle).  ``order`` selects the
+    adjacency orientation read back (ordered_by_source / the
+    ordered_by_dest mirror — both carry the identical edge set)."""
     import shutil
     import tempfile
 
@@ -81,7 +83,7 @@ def lg_graphar_roundtrip(sf_dir: str) -> pd.DataFrame:
     path = tempfile.mkdtemp(prefix="graphar_", dir="/tmp")
     try:
         graphar.save_graphar(g, path, vertex_chunk_size=256)
-        edges = graphar.read_graphar_edges(path).to_pandas()
+        edges = graphar.read_graphar_edges(path, order=order).to_pandas()
         verts = graphar.read_graphar_vertices(path).to_pandas()
         m = verts.set_index("vid")["oid"]
         out = pd.DataFrame(

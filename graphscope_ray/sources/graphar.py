@@ -25,9 +25,12 @@ external reader can consume, following the public GraphAr v1 conventions
         edge property chunks, row-aligned with the adj_list chunks
 
 Documented subset vs the full spec: single vertex label / single edge label,
-parquet file_type only, `ordered_by_source` adjacency only (no
-ordered_by_dest mirror), YAML manifests restricted to flat keys + one level
+parquet file_type only, YAML manifests restricted to flat keys + one level
 of lists (parseable by the bundled mini-parser, and by any real YAML lib).
+Both adjacency orientations are written by default: `ordered_by_source`
+(push-side scans) and the `ordered_by_dest` mirror (sorted (dst, src) with
+per-destination offsets — pull-side scans); `read_graphar_edges(order=...)`
+reads either.
 
 Everything is written and read distributed: the source-chunk exchange is one
 split task per fragment edge block plus one write task per (vertex chunk,
@@ -118,17 +121,18 @@ def _write_text(path: str, text: str) -> None:
 
 
 @ray.remote
-def _split_by_src_chunk(t: pa.Table, vcs: int, n_chunks: int):
-    """Range-split one fragment edge block by source vertex chunk."""
+def _split_by_key_chunk(t: pa.Table, vcs: int, n_chunks: int, key_col: str):
+    """Range-split one fragment edge block by the aligned endpoint's chunk
+    (key_col = 'src' for ordered_by_source, 'dst' for ordered_by_dest)."""
     if t.num_rows == 0:
         empty = t.slice(0, 0)
         return tuple(empty for _ in range(n_chunks)) if n_chunks > 1 else empty
-    key = t["src"].to_numpy(zero_copy_only=False) // vcs
+    key = t[key_col].to_numpy(zero_copy_only=False) // vcs
     if key.max() >= n_chunks:
         # an understated vertex count would silently drop these edges from
         # the bincount slices below (ADVICE r3)
         raise ValueError(
-            f"graphar: edge src {int(t['src'][int(np.argmax(key))])} exceeds the "
+            f"graphar: edge {key_col} {int(t[key_col][int(np.argmax(key))])} exceeds the "
             f"declared vertex count ({n_chunks} chunks × {vcs})"
         )
     order = np.argsort(key, kind="stable")
@@ -139,18 +143,24 @@ def _split_by_src_chunk(t: pa.Table, vcs: int, n_chunks: int):
     return out if n_chunks > 1 else out[0]
 
 
+_ORDER_DIR = {"src": "ordered_by_source", "dst": "ordered_by_dest"}
+
+
 @ray.remote
-def _write_src_chunk(path: str, etriple: str, k: int, vcs: int, n_vert: int,
-                     ecs: int, prop_cols: tuple, *parts) -> int:
-    """One source-vertex-chunk of the adjacency: sort, chunk, offsets."""
+def _write_adj_chunk(path: str, etriple: str, k: int, vcs: int, n_vert: int,
+                     ecs: int, prop_cols: tuple, align: str, *parts) -> int:
+    """One aligned-vertex-chunk of the adjacency: sort, chunk, offsets.
+    align='src' → ordered_by_source (sorted (src, dst), offsets per source);
+    align='dst' → ordered_by_dest mirror (sorted (dst, src), offsets per
+    destination — the pull-side layout an external consumer scans)."""
     tabs = [p for p in parts if p.num_rows]
-    base = os.path.join(path, "edge", etriple, "ordered_by_source")
+    base = os.path.join(path, "edge", etriple, _ORDER_DIR[align])
     t = pa.concat_tables(tabs) if tabs else parts[0]
-    src = t["src"].to_numpy(zero_copy_only=False)
-    dst = t["dst"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((dst, src))
+    src_v = t["src"].to_numpy(zero_copy_only=False)
+    dst_v = t["dst"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((dst_v, src_v)) if align == "src" else np.lexsort((src_v, dst_v))
     t = t.take(order)
-    src = src[order]
+    src = (src_v if align == "src" else dst_v)[order]
     m = t.num_rows
     adj_dir = os.path.join(base, "adj_list", f"part{k}")
     os.makedirs(adj_dir, exist_ok=True)
@@ -167,7 +177,7 @@ def _write_src_chunk(path: str, etriple: str, k: int, vcs: int, n_vert: int,
             pq.write_table(
                 pa.table({g: sl[g]}), os.path.join(prop_dirs[g], f"chunk{j}.parquet")
             )
-    # offsets: cumulative edge count per source vertex of this chunk
+    # offsets: cumulative edge count per ALIGNED vertex of this chunk
     lo = k * vcs
     n_in_chunk = min(vcs, n_vert - lo)
     deg = np.bincount(src - lo, minlength=n_in_chunk).astype(np.int64)
@@ -226,6 +236,7 @@ def save_graphar(
     edge_label: str = "links",
     vertex_chunk_size: int = 1 << 18,
     edge_chunk_size: int = 1 << 22,
+    orders: tuple = ("src", "dst"),
 ) -> str:
     """Archive a loaded Graph in the GraphAr-style layout above.
 
@@ -246,21 +257,24 @@ def save_graphar(
         blocks += [a.hub_edges_table.remote() for a in g.actors]
     sample = ray.get(blocks[0])
     prop_cols = tuple(c for c in sample.column_names if c not in ("src", "dst"))
-    splits = [
-        _split_by_src_chunk.options(num_returns=n_chunks).remote(b, vcs, n_chunks)
-        for b in blocks
-    ]
-    if n_chunks == 1:
-        splits = [[s] for s in splits]
-    counts = ray.get(
-        [
-            _write_src_chunk.remote(
-                path, etriple, k, vcs, N, edge_chunk_size, prop_cols,
-                *[splits[i][k] for i in range(len(blocks))],
-            )
-            for k in range(n_chunks)
+    counts = None
+    for align in orders:  # one exchange + writer wave per adjacency order
+        splits = [
+            _split_by_key_chunk.options(num_returns=n_chunks).remote(b, vcs, n_chunks, align)
+            for b in blocks
         ]
-    )
+        if n_chunks == 1:
+            splits = [[s] for s in splits]
+        c = ray.get(
+            [
+                _write_adj_chunk.remote(
+                    path, etriple, k, vcs, N, edge_chunk_size, prop_cols, align,
+                    *[splits[i][k] for i in range(len(blocks))],
+                )
+                for k in range(n_chunks)
+            ]
+        )
+        counts = c if counts is None else counts
 
     # ---- vertices: positional property chunks + count
     v_groups: list[dict] = []
@@ -332,8 +346,9 @@ def save_graphar(
                 "directed": g.view == "directed",
                 "prefix": f"edge/{etriple}/",
                 "adj_lists": [
-                    {"ordered": True, "aligned_by": "src", "file_type": "parquet",
-                     "prefix": "ordered_by_source/"}
+                    {"ordered": True, "aligned_by": a, "file_type": "parquet",
+                     "prefix": _ORDER_DIR[a] + "/"}
+                    for a in orders
                 ],
                 "property_groups": e_groups,
                 "version": "gar/v1",
@@ -360,12 +375,19 @@ def save_graphar(
 # reader
 
 
-def read_graphar_edges(path: str, name: str = "graph") -> ray.data.Dataset:
+def read_graphar_edges(
+    path: str, name: str = "graph", order: str = "src"
+) -> ray.data.Dataset:
     """Edges of a GraphAr archive as a Dataset (src, dst[, properties]) —
-    adj chunks and row-aligned property chunks zipped per file pair."""
+    adj chunks and row-aligned property chunks zipped per file pair.
+    ``order`` picks the adjacency orientation ('src' = ordered_by_source,
+    'dst' = ordered_by_dest); both carry the identical edge set."""
     graph = _yaml_load(open(os.path.join(path, f"{name}.graph.yml")).read())
     einfo = _yaml_load(open(os.path.join(path, graph["edges"][0])).read())
-    base = os.path.join(path, einfo["prefix"], "ordered_by_source")
+    declared = {a.get("aligned_by", "src") for a in einfo.get("adj_lists", [])}
+    if order not in declared:
+        raise ValueError(f"archive has no {_ORDER_DIR[order]} adjacency (has {sorted(declared)})")
+    base = os.path.join(path, einfo["prefix"], _ORDER_DIR[order])
     adj_dir = os.path.join(base, "adj_list")
     files = []
     for part in sorted(os.listdir(adj_dir)):

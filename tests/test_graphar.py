@@ -83,6 +83,42 @@ def test_graphar_roundtrip(tmp_path):
     pd.testing.assert_frame_equal(a, b, check_exact=True)
 
 
+def test_graphar_dest_order_mirror(tmp_path):
+    """ordered_by_dest mirror: identical edge set in both orientations,
+    (dst, src)-sorted adjacency, per-destination offset arrays."""
+    t, n = _edges(seed=13)
+    g = build_graph(t, num_partitions=3, num_vertices=n, weight=True, dedup_edges=True)
+    path = str(tmp_path / "gar")
+    save_graphar(g, path, vertex_chunk_size=16, edge_chunk_size=32)
+
+    by_src = _sorted_edges(read_graphar_edges(path, order="src"))
+    by_dst = _sorted_edges(read_graphar_edges(path, order="dst"))
+    pd.testing.assert_frame_equal(by_src, by_dst, check_exact=True)
+
+    # dest-ordered chunks are (dst, src)-sorted with per-dest offsets
+    base = os.path.join(path, "edge", "vertex_links_vertex", "ordered_by_dest")
+    deg_in = np.zeros(n, dtype=np.int64)
+    np.add.at(deg_in, by_src["dst"].to_numpy(), 1)
+    for k in range(-(-n // 16)):
+        parts_dir = os.path.join(base, "adj_list", f"part{k}")
+        rows = pa.concat_tables(
+            [pq.read_table(os.path.join(parts_dir, f)) for f in sorted(os.listdir(parts_dir))]
+        )
+        d = rows["_graphArDstIndex"].to_numpy()
+        assert (np.diff(d) >= 0).all()
+        assert (d // 16 == k).all()
+        off = pq.read_table(os.path.join(base, "offset", f"chunk{k}.parquet"))["offset"].to_numpy()
+        lo = k * 16
+        expect = np.concatenate([[0], np.cumsum(deg_in[lo : min(lo + 16, n)])])
+        assert (off == expect).all()
+
+    # an archive written without the mirror refuses a dest read loudly
+    p2 = str(tmp_path / "gar_src_only")
+    save_graphar(g, p2, vertex_chunk_size=16, orders=("src",))
+    with pytest.raises(ValueError):
+        read_graphar_edges(p2, order="dst")
+
+
 def test_graphar_offsets_and_counts(tmp_path):
     t, n = _edges(seed=5)
     g = build_graph(t, num_partitions=2, num_vertices=n, dedup_edges=True)
