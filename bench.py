@@ -465,6 +465,85 @@ def _headline_pass(meta: dict) -> dict:
     return qtimes
 
 
+def ivf_evidence() -> dict:
+    """Evidence that the materialized IVF index prunes READS with nprobe
+    (VERDICT r3 #1 'done' criterion): build the centroid-partitioned index
+    over the sf embeddings once, then search at nprobe = 1 / 4 / all and
+    report clusters read + wall time per level."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    _init(NCPU)
+    import ray
+
+    from graphscope_ray.functions.similarity import build_ivf_index, ivf_topk_indexed
+
+    emb = _read_clean(f"{SF_DIR}/embeddings.parquet")
+    qdf = emb.filter(expr="vec_id < 4").to_pandas().sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qids = qdf["vec_id"].to_numpy()
+    path = tempfile.mkdtemp(prefix="ivfbench_", dir="/tmp")
+    out = {"metric": "ivf indexed search: clusters read / time vs nprobe", "levels": []}
+    try:
+        t0 = time.perf_counter()
+        build_ivf_index(emb, path, n_clusters=32, resume=False)
+        out["build_sec"] = round(time.perf_counter() - t0, 3)
+        for nprobe in (1, 4, 32):
+            t0 = time.perf_counter()
+            ds, stats = ivf_topk_indexed(path, Q, qids, k=10, nprobe=nprobe)
+            n = ds.count()
+            out["levels"].append(
+                {
+                    "nprobe": nprobe,
+                    "clusters_read": stats["clusters_read"],
+                    "clusters_total": stats["clusters_total"],
+                    "rows": n,
+                    "sec": round(time.perf_counter() - t0, 3),
+                }
+            )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    ray.shutdown()
+    return out
+
+
+def compact_evidence() -> dict:
+    """compact_edges residency measurement on the 48M-edge synthetic: build
+    raw vs varint+delta fragments, report resident adjacency bytes and a
+    PageRank superstep timing on each (bit-identity is pytest-gated)."""
+    _init(NCPU)
+    import ray
+
+    from graphscope_ray.graph import algorithms as alg
+    from graphscope_ray.graph.build import build_graph
+
+    t = _scale_edges()
+    out = {"metric": "compact_edges residency on 48M-edge graph", "layouts": {}}
+    for label, compact in (("raw", False), ("compact", True)):
+        g = build_graph(
+            ray.data.from_arrow(t), num_partitions=min(NCPU, 16),
+            num_vertices=SCALE_V, compact=compact,
+        )
+        rep = g.memory_report()
+        t0 = time.perf_counter()
+        _, res = alg.pagerank(g, tol=0.0, max_rounds=3)
+        dt = time.perf_counter() - t0
+        out["layouts"][label] = {
+            "resident_bytes": rep["total_bytes"],
+            "bytes_per_edge": round(rep["bytes_per_edge"], 2),
+            "pagerank_3rounds_sec": round(dt, 3),
+        }
+        for a in g.actors:
+            ray.kill(a)
+    raw = out["layouts"]["raw"]["resident_bytes"]
+    cmp_ = out["layouts"]["compact"]["resident_bytes"]
+    out["residency_ratio"] = round(cmp_ / raw, 3) if raw else None
+    ray.shutdown()
+    return out
+
+
 def headline() -> dict:
     """Per-stage BEST-OF-2 over two full passes: run-to-run variance on this
     VM is 2-4× minute-to-minute on identical work (BASELINE.md degraded-VM
@@ -521,5 +600,9 @@ if __name__ == "__main__":
         print(json.dumps(scaling_paired()))
     elif "--scaling" in sys.argv:
         print(json.dumps(scaling()))
+    elif "--ivf-evidence" in sys.argv:
+        print(json.dumps(ivf_evidence()))
+    elif "--compact-evidence" in sys.argv:
+        print(json.dumps(compact_evidence()))
     else:
         print(json.dumps(headline()))
