@@ -507,6 +507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_pagerank": td.pg_pagerank,
         "pg_project_wcc": td.pg_project_wcc,
         "pg_addcol_consolidate": td.pg_addcol_consolidate,
+        "pg_graphar_roundtrip": td.pg_graphar_roundtrip,
         "lg_sssp_weighted": td.lg_sssp_weighted,
         "lg_ktruss": td.lg_ktruss,
         "lg_random_walks": td.lg_random_walks,
@@ -664,6 +665,10 @@ def oracle_sql() -> dict[str, str]:
         "pg_pagerank": osql.pg_pagerank_sql(),
         "pg_project_wcc": osql.pg_project_wcc_sql(),
         "pg_addcol_consolidate": osql.pg_addcol_consolidate_sql(),
+        "pg_graphar_roundtrip": (
+            "SELECT o_custkey AS src_oid, o_orderkey AS dst_oid FROM orders "
+            "ORDER BY src_oid, dst_oid"
+        ),
         "lg_sssp_weighted": osql.lg_sssp_weighted_sql(),
         "lg_ktruss": osql.lg_ktruss_sql(),
         "lg_random_walks": osql.lg_random_walks_sql(),

@@ -920,6 +920,30 @@ def pg_project_wcc(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("oid").reset_index(drop=True)
 
 
+def pg_graphar_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Multi-label ARCHIVE_GRAPH: archive the (customer, order, places)
+    slice of the labeled property graph in the GraphAr multi-label layout
+    (one vertex dir per label, one edge triple dir), re-load it through the
+    dest-ordered mirror, and export the places edge table decoded back to
+    oids — must equal the raw orders (o_custkey, o_orderkey) pairs."""
+    import shutil
+    import tempfile
+
+    from graphscope_ray.sources.graphar import load_graphar_property, save_graphar_property
+
+    pgraph = _tripartite_pgraph(sf_dir).project(
+        vertices={"customer": [], "order": []}, edges={"places": []}
+    )
+    path = tempfile.mkdtemp(prefix="pgar_", dir="/tmp")
+    try:
+        save_graphar_property(pgraph, path, vertex_chunk_size=512)
+        g2 = load_graphar_property(path, order="dst")
+        out = g2.edge_table("places").to_pandas()[["src_oid", "dst_oid"]].astype(np.int64)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out.sort_values(["src_oid", "dst_oid"]).reset_index(drop=True)
+
+
 def pg_addcol_consolidate(sf_dir: str) -> pd.DataFrame:
     """ADD_COLUMN + CONSOLIDATE_COLUMNS on the labeled graph (ref
     graph.py:715-814): project to (order, next), compute degrees on the

@@ -453,3 +453,262 @@ def load_graphar(path: str, name: str = "graph", num_partitions: int = 4, **kw):
     )
     g.vertices_ds = read_graphar_vertices(path, name)
     return g
+
+
+# ---------------------------------------------------------------------------
+# multi-label property-graph archives (ARCHIVE_GRAPH over the reference's
+# full ArrowFragment data model: one vertex dir per label, one edge dir per
+# (src_label, edge_label, dst_label) triple — the GraphAr spec's native
+# multi-label layout; the single-label save_graphar above is the special
+# case the simple Graph uses)
+
+
+def save_graphar_property(
+    pgraph,
+    path: str,
+    name: str = "graph",
+    vertex_chunk_size: int = 1 << 18,
+    edge_chunk_size: int = 1 << 22,
+    orders: tuple = ("src", "dst"),
+    broadcast_limit: int = 20_000_000,
+) -> str:
+    """Archive a ``PropertyGraph`` (graph/property.py): every vertex label
+    becomes ``vertex/{label}/`` positional property chunks (position = rank
+    of oid within the label — the archive's per-label internal id), every
+    edge label becomes ``edge/{src}_{elabel}_{dst}/`` adjacency in the
+    requested orientations with endpoints encoded to the two labels' ranks.
+    One split task per edge block, one writer per chunk — fully parallel.
+
+    Boundary: per-label oid arrays are collected sorted to the driver for
+    the rank encode (fine up to ``broadcast_limit`` per label; beyond that
+    archive after a rank-mode flatten, whose zip_with_index/hash_join path
+    produces the same ranks distributed)."""
+    os.makedirs(path, exist_ok=True)
+    vcs = vertex_chunk_size
+    v_ymls, e_ymls = [], []
+    rank_arrs: dict[str, np.ndarray] = {}
+
+    for lbl in pgraph.schema.vertex_labels:
+        vds = pgraph.vertex_table(lbl).materialize()
+        oid_sorted = np.sort(
+            np.concatenate(
+                [
+                    t["oid"].to_numpy(zero_copy_only=False)
+                    for t in ray.get(vds.to_arrow_refs())
+                    if t.num_rows
+                ]
+            )
+            if vds.count()
+            else np.empty(0, np.int64)
+        )
+        if len(oid_sorted) > broadcast_limit:
+            raise ValueError(
+                f"vertex label {lbl!r} exceeds the driver rank-encode limit; "
+                "archive via flatten(encode='rank') instead"
+            )
+        if len(np.unique(oid_sorted)) != len(oid_sorted):
+            raise ValueError(f"vertex label {lbl!r} has duplicate oids")
+        rank_arrs[lbl] = oid_sorted
+        n_l = len(oid_sorted)
+        n_chunks = max(1, -(-n_l // vcs))
+        ref = ray.put(oid_sorted)
+
+        def _vidify(t: pa.Table) -> pa.Table:
+            arr = ray.get(ref)
+            vid = np.searchsorted(arr, t["oid"].to_numpy(zero_copy_only=False))
+            return t.append_column("vid", pa.array(vid.astype(np.int64)))
+
+        vblocks = vds.map_batches(_vidify, batch_format="pyarrow").materialize().to_arrow_refs()
+        sample = ray.get(vblocks[0])
+        cols = tuple(c for c in sample.column_names if c != "vid")
+        vsplits = [
+            _split_vertices.options(num_returns=n_chunks).remote(b, vcs, n_chunks)
+            for b in vblocks
+        ]
+        if n_chunks == 1:
+            vsplits = [[s] for s in vsplits]
+        ray.get(
+            [
+                _write_vertex_chunk.remote(
+                    path, lbl, "id", k, vcs, n_l, cols,
+                    *[vsplits[i][k] for i in range(len(vblocks))],
+                )
+                for k in range(n_chunks)
+            ]
+        )
+        _write_text(os.path.join(path, "vertex", lbl, "vertex_count"), str(n_l))
+        sch = sample.schema
+        _write_text(
+            os.path.join(path, f"{lbl}.vertex.yml"),
+            _yaml_dump(
+                {
+                    "label": lbl,
+                    "chunk_size": vcs,
+                    "prefix": f"vertex/{lbl}/",
+                    "property_groups": [
+                        {
+                            "prefix": "id/",
+                            "file_type": "parquet",
+                            "properties": [
+                                {
+                                    "name": c,
+                                    "data_type": _ARROW_TO_GAR.get(str(sch.field(c).type), "string"),
+                                    "is_primary": c == "oid",
+                                }
+                                for c in cols
+                            ],
+                        }
+                    ],
+                    "version": "gar/v1",
+                }
+            ),
+        )
+        v_ymls.append(f"{lbl}.vertex.yml")
+
+    total_edges = 0
+    for elbl in pgraph.schema.edge_labels:
+        src_l, dst_l = pgraph.schema.edge_relationships[elbl]
+        etriple = f"{src_l}_{elbl}_{dst_l}"
+        sref, dref = ray.put(rank_arrs[src_l]), ray.put(rank_arrs[dst_l])
+
+        def _enc(t: pa.Table) -> pa.Table:
+            sa, da = ray.get(sref), ray.get(dref)
+            s = np.searchsorted(sa, t["src_oid"].to_numpy(zero_copy_only=False))
+            d = np.searchsorted(da, t["dst_oid"].to_numpy(zero_copy_only=False))
+            cols = {"src": pa.array(s.astype(np.int64)), "dst": pa.array(d.astype(np.int64))}
+            for c in t.column_names:
+                if c not in ("src_oid", "dst_oid"):
+                    cols[c] = t[c]
+            return pa.table(cols)
+
+        eds = (
+            pgraph.edge_table(elbl)
+            .map_batches(_enc, batch_format="pyarrow")
+            .materialize()
+        )
+        blocks = eds.to_arrow_refs()
+        sample = ray.get(blocks[0])
+        prop_cols = tuple(c for c in sample.column_names if c not in ("src", "dst"))
+        counts = None
+        for align in orders:
+            n_vert = len(rank_arrs[src_l if align == "src" else dst_l])
+            n_chunks = max(1, -(-n_vert // vcs))
+            splits = [
+                _split_by_key_chunk.options(num_returns=n_chunks).remote(b, vcs, n_chunks, align)
+                for b in blocks
+            ]
+            if n_chunks == 1:
+                splits = [[s] for s in splits]
+            c = ray.get(
+                [
+                    _write_adj_chunk.remote(
+                        path, etriple, k, vcs, n_vert, edge_chunk_size, prop_cols, align,
+                        *[splits[i][k] for i in range(len(blocks))],
+                    )
+                    for k in range(n_chunks)
+                ]
+            )
+            counts = c if counts is None else counts
+        total_edges += int(sum(counts))
+        _write_text(
+            os.path.join(path, f"{etriple}.edge.yml"),
+            _yaml_dump(
+                {
+                    "src_label": src_l,
+                    "edge_label": elbl,
+                    "dst_label": dst_l,
+                    "chunk_size": edge_chunk_size,
+                    "src_chunk_size": vcs,
+                    "dst_chunk_size": vcs,
+                    "directed": pgraph.directed,
+                    "prefix": f"edge/{etriple}/",
+                    "adj_lists": [
+                        {"ordered": True, "aligned_by": a, "file_type": "parquet",
+                         "prefix": _ORDER_DIR[a] + "/"}
+                        for a in orders
+                    ],
+                    "property_groups": [
+                        {"prefix": f"{c}/", "file_type": "parquet",
+                         "properties": [
+                             {"name": c,
+                              "data_type": _ARROW_TO_GAR.get(str(sample.schema.field(c).type), "double"),
+                              "is_primary": False}
+                         ]}
+                        for c in prop_cols
+                    ],
+                    "version": "gar/v1",
+                }
+            ),
+        )
+        e_ymls.append(f"{etriple}.edge.yml")
+
+    _write_text(
+        os.path.join(path, f"{name}.graph.yml"),
+        _yaml_dump(
+            {
+                "name": name,
+                "prefix": "./",
+                "vertices": v_ymls,
+                "edges": e_ymls,
+                "total_edges": total_edges,
+                "version": "gar/v1",
+            }
+        ),
+    )
+    return path
+
+
+def load_graphar_property(path: str, name: str = "graph", order: str = "src"):
+    """Rebuild a ``PropertyGraph`` from a multi-label archive (inverse of
+    save_graphar_property): per-label vertex tables come back positional,
+    edge endpoints are decoded back to oids through each label's rank→oid
+    arrays (read once per label from the archive's own vertex chunks)."""
+    from graphscope_ray.graph.property import PropertyGraph
+
+    graph = _yaml_load(open(os.path.join(path, f"{name}.graph.yml")).read())
+    pg = PropertyGraph()
+    oid_by_rank: dict[str, np.ndarray] = {}
+    for vy in graph["vertices"]:
+        vinfo = _yaml_load(open(os.path.join(path, vy)).read())
+        lbl = vinfo["label"]
+        vcs = vinfo["chunk_size"]
+        gdir = os.path.join(path, vinfo["prefix"], vinfo["property_groups"][0]["prefix"])
+        chunks = sorted(os.listdir(gdir), key=lambda s: int(s[len("chunk"):].split(".")[0]))
+        tabs = [pq.read_table(os.path.join(gdir, f)) for f in chunks]
+        full = pa.concat_tables(tabs)
+        oid_by_rank[lbl] = full["oid"].to_numpy(zero_copy_only=False)
+        pg = pg.add_vertices(ray.data.from_arrow(full), lbl, vid_field="oid")
+    for ey in graph["edges"]:
+        einfo = _yaml_load(open(os.path.join(path, ey)).read())
+        base = os.path.join(path, einfo["prefix"], _ORDER_DIR[order])
+        adj_dir = os.path.join(base, "adj_list")
+        files = []
+        for part in sorted(os.listdir(adj_dir)):
+            for ch in sorted(os.listdir(os.path.join(adj_dir, part))):
+                files.append((part, ch))
+        props = [pg_["properties"][0]["name"] for pg_ in einfo.get("property_groups", [])]
+        sref = ray.put(oid_by_rank[einfo["src_label"]])
+        dref = ray.put(oid_by_rank[einfo["dst_label"]])
+
+        @ray.remote
+        def _read_pair(part: str, ch: str, adj_dir=adj_dir, base=base, props=tuple(props)) -> pa.Table:
+            sa, da = ray.get(sref), ray.get(dref)
+            adj = pq.read_table(os.path.join(adj_dir, part, ch))
+            cols = {
+                "src_oid": pa.array(sa[adj[SRC_COL].to_numpy(zero_copy_only=False)]),
+                "dst_oid": pa.array(da[adj[DST_COL].to_numpy(zero_copy_only=False)]),
+            }
+            for p in props:
+                cols[p] = pq.read_table(os.path.join(base, p, part, ch))[p]
+            return pa.table(cols)
+
+        eds = ray.data.from_arrow_refs([_read_pair.remote(p, c) for p, c in files])
+        pg = pg.add_edges(
+            eds,
+            einfo["edge_label"],
+            src_label=einfo["src_label"],
+            dst_label=einfo["dst_label"],
+            src_field="src_oid",
+            dst_field="dst_oid",
+        )
+    return pg

@@ -176,3 +176,61 @@ def test_graphar_empty_chunks(tmp_path):
     off = pq.read_table(os.path.join(base, "offset", "chunk4.parquet"))["offset"].to_numpy()
     assert off.shape == (9,) and (off == 0).all()
     assert read_graphar_edges(path).count() == 2
+
+
+def test_graphar_property_multilabel_roundtrip(tmp_path):
+    """Multi-label property archive: every label's table and every edge
+    label's (endpoints + properties) survive a save/load cycle; schema
+    (labels, relations, typed properties) reconstructs."""
+    from graphscope_ray.graph.property import PropertyGraph
+    from graphscope_ray.sources.graphar import load_graphar_property, save_graphar_property
+
+    people = pd.DataFrame({"pid": [10, 20, 30, 99], "age": [1, 2, 3, 4]})
+    items = pd.DataFrame({"iid": [7, 8, 9], "price": [1.5, 2.5, 0.5]})
+    knows = pd.DataFrame({"s": [10, 20, 30], "d": [20, 30, 10], "w": [0.1, 0.2, 0.3]})
+    bought = pd.DataFrame({"s": [10, 99, 20], "d": [7, 8, 7]})
+    g = (
+        PropertyGraph(directed=True)
+        .add_vertices(people, "person", vid_field="pid")
+        .add_vertices(items, "item", vid_field="iid")
+        .add_edges(knows, "knows", src_label="person", dst_label="person",
+                   src_field="s", dst_field="d")
+        .add_edges(bought, "bought", src_label="person", dst_label="item",
+                   src_field="s", dst_field="d")
+    )
+    path = str(tmp_path / "pgar")
+    save_graphar_property(g, path, vertex_chunk_size=2, edge_chunk_size=2)
+
+    for order in ("src", "dst"):
+        g2 = load_graphar_property(path, order=order)
+        s = g2.schema
+        assert s.vertex_labels == ["person", "item"]
+        assert s.edge_relationships == {"knows": ("person", "person"),
+                                        "bought": ("person", "item")}
+        pt = g2.vertex_table("person").to_pandas().sort_values("oid").reset_index(drop=True)
+        assert pt["oid"].tolist() == [10, 20, 30, 99] and pt["age"].tolist() == [1, 2, 3, 4]
+        it = g2.vertex_table("item").to_pandas().sort_values("oid").reset_index(drop=True)
+        assert it["price"].tolist() == [1.5, 2.5, 0.5][0:3] or sorted(it["price"]) == [0.5, 1.5, 2.5]
+        kt = (
+            g2.edge_table("knows").to_pandas()
+            .sort_values(["src_oid", "dst_oid"]).reset_index(drop=True)
+        )
+        assert kt[["src_oid", "dst_oid"]].values.tolist() == [[10, 20], [20, 30], [30, 10]]
+        assert sorted(kt["w"].tolist()) == [0.1, 0.2, 0.3]
+        bt = (
+            g2.edge_table("bought").to_pandas()
+            .sort_values(["src_oid", "dst_oid"]).reset_index(drop=True)
+        )
+        assert bt[["src_oid", "dst_oid"]].values.tolist() == [[10, 7], [20, 7], [99, 8]]
+    # the archive is externally scannable: per-label dirs + manifests exist
+    assert os.path.exists(os.path.join(path, "vertex", "item", "vertex_count"))
+    assert os.path.exists(os.path.join(path, "person_bought_item.edge.yml"))
+    # and the restored labeled graph still lowers onto the engine
+    import graphscope_ray.graph.algorithms as alg
+
+    sub = load_graphar_property(path).project(vertices={"person": []}, edges={"knows": []})
+    sg = sub.project_to_simple(num_partitions=2, store_in_edges=True)
+    ds, _ = alg.wcc(sg)
+    df = ds.to_pandas().merge(sg.vertices_ds.to_pandas(), on="vid")
+    comp_sizes = sorted(df.groupby("comp").size().tolist())
+    assert comp_sizes == [1, 3]  # cycle {10,20,30} + isolated 99
