@@ -813,6 +813,7 @@ def build_graph_from_oids(
     encode: str = "auto",
     broadcast_limit: int = 20_000_000,
     vertices: ray.data.Dataset | None = None,
+    use_perfect_hash: bool = False,
     **kwargs,
 ) -> Graph:
     """Encode arbitrary (string/int) vertex oids to dense vids, then build.
@@ -834,6 +835,15 @@ def build_graph_from_oids(
     universe explicitly — oids absent from the edge table stay in the graph
     as isolated vertices (the property-graph project_to_simple contract:
     the label's whole vertex table is the universe, ref graph.py:816-869).
+
+    ``use_perfect_hash``: replace the broadcast sorted-oid array (8 B/vertex
+    in every node's object store) with a BBHash minimal perfect hash
+    (~0.7 B/vertex; graph/phash.py) — the reference's ``use_perfect_hash``
+    loader knob (``python/graphscope/framework/graph_builder.py:62``).
+    vids become an arbitrary bijection instead of oid rank order, so
+    order-canonical outputs (WCC min-label = min-oid) must relabel through
+    decoded oids.  int64 oids only; ignored on the distributed-join path
+    (which broadcasts nothing to begin with).
     """
     edges = edges.materialize()  # consumed 2× (distinct-id scan, encode)
 
@@ -896,22 +906,45 @@ def build_graph_from_oids(
         if encode == "join":
             return _build_from_oids_join(edges, distinct, src_col, dst_col, **kwargs)
         oid_arr = np.sort(distinct.to_pandas()["oid"].to_numpy())
-    oid_ref = ray.put(oid_arr)
 
-    def _encode(t: pa.Table) -> pa.Table:
-        arr = ray.get(oid_ref)
-        src = np.searchsorted(arr, t[src_col].to_numpy(zero_copy_only=False))
-        dst = np.searchsorted(arr, t[dst_col].to_numpy(zero_copy_only=False))
-        cols = {"src": pa.array(src.astype(np.int64)), "dst": pa.array(dst.astype(np.int64))}
-        for c in t.column_names:
-            if c not in (src_col, dst_col):
-                cols[c] = t[c]
-        return pa.table(cols)
+    if use_perfect_hash:
+        if not np.issubdtype(oid_arr.dtype, np.integer):
+            raise ValueError("use_perfect_hash requires int64 oids")
+        from graphscope_ray.graph.phash import MinimalPerfectHash
+
+        mph = MinimalPerfectHash.build(oid_arr.astype(np.int64))
+        mph_ref = ray.put(mph)
+
+        def _encode(t: pa.Table) -> pa.Table:
+            m = ray.get(mph_ref)
+            src = m.lookup(t[src_col].to_numpy(zero_copy_only=False))
+            dst = m.lookup(t[dst_col].to_numpy(zero_copy_only=False))
+            cols = {"src": pa.array(src), "dst": pa.array(dst)}
+            for c in t.column_names:
+                if c not in (src_col, dst_col):
+                    cols[c] = t[c]
+            return pa.table(cols)
+
+        vids = mph.lookup(oid_arr)
+    else:
+        oid_ref = ray.put(oid_arr)
+
+        def _encode(t: pa.Table) -> pa.Table:
+            arr = ray.get(oid_ref)
+            src = np.searchsorted(arr, t[src_col].to_numpy(zero_copy_only=False))
+            dst = np.searchsorted(arr, t[dst_col].to_numpy(zero_copy_only=False))
+            cols = {"src": pa.array(src.astype(np.int64)), "dst": pa.array(dst.astype(np.int64))}
+            for c in t.column_names:
+                if c not in (src_col, dst_col):
+                    cols[c] = t[c]
+            return pa.table(cols)
+
+        vids = np.arange(len(oid_arr), dtype=np.int64)
 
     enc = edges.map_batches(_encode, batch_format="pyarrow")
     g = build_graph(enc, num_vertices=len(oid_arr), **kwargs)
     g.vertices_ds = ray.data.from_arrow(
-        pa.table({"oid": pa.array(oid_arr), "vid": pa.array(np.arange(len(oid_arr), dtype=np.int64))})
+        pa.table({"oid": pa.array(oid_arr), "vid": pa.array(vids)})
     )
     return g
 

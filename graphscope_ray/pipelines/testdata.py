@@ -248,6 +248,41 @@ def lg_wcc(sf_dir: str) -> pd.DataFrame:
     return df[["oid", "comp_oid"]].sort_values("oid").reset_index(drop=True)
 
 
+def lg_wcc_phash(sf_dir: str) -> pd.DataFrame:
+    """WCC on the perfect-hash vertex map (the reference's
+    ``use_perfect_hash`` loader knob, graph_builder.py:62): vids are the
+    BBHash MPHF's arbitrary bijection instead of oid rank order, so the
+    min-vid component labels are canonicalized to min-oid through the
+    decoded vertex map — the result must equal lg_wcc exactly."""
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def _derive(t: pa.Table) -> pa.Table:
+        src = t["l_orderkey"].to_numpy(zero_copy_only=False) % LG_MOD
+        dst = t["l_partkey"].to_numpy(zero_copy_only=False) % LG_MOD
+        keep = src != dst
+        return pa.table(
+            {
+                "src_oid": pa.array(src[keep].astype(np.int64)),
+                "dst_oid": pa.array(dst[keep].astype(np.int64)),
+            }
+        )
+
+    g = build_graph_from_oids(
+        li.map_batches(_derive, batch_format="pyarrow"),
+        num_partitions=4,
+        view="directed",
+        store_in_edges=True,
+        dedup_edges=True,
+        use_perfect_hash=True,
+    )
+    ds, _ = alg.wcc(g)
+    vmap = g.vertices_ds.to_pandas()
+    df = ds.to_pandas().merge(vmap, on="vid")
+    # MPHF vids carry no order: canonicalize comp labels to min oid
+    df["comp_oid"] = df.groupby("comp")["oid"].transform("min").astype(np.int64)
+    return df[["oid", "comp_oid"]].sort_values("oid").reset_index(drop=True)
+
+
 def lg_cdlp(sf_dir: str, rounds: int = 10) -> pd.DataFrame:
     g = lg_graph(sf_dir)
     ds, _ = alg.cdlp(g, max_rounds=rounds)
