@@ -419,6 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_pagerank_p2p": td.lg_pagerank_p2p,
         "lg_wcc": td.lg_wcc,
         "lg_wcc_phash": td.lg_wcc_phash,
+        "lg_wcc_compact": td.lg_wcc_compact,
         "lg_cdlp": td.lg_cdlp,
         "lg_triangles": td.lg_triangles,
         "lg_triangle_total": td.lg_triangle_total,
@@ -578,6 +579,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_pagerank": osql.lg_pagerank_sql(rounds=15),
         "lg_wcc": osql.lg_wcc_sql(),
         "lg_wcc_phash": osql.lg_wcc_sql(),
+        "lg_wcc_compact": osql.lg_wcc_sql(),
         "lg_cdlp": osql.lg_cdlp_sql(rounds=10),
         "lg_triangles": osql.lg_triangles_sql(),
         "lg_triangle_total": osql.lg_triangle_total_sql(),

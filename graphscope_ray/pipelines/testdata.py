@@ -248,12 +248,9 @@ def lg_wcc(sf_dir: str) -> pd.DataFrame:
     return df[["oid", "comp_oid"]].sort_values("oid").reset_index(drop=True)
 
 
-def lg_wcc_phash(sf_dir: str) -> pd.DataFrame:
-    """WCC on the perfect-hash vertex map (the reference's
-    ``use_perfect_hash`` loader knob, graph_builder.py:62): vids are the
-    BBHash MPHF's arbitrary bijection instead of oid rank order, so the
-    min-vid component labels are canonicalized to min-oid through the
-    decoded vertex map — the result must equal lg_wcc exactly."""
+def _lg_graph_variant(sf_dir: str, **build_kw) -> Graph:
+    """The lg edge derivation with non-default build options (memory knobs
+    etc.) — uncached, unlike lg_graph."""
     li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
 
     def _derive(t: pa.Table) -> pa.Table:
@@ -267,20 +264,39 @@ def lg_wcc_phash(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    g = build_graph_from_oids(
+    return build_graph_from_oids(
         li.map_batches(_derive, batch_format="pyarrow"),
         num_partitions=4,
         view="directed",
         store_in_edges=True,
         dedup_edges=True,
-        use_perfect_hash=True,
+        **build_kw,
     )
+
+
+def _canon_wcc(g: Graph) -> pd.DataFrame:
+    """WCC with component labels canonicalized to min-oid (vid-order
+    independent — valid for any vertex-map bijection)."""
     ds, _ = alg.wcc(g)
-    vmap = g.vertices_ds.to_pandas()
-    df = ds.to_pandas().merge(vmap, on="vid")
-    # MPHF vids carry no order: canonicalize comp labels to min oid
+    df = ds.to_pandas().merge(g.vertices_ds.to_pandas(), on="vid")
     df["comp_oid"] = df.groupby("comp")["oid"].transform("min").astype(np.int64)
     return df[["oid", "comp_oid"]].sort_values("oid").reset_index(drop=True)
+
+
+def lg_wcc_phash(sf_dir: str) -> pd.DataFrame:
+    """WCC on the perfect-hash vertex map (the reference's
+    ``use_perfect_hash`` loader knob, graph_builder.py:62): vids are the
+    BBHash MPHF's arbitrary bijection instead of oid rank order, so the
+    min-vid component labels are canonicalized to min-oid through the
+    decoded vertex map — the result must equal lg_wcc exactly."""
+    return _canon_wcc(_lg_graph_variant(sf_dir, use_perfect_hash=True))
+
+
+def lg_wcc_compact(sf_dir: str) -> pd.DataFrame:
+    """WCC on varint+delta compact adjacency (the reference's
+    ``compact_edges`` memory option, arrow_projected_fragment.h:727-735):
+    fragments decode the blob per superstep; result must equal lg_wcc."""
+    return _canon_wcc(_lg_graph_variant(sf_dir, compact=True))
 
 
 def lg_cdlp(sf_dir: str, rounds: int = 10) -> pd.DataFrame:
