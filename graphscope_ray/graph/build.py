@@ -228,6 +228,15 @@ class Graph:
         metrics: list[dict] = []
         if resume and checkpoint_dir and _latest_complete_step(checkpoint_dir) is not None:
             start_step, glob = self._restore(algo, name, params, checkpoint_dir)
+            with open(os.path.join(checkpoint_dir, "manifest.json")) as _f:
+                _man = json.load(_f)
+            if _man.get("done"):
+                # the checkpointed run already CONVERGED at start_step-1; the
+                # state parts are pre-finalize (checkpoint happens before
+                # p_finalize), so finalize once and return — re-running any
+                # refining round would perturb the converged scores.
+                ray.get([a.p_finalize.remote(name, glob) for a in self.actors])
+                return RunResult(name, start_step, glob, metrics)
         else:
             init_stats = ray.get([a.p_init.remote(name, algo, params) for a in self.actors])
             glob.update(_reduce(init_stats))
@@ -286,7 +295,7 @@ class Graph:
             )
             done = spec.converged(glob, params, self.N, step)
             if checkpoint_dir and (done or (step + 1) % checkpoint_every == 0):
-                self._checkpoint(name, checkpoint_dir, step, glob, metrics)
+                self._checkpoint(name, checkpoint_dir, step, glob, metrics, done=done)
             if done:
                 ray.get([a.p_finalize.remote(name, glob) for a in self.actors])
                 return RunResult(name, step + 1, glob, metrics)
@@ -354,7 +363,7 @@ class Graph:
 
     # ---- checkpoint / resume (per-superstep per-partition Parquet + manifest) ---
 
-    def _checkpoint(self, name, ckpt_dir, step, glob, metrics):
+    def _checkpoint(self, name, ckpt_dir, step, glob, metrics, done=False):
         step_dir = os.path.join(ckpt_dir, f"step={step}")
         os.makedirs(step_dir, exist_ok=True)
 
@@ -380,6 +389,7 @@ class Graph:
             "num_partitions": self.P,
             "num_vertices": self.N,
             "parts": [f"step={step}/part={p}.parquet" for p in range(self.P)],
+            "done": bool(done),
         }
         tmp = os.path.join(ckpt_dir, "manifest.json.tmp")
         with open(tmp, "w") as f:
