@@ -98,6 +98,8 @@ def _delta_encode_rows(vals: np.ndarray, indptr: np.ndarray) -> np.ndarray:
 
 
 def _delta_decode_rows(delta: np.ndarray, indptr: np.ndarray) -> np.ndarray:
+    if len(delta) == 0:  # every row empty (np.where below would index cs[0])
+        return delta.astype(np.int64)
     cs = np.cumsum(delta)
     rowlens = np.diff(indptr)
     offsets = np.where(indptr[:-1] > 0, cs[np.maximum(indptr[:-1] - 1, 0)], 0)
