@@ -72,6 +72,12 @@ def _q_text_tokens(sf_dir):
     return token_counts(_documents(sf_dir))
 
 
+def _q_text_tokens_bpe(sf_dir):
+    from graphscope_ray.functions.text import token_counts_bpe
+
+    return token_counts_bpe(_documents(sf_dir))
+
+
 def _q_text_stats(sf_dir):
     from graphscope_ray.functions.text import text_stats
 
@@ -534,6 +540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "op_left_join": td.op_left_join,
         # text analysis
         "text_tokens": _q_text_tokens,
+        "text_tokens_bpe": _q_text_tokens_bpe,
         "text_stats": _q_text_stats,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
@@ -697,6 +704,7 @@ def oracle_sql() -> dict[str, str]:
         "op_rollup": osql.op_rollup_sql(),
         "op_left_join": osql.op_left_join_sql(),
         "text_tokens": osql.text_tokens_sql(),
+        "text_tokens_bpe": osql.text_tokens_bpe_sql(),
         "text_stats": osql.text_stats_sql(),
         "text_quality": osql.text_quality_sql(),
         "dedup_exact": osql.dedup_exact_sql(),

@@ -29,6 +29,26 @@ def token_counts(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Datas
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
+# GPT-2-style BPE pre-tokenizer (Radford et al. 2019, public regex), adapted
+# to RE2 (no lookahead, so the original's `\s+(?!\S)` trailing-space rule
+# folds into the plain `\s+` branch — documented divergence).  Arrow's
+# count_substring_regex AND DuckDB's regexp_extract_all both run RE2, so the
+# engine and its SQL oracle share one regex with identical semantics.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_counts_bpe(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """(doc_id, n_tokens): BPE-ish pre-token count — contractions, letter
+    runs, digit runs, punctuation runs, whitespace runs (the unit a BPE
+    tokenizer's merges operate within).  Vectorized RE2 count per batch."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t[text_col], BPE_PRETOKEN_RE)
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": pc.cast(n, pa.int64())})
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
 def text_stats(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     """(doc_id, n_chars, n_words, n_alpha, n_digit): quality-scoring raw stats."""
 

@@ -2324,6 +2324,18 @@ def dedup_minhash_sql(
 # ML-prep operators (functions/mlprep.py)
 
 
+def text_tokens_bpe_sql() -> str:
+    """Same RE2 regex as functions/text.py BPE_PRETOKEN_RE (DuckDB's regexp
+    engine is RE2 too, so count semantics are identical by construction)."""
+    from graphscope_ray.functions.text import BPE_PRETOKEN_RE
+
+    pat = BPE_PRETOKEN_RE.replace("'", "''")
+    return (
+        f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) "
+        "AS n_tokens FROM documents ORDER BY doc_id"
+    )
+
+
 def text_tfidf_sql() -> str:
     return (
         "WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
