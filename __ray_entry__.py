@@ -122,6 +122,21 @@ def _q_dedup_simhash(sf_dir):
     return simhash_candidates(simhash_signatures(_documents(sf_dir)))
 
 
+def _q_decontaminate(sf_dir):
+    """Benchmark decontamination: the 'eval set' is the deterministic slice
+    doc_id % 41 == 3 of the documents table itself (no external data); every
+    doc is tagged with its count of distinct char-8-grams that appear
+    anywhere in the eval slice."""
+    from graphscope_ray.functions.dedup import decontaminate
+
+    docs = _documents(sf_dir)
+    eval_ds = docs.map_batches(
+        lambda t: t.filter(t["doc_id"].to_numpy(zero_copy_only=False) % 41 == 3),
+        batch_format="pyarrow",
+    )
+    return decontaminate(docs, eval_ds, k=8)
+
+
 def _q_dedup_embedding(sf_dir, n_planted: int = 10):
     """Embedding near-dup with planted exact duplicates (vec_id+10000, same
     vector) — the synthetic embeddings are near-orthogonal, so the planted
@@ -551,6 +566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_ngram": _q_dedup_ngram,
+        "decontaminate": _q_decontaminate,
         # similarity search
         "sim_topk": _q_sim_topk,
         "sim_ivf_topk": _q_sim_ivf,
@@ -709,6 +725,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": osql.text_quality_sql(),
         "dedup_exact": osql.dedup_exact_sql(),
         "dedup_ngram": osql.dedup_ngram_sql(),
+        "decontaminate": osql.decontaminate_sql(),
         "lg_louvain_level1": osql.lg_louvain_level1_sql(),
         "sim_topk": osql.sim_topk_sql(),
         "sim_ivf_exact": osql.sim_topk_sql(),

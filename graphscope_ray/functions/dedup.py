@@ -445,6 +445,82 @@ def minhash_dedup_clusters(
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination
+
+
+def decontaminate(
+    train: ray.data.Dataset,
+    eval_ds: ray.data.Dataset,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Benchmark decontamination: tag every training doc that shares any
+    character-k-gram with an evaluation/benchmark corpus (the standard
+    guard against test-set leakage in LLM training pipelines — the GPT-3 /
+    PaLM n-gram-overlap rule, public methodology).
+
+    Scale shape: the eval side is tiny by construction (benchmarks are MBs
+    even when the training corpus is 100 TB), so its distinct k-gram hash
+    set is collected once, sorted, and broadcast via ``ray.put``; training
+    docs STREAM through one ``map_batches`` — the vectorized sliding-window
+    kernel hashes each doc's k-grams and a searchsorted membership test
+    counts hits.  No shuffle anywhere.  Output one row per training doc:
+    (id, n_hits = distinct contaminated k-grams, contaminated flag).
+
+    Docs shorter than k characters have no k-gram window and are never
+    contaminated (generate_series semantics, matching the SQL oracle; the
+    whole-text fallback of ``shingle_hashes`` applies to near-dup Jaccard
+    only)."""
+    import ray as _ray
+
+    def _doc_shingles(txt) -> np.ndarray:
+        from graphscope_ray.functions.hashing import shingle_hashes
+
+        b = (txt or "").encode("utf-8", "surrogatepass")
+        if len(b) < k:
+            return np.empty(0, dtype=np.uint64)
+        return shingle_hashes(b, k)
+
+    def _eval_hashes(t: pa.Table) -> pa.Table:
+        hs = [_doc_shingles(v) for v in t[text_col].to_pylist()]
+        u = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.uint64)
+        return pa.table({"h": pa.array(u)})
+
+    # driver-side collect is bounded by the eval corpus, not the training
+    # corpus — the small side by definition of the operator
+    parts = (
+        eval_ds.select_columns([text_col])
+        .map_batches(_eval_hashes, batch_format="pyarrow")
+        .to_pandas()
+    )
+    eval_set = np.unique(parts["h"].to_numpy().astype(np.uint64))
+    ref = _ray.put(eval_set)
+
+    def _tag(t: pa.Table) -> pa.Table:
+        ev = _ray.get(ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        n_hits = np.zeros(len(ids), dtype=np.int64)
+        if ev.size:
+            for i, v in enumerate(t[text_col].to_pylist()):
+                sh = np.unique(_doc_shingles(v))
+                if sh.size:
+                    pos = np.minimum(np.searchsorted(ev, sh), ev.size - 1)
+                    n_hits[i] = int((ev[pos] == sh).sum())
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "n_hits": pa.array(n_hits),
+                "contaminated": pa.array(n_hits > 0),
+            }
+        )
+
+    return train.select_columns([id_col, text_col]).map_batches(
+        _tag, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
 # simhash
 
 

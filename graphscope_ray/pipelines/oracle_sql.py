@@ -1006,6 +1006,26 @@ ORDER BY a, b
 """
 
 
+def decontaminate_sql(k: int = 8, mod: int = 41, rem: int = 3) -> str:
+    """Benchmark decontamination (functions/dedup.py:decontaminate): the eval
+    set is the doc_id % mod == rem slice; n_hits = count of a doc's DISTINCT
+    character-k-grams that appear anywhere in the eval slice.  Engine-side
+    hashes are 64-bit (injective in practice) and the texts are ASCII, so
+    byte and character windows coincide — same contract as dedup_ngram."""
+    return f"""
+WITH ev AS (SELECT text FROM documents WHERE doc_id % {mod} = {rem}),
+evsh AS MATERIALIZED (SELECT DISTINCT substr(text, CAST(i AS INT), {k}) AS s
+  FROM ev, LATERAL (SELECT unnest(generate_series(1, len(text) - {k - 1})) AS i) g),
+trsh AS MATERIALIZED (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {k}) AS s
+  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(text) - {k - 1})) AS i) g),
+hits AS (SELECT t.doc_id, count(*) AS n_hits FROM trsh t JOIN evsh e USING (s) GROUP BY t.doc_id)
+SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def lg_ktruss_sql(k: int = 4, rounds: int = 8) -> str:
     """Unrolled k-truss peel over the canonical undirected lg edges: per
     round, degree-ordered orientation, triangle enumeration, per-edge

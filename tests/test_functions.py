@@ -65,6 +65,24 @@ def test_minhash_clusters_find_near_dups():
     assert c[2] == 2  # singleton keeps itself
 
 
+def test_decontaminate():
+    eval_texts = ["the secret benchmark answer is forty-two"]
+    train = _docs(
+        [
+            "the secret benchmark answer is forty-two, verbatim leak",  # contains eval 8-grams
+            "totally clean document about graph processing engines",
+            "short",  # < k chars: never contaminated
+            "",
+        ]
+    )
+    ev = _docs(eval_texts, ids=[100])
+    out = dedup.decontaminate(train, ev, k=8).to_pandas().sort_values("doc_id")
+    assert out.contaminated.tolist() == [True, False, False, False]
+    # leak doc shares many distinct 8-grams; clean docs share zero
+    assert out.n_hits.iloc[0] > 10
+    assert out.n_hits.iloc[1:].tolist() == [0, 0, 0]
+
+
 def test_simhash_candidates():
     base = "one two three four five six seven eight nine ten " * 4
     ds = _docs([base, base.replace("ten", "eleven"), "zzz completely different yyy xxx"])
