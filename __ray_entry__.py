@@ -92,6 +92,12 @@ def _q_text_quality(sf_dir):
     return df
 
 
+def _q_text_repetition(sf_dir):
+    from graphscope_ray.functions.text import repetition_stats
+
+    return repetition_stats(_documents(sf_dir))
+
+
 def _q_text_langid(sf_dir):
     from graphscope_ray.functions.text import lang_id
 
@@ -558,6 +564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_tokens_bpe": _q_text_tokens_bpe,
         "text_stats": _q_text_stats,
         "text_quality": _q_text_quality,
+        "text_repetition": _q_text_repetition,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         # dedup family
@@ -723,6 +730,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tokens_bpe": osql.text_tokens_bpe_sql(),
         "text_stats": osql.text_stats_sql(),
         "text_quality": osql.text_quality_sql(),
+        "text_repetition": osql.text_repetition_sql(),
         "dedup_exact": osql.dedup_exact_sql(),
         "dedup_ngram": osql.dedup_ngram_sql(),
         "decontaminate": osql.decontaminate_sql(),

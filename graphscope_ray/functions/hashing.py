@@ -133,6 +133,39 @@ def batch_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
     return hashes, boundaries
 
 
+def batch_token_hashes_lens(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Like :func:`batch_token_hashes` but also returns the per-token
+    CHARACTER length (UTF-8 aware: counts non-continuation bytes), for
+    n-gram character-fraction metrics.  Returns (hashes, char_lens,
+    doc_boundaries)."""
+    if len(texts) == 0:
+        return _EMPTY_U64, np.empty(0, dtype=np.int64), np.zeros(1, dtype=np.int64)
+    encoded = [(t or "").encode("utf-8", "surrogatepass") for t in texts]
+    joined = b" ".join(encoded)
+    b = np.frombuffer(joined, dtype=np.uint8)
+    bt, runstarts = _token_runs(b)
+    if bt.size == 0:
+        return (
+            _EMPTY_U64,
+            np.empty(0, dtype=np.int64),
+            np.zeros(len(texts) + 1, dtype=np.int64),
+        )
+    lens = np.diff(np.concatenate([runstarts, [bt.size]]))
+    pos = np.arange(bt.size, dtype=np.int64) - np.repeat(runstarts, lens)
+    pw = _pow_table(int(lens.max()) + 1)
+    hashes = mix64(np.add.reduceat(bt.astype(np.uint64) * pw[pos], runstarts))
+    not_cont = ((bt & np.uint8(0xC0)) != np.uint8(0x80)).astype(np.int64)
+    char_lens = np.add.reduceat(not_cont, runstarts)
+    doc_byte_start = np.concatenate([[0], np.cumsum([len(e) + 1 for e in encoded])])[:-1]
+    tok_byte_start = np.flatnonzero(
+        ~np.isin(b, _WS) & np.concatenate([[True], np.isin(b[:-1], _WS)])
+    )
+    tok_doc = np.searchsorted(doc_byte_start, tok_byte_start, side="right") - 1
+    counts = np.bincount(tok_doc, minlength=len(texts))
+    boundaries = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return hashes, char_lens, boundaries
+
+
 def combine_rows(mat: np.ndarray) -> np.ndarray:
     """One uint64 hash per row of a (n, r) uint64 matrix (LSH band keys)."""
     m = mat.astype(np.uint64, copy=False)

@@ -93,6 +93,81 @@ def quality_score(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Data
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
+def repetition_stats(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """Gopher-style repetition quality filter (Rae et al. 2021 §A1.1, public
+    methodology): per doc, the number of characters covered by the most
+    frequent word 2-gram / 3-gram (``top{n}_chars = max count(g)·len(g)``)
+    and by all duplicated word 5-grams (``dup5_chars = Σ_{count≥2}
+    count(g)·len(g)``), over overlapping single-space-joined word n-grams.
+    ``repetitive`` applies the paper's thresholds (top-2-gram fraction > 0.2
+    or dup-5-gram fraction > 0.15) via exact integer comparisons — no float
+    columns, so the oracle hash is exact by construction.
+
+    Fully vectorized: one segmented token-hash pass per batch
+    (hashing.batch_token_hashes_lens), n-gram hashes via sliding windows
+    over the token-hash stream masked at doc boundaries, per-(doc, gram)
+    counts via one lexsort + run-length pass.  No shuffle; streams."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        from graphscope_ray.functions.hashing import (
+            _pow_table,
+            batch_token_hashes_lens,
+            mix64,
+        )
+
+        texts = t[text_col].to_pylist()
+        th, cl, bounds = batch_token_hashes_lens(texts)
+        n_docs = len(texts)
+        tok_doc = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(bounds))
+        ccl = np.concatenate([[0], np.cumsum(cl)])
+        n_chars = pc.utf8_length(t[text_col]).to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {"doc_id": t["doc_id"]}
+
+        def _gram_runs(n: int):
+            """(run_doc, run_count, run_charlen) per distinct (doc, n-gram)."""
+            if th.size < n:
+                e = np.empty(0, dtype=np.int64)
+                return e, e, e
+            W = np.lib.stride_tricks.sliding_window_view(th, n)
+            pw = _pow_table(n)[:n][::-1]
+            gh = mix64((W * pw).sum(axis=1, dtype=np.uint64))
+            gdoc = tok_doc[: gh.size]
+            valid = gdoc == tok_doc[n - 1 :]
+            gh, gdoc = gh[valid], gdoc[valid]
+            starts = np.flatnonzero(valid)
+            glen = ccl[starts + n] - ccl[starts] + (n - 1)
+            if gh.size == 0:
+                e = np.empty(0, dtype=np.int64)
+                return e, e, e
+            order = np.lexsort((gh, gdoc))
+            gh_s, gdoc_s = gh[order], gdoc[order]
+            new = np.concatenate(
+                [[True], (gh_s[1:] != gh_s[:-1]) | (gdoc_s[1:] != gdoc_s[:-1])]
+            )
+            rstart = np.flatnonzero(new)
+            rcount = np.diff(np.concatenate([rstart, [gh_s.size]]))
+            return gdoc_s[rstart], rcount.astype(np.int64), glen[order][rstart]
+
+        for n in (2, 3):
+            vals = np.zeros(n_docs, dtype=np.int64)
+            rdoc, rcnt, rlen = _gram_runs(n)
+            if rdoc.size:
+                np.maximum.at(vals, rdoc, rcnt * rlen)
+            cols[f"top{n}_chars"] = pa.array(vals)
+        dup5 = np.zeros(n_docs, dtype=np.int64)
+        rdoc, rcnt, rlen = _gram_runs(5)
+        if rdoc.size:
+            m = rcnt >= 2
+            np.add.at(dup5, rdoc[m], (rcnt * rlen)[m])
+        cols["dup5_chars"] = pa.array(dup5)
+        cols["n_chars"] = pa.array(n_chars)
+        top2 = cols["top2_chars"].to_numpy()
+        cols["repetitive"] = pa.array((5 * top2 > n_chars) | (20 * dup5 > 3 * n_chars))
+        return pa.table(cols)
+
+    return ds.select_columns(["doc_id", text_col]).map_batches(_f, batch_format="pyarrow")
+
+
 class LangId:
     """Stopword-profile language ID heuristic (actor pool; profiles built once).
     Scores = fraction of tokens in each language's top-stopword set."""

@@ -1026,6 +1026,47 @@ ORDER BY doc_id
 """
 
 
+def text_repetition_sql() -> str:
+    """Gopher repetition filter (functions/text.py:repetition_stats): per doc,
+    chars covered by the most frequent overlapping word 2-/3-gram and by all
+    duplicated word 5-grams; grams are single-space-joined, len(g) = Σ word
+    chars + (n-1).  Thresholds as integer comparisons (top2 frac > 0.2, dup5
+    frac > 0.15) so no float column is hashed."""
+    return r"""
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents),
+w AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS w FROM tk),
+g2 AS (SELECT doc_id, w || ' ' || lead(w, 1) OVER win AS g FROM w
+       WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+g3 AS (SELECT doc_id, w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS g
+       FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+g5 AS (SELECT doc_id, w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+              || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win AS g
+       FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+a2 AS (SELECT doc_id, max(c * gl) AS v FROM
+         (SELECT doc_id, count(*) AS c, len(g) AS gl FROM g2
+          WHERE g IS NOT NULL GROUP BY doc_id, g) GROUP BY doc_id),
+a3 AS (SELECT doc_id, max(c * gl) AS v FROM
+         (SELECT doc_id, count(*) AS c, len(g) AS gl FROM g3
+          WHERE g IS NOT NULL GROUP BY doc_id, g) GROUP BY doc_id),
+d5 AS (SELECT doc_id, sum(c * gl) AS v FROM
+         (SELECT doc_id, count(*) AS c, len(g) AS gl FROM g5
+          WHERE g IS NOT NULL GROUP BY doc_id, g) WHERE c >= 2 GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(a2.v, 0) AS BIGINT) AS top2_chars,
+       CAST(coalesce(a3.v, 0) AS BIGINT) AS top3_chars,
+       CAST(coalesce(d5.v, 0) AS BIGINT) AS dup5_chars,
+       CAST(len(d.text) AS BIGINT) AS n_chars,
+       (5 * coalesce(a2.v, 0) > len(d.text)
+        OR 20 * coalesce(d5.v, 0) > 3 * len(d.text)) AS repetitive
+FROM documents d
+LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def lg_ktruss_sql(k: int = 4, rounds: int = 8) -> str:
     """Unrolled k-truss peel over the canonical undirected lg edges: per
     round, degree-ordered orientation, triangle enumeration, per-edge

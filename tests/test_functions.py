@@ -65,6 +65,21 @@ def test_minhash_clusters_find_near_dups():
     assert c[2] == 2  # singleton keeps itself
 
 
+def test_repetition_stats():
+    rep = "spam ham " * 20  # one dominant 2-gram
+    clean = " ".join(f"uniq{i:03d}w" for i in range(30))  # all distinct words
+    ds = _docs([rep.strip(), clean, "tiny", ""])
+    out = text.repetition_stats(ds).to_pandas().sort_values("doc_id")
+    # "spam ham" occurs 20× (len 8) → 160 chars > "ham spam" 19×8=152
+    assert out.top2_chars.iloc[0] == 160
+    assert out.repetitive.tolist() == [True, False, False, False]
+    # clean doc: every 2-gram unique → top2 = single 2-gram length (8+1+8)
+    assert out.top2_chars.iloc[1] == 17
+    assert out.dup5_chars.iloc[1] == 0
+    # fewer tokens than n → zero
+    assert out.top2_chars.iloc[2] == 0 and out.n_chars.iloc[2] == 4
+
+
 def test_decontaminate():
     eval_texts = ["the secret benchmark answer is forty-two"]
     train = _docs(
