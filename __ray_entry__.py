@@ -98,6 +98,36 @@ def _q_text_repetition(sf_dir):
     return repetition_stats(_documents(sf_dir))
 
 
+def _q_pii_scrub(sf_dir):
+    """PII scrub with deterministic doc_id-keyed planting (the synthetic
+    docs contain no PII; the plant mirrors the CASE in pii_scrub_sql)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from graphscope_ray.functions.text import pii_scrub
+
+    plants = np.array(
+        [
+            " contact bob.smith+x@example-site.org or admin@host.io now",
+            " server at 192.168.1.254 port 8080",
+            " call +1 555 0123 or 415-555-0199 today",
+            "",
+            "",
+        ],
+        dtype=object,
+    )
+
+    def _plant(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        suf = pa.array(plants[did % 5].tolist(), pa.string())
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": pc.binary_join_element_wise(t["text"], suf, "")}
+        )
+
+    return pii_scrub(_documents(sf_dir).map_batches(_plant, batch_format="pyarrow"))
+
+
 def _q_text_langid(sf_dir):
     from graphscope_ray.functions.text import lang_id
 
@@ -565,6 +595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "text_quality": _q_text_quality,
         "text_repetition": _q_text_repetition,
+        "pii_scrub": _q_pii_scrub,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         # dedup family
@@ -731,6 +762,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": osql.text_stats_sql(),
         "text_quality": osql.text_quality_sql(),
         "text_repetition": osql.text_repetition_sql(),
+        "pii_scrub": osql.pii_scrub_sql(),
         "dedup_exact": osql.dedup_exact_sql(),
         "dedup_ngram": osql.dedup_ngram_sql(),
         "decontaminate": osql.decontaminate_sql(),

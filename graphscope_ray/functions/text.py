@@ -93,6 +93,36 @@ def quality_score(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Data
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
+# PII patterns (RE2 syntax — no lookarounds, so Arrow's
+# replace_substring_regex and DuckDB's regexp_replace, both RE2, produce
+# byte-identical redactions; the public C4/CCNet-style scrub rules)
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\+?\d{1,3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """(doc_id, n_email, n_ip, n_phone, clean_text): count PII matches on the
+    original text, then redact by applying the three patterns in order
+    (email → ip → phone).  Counts are non-overlapping leftmost matches —
+    identical semantics in Arrow count_substring_regex and DuckDB
+    regexp_extract_all, both RE2.  Pure vectorized map_batches; streams."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        cols: dict = {"doc_id": t["doc_id"]}
+        clean = col
+        for name, pat, repl in PII_PATTERNS:
+            cols[f"n_{name}"] = pc.cast(pc.count_substring_regex(col, pat), pa.int64())
+            clean = pc.replace_substring_regex(clean, pat, replacement=repl)
+        cols["clean_text"] = clean
+        return pa.table(cols)
+
+    return ds.select_columns(["doc_id", text_col]).map_batches(_f, batch_format="pyarrow")
+
+
 def repetition_stats(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     """Gopher-style repetition quality filter (Rae et al. 2021 §A1.1, public
     methodology): per doc, the number of characters covered by the most

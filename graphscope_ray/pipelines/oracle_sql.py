@@ -1067,6 +1067,34 @@ ORDER BY doc_id
 """
 
 
+def pii_scrub_sql() -> str:
+    """PII scrub (functions/text.py:pii_scrub) over documents with PII
+    planted deterministically from doc_id (the raw table has none — the
+    plant makes the oracle non-trivial).  Same RE2 patterns, same
+    email → ip → phone replace order as the engine."""
+    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    ip = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+    phone = "\\b\\+?\\d{1,3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+    return f"""
+WITH planted AS (
+  SELECT doc_id, text || CASE doc_id % 5
+    WHEN 0 THEN ' contact bob.smith+x@example-site.org or admin@host.io now'
+    WHEN 1 THEN ' server at 192.168.1.254 port 8080'
+    WHEN 2 THEN ' call +1 555 0123 or 415-555-0199 today'
+    ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '{ip}')) AS BIGINT) AS n_ip,
+  CAST(len(regexp_extract_all(text, '{phone}')) AS BIGINT) AS n_phone,
+  regexp_replace(regexp_replace(regexp_replace(
+    text, '{email}', '<EMAIL>', 'g'), '{ip}', '<IP>', 'g'),
+    '{phone}', '<PHONE>', 'g') AS clean_text
+FROM planted
+ORDER BY doc_id
+"""
+
+
 def lg_ktruss_sql(k: int = 4, rounds: int = 8) -> str:
     """Unrolled k-truss peel over the canonical undirected lg edges: per
     round, degree-ordered orientation, triangle enumeration, per-edge

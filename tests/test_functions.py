@@ -80,6 +80,23 @@ def test_repetition_stats():
     assert out.top2_chars.iloc[2] == 0 and out.n_chars.iloc[2] == 4
 
 
+def test_pii_scrub():
+    ds = _docs(
+        [
+            "mail a@b.co and x.y+z@host.org ok",
+            "ip 10.0.0.1 and phone 415-555-0123 end",
+            "nothing sensitive here",
+        ]
+    )
+    out = text.pii_scrub(ds).to_pandas().sort_values("doc_id")
+    assert out.n_email.tolist() == [2, 0, 0]
+    assert out.n_ip.tolist() == [0, 1, 0]
+    assert out.n_phone.tolist() == [0, 1, 0]
+    assert out.clean_text.iloc[0] == "mail <EMAIL> and <EMAIL> ok"
+    assert out.clean_text.iloc[1] == "ip <IP> and phone <PHONE> end"
+    assert out.clean_text.iloc[2] == "nothing sensitive here"
+
+
 def test_decontaminate():
     eval_texts = ["the secret benchmark answer is forty-two"]
     train = _docs(
