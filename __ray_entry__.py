@@ -536,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "op_union_distinct": td.op_union_distinct,
         "op_consolidate": td.op_consolidate_columns,
         "op_csv_scan": td.op_csv_scan,
+        "op_jsonl_scan": td.op_jsonl_scan,
         "op_orc_scan": td.op_orc_scan,
         "op_topk_per_group": td.op_topk_per_group,
         "op_groupby_median": td.op_groupby_median,
@@ -700,6 +701,7 @@ def oracle_sql() -> dict[str, str]:
         "op_union_distinct": osql.op_union_distinct_sql(),
         "op_consolidate": osql.op_consolidate_sql(),
         "op_csv_scan": "SELECT r_regionkey, r_name FROM region",
+        "op_jsonl_scan": "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
         "op_orc_scan": "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
         "op_topk_per_group": osql.op_topk_per_group_sql(),
         "op_groupby_median": osql.op_groupby_median_sql(),

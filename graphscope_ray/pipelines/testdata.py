@@ -766,6 +766,25 @@ def op_csv_scan(sf_dir: str) -> pd.DataFrame:
     return ds.to_pandas().sort_values("r_regionkey").reset_index(drop=True)
 
 
+def op_jsonl_scan(sf_dir: str) -> pd.DataFrame:
+    """JSONL source parity: export the documents table to newline-delimited
+    JSON once (atomic, idempotent per sf), read it back through the JSONL
+    source with projection, return the projected rows."""
+    import os
+
+    from graphscope_ray.sources.jsonl import read_jsonl_source
+
+    path = f"/tmp/graft_jsonl/{os.path.basename(sf_dir)}_documents.jsonl"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        df = read(sf_dir, "documents").to_pandas()
+        tmp = path + ".tmp"
+        df.to_json(tmp, orient="records", lines=True)
+        os.replace(tmp, path)
+    ds = read_jsonl_source(path, columns=["doc_id", "lang", "n_chars"])
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def op_consolidate_columns(sf_dir: str) -> ray.data.Dataset:
     """CONSOLIDATE_COLUMNS parity: merge two numeric columns into one list col
     (exported stringified for oracle comparability)."""

@@ -71,3 +71,30 @@ def test_no_partial_files_visible(tmp_path):
     for b in range(4):
         d = os.path.join(path, f"bucket={b}")
         assert os.listdir(d) == ["part.parquet"], os.listdir(d)
+
+
+def test_jsonl_roundtrip(tmp_path):
+    from graphscope_ray.sources.jsonl import read_jsonl_source, write_jsonl
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([3, 1, 2], pa.int64()),
+                "text": pa.array(["a b", 'quo"te', ""], pa.string()),
+                "n": pa.array([1.5, -2.0, 0.0]),
+            }
+        )
+    )
+    path = str(tmp_path / "jl")
+    write_jsonl(ds, path)
+    back = (
+        read_jsonl_source(path)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[["doc_id", "text", "n"]]
+    )
+    orig = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, orig)
+    # projection path
+    proj = read_jsonl_source(path, columns=["doc_id"]).to_pandas()
+    assert sorted(proj.columns) == ["doc_id"] and len(proj) == 3
