@@ -145,12 +145,13 @@ def repetition_stats(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.D
             mix64,
         )
 
-        texts = t[text_col].to_pylist()
+        col = pc.fill_null(t[text_col], "")  # null text ≡ empty doc
+        texts = col.to_pylist()
         th, cl, bounds = batch_token_hashes_lens(texts)
         n_docs = len(texts)
         tok_doc = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(bounds))
         ccl = np.concatenate([[0], np.cumsum(cl)])
-        n_chars = pc.utf8_length(t[text_col]).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
         cols = {"doc_id": t["doc_id"]}
 
         def _gram_runs(n: int):
