@@ -474,18 +474,14 @@ def decontaminate(
     only)."""
     import ray as _ray
 
-    def _doc_shingles(txt) -> np.ndarray:
-        from graphscope_ray.functions.hashing import shingle_hashes
+    from graphscope_ray.functions.hashing import batch_shingle_hashes
 
-        b = (txt or "").encode("utf-8", "surrogatepass")
-        if len(b) < k:
-            return np.empty(0, dtype=np.uint64)
-        return shingle_hashes(b, k)
-
+    # docs shorter than k have no k-gram window; the batch kernel emits the
+    # whole-text fallback hash for them, masked out via byte_lens < k
     def _eval_hashes(t: pa.Table) -> pa.Table:
-        hs = [_doc_shingles(v) for v in t[text_col].to_pylist()]
-        u = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.uint64)
-        return pa.table({"h": pa.array(u)})
+        sh, bounds, blens = batch_shingle_hashes(t[text_col].to_pylist(), k)
+        keep = np.repeat(blens >= k, np.diff(bounds))
+        return pa.table({"h": pa.array(np.unique(sh[keep]))})
 
     # driver-side collect is bounded by the eval corpus, not the training
     # corpus — the small side by definition of the operator
@@ -500,13 +496,25 @@ def decontaminate(
     def _tag(t: pa.Table) -> pa.Table:
         ev = _ray.get(ref)
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        n_hits = np.zeros(len(ids), dtype=np.int64)
-        if ev.size:
-            for i, v in enumerate(t[text_col].to_pylist()):
-                sh = np.unique(_doc_shingles(v))
-                if sh.size:
-                    pos = np.minimum(np.searchsorted(ev, sh), ev.size - 1)
-                    n_hits[i] = int((ev[pos] == sh).sum())
+        n = len(ids)
+        n_hits = np.zeros(n, dtype=np.int64)
+        if ev.size and n:
+            # one batched shingle pass; distinct (doc, gram) via lexsort +
+            # first-occurrence mask; membership via one searchsorted
+            sh, bounds, blens = batch_shingle_hashes(t[text_col].to_pylist(), k)
+            doc = np.repeat(np.arange(n, dtype=np.int64), np.diff(bounds))
+            valid = np.repeat(blens >= k, np.diff(bounds))
+            doc, sh = doc[valid], sh[valid]
+            if sh.size:
+                order = np.lexsort((sh, doc))
+                doc, sh = doc[order], sh[order]
+                first = np.concatenate(
+                    [[True], (doc[1:] != doc[:-1]) | (sh[1:] != sh[:-1])]
+                )
+                doc, sh = doc[first], sh[first]
+                pos = np.minimum(np.searchsorted(ev, sh), ev.size - 1)
+                hit = ev[pos] == sh
+                n_hits = np.bincount(doc[hit], minlength=n).astype(np.int64)
         return pa.table(
             {
                 id_col: pa.array(ids),

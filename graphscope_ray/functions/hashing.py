@@ -133,6 +133,50 @@ def batch_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
     return hashes, boundaries
 
 
+def batch_shingle_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """:func:`shingle_hashes` for a whole batch at once, bit-identical per
+    doc.  Returns (hashes, doc_boundaries, byte_lens) with
+    ``hashes[boundaries[i]:boundaries[i+1]]`` ==
+    ``shingle_hashes(texts[i].encode(), k)``.
+
+    One sliding-window polynomial pass over the concatenated byte stream;
+    windows crossing a doc boundary are dropped by position (valid starts
+    are computed directly from doc offsets — no separator bytes needed).
+    Docs shorter than k keep the whole-text-fallback semantics (one hash),
+    hashed on the rare-path loop — callers with a no-window-for-short-docs
+    contract mask those docs via ``byte_lens < k``.  Every doc yields ≥1
+    hash, so the output segments are reduceat-safe."""
+    n_docs = len(texts)
+    if n_docs == 0:
+        return _EMPTY_U64, np.zeros(1, dtype=np.int64), np.empty(0, dtype=np.int64)
+    encoded = [(t or "").encode("utf-8", "surrogatepass") for t in texts]
+    lens = np.array([len(e) for e in encoded], dtype=np.int64)
+    counts = np.maximum(lens - k + 1, 1)  # short/empty docs → 1 hash
+    boundaries = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    out = np.empty(boundaries[-1], dtype=np.uint64)
+
+    long_mask = lens > k
+    if long_mask.any():
+        joined = np.frombuffer(b"".join(encoded), dtype=np.uint8)
+        doc_start = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        # valid window starts per long doc: doc_start[d] + [0 .. len_d - k]
+        ld = np.flatnonzero(long_mask)
+        wcounts = lens[ld] - k + 1
+        intra = np.arange(int(wcounts.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(wcounts)])[:-1], wcounts
+        )
+        starts = np.repeat(doc_start[ld], wcounts) + intra
+        W = np.lib.stride_tricks.sliding_window_view(joined, k)[starts]
+        pw = _pow_table(k)[:k][::-1]
+        hashes = mix64((W.astype(np.uint64) * pw).sum(axis=1))
+        # scatter into per-doc output segments
+        dst = np.repeat(boundaries[:-1][ld], wcounts) + intra
+        out[dst] = hashes
+    for i in np.flatnonzero(~long_mask):  # rare path: len(doc) <= k
+        out[boundaries[i] : boundaries[i + 1]] = shingle_hashes(encoded[i], k)
+    return out, boundaries, lens
+
+
 def batch_token_hashes_lens(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Like :func:`batch_token_hashes` but also returns the per-token
     CHARACTER length (UTF-8 aware: counts non-continuation bytes), for

@@ -77,3 +77,19 @@ def test_shingle_hashes_match_naive(data, k):
                 assert got[i] == got[j]
             elif got[i] == got[j]:
                 raise AssertionError(f"hash collision on distinct windows {i},{j}")
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.text(max_size=40), max_size=8),
+    st.integers(min_value=1, max_value=8),
+)
+def test_batch_shingle_hashes_bit_identical_per_doc(texts, k):
+    from graphscope_ray.functions.hashing import batch_shingle_hashes
+
+    out, bounds, blens = batch_shingle_hashes(texts, k)
+    assert len(bounds) == len(texts) + 1
+    for i, t in enumerate(texts):
+        enc = t.encode("utf-8", "surrogatepass")
+        assert blens[i] == len(enc)
+        assert np.array_equal(out[bounds[i] : bounds[i + 1]], shingle_hashes(enc, k))
