@@ -128,6 +128,12 @@ def _q_pii_scrub(sf_dir):
     return pii_scrub(_documents(sf_dir).map_batches(_plant, batch_format="pyarrow"))
 
 
+def _q_pack_sequences(sf_dir):
+    from graphscope_ray.functions.mlprep import pack_sequences
+
+    return pack_sequences(_documents(sf_dir), seq_len=256)
+
+
 def _q_text_langid(sf_dir):
     from graphscope_ray.functions.text import lang_id
 
@@ -597,6 +603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _q_text_quality,
         "text_repetition": _q_text_repetition,
         "pii_scrub": _q_pii_scrub,
+        "pack_sequences": _q_pack_sequences,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         # dedup family
@@ -765,6 +772,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": osql.text_quality_sql(),
         "text_repetition": osql.text_repetition_sql(),
         "pii_scrub": osql.pii_scrub_sql(),
+        "pack_sequences": osql.pack_sequences_sql(),
         "dedup_exact": osql.dedup_exact_sql(),
         "dedup_ngram": osql.dedup_ngram_sql(),
         "decontaminate": osql.decontaminate_sql(),

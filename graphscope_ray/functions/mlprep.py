@@ -238,3 +238,98 @@ def profile_table(
     degenerate = (out["n"] - out["n_null"]) == 0
     out.loc[degenerate, ["min", "max", "mean"]] = np.nan
     return out.reset_index(drop=True)
+
+
+def ordered_cumsum(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    out_col: str = "cum_before",
+) -> ray.data.Dataset:
+    """EXCLUSIVE prefix sum of ``val_col`` in global ``key_col`` order — the
+    distributed-scan primitive (for sequence packing, running totals, offset
+    assignment).
+
+    Two-pass scan: pass 1 computes per-block (min key, max key, sum) in
+    parallel; the driver holds one 3-tuple PER BLOCK (never data), orders
+    blocks by min key and asserts block key ranges do not overlap — the
+    input must be range-partitioned on ``key_col`` (true of any sorted
+    Parquet write, e.g. the testdata tables); pass 2 adds each block's
+    exclusive offset to its intra-block exclusive cumsum.  Rows come back
+    sorted by key within each block."""
+    import ray as _ray
+
+    blocks = ds.materialize().to_arrow_refs()
+
+    @_ray.remote
+    def _meta(t: pa.Table):
+        if t.num_rows == 0:
+            return (None, None, 0)
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        v = t[val_col].to_numpy(zero_copy_only=False)
+        return (k.min(), k.max(), int(v.sum()))
+
+    metas = _ray.get([_meta.remote(b) for b in blocks])
+    nonempty = [i for i, m in enumerate(metas) if m[0] is not None]
+    nonempty.sort(key=lambda i: metas[i][0])
+    for a, b in zip(nonempty, nonempty[1:]):
+        if metas[b][0] <= metas[a][1]:
+            raise ValueError(
+                f"ordered_cumsum: block key ranges overlap "
+                f"({metas[a]} vs {metas[b]}) — input must be range-partitioned on {key_col!r}"
+            )
+    offsets = {}
+    run = 0
+    for i in nonempty:
+        offsets[i] = run
+        run += metas[i][2]
+
+    @_ray.remote
+    def _apply(t: pa.Table, off: int) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        t = t.take(pa.array(order))
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = off + np.concatenate([[0], np.cumsum(v)[:-1]])
+        return t.append_column(out_col, pa.array(cum))
+
+    return ray.data.from_arrow_refs(
+        [_apply.remote(b, offsets.get(i, 0)) for i, b in enumerate(blocks)]
+    )
+
+
+def pack_sequences(
+    ds: ray.data.Dataset,
+    seq_len: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """GPT-style sample packing (concat-and-chunk): documents are laid out
+    end-to-end in ``id_col`` order and cut into fixed ``seq_len``-token
+    training sequences; each doc is assigned the sequence and offset where
+    its first token lands (docs may span sequence boundaries, as in
+    standard causal-LM pretraining packing).  Output: (id, n_tokens,
+    seq_id, seq_offset).
+
+    Token counts are the whitespace \\S+ rule (functions/text.py:
+    token_counts); the global layout is one :func:`ordered_cumsum` scan —
+    no driver-side data, no shuffle beyond the per-block scan tasks."""
+    from graphscope_ray.functions.text import token_counts
+
+    tok = token_counts(ds.select_columns([id_col, text_col]))
+    cum = ordered_cumsum(tok, id_col, "n_tokens")
+
+    def _cut(t: pa.Table) -> pa.Table:
+        c = t["cum_before"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": t["n_tokens"],
+                "seq_id": pa.array(c // seq_len),
+                "seq_offset": pa.array(c % seq_len),
+            }
+        )
+
+    return cum.map_batches(_cut, batch_format="pyarrow")

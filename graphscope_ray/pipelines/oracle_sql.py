@@ -1095,6 +1095,31 @@ ORDER BY doc_id
 """
 
 
+def pack_sequences_sql(seq_len: int = 256) -> str:
+    """Sequence packing (functions/mlprep.py:pack_sequences): docs laid out
+    end-to-end in doc_id order, cut into seq_len-token sequences; each doc
+    tagged with the sequence/offset of its first token.  The exclusive
+    running sum mirrors the engine's ordered_cumsum scan."""
+    return rf"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(length(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER
+           (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM tok)
+SELECT doc_id, n_tokens,
+       CAST(cum_before // {seq_len} AS BIGINT) AS seq_id,
+       CAST(cum_before % {seq_len} AS BIGINT) AS seq_offset
+FROM c
+ORDER BY doc_id
+"""
+
+
 def lg_ktruss_sql(k: int = 4, rounds: int = 8) -> str:
     """Unrolled k-truss peel over the canonical undirected lg edges: per
     round, degree-ordered orientation, triangle enumeration, per-edge

@@ -75,3 +75,34 @@ def test_profile_table_with_nulls():
     np.testing.assert_allclose(out.loc["a", "mean"], 3.0)
     assert out.loc["b", "n_null"] == 2
     np.testing.assert_allclose(out.loc["b", "mean"], 3.0)
+
+
+def test_ordered_cumsum_multiblock():
+    import pytest
+
+    from graphscope_ray.functions.mlprep import ordered_cumsum
+
+    # three range-disjoint blocks, deliberately out of order
+    t1 = pa.table({"k": pa.array([10, 11], pa.int64()), "v": pa.array([5, 7], pa.int64())})
+    t2 = pa.table({"k": pa.array([0, 2, 1], pa.int64()), "v": pa.array([1, 3, 2], pa.int64())})
+    t3 = pa.table({"k": pa.array([20], pa.int64()), "v": pa.array([100], pa.int64())})
+    ds = ray.data.from_arrow([t1, t2, t3])
+    out = ordered_cumsum(ds, "k", "v").to_pandas().sort_values("k")
+    # global order 0,1,2,10,11,20 with values 1,2,3,5,7,100
+    assert out.cum_before.tolist() == [0, 1, 3, 6, 11, 18]
+    # overlapping block ranges must be rejected
+    t4 = pa.table({"k": pa.array([1, 5], pa.int64()), "v": pa.array([1, 1], pa.int64())})
+    bad = ray.data.from_arrow([t2, t4])
+    with pytest.raises(ValueError, match="overlap"):
+        ordered_cumsum(bad, "k", "v").materialize()
+
+
+def test_pack_sequences():
+    from graphscope_ray.functions.mlprep import pack_sequences
+
+    # 4 docs of 3 tokens each, seq_len=4: cum_before = 0,3,6,9
+    df = pd.DataFrame({"doc_id": [0, 1, 2, 3], "text": ["a b c"] * 4})
+    out = pack_sequences(_ds(df), seq_len=4).to_pandas().sort_values("doc_id")
+    assert out.n_tokens.tolist() == [3, 3, 3, 3]
+    assert out.seq_id.tolist() == [0, 0, 1, 2]
+    assert out.seq_offset.tolist() == [0, 3, 2, 1]
