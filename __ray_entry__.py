@@ -128,6 +128,17 @@ def _q_pii_scrub(sf_dir):
     return pii_scrub(_documents(sf_dir).map_batches(_plant, batch_format="pyarrow"))
 
 
+def _q_split_by_content(sf_dir):
+    """Leakage-safe split: identical texts share a fingerprint, hence a
+    split — exact dups can never straddle train/test."""
+    from graphscope_ray.functions.sampling import hash_split
+    from graphscope_ray.functions.text import fingerprints
+
+    fp = fingerprints(_documents(sf_dir))
+    out = hash_split(fp, key="fingerprint", weights=(800, 100, 100), salt=7)
+    return out.select_columns(["doc_id", "split"])
+
+
 def _q_pack_sequences(sf_dir):
     from graphscope_ray.functions.mlprep import pack_sequences
 
@@ -604,6 +615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_repetition": _q_text_repetition,
         "pii_scrub": _q_pii_scrub,
         "pack_sequences": _q_pack_sequences,
+        "split_by_content": _q_split_by_content,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         # dedup family
@@ -773,6 +785,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": osql.text_repetition_sql(),
         "pii_scrub": osql.pii_scrub_sql(),
         "pack_sequences": osql.pack_sequences_sql(),
+        "split_by_content": osql.split_by_content_sql(),
         "dedup_exact": osql.dedup_exact_sql(),
         "dedup_ngram": osql.dedup_ngram_sql(),
         "decontaminate": osql.decontaminate_sql(),

@@ -2248,7 +2248,10 @@ def _mix64_stages(src: str, keys: str, out_prefix: str) -> tuple[list[str], str]
     return ctes, f"{p}5"
 
 
-def text_fingerprint_sql() -> str:
+def _fingerprint_ctes() -> tuple[list[str], str]:
+    """CTE chain computing the UNSIGNED (HUGEINT 0..2^64-1) rolling-hash
+    fingerprint per doc_id; returns (ctes, final_cte_name).  Shared by
+    text_fingerprint_sql and split_by_content_sql."""
     mix_tok, tok_final = _mix64_stages("tp", "doc_id, tj", "u")
     mix_doc, doc_final = _mix64_stages("dp", "doc_id", "w")
     ctes = [
@@ -2274,12 +2277,53 @@ def text_fingerprint_sql() -> str:
         f"JOIN pw ON pw.i = t.ntok - 1 - t.tj GROUP BY t.doc_id)",
         *mix_doc,
     ]
+    return ctes, doc_final
+
+
+def text_fingerprint_sql() -> str:
+    ctes, doc_final = _fingerprint_ctes()
     return (
         "WITH RECURSIVE " + ",\n".join(ctes) + " "
         f"SELECT d.doc_id, CAST(CASE WHEN f.h IS NULL THEN 0 "
         f"WHEN f.h >= 9223372036854775808 THEN f.h - {_Q64} ELSE f.h END AS BIGINT) "
         f"AS fingerprint FROM documents d "
         f"LEFT JOIN {doc_final} f ON f.doc_id = d.doc_id ORDER BY d.doc_id"
+    )
+
+
+def _bucket_expr_u64(col: str, salt: int) -> str:
+    """sampling.hash_bucket for a FULL-RANGE uint64 key column (0..2^64-1):
+    the plain ``_bucket_expr`` HUGEINT multiply overflows INT128 there, so
+    the Knuth multiply runs through the split-multiply ``_mulmod64``."""
+    mul = _mulmod64(col, "11400714819323198485")
+    return (
+        f"CAST(((({mul} + {salt} * CAST(14029467366897019727 AS HUGEINT)"
+        f" + CAST(1609587929392839161 AS HUGEINT)) & {_M64})"
+        f" >> 33) % 1000 AS BIGINT)"
+    )
+
+
+def split_by_content_sql(weights=(800, 100, 100), salt: int = 7) -> str:
+    """Leakage-safe train/val/test split keyed on CONTENT (the rolling-hash
+    fingerprint), not row id: byte-identical docs always land in the same
+    split, so exact duplicates can never straddle train and test.  Mirrors
+    sampling.hash_split over functions/text.py:fingerprints."""
+    ctes, doc_final = _fingerprint_ctes()
+    bounds, acc = [], 0
+    for w in weights[:-1]:
+        acc += w
+        bounds.append(acc)
+    case = (
+        "CASE "
+        + " ".join(f"WHEN b < {b} THEN {i}" for i, b in enumerate(bounds))
+        + f" ELSE {len(weights) - 1} END"
+    )
+    return (
+        "WITH RECURSIVE " + ",\n".join(ctes) + ", "
+        f"fp AS (SELECT d.doc_id, coalesce(f.h, 0) AS h FROM documents d "
+        f"LEFT JOIN {doc_final} f ON f.doc_id = d.doc_id), "
+        f"bk AS (SELECT doc_id, {_bucket_expr_u64('h', salt)} AS b FROM fp) "
+        f"SELECT doc_id, {case} AS split FROM bk ORDER BY doc_id"
     )
 
 

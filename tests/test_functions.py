@@ -80,6 +80,22 @@ def test_repetition_stats():
     assert out.top2_chars.iloc[2] == 0 and out.n_chars.iloc[2] == 4
 
 
+def test_split_by_content_keeps_dups_together():
+    from graphscope_ray.functions.sampling import hash_split
+    from graphscope_ray.functions.text import fingerprints
+
+    texts = [f"doc number {i} content" for i in range(40)]
+    # plant exact dups far apart in id space
+    texts[37] = texts[2]
+    texts[23] = texts[5]
+    ds = _docs(texts)
+    out = hash_split(fingerprints(ds), key="fingerprint", weights=(800, 100, 100), salt=7)
+    df = out.to_pandas().set_index("doc_id")
+    assert df.loc[2, "split"] == df.loc[37, "split"]
+    assert df.loc[5, "split"] == df.loc[23, "split"]
+    assert set(df["split"]) <= {0, 1, 2}
+
+
 def test_pii_scrub():
     ds = _docs(
         [
