@@ -586,6 +586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_addcol_consolidate": td.pg_addcol_consolidate,
         "pg_graphar_roundtrip": td.pg_graphar_roundtrip,
         "lg_sssp_weighted": td.lg_sssp_weighted,
+        "lg_sssp_delta": td.lg_sssp_delta,
         "lg_ktruss": td.lg_ktruss,
         "lg_random_walks": td.lg_random_walks,
         "lg_eccentricity": td.lg_eccentricity,
@@ -756,6 +757,8 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY src_oid, dst_oid"
         ),
         "lg_sssp_weighted": osql.lg_sssp_weighted_sql(),
+        # delta-stepping computes the same exact distances -> same oracle
+        "lg_sssp_delta": osql.lg_sssp_weighted_sql(),
         "lg_ktruss": osql.lg_ktruss_sql(),
         "lg_random_walks": osql.lg_random_walks_sql(),
         "lg_eccentricity": osql.lg_eccentricity_sql(),

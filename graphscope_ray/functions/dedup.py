@@ -13,6 +13,7 @@ groupbys on hash keys (uniformly distributed — no skew by construction).
 
 from __future__ import annotations
 
+import functools as _functools
 import hashlib
 
 import numpy as np
@@ -98,8 +99,16 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
 
 
 class MinHasher:
-    """Actor-pool stage: text → num_perm minhash values (vectorized perm apply:
-    one (shingles × perms) broadcasted multiply-add per doc)."""
+    """Actor-pool stage: text → num_perm minhash values.
+
+    The whole batch is hashed in ONE sliding-window pass
+    (``batch_shingle_hashes``) and the per-doc minimum of each permuted
+    hash stream is a segmented ``np.minimum.reduceat`` — no per-doc Python
+    loop.  Duplicate shingles need no dedup: min over a multiset equals min
+    over its support, so the raw per-doc segments feed the reduce directly
+    (bit-identical to the per-doc ``signature`` path, which np.uniques
+    first).  Permutations are applied in column chunks capped at ~64 MB of
+    temporary to keep actor heap flat on shingle-heavy batches."""
 
     def __init__(self, k: int = 5, num_perm: int = 64, seed: int = 1):
         rng = np.random.RandomState(seed)
@@ -109,28 +118,56 @@ class MinHasher:
         self.num_perm = num_perm
 
     def signature(self, text: str) -> np.ndarray:
+        """Single-doc reference kernel (tests assert the batched path below
+        matches it bit-for-bit)."""
         sh = np.unique(_shingle_hashes(text, self.k))
         # (n_shingles, num_perm) permuted hashes, min over shingles
         vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
         return vals.min(axis=0)
 
     def __call__(self, batch: pd.DataFrame) -> pa.Table:
-        sigs = np.stack([self.signature(t) for t in batch["text"]]).astype(np.int64)
+        from graphscope_ray.functions.hashing import batch_shingle_hashes
+
+        n = len(batch)
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        if n:
+            sh, bounds, _ = batch_shingle_hashes(batch["text"].tolist(), self.k)
+            seg = bounds[:-1]  # every doc yields ≥1 hash → valid reduceat starts
+            ch = max(1, min(self.num_perm, 8_388_608 // max(1, sh.size)))
+            for j in range(0, self.num_perm, ch):
+                a, b = self.a[j : j + ch], self.b[j : j + ch]
+                vals = (sh[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+                sigs[:, j : j + ch] = np.minimum.reduceat(vals, seg, axis=0)
+        out = sigs.astype(np.int64)
         return pa.table(
             {
                 "doc_id": pa.array(batch["doc_id"].to_numpy()),
-                "sig": pa.array(list(sigs), pa.list_(pa.int64())),
+                "sig": pa.array(list(out), pa.list_(pa.int64())),
             }
         )
 
 
-def minhash_signatures(ds, k=5, num_perm=64, seed=1, concurrency=(1, 8)):
+@_functools.lru_cache(maxsize=8)
+def _minhasher(k: int, num_perm: int, seed: int) -> MinHasher:
+    return MinHasher(k=k, num_perm=num_perm, seed=seed)
+
+
+def _minhash_fn(batch: pd.DataFrame, *, k: int, num_perm: int, seed: int) -> pa.Table:
+    return _minhasher(k, num_perm, seed)(batch)
+
+
+def minhash_signatures(ds, k=5, num_perm=64, seed=1, concurrency=None):
+    """Signature stage as a plain task function, not an actor pool: the only
+    state is a deterministic 1 KB permutation table, rebuilt once per worker
+    PROCESS via an lru_cache — same once-per-worker setup economics, none of
+    the actor-pool spawn latency, and Ray Data can schedule it on any idle
+    worker.  Actor pools stay reserved for genuinely heavy state (fragments,
+    decoders, indexes)."""
     return ds.select_columns(["doc_id", "text"]).map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"k": k, "num_perm": num_perm, "seed": seed},
+        _minhash_fn,
+        fn_kwargs={"k": k, "num_perm": num_perm, "seed": seed},
         batch_format="pandas",
         batch_size=1024,
-        concurrency=concurrency,
     )
 
 
@@ -562,9 +599,10 @@ class SimHasher:
         )
 
 
-def simhash_signatures(ds, concurrency=(1, 8)):
+def simhash_signatures(ds, concurrency=None):
+    # SimHasher is stateless — a plain task function needs no actor pool
     return ds.select_columns(["doc_id", "text"]).map_batches(
-        SimHasher, batch_format="pandas", batch_size=1024, concurrency=concurrency
+        SimHasher(), batch_format="pandas", batch_size=1024
     )
 
 

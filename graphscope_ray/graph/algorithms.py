@@ -51,6 +51,13 @@ def sssp(g: Graph, source: int, max_rounds: int | None = None, **run_kwargs):
     return g.program_state(res.name), res
 
 
+def sssp_delta(g: Graph, source: int, delta: float = 2.0, **run_kwargs):
+    """Delta-stepping SSSP (programs.SsspDelta — the registry's ``sssp_dlt``
+    execution-strategy variant; exact, bit-identical distances to sssp)."""
+    res = g.run_program("sssp_delta", source=source, delta=delta, **run_kwargs)
+    return g.program_state(res.name), res
+
+
 def bfs(g: Graph, source: int, depth_limit: int | None = None, **run_kwargs):
     res = g.run_program("bfs", source=source, max_rounds=depth_limit, **run_kwargs)
     return g.program_state(res.name), res

@@ -358,6 +358,123 @@ class Bfs(Sssp):
         self.frontier = np.isfinite(self.dist)
 
 
+class SsspDelta(VertexProgram):
+    """Delta-stepping SSSP (Meyer & Sanders 2003) — the reference registry's
+    execution-strategy variant of SSSP (the ``sssp_dlt`` entry next to the
+    Bellman-Ford ``sssp`` app in the builtin registry;
+    apps/sssp/sssp.h semantics, different schedule): tentative distances are
+    processed in buckets of width ``delta``; LIGHT edges (w ≤ delta) relax
+    iteratively until the current bucket settles, HEAVY edges (w > delta)
+    relax exactly once per vertex per settle — so a hub's heavy edges are
+    not re-pushed every time its tentative distance wiggles inside a bucket.
+    Distances are exact and bit-identical to ``Sssp`` (both compute the true
+    shortest paths); the win is wasted-relaxation volume at scale.
+
+    Bucket advance is coordinated WITHOUT extra driver RPCs: each gather
+    reports (light/heavy pending counts inside the current bucket, global
+    min pending distance via the 'min:'-reduced stat) and every fragment
+    applies the identical transition rule at scatter time.  Buckets are
+    monotone for non-negative weights (a relaxation out of bucket B lands at
+    distance ≥ B·delta), so the transition needs no rollback.  Requires
+    w ≥ 0; hub-split builds are rejected by the fragment's p_init guard."""
+
+    def __init__(self, frag, source: int = 0, delta: float = 2.0, max_rounds: int = 0):
+        super().__init__(frag)
+        self.source = int(source)
+        self.delta = float(delta)
+        if self.delta <= 0:
+            raise ValueError("delta must be positive")
+
+    def init(self) -> dict:
+        f = self.frag
+        n = f.n_local
+        self.dist = np.full(n, np.inf, dtype=np.float64)
+        self.pend_light = np.zeros(n, dtype=bool)
+        self.pend_heavy = np.zeros(n, dtype=bool)
+        self.bucket = 0
+        d = self.delta
+        ws = f.out.tgt_w
+        if ws is not None:
+            for w in ws:
+                if w.size and float(w.min()) < 0:
+                    raise ValueError("delta-stepping requires non-negative weights")
+            self.light_masks = [w <= d for w in ws]
+            self.heavy_masks = [w > d for w in ws]
+        else:  # unit weights
+            self.light_masks = [np.full(s.size, 1.0 <= d) for s in f.out.tgt_src]
+            self.heavy_masks = [np.full(s.size, 1.0 > d) for s in f.out.tgt_src]
+        if f.N and self.source % f.P == f.part:
+            li = self.source // f.P
+            self.dist[li] = 0.0
+            self.pend_light[li] = True
+            self.pend_heavy[li] = True
+        return self._counts()
+
+    def _counts(self) -> dict:
+        hi = (self.bucket + 1) * self.delta
+        inb = self.dist < hi  # pending dists are ≥ bucket·delta by monotonicity
+        pend = self.pend_light | self.pend_heavy
+        stats = {
+            "pending": int(pend.sum()),
+            "light_in_bucket": int((self.pend_light & inb).sum()),
+            "heavy_in_bucket": int((self.pend_heavy & inb).sum()),
+        }
+        if pend.any():
+            stats["min:next"] = {0: float(self.dist[pend].min())}
+        return stats
+
+    def resume_stats(self) -> dict:
+        return self._counts()
+
+    def scatter(self, step, glob):
+        f = self.frag
+        d = self.delta
+        lb = glob.get("light_in_bucket", 0)
+        hb = glob.get("heavy_in_bucket", 0)
+        if lb == 0 and hb == 0:
+            # bucket settled everywhere → advance to the bucket of the global
+            # min pending distance (identical on every fragment: same glob)
+            nxt = glob.get("min:next", {}).get(0)
+            if nxt is not None and np.isfinite(nxt):
+                self.bucket = max(self.bucket, int(nxt // d))
+            lb = 1  # the new bucket starts with its light phase
+        hi = (self.bucket + 1) * d
+        inb = self.dist < hi
+        if lb > 0:
+            active = self.pend_light & inb
+            self.pend_light &= ~active
+            masks = self.light_masks
+        else:
+            active = self.pend_heavy & inb
+            self.pend_heavy &= ~active
+            masks = self.heavy_masks
+        return _wrap(
+            f.out.push_reduce_masked(
+                self.dist, active, "min", add_weight=True, edge_masks=masks
+            )
+        )
+
+    def gather(self, step, glob, msgs):
+        f = self.frag
+        incoming = acc_min(f.n_local, msgs)
+        new = np.minimum(self.dist, incoming)
+        improved = new < self.dist
+        self.dist = new
+        self.pend_light |= improved
+        self.pend_heavy |= improved
+        return self._counts()
+
+    def state_columns(self):
+        return {"dist": self.dist}
+
+    def load_state_columns(self, cols):
+        self.dist = np.asarray(cols["dist"], dtype=np.float64)
+        # conservative restart: re-relax every reached vertex from bucket 0
+        self.pend_light = np.isfinite(self.dist)
+        self.pend_heavy = np.isfinite(self.dist)
+        self.bucket = 0
+
+
 # --------------------------------------------------------------------------
 class Hits(VertexProgram):
     has_prestep = True
@@ -1739,6 +1856,9 @@ PROGRAMS: dict[str, ProgramSpec] = {
     "wcc": ProgramSpec(Wcc, lambda glob, p, N, s: glob.get("changed", 1) == 0, 10_000),
     "cdlp": ProgramSpec(Cdlp, _never, 10),
     "sssp": ProgramSpec(Sssp, lambda glob, p, N, s: glob.get("changed", 1) == 0, 10_000),
+    "sssp_delta": ProgramSpec(
+        SsspDelta, lambda glob, p, N, s: glob.get("pending", 1) == 0, 100_000
+    ),
     "bfs": ProgramSpec(Bfs, lambda glob, p, N, s: glob.get("changed", 1) == 0, 10_000),
     "hits": ProgramSpec(Hits, _hits_converged, 200),
     "kcore": ProgramSpec(KCore, lambda glob, p, N, s: glob.get("removed", 1) == 0, 10_000),

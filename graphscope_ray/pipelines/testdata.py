@@ -1111,6 +1111,22 @@ def lg_sssp_weighted(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("oid").reset_index(drop=True)
 
 
+def lg_sssp_delta(sf_dir: str, delta: float = 3.0) -> pd.DataFrame:
+    """Weighted SSSP via DELTA-STEPPING (programs.SsspDelta — the registry's
+    ``sssp_dlt`` execution-strategy variant): bucketed relaxation, light
+    edges (w ≤ delta) iterated per bucket, heavy edges once per settle.
+    Exact — gated against the SAME unrolled Bellman-Ford SQL oracle as
+    lg_sssp_weighted; weights are integer multiplicities ≥ 1 so delta=3
+    exercises both the light and heavy paths."""
+    g = lg_graph_weighted(sf_dir)
+    ds, _ = alg.sssp_delta(g, source=0, delta=delta)
+    df = ds.to_pandas()
+    df = df[np.isfinite(df["dist"])]
+    out = df[["vid", "dist"]].rename(columns={"vid": "oid"})
+    out["dist"] = out["dist"].round(8)
+    return out.sort_values("oid").reset_index(drop=True)
+
+
 def lg_ktruss(sf_dir: str, k: int = 4) -> pd.DataFrame:
     """k-truss of the canonical undirected lg edge set (FLASH truss
     decomposition building block) — iterative distributed hash-join

@@ -182,6 +182,31 @@ def test_sssp_weighted():
     assert np.allclose(got, want)
 
 
+@pytest.mark.parametrize("P", [1, 3])
+@pytest.mark.parametrize("delta", [0.5, 2.0, 100.0], ids=["allheavy", "mixed", "alllight"])
+def test_sssp_delta_stepping_exact(P, delta):
+    """Delta-stepping must be bit-identical to Bellman-Ford at every delta:
+    0.5 → every weighted edge heavy, 100 → every edge light, 2.0 → mixed."""
+    edges, n = GRAPHS["rand60"]
+    rng = np.random.RandomState(11)
+    w = rng.randint(1, 6, size=len(edges)).astype(float)
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.int64()),
+            "dst": pa.array([e[1] for e in edges], pa.int64()),
+            "weight": pa.array(w),
+        }
+    )
+    g = build_graph(t, num_partitions=P, num_vertices=n, weight=True)
+    got = _col(alg.sssp_delta(g, source=0, delta=delta)[0], "dist")
+    want = oracles.sssp(edges, n, 0, weights=list(w))
+    assert np.allclose(got, want)
+    # unweighted build: unit edges, delta<1 forces the heavy-only path
+    gu = _build(edges, n, P)
+    got_u = _col(alg.sssp_delta(gu, source=0, delta=0.5)[0], "dist")
+    assert np.allclose(got_u, oracles.sssp(edges, n, 0))
+
+
 def test_p2p_message_mode_matches_shared():
     edges, n = GRAPHS["rand60"]
     g_shared = _build(edges, n, 3)

@@ -345,3 +345,23 @@ def test_hash_sampling_stable_and_split_disjoint():
     assert (st.lang == "fr").sum() == n // 4  # rare stratum kept whole
     en_rate = (st.lang == "en").sum() / (n - n // 4)
     assert abs(en_rate - 0.1) < 0.02
+
+
+def test_minhasher_batched_matches_per_doc():
+    # the batched reduceat path must be bit-identical to the single-doc
+    # reference kernel, including short (<k), empty, and unicode docs
+    mh = dedup.MinHasher(k=5, num_perm=64, seed=1)
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        "abc",                      # shorter than k → whole-text fallback
+        "abcde",                    # exactly k
+        "naïve café — unicode ✓",   # multi-byte utf-8
+        "aaaaaaaaaaaaaaaa",         # heavy duplicate shingles
+    ]
+    batch = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    got = mh(batch)
+    sig_rows = got["sig"].to_pylist()
+    for i, t in enumerate(texts):
+        expect = mh.signature(t).astype(np.int64)
+        assert sig_rows[i] == expect.tolist(), f"doc {i} mismatch"
