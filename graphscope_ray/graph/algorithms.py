@@ -34,6 +34,22 @@ def pagerank(
     return g.program_state(res.name), res
 
 
+def pagerank_push(
+    g: Graph,
+    alpha: float = 0.85,
+    tol: float = 0.0,
+    max_rounds: int = 15,
+    **run_kwargs,
+) -> tuple[ray.data.Dataset, RunResult]:
+    """Push/delta PageRank (programs.PageRankPush — the registry's
+    ``pagerank_push`` execution-strategy variant; Neumann partial sum,
+    converges to the same networkx fixed point)."""
+    res = g.run_program(
+        "pagerank_push", alpha=alpha, tol=tol, max_rounds=max_rounds, **run_kwargs
+    )
+    return g.program_state(res.name), res
+
+
 def wcc(g: Graph, **run_kwargs) -> tuple[ray.data.Dataset, RunResult]:
     """Weakly connected components, comp = min vid (apps/projected/wcc_projected.h:70-182)."""
     res = g.run_program("wcc", **run_kwargs)

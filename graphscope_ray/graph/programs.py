@@ -132,6 +132,67 @@ class PageRank(VertexProgram):
 
 
 # --------------------------------------------------------------------------
+class PageRankPush(VertexProgram):
+    """Push/delta PageRank — the reference registry's ``pagerank_push``
+    execution-strategy variant (residual propagation instead of full
+    recomputation; grape's push-style schedule, synchronous here): score
+    p starts at 0 and residual r at (1-α)/N; each round absorbs r into p
+    and pushes α·r[u]/outdeg[u] to out-neighbors (dangling residual mass
+    redistributed uniformly, scaled by α, like the base PageRank).  After
+    k rounds p = Σ_{j<k} α^j M^j r_0 — the exact Neumann partial sum, so
+    p converges to the same networkx fixed point; the residual MASS shrinks
+    by exactly α per round, so only vertices with meaningful remaining
+    delta generate message volume (the scale win over power iteration,
+    where every vertex pushes every round).  Fixed-round by default
+    (tol=0); pass tol>0 to stop when Σr < tol.  The remaining residual is
+    dropped at stop (partial-sum semantics — the SQL oracle replicates
+    this exactly)."""
+
+    def __init__(self, frag, alpha: float = 0.85, tol: float = 0.0, max_rounds: int = 15):
+        super().__init__(frag)
+        self.alpha, self.tol = float(alpha), float(tol)
+
+    def init(self) -> dict:
+        f = self.frag
+        n, N = f.n_local, max(f.N, 1)
+        self.score = np.zeros(n, dtype=np.float64)
+        self.resid = np.full(n, (1.0 - self.alpha) / N, dtype=np.float64)
+        outdeg = f.true_outdeg()
+        self.dangling = outdeg == 0
+        with np.errstate(divide="ignore"):
+            self.invdeg = np.where(self.dangling, 0.0, 1.0 / outdeg)
+        return {"dangling_sum": float(self.resid[self.dangling].sum())}
+
+    def resume_stats(self) -> dict:
+        return {"dangling_sum": float(self.resid[self.dangling].sum())}
+
+    def scatter(self, step, glob):
+        return _wrap(
+            self.frag.out.push_reduce(self.alpha * self.resid * self.invdeg, "sum")
+        )
+
+    def gather(self, step, glob, msgs):
+        f = self.frag
+        N = max(f.N, 1)
+        self.score = self.score + self.resid  # absorb the pushed residual
+        new_r = acc_sum(f.n_local, msgs) + self.alpha * glob["dangling_sum"] / N
+        self.resid = new_r
+        return {
+            "res_mass": float(np.abs(new_r).sum()),
+            "dangling_sum": float(new_r[self.dangling].sum()),
+        }
+
+    def state_columns(self):
+        # resid is part of the iteration state: a checkpoint/resume must
+        # continue the partial sum exactly where it stopped
+        return {"score": self.score, "resid": self.resid}
+
+    def load_state_columns(self, cols):
+        self.score = np.asarray(cols["score"], dtype=np.float64)
+        self.resid = np.asarray(cols["resid"], dtype=np.float64)
+
+
+# --------------------------------------------------------------------------
 class Wcc(VertexProgram):
     """Min-label propagation WCC (apps/projected/wcc_projected.h:70-182):
     comp = own vid; push min over edges; frontier = changed; stop on no change.
@@ -1852,6 +1913,11 @@ PROGRAMS: dict[str, ProgramSpec] = {
         lambda glob, params, N, step: glob.get("residual", np.inf)
         < params.get("tol", 1e-6) * max(N, 1),
         100,
+    ),
+    "pagerank_push": ProgramSpec(
+        PageRankPush,
+        lambda glob, p, N, s: glob.get("res_mass", 1.0) < p.get("tol", 0.0),
+        15,
     ),
     "wcc": ProgramSpec(Wcc, lambda glob, p, N, s: glob.get("changed", 1) == 0, 10_000),
     "cdlp": ProgramSpec(Cdlp, _never, 10),

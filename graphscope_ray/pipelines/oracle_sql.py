@@ -90,6 +90,42 @@ def lg_pagerank_sql(rounds: int = 15, alpha: float = 0.85) -> str:
     return f"WITH {_BASE}, " + ",\n".join(ctes) + f" SELECT oid, round(score, 8) AS score FROM p{rounds}"
 
 
+def lg_pagerank_push_sql(rounds: int = 15, alpha: float = 0.85) -> str:
+    """Unrolled PUSH/delta PageRank (programs.PageRankPush): p0 = 0,
+    r0 = (1-α)/N; per round p' = p + r and r' = Σ_in α·r[u]/outdeg[u]
+    + α·dangling_r/N.  The output p after ``rounds`` rounds is the exact
+    Neumann partial sum — different finite-round values than the power
+    iteration in lg_pagerank_sql, same limit."""
+    ctes = [
+        "r0 AS MATERIALIZED (SELECT oid, "
+        f"{1 - alpha:.2f}/(SELECT n FROM nv) AS r FROM v)",
+        "q0 AS MATERIALIZED (SELECT oid, 0.0 AS score FROM v)",
+    ]
+    for k in range(rounds):
+        ctes.append(
+            f"d{k} AS MATERIALIZED (SELECT coalesce(sum(r.r),0) AS ds FROM r{k} r "
+            f"LEFT JOIN outd o ON o.oid=r.oid WHERE o.d IS NULL)"
+        )
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT e.dst AS oid, sum({alpha}*r.r/o.d) AS insum "
+            f"FROM e JOIN r{k} r ON r.oid=e.src JOIN outd o ON o.oid=e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"q{k + 1} AS MATERIALIZED (SELECT q.oid, q.score + r.r AS score "
+            f"FROM q{k} q JOIN r{k} r ON r.oid=q.oid)"
+        )
+        ctes.append(
+            f"r{k + 1} AS MATERIALIZED (SELECT v.oid, coalesce(s.insum,0) + "
+            f"{alpha}*(SELECT ds FROM d{k})/(SELECT n FROM nv) AS r "
+            f"FROM v LEFT JOIN s{k} s ON s.oid=v.oid)"
+        )
+    return (
+        f"WITH {_BASE}, "
+        + ",\n".join(ctes)
+        + f" SELECT oid, round(score, 8) AS score FROM q{rounds}"
+    )
+
+
 def lg_ppr_sql(rounds: int = 10, source: int = 0) -> str:
     """Unrolled FLASH PPR (apps/flash/ranking/ppr.h:41-72): r0 = e_source;
     r'[v] = 0.5·Σ_{u∈N(v)} r[u]/deg[u] + 0.5·1{v=source} over both edge

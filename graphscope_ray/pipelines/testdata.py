@@ -218,6 +218,18 @@ def lg_pagerank_converged(sf_dir: str, tol: float = 1e-6) -> pd.DataFrame:
     return out
 
 
+def lg_pagerank_push(sf_dir: str, rounds: int = 15) -> pd.DataFrame:
+    """Push/delta PageRank (programs.PageRankPush — the registry's
+    ``pagerank_push`` execution-strategy variant): residual propagation,
+    p after k rounds = exact Neumann partial sum.  Own unrolled-push SQL
+    oracle (oracle_sql.lg_pagerank_push_sql)."""
+    g = lg_graph(sf_dir)
+    ds, _ = alg.pagerank_push(g, max_rounds=rounds)
+    out = _oid_space(g, ds, ["score"])
+    out["score"] = out["score"].round(8)
+    return out
+
+
 def lg_ppr(sf_dir: str, source: int = 0, rounds: int = 10) -> pd.DataFrame:
     """FLASH personalized PageRank (apps/flash/ranking/ppr.h): α=0.5 teleport
     to the source, undirected pushes, deg = out+in, fixed rounds."""

@@ -182,6 +182,20 @@ def test_sssp_weighted():
     assert np.allclose(got, want)
 
 
+@pytest.mark.parametrize("gname", ["two_cliques", "rand60", "star_hub"])
+@pytest.mark.parametrize("P", [1, 3])
+def test_pagerank_push_converges_to_fixed_point(gname, P):
+    """Push/delta PageRank is the Neumann partial sum: run it to a tiny
+    residual mass and it must agree with the power-iteration fixed point;
+    results must be partition-count invariant."""
+    edges, n = GRAPHS[gname]
+    g = _build(edges, n, P)
+    ds, res = alg.pagerank_push(g, tol=1e-12, max_rounds=400)
+    want = oracles.pagerank(edges, n, tol=1e-14, max_rounds=2000)
+    assert np.allclose(_col(ds, "score"), want, atol=1e-9)
+    assert res.rounds < 400  # the tol stop actually fired
+
+
 @pytest.mark.parametrize("P", [1, 3])
 @pytest.mark.parametrize("delta", [0.5, 2.0, 100.0], ids=["allheavy", "mixed", "alllight"])
 def test_sssp_delta_stepping_exact(P, delta):
