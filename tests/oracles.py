@@ -96,6 +96,19 @@ def triangles(edges, n):
     return total, tri
 
 
+def transitivity(edges, n):
+    """Global clustering coefficient 3*triangles / wedges on the
+    undirected simple graph (self-loops/duplicates collapsed)."""
+    adj = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    total, _ = triangles(edges, n)
+    wedges = sum(len(adj[v]) * (len(adj[v]) - 1) // 2 for v in range(n))
+    return 3.0 * total / wedges if wedges else 0.0
+
+
 def sssp(edges, n, source, weights=None):
     """Bellman-Ford over directed edges; returns dist list (inf unreached)."""
     inf = float("inf")

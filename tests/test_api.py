@@ -1,0 +1,99 @@
+"""graphscope-compatible client API facade (graphscope_ray/api.py) — the
+reference's primary user path (session → g() → add_vertices/add_edges →
+flat app call → ctx.to_dataframe with selectors) drives the same engine."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import graphscope_ray.api as gs
+from tests import oracles
+
+EDGES = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 3), (1, 4), (5, 0)]
+N = 6
+
+
+def _edge_df(weights=None):
+    df = pd.DataFrame(EDGES, columns=["src", "dst"])
+    if weights is not None:
+        df["w"] = weights
+    return df
+
+
+def _vert_df():
+    return pd.DataFrame({"id": range(N), "name": [f"v{i}" for i in range(N)]})
+
+
+def test_primary_path_pagerank_selectors():
+    sess = gs.session(num_partitions=2)
+    g = sess.g()
+    g = g.add_vertices(_vert_df(), label="node", vid_field="id")
+    g = g.add_edges(_edge_df(), label="link")
+    ctx = gs.pagerank(g, delta=0.85, tol=1e-10)
+    df = ctx.to_dataframe({"node": "v.id", "r": "r"})
+    assert list(df.columns) == ["node", "r"]
+    want = oracles.pagerank(EDGES, N, tol=1e-12, max_rounds=500)
+    got = df.sort_values("node")["r"].to_numpy()
+    assert np.allclose(got, want, atol=1e-7)
+    arr = ctx.to_numpy("r")
+    assert np.allclose(np.sort(arr), np.sort(got))
+    # schema surface
+    s = g.schema
+    assert s.vertex_labels == ["node"] and s.edge_labels == ["link"]
+    sess.close()
+    with pytest.raises(RuntimeError):
+        sess.g()
+
+
+def test_edges_first_label_inference_and_wcc_sssp():
+    with gs.session(num_partitions=2) as sess:
+        g = sess.g().add_edges(_edge_df(), label="link")
+        comp = gs.wcc(g).to_dataframe({"id": "v.id", "c": "r"}).sort_values("id")
+        assert comp["c"].nunique() == 1  # the toy graph is one weak component
+        w = [1.0, 2.0, 1.0, 5.0, 1.0, 1.0, 3.0, 1.0]
+        gw = sess.g().add_edges(_edge_df(weights=w), label="link")
+        d1 = gs.sssp(gw, src=0, weight="w").to_dataframe({"id": "v.id", "d": "r"})
+        d2 = gs.sssp_delta(gw, src=0, weight="w", delta=2.0).to_dataframe(
+            {"id": "v.id", "d": "r"}
+        )
+        want = oracles.sssp(EDGES, N, 0, weights=w)
+        got = d1.sort_values("id")["d"].to_numpy()
+        assert np.allclose(got[np.isfinite(got)], [x for x in want if np.isfinite(x)])
+        assert np.allclose(
+            d1.sort_values("id")["d"].to_numpy(), d2.sort_values("id")["d"].to_numpy()
+        )
+
+
+def test_hits_named_selector_and_dataset_path():
+    with gs.session(num_partitions=2) as sess:
+        g = sess.g().add_edges(_edge_df())
+        ctx = gs.hits(g, tolerance=1e-12, max_round=200)
+        df = ctx.to_dataframe({"id": "v.id", "a": "r", "h": "r.hub"})
+        auth, hub = oracles.hits(EDGES, N, tol=1e-12, max_rounds=300)
+        srt = df.sort_values("id")
+        assert np.allclose(srt["a"].to_numpy(), auth, atol=1e-6)
+        assert np.allclose(srt["h"].to_numpy(), hub, atol=1e-6)
+        # the scale path returns a distributed dataset, oid attached
+        ds = ctx.to_dataset()
+        assert "oid" in ds.schema().names and "vid" not in ds.schema().names
+        with pytest.raises(ValueError):
+            ctx.to_numpy("bogus")
+
+
+def test_property_project_and_undirected_apps():
+    with gs.session(num_partitions=2) as sess:
+        g = (
+            sess.g()
+            .add_vertices(_vert_df(), label="node", vid_field="id")
+            .add_edges(_edge_df(weights=list(range(8))), label="link")
+        )
+        # PROJECT: drop the weight property, keep the labels
+        gp = g.project(vertices={"node": []}, edges={"link": []})
+        tri = gs.triangles(gp).to_dataframe({"id": "v.id", "t": "r"}).sort_values("id")
+        _, want_tri = oracles.triangles(EDGES, N)
+        assert tri["t"].tolist() == want_tri
+        assert gs.transitivity(gp) == pytest.approx(
+            oracles.transitivity(EDGES, N)
+        )
+        core = gs.kcore(gp, k=2).to_dataframe({"id": "v.id", "c": "r"}).sort_values("id")
+        assert core["c"].astype(bool).tolist() == oracles.kcore(EDGES, N, 2)
