@@ -246,6 +246,16 @@ def _q_dedup_ngram(sf_dir, n_docs: int = 40, threshold: float = 0.2):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _q_dedup_substring(sf_dir, k: int = 40):
+    """ExactSubstr-style duplicate length-k char windows (Lee et al. 2021),
+    distributed rolling-hash variant: per-doc duplicated-window counts and
+    coverage fraction."""
+    from graphscope_ray.functions.dedup import substring_dup_stats
+
+    out = substring_dup_stats(_documents(sf_dir), k=k).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_sim_topk(sf_dir):
     from graphscope_ray.functions.similarity import topk_cosine
 
@@ -626,6 +636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_ngram": _q_dedup_ngram,
+        "dedup_substring": _q_dedup_substring,
         "decontaminate": _q_decontaminate,
         # similarity search
         "sim_topk": _q_sim_topk,
@@ -793,6 +804,7 @@ def oracle_sql() -> dict[str, str]:
         "split_by_content": osql.split_by_content_sql(),
         "dedup_exact": osql.dedup_exact_sql(),
         "dedup_ngram": osql.dedup_ngram_sql(),
+        "dedup_substring": osql.dedup_substring_sql(),
         "decontaminate": osql.decontaminate_sql(),
         "lg_louvain_level1": osql.lg_louvain_level1_sql(),
         "sim_topk": osql.sim_topk_sql(),

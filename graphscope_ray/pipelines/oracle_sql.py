@@ -2798,3 +2798,63 @@ def lg_induced_subgraph_sql(max_oid: int = 100) -> str:
         f"WITH {_BASE} SELECT src, dst FROM e "
         f"WHERE src < {max_oid} AND dst < {max_oid} ORDER BY src, dst"
     )
+
+
+_BINV = "14886173955864302971"  # _FNV_B^-1 mod 2^64 (B is odd => invertible)
+
+
+def dedup_substring_sql(k: int = 40) -> str:
+    """Bit-exact HUGEINT replica of functions/dedup.py:substring_dup_stats
+    (ExactSubstr-style duplicate length-k char windows, stride 1).
+
+    The engine hashes window [i, i+L) with polynomial weights B^(L-1-j) +
+    fmix64 (hashing.shingle_hashes).  O(n·k) per-window sums are avoided
+    with the prefix trick: with whole-doc decreasing weights B^(n-1-j),
+    P(i+L) - P(i) == H(i) · B^(n-i-L)  (mod 2^64); B is odd, hence
+    invertible mod 2^64, so H(i) = diff · Binv^(n-i-L).  Valid for the
+    pure-ASCII synthetic documents table (ord(c) == utf-8 byte)."""
+    mix, hfinal = _mix64_stages("h0", "doc_id, i", "sm")
+    diff = (
+        f"(CASE WHEN pend >= pbeg THEN pend - pbeg "
+        f"ELSE pend - pbeg + CAST({_Q64} AS HUGEINT) END)"
+    )
+    ctes = [
+        f"doc AS (SELECT doc_id, length(text) AS n FROM documents "
+        f"WHERE length(text) > 0)",
+        "ch AS MATERIALIZED (SELECT doc_id, n, generate_subscripts(cs, 1) - 1 AS ci, "
+        "unnest(cs) AS c FROM (SELECT doc_id, length(text) AS n, "
+        "string_split(text, '') AS cs FROM documents WHERE length(text) > 0))",
+        "mx AS (SELECT CAST(coalesce(max(n), 1) AS BIGINT) AS m FROM doc)",
+        f"pw(i, p) AS (SELECT 0, CAST(1 AS HUGEINT) UNION ALL "
+        f"SELECT i + 1, (p * CAST({_FNV_B} AS HUGEINT)) & {_M64} "
+        f"FROM pw, mx WHERE i < mx.m)",
+        f"pwi(i, p) AS (SELECT 0, CAST(1 AS HUGEINT) UNION ALL "
+        f"SELECT i + 1, {_mulmod64('p', _BINV)} FROM pwi, mx WHERE i < mx.m)",
+        f"term AS MATERIALIZED (SELECT ch.doc_id, ch.ci, ch.n, "
+        f"((CAST(ord(ch.c) AS HUGEINT) * pw.p) & {_M64}) AS t "
+        f"FROM ch JOIN pw ON pw.i = ch.n - 1 - ch.ci)",
+        f"pre AS MATERIALIZED (SELECT doc_id, ci, n, (sum(t) OVER "
+        f"(PARTITION BY doc_id ORDER BY ci ROWS UNBOUNDED PRECEDING)) & {_M64} "
+        f"AS ps FROM term)",
+        f"pos AS (SELECT doc_id, n, least({k}, n) AS L, ci AS i FROM pre "
+        f"WHERE ci <= n - least({k}, n))",
+        "win AS MATERIALIZED (SELECT p.doc_id, p.i, p.n, p.L, pe.ps AS pend, "
+        "coalesce(pb.ps, CAST(0 AS HUGEINT)) AS pbeg FROM pos p "
+        "JOIN pre pe ON pe.doc_id = p.doc_id AND pe.ci = p.i + p.L - 1 "
+        "LEFT JOIN pre pb ON pb.doc_id = p.doc_id AND pb.ci = p.i - 1)",
+        f"h0 AS MATERIALIZED (SELECT w.doc_id, w.i, {_mulmod64(diff, 'pwi.p')} AS h "
+        f"FROM win w JOIN pwi ON pwi.i = w.n - w.i - w.L)",
+        *mix,
+        f"occ AS (SELECT doc_id, h FROM {hfinal})",
+        "tt AS (SELECT h, count(*) AS tot FROM occ GROUP BY h)",
+        "nd AS (SELECT o.doc_id, count(*) AS n_dup FROM occ o "
+        "JOIN tt ON tt.h = o.h WHERE tt.tot >= 2 GROUP BY o.doc_id)",
+        f"base AS (SELECT doc_id, n - least({k}, n) + 1 AS n_windows FROM doc)",
+    ]
+    return (
+        "WITH RECURSIVE " + ",\n".join(ctes) + " "
+        "SELECT b.doc_id, CAST(b.n_windows AS BIGINT) AS n_windows, "
+        "CAST(coalesce(nd.n_dup, 0) AS BIGINT) AS n_dup, "
+        "round(CAST(coalesce(nd.n_dup, 0) AS DOUBLE) / b.n_windows, 8) AS dup_frac "
+        "FROM base b LEFT JOIN nd USING (doc_id) ORDER BY b.doc_id"
+    )

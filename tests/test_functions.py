@@ -365,3 +365,61 @@ def test_minhasher_batched_matches_per_doc():
     for i, t in enumerate(texts):
         expect = mh.signature(t).astype(np.int64)
         assert sig_rows[i] == expect.tolist(), f"doc {i} mismatch"
+
+
+def test_substring_dup_stats():
+    # doc0 and doc1 share an exact 45-char run; doc2 is unique; doc3 repeats
+    # a window WITHIN itself; doc4 is shorter than k (whole-text window).
+    shared = "the exact same forty-five character run here!"  # len 45
+    assert len(shared) == 45
+    texts = [
+        "prefix one " + shared + " suffix alpha",
+        "other start " + shared + " different end",
+        "completely unique text with no repeated windows at all whatsoever",
+        ("repeat me " * 12) + "unique tail",
+        "tiny",
+    ]
+    ds = _docs(texts)
+    out = dedup.substring_dup_stats(ds, k=40).to_pandas().sort_values("doc_id")
+    out = out.set_index("doc_id")
+    # every doc present, n_windows = n - min(k, n) + 1
+    for i, t in enumerate(texts):
+        assert out.loc[i, "n_windows"] == len(t) - min(40, len(t)) + 1
+    # both docs surround the run with spaces, so the common region is
+    # " "+shared+" " = 47 chars → 47-40+1 = 8 duplicated 40-windows each
+    assert out.loc[0, "n_dup"] == 8
+    assert out.loc[1, "n_dup"] == 8
+    assert out.loc[2, "n_dup"] == 0
+    # within-doc repetition counts as duplication
+    assert out.loc[3, "n_dup"] > 0
+    assert out.loc[4, "n_dup"] == 0 and out.loc[4, "n_windows"] == 1
+    assert abs(out.loc[0, "dup_frac"] - round(8 / out.loc[0, "n_windows"], 8)) < 1e-12
+
+
+def test_substring_dup_stats_vs_plain_sql():
+    """Semantic cross-check independent of the hash kernel: group windows by
+    their literal substring in DuckDB and compare per-doc dup counts."""
+    import duckdb
+
+    rng = np.random.default_rng(7)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf"]
+    texts = [" ".join(rng.choice(words, 30)) for _ in range(40)]
+    texts[7] = texts[3]  # exact dup pair
+    texts[11] = "x " + texts[5]  # shifted near-dup
+    ds = _docs(texts)
+    out = dedup.substring_dup_stats(ds, k=20).to_pandas().sort_values("doc_id")
+
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    ref = con.execute(
+        """
+        WITH w AS (
+          SELECT doc_id, substr(text, CAST(i AS INT), 20) AS win
+          FROM docs, unnest(generate_series(1, greatest(length(text) - 19, 1))) AS t(i)
+        ), tt AS (SELECT win, count(*) AS tot FROM w GROUP BY win)
+        SELECT w.doc_id, count(*) FILTER (tt.tot >= 2) AS n_dup, count(*) AS n_windows
+        FROM w JOIN tt USING (win) GROUP BY w.doc_id ORDER BY w.doc_id
+        """
+    ).df()
+    assert out.n_dup.tolist() == ref.n_dup.tolist()
+    assert out.n_windows.tolist() == ref.n_windows.tolist()
