@@ -246,6 +246,28 @@ def _q_dedup_ngram(sf_dir, n_docs: int = 40, threshold: float = 0.2):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _q_samp_mixture(sf_dir):
+    """Data-mixture construction with up-sampling: epoch replication at
+    fractional rates per source (wiki-style 2.5x repeats)."""
+    from graphscope_ray.functions.sampling import mixture_replicate
+
+    out = mixture_replicate(
+        _documents(sf_dir).select_columns(["doc_id", "source"]),
+        stratum="source",
+        epochs_by_stratum={"src0": 2.5, "src1": 3.0, "src2": 0.4},
+        salt=5,
+    ).to_pandas()
+    return out.sort_values(["doc_id", "epoch"]).reset_index(drop=True)
+
+
+def _q_text_charlm(sf_dir):
+    """In-corpus char-bigram LM perplexity scoring (CCNet-style two-pass:
+    distributed count partials -> broadcast model -> vectorized scoring)."""
+    from graphscope_ray.functions.text import charlm_xent
+
+    return charlm_xent(_documents(sf_dir))
+
+
 def _q_dedup_substring(sf_dir, k: int = 40):
     """ExactSubstr-style duplicate length-k char windows (Lee et al. 2021),
     distributed rolling-hash variant: per-doc duplicated-window counts and
@@ -637,6 +659,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": _q_dedup_embedding,
         "dedup_ngram": _q_dedup_ngram,
         "dedup_substring": _q_dedup_substring,
+        "text_charlm": _q_text_charlm,
+        "samp_mixture": _q_samp_mixture,
         "decontaminate": _q_decontaminate,
         # similarity search
         "sim_topk": _q_sim_topk,
@@ -805,6 +829,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": osql.dedup_exact_sql(),
         "dedup_ngram": osql.dedup_ngram_sql(),
         "dedup_substring": osql.dedup_substring_sql(),
+        "text_charlm": osql.text_charlm_sql(),
+        "samp_mixture": osql.samp_mixture_sql(),
         "decontaminate": osql.decontaminate_sql(),
         "lg_louvain_level1": osql.lg_louvain_level1_sql(),
         "sim_topk": osql.sim_topk_sql(),

@@ -97,3 +97,44 @@ def stratified_hash_sample(
         return t.filter(pa.array(b < thr))
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def mixture_replicate(
+    ds: ray.data.Dataset,
+    key: str = "doc_id",
+    stratum: str = "source",
+    epochs_by_stratum: dict | None = None,
+    default_epochs: float = 1.0,
+    salt: int = 0,
+) -> ray.data.Dataset:
+    """Deterministic data-mixture construction with UP-sampling: each row is
+    emitted floor(e) times plus once more for the frac(e)-weighted hash
+    slice, where e = epochs for the row's stratum (e.g. {"wiki": 2.3,
+    "web": 0.5} repeats wiki ~2.3x and keeps half of web).  The epoch
+    index is exposed as ``epoch`` so downstream shuffles can decorrelate
+    copies.  Stateless per-batch flat-map — streams at any scale, no
+    shuffle, same output rows under any partitioning (the replication
+    decision hashes (key, stratum-rate) only)."""
+    rates = epochs_by_stratum or {}
+
+    def _f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return t.append_column("epoch", pa.array([], pa.int64()))
+        sv = t[stratum].to_pylist()
+        e = np.fromiter(
+            (float(rates.get(s, default_epochs)) for s in sv),
+            dtype=np.float64,
+            count=len(sv),
+        )
+        whole = np.floor(e).astype(np.int64)
+        frac_permille = np.round((e - whole) * 1000).astype(np.int64)
+        b = hash_bucket(t[key].to_numpy(zero_copy_only=False), salt)
+        reps = whole + (b < frac_permille)
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), reps)
+        out = t.take(pa.array(idx))
+        # epoch = 0..reps[i]-1 per source row, vectorized
+        cum = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        ep = np.arange(idx.size, dtype=np.int64) - np.repeat(cum, reps)
+        return out.append_column("epoch", pa.array(ep, pa.int64()))
+
+    return ds.map_batches(_f, batch_format="pyarrow")

@@ -294,3 +294,79 @@ def fingerprints(ds: ray.data.Dataset, concurrency=(1, 8)) -> ray.data.Dataset:
     return ds.select_columns(["doc_id", "text"]).map_batches(
         Fingerprinter, batch_format="pandas", batch_size=2048, concurrency=concurrency
     )
+
+
+# ---------------------------------------------------------------------------
+# char-bigram LM perplexity (CCNet-style model-based quality scoring,
+# deterministic: the LM is trained ON the corpus in a first distributed pass)
+
+
+def charlm_xent(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Model-based quality scoring à la CCNet (Wenzek et al. 2020), with a
+    deterministic in-corpus model instead of an external KenLM: pass 1
+    trains an add-one-smoothed char-bigram LM over the whole corpus
+    (per-block dense count partials → one hash exchange of <= 64K+256
+    rows); the fitted log-prob table (256×256 float64, ~0.5 MB) is
+    broadcast with ray.put; pass 2 scores every document with a single
+    vectorized gather:
+
+        xent(doc) = round(-(1/(n-1)) * sum_i ln P(c_i | c_{i-1}), 8)
+
+    where P(b|a) = (C(a,b)+1) / (C(a,·)+V), V = number of distinct chars
+    in the corpus.  Docs shorter than 2 chars score 0.  At 100 TB both
+    passes stream; the only exchange payload is the bounded count table.
+    ASCII caveat shared with the fingerprint oracle: SQL `ord(char)` ==
+    utf-8 byte only for pure-ASCII corpora.
+    """
+    from graphscope_ray.utils import hash_groupby_sum
+
+    def _counts(t: pa.Table) -> pa.Table:
+        bg = np.zeros(65536, dtype=np.int64)
+        un = np.zeros(256, dtype=np.int64)
+        for txt in t[text_col].to_pylist():
+            b = np.frombuffer((txt or "").encode("utf-8"), dtype=np.uint8)
+            if b.size == 0:
+                continue
+            np.add.at(un, b, 1)
+            if b.size >= 2:
+                idx = b[:-1].astype(np.int32) * 256 + b[1:]
+                np.add.at(bg, idx, 1)
+        keys = np.concatenate([np.nonzero(bg)[0], 65536 + np.nonzero(un)[0]])
+        vals = np.concatenate([bg[bg > 0], un[un > 0]])
+        return pa.table({"ab": keys.astype(np.int64), "cnt": vals})
+
+    parts = ds.select_columns([text_col]).map_batches(_counts, batch_format="pyarrow")
+    counts = hash_groupby_sum(
+        parts, ["ab"], "cnt", "cnt", num_partitions=num_partitions
+    ).to_pandas()
+    bg = np.zeros(65536, dtype=np.float64)
+    seen = np.zeros(256, dtype=bool)
+    isbg = counts["ab"].to_numpy() < 65536
+    bg[counts["ab"].to_numpy()[isbg]] = counts["cnt"].to_numpy()[isbg]
+    seen[counts["ab"].to_numpy()[~isbg] - 65536] = True
+    V = int(seen.sum())
+    row = bg.reshape(256, 256).sum(axis=1, keepdims=True)
+    logp = np.log((bg.reshape(256, 256) + 1.0) / (row + float(V))).ravel()
+    model = ray.put(logp)
+
+    def _score(t: pa.Table) -> pa.Table:
+        lp = ray.get(model)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        out = np.zeros(len(ids), dtype=np.float64)
+        for j, txt in enumerate(t[text_col].to_pylist()):
+            b = np.frombuffer((txt or "").encode("utf-8"), dtype=np.uint8)
+            if b.size >= 2:
+                idx = b[:-1].astype(np.int32) * 256 + b[1:]
+                out[j] = -lp[idx].sum() / (b.size - 1)
+        return pa.table(
+            {id_col: pa.array(ids, pa.int64()), "xent": np.round(out, 8)}
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _score, batch_format="pyarrow"
+    )

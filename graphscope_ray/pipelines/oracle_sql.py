@@ -2858,3 +2858,45 @@ def dedup_substring_sql(k: int = 40) -> str:
         "round(CAST(coalesce(nd.n_dup, 0) AS DOUBLE) / b.n_windows, 8) AS dup_frac "
         "FROM base b LEFT JOIN nd USING (doc_id) ORDER BY b.doc_id"
     )
+
+
+def text_charlm_sql() -> str:
+    """Replica of functions/text.py:charlm_xent — in-corpus add-one char
+    bigram LM, per-doc mean negative log-likelihood, round(8).  Pure-ASCII
+    caveat as elsewhere (SQL chars == utf-8 bytes)."""
+    return (
+        "WITH ch AS MATERIALIZED (SELECT doc_id, generate_subscripts(cs, 1) - 1 AS ci, "
+        "unnest(cs) AS c FROM (SELECT doc_id, string_split(text, '') AS cs "
+        "FROM documents WHERE length(text) > 0)), "
+        "bg AS MATERIALIZED (SELECT a.doc_id, a.c AS ca, b.c AS cb FROM ch a "
+        "JOIN ch b ON b.doc_id = a.doc_id AND b.ci = a.ci + 1), "
+        "cab AS (SELECT ca, cb, count(*) AS cnt FROM bg GROUP BY ca, cb), "
+        "crow AS (SELECT ca, sum(cnt) AS tot FROM cab GROUP BY ca), "
+        "v AS (SELECT count(DISTINCT c) AS nv FROM ch), "
+        "lp AS (SELECT cab.ca, cab.cb, ln((cab.cnt + 1.0) / (crow.tot + v.nv)) AS lp "
+        "FROM cab JOIN crow USING (ca), v), "
+        "sc AS (SELECT bg.doc_id, -sum(lp.lp) / count(*) AS xent FROM bg "
+        "JOIN lp ON lp.ca = bg.ca AND lp.cb = bg.cb GROUP BY bg.doc_id) "
+        "SELECT d.doc_id, round(coalesce(sc.xent, 0.0), 8) AS xent "
+        "FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"
+    )
+
+
+def samp_mixture_sql(salt: int = 5) -> str:
+    """Replica of functions/sampling.py:mixture_replicate with the query
+    config {src0: 2.5, src1: 3.0, src2: 0.4}, default 1.0: reps = floor(e)
+    + (bucket < round(frac*1000)); one output row per (doc, epoch<reps)."""
+    e = (
+        "CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 3.0 "
+        "WHEN 'src2' THEN 0.4 ELSE 1.0 END"
+    )
+    return (
+        f"WITH r AS (SELECT doc_id, source, "
+        f"CAST(floor({e}) AS BIGINT) + "
+        f"CASE WHEN {_bucket_expr('doc_id', salt)} < "
+        f"CAST(round(({e} - floor({e})) * 1000) AS BIGINT) THEN 1 ELSE 0 END "
+        f"AS reps FROM documents), "
+        f"ix(epoch) AS (SELECT unnest(generate_series(0, 9))) "
+        f"SELECT r.doc_id, r.source, CAST(ix.epoch AS BIGINT) AS epoch "
+        f"FROM r JOIN ix ON ix.epoch < r.reps ORDER BY r.doc_id, epoch"
+    )

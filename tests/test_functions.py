@@ -423,3 +423,30 @@ def test_substring_dup_stats_vs_plain_sql():
     ).df()
     assert out.n_dup.tolist() == ref.n_dup.tolist()
     assert out.n_windows.tolist() == ref.n_windows.tolist()
+
+
+def test_charlm_xent():
+    # repetitive text is more predictable under the in-corpus bigram LM
+    ds = _docs(["ababababababababababababab", "q7#zk!m9@w%x&v*u+t=s-r_p~o", "", "x"])
+    out = text.charlm_xent(ds).to_pandas().sort_values("doc_id")
+    assert out.xent.iloc[0] < out.xent.iloc[1]
+    assert out.xent.iloc[2] == 0.0 and out.xent.iloc[3] == 0.0
+    # hand-check doc0: P(b|a) and P(a|b) dominate their rows
+    import math
+
+    texts = ["ababababababababababababab", "q7#zk!m9@w%x&v*u+t=s-r_p~o", "", "x"]
+    from collections import Counter
+
+    bg = Counter()
+    chars = set()
+    for t in texts:
+        chars.update(t)
+        for a, b in zip(t, t[1:]):
+            bg[(a, b)] += 1
+    V = len(chars)
+    row = Counter()
+    for (a, _), c in bg.items():
+        row[a] += c
+    t0 = texts[0]
+    s = sum(math.log((bg[(a, b)] + 1) / (row[a] + V)) for a, b in zip(t0, t0[1:]))
+    assert abs(out.xent.iloc[0] - round(-s / (len(t0) - 1), 8)) < 1e-8

@@ -106,3 +106,33 @@ def test_pack_sequences():
     assert out.n_tokens.tolist() == [3, 3, 3, 3]
     assert out.seq_id.tolist() == [0, 0, 1, 2]
     assert out.seq_offset.tolist() == [0, 3, 2, 1]
+
+
+def test_mixture_replicate():
+    import pyarrow as pa
+    import ray.data
+
+    from graphscope_ray.functions.sampling import mixture_replicate
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(100)), pa.int64()),
+            "source": pa.array((["a", "b"] * 50), pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = mixture_replicate(
+        ds, stratum="source", epochs_by_stratum={"a": 2.0, "b": 0.5}, salt=1
+    ).to_pandas()
+    a = out[out.source == "a"]
+    b = out[out.source == "b"]
+    # every 'a' doc appears exactly twice with epochs {0,1}
+    assert a.groupby("doc_id").size().eq(2).all()
+    assert sorted(a[a.doc_id == a.doc_id.iloc[0]].epoch.tolist()) == [0, 1]
+    # 'b' keeps roughly half, all epoch 0, deterministic across re-runs
+    assert 10 < len(b) < 40 and (b.epoch == 0).all()
+    out2 = mixture_replicate(
+        ds.repartition(7), stratum="source", epochs_by_stratum={"a": 2.0, "b": 0.5}, salt=1
+    ).to_pandas()
+    key = lambda d: sorted(map(tuple, d[["doc_id", "epoch"]].to_numpy()))
+    assert key(out) == key(out2)
