@@ -30,6 +30,7 @@ from typing import Any, Mapping
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data
 
 from graphscope_ray.graph import algorithms as _alg
@@ -247,22 +248,39 @@ def cdlp(graph: GraphDAG, max_round: int = 10) -> Context:
 lpa = cdlp  # the reference registers both names for label propagation
 
 
+def _vid_of(g: Graph, oid: int) -> int:
+    """Translate a user-facing vertex id (oid) to the fragment vid the
+    programs key their state by (vids are oid *ranks*, equal to oids only
+    for dense 0..N-1 universes).  Distributed point lookup: the filter runs
+    in the tasks; only matching rows (0 or 1) reach the driver."""
+    import pyarrow.compute as pc
+
+    rows = (
+        g.vertices_ds.map_batches(
+            lambda t: t.filter(pc.equal(t["oid"], oid)), batch_format="pyarrow"
+        ).take_all()
+    )
+    if not rows:
+        raise KeyError(f"vertex oid {oid} not in graph")
+    return int(rows[0]["vid"])
+
+
 def sssp(graph: GraphDAG, src: int = 0, weight: str | None = None) -> Context:
     g = graph._simple(weight_prop=weight)
-    ds, run = _alg.sssp(g, source=src)
+    ds, run = _alg.sssp(g, source=_vid_of(g, src))
     return _ctx(g, ds, "dist", run)
 
 
 def sssp_delta(graph: GraphDAG, src: int = 0, weight: str | None = None,
                delta: float = 2.0) -> Context:
     g = graph._simple(weight_prop=weight)
-    ds, run = _alg.sssp_delta(g, source=src, delta=delta)
+    ds, run = _alg.sssp_delta(g, source=_vid_of(g, src), delta=delta)
     return _ctx(g, ds, "dist", run)
 
 
 def bfs(graph: GraphDAG, src: int = 0, depth_limit: int | None = None) -> Context:
     g = graph._simple()
-    ds, run = _alg.bfs(g, source=src, depth_limit=depth_limit)
+    ds, run = _alg.bfs(g, source=_vid_of(g, src), depth_limit=depth_limit)
     return _ctx(g, ds, "depth", run)
 
 
@@ -347,5 +365,16 @@ def voterank(graph: GraphDAG, num_of_selected_nodes: int = 10) -> list[int]:
     """ref apps: returns the elected vid list (small by construction)."""
     g = graph._simple()
     vids = _alg.voterank(g, num_elected=num_of_selected_nodes)
-    vmap = g.vertices_ds.to_pandas().set_index("vid")["oid"]
-    return [int(vmap.loc[v]) for v in vids]
+    # O(k) driver payload: filter the k elected vids inside the tasks
+    # instead of pulling the whole vertex map (N rows) to the driver
+    import pyarrow.compute as pc
+
+    want = set(int(v) for v in vids)
+    rows = g.vertices_ds.map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["vid"], value_set=pa.array(sorted(want), pa.int64()))
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    vmap = {int(r["vid"]): int(r["oid"]) for r in rows}
+    return [vmap[int(v)] for v in vids]

@@ -168,6 +168,7 @@ def minhash_signatures(ds, k=5, num_perm=64, seed=1, concurrency=None):
         fn_kwargs={"k": k, "num_perm": num_perm, "seed": seed},
         batch_format="pandas",
         batch_size=1024,
+        **({"concurrency": concurrency} if concurrency is not None else {}),
     )
 
 
@@ -196,6 +197,11 @@ def _banded_pairs_exchange(
 
     K = num_partitions
     blocks = exploded.materialize().to_arrow_refs()
+    if not blocks:
+        # zero-block input (e.g. an empty upstream): no candidate pairs
+        return ray.data.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        )
     _P = np.uint64(1000003)
 
     def _dedup_sorted(a: np.ndarray, b: np.ndarray):
@@ -602,7 +608,10 @@ class SimHasher:
 def simhash_signatures(ds, concurrency=None):
     # SimHasher is stateless — a plain task function needs no actor pool
     return ds.select_columns(["doc_id", "text"]).map_batches(
-        SimHasher(), batch_format="pandas", batch_size=1024
+        SimHasher(),
+        batch_format="pandas",
+        batch_size=1024,
+        **({"concurrency": concurrency} if concurrency is not None else {}),
     )
 
 

@@ -245,7 +245,13 @@ def ivf_topk_indexed(
         if os.path.exists(f := os.path.join(index_path, f"bucket={c}", "part.parquet"))
         and _parquet_nonempty(f)
     ]
-    stats = {"clusters_read": len(probed), "clusters_total": int(len(C))}
+    # clusters_read counts the bucket files actually OPENED (probed minus
+    # missing/empty buckets) — the honest IO-pruning evidence number
+    stats = {
+        "clusters_read": len(files),
+        "clusters_probed": len(probed),
+        "clusters_total": int(len(C)),
+    }
     ref = ray.put((Q, np.asarray(query_ids, dtype=np.int64), qprobe))
 
     def _block(t: pa.Table) -> pa.Table:

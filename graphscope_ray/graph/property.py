@@ -535,18 +535,26 @@ class PropertyGraph:
         for el in self._e.values():
             sb, db = bases[el.src_label], bases[el.dst_label]
             if encode == "dense":
+                sn, dn = sizes[el.src_label], sizes[el.dst_label]
 
-                def _enc(t: pa.Table, _sb=sb, _db=db) -> pa.Table:
-                    return pa.table(
-                        {
-                            "src": pa.array(
-                                t["src_oid"].to_numpy(zero_copy_only=False).astype(np.int64) + _sb
-                            ),
-                            "dst": pa.array(
-                                t["dst_oid"].to_numpy(zero_copy_only=False).astype(np.int64) + _db
-                            ),
-                        }
-                    )
+                def _enc(
+                    t: pa.Table, _sb=sb, _db=db, _sn=sn, _dn=dn, _el=el
+                ) -> pa.Table:
+                    s = t["src_oid"].to_numpy(zero_copy_only=False).astype(np.int64)
+                    d = t["dst_oid"].to_numpy(zero_copy_only=False).astype(np.int64)
+                    # an out-of-range oid would silently land in ANOTHER
+                    # label's vid block — reject it here instead
+                    for arr, n, side, vl in (
+                        (s, _sn, "src", _el.src_label),
+                        (d, _dn, "dst", _el.dst_label),
+                    ):
+                        if arr.size and (arr.min() < 0 or arr.max() >= n):
+                            bad = arr[(arr < 0) | (arr >= n)][0]
+                            raise ValueError(
+                                f"edge label {_el.label!r}: {side} oid {bad} is outside "
+                                f"vertex label {vl!r}'s dense range [0, {n})"
+                            )
+                    return pa.table({"src": pa.array(s + _sb), "dst": pa.array(d + _db)})
 
                 enc_parts.append(
                     el.ds.select_columns(["src_oid", "dst_oid"]).map_batches(
@@ -584,8 +592,27 @@ def _rank_encode_edges(eds, src_lookup, dst_lookup, src_base, dst_base):
 
         def _enc(t: pa.Table) -> pa.Table:
             sa, da = ray.get(sref), ray.get(dref)
-            s = np.searchsorted(sa, t["src_oid"].to_numpy(zero_copy_only=False))
-            d = np.searchsorted(da, t["dst_oid"].to_numpy(zero_copy_only=False))
+
+            def _rank(arr, oids, side):
+                if len(arr) == 0:
+                    if oids.size:
+                        raise ValueError(
+                            f"{side} oid {oids[0]} not in its vertex label's oid set"
+                        )
+                    return np.empty(0, dtype=np.int64)
+                pos = np.searchsorted(arr, oids)
+                # searchsorted returns an INSERTION index for a missing oid,
+                # which would silently mis-wire the edge — verify the hit
+                pos_c = np.minimum(pos, len(arr) - 1)
+                ok = arr[pos_c] == oids
+                if not np.all(ok):
+                    raise ValueError(
+                        f"{side} oid {oids[~ok][0]} not in its vertex label's oid set"
+                    )
+                return pos
+
+            s = _rank(sa, t["src_oid"].to_numpy(zero_copy_only=False), "src")
+            d = _rank(da, t["dst_oid"].to_numpy(zero_copy_only=False), "dst")
             return pa.table(
                 {
                     "src": pa.array(s.astype(np.int64) + src_base),

@@ -110,5 +110,16 @@ def mine_corpus_resumable(
         )
     partials = ray.data.read_parquet(files)
     merged = hash_groupby_sum(partials, ["src_oid", "dst_oid"], "weight", "weight", num_partitions=8)
-    merged.write_parquet(os.path.join(out_dir, "edges"))
-    return merged
+    # write to a temp dir + atomic rename: a re-run after a kill between the
+    # merge write and the caller's _SUCCESS commit must not APPEND a second
+    # set of UUID-named parquet files next to the first (doubled edge table
+    # on the next resume)
+    edges_dir = os.path.join(out_dir, "edges")
+    tmp_edges = edges_dir + ".tmp"
+    if os.path.exists(tmp_edges):
+        shutil.rmtree(tmp_edges)
+    merged.write_parquet(tmp_edges)
+    if os.path.exists(edges_dir):
+        shutil.rmtree(edges_dir)
+    os.replace(tmp_edges, edges_dir)
+    return ray.data.read_parquet(edges_dir)

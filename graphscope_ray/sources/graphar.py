@@ -487,8 +487,11 @@ def save_graphar_property(
     vcs = vertex_chunk_size
     v_ymls, e_ymls = [], []
     rank_arrs: dict[str, np.ndarray] = {}
+    # PropertySchema construction resolves ds.schema() for every label —
+    # build it once, not once per access
+    psch = pgraph.schema
 
-    for lbl in pgraph.schema.vertex_labels:
+    for lbl in psch.vertex_labels:
         vds = pgraph.vertex_table(lbl).materialize()
         oid_sorted = np.sort(
             np.concatenate(
@@ -566,8 +569,8 @@ def save_graphar_property(
         v_ymls.append(f"{lbl}.vertex.yml")
 
     total_edges = 0
-    for elbl in pgraph.schema.edge_labels:
-        src_l, dst_l = pgraph.schema.edge_relationships[elbl]
+    for elbl in psch.edge_labels:
+        src_l, dst_l = psch.edge_relationships[elbl]
         etriple = f"{src_l}_{elbl}_{dst_l}"
         sref, dref = ray.put(rank_arrs[src_l]), ray.put(rank_arrs[dst_l])
 

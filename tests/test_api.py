@@ -97,3 +97,27 @@ def test_property_project_and_undirected_apps():
         )
         core = gs.kcore(gp, k=2).to_dataframe({"id": "v.id", "c": "r"}).sort_values("id")
         assert core["c"].astype(bool).tolist() == oracles.kcore(EDGES, N, 2)
+
+
+def test_sparse_oid_sssp_bfs_voterank():
+    """Non-dense oids: user-facing src ids must be rank-translated to vids
+    (regression: api.sssp passed the oid straight through as a fragment vid,
+    correct only for dense 0..N-1 universes)."""
+    edges = [(o * 10 + 7, (o + 1) * 10 + 7) for o in range(5)]  # path 7→17→…→57
+    sess = gs.session(num_partitions=2)
+    g = sess.g().add_edges(pd.DataFrame(edges, columns=["src", "dst"]), label="e")
+    ctx = gs.sssp(g, src=7)
+    df = ctx.to_dataframe({"node": "v.id", "d": "r"}).sort_values("node")
+    got = dict(zip(df.node, df.d))
+    for i, o in enumerate([7, 17, 27, 37, 47, 57]):
+        assert got[o] == float(i), (o, got[o])
+    ctx2 = gs.bfs(g, src=27)
+    df2 = ctx2.to_dataframe({"node": "v.id", "d": "r"}).sort_values("node")
+    got2 = dict(zip(df2.node, df2.d))
+    assert got2[27] == 0 and got2[37] == 1 and got2[57] == 3
+    # voterank returns oids, not vids
+    top = gs.voterank(g, num_of_selected_nodes=3)
+    assert all(t in {7, 17, 27, 37, 47, 57} for t in top)
+    # unknown source oid is a loud error, not a silent wrong answer
+    with pytest.raises(KeyError):
+        gs.sssp(g, src=99)

@@ -450,3 +450,16 @@ def test_charlm_xent():
     t0 = texts[0]
     s = sum(math.log((bg[(a, b)] + 1) / (row[a] + V)) for a, b in zip(t0, t0[1:]))
     assert abs(out.xent.iloc[0] - round(-s / (len(t0) - 1), 8)) < 1e-8
+
+
+def test_lsh_pairs_empty_input():
+    # zero-block inputs must yield an empty pair table, not a concat crash
+    import pyarrow as pa
+    import ray.data
+
+    empty = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    )
+    sig = dedup.minhash_signatures(empty)
+    out = dedup.lsh_candidate_pairs(sig).to_pandas()
+    assert len(out) == 0
