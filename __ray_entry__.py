@@ -246,6 +246,25 @@ def _q_dedup_ngram(sf_dir, n_docs: int = 40, threshold: float = 0.2):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _q_sim_pq(sf_dir):
+    """PQ ANN with exact re-rank: ADC scan over 8-byte codes -> top-100
+    candidates -> exact cosine re-rank -> top-10 (matches the brute-force
+    oracle when the candidate set covers the true top-k, which the pytest
+    recall check asserts independently)."""
+    from graphscope_ray.functions.similarity import pq_encode, pq_topk_refined, train_pq
+
+    emb = _embeddings(sf_dir)
+    qdf = emb.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    books = train_pq(emb, m=8, seed=0)
+    codes = pq_encode(emb, books)
+    out = pq_topk_refined(
+        codes, emb, books, Q, qdf["vec_id"].to_numpy(), k=10, candidates=100
+    ).to_pandas()
+    out["score"] = out["score"].round(8)
+    return out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+
 def _q_samp_mixture(sf_dir):
     """Data-mixture construction with up-sampling: epoch replication at
     fractional rates per source (wiki-style 2.5x repeats)."""
@@ -661,6 +680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substring": _q_dedup_substring,
         "text_charlm": _q_text_charlm,
         "samp_mixture": _q_samp_mixture,
+        "sim_pq_refined": _q_sim_pq,
         "decontaminate": _q_decontaminate,
         # similarity search
         "sim_topk": _q_sim_topk,
@@ -831,6 +851,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring": osql.dedup_substring_sql(),
         "text_charlm": osql.text_charlm_sql(),
         "samp_mixture": osql.samp_mixture_sql(),
+        "sim_pq_refined": osql.sim_topk_sql(),
         "decontaminate": osql.decontaminate_sql(),
         "lg_louvain_level1": osql.lg_louvain_level1_sql(),
         "sim_topk": osql.sim_topk_sql(),

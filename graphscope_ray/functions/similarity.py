@@ -307,3 +307,196 @@ def _empty_topk_table() -> pa.Table:
             "score": pa.array([], pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (the memory-compression scale path: 32x smaller
+# resident vectors; candidates scanned via 8-bit asymmetric-distance codes,
+# exact re-rank on the small candidate set)
+
+
+def train_pq(
+    ds: ray.data.Dataset,
+    m: int = 8,
+    ksub: int = 256,
+    iters: int = 10,
+    seed: int = 0,
+    vec_col: str = "embedding",
+    max_train: int = 100_000,
+) -> np.ndarray:
+    """Per-subspace k-means codebooks (m, ksub, d/m) trained on a bounded
+    sample (same economics as train_centroids: the driver never touches
+    more than max_train vectors).  Vectors are L2-normalized first so the
+    ADC scan approximates cosine."""
+    n = ds.count()
+    sample = 1.0 if n <= max_train else max_train / n
+    s = ds if sample >= 1.0 else ds.random_sample(sample, seed=seed)
+    tabs = ray.get(s.select_columns([vec_col]).materialize().to_arrow_refs())
+    X = np.concatenate([vecs2d(t[vec_col]) for t in tabs if t.num_rows], axis=0)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for s_i in range(m):
+        Xs = X[:, s_i * dsub : (s_i + 1) * dsub]
+        kk = min(ksub, len(Xs))
+        C = Xs[rng.choice(len(Xs), size=kk, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for c in range(kk):
+                msk = a == c
+                if msk.any():
+                    C[c] = Xs[msk].mean(axis=0)
+        books[s_i, :kk] = C
+    return books
+
+
+def pq_encode(
+    ds: ray.data.Dataset,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Encode every vector into m uint8 codes (nearest codeword per
+    subspace of the normalized vector) — the 32x-compressed scan table."""
+    m, ksub, dsub = codebooks.shape
+    ref = ray.put(codebooks)
+
+    def _enc(t: pa.Table) -> pa.Table:
+        B = ray.get(ref)
+        V = vecs2d(t[vec_col])
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(V), m), dtype=np.uint8)
+        for s_i in range(m):
+            Xs = V[:, s_i * dsub : (s_i + 1) * dsub]
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c
+            d2 = -2.0 * (Xs @ B[s_i].T) + (B[s_i] ** 2).sum(axis=1)[None, :]
+            codes[:, s_i] = np.argmin(d2, axis=1)
+        flat = pa.array(codes.ravel(), pa.uint8())
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "code": pa.FixedSizeListArray.from_arrays(flat, m),
+            }
+        )
+
+    return ds.select_columns([id_col, vec_col]).map_batches(_enc, batch_format="pyarrow")
+
+
+def pq_topk_refined(
+    codes_ds: ray.data.Dataset,
+    emb_ds: ray.data.Dataset,
+    codebooks: np.ndarray,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    candidates: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """ADC candidate scan over the code table (per-query LUT (m, ksub) =
+    q-subvector . codewords; per-row score = LUT gather-sum) -> top-
+    ``candidates`` per query -> EXACT cosine re-rank of only those rows
+    against the embedding table (broadcast candidate-id set, in-block
+    scoring) -> final top-k.  Result rows carry the exact scores, so with
+    sufficient ``candidates`` the output equals the brute-force top-k
+    while the scan reads m bytes/vector instead of 4d.  Combine with the
+    IVF-partitioned index to also prune the re-rank IO at 100 TB."""
+    m, ksub, dsub = codebooks.shape
+    Q = np.asarray(queries, dtype=np.float64)
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    qids = np.asarray(query_ids, dtype=np.int64)
+    # (nq, m, ksub) lookup tables: dot contribution of each codeword
+    luts = np.einsum("qmd,mkd->qmk", Q.reshape(len(Q), m, dsub), codebooks)
+    lref = ray.put((luts, qids))
+    C = candidates
+
+    def _scan(t: pa.Table) -> pa.Table:
+        L, qi = ray.get(lref)
+        codes = (
+            t["code"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+            .reshape(t.num_rows, m).astype(np.int64)
+        )
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        rows_q, rows_v, rows_s = [], [], []
+        for q in range(len(L)):
+            # gather-sum: approx dot = sum_s LUT[q, s, code[:, s]]
+            sc = L[q, np.arange(m)[None, :], codes].sum(axis=1)
+            cc = min(C, sc.size)
+            idx = np.argpartition(-sc, cc - 1)[:cc] if cc < sc.size else np.arange(sc.size)
+            rows_q.append(np.full(cc, qi[q], dtype=np.int64))
+            rows_v.append(ids[idx].astype(np.int64))
+            rows_s.append(sc[idx])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(rows_q)),
+                id_col: pa.array(np.concatenate(rows_v)),
+                "adc": pa.array(np.concatenate(rows_s)),
+            }
+        )
+
+    partials = codes_ds.map_batches(_scan, batch_format="pyarrow")
+
+    def _cand_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["adc", id_col], ascending=[False, True]).head(C)
+
+    cand = partials.groupby("query_id").map_groups(_cand_merge, batch_format="pandas")
+    cdf = cand.to_pandas()  # nq * candidates rows — tiny by construction
+    cand_ids = np.unique(cdf[id_col].to_numpy())
+    # per-query candidate membership for the exact re-rank
+    by_q = {int(q): set(map(int, g[id_col])) for q, g in cdf.groupby("query_id")}
+    rref = ray.put((Q, qids, cand_ids, by_q))
+
+    def _rerank(t: pa.Table) -> pa.Table:
+        Qm, qi, cids, member = ray.get(rref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        keep = np.isin(ids, cids)
+        if not keep.any():
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        sub = t.filter(pa.array(keep))
+        V = vecs2d(sub[vec_col])
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        sids = sub[id_col].to_numpy(zero_copy_only=False)
+        sims = Qm @ V.T
+        rows_q, rows_v, rows_s = [], [], []
+        for q in range(len(Qm)):
+            msk = np.fromiter((int(v) in member[int(qi[q])] for v in sids), dtype=bool, count=len(sids))
+            if not msk.any():
+                continue
+            rows_q.append(np.full(int(msk.sum()), qi[q], dtype=np.int64))
+            rows_v.append(sids[msk].astype(np.int64))
+            rows_s.append(sims[q][msk])
+        if not rows_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(rows_q)),
+                id_col: pa.array(np.concatenate(rows_v)),
+                "score": pa.array(np.concatenate(rows_s)),
+            }
+        )
+
+    exact = emb_ds.select_columns([id_col, vec_col]).map_batches(
+        _rerank, batch_format="pyarrow"
+    )
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["score", id_col], ascending=[False, True]).head(k)
+
+    return exact.groupby("query_id").map_groups(_final, batch_format="pandas")

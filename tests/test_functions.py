@@ -463,3 +463,41 @@ def test_lsh_pairs_empty_input():
     sig = dedup.minhash_signatures(empty)
     out = dedup.lsh_candidate_pairs(sig).to_pandas()
     assert len(out) == 0
+
+
+def test_pq_recall_and_compression():
+    rng = np.random.default_rng(11)
+    n, d = 400, 32
+    X = rng.normal(size=(n, d))
+    import pyarrow as pa
+    import ray.data
+
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array([list(map(float, r)) for r in X]),
+            }
+        )
+    )
+    books = similarity.train_pq(emb, m=8, seed=0)
+    assert books.shape == (8, 256, 4)
+    codes = similarity.pq_encode(emb, books)
+    ct = codes.to_pandas()
+    assert len(ct) == n and all(len(c) == 8 for c in ct.code)  # 8 bytes/vector
+    Q = X[:3]
+    exact = similarity.topk_cosine(emb, Q, np.arange(3), k=10).to_pandas()
+    got = similarity.pq_topk_refined(
+        codes, emb, books, Q, np.arange(3), k=10, candidates=80
+    ).to_pandas()
+    # exact re-rank over a 20% candidate slice recovers the true top-10
+    for q in range(3):
+        e = exact[exact.query_id == q].sort_values("score", ascending=False)
+        g = got[got.query_id == q].sort_values("score", ascending=False)
+        assert set(g.vec_id) == set(e.vec_id)
+        assert np.allclose(
+            sorted(g.score.to_numpy()), sorted(e.score.to_numpy()), atol=1e-12
+        )
+    # determinism: retraining with the same seed gives identical codebooks
+    books2 = similarity.train_pq(emb, m=8, seed=0)
+    assert np.array_equal(books, books2)
