@@ -93,3 +93,84 @@ def test_batch_shingle_hashes_bit_identical_per_doc(texts, k):
         enc = t.encode("utf-8", "surrogatepass")
         assert blens[i] == len(enc)
         assert np.array_equal(out[bounds[i] : bounds[i + 1]], shingle_hashes(enc, k))
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.text(alphabet="ab c", min_size=0, max_size=30), min_size=0, max_size=12),
+    st.integers(min_value=2, max_value=8),
+)
+def test_substring_windows_match_naive(texts, k):
+    """Per-doc duplicated-window counts from the prefix/rolling-hash pipeline
+    kernel semantics == a naive Python substring count (tiny alphabet forces
+    heavy duplication; short docs exercise the n<=k whole-text branch)."""
+    from collections import Counter
+
+    from graphscope_ray.functions.hashing import shingle_hashes
+
+    # naive: literal substrings
+    occ = Counter()
+    per_doc = []
+    for t in texts:
+        b = t.encode()
+        if not b:
+            per_doc.append([])
+            continue
+        L = min(k, len(b))
+        wins = [b[i : i + L] for i in range(len(b) - L + 1)]
+        per_doc.append(wins)
+        occ.update(wins)
+    for t, wins in zip(texts, per_doc):
+        b = t.encode()
+        if not b:
+            continue
+        # hash-kernel unique counts must mirror literal-substring counts
+        u, c = np.unique(shingle_hashes(b, k), return_counts=True)
+        lit = Counter(wins)
+        assert sorted(c.tolist()) == sorted(lit.values())
+    # cross-doc: global hash-value totals mirror global literal totals
+    # (injective on these inputs => identical duplicate classification)
+    all_hashes = Counter()
+    for t in texts:
+        b = t.encode()
+        if b:
+            all_hashes.update(shingle_hashes(b, k).tolist())
+    assert sorted(all_hashes.values()) == sorted(occ.values())
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abcde ", min_size=0, max_size=40), min_size=1, max_size=10)
+)
+def test_charlm_xent_matches_reference(texts):
+    """charlm scoring kernel == direct float recomputation from counts."""
+    import math
+    from collections import Counter
+
+    bg = Counter()
+    chars = set()
+    for t in texts:
+        b = t.encode()
+        chars.update(b)
+        for a, c in zip(b, b[1:]):
+            bg[(a, c)] += 1
+    V = len(chars)
+    row = Counter()
+    for (a, _), n in bg.items():
+        row[a] += n
+    # replicate the engine's vectorized model build
+    bgv = np.zeros(65536)
+    for (a, c), n in bg.items():
+        bgv[a * 256 + c] = n
+    rowv = bgv.reshape(256, 256).sum(axis=1, keepdims=True)
+    logp = np.log((bgv.reshape(256, 256) + 1.0) / (rowv + float(max(V, 1)))).ravel()
+    for t in texts:
+        b = np.frombuffer(t.encode(), dtype=np.uint8)
+        if b.size < 2:
+            continue
+        idx = b[:-1].astype(np.int32) * 256 + b[1:]
+        got = -logp[idx].sum() / (b.size - 1)
+        want = -sum(
+            math.log((bg[(a, c)] + 1) / (row[a] + V)) for a, c in zip(t.encode(), t.encode()[1:])
+        ) / (b.size - 1)
+        assert abs(got - want) < 1e-9
