@@ -246,6 +246,25 @@ def _q_dedup_ngram(sf_dir, n_docs: int = 40, threshold: float = 0.2):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _q_nx_pagerank(sf_dir, rounds: int = 15):
+    """The networkx-compat entry point (nx_compat.py, SURVEY §3.3) end to
+    end: bulk-load the lg edge table into dynamic fragment actors, snapshot
+    to the PIE engine, run fixed-round PageRank — must equal the primary
+    path's unrolled SQL oracle exactly."""
+    import pandas as pd
+
+    import graphscope_ray.nx_compat as gnx
+    from graphscope_ray.pipelines import testdata as td
+
+    G = gnx.DiGraph(num_partitions=4)
+    G._g.add_edges_dataset(td.lg_edges(sf_dir), src="src", dst="dst")
+    scores = gnx.pagerank(G, alpha=0.85, max_iter=rounds, tol=0.0)
+    out = pd.DataFrame(
+        {"oid": list(scores.keys()), "score": [round(v, 8) for v in scores.values()]}
+    )
+    return out.sort_values("oid").reset_index(drop=True)
+
+
 def _q_sim_pq(sf_dir):
     """PQ ANN with exact re-rank: ADC scan over 8-byte codes -> top-100
     candidates -> exact cosine re-rank -> top-10 (matches the brute-force
@@ -681,6 +700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_charlm": _q_text_charlm,
         "samp_mixture": _q_samp_mixture,
         "sim_pq_refined": _q_sim_pq,
+        "nx_pagerank": _q_nx_pagerank,
         "decontaminate": _q_decontaminate,
         # similarity search
         "sim_topk": _q_sim_topk,
@@ -852,6 +872,7 @@ def oracle_sql() -> dict[str, str]:
         "text_charlm": osql.text_charlm_sql(),
         "samp_mixture": osql.samp_mixture_sql(),
         "sim_pq_refined": osql.sim_topk_sql(),
+        "nx_pagerank": osql.lg_pagerank_sql(rounds=15),
         "decontaminate": osql.decontaminate_sql(),
         "lg_louvain_level1": osql.lg_louvain_level1_sql(),
         "sim_topk": osql.sim_topk_sql(),

@@ -521,5 +521,8 @@ class DynamicGraph:
             src_col="src",
             dst_col="dst",
             num_partitions=num_partitions or self.P,
+            # declare the node universe so ISOLATED nodes survive the freeze
+            # (networkx semantics; build only sees endpoints otherwise)
+            vertices=self.nodes_dataset().select_columns(["oid"]),
             **kw,
         )

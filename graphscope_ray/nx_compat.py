@@ -1,0 +1,322 @@
+"""networkx-compatible entry point — the reference's THIRD user path
+(SURVEY §3.3; ref python/graphscope/nx): ``Graph``/``DiGraph`` wrap the
+hash-partitioned dynamic fragment actors (graph/dynamic.py), mutations
+route to the MODIFY_* ops, point reads to the REPORT_GRAPH point RPCs,
+and the builtin algorithm namespace snapshots the current state into the
+static PIE engine and returns plain ``{node: value}`` dicts — mirroring
+the reference's ``@project_to_simple`` + ``@context_to_dict`` bridge
+(ref python/graphscope/nx/algorithms/builtin.py:84-760).
+
+The dict outputs materialize one value per vertex on the driver — the
+same contract as networkx itself and the reference's context_to_dict;
+use the Dataset-returning APIs (graphscope_ray.api / graph.algorithms)
+when the result must stay distributed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from graphscope_ray.graph import algorithms as _alg
+from graphscope_ray.graph.dynamic import DynamicGraph
+
+
+def _decode(s):
+    """Fragment exports stringify oids for Arrow uniformity
+    (dynamic.py nodes_table/edges_table); map numeric strings back to int.
+    Node-id round-trip therefore covers int and non-numeric-string ids —
+    the same practical surface the reference's nx module supports."""
+    if isinstance(s, str):
+        try:
+            return int(s)
+        except ValueError:
+            return s
+    return s
+
+
+class Graph:
+    """Undirected networkx-style graph on dynamic fragment actors."""
+
+    _directed = False
+
+    def __init__(self, incoming_graph_data=None, num_partitions: int = 4):
+        self._g = DynamicGraph(num_partitions=num_partitions, directed=self._directed)
+        self._version = 0
+        self._snap_cache: tuple[int, object] | None = None
+        if incoming_graph_data is not None:
+            self.add_edges_from(incoming_graph_data)
+
+    # -- mutation (MODIFY_VERTICES / MODIFY_EDGES) --------------------------
+
+    def _mut(self):
+        self._version += 1
+
+    def add_node(self, n, **attr):
+        self._mut()
+        self._g.add_nodes([n], attr or None)
+
+    def add_nodes_from(self, nodes, **attr):
+        self._mut()
+        self._g.add_nodes(list(nodes), attr or None)
+
+    def remove_node(self, n):
+        if not self._g.has_node(n):
+            raise KeyError(n)
+        self._mut()
+        self._g.del_nodes([n])
+
+    def remove_nodes_from(self, nodes):
+        self._mut()
+        self._g.del_nodes(list(nodes))
+
+    def add_edge(self, u, v, **attr):
+        self._mut()
+        self._g.add_edges([(u, v)], attr or None)
+
+    def add_edges_from(self, edges, **attr):
+        self._mut()
+        self._g.add_edges(list(edges), attr or None)
+
+    def add_weighted_edges_from(self, edges, weight: str = "weight"):
+        self._mut()
+        self._g.add_edges([(u, v, {weight: w}) for u, v, w in edges])
+
+    def remove_edge(self, u, v):
+        if not self._g.has_edge(u, v):
+            raise KeyError((u, v))
+        self._mut()
+        self._g.del_edges([(u, v)])
+
+    def remove_edges_from(self, edges):
+        self._mut()
+        self._g.del_edges(list(edges))
+
+    def clear(self):
+        self._mut()
+        self._g.clear()
+
+    def clear_edges(self):
+        self._mut()
+        self._g.clear_edges()
+
+    # -- point reads (REPORT_GRAPH) ------------------------------------------
+
+    def number_of_nodes(self) -> int:
+        return self._g.number_of_nodes()
+
+    order = number_of_nodes
+
+    def number_of_edges(self) -> int:
+        return self._g.number_of_edges()
+
+    def size(self) -> int:
+        return self._g.number_of_edges()
+
+    def has_node(self, n) -> bool:
+        return self._g.has_node(n)
+
+    __contains__ = has_node
+
+    def has_edge(self, u, v) -> bool:
+        return self._g.has_edge(u, v)
+
+    def neighbors(self, n):
+        return iter(self._g.neighbors(n))
+
+    def degree(self, n):
+        return self._g.degree(n)
+
+    def get_edge_data(self, u, v, default=None):
+        d = self._g.get_edge_data(u, v)
+        return default if d is None else d
+
+    @property
+    def nodes(self):
+        return [_decode(r["oid"]) for r in self._g.nodes_dataset().take_all()]
+
+    @property
+    def edges(self):
+        return [
+            (_decode(r["src"]), _decode(r["dst"]))
+            for r in self._g.edges_dataset().take_all()
+        ]
+
+    # -- views / conversions ---------------------------------------------------
+
+    def subgraph(self, nodes) -> "Graph":
+        return _wrap(self._g.subgraph(list(nodes)), self._directed)
+
+    def edge_subgraph(self, edges) -> "Graph":
+        return _wrap(self._g.edge_subgraph(list(edges)), self._directed)
+
+    def to_directed(self) -> "DiGraph":
+        return _wrap(self._g.view("directed"), True)
+
+    def to_undirected(self) -> "Graph":
+        return _wrap(self._g.view("undirected"), False)
+
+    def copy(self):
+        return _wrap(self._g.view("directed" if self._directed else "undirected"),
+                     self._directed)
+
+    # -- the nx -> analytical bridge -------------------------------------------
+
+    def _snapshot(self, **kw):
+        """Static PIE graph of the CURRENT state (cached per mutation
+        version — repeated algorithm calls on an unchanged graph reuse one
+        fragment set, like the reference keeps contexts between runs)."""
+        if self._snap_cache is not None and self._snap_cache[0] == self._version and not kw:
+            return self._snap_cache[1]
+        g = self._g.snapshot(store_in_edges=True, dedup_edges=True, **kw)
+        if not kw:
+            self._snap_cache = (self._version, g)
+        return g
+
+
+class DiGraph(Graph):
+    """Directed variant."""
+
+    _directed = True
+
+    def reverse(self) -> "DiGraph":
+        return _wrap(self._g.view("reversed"), True)
+
+    def predecessors(self, n):
+        return iter(self._g.predecessors(n))
+
+    def successors(self, n):
+        return iter(self._g.neighbors(n))
+
+    def in_degree(self, n):
+        return len(self._g.predecessors(n))
+
+    def out_degree(self, n):
+        return len(self._g.neighbors(n))
+
+
+def _wrap(dg: DynamicGraph, directed: bool):
+    obj = DiGraph.__new__(DiGraph) if directed else Graph.__new__(Graph)
+    obj._g = dg
+    obj._version = 0
+    obj._snap_cache = None
+    return obj
+
+
+# ---------------------------------------------------------------------------
+# builtin algorithm namespace (@context_to_dict equivalents)
+
+
+def _to_dict(g, ds, col) -> dict:
+    vmap = g.vertices_ds.to_pandas()
+    df = ds.to_pandas().merge(vmap, on="vid")
+    return {_decode(o): v for o, v in zip(df["oid"], df[col])}
+
+
+def pagerank(G: Graph, alpha: float = 0.85, max_iter: int = 100, tol: float = 1e-6) -> dict:
+    g = G._snapshot()
+    ds, _ = _alg.pagerank(g, alpha=alpha, tol=tol, max_rounds=max_iter)
+    return _to_dict(g, ds, "score")
+
+
+def degree_centrality(G: Graph) -> dict:
+    g = G._snapshot()
+    return _to_dict(g, _alg.degree_centrality(g), "centrality")
+
+
+def clustering(G: Graph) -> dict:
+    g = G._snapshot()
+    return _to_dict(g, _alg.lcc(g), "lcc")
+
+
+def average_clustering(G: Graph) -> float:
+    return float(_alg.avg_clustering(G._snapshot()))
+
+
+def transitivity(G: Graph) -> float:
+    return float(_alg.transitivity(G._snapshot()))
+
+
+def triangles(G: Graph) -> dict:
+    g = G._snapshot()
+    _total, ds = _alg.triangles(g)
+    return {k: int(v) for k, v in _to_dict(g, ds, "tri").items()}
+
+
+def _components(G: Graph):
+    g = G._snapshot()
+    comp = _to_dict(g, _alg.wcc(g)[0], "comp")
+    groups: dict = {}
+    for n, c in comp.items():
+        groups.setdefault(c, set()).add(n)
+    return [groups[c] for c in sorted(groups)]
+
+
+def connected_components(G: Graph):
+    return iter(_components(G))
+
+
+def weakly_connected_components(G: DiGraph):
+    return iter(_components(G))
+
+
+def number_connected_components(G: Graph) -> int:
+    return len(_components(G))
+
+
+def single_source_shortest_path_length(G: Graph, source) -> dict:
+    from graphscope_ray.api import _vid_of
+
+    g = G._snapshot()
+    ds, _ = _alg.bfs(g, source=_vid_of(g, str(source)))
+    out = _to_dict(g, ds, "depth")
+    return {n: int(d) for n, d in out.items() if d >= 0}
+
+
+def shortest_path_length(G: Graph, source, weight: str | None = None) -> dict:
+    if weight is None:
+        return single_source_shortest_path_length(G, source)
+    from graphscope_ray.api import _vid_of
+
+    eds = G._g.edges_dataset(weight_key=weight)
+    from graphscope_ray.graph.build import build_graph_from_oids
+
+    g = build_graph_from_oids(
+        eds, src_col="src", dst_col="dst", num_partitions=G._g.P,
+        store_in_edges=True, weight=True,
+        view="directed" if G._directed else "undirected",
+    )
+    ds, _ = _alg.sssp(g, source=_vid_of(g, str(source)))
+    out = _to_dict(g, ds, "dist")
+    return {n: float(d) for n, d in out.items() if np.isfinite(d)}
+
+
+def core_number(G: Graph) -> dict:
+    g = G._snapshot()
+    return {k: int(v) for k, v in _to_dict(g, _alg.kshell(g), "shell").items()}
+
+
+def katz_centrality(G: Graph, alpha: float = 0.1, beta: float = 1.0, max_iter: int = 100) -> dict:
+    g = G._snapshot()
+    ds, _ = _alg.katz_centrality(g, alpha=alpha, beta=beta, max_rounds=max_iter)
+    return _to_dict(g, ds, "centrality")
+
+
+def eigenvector_centrality(G: Graph, max_iter: int = 100) -> dict:
+    g = G._snapshot()
+    ds, _ = _alg.eigenvector_centrality(g, max_rounds=max_iter)
+    return _to_dict(g, ds, "centrality")
+
+
+def hits(G: DiGraph, max_iter: int = 100, tol: float = 1e-8) -> tuple[dict, dict]:
+    g = G._snapshot()
+    ds, _ = _alg.hits(g, tol=tol, max_rounds=max_iter)
+    return _to_dict(g, ds, "hub"), _to_dict(g, ds, "auth")
+
+
+def label_propagation_communities(G: Graph, max_rounds: int = 10):
+    g = G._snapshot()
+    lab = _to_dict(g, _alg.cdlp(g, max_rounds=max_rounds)[0], "label")
+    groups: dict = {}
+    for n, c in lab.items():
+        groups.setdefault(c, set()).add(n)
+    return iter([groups[c] for c in sorted(groups)])
