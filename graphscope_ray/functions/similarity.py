@@ -345,12 +345,15 @@ def train_pq(
         kk = min(ksub, len(Xs))
         C = Xs[rng.choice(len(Xs), size=kk, replace=False)].copy()
         for _ in range(iters):
-            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # argmin ||x-c||^2 == argmin(-2 x.c + ||c||^2): one matmul
+            # instead of an (n, ksub, dsub) broadcast temporary
+            d2 = -2.0 * (Xs @ C.T) + (C**2).sum(axis=1)[None, :]
             a = np.argmin(d2, axis=1)
-            for c in range(kk):
-                msk = a == c
-                if msk.any():
-                    C[c] = Xs[msk].mean(axis=0)
+            sums = np.zeros((kk, dsub))
+            np.add.at(sums, a, Xs)
+            cnt = np.bincount(a, minlength=kk).astype(np.float64)
+            nz = cnt > 0
+            C[nz] = sums[nz] / cnt[nz, None]
         books[s_i, :kk] = C
     return books
 
@@ -440,12 +443,14 @@ def pq_topk_refined(
         )
 
     partials = codes_ds.map_batches(_scan, batch_format="pyarrow")
-
-    def _cand_merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["adc", id_col], ascending=[False, True]).head(C)
-
-    cand = partials.groupby("query_id").map_groups(_cand_merge, batch_format="pandas")
-    cdf = cand.to_pandas()  # nq * candidates rows — tiny by construction
+    # per-block partials are (nq × C) rows each — merge the bounded set on
+    # the driver instead of paying a Ray sort-groupby's fixed cost twice
+    pdf = partials.to_pandas()
+    cdf = (
+        pdf.sort_values(["adc", id_col], ascending=[False, True])
+        .groupby("query_id", sort=False)
+        .head(C)
+    )
     cand_ids = np.unique(cdf[id_col].to_numpy())
     # per-query candidate membership for the exact re-rank
     by_q = {int(q): set(map(int, g[id_col])) for q, g in cdf.groupby("query_id")}
@@ -495,8 +500,14 @@ def pq_topk_refined(
     exact = emb_ds.select_columns([id_col, vec_col]).map_batches(
         _rerank, batch_format="pyarrow"
     )
-
-    def _final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["score", id_col], ascending=[False, True]).head(k)
-
-    return exact.groupby("query_id").map_groups(_final, batch_format="pandas")
+    # ≤ nq × candidates exact-scored rows total: final top-k on the driver
+    edf = exact.to_pandas()
+    out = (
+        edf.sort_values(["score", id_col], ascending=[False, True])
+        .groupby("query_id", sort=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+    )
