@@ -259,9 +259,11 @@ def _q_nx_pagerank(sf_dir, rounds: int = 15):
     G = gnx.DiGraph(num_partitions=4)
     G._g.add_edges_dataset(td.lg_edges(sf_dir), src="src", dst="dst")
     scores = gnx.pagerank(G, alpha=0.85, max_iter=rounds, tol=0.0)
-    out = pd.DataFrame(
-        {"oid": list(scores.keys()), "score": [round(v, 8) for v in scores.values()]}
-    )
+    out = pd.DataFrame({"oid": list(scores.keys()), "score": list(scores.values())})
+    # numpy/pandas round like lg_pagerank_fixed does — Python round() is
+    # decimal-correct rounding and can differ in the last digit, which the
+    # raw-hash gate would catch
+    out["score"] = out["score"].round(8)
     return out.sort_values("oid").reset_index(drop=True)
 
 

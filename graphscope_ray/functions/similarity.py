@@ -70,6 +70,25 @@ def topk_cosine(
 # ---------------------------------------------------------------------------
 
 
+def _sampled_matrix(
+    ds: ray.data.Dataset,
+    vec_col: str,
+    max_train: int,
+    seed: int,
+    sample: float | None = None,
+) -> np.ndarray:
+    """Bounded L2-normalized training sample (shared by train_centroids and
+    train_pq): the driver never materializes more than ~max_train vectors."""
+    if sample is None:
+        n = ds.count()
+        sample = 1.0 if n <= max_train else max_train / n
+    s = ds if sample >= 1.0 else ds.random_sample(sample, seed=seed)
+    tabs = ray.get(s.select_columns([vec_col]).materialize().to_arrow_refs())
+    X = np.concatenate([vecs2d(t[vec_col]) for t in tabs if t.num_rows], axis=0)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    return X
+
+
 def train_centroids(
     ds: ray.data.Dataset,
     n_clusters: int = 16,
@@ -83,13 +102,7 @@ def train_centroids(
     training slice is capped at ``max_train`` rows (sample fraction derived
     from the dataset size) so the driver never materializes the full
     embedding table; training is a driver-side numpy loop on the sample."""
-    if sample is None:
-        n = ds.count()
-        sample = 1.0 if n <= max_train else max_train / n
-    s = ds if sample >= 1.0 else ds.random_sample(sample, seed=seed)
-    tabs = ray.get(s.select_columns([vec_col]).materialize().to_arrow_refs())
-    X = np.concatenate([vecs2d(t[vec_col]) for t in tabs if t.num_rows], axis=0)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    X = _sampled_matrix(ds, vec_col, max_train, seed, sample)
     rng = np.random.RandomState(seed)
     C = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
     for _ in range(iters):
@@ -328,12 +341,7 @@ def train_pq(
     sample (same economics as train_centroids: the driver never touches
     more than max_train vectors).  Vectors are L2-normalized first so the
     ADC scan approximates cosine."""
-    n = ds.count()
-    sample = 1.0 if n <= max_train else max_train / n
-    s = ds if sample >= 1.0 else ds.random_sample(sample, seed=seed)
-    tabs = ray.get(s.select_columns([vec_col]).materialize().to_arrow_refs())
-    X = np.concatenate([vecs2d(t[vec_col]) for t in tabs if t.num_rows], axis=0)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    X = _sampled_matrix(ds, vec_col, max_train, seed)
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -355,6 +363,11 @@ def train_pq(
             nz = cnt > 0
             C[nz] = sums[nz] / cnt[nz, None]
         books[s_i, :kk] = C
+        if kk and kk < ksub:
+            # fill unused slots with a REAL centroid: a zero row would be a
+            # phantom origin codeword that argmin can select, degrading
+            # ADC recall on small corpora (duplicates are harmless)
+            books[s_i, kk:] = C[0]
     return books
 
 
@@ -452,8 +465,12 @@ def pq_topk_refined(
         .head(C)
     )
     cand_ids = np.unique(cdf[id_col].to_numpy())
-    # per-query candidate membership for the exact re-rank
-    by_q = {int(q): set(map(int, g[id_col])) for q, g in cdf.groupby("query_id")}
+    # per-query candidate membership as SORTED int64 arrays (vectorized
+    # np.isin in the rerank kernel, no per-element Python loop)
+    by_q = {
+        int(q): np.sort(g[id_col].to_numpy().astype(np.int64))
+        for q, g in cdf.groupby("query_id")
+    }
     rref = ray.put((Q, qids, cand_ids, by_q))
 
     def _rerank(t: pa.Table) -> pa.Table:
@@ -474,8 +491,12 @@ def pq_topk_refined(
         sids = sub[id_col].to_numpy(zero_copy_only=False)
         sims = Qm @ V.T
         rows_q, rows_v, rows_s = [], [], []
+        sids64 = sids.astype(np.int64)
         for q in range(len(Qm)):
-            msk = np.fromiter((int(v) in member[int(qi[q])] for v in sids), dtype=bool, count=len(sids))
+            arr = member.get(int(qi[q]))
+            if arr is None:
+                continue
+            msk = np.isin(sids64, arr, assume_unique=False)
             if not msk.any():
                 continue
             rows_q.append(np.full(int(msk.sum()), qi[q], dtype=np.int64))

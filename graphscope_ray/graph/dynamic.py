@@ -294,19 +294,17 @@ class DynamicFragmentActor:
 
     # ---- exports -----------------------------------------------------------
 
-    def nodes_table(self) -> pa.Table:
+    def nodes_table(self, attrs: bool = True) -> pa.Table:
         import json
 
         oids = sorted(self.nodes, key=repr)
-        return pa.table(
-            {
-                "oid": pa.array([str(o) for o in oids], pa.string()),
-                "attrs": pa.array(
-                    [json.dumps(self.nodes[o], sort_keys=True, default=str) for o in oids],
-                    pa.string(),
-                ),
-            }
-        )
+        cols = {"oid": pa.array([str(o) for o in oids], pa.string())}
+        if attrs:  # snapshot() skips the per-node JSON serialization
+            cols["attrs"] = pa.array(
+                [json.dumps(self.nodes[o], sort_keys=True, default=str) for o in oids],
+                pa.string(),
+            )
+        return pa.table(cols)
 
     def edges_table(self, weight_key: str | None = None) -> pa.Table:
         """Out-adjacency rows (undirected: only the u <= v copy, so each
@@ -500,8 +498,10 @@ class DynamicGraph:
 
     # ---- exports ---------------------------------------------------------------
 
-    def nodes_dataset(self) -> ray.data.Dataset:
-        return ray.data.from_arrow_refs([a.nodes_table.remote() for a in self.actors])
+    def nodes_dataset(self, attrs: bool = True) -> ray.data.Dataset:
+        return ray.data.from_arrow_refs(
+            [a.nodes_table.remote(attrs) for a in self.actors]
+        )
 
     def edges_dataset(self, weight_key: str | None = None) -> ray.data.Dataset:
         return ray.data.from_arrow_refs(
@@ -523,6 +523,6 @@ class DynamicGraph:
             num_partitions=num_partitions or self.P,
             # declare the node universe so ISOLATED nodes survive the freeze
             # (networkx semantics; build only sees endpoints otherwise)
-            vertices=self.nodes_dataset().select_columns(["oid"]),
+            vertices=self.nodes_dataset(attrs=False),
             **kw,
         )

@@ -132,7 +132,7 @@ class Graph:
 
     @property
     def nodes(self):
-        return [_decode(r["oid"]) for r in self._g.nodes_dataset().take_all()]
+        return _NodeView(self)
 
     @property
     def edges(self):
@@ -194,6 +194,41 @@ class DiGraph(Graph):
         return len(self._g.neighbors(n))
 
 
+class _NodeView:
+    """Minimal nx NodeView: iteration/len/contains see node ids,
+    ``G.nodes[n]`` returns n's attribute dict (a point read), and
+    ``G.nodes(data=True)`` yields (n, attrs) pairs."""
+
+    def __init__(self, G: "Graph"):
+        self._G = G
+
+    def _ids(self):
+        return [_decode(r["oid"]) for r in self._G._g.nodes_dataset().take_all()]
+
+    def __iter__(self):
+        return iter(self._ids())
+
+    def __len__(self):
+        return self._G.number_of_nodes()
+
+    def __contains__(self, n):
+        return self._G.has_node(n)
+
+    def __getitem__(self, n):
+        d = self._G._g.get_node_data(n)
+        if d is None:
+            raise KeyError(n)
+        return d
+
+    def __call__(self, data: bool = False):
+        if not data:
+            return self._ids()
+        return [(n, self._G._g.get_node_data(n)) for n in self._ids()]
+
+    def __eq__(self, other):
+        return sorted(self._ids(), key=repr) == sorted(other, key=repr)
+
+
 def _wrap(dg: DynamicGraph, directed: bool):
     obj = DiGraph.__new__(DiGraph) if directed else Graph.__new__(Graph)
     obj._g = dg
@@ -212,31 +247,64 @@ def _to_dict(g, ds, col) -> dict:
     return {_decode(o): v for o, v in zip(df["oid"], df[col])}
 
 
-def pagerank(G: Graph, alpha: float = 0.85, max_iter: int = 100, tol: float = 1e-6) -> dict:
+def pagerank(G: Graph, alpha: float = 0.85, max_iter: int = 100, tol: float = 1e-6,
+             weight: str | None = None) -> dict:
+    """Engine PageRank is structural (unweighted), like the reference's
+    builtin app; pass ``weight=None`` explicitly when porting nx code —
+    nx defaults to weight='weight', which this engine does not implement,
+    and silently ignoring it would be a wrong answer."""
+    if weight is not None:
+        raise NotImplementedError(
+            "weighted pagerank is not implemented; the engine app is "
+            "structural (weight=None)"
+        )
     g = G._snapshot()
     ds, _ = _alg.pagerank(g, alpha=alpha, tol=tol, max_rounds=max_iter)
     return _to_dict(g, ds, "score")
 
 
 def degree_centrality(G: Graph) -> dict:
+    """networkx semantics: degree/(N-1); directed graphs use in+out degree
+    (nx.degree_centrality), not just the built view's out-degree."""
     g = G._snapshot()
-    return _to_dict(g, _alg.degree_centrality(g), "centrality")
+    deg = g.degrees().to_pandas()
+    total = deg["out_deg"].astype(float)
+    if G._directed:
+        total = total + deg.get("in_deg", 0)
+    deg = deg.assign(centrality=total / max(g.N - 1, 1))
+    import ray.data as _rd
+
+    return _to_dict(g, _rd.from_pandas(deg[["vid", "centrality"]]), "centrality")
+
+
+def _undirected_only(G: Graph, what: str):
+    if G._directed:
+        # networkx raises NetworkXNotImplemented for triangles and uses a
+        # DIFFERENT (Fagiolo) formula for directed clustering — silently
+        # returning the undirected numbers would be wrong either way
+        raise NotImplementedError(
+            f"{what} is undirected-only here; call .to_undirected() first"
+        )
 
 
 def clustering(G: Graph) -> dict:
+    _undirected_only(G, "clustering")
     g = G._snapshot()
     return _to_dict(g, _alg.lcc(g), "lcc")
 
 
 def average_clustering(G: Graph) -> float:
+    _undirected_only(G, "average_clustering")
     return float(_alg.avg_clustering(G._snapshot()))
 
 
 def transitivity(G: Graph) -> float:
+    _undirected_only(G, "transitivity")
     return float(_alg.transitivity(G._snapshot()))
 
 
 def triangles(G: Graph) -> dict:
+    _undirected_only(G, "triangles")
     g = G._snapshot()
     _total, ds = _alg.triangles(g)
     return {k: int(v) for k, v in _to_dict(g, ds, "tri").items()}

@@ -501,3 +501,38 @@ def test_pq_recall_and_compression():
     # determinism: retraining with the same seed gives identical codebooks
     books2 = similarity.train_pq(emb, m=8, seed=0)
     assert np.array_equal(books, books2)
+
+
+def test_charlm_xent_randomized_vs_reference():
+    """Engine charlm_xent (both passes, through Ray) == pure-python
+    reference on seeded random corpora incl. edge cases."""
+    import math
+    from collections import Counter
+
+    rng = np.random.default_rng(23)
+    alphabet = list("abcdefg .!")
+    texts = ["".join(rng.choice(alphabet, rng.integers(0, 60))) for _ in range(30)]
+    texts += ["", "x", "zz"]
+    ds = _docs(texts)
+    out = text.charlm_xent(ds).to_pandas().sort_values("doc_id")
+
+    bg, chars = Counter(), set()
+    for txt in texts:
+        b = txt.encode()
+        chars.update(b)
+        for a, c in zip(b, b[1:]):
+            bg[(a, c)] += 1
+    V = len(chars)
+    row = Counter()
+    for (a, _), n in bg.items():
+        row[a] += n
+    for i, txt in enumerate(texts):
+        b = txt.encode()
+        if len(b) < 2:
+            want = 0.0
+        else:
+            want = -sum(
+                math.log((bg[(a, c)] + 1) / (row[a] + V)) for a, c in zip(b, b[1:])
+            ) / (len(b) - 1)
+        got = float(out[out.doc_id == i].xent.iloc[0])
+        assert abs(got - round(want, 8)) < 1e-7, (i, got, want)

@@ -123,3 +123,22 @@ def test_hits_and_label_propagation():
         assert abs(auth[n] - want_a[n]) < 1e-4
     comms = list(gnx.label_propagation_communities(G))
     assert sum(len(c) for c in comms) == G.number_of_nodes()
+
+
+def test_directed_semantics_guards():
+    """Directed graphs: degree_centrality counts in+out like networkx;
+    undirected-only algorithms refuse instead of returning wrong numbers."""
+    G = gnx.DiGraph([(0, 1), (1, 2), (2, 0), (0, 2)], num_partitions=2)
+    R = nx.DiGraph([(0, 1), (1, 2), (2, 0), (0, 2)])
+    assert gnx.degree_centrality(G) == pytest.approx(nx.degree_centrality(R))
+    for fn in (gnx.triangles, gnx.clustering, gnx.transitivity, gnx.average_clustering):
+        with pytest.raises(NotImplementedError):
+            fn(G)
+    with pytest.raises(NotImplementedError):
+        gnx.pagerank(G, weight="weight")
+    # NodeView attr lookup + data view
+    G.add_node(9, color="red")
+    assert G.nodes[9] == {"color": "red"}
+    assert (9, {"color": "red"}) in G.nodes(data=True)
+    with pytest.raises(KeyError):
+        G.nodes[12345]

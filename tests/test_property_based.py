@@ -136,41 +136,3 @@ def test_substring_windows_match_naive(texts, k):
         if b:
             all_hashes.update(shingle_hashes(b, k).tolist())
     assert sorted(all_hashes.values()) == sorted(occ.values())
-
-
-@settings(max_examples=60, deadline=None)
-@given(
-    st.lists(st.text(alphabet="abcde ", min_size=0, max_size=40), min_size=1, max_size=10)
-)
-def test_charlm_xent_matches_reference(texts):
-    """charlm scoring kernel == direct float recomputation from counts."""
-    import math
-    from collections import Counter
-
-    bg = Counter()
-    chars = set()
-    for t in texts:
-        b = t.encode()
-        chars.update(b)
-        for a, c in zip(b, b[1:]):
-            bg[(a, c)] += 1
-    V = len(chars)
-    row = Counter()
-    for (a, _), n in bg.items():
-        row[a] += n
-    # replicate the engine's vectorized model build
-    bgv = np.zeros(65536)
-    for (a, c), n in bg.items():
-        bgv[a * 256 + c] = n
-    rowv = bgv.reshape(256, 256).sum(axis=1, keepdims=True)
-    logp = np.log((bgv.reshape(256, 256) + 1.0) / (rowv + float(max(V, 1)))).ravel()
-    for t in texts:
-        b = np.frombuffer(t.encode(), dtype=np.uint8)
-        if b.size < 2:
-            continue
-        idx = b[:-1].astype(np.int32) * 256 + b[1:]
-        got = -logp[idx].sum() / (b.size - 1)
-        want = -sum(
-            math.log((bg[(a, c)] + 1) / (row[a] + V)) for a, c in zip(t.encode(), t.encode()[1:])
-        ) / (b.size - 1)
-        assert abs(got - want) < 1e-9
