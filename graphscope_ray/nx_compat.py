@@ -388,3 +388,54 @@ def label_propagation_communities(G: Graph, max_rounds: int = 10):
     for n, c in lab.items():
         groups.setdefault(c, set()).add(n)
     return iter([groups[c] for c in sorted(groups)])
+
+
+def betweenness_centrality(G: Graph, k: int | None = None, seed: int = 0,
+                           normalized: bool = True) -> dict:
+    """Brandes betweenness (exact when k is None, else k sampled sources);
+    networkx normalization: directed (N-1)(N-2), undirected (N-1)(N-2)/2
+    with pair-count scaling k→N for sampled runs."""
+    g = G._snapshot()
+    N = g.N
+    if k is None:
+        ds = _alg.betweenness_sampled(g, sources=list(range(N)))
+        scale_sources = 1.0
+    else:
+        ds = _alg.betweenness_sampled(g, num_sources=min(k, N), seed=seed)
+        scale_sources = N / max(min(k, N), 1)
+    out = _to_dict(g, ds, "betweenness")
+    scale = scale_sources
+    if not G._directed:
+        scale *= 0.5  # each undirected pair counted from both endpoints
+    if normalized and N > 2:
+        scale /= (N - 1) * (N - 2) if G._directed else (N - 1) * (N - 2) / 2.0
+    return {n: v * scale for n, v in out.items()}
+
+
+def closeness_centrality(G: Graph, wf_improved: bool = True) -> dict:
+    """Exact closeness over all sources (fragment-accumulated multi-source
+    BFS); Wasserman–Faust formula like networkx.  The engine's source-wave
+    BFS accumulates d(s, v) per TARGET v — exactly the incoming-distance
+    convention networkx uses for directed closeness."""
+    g = G._snapshot()
+    ds = _alg.closeness_exact(g, harmonic=False)
+    return _to_dict(g, ds, "closeness")
+
+
+def harmonic_centrality(G: Graph) -> dict:
+    g = G._snapshot()
+    ds = _alg.closeness_exact(g, harmonic=True)
+    out = _to_dict(g, ds, "closeness")
+    # engine divides by (N-1); networkx harmonic_centrality reports the sum
+    return {n: v * max(g.N - 1, 1) for n, v in out.items()}
+
+
+def louvain_communities(G: Graph, seed: int | None = None):
+    """Louvain communities as a list of node sets (modularity maximized;
+    deterministic — the seed parameter exists for nx signature parity)."""
+    g = G._snapshot()
+    comm = _to_dict(g, _alg.louvain(g)[0], "comm")
+    groups: dict = {}
+    for n, c in comm.items():
+        groups.setdefault(c, set()).add(n)
+    return [groups[c] for c in sorted(groups)]

@@ -142,3 +142,37 @@ def test_directed_semantics_guards():
     assert (9, {"color": "red"}) in G.nodes(data=True)
     with pytest.raises(KeyError):
         G.nodes[12345]
+
+
+def test_centrality_vs_networkx():
+    ue = [(0, 1), (1, 2), (2, 3), (3, 4), (1, 3), (4, 5), (0, 2)]
+    G = gnx.Graph(ue, num_partitions=2)
+    R = nx.Graph(ue)
+    got = gnx.betweenness_centrality(G)  # exact
+    want = nx.betweenness_centrality(R)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-9, n
+    gc = gnx.closeness_centrality(G)
+    wc = nx.closeness_centrality(R)
+    for n in wc:
+        assert abs(gc[n] - wc[n]) < 1e-9, n
+    gh = gnx.harmonic_centrality(G)
+    wh = nx.harmonic_centrality(R)
+    for n in wh:
+        assert abs(gh[n] - wh[n]) < 1e-9, n
+    comms = gnx.louvain_communities(G)
+    assert sum(len(c) for c in comms) == R.number_of_nodes()
+
+
+def test_directed_centrality_vs_networkx():
+    de = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (1, 4)]
+    G = gnx.DiGraph(de, num_partitions=2)
+    R = nx.DiGraph(de)
+    got = gnx.betweenness_centrality(G)
+    want = nx.betweenness_centrality(R)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-9, n
+    gc = gnx.closeness_centrality(G)
+    wc = nx.closeness_centrality(R)
+    for n in wc:
+        assert abs(gc[n] - wc[n]) < 1e-9, n
