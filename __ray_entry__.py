@@ -318,6 +318,17 @@ def _q_dedup_substring(sf_dir, k: int = 40):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_dedup_paragraph(sf_dir, words: int = 8):
+    """Dolma/CCNet-style paragraph-level exact dedup (word-window mode —
+    the synthetic corpus has no newlines): only the globally-first
+    occurrence of each distinct 8-word window survives; clean_text is the
+    kept windows rejoined."""
+    from graphscope_ray.functions.dedup import paragraph_dedup
+
+    out = paragraph_dedup(_documents(sf_dir), words=words).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_sim_topk(sf_dir):
     from graphscope_ray.functions.similarity import topk_cosine
 
@@ -699,6 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": _q_dedup_embedding,
         "dedup_ngram": _q_dedup_ngram,
         "dedup_substring": _q_dedup_substring,
+        "dedup_paragraph": _q_dedup_paragraph,
         "text_charlm": _q_text_charlm,
         "samp_mixture": _q_samp_mixture,
         "sim_pq_refined": _q_sim_pq,
@@ -871,6 +883,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": osql.dedup_exact_sql(),
         "dedup_ngram": osql.dedup_ngram_sql(),
         "dedup_substring": osql.dedup_substring_sql(),
+        "dedup_paragraph": osql.dedup_paragraph_sql(),
         "text_charlm": osql.text_charlm_sql(),
         "samp_mixture": osql.samp_mixture_sql(),
         "sim_pq_refined": osql.sim_topk_sql(),

@@ -882,3 +882,202 @@ def substring_dup_stats(
         )
 
     return joined.map_batches(_final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level exact dedup (Dolma / CCNet paragraph dedup)
+
+
+def _paragraphize(txt: str, sep: str, words: int | None) -> list[str]:
+    """Deterministic paragraph segmentation shared by both passes.
+
+    sep mode: split on the literal separator (keeps empties — matches
+    DuckDB string_split).  words mode: fixed windows of ``words`` tokens of
+    text.split(' ') rejoined with ' ' (the synthetic corpus has no
+    newlines, so the registered query exercises this mode)."""
+    if words is None:
+        return (txt or "").split(sep)
+    toks = (txt or "").split(" ")
+    return [" ".join(toks[i : i + words]) for i in range(0, len(toks), words)]
+
+
+def paragraph_dedup(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    words: int | None = None,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Paragraph-level exact dedup, the Dolma / CCNet rule: a paragraph
+    occurrence is DROPPED when the same paragraph text appears anywhere
+    else in the corpus at a lexicographically smaller (id, position) —
+    i.e. only the globally-first occurrence of each distinct paragraph
+    survives (within-doc repeats count too).  One row per document:
+
+        id_col, n_paras, n_dropped, clean_text (kept paragraphs rejoined)
+
+    The reference engine has no sub-document dedup; this extends its dedup
+    surface for training-data pipelines (GREEDY intra-line rule of Dolma's
+    dedupe tool / CCNet paragraph hashing, arXiv:1911.00359 §3.1).
+
+    Scale shape (100-TB-safe): pass 1 ships only per-block per-digest
+    partials (sha256, local count, local argmin (id, pos)) through a
+    K-way hash exchange — paragraph TEXTS never cross the wire.  The
+    reduced duplicated-value table (one row per DISTINCT duplicated
+    paragraph — bounded by corpus redundancy, not corpus size, the same
+    boundary as ``decontaminate``'s eval broadcast) is broadcast once via
+    ``ray.put``; pass 2 re-segments each doc locally and keeps an
+    occurrence unless the broadcast table names a smaller winner.  For a
+    duplicated-value table too big to broadcast, the partials/dup tables
+    are plain Datasets — route them through ``utils.hash_join`` on the
+    digest instead (the mining resolver's encode="join" escape hatch).
+    """
+    import hashlib
+
+    import ray
+
+    def _partials(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        texts = t[text_col].to_pylist()
+        dig, dd, ii = [], [], []
+        for did, txt in zip(ids, texts):
+            for pos, p in enumerate(_paragraphize(txt, sep, words)):
+                dig.append(hashlib.sha256(p.encode("utf-8")).digest())
+                dd.append(did)
+                ii.append(pos)
+        if not dig:
+            return pa.table(
+                {
+                    "sha": pa.array([], pa.binary(32)),
+                    "cnt": pa.array([], pa.int64()),
+                    "wdoc": pa.array([], pa.int64()),
+                    "widx": pa.array([], pa.int64()),
+                }
+            )
+        a = np.array(dig, dtype="S32")
+        doc = np.asarray(dd, dtype=np.int64)
+        idx = np.asarray(ii, dtype=np.int64)
+        # local combine: count + lexmin (doc, idx) per digest
+        order = np.lexsort((idx, doc, a))
+        a, doc, idx = a[order], doc[order], idx[order]
+        first = np.concatenate([[True], a[1:] != a[:-1]])
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.concatenate([starts, [a.size]]))
+        # S32 extraction strips trailing NUL bytes — go through the raw
+        # buffer so every digest keeps its exact 32 bytes
+        sha_arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(32), starts.size, [None, pa.py_buffer(a[starts].tobytes())]
+        )
+        return pa.table(
+            {
+                "sha": sha_arr,
+                "cnt": cnt.astype(np.int64),
+                "wdoc": doc[starts],
+                "widx": idx[starts],
+            }
+        )
+
+    parts = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(_partials, batch_format="pyarrow")
+        .materialize()
+    )
+
+    K = num_partitions
+
+    @ray.remote
+    def _split(t: pa.Table):
+        df = t.to_pandas()
+        h = pd.util.hash_pandas_object(df["sha"], index=False).to_numpy()
+        part = (h % np.uint64(K)).astype(np.int64)
+        out = tuple(df[part == p] for p in range(K))
+        return out if K > 1 else out[0]
+
+    @ray.remote
+    def _reduce(*dfs) -> pa.Table:
+        df = pd.concat(dfs, ignore_index=True)
+        df = df.sort_values(["sha", "wdoc", "widx"], kind="stable")
+        g = df.groupby("sha", sort=False)
+        tot = g["cnt"].sum()
+        win = g[["wdoc", "widx"]].first()
+        dup = tot[tot >= 2]
+        win = win.loc[dup.index]
+        return pa.table(
+            {
+                "sha": pa.array(dup.index.to_list(), pa.binary(32)),
+                "wdoc": win["wdoc"].to_numpy(dtype=np.int64),
+                "widx": win["widx"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    blocks = parts.to_arrow_refs()
+    if K == 1:
+        reduced = [_reduce.remote(*[_split.remote(b) for b in blocks])]
+    else:
+        split_refs = [_split.options(num_returns=K).remote(b) for b in blocks]
+        reduced = [_reduce.remote(*[s[k] for s in split_refs]) for k in range(K)]
+    dup_tbl = pa.concat_tables(ray.get(reduced))
+    shas = np.array(dup_tbl["sha"].to_pylist(), dtype="S32")
+    order = np.argsort(shas)
+    model = ray.put(
+        (
+            shas[order] if shas.size else shas,
+            dup_tbl["wdoc"].to_numpy(zero_copy_only=False)[order]
+            if shas.size
+            else np.empty(0, np.int64),
+            dup_tbl["widx"].to_numpy(zero_copy_only=False)[order]
+            if shas.size
+            else np.empty(0, np.int64),
+        )
+    )
+    join_sep = " " if words is not None else sep
+
+    def _scrub(t: pa.Table) -> pa.Table:
+        sh, wdoc, widx = ray.get(model)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        texts = t[text_col].to_pylist()
+        all_paras: list[list[str]] = [
+            _paragraphize(txt, sep, words) for txt in texts
+        ]
+        counts = np.fromiter(
+            (len(p) for p in all_paras), dtype=np.int64, count=len(all_paras)
+        )
+        flat = [p for ps in all_paras for p in ps]
+        if flat:
+            dig = np.array(
+                [hashlib.sha256(p.encode("utf-8")).digest() for p in flat],
+                dtype="S32",
+            )
+            doc = np.repeat(ids, counts)
+            pos = np.arange(counts.sum(), dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+            )
+            # one batch-wide membership probe against the broadcast table
+            j = np.searchsorted(sh, dig)
+            jc = np.minimum(j, max(sh.size - 1, 0))
+            member = (sh.size > 0) & (sh[jc] == dig)
+            dropped = member & ~((wdoc[jc] == doc) & (widx[jc] == pos))
+        else:
+            dropped = np.empty(0, dtype=bool)
+        n_drop = np.zeros(len(ids), dtype=np.int64)
+        if flat:
+            np.add.at(n_drop, np.repeat(np.arange(len(ids)), counts), dropped)
+        cleaned = []
+        off = 0
+        for r, ps in enumerate(all_paras):
+            keepmask = ~dropped[off : off + len(ps)]
+            cleaned.append(join_sep.join(p for p, m in zip(ps, keepmask) if m))
+            off += len(ps)
+        return pa.table(
+            {
+                id_col: ids,
+                "n_paras": counts,
+                "n_dropped": n_drop,
+                "clean_text": cleaned,
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _scrub, batch_format="pyarrow"
+    )

@@ -2900,3 +2900,26 @@ def samp_mixture_sql(salt: int = 5) -> str:
         f"SELECT r.doc_id, r.source, CAST(ix.epoch AS BIGINT) AS epoch "
         f"FROM r JOIN ix ON ix.epoch < r.reps ORDER BY r.doc_id, epoch"
     )
+
+
+def dedup_paragraph_sql(words: int = 8) -> str:
+    """Exact oracle of dedup.paragraph_dedup in word-window mode: fixed
+    windows of ``words`` tokens; an occurrence survives iff it is the
+    globally-first (doc_id, idx) of its sha256; clean_text rejoins the
+    kept windows with ' '."""
+    w = words
+    return f"""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(unnest(range(CAST(ceil(len(toks) / {w}.0) AS BIGINT))) AS BIGINT) AS idx,
+         unnest(list_transform(range(CAST(ceil(len(toks) / {w}.0) AS BIGINT)),
+                i -> array_to_string(list_slice(toks, i * {w} + 1, i * {w} + {w}), ' '))) AS para
+  FROM s),
+k AS (SELECT doc_id, idx, para,
+      row_number() OVER (PARTITION BY sha256(para) ORDER BY doc_id, idx) = 1 AS keep FROM c)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped,
+       coalesce(string_agg(para, ' ' ORDER BY idx) FILTER (WHERE keep), '') AS clean_text
+FROM k GROUP BY doc_id
+"""

@@ -536,3 +536,66 @@ def test_charlm_xent_randomized_vs_reference():
             ) / (len(b) - 1)
         got = float(out[out.doc_id == i].xent.iloc[0])
         assert abs(got - round(want, 8)) < 1e-7, (i, got, want)
+
+
+def test_paragraph_dedup_sep_mode():
+    # doc0 para "dup me" appears again in doc0 and doc1; first occurrence
+    # (doc0, idx0) survives, later ones drop; unique paras all survive
+    texts = [
+        "dup me\n\nunique zero\n\ndup me",
+        "dup me\n\nunique one",
+        "all alone here",
+        "",
+    ]
+    out = (
+        dedup.paragraph_dedup(_docs(texts), sep="\n\n")
+        .to_pandas()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "n_paras"] == 3 and out.loc[0, "n_dropped"] == 1
+    assert out.loc[0, "clean_text"] == "dup me\n\nunique zero"
+    assert out.loc[1, "n_paras"] == 2 and out.loc[1, "n_dropped"] == 1
+    assert out.loc[1, "clean_text"] == "unique one"
+    assert out.loc[2, "n_dropped"] == 0
+    assert out.loc[2, "clean_text"] == "all alone here"
+    # empty text = one empty paragraph; it is globally unique here
+    assert out.loc[3, "n_paras"] == 1 and out.loc[3, "n_dropped"] == 0
+
+
+def test_paragraph_dedup_word_windows():
+    # word-window mode: 4-word windows; doc0 and doc1 share their first
+    # window exactly; doc1's copy (later (doc,idx)) is dropped
+    texts = [
+        "a b c d e f",
+        "a b c d x y",
+    ]
+    out = (
+        dedup.paragraph_dedup(_docs(texts), words=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "n_paras"] == 2 and out.loc[0, "n_dropped"] == 0
+    assert out.loc[0, "clean_text"] == "a b c d e f"
+    assert out.loc[1, "n_paras"] == 2 and out.loc[1, "n_dropped"] == 1
+    assert out.loc[1, "clean_text"] == "x y"
+
+
+def test_paragraph_dedup_partition_invariance():
+    # same result at 1 block and several blocks / partitions
+    texts = [f"w{i % 3} common tail" for i in range(20)]
+    a = (
+        dedup.paragraph_dedup(_docs(texts), sep="\n\n", num_partitions=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ds = _docs(texts).repartition(5)
+    b = (
+        dedup.paragraph_dedup(ds, sep="\n\n", num_partitions=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
