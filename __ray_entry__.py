@@ -646,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "op_count_distinct": td.op_count_distinct,
         "op_hll_count": td.op_hll_count,
         "op_cms_heavy": td.op_cms_heavy,
+        "op_bloom": td.op_bloom,
         "op_profile": td.op_profile,
         "op_kmeans": td.op_kmeans,
         "text_tfidf": td.text_tfidf,
@@ -821,6 +822,7 @@ def oracle_sql() -> dict[str, str]:
         "op_count_distinct": osql.op_count_distinct_sql(),
         "op_hll_count": osql.op_hll_count_sql(),
         "op_cms_heavy": osql.op_cms_heavy_sql(),
+        "op_bloom": osql.op_bloom_sql(),
         "op_profile": osql.op_profile_sql(),
         "op_kmeans": osql.op_kmeans_sql(),
         "text_tfidf": osql.text_tfidf_sql(),

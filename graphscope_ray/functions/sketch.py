@@ -209,3 +209,91 @@ def cms_heavy_hitters(
     keep = est >= threshold
     out = pd.DataFrame({"tok": cand[keep], "est": est[keep].astype(np.int64)})
     return out.sort_values("tok").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: mergeable bitmap membership sketch
+
+_BLOOM_SALT = np.uint64(0xA24BAED4963EE407)
+
+
+def _bloom_h1h2(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Double-hashing pair per value (Kirsch–Mitzenmacher): h1 = the
+    engine's deterministic value hash, h2 = fmix64(h1 xor salt) forced odd
+    so positions h1 + j·h2 cycle the whole table for any power-of-two m."""
+    from graphscope_ray.functions.hashing import mix64
+
+    h1 = _hash64(col)
+    h2 = mix64(h1 ^ _BLOOM_SALT) | np.uint64(1)
+    return h1, h2
+
+
+def bloom_build(
+    ds: ray.data.Dataset, col: str, m_bits: int = 1 << 20, k: int = 3
+) -> np.ndarray:
+    """Build a Bloom filter over a column: every block contributes an
+    m-bit partial bitmap (OR-mergeable — the m/8 bytes are the only thing
+    that crosses the wire, never the key stream; at multi-node scale the
+    OR is associative, so partials tree-reduce).  Returns the bitmap as
+    m/64 uint64 words.  Deterministic for a given (m_bits, k).
+
+    The classic bounded-memory membership structure for incremental-ingest
+    dedup: build over yesterday's corpus once, stream today's records
+    through ``bloom_member`` — no join, no shuffle, zero false negatives.
+    """
+    assert m_bits & (m_bits - 1) == 0, "m_bits must be a power of two"
+    words = m_bits // 64
+    mask = np.uint64(m_bits - 1)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        bm = np.zeros(words, dtype=np.uint64)
+        if t.num_rows:
+            h1, h2 = _bloom_h1h2(t[col])
+            for j in range(k):
+                pos = (h1 + np.uint64(j) * h2) & mask
+                np.bitwise_or.at(
+                    bm,
+                    (pos >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (pos & np.uint64(63)),
+                )
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    parts = (
+        ds.select_columns([col]).map_batches(_partial, batch_format="pyarrow").to_pandas()
+    )
+    bm = np.zeros(words, dtype=np.uint64)
+    for blob in parts["bm"]:
+        bm |= np.frombuffer(blob, dtype=np.uint64)
+    return bm
+
+
+def bloom_member(
+    ds: ray.data.Dataset,
+    bloom: np.ndarray,
+    col: str,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    out_col: str = "bloom_hit",
+) -> ray.data.Dataset:
+    """Tag each row with Bloom membership (1 = maybe-member, possibly a
+    false positive; 0 = definitely absent).  The bitmap broadcasts once
+    via ``ray.put`` and every block probes it vectorized — the streaming
+    side never shuffles."""
+    import ray
+
+    mask = np.uint64(m_bits - 1)
+    ref = ray.put(bloom)
+
+    def _probe(t: pa.Table) -> pa.Table:
+        bm = ray.get(ref)
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        h1, h2 = _bloom_h1h2(t[col])
+        hit = np.ones(h1.size, dtype=bool)
+        for j in range(k):
+            pos = (h1 + np.uint64(j) * h2) & mask
+            bits = (bm[(pos >> np.uint64(6)).astype(np.int64)] >> (pos & np.uint64(63))) & np.uint64(1)
+            hit &= bits.astype(bool)
+        return t.append_column(out_col, pa.array(hit.astype(np.int64)))
+
+    return ds.map_batches(_probe, batch_format="pyarrow")

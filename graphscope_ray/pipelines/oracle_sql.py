@@ -2923,3 +2923,44 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
        coalesce(string_agg(para, ' ' ORDER BY idx) FILTER (WHERE keep), '') AS clean_text
 FROM k GROUP BY doc_id
 """
+
+
+def op_bloom_sql(m_bits: int = 1 << 17, k: int = 3) -> str:
+    """Bit-exact SQL replica of sketch.bloom_build + bloom_member: the
+    filter's set-position set is built from orders.o_custkey (h1 = fmix64
+    of the value, h2 = fmix64(h1 xor salt) forced odd, positions
+    h1 + j*h2 mod m); customer.c_custkey probes it — bloom_hit = 1 iff
+    all k positions are set, FALSE POSITIVES INCLUDED (they are
+    deterministic, so both sides agree on every bit)."""
+    salt = str(0xA24BAED4963EE407)
+    ivals = ", ".join(f"({i})" for i in range(k))
+    mix_b1, b1f = _mix64_stages("bld0", "r", "bh")
+    mix_b2, b2f = _mix64_stages("bld20", "r", "bg")
+    mix_p1, p1f = _mix64_stages("prb0", "r", "ph")
+    mix_p2, p2f = _mix64_stages("prb20", "r", "pg")
+    odd = "CASE WHEN b.h % 2 = 0 THEN b.h + 1 ELSE b.h END"
+    ctes = [
+        "bld0 AS MATERIALIZED (SELECT DISTINCT CAST(o_custkey AS HUGEINT) AS r, "
+        "CAST(o_custkey AS HUGEINT) AS h FROM orders)",
+        *mix_b1,
+        f"bld20 AS (SELECT r, xor(h, CAST({salt} AS HUGEINT)) AS h FROM {b1f})",
+        *mix_b2,
+        f"iv(i) AS (VALUES {ivals})",
+        f"bpos AS MATERIALIZED (SELECT DISTINCT "
+        f"CAST((a.h + iv.i * ({odd})) % {m_bits} AS BIGINT) AS p "
+        f"FROM {b1f} a JOIN {b2f} b USING (r) CROSS JOIN iv)",
+        "prb0 AS MATERIALIZED (SELECT CAST(c_custkey AS HUGEINT) AS r, "
+        "CAST(c_custkey AS HUGEINT) AS h FROM customer)",
+        *mix_p1,
+        f"prb20 AS (SELECT r, xor(h, CAST({salt} AS HUGEINT)) AS h FROM {p1f})",
+        *mix_p2,
+        f"ppos AS (SELECT a.r, "
+        f"CAST((a.h + iv.i * ({odd})) % {m_bits} AS BIGINT) AS p "
+        f"FROM {p1f} a JOIN {p2f} b USING (r) CROSS JOIN iv)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + " "
+        f"SELECT CAST(pp.r AS BIGINT) AS c_custkey, "
+        f"CAST(CASE WHEN count(bp.p) = {k} THEN 1 ELSE 0 END AS BIGINT) AS bloom_hit "
+        f"FROM ppos pp LEFT JOIN bpos bp USING (p) GROUP BY pp.r"
+    )

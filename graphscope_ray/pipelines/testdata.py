@@ -2027,6 +2027,21 @@ def op_hll_count(sf_dir: str, p: int = 12) -> pd.DataFrame:
     return pd.DataFrame({"estimate": [round(est, 4)]})
 
 
+def op_bloom(sf_dir: str, m_bits: int = 1 << 17, k: int = 3) -> pd.DataFrame:
+    """Bloom-filter membership: build the filter over orders.o_custkey
+    (mergeable per-block bitmaps), probe customer.c_custkey — bloom_hit
+    includes the filter's deterministic false positives, and the SQL
+    oracle replicates every hash position bit-for-bit, so even the
+    APPROXIMATE structure is oracle-gated (like op_hll_count)."""
+    from graphscope_ray.functions.sketch import bloom_build, bloom_member
+
+    orders = read(sf_dir, "orders", columns=["o_custkey"])
+    cust = read(sf_dir, "customer", columns=["c_custkey"])
+    bm = bloom_build(orders, "o_custkey", m_bits=m_bits, k=k)
+    out = bloom_member(cust, bm, "c_custkey", m_bits=m_bits, k=k).to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
 def lg_kcore_size(sf_dir: str, k: int = 5) -> pd.DataFrame:
     """K-core SEARCH (apps/flash/core/k-core-search.h GlobalRes): the size
     of the k-core — the peeling fixpoint's survivor count as one scalar."""

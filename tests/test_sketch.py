@@ -65,3 +65,40 @@ def test_cms_heavy_hitters_superset_and_estimates():
     assert got.get("ccc", 0) >= 120
     # CMS overestimate is bounded (w=2048, ~4.7k tokens -> small collisions)
     assert got["aaa"] < 400 + 60
+
+
+def test_bloom_no_false_negatives_and_partition_invariance():
+    from graphscope_ray.functions.sketch import bloom_build, bloom_member
+
+    rng = np.random.default_rng(7)
+    keys = rng.choice(10_000_000, size=2000, replace=False).astype(np.int64)
+    build = ray.data.from_arrow(pa.table({"k": pa.array(keys, pa.int64())}))
+    m, k = 1 << 16, 3
+    bm1 = bloom_build(build, "k", m_bits=m, k=k)
+    bm5 = bloom_build(build.repartition(5), "k", m_bits=m, k=k)
+    # OR-merge is associative: bitmap independent of blocking
+    assert np.array_equal(bm1, bm5)
+
+    probe_keys = np.concatenate([keys[:500], keys[:500] + 1])  # members + likely-absent
+    probe = ray.data.from_arrow(pa.table({"k": pa.array(probe_keys, pa.int64())}))
+    out = bloom_member(probe, bm1, "k", m_bits=m, k=k).to_pandas()
+    hits = out.set_index(out.index)["bloom_hit"].to_numpy()
+    # zero false negatives: every true member hits
+    assert hits[:500].all()
+    # false-positive rate small at this load (2000*3 bits in 65536)
+    assert hits[500:].mean() < 0.05
+
+
+def test_bloom_incremental_dedup_shape():
+    """The incremental-ingest pattern: yesterday's filter tags today's
+    stream; definite-absent rows (hit=0) are provably new."""
+    from graphscope_ray.functions.sketch import bloom_build, bloom_member
+
+    old = ray.data.from_arrow(pa.table({"k": pa.array(range(100), pa.int64())}))
+    new = ray.data.from_arrow(
+        pa.table({"k": pa.array(range(50, 150), pa.int64())})
+    )
+    bm = bloom_build(old, "k", m_bits=1 << 14, k=3)
+    out = bloom_member(new, bm, "k", m_bits=1 << 14, k=3).to_pandas()
+    known = out[out["k"] < 100]
+    assert (known["bloom_hit"] == 1).all()
