@@ -439,3 +439,166 @@ def louvain_communities(G: Graph, seed: int | None = None):
     for n, c in comm.items():
         groups.setdefault(c, set()).add(n)
     return [groups[c] for c in sorted(groups)]
+
+
+def density(G: Graph) -> float:
+    """nx.density: m/(n(n-1)) directed, 2m/(n(n-1)) undirected."""
+    n = G.number_of_nodes()
+    m = G.number_of_edges()
+    if n <= 1:
+        return 0.0
+    d = m / (n * (n - 1))
+    return d if G._directed else 2 * d
+
+
+def is_connected(G: Graph) -> bool:
+    if G._directed:
+        raise NotImplementedError(
+            "is_connected is undirected-only (nx raises NetworkXNotImplemented); "
+            "use weakly_connected_components for DiGraph"
+        )
+    if G.number_of_nodes() == 0:
+        raise ValueError("connectivity is undefined for the null graph")
+    return number_connected_components(G) == 1
+
+
+def _ecc_frame(G: Graph):
+    """(per-node eccentricity dict, diameter, radius); raises like networkx
+    when some pair is unreachable (disconnected / not strongly connected)."""
+    g = G._snapshot()
+    ecc = _alg.eccentricity_all(g)
+    if (ecc["n_reach"] < g.N).any():
+        raise ValueError(
+            "eccentricity is undefined: graph is not "
+            + ("strongly connected" if G._directed else "connected")
+        )
+    vmap = g.vertices_ds.to_pandas()
+    df = ecc.merge(vmap, left_on="src", right_on="vid")
+    d = {_decode(o): int(e) for o, e in zip(df["oid"], df["ecc"])}
+    return d, int(ecc["ecc"].max()), int(ecc["ecc"].min())
+
+
+def eccentricity(G: Graph) -> dict:
+    return _ecc_frame(G)[0]
+
+
+def diameter(G: Graph) -> int:
+    return _ecc_frame(G)[1]
+
+
+def radius(G: Graph) -> int:
+    return _ecc_frame(G)[2]
+
+
+def center(G: Graph) -> list:
+    d, _dia, rad = _ecc_frame(G)
+    return [n for n, e in d.items() if e == rad]
+
+
+def periphery(G: Graph) -> list:
+    d, dia, _rad = _ecc_frame(G)
+    return [n for n, e in d.items() if e == dia]
+
+
+def has_path(G: Graph, source, target) -> bool:
+    return str(target) in {
+        str(n) for n in single_source_shortest_path_length(G, source)
+    }
+
+
+def shortest_path(G: Graph, source, target) -> list:
+    """Unweighted shortest path as a node list (BFS depths + deterministic
+    min-repr predecessor backtrack — nx returns one arbitrary shortest
+    path; this one is reproducible)."""
+    depths = single_source_shortest_path_length(G, source)
+    dep = {str(n): d for n, d in depths.items()}
+    if str(target) not in dep:
+        raise ValueError(f"no path between {source!r} and {target!r}")
+    path = [target]
+    cur = target
+    while str(cur) != str(source):
+        want = dep[str(cur)] - 1
+        preds = G.predecessors(cur) if G._directed else G.neighbors(cur)
+        cands = [u for u in preds if dep.get(str(u)) == want]
+        cur = min(cands, key=repr)
+        path.append(cur)
+    return path[::-1]
+
+
+def average_shortest_path_length(G: Graph) -> float:
+    """Exact mean pairwise distance via the fragment-accumulated all-source
+    closeness pass (Σd(·,v) = (N-1)/closeness_WF(v) on a connected graph)."""
+    n = G.number_of_nodes()
+    if n <= 1:
+        raise ValueError(
+            "average_shortest_path_length is undefined for graphs with < 2 nodes"
+        )
+    if G._directed:
+        raise NotImplementedError(
+            "directed average_shortest_path_length needs strong connectivity; "
+            "convert with .to_undirected() first"
+        )
+    if not is_connected(G):
+        raise ValueError("graph is not connected")
+    g = G._snapshot()
+    c = _to_dict(g, _alg.closeness_exact(g, harmonic=False), "closeness")
+    total = sum((g.N - 1) / v for v in c.values())
+    return total / (g.N * (g.N - 1))
+
+
+def voterank(G: Graph, number_of_nodes: int | None = None) -> list:
+    """nx.voterank: elect until no node has positive votes (or until
+    number_of_nodes elected) — the engine app stops on non-positive best
+    score, matching nx's rule."""
+    g = G._snapshot()
+    vids = _alg.voterank(g, num_elected=number_of_nodes or g.N)
+    vmap = g.vertices_ds.to_pandas().set_index("vid")["oid"]
+    return [_decode(vmap.loc[v]) for v in vids]
+
+
+def degree_assortativity_coefficient(G: Graph) -> float:
+    """Pearson correlation of endpoint degrees over edges (nx semantics:
+    undirected pairs symmetrized; directed uses (out-deg src, in-deg dst)).
+    Vertex-sized degree map broadcast once; edge rows stream partial sums."""
+    import ray as _ray
+
+    g = G._snapshot()
+    deg = g.degrees().to_pandas().merge(g.vertices_ds.to_pandas(), on="vid")
+    if G._directed:
+        x_map = dict(zip(deg["oid"], deg["out_deg"].astype(float)))
+        y_map = dict(zip(deg["oid"], deg["in_deg"].astype(float)))
+    else:
+        x_map = y_map = dict(zip(deg["oid"], deg["out_deg"].astype(float)))
+    ref = _ray.put((x_map, y_map))
+    directed = G._directed
+
+    def _partials(t):
+        xm, ym = _ray.get(ref)
+        x = np.array([xm[a] for a in t["src"].to_pylist()], dtype=np.float64)
+        y = np.array([ym[b] for b in t["dst"].to_pylist()], dtype=np.float64)
+        if not directed:
+            # each undirected edge is stored once — symmetrize like nx
+            x, y = np.concatenate([x, y]), np.concatenate([y, x])
+        import pyarrow as _pa
+
+        return _pa.table(
+            {
+                "n": _pa.array([float(x.size)]),
+                "sx": _pa.array([x.sum()]),
+                "sy": _pa.array([y.sum()]),
+                "sxy": _pa.array([(x * y).sum()]),
+                "sxx": _pa.array([(x * x).sum()]),
+                "syy": _pa.array([(y * y).sum()]),
+            }
+        )
+
+    p = (
+        G._g.edges_dataset()
+        .select_columns(["src", "dst"])
+        .map_batches(_partials, batch_format="pyarrow")
+        .to_pandas()
+        .sum()
+    )
+    num = p.n * p.sxy - p.sx * p.sy
+    den = float(np.sqrt((p.n * p.sxx - p.sx**2) * (p.n * p.syy - p.sy**2)))
+    return float(num / den) if den else 0.0

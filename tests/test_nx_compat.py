@@ -176,3 +176,67 @@ def test_directed_centrality_vs_networkx():
     wc = nx.closeness_centrality(R)
     for n in wc:
         assert abs(gc[n] - wc[n]) < 1e-9, n
+
+
+def test_distance_measures_match_networkx():
+    # connected undirected graph (petersen-ish small)
+    E = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (0, 5), (1, 6), (2, 7), (5, 7), (6, 7)]
+    G = gnx.Graph(E, num_partitions=2)
+    R = nx.Graph(E)
+    assert gnx.eccentricity(G) == nx.eccentricity(R)
+    assert gnx.diameter(G) == nx.diameter(R)
+    assert gnx.radius(G) == nx.radius(R)
+    assert sorted(gnx.center(G)) == sorted(nx.center(R))
+    assert sorted(gnx.periphery(G)) == sorted(nx.periphery(R))
+    assert abs(
+        gnx.average_shortest_path_length(G) - nx.average_shortest_path_length(R)
+    ) < 1e-12
+    assert abs(gnx.density(G) - nx.density(R)) < 1e-15
+    assert gnx.is_connected(G) == nx.is_connected(R)
+
+
+def test_distance_measures_raise_on_disconnected():
+    E = [(0, 1), (2, 3)]
+    G = gnx.Graph(E, num_partitions=2)
+    assert not gnx.is_connected(G)
+    with pytest.raises(ValueError):
+        gnx.eccentricity(G)
+    with pytest.raises(ValueError):
+        gnx.average_shortest_path_length(G)
+
+
+def test_shortest_path_and_has_path():
+    E = [(0, 1), (1, 2), (2, 3), (0, 4), (4, 3), (3, 5), (7, 8)]
+    G = gnx.DiGraph(E, num_partitions=2)
+    R = nx.DiGraph(E)
+    for s, t in [(0, 5), (0, 3), (1, 3)]:
+        p = gnx.shortest_path(G, s, t)
+        assert len(p) == len(nx.shortest_path(R, s, t))
+        assert p[0] == s and p[-1] == t
+        # verify it is a real path
+        assert all(G.has_edge(u, v) for u, v in zip(p, p[1:]))
+    assert gnx.has_path(G, 0, 5) and not gnx.has_path(G, 0, 7)
+    with pytest.raises(ValueError):
+        gnx.shortest_path(G, 0, 8)
+
+
+def test_assortativity_and_voterank_match_networkx():
+    rng = np.random.default_rng(3)
+    E = sorted({(int(a), int(b)) for a, b in rng.integers(0, 12, (40, 2)) if a != b})
+    G = gnx.Graph(E, num_partitions=2)
+    R = nx.Graph(E)
+    got = gnx.degree_assortativity_coefficient(G)
+    want = nx.degree_assortativity_coefficient(R)
+    assert abs(got - want) < 1e-9, (got, want)
+    # directed
+    Gd = gnx.DiGraph(E, num_partitions=2)
+    Rd = nx.DiGraph(E)
+    gotd = gnx.degree_assortativity_coefficient(Gd)
+    wantd = nx.degree_assortativity_coefficient(Rd)
+    assert abs(gotd - wantd) < 1e-9, (gotd, wantd)
+    # voterank: nx breaks score ties by dict iteration order, the engine by
+    # min vid — compare the untied prefix, and assert engine determinism
+    assert gnx.voterank(G, 2) == nx.voterank(R, 2)
+    assert gnx.voterank(G, 4) == gnx.voterank(G, 4)
+    G1 = gnx.Graph(E, num_partitions=1)
+    assert gnx.voterank(G1, 4) == gnx.voterank(G, 4)
