@@ -329,6 +329,70 @@ def _q_dedup_paragraph(sf_dir, words: int = 8):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_dedup_lsh_incr(sf_dir, threshold: float = 0.5):
+    """Incremental MinHash-LSH dedup against a MATERIALIZED index: the
+    frozen corpus (doc_id % 41 != 3) is indexed once (band buckets +
+    signatures, partitioned stores); the 'new batch' (% 41 == 3 slice)
+    probes it reading only its own touched partitions.  Probe ids with
+    doc_id % 82 == 3 take the TEXT of doc_id - 2 (a corpus member) so the
+    estimator has planted true positives — same plant as the SQL oracle."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from graphscope_ray.functions.dedup import build_lsh_index, lsh_index_probe
+    from graphscope_ray.utils import hash_join
+
+    docs = _documents(sf_dir)
+    old = docs.map_batches(
+        lambda t: t.filter(t["doc_id"].to_numpy(zero_copy_only=False) % 41 != 3),
+        batch_format="pyarrow",
+    )
+
+    def _donors(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        m = (ids + 2) % 82 == 3
+        return pa.table(
+            {"pid": pa.array(ids[m] + 2), "ptext": t["text"].filter(pa.array(m))}
+        )
+
+    probe_own = docs.map_batches(
+        lambda t: t.filter(t["doc_id"].to_numpy(zero_copy_only=False) % 41 == 3),
+        batch_format="pyarrow",
+    ).select_columns(["doc_id", "text"])
+    joined = hash_join(
+        probe_own, docs.map_batches(_donors, batch_format="pyarrow"),
+        "doc_id", "pid", how="left",
+    )
+
+    def _plant(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+            )
+        txt = t["text"].to_pylist()
+        if "ptext" in t.column_names:
+            pt = t["ptext"].to_pylist()
+            txt = [p if isinstance(p, str) else x for x, p in zip(txt, pt)]
+        return pa.table({"doc_id": t["doc_id"], "text": pa.array(txt, pa.string())})
+
+    new = joined.map_batches(_plant, batch_format="pyarrow")
+    path = tempfile.mkdtemp(prefix="graft_lsh_incr_")
+    build_lsh_index(old, path)
+    out = lsh_index_probe(new, path, threshold=threshold).to_pandas()
+    if out.empty or "new_id" not in out.columns:
+        import pandas as pd
+
+        out = pd.DataFrame(
+            {
+                "new_id": pd.Series([], dtype=np.int64),
+                "old_id": pd.Series([], dtype=np.int64),
+                "est_jaccard": pd.Series([], dtype=np.float64),
+            }
+        )
+    return out.sort_values(["new_id", "old_id"]).reset_index(drop=True)
+
+
 def _q_sim_topk(sf_dir):
     from graphscope_ray.functions.similarity import topk_cosine
 
@@ -712,6 +776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram": _q_dedup_ngram,
         "dedup_substring": _q_dedup_substring,
         "dedup_paragraph": _q_dedup_paragraph,
+        "dedup_lsh_incr": _q_dedup_lsh_incr,
         "text_charlm": _q_text_charlm,
         "samp_mixture": _q_samp_mixture,
         "sim_pq_refined": _q_sim_pq,
@@ -886,6 +951,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram": osql.dedup_ngram_sql(),
         "dedup_substring": osql.dedup_substring_sql(),
         "dedup_paragraph": osql.dedup_paragraph_sql(),
+        "dedup_lsh_incr": osql.dedup_lsh_incr_sql(),
         "text_charlm": osql.text_charlm_sql(),
         "samp_mixture": osql.samp_mixture_sql(),
         "sim_pq_refined": osql.sim_topk_sql(),

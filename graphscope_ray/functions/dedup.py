@@ -1081,3 +1081,288 @@ def paragraph_dedup(
     return ds.select_columns([id_col, text_col]).map_batches(
         _scrub, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental MinHash-LSH dedup against a MATERIALIZED index
+
+_LSH_PHI = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _band_rows(batch: pd.DataFrame, bands: int) -> pd.DataFrame:
+    """(band, band_hash, doc_id) rows — the same banding kernel as
+    lsh_candidate_pairs (combine_rows over each signature slice)."""
+    from graphscope_ray.functions.hashing import combine_rows
+
+    sigs = np.stack(batch["sig"].to_numpy())
+    n, num_perm = sigs.shape
+    r = num_perm // bands
+    rows_band, rows_hash, rows_doc = [], [], []
+    for bix in range(bands):
+        chunk = sigs[:, bix * r : (bix + 1) * r]
+        h = combine_rows(chunk.astype(np.uint64)).astype(np.int64)
+        rows_band.append(np.full(n, bix, dtype=np.int64))
+        rows_hash.append(h)
+        rows_doc.append(batch["doc_id"].to_numpy())
+    return pd.DataFrame(
+        {
+            "band": np.concatenate(rows_band),
+            "band_hash": np.concatenate(rows_hash),
+            "doc_id": np.concatenate(rows_doc),
+        }
+    )
+
+
+def _bucket_pkey(band: np.ndarray, band_hash: np.ndarray, parts: int) -> np.ndarray:
+    """Deterministic partition id per (band, band_hash) — shared by the
+    index writer and the probe's pruned read."""
+    from graphscope_ray.functions.hashing import mix64
+
+    u = band_hash.astype(np.int64).view(np.uint64) + (band.astype(np.uint64) + np.uint64(1)) * _LSH_PHI
+    return (mix64(u) % np.uint64(parts)).astype(np.int64)
+
+
+def build_lsh_index(
+    ds: ray.data.Dataset,
+    path: str,
+    k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 1,
+    bucket_parts: int = 32,
+    sig_parts: int = 32,
+) -> dict:
+    """Materialize the incremental-dedup LSH index for a frozen corpus —
+    the ingestion-time counterpart of ``build_ivf_index``: later batches
+    of NEW documents dedup against this corpus while reading only the
+    bucket partitions their own band hashes touch (IO pruning, not a
+    rescan of the corpus).
+
+    Two resumable partitioned stores (sources/sink.py per-bucket atomic
+    commits) + a meta.json:
+      buckets/  (band, band_hash, doc_id) partitioned by
+                ``_bucket_pkey(band, band_hash) % bucket_parts``
+      sigs/     (doc_id, sig) partitioned by ``doc_id % sig_parts``
+    Corpus texts are never stored — candidate filtering is done on the
+    signatures alone (estimated Jaccard), the standard incremental-LSH
+    design (Leskovec et al., Mining of Massive Datasets §3.4)."""
+    import json as _json
+    import os as _os
+
+    from graphscope_ray.sources.sink import write_partitioned
+
+    sig = minhash_signatures(ds, k=k, num_perm=num_perm, seed=seed).materialize()
+
+    def _explode(batch: pd.DataFrame) -> pd.DataFrame:
+        df = _band_rows(batch, bands)
+        df["pkey"] = _bucket_pkey(
+            df["band"].to_numpy(), df["band_hash"].to_numpy(), bucket_parts
+        )
+        return df
+
+    exploded = sig.map_batches(_explode, batch_format="pandas")
+    write_partitioned(
+        exploded, _os.path.join(path, "buckets"), key="pkey",
+        num_buckets=bucket_parts, direct=True,
+    )
+
+    def _skey(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["doc_id", "sig"]].copy()
+        out["skey"] = out["doc_id"].to_numpy() % sig_parts
+        return out
+
+    write_partitioned(
+        sig.map_batches(_skey, batch_format="pandas"),
+        _os.path.join(path, "sigs"), key="skey", num_buckets=sig_parts,
+        direct=True,
+    )
+    meta = {
+        "k": k, "num_perm": num_perm, "bands": bands, "seed": seed,
+        "bucket_parts": bucket_parts, "sig_parts": sig_parts,
+    }
+    tmp = _os.path.join(path, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    _os.replace(tmp, _os.path.join(path, "meta.json"))
+    return meta
+
+
+def lsh_index_probe(
+    new_ds: ray.data.Dataset,
+    path: str,
+    threshold: float = 0.5,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Probe a ``build_lsh_index`` store with a batch of NEW documents:
+    returns (new_id, old_id, est_jaccard) for every (new, indexed) pair
+    sharing >= 1 LSH band bucket whose signature-agreement estimate
+    meets ``threshold``.  est_jaccard = fraction of equal minhash
+    components — an unbiased Jaccard estimator needing no corpus text.
+
+    Reads ONLY the bucket partitions the new batch's own band hashes
+    touch and only the signature partitions holding candidate old ids —
+    probe cost scales with the new batch, not the corpus.  The new
+    batch's signatures broadcast once (an incremental-ingest batch is
+    small by construction; for a huge backfill run ``build_lsh_index``
+    on it and hash_join the two bucket stores instead)."""
+    import json as _json
+    import os as _os
+
+    import ray
+
+    from graphscope_ray.utils import hash_groupby_sum, hash_join
+
+    with open(_os.path.join(path, "meta.json")) as f:
+        meta = _json.load(f)
+    bands, bucket_parts = meta["bands"], meta["bucket_parts"]
+    num_perm, sig_parts = meta["num_perm"], meta["sig_parts"]
+
+    sig_new = minhash_signatures(
+        new_ds, k=meta["k"], num_perm=num_perm, seed=meta["seed"]
+    ).materialize()
+
+    def _explode_new(batch: pd.DataFrame) -> pd.DataFrame:
+        df = _band_rows(batch, bands)
+        df["pkey"] = _bucket_pkey(
+            df["band"].to_numpy(), df["band_hash"].to_numpy(), bucket_parts
+        )
+        return df.rename(columns={"doc_id": "new_id"})
+
+    newb = sig_new.map_batches(_explode_new, batch_format="pandas").materialize()
+
+    # touched bucket partitions (<= bucket_parts scalars to the driver)
+    touched = sorted(
+        {
+            int(p)
+            for p in newb.map_batches(
+                lambda t: pa.table(
+                    {"pkey": np.unique(t["pkey"].to_numpy(zero_copy_only=False))}
+                ),
+                batch_format="pyarrow",
+            ).to_pandas()["pkey"]
+        }
+    )
+    bdir = _os.path.join(path, "buckets")
+    files = [
+        _os.path.join(bdir, f"bucket={p}", "part.parquet")
+        for p in touched
+        if _os.path.exists(_os.path.join(bdir, f"bucket={p}", "part.parquet"))
+    ]
+    empty = pa.table(
+        {
+            "new_id": pa.array([], pa.int64()),
+            "old_id": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if not files:
+        return ray.data.from_arrow(empty)
+    # partitioning=None (no hive re-inference) is incompatible with columns=
+    # in this Ray version — project right after the read instead
+    oldb = ray.data.read_parquet(files, partitioning=None).select_columns(
+        ["band", "band_hash", "doc_id"]
+    )
+
+    # join on the packed key, then exact (band, band_hash) equality — the
+    # pack is collision-safe because equality is re-checked on the raw pair
+    def _pack(band_col, bh_col, rename):
+        def _f(t: pa.Table) -> pa.Table:
+            df = t.to_pandas().rename(columns=rename)
+            df["bk"] = _bucket_pkey(
+                df[band_col].to_numpy(), df[bh_col].to_numpy(), 1 << 62
+            )
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        return _f
+
+    nb = newb.map_batches(
+        _pack("band_n", "bh_n", {"band": "band_n", "band_hash": "bh_n"}),
+        batch_format="pyarrow",
+    ).select_columns(["band_n", "bh_n", "new_id", "bk"])
+    ob = oldb.map_batches(
+        _pack("band_o", "bh_o", {"band": "band_o", "band_hash": "bh_o", "doc_id": "old_id"}),
+        batch_format="pyarrow",
+    ).select_columns(["band_o", "bh_o", "old_id", "bk"])
+    joined = hash_join(nb, ob, "bk", "bk", num_partitions=num_partitions, how="inner")
+
+    def _exact(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "band_n" not in t.column_names:
+            return pa.table(
+                {"new_id": pa.array([], pa.int64()), "old_id": pa.array([], pa.int64())}
+            )
+        m = (
+            (t["band_n"].to_numpy(zero_copy_only=False) == t["band_o"].to_numpy(zero_copy_only=False))
+            & (t["bh_n"].to_numpy(zero_copy_only=False) == t["bh_o"].to_numpy(zero_copy_only=False))
+        )
+        ft = t.filter(pa.array(m))
+        return ft.select(["new_id", "old_id"])
+
+    pairs = joined.map_batches(_exact, batch_format="pyarrow")
+    cands = hash_groupby_sum(
+        pairs, ["new_id", "old_id"], None, "nb", num_partitions=num_partitions
+    )
+
+    # candidate old signatures: pruned read of only the touched skey parts
+    old_ids_touched = sorted(
+        {
+            int(s)
+            for s in cands.map_batches(
+                lambda t: pa.table(
+                    {
+                        "skey": np.unique(
+                            t["old_id"].to_numpy(zero_copy_only=False) % sig_parts
+                        )
+                        if t.num_rows
+                        else np.empty(0, np.int64)
+                    }
+                ),
+                batch_format="pyarrow",
+            ).to_pandas()["skey"]
+        }
+    )
+    sdir = _os.path.join(path, "sigs")
+    sfiles = [
+        _os.path.join(sdir, f"bucket={p}", "part.parquet")
+        for p in old_ids_touched
+        if _os.path.exists(_os.path.join(sdir, f"bucket={p}", "part.parquet"))
+    ]
+    if not sfiles:
+        return ray.data.from_arrow(empty)
+    old_sigs = ray.data.read_parquet(sfiles, partitioning=None).select_columns(
+        ["doc_id", "sig"]
+    )
+    withsig = hash_join(
+        cands.select_columns(["new_id", "old_id"]),
+        old_sigs.map_batches(
+            lambda t: t.rename_columns(["old_id", "old_sig"]), batch_format="pyarrow"
+        ),
+        "old_id",
+        "old_id",
+        num_partitions=num_partitions,
+        how="inner",
+    )
+
+    # broadcast the new batch's signatures once
+    sn = sig_new.to_pandas()
+    new_map = {int(d): np.asarray(s, dtype=np.int64) for d, s in zip(sn["doc_id"], sn["sig"])}
+    ref = ray.put(new_map)
+
+    def _estimate(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "old_sig" not in t.column_names:
+            return empty
+        nm = ray.get(ref)
+        new_id = t["new_id"].to_numpy(zero_copy_only=False)
+        old_id = t["old_id"].to_numpy(zero_copy_only=False)
+        olds = np.stack([np.asarray(s, dtype=np.int64) for s in t["old_sig"].to_pylist()])
+        news = np.stack([nm[int(d)] for d in new_id])
+        est = (news == olds).mean(axis=1)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "new_id": new_id[keep],
+                "old_id": old_id[keep],
+                "est_jaccard": np.round(est[keep], 8),
+            }
+        )
+
+    return withsig.map_batches(_estimate, batch_format="pyarrow")

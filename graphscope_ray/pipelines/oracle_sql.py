@@ -2434,9 +2434,14 @@ def dedup_simhash_sql(bands: int = 4) -> str:
 # cluster = min doc of component.  Valid for ASCII documents ≥ k chars.
 
 
-def dedup_minhash_sql(
-    k: int = 5, num_perm: int = 64, bands: int = 16, threshold: float = 0.7
-) -> str:
+def _minhash_sig_band_ctes(
+    k: int = 5, num_perm: int = 64, bands: int = 16, src: str = "documents"
+) -> tuple[list, str]:
+    """Shared CTE prefix: per-doc distinct shingle hashes (``dsh``), long-
+    form minhash signatures (``sig``: doc_id, pi, s) and per-(doc, band)
+    band hashes (returned final CTE) — bit-exact replicas of
+    dedup.minhash_signatures + the banding kernel.  Used by
+    dedup_minhash_sql and dedup_lsh_incr_sql."""
     import numpy as np
 
     m61 = (1 << 61) - 1
@@ -2457,7 +2462,7 @@ def dedup_minhash_sql(
     ctes = [
         "chd AS MATERIALIZED (SELECT doc_id, generate_subscripts(cs, 1) - 1 AS ci, "
         "CAST(ord(unnest(cs)) AS HUGEINT) AS byte "
-        "FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents))",
+        f"FROM (SELECT doc_id, string_split(text, '') AS cs FROM {src}))",
         f"ld AS MATERIALIZED (SELECT doc_id, ci, byte AS b0, {leads} FROM chd "
         f"WINDOW w AS (PARTITION BY doc_id ORDER BY ci))",
         f"shp AS MATERIALIZED (SELECT doc_id, ci, "
@@ -2488,6 +2493,15 @@ def dedup_minhash_sql(
         f"CAST(sum((sig.s * bw.p) & {_M64}) & {_M64} AS HUGEINT) AS h "
         f"FROM sig JOIN bw ON bw.j = pi % {r} GROUP BY doc_id, pi // {r})",
         *mix_bh,
+    ]
+    return ctes, bh_final
+
+
+def dedup_minhash_sql(
+    k: int = 5, num_perm: int = 64, bands: int = 16, threshold: float = 0.7
+) -> str:
+    ctes, bh_final = _minhash_sig_band_ctes(k=k, num_perm=num_perm, bands=bands)
+    ctes = ctes + [
         f"mnb AS (SELECT band, h, min(doc_id) AS m FROM {bh_final} GROUP BY band, h)",
         f"cand AS MATERIALIZED (SELECT DISTINCT mnb.m AS a, t.doc_id AS b "
         f"FROM {bh_final} t JOIN mnb ON mnb.band = t.band AND mnb.h = t.h "
@@ -2963,4 +2977,39 @@ def op_bloom_sql(m_bits: int = 1 << 17, k: int = 3) -> str:
         f"SELECT CAST(pp.r AS BIGINT) AS c_custkey, "
         f"CAST(CASE WHEN count(bp.p) = {k} THEN 1 ELSE 0 END AS BIGINT) AS bloom_hit "
         f"FROM ppos pp LEFT JOIN bpos bp USING (p) GROUP BY pp.r"
+    )
+
+
+def dedup_lsh_incr_sql(threshold: float = 0.5, num_perm: int = 64) -> str:
+    """Exact oracle of dedup.build_lsh_index + lsh_index_probe over the
+    documents table: index = doc_id % 41 != 3, probe = the % 41 == 3
+    slice; candidates share >= 1 (band, band_hash); est_jaccard = fraction
+    of equal minhash components (the signature-agreement estimator the
+    probe uses — no text verify)."""
+    ctes, bh = _minhash_sig_band_ctes(num_perm=num_perm, src="pdocs")
+    ctes = [
+        # planted near-dups: probe ids with doc_id % 82 == 3 take the text
+        # of doc_id - 2 (a corpus member), so the estimator has true
+        # positives to find; all other texts are unchanged
+        "pdocs AS MATERIALIZED (SELECT d.doc_id, "
+        "CASE WHEN d.doc_id % 82 = 3 THEN coalesce(o.text, d.text) "
+        "ELSE d.text END AS text FROM documents d "
+        "LEFT JOIN documents o ON o.doc_id = d.doc_id - 2)",
+    ] + ctes + [
+        f"candi AS MATERIALIZED (SELECT DISTINCT nw.doc_id AS new_id, "
+        f"od.doc_id AS old_id FROM {bh} nw "
+        f"JOIN {bh} od ON od.band = nw.band AND od.h = nw.h "
+        f"WHERE nw.doc_id % 41 = 3 AND od.doc_id % 41 <> 3)",
+        "eqc AS (SELECT c.new_id, c.old_id, "
+        "count(*) FILTER (WHERE y.s = x.s) AS eq "
+        "FROM candi c JOIN sig x ON x.doc_id = c.new_id "
+        "JOIN sig y ON y.doc_id = c.old_id AND y.pi = x.pi "
+        "GROUP BY c.new_id, c.old_id)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + " "
+        f"SELECT new_id, old_id, round(CAST(eq AS DOUBLE) / {num_perm}, 8) "
+        f"AS est_jaccard FROM eqc "
+        f"WHERE CAST(eq AS DOUBLE) / {num_perm} >= {threshold} "
+        f"ORDER BY new_id, old_id"
     )

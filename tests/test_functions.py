@@ -599,3 +599,55 @@ def test_paragraph_dedup_partition_invariance():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_lsh_index_build_probe(tmp_path):
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a completely different sentence about distributed data engines",
+        "minhash locality sensitive hashing finds near duplicate documents",
+        "ray data streams arrow blocks through the object store nicely",
+    ]
+    # corpus: 8 docs (two copies of each base text, ids 0..7)
+    corpus = _docs(base + base, ids=list(range(8)))
+    idx = str(tmp_path / "lshidx")
+    meta = dedup.build_lsh_index(corpus, idx, bucket_parts=8, sig_parts=4)
+    assert meta["bands"] == 16
+
+    # probe: 100 = exact copy of base[0]; 101 = near-copy of base[2];
+    # 102 = unrelated
+    probe = _docs(
+        [
+            base[0],
+            base[2].replace("finds", "locates"),
+            "zzz completely unrelated probe text with nothing in common qqq",
+        ],
+        ids=[100, 101, 102],
+    )
+    out = dedup.lsh_index_probe(probe, idx, threshold=0.4).to_pandas()
+    got = {(int(r.new_id), int(r.old_id)): float(r.est_jaccard) for r in out.itertuples()}
+    # exact copy matches BOTH stored copies at est 1.0
+    assert got.get((100, 0)) == 1.0 and got.get((100, 4)) == 1.0
+    # near-copy found with high (but < 1) estimate
+    assert 0.4 <= got.get((101, 2), 0.0) <= 1.0
+    assert got.get((101, 2)) == got.get((101, 6))
+    # unrelated probe matches nothing
+    assert not any(n == 102 for n, _ in got)
+
+
+def test_lsh_index_resume_and_determinism(tmp_path):
+    texts = [f"document number {i} with some shared boilerplate tail" for i in range(20)]
+    ds = _docs(texts)
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    dedup.build_lsh_index(ds, p1, bucket_parts=4, sig_parts=2)
+    dedup.build_lsh_index(ds, p2, bucket_parts=4, sig_parts=2)
+    # second build over the same path is a no-op resume (manifest complete)
+    dedup.build_lsh_index(ds, p1, bucket_parts=4, sig_parts=2)
+    probe = _docs([texts[7]], ids=[500])
+    a = dedup.lsh_index_probe(probe, p1, threshold=0.9).to_pandas()
+    b = dedup.lsh_index_probe(probe, p2, threshold=0.9).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values(["new_id", "old_id"]).reset_index(drop=True),
+        b.sort_values(["new_id", "old_id"]).reset_index(drop=True),
+    )
+    assert (a["old_id"] == 7).any() and (a["est_jaccard"] == 1.0).any()
