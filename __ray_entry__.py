@@ -157,6 +157,12 @@ def _q_text_fingerprint(sf_dir):
     return fingerprints(_documents(sf_dir))
 
 
+def _q_text_entropy(sf_dir):
+    from graphscope_ray.functions.text import char_entropy
+
+    return char_entropy(_documents(sf_dir))
+
+
 def _q_dedup_exact(sf_dir):
     from graphscope_ray.functions.dedup import exact_dedup
 
@@ -763,6 +769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "text_quality": _q_text_quality,
         "text_repetition": _q_text_repetition,
+        "text_entropy": _q_text_entropy,
         "pii_scrub": _q_pii_scrub,
         "pack_sequences": _q_pack_sequences,
         "split_by_content": _q_split_by_content,
@@ -953,6 +960,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_paragraph": osql.dedup_paragraph_sql(),
         "dedup_lsh_incr": osql.dedup_lsh_incr_sql(),
         "text_charlm": osql.text_charlm_sql(),
+        "text_entropy": osql.text_entropy_sql(),
         "samp_mixture": osql.samp_mixture_sql(),
         "sim_pq_refined": osql.sim_topk_sql(),
         "nx_pagerank": osql.lg_pagerank_sql(rounds=15),

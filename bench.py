@@ -590,6 +590,33 @@ def headline() -> dict:
 
     timed_extra("sim_pq_refined", _pq)
 
+    from graphscope_ray.functions.dedup import build_lsh_index, lsh_index_probe, paragraph_dedup
+    from graphscope_ray.functions.text import char_entropy
+
+    timed_extra("dedup_paragraph", lambda: paragraph_dedup(docs, words=8).count())
+    timed_extra("text_entropy", lambda: char_entropy(docs).count())
+
+    def _lsh_incr():
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="bench_lsh_")
+        try:
+            old = docs.map_batches(
+                lambda t: t.filter(t["doc_id"].to_numpy(zero_copy_only=False) % 41 != 3),
+                batch_format="pyarrow",
+            )
+            new = docs.map_batches(
+                lambda t: t.filter(t["doc_id"].to_numpy(zero_copy_only=False) % 41 == 3),
+                batch_format="pyarrow",
+            )
+            build_lsh_index(old, d)
+            lsh_index_probe(new, d).count()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    timed_extra("dedup_lsh_incr", _lsh_incr)
+
     total = round(sum(qtimes.values()), 3)
     out = {
         "metric": "headline pipelines wall-clock (per-stage best-of-2)",

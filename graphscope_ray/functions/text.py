@@ -370,3 +370,38 @@ def charlm_xent(
     return ds.select_columns([id_col, text_col]).map_batches(
         _score, batch_format="pyarrow"
     )
+
+
+def char_entropy(
+    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> ray.data.Dataset:
+    """Per-document character (byte) Shannon entropy in bits — the
+    low/high-entropy quality signal web pipelines filter on (gibberish and
+    boilerplate sit at the tails; cf. Dolma/RedPajama heuristic filters).
+    One vectorized pass: all byte counts per batch land in one
+    ``np.add.at`` scatter over a (docs × 256) table — no per-char Python.
+    Empty documents get entropy 0.0."""
+
+    def _ent(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        texts = t[text_col].to_pylist()
+        enc = [(x or "").encode("utf-8") for x in texts]
+        lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=len(enc))
+        out = np.zeros(len(enc), dtype=np.float64)
+        nz = np.flatnonzero(lens)
+        if nz.size:
+            b = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.int64)
+            drow = np.repeat(np.arange(nz.size, dtype=np.int64), lens[nz])
+            counts = np.zeros((nz.size, 256), dtype=np.int64)
+            np.add.at(counts, (drow, b), 1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                p = counts / lens[nz][:, None]
+                h = np.where(counts > 0, -p * np.log2(np.where(p > 0, p, 1.0)), 0.0)
+            out[nz] = h.sum(axis=1)
+        return pa.table(
+            {id_col: pa.array(ids, pa.int64()), "entropy": np.round(out, 8)}
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _ent, batch_format="pyarrow"
+    )

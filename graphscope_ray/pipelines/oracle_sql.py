@@ -3013,3 +3013,17 @@ def dedup_lsh_incr_sql(threshold: float = 0.5, num_perm: int = 64) -> str:
         f"WHERE CAST(eq AS DOUBLE) / {num_perm} >= {threshold} "
         f"ORDER BY new_id, old_id"
     )
+
+
+def text_entropy_sql() -> str:
+    """Per-doc char Shannon entropy (ASCII corpus: SQL chars == utf-8
+    bytes); empty docs 0.0; both sides round(…, 8) at the end."""
+    return """
+WITH ch AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+tot AS (SELECT doc_id, sum(n) AS t FROM cnt GROUP BY doc_id),
+ent AS (SELECT cnt.doc_id, -sum((n * 1.0 / t) * log2(n * 1.0 / t)) AS h
+        FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id)
+SELECT d.doc_id, round(coalesce(ent.h, 0.0), 8) AS entropy
+FROM documents d LEFT JOIN ent ON ent.doc_id = d.doc_id
+"""

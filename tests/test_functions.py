@@ -651,3 +651,18 @@ def test_lsh_index_resume_and_determinism(tmp_path):
         b.sort_values(["new_id", "old_id"]).reset_index(drop=True),
     )
     assert (a["old_id"] == 7).any() and (a["est_jaccard"] == 1.0).any()
+
+
+def test_char_entropy_known_values():
+    from graphscope_ray.functions.text import char_entropy
+
+    ds = _docs(["aaaa", "ab", "", "abcd", "aab"])
+    out = char_entropy(ds).to_pandas().sort_values("doc_id").set_index("doc_id")
+    assert out.loc[0, "entropy"] == 0.0
+    assert out.loc[1, "entropy"] == 1.0
+    assert out.loc[2, "entropy"] == 0.0
+    assert out.loc[3, "entropy"] == 2.0
+    import math
+
+    want = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert abs(out.loc[4, "entropy"] - round(want, 8)) < 1e-9
