@@ -163,6 +163,24 @@ def _q_text_entropy(sf_dir):
     return char_entropy(_documents(sf_dir))
 
 
+def _q_text_bpe_train(sf_dir, num_merges: int = 12):
+    """Distributed BPE merge-table training (Sennrich 2016) — iterative and
+    data-dependent, so pytest-oracled (tests/test_bpe.py vs a pure-python
+    reference) rather than SQL-oracled, like op_kmeans's cousin lg_dfs."""
+    import pandas as pd
+
+    from graphscope_ray.functions.bpe import train_bpe
+
+    merges = train_bpe(_documents(sf_dir), num_merges=num_merges)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(len(merges), dtype=np.int64),
+            "left": [a for a, _ in merges],
+            "right": [b for _, b in merges],
+        }
+    )
+
+
 def _q_dedup_exact(sf_dir):
     from graphscope_ray.functions.dedup import exact_dedup
 
@@ -770,6 +788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _q_text_quality,
         "text_repetition": _q_text_repetition,
         "text_entropy": _q_text_entropy,
+        "text_bpe_train": _q_text_bpe_train,
         "pii_scrub": _q_pii_scrub,
         "pack_sequences": _q_pack_sequences,
         "split_by_content": _q_split_by_content,
