@@ -285,25 +285,7 @@ def lsh_candidate_pairs(sig_ds: ray.data.Dataset, bands: int = 16) -> ray.data.D
     within each bucket (`_banded_pairs_exchange`)."""
 
     def _explode(batch: pd.DataFrame) -> pd.DataFrame:
-        from graphscope_ray.functions.hashing import combine_rows
-
-        sigs = np.stack(batch["sig"].to_numpy())
-        n, num_perm = sigs.shape
-        r = num_perm // bands
-        rows_band, rows_hash, rows_doc = [], [], []
-        for bix in range(bands):
-            chunk = sigs[:, bix * r : (bix + 1) * r]
-            h = combine_rows(chunk.astype(np.uint64)).astype(np.int64)
-            rows_band.append(np.full(n, bix, dtype=np.int64))
-            rows_hash.append(h)
-            rows_doc.append(batch["doc_id"].to_numpy())
-        return pd.DataFrame(
-            {
-                "band": np.concatenate(rows_band),
-                "band_hash": np.concatenate(rows_hash),
-                "doc_id": np.concatenate(rows_doc),
-            }
-        )
+        return _band_rows(batch, bands)
 
     exploded = sig_ds.map_batches(_explode, batch_format="pandas")
     return _banded_pairs_exchange(exploded, "band", "band_hash")
@@ -1044,7 +1026,7 @@ def paragraph_dedup(
             (len(p) for p in all_paras), dtype=np.int64, count=len(all_paras)
         )
         flat = [p for ps in all_paras for p in ps]
-        if flat:
+        if flat and sh.size:
             dig = np.array(
                 [hashlib.sha256(p.encode("utf-8")).digest() for p in flat],
                 dtype="S32",
@@ -1055,11 +1037,13 @@ def paragraph_dedup(
             )
             # one batch-wide membership probe against the broadcast table
             j = np.searchsorted(sh, dig)
-            jc = np.minimum(j, max(sh.size - 1, 0))
-            member = (sh.size > 0) & (sh[jc] == dig)
+            jc = np.minimum(j, sh.size - 1)
+            member = sh[jc] == dig
             dropped = member & ~((wdoc[jc] == doc) & (widx[jc] == pos))
         else:
-            dropped = np.empty(0, dtype=bool)
+            # empty dup table (duplicate-free corpus) or empty batch:
+            # nothing drops
+            dropped = np.zeros(len(flat), dtype=bool)
         n_drop = np.zeros(len(ids), dtype=np.int64)
         if flat:
             np.add.at(n_drop, np.repeat(np.arange(len(ids)), counts), dropped)
@@ -1145,11 +1129,33 @@ def build_lsh_index(
       sigs/     (doc_id, sig) partitioned by ``doc_id % sig_parts``
     Corpus texts are never stored — candidate filtering is done on the
     signatures alone (estimated Jaccard), the standard incremental-LSH
-    design (Leskovec et al., Mining of Massive Datasets §3.4)."""
+    design (Leskovec et al., Mining of Massive Datasets §3.4).
+
+    Re-running over the same path resumes (committed buckets skipped);
+    changed PARAMETERS raise rather than silently mixing hash spaces.  A
+    changed CORPUS is indistinguishable from a resume — index directories
+    are one-corpus-one-path by contract."""
     import json as _json
     import os as _os
 
     from graphscope_ray.sources.sink import write_partitioned
+
+    meta = {
+        "k": k, "num_perm": num_perm, "bands": bands, "seed": seed,
+        "bucket_parts": bucket_parts, "sig_parts": sig_parts,
+    }
+    meta_path = _os.path.join(path, "meta.json")
+    if _os.path.exists(meta_path):
+        with open(meta_path) as f:
+            have = _json.load(f)
+        if have != meta:
+            # resuming under DIFFERENT params would keep buckets hashed with
+            # the old ones (the sink's manifest says they are complete) while
+            # meta.json advertised the new ones — a silently corrupt index
+            raise ValueError(
+                f"lsh index at {path} was built with {have}; rebuild into a "
+                f"fresh path to change parameters (requested {meta})"
+            )
 
     sig = minhash_signatures(ds, k=k, num_perm=num_perm, seed=seed).materialize()
 
@@ -1176,14 +1182,10 @@ def build_lsh_index(
         _os.path.join(path, "sigs"), key="skey", num_buckets=sig_parts,
         direct=True,
     )
-    meta = {
-        "k": k, "num_perm": num_perm, "bands": bands, "seed": seed,
-        "bucket_parts": bucket_parts, "sig_parts": sig_parts,
-    }
     tmp = _os.path.join(path, "meta.json.tmp")
     with open(tmp, "w") as f:
         _json.dump(meta, f)
-    _os.replace(tmp, _os.path.join(path, "meta.json"))
+    _os.replace(tmp, meta_path)
     return meta
 
 

@@ -271,16 +271,19 @@ def bloom_member(
     ds: ray.data.Dataset,
     bloom: np.ndarray,
     col: str,
-    m_bits: int = 1 << 20,
     k: int = 3,
     out_col: str = "bloom_hit",
 ) -> ray.data.Dataset:
     """Tag each row with Bloom membership (1 = maybe-member, possibly a
     false positive; 0 = definitely absent).  The bitmap broadcasts once
     via ``ray.put`` and every block probes it vectorized — the streaming
-    side never shuffles."""
+    side never shuffles.  m is derived from the bitmap itself
+    (``bloom.size * 64``) so build and probe can never disagree on the
+    table size; ``k`` must equal the build's k (probing with a larger k
+    than was built WOULD create false negatives)."""
     import ray
 
+    m_bits = int(bloom.size) * 64
     mask = np.uint64(m_bits - 1)
     ref = ray.put(bloom)
 

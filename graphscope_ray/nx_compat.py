@@ -551,7 +551,8 @@ def voterank(G: Graph, number_of_nodes: int | None = None) -> list:
     number_of_nodes elected) — the engine app stops on non-positive best
     score, matching nx's rule."""
     g = G._snapshot()
-    vids = _alg.voterank(g, num_elected=number_of_nodes or g.N)
+    n_elect = g.N if number_of_nodes is None else number_of_nodes
+    vids = _alg.voterank(g, num_elected=n_elect)
     vmap = g.vertices_ds.to_pandas().set_index("vid")["oid"]
     return [_decode(vmap.loc[v]) for v in vids]
 
@@ -601,4 +602,5 @@ def degree_assortativity_coefficient(G: Graph) -> float:
     )
     num = p.n * p.sxy - p.sx * p.sy
     den = float(np.sqrt((p.n * p.sxx - p.sx**2) * (p.n * p.syy - p.sy**2)))
-    return float(num / den) if den else 0.0
+    # degree-regular graph: variance 0 → undefined; nx returns nan
+    return float(num / den) if den else float("nan")

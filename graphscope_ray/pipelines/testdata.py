@@ -2038,7 +2038,7 @@ def op_bloom(sf_dir: str, m_bits: int = 1 << 17, k: int = 3) -> pd.DataFrame:
     orders = read(sf_dir, "orders", columns=["o_custkey"])
     cust = read(sf_dir, "customer", columns=["c_custkey"])
     bm = bloom_build(orders, "o_custkey", m_bits=m_bits, k=k)
-    out = bloom_member(cust, bm, "c_custkey", m_bits=m_bits, k=k).to_pandas()
+    out = bloom_member(cust, bm, "c_custkey", k=k).to_pandas()
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 

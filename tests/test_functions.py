@@ -666,3 +666,26 @@ def test_char_entropy_known_values():
 
     want = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
     assert abs(out.loc[4, "entropy"] - round(want, 8)) < 1e-9
+
+
+def test_paragraph_dedup_duplicate_free_corpus():
+    # empty dup table: nothing drops, texts pass through unchanged
+    texts = ["alpha beta", "gamma delta", "epsilon zeta"]
+    out = (
+        dedup.paragraph_dedup(_docs(texts), sep="\n\n")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (out["n_dropped"] == 0).all()
+    assert out["clean_text"].tolist() == texts
+
+
+def test_lsh_index_param_change_raises(tmp_path):
+    import pytest as _pytest
+
+    ds = _docs(["some words here", "other words there"])
+    p = str(tmp_path / "idx")
+    dedup.build_lsh_index(ds, p, bucket_parts=4, sig_parts=2)
+    with _pytest.raises(ValueError, match="rebuild into a fresh path"):
+        dedup.build_lsh_index(ds, p, bucket_parts=8, sig_parts=2)

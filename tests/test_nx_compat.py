@@ -240,3 +240,13 @@ def test_assortativity_and_voterank_match_networkx():
     assert gnx.voterank(G, 4) == gnx.voterank(G, 4)
     G1 = gnx.Graph(E, num_partitions=1)
     assert gnx.voterank(G1, 4) == gnx.voterank(G, 4)
+
+
+def test_voterank_zero_and_assortativity_nan():
+    E = [(0, 1), (1, 2), (2, 3), (3, 0)]  # 4-cycle: degree-regular
+    G = gnx.Graph(E, num_partitions=2)
+    R = nx.Graph(E)
+    assert gnx.voterank(G, 0) == []
+    got = gnx.degree_assortativity_coefficient(G)
+    want = nx.degree_assortativity_coefficient(R)
+    assert np.isnan(got) and np.isnan(want)

@@ -81,7 +81,7 @@ def test_bloom_no_false_negatives_and_partition_invariance():
 
     probe_keys = np.concatenate([keys[:500], keys[:500] + 1])  # members + likely-absent
     probe = ray.data.from_arrow(pa.table({"k": pa.array(probe_keys, pa.int64())}))
-    out = bloom_member(probe, bm1, "k", m_bits=m, k=k).to_pandas()
+    out = bloom_member(probe, bm1, "k", k=k).to_pandas()
     hits = out.set_index(out.index)["bloom_hit"].to_numpy()
     # zero false negatives: every true member hits
     assert hits[:500].all()
@@ -99,6 +99,16 @@ def test_bloom_incremental_dedup_shape():
         pa.table({"k": pa.array(range(50, 150), pa.int64())})
     )
     bm = bloom_build(old, "k", m_bits=1 << 14, k=3)
-    out = bloom_member(new, bm, "k", m_bits=1 << 14, k=3).to_pandas()
+    out = bloom_member(new, bm, "k", k=3).to_pandas()
     known = out[out["k"] < 100]
     assert (known["bloom_hit"] == 1).all()
+
+
+def test_bloom_member_derives_m_from_bitmap():
+    from graphscope_ray.functions.sketch import bloom_build, bloom_member
+
+    build = ray.data.from_arrow(pa.table({"k": pa.array(range(50), pa.int64())}))
+    bm = bloom_build(build, "k", m_bits=1 << 14, k=3)
+    # no m_bits on the probe side: derived from the bitmap; members all hit
+    out = bloom_member(build, bm, "k", k=3).to_pandas()
+    assert (out["bloom_hit"] == 1).all()
