@@ -181,6 +181,37 @@ def _q_text_bpe_train(sf_dir, num_merges: int = 12):
     )
 
 
+def _q_llm_prep(sf_dir, qmin: float = 0.8):
+    """Composed LLM-corpus prep pipeline — the operators chained the way a
+    real training-data run chains them: quality gate (C4/Gopher heuristic)
+    -> exact content dedup among survivors -> per-doc token counts.  All
+    joins are hash exchanges; no driver-side id sets."""
+    from graphscope_ray.functions.dedup import exact_dedup
+    from graphscope_ray.functions.text import quality_score, token_counts
+    from graphscope_ray.utils import hash_join
+
+    docs = _documents(sf_dir)
+    q = quality_score(docs)
+    kept_ids = q.map_batches(
+        lambda t: t.filter(t["quality"].to_numpy(zero_copy_only=False) >= qmin),
+        batch_format="pyarrow",
+    )
+    kept = hash_join(docs, kept_ids, "doc_id", "doc_id", how="inner")
+    winners = exact_dedup(kept).select_columns(["doc_id"])
+    surv = hash_join(kept, winners, "doc_id", "doc_id", how="inner")
+    toks = token_counts(surv.select_columns(["doc_id", "text"]))
+    out = hash_join(
+        toks, surv.select_columns(["doc_id", "quality"]), "doc_id", "doc_id",
+        how="inner",
+    ).to_pandas()
+    out["quality"] = out["quality"].round(8)
+    return (
+        out[["doc_id", "n_tokens", "quality"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_dedup_exact(sf_dir):
     from graphscope_ray.functions.dedup import exact_dedup
 
@@ -789,6 +820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_repetition": _q_text_repetition,
         "text_entropy": _q_text_entropy,
         "text_bpe_train": _q_text_bpe_train,
+        "llm_prep": _q_llm_prep,
         "pii_scrub": _q_pii_scrub,
         "pack_sequences": _q_pack_sequences,
         "split_by_content": _q_split_by_content,
@@ -980,6 +1012,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_incr": osql.dedup_lsh_incr_sql(),
         "text_charlm": osql.text_charlm_sql(),
         "text_entropy": osql.text_entropy_sql(),
+        "llm_prep": osql.llm_prep_sql(),
         "samp_mixture": osql.samp_mixture_sql(),
         "sim_pq_refined": osql.sim_topk_sql(),
         "nx_pagerank": osql.lg_pagerank_sql(rounds=15),

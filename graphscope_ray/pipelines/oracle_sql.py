@@ -3027,3 +3027,28 @@ ent AS (SELECT cnt.doc_id, -sum((n * 1.0 / t) * log2(n * 1.0 / t)) AS h
 SELECT d.doc_id, round(coalesce(ent.h, 0.0), 8) AS entropy
 FROM documents d LEFT JOIN ent ON ent.doc_id = d.doc_id
 """
+
+
+def llm_prep_sql(qmin: float = 0.8) -> str:
+    """Composed LLM-corpus prep oracle: quality gate (UNROUNDED score, same
+    left-assoc double arithmetic as the numpy kernel) -> exact-dedup
+    winners among survivors -> per-doc token counts."""
+    return f"""
+WITH s AS MATERIALIZED (
+  SELECT doc_id, text,
+    CAST(length(text) AS DOUBLE) AS chars,
+    CAST(length(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS DOUBLE) AS words,
+    CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha
+  FROM documents),
+q AS (SELECT doc_id, text,
+    0.4 * (CASE WHEN chars >= 50 AND chars <= 100000 THEN 1 ELSE 0 END)
+    + 0.4 * (CASE WHEN chars > 0 THEN alpha / chars ELSE 0 END)
+    + 0.2 * (CASE WHEN words > 0 AND chars/words >= 3 AND chars/words <= 12 THEN 1 ELSE 0 END)
+    AS quality FROM s),
+ded AS (SELECT doc_id, text, quality FROM q WHERE quality >= {qmin}
+        QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1)
+SELECT doc_id,
+       CAST(length(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+       round(quality, 8) AS quality
+FROM ded ORDER BY doc_id
+"""
