@@ -509,6 +509,51 @@ def ivf_evidence() -> dict:
     return out
 
 
+def lsh_evidence() -> dict:
+    """Evidence that the materialized LSH dedup index prunes READS with the
+    probe batch (the incremental-ingest criterion, mirroring
+    --ivf-evidence): build the index once over the sf documents at high
+    partition count, then probe with batches of 2 and 16 docs and report
+    bucket partitions / bytes read vs the index total."""
+    import shutil
+    import tempfile
+
+    _init(NCPU)
+    import ray
+
+    from graphscope_ray.functions.dedup import build_lsh_index, lsh_index_probe
+
+    docs = _read_clean(f"{SF_DIR}/documents.parquet")
+    path = tempfile.mkdtemp(prefix="lshbench_", dir="/tmp")
+    out = {"metric": "lsh indexed probe: partitions read / bytes vs batch size", "levels": []}
+    try:
+        t0 = time.perf_counter()
+        build_lsh_index(docs, path, bucket_parts=256, sig_parts=128)
+        out["build_sec"] = round(time.perf_counter() - t0, 3)
+        for nbatch in (2, 16):
+            probe = docs.map_batches(
+                lambda t, nb=nbatch: t.filter(
+                    t["doc_id"].to_numpy(zero_copy_only=False) < nb
+                ),
+                batch_format="pyarrow",
+            )
+            stats: dict = {}
+            t0 = time.perf_counter()
+            n = lsh_index_probe(probe, path, threshold=0.9, stats_out=stats).count()
+            out["levels"].append(
+                {
+                    "batch_docs": nbatch,
+                    "pairs": n,
+                    "sec": round(time.perf_counter() - t0, 3),
+                    **stats,
+                }
+            )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    ray.shutdown()
+    return out
+
+
 def compact_evidence() -> dict:
     """compact_edges residency measurement on the 48M-edge synthetic: build
     raw vs varint+delta fragments, report resident adjacency bytes and a
@@ -657,6 +702,8 @@ if __name__ == "__main__":
         print(json.dumps(scaling()))
     elif "--ivf-evidence" in sys.argv:
         print(json.dumps(ivf_evidence()))
+    elif "--lsh-evidence" in sys.argv:
+        print(json.dumps(lsh_evidence()))
     elif "--compact-evidence" in sys.argv:
         print(json.dumps(compact_evidence()))
     else:

@@ -1194,6 +1194,7 @@ def lsh_index_probe(
     path: str,
     threshold: float = 0.5,
     num_partitions: int = 16,
+    stats_out: dict | None = None,
 ) -> ray.data.Dataset:
     """Probe a ``build_lsh_index`` store with a batch of NEW documents:
     returns (new_id, old_id, est_jaccard) for every (new, indexed) pair
@@ -1250,6 +1251,19 @@ def lsh_index_probe(
         for p in touched
         if _os.path.exists(_os.path.join(bdir, f"bucket={p}", "part.parquet"))
     ]
+    if stats_out is not None:
+        all_b = [
+            _os.path.join(bdir, f"bucket={b}", "part.parquet")
+            for b in range(bucket_parts)
+        ]
+        stats_out.update(
+            bucket_parts_read=len(files),
+            bucket_parts_total=bucket_parts,
+            bucket_bytes_read=sum(_os.path.getsize(f) for f in files),
+            bucket_bytes_total=sum(
+                _os.path.getsize(f) for f in all_b if _os.path.exists(f)
+            ),
+        )
     empty = pa.table(
         {
             "new_id": pa.array([], pa.int64()),
@@ -1328,6 +1342,10 @@ def lsh_index_probe(
         for p in old_ids_touched
         if _os.path.exists(_os.path.join(sdir, f"bucket={p}", "part.parquet"))
     ]
+    if stats_out is not None:
+        stats_out.update(
+            sig_parts_read=len(sfiles), sig_parts_total=sig_parts
+        )
     if not sfiles:
         return ray.data.from_arrow(empty)
     old_sigs = ray.data.read_parquet(sfiles, partitioning=None).select_columns(

@@ -689,3 +689,19 @@ def test_lsh_index_param_change_raises(tmp_path):
     dedup.build_lsh_index(ds, p, bucket_parts=4, sig_parts=2)
     with _pytest.raises(ValueError, match="rebuild into a fresh path"):
         dedup.build_lsh_index(ds, p, bucket_parts=8, sig_parts=2)
+
+
+def test_lsh_index_probe_prunes_reads(tmp_path):
+    """The incremental-ingest IO contract: a small probe batch touches a
+    strict subset of the bucket partitions."""
+    texts = [f"document number {i} body words alpha beta gamma {i % 7}" for i in range(60)]
+    idx = str(tmp_path / "idx")
+    dedup.build_lsh_index(_docs(texts), idx, bucket_parts=64, sig_parts=32)
+    probe = _docs([texts[5]], ids=[999])
+    stats: dict = {}
+    out = dedup.lsh_index_probe(probe, idx, threshold=0.9, stats_out=stats).to_pandas()
+    assert (out["old_id"] == 5).any()
+    # one doc → at most `bands` = 16 bucket keys → well under the 64 parts
+    assert 0 < stats["bucket_parts_read"] <= 16 < stats["bucket_parts_total"]
+    assert stats["bucket_bytes_read"] < stats["bucket_bytes_total"]
+    assert 0 < stats["sig_parts_read"] <= stats["sig_parts_total"]
