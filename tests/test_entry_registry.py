@@ -32,6 +32,7 @@ def test_registry_shape():
         "jpeg_features",
         "video_features",
         "repos_flagship",
+        "text_bpe_train",
     }, rows_only
 
 
