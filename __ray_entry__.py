@@ -648,6 +648,40 @@ def _q_samp_split(sf_dir):
     return ds.select_columns(["doc_id", "split"])
 
 
+def _q_samp_priority(sf_dir):
+    """Weighted sampling without replacement (priority sampling): k docs
+    weighted by char length, integer rank = hash_u64(doc_id) // weight."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from graphscope_ray.functions.sampling import priority_sample
+
+    def _wt(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "n_chars": n})
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        _wt, batch_format="pyarrow"
+    )
+    return priority_sample(docs, key="doc_id", weight_col="n_chars", k=50, salt=11)
+
+
+def _q_text_norm(sf_dir):
+    from graphscope_ray.functions.text import normalize_text
+
+    return normalize_text(_documents(sf_dir))
+
+
+def _q_op_hll_by(sf_dir):
+    """Per-group HLL distinct estimate: distinct l_partkey per l_returnflag
+    (p=10; the estimate itself is oracle-gated, like op_hll_count)."""
+    from graphscope_ray.functions.sketch import hll_count_by
+    from graphscope_ray.pipelines.testdata import read
+
+    li = read(sf_dir, "lineitem", columns=["l_returnflag", "l_partkey"])
+    return hll_count_by(li, "l_returnflag", "l_partkey", p=10)
+
+
 def _q_samp_stratified(sf_dir):
     from graphscope_ray.functions.sampling import stratified_hash_sample
 
@@ -849,6 +883,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "samp_sample": _q_samp_sample,
         "samp_split": _q_samp_split,
         "samp_stratified": _q_samp_stratified,
+        "samp_priority": _q_samp_priority,
+        "text_norm": _q_text_norm,
+        "op_hll_by": _q_op_hll_by,
         # multimodal plumbing
         "multimodal_features": _q_multimodal,
         "jpeg_features": _q_jpeg_features,
@@ -1024,6 +1061,9 @@ def oracle_sql() -> dict[str, str]:
         "samp_sample": osql.samp_sample_sql(),
         "samp_split": osql.samp_split_sql(),
         "samp_stratified": osql.samp_stratified_sql(),
+        "samp_priority": osql.samp_priority_sql(),
+        "text_norm": osql.text_norm_sql(),
+        "op_hll_by": osql.op_hll_by_sql(),
         # no SQL oracle (heuristic / sequential / approximate / stateful):
         # lg_dfs (stack order is not SQL-expressible; pytest oracle),
         # lg_louvain (labels data-dependent; pytest modularity oracles),

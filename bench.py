@@ -662,6 +662,31 @@ def headline() -> dict:
 
     timed_extra("dedup_lsh_incr", _lsh_incr)
 
+    from graphscope_ray.functions.sketch import hll_count_by
+    from graphscope_ray.functions.text import normalize_text
+
+    timed_extra("text_norm", lambda: normalize_text(docs).count())
+    li = _read_clean(f"{SF_DIR}/lineitem.parquet").select_columns(
+        ["l_returnflag", "l_partkey"]
+    )
+    timed_extra("op_hll_by", lambda: hll_count_by(li, "l_returnflag", "l_partkey", p=10))
+
+    def _priority():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from graphscope_ray.functions.sampling import priority_sample
+
+        wt = docs.map_batches(
+            lambda t: pa.table(
+                {"doc_id": t["doc_id"], "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        priority_sample(wt, key="doc_id", weight_col="n_chars", k=50, salt=11)
+
+    timed_extra("samp_priority", _priority)
+
     total = round(sum(qtimes.values()), 3)
     out = {
         "metric": "headline pipelines wall-clock (per-stage best-of-2)",

@@ -31,6 +31,74 @@ def hash_bucket(keys: np.ndarray, salt: int = 0) -> np.ndarray:
     return ((h >> np.uint64(33)) % np.uint64(1000)).astype(np.int64)
 
 
+def hash_u64(keys: np.ndarray, salt: int = 0) -> np.ndarray:
+    """Full-range deterministic uint64 hash per int64 key (the Knuth
+    multiplicative kernel of ``hash_bucket`` WITHOUT the >>33 / mod-1000
+    reduction — used where 64 bits of resolution matter)."""
+    k = keys.astype(np.int64).view(np.uint64)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+        return k * _C1 + np.uint64(salt) * _C2 + _C3
+
+
+def priority_sample(
+    ds: ray.data.Dataset,
+    key: str = "doc_id",
+    weight_col: str = "n_tokens",
+    k: int = 50,
+    salt: int = 0,
+) -> "pd.DataFrame":
+    """Deterministic weighted sampling without replacement of fixed size k
+    (priority sampling, Duffield–Lund–Thorup JACM'07 / Efraimidis–Spirakis
+    exponential race): each row's rank is u/w with u uniform — here the
+    integer form ``rank = hash_u64(key) // w`` (u = the full-range 64-bit
+    hash, w = the row's positive integer weight, floor division) — and the
+    sample is the k smallest ranks, ties broken by key.  Heavier rows get
+    proportionally smaller ranks, so inclusion probability ≈ w-proportional;
+    the decision is content-stable (re-runs, repartitioning and incremental
+    ingestion keep the same winners, like every sampler in this module) and
+    exactly reproducible in ANSI SQL (HUGEINT // w).
+
+    Distributed shape: each block emits only its own k smallest (rank, key,
+    weight) rows — a constant-size partial, the same per-block-top-k +
+    tiny-driver-merge pattern as similarity.topk_cosine — so nothing
+    corpus-sized ever leaves the blocks.  Returns (key, weight, rank) of
+    the k winners sorted by key; prio is the uint64 rank wrapped to int64
+    (two's complement) for Arrow transport."""
+    import pandas as pd
+
+    def _partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], pa.int64()),
+                "weight": pa.array([], pa.int64()),
+                "prio": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0 or t.num_columns == 0:
+            return empty
+        ids = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.maximum(t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64), 1)
+        rank = hash_u64(ids, salt) // w.astype(np.uint64)
+        order = np.lexsort((ids, rank))[:k]
+        return pa.table(
+            {
+                key: pa.array(ids[order]),
+                "weight": pa.array(w[order]),
+                "prio": pa.array(rank[order].view(np.int64)),
+            }
+        )
+
+    parts = (
+        ds.select_columns([key, weight_col])
+        .map_batches(_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    # uint64 order == unsigned view of the int64 ranks
+    parts["_u"] = parts["prio"].to_numpy().view(np.uint64)
+    out = parts.sort_values(["_u", key]).head(k).drop(columns="_u")
+    return out.sort_values(key).reset_index(drop=True)
+
+
 def hash_sample(
     ds: ray.data.Dataset, key: str = "doc_id", permille: int = 100, salt: int = 0
 ) -> ray.data.Dataset:

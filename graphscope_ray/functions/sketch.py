@@ -91,35 +91,23 @@ def _hll_alpha(m: int) -> float:
     return 0.7213 / (1 + 1.079 / m)
 
 
-def hll_count(ds: ray.data.Dataset, col: str, p: int = 12) -> float:
-    """HyperLogLog cardinality estimate (±1.04/√2^p ≈ ±1.6 % at p=12):
-    per-block 2^p-register partial sketches, merged by elementwise max.
-    Hash collisions aside, the estimate is deterministic — same input,
-    same answer, any partitioning."""
-    m = 1 << p
-    shift = np.uint64(64 - p)
+def _hll_idx_rho(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rho) per hash: bucket = top p bits, rho = CLZ of the
+    remaining 64-p bits (shifted up, low bits padded) + 1."""
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad low bits
+    rho = np.zeros(len(h), dtype=np.uint8)
+    v = rest.copy()
+    for b in (32, 16, 8, 4, 2, 1):  # branchless CLZ
+        mask = v < (np.uint64(1) << np.uint64(64 - b))
+        rho[mask] += b
+        v[mask] <<= np.uint64(b)
+    return idx, np.minimum(rho + 1, 64 - p + 1).astype(np.uint8)
 
-    def _partial(t: pa.Table) -> pa.Table:
-        regs = np.zeros(m, dtype=np.uint8)
-        if col in t.schema.names and t.num_rows:
-            h = _hash64(t[col])
-            idx = (h >> shift).astype(np.int64)
-            rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad low bits
-            # rho = leading zeros of the remaining 64-p bits, + 1
-            rho = np.zeros(len(h), dtype=np.uint8)
-            v = rest.copy()
-            for b in (32, 16, 8, 4, 2, 1):  # branchless CLZ
-                mask = v < (np.uint64(1) << np.uint64(64 - b))
-                rho[mask] += b
-                v[mask] <<= np.uint64(b)
-            rho = np.minimum(rho + 1, 64 - p + 1).astype(np.uint8)
-            np.maximum.at(regs, idx, rho)
-        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 
-    parts = ds.select_columns([col]).map_batches(_partial, batch_format="pyarrow").to_pandas()
-    regs = np.zeros(m, dtype=np.uint8)
-    for rb in parts["regs"]:
-        regs = np.maximum(regs, np.frombuffer(rb, dtype=np.uint8))
+def _hll_estimate(regs: np.ndarray, m: int) -> float:
+    """Bias-corrected harmonic estimate with the standard small-range
+    (linear counting) and large-range corrections."""
     est = _hll_alpha(m) * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
     zeros = int((regs == 0).sum())
     if est <= 2.5 * m and zeros > 0:
@@ -127,6 +115,71 @@ def hll_count(ds: ray.data.Dataset, col: str, p: int = 12) -> float:
     elif est > (1 << 64) / 30.0:
         est = -(1 << 64) * np.log(1 - est / (1 << 64))
     return float(est)
+
+
+def hll_count(ds: ray.data.Dataset, col: str, p: int = 12) -> float:
+    """HyperLogLog cardinality estimate (±1.04/√2^p ≈ ±1.6 % at p=12):
+    per-block 2^p-register partial sketches, merged by elementwise max.
+    Hash collisions aside, the estimate is deterministic — same input,
+    same answer, any partitioning."""
+    m = 1 << p
+
+    def _partial(t: pa.Table) -> pa.Table:
+        regs = np.zeros(m, dtype=np.uint8)
+        if col in t.schema.names and t.num_rows:
+            idx, rho = _hll_idx_rho(_hash64(t[col]), p)
+            np.maximum.at(regs, idx, rho)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    parts = ds.select_columns([col]).map_batches(_partial, batch_format="pyarrow").to_pandas()
+    regs = np.zeros(m, dtype=np.uint8)
+    for rb in parts["regs"]:
+        regs = np.maximum(regs, np.frombuffer(rb, dtype=np.uint8))
+    return _hll_estimate(regs, m)
+
+
+def hll_count_by(
+    ds: ray.data.Dataset, key: str, col: str, p: int = 10
+) -> pd.DataFrame:
+    """Per-group HyperLogLog: approximate COUNT(DISTINCT col) GROUP BY key
+    — the standard cardinality profile (distinct users per domain, distinct
+    docs per language) at scales where even per-group distinct SETS are too
+    big to exchange.  Each block emits one 2^p-register partial per group
+    PRESENT IN THAT BLOCK (vectorized 2-D scatter-max, one row per distinct
+    key per block), then partials merge per key by elementwise max in a
+    groupby().map_groups — the only exchange payload is
+    #blocks × #groups-per-block × 2^p bytes, never the values.  Mergeable
+    and deterministic like ``hll_count``; the estimate per group uses the
+    same bias-corrected formula, so the SQL oracle replicates it exactly.
+
+    Returns (key, estimate) sorted by key, estimate rounded to 4 dp."""
+    m = 1 << p
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {key: pa.array([], t.schema.field(key).type), "regs": pa.array([], pa.binary())}
+            )
+        idx, rho = _hll_idx_rho(_hash64(t[col]), p)
+        codes, uniq = pd.factorize(t[key].to_pandas(), sort=True)
+        regs = np.zeros((len(uniq), m), dtype=np.uint8)
+        np.maximum.at(regs, (codes, idx), rho)
+        return pa.table(
+            {key: pa.array(uniq), "regs": pa.array([r.tobytes() for r in regs], pa.binary())}
+        )
+
+    partials = ds.select_columns([key, col]).map_batches(_partial, batch_format="pyarrow")
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(m, dtype=np.uint8)
+        for rb in df["regs"]:
+            regs = np.maximum(regs, np.frombuffer(rb, dtype=np.uint8))
+        return pd.DataFrame(
+            {key: [df[key].iloc[0]], "estimate": [round(_hll_estimate(regs, m), 4)]}
+        )
+
+    out = partials.groupby(key).map_groups(_merge, batch_format="pandas").to_pandas()
+    return out.sort_values(key).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

@@ -96,6 +96,34 @@ def quality_score(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Data
 # PII patterns (RE2 syntax — no lookarounds, so Arrow's
 # replace_substring_regex and DuckDB's regexp_replace, both RE2, produce
 # byte-identical redactions; the public C4/CCNet-style scrub rules)
+# CCNet-style normalization steps (Wenzek et al. 2020 §4.1, public
+# methodology): lowercase, every digit → 0, punctuation → space, whitespace
+# collapsed.  Accent folding is skipped — the synthetic corpus is pure
+# ASCII and DuckDB lacks a strip_accents twin (documented divergence).
+# Both regexes run RE2 on both sides (Arrow replace_substring_regex /
+# DuckDB regexp_replace 'g'), so engine and oracle share one kernel.
+NORM_STEPS: list[tuple[str, str]] = [
+    (r"[0-9]", "0"),
+    (r"[^a-z0\s]", " "),
+]
+
+
+def normalize_text(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """(doc_id, norm_text): the canonical pre-dedup text normalization —
+    near-dup pipelines (CCNet, Dolma) hash the NORMALIZED text so case,
+    digits and punctuation don't defeat exact/minhash dedup.  Pure
+    vectorized map_batches (three RE2 passes + trim); streams, no state."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(t[text_col])
+        for pat, repl in NORM_STEPS:
+            s = pc.replace_substring_regex(s, pat, replacement=repl)
+        s = pc.utf8_trim_whitespace(pc.replace_substring_regex(s, r"\s+", replacement=" "))
+        return pa.table({"doc_id": t["doc_id"], "norm_text": s})
+
+    return ds.select_columns(["doc_id", text_col]).map_batches(_f, batch_format="pyarrow")
+
+
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),

@@ -2052,6 +2052,77 @@ def samp_stratified_sql(rates: dict | None = None, default_permille: int = 500, 
     )
 
 
+def _knuth64_expr(col: str, salt: int) -> str:
+    """sampling.hash_u64 twin: the full-range Knuth hash mod 2^64 as a
+    HUGEINT (no >>33 / mod-1000 reduction).  Safe for small int keys only
+    (key·C1 must fit INT128 — doc_id ≤ ~1e18/6.2 qualifies)."""
+    return (
+        f"(((CAST({col} AS HUGEINT) * CAST(11400714819323198485 AS HUGEINT)"
+        f" + {salt} * CAST(14029467366897019727 AS HUGEINT)"
+        f" + CAST(1609587929392839161 AS HUGEINT))"
+        f" % CAST(18446744073709551616 AS HUGEINT)))"
+    )
+
+
+def samp_priority_sql(k: int = 50, salt: int = 11) -> str:
+    """Priority sampling (sampling.priority_sample): rank = hash_u64(doc_id)
+    // weight with weight = char length of text; the k smallest ranks win,
+    ties by doc_id.  Integer arithmetic end to end, so the SQL is
+    bit-exact; prio is the uint64 rank wrapped to int64."""
+    h = _knuth64_expr("doc_id", salt)
+    return (
+        f"WITH h AS (SELECT doc_id, greatest(length(text), 1) AS weight, "
+        f"{h} // greatest(length(text), 1) AS prio FROM documents), "
+        f"win AS (SELECT * FROM h ORDER BY prio, doc_id LIMIT {k}) "
+        f"SELECT doc_id, CAST(weight AS BIGINT) AS weight, "
+        f"CAST(CASE WHEN prio >= 9223372036854775808 THEN prio - {_Q64} "
+        f"ELSE prio END AS BIGINT) AS prio FROM win ORDER BY doc_id"
+    )
+
+
+def text_norm_sql() -> str:
+    """CCNet-style normalization (text.normalize_text): lowercase, digits→0,
+    punctuation→space, whitespace collapsed + trimmed.  Same RE2 patterns
+    both sides (Arrow replace_substring_regex / DuckDB regexp_replace)."""
+    return (
+        "SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace("
+        "lower(text), '[0-9]', '0', 'g'), '[^a-z0\\s]', ' ', 'g'), "
+        "'\\s+', ' ', 'g')) AS norm_text FROM documents ORDER BY doc_id"
+    )
+
+
+def op_hll_by_sql(p: int = 10) -> str:
+    """Bit-exact SQL replica of sketch.hll_count_by over lineitem: distinct
+    l_partkey per l_returnflag — the same fmix64 / CLZ-via-bin() register
+    machinery as op_hll_count_sql, grouped by key (registers cross-joined
+    per group so empty registers count toward linear counting)."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    low = f"{1 << (64 - p)}"  # 2^(64-p)
+    mix, final = _mix64_expr_ctes("h0", "r, k")
+    ctes = [
+        "h0 AS MATERIALIZED (SELECT row_number() OVER () AS r, "
+        "l_returnflag AS k, CAST(l_partkey AS HUGEINT) AS h FROM lineitem)",
+        *mix,
+        f"rr AS MATERIALIZED (SELECT k, h // CAST({low} AS HUGEINT) AS bucket, "
+        f"64 - length(bin((h % CAST({low} AS HUGEINT)) * CAST({1 << p} AS HUGEINT) "
+        f"+ {(1 << p) - 1})) + 1 AS rho FROM {final})",
+        f"grp AS (SELECT DISTINCT k FROM rr)",
+        f"regs AS (SELECT g.k, b.range AS bucket, coalesce(mx.rho, 0) AS reg "
+        f"FROM grp g CROSS JOIN range({m}) b LEFT JOIN "
+        f"(SELECT k, bucket, max(rho) AS rho FROM rr GROUP BY k, bucket) mx "
+        f"ON mx.k = g.k AND mx.bucket = b.range)",
+        f"est AS (SELECT k, CAST({alpha} AS DOUBLE) * {m} * {m} "
+        f"/ sum(power(2.0, -reg)) AS e, "
+        f"sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS z FROM regs GROUP BY k)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + " "
+        f"SELECT k AS l_returnflag, round(CASE WHEN e <= {2.5 * m} AND z > 0 "
+        f"THEN {m} * ln({m} / z) ELSE e END, 4) AS estimate FROM est ORDER BY k"
+    )
+
+
 # ---------------------------------------------------------------------------
 # sssp_has_path / sssp_average_length / sssp_path / attribute assortativity /
 # directed LCC (the last distinct-semantics apps in the reference registry)

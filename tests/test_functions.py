@@ -705,3 +705,35 @@ def test_lsh_index_probe_prunes_reads(tmp_path):
     assert 0 < stats["bucket_parts_read"] <= 16 < stats["bucket_parts_total"]
     assert stats["bucket_bytes_read"] < stats["bucket_bytes_total"]
     assert 0 < stats["sig_parts_read"] <= stats["sig_parts_total"]
+
+
+def test_priority_sample_weighted_and_stable():
+    from graphscope_ray.functions import sampling
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    ids = np.arange(n, dtype=np.int64)
+    w = np.where(ids % 10 == 0, 500, 1).astype(np.int64)  # 10% heavy rows
+    t = pa.table({"doc_id": pa.array(ids), "w": pa.array(w)})
+    out = sampling.priority_sample(
+        ray.data.from_arrow(t).repartition(7), key="doc_id", weight_col="w", k=100, salt=3
+    )
+    # exactly k winners, identical to the brute-force rank computation
+    assert len(out) == 100
+    brute_rank = (sampling.hash_u64(ids, 3) // w.astype(np.uint64))
+    order = np.lexsort((ids, brute_rank))[:100]
+    assert sorted(out["doc_id"].tolist()) == sorted(ids[order].tolist())
+    # heavy rows vastly over-represented vs their 10% share
+    frac_heavy = (out["doc_id"] % 10 == 0).mean()
+    assert frac_heavy > 0.8
+    # partition-invariant
+    out1 = sampling.priority_sample(
+        ray.data.from_arrow(t).repartition(2), key="doc_id", weight_col="w", k=100, salt=3
+    )
+    pd.testing.assert_frame_equal(out, out1)
+
+
+def test_normalize_text_ccnet_rules():
+    ds = _docs(["  Hello, WORLD!!  123 foo\tbar ", "a.b,c;d", ""])
+    out = text.normalize_text(ds).to_pandas().sort_values("doc_id")
+    assert out.norm_text.tolist() == ["hello world 000 foo bar", "a b c d", ""]

@@ -112,3 +112,22 @@ def test_bloom_member_derives_m_from_bitmap():
     # no m_bits on the probe side: derived from the bitmap; members all hit
     out = bloom_member(build, bm, "k", k=3).to_pandas()
     assert (out["bloom_hit"] == 1).all()
+
+
+def test_hll_count_by_matches_exact_and_is_partition_invariant():
+    from graphscope_ray.functions.sketch import hll_count_by
+
+    rng = np.random.default_rng(11)
+    keys = rng.choice(["A", "N", "R"], size=8000)
+    # distinct pools of very different sizes per group
+    pool = {"A": 40, "N": 900, "R": 9000}
+    vals = np.array([rng.integers(0, pool[k]) for k in keys], dtype=np.int64)
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    out2 = hll_count_by(ray.data.from_arrow(t).repartition(2), "k", "v", p=10)
+    out9 = hll_count_by(ray.data.from_arrow(t).repartition(9), "k", "v", p=10)
+    # register merge is exact → estimates independent of blocking
+    pd.testing.assert_frame_equal(out2, out9)
+    truth = pd.DataFrame({"k": keys, "v": vals}).groupby("k")["v"].nunique()
+    for _, row in out2.iterrows():
+        true_n = truth[row["k"]]
+        assert abs(row["estimate"] - true_n) / true_n < 0.12, (row["k"], row["estimate"], true_n)
