@@ -682,6 +682,65 @@ def _q_op_hll_by(sf_dir):
     return hll_count_by(li, "l_returnflag", "l_partkey", p=10)
 
 
+def _gremlin_pg(sf_dir):
+    from graphscope_ray.pipelines.testdata import _tripartite_pgraph
+
+    return _tripartite_pgraph(sf_dir)
+
+
+def _q_pg_gremlin_count(sf_dir):
+    """GREMLIN_TO_SUBGRAPH data plane (ref dag_utils.py:1048-1084): a
+    2-hop filtered traversal's terminal count — bag semantics, so the
+    number equals the SQL join multiplicity exactly."""
+    import pandas as pd
+
+    from graphscope_ray.graph.gremlin import P, traversal
+
+    g = traversal(_gremlin_pg(sf_dir))
+    n = (
+        g.V()
+        .hasLabel("customer")
+        .has("c_acctbal", P.gt(5000))
+        .out("places")
+        .out("contains")
+        .count()
+    )
+    return pd.DataFrame({"n": [n]})
+
+
+def _q_pg_gremlin_groupcount(sf_dir):
+    """Same traversal projected to part sizes and groupCount()ed — the
+    values() bag is the join result, so (value, count) is an exact GROUP BY."""
+    from graphscope_ray.graph.gremlin import P, traversal
+
+    g = traversal(_gremlin_pg(sf_dir))
+    return (
+        g.V()
+        .hasLabel("customer")
+        .has("c_acctbal", P.gt(5000))
+        .out("places")
+        .out("contains")
+        .values("p_size")
+        .groupCount()
+    )
+
+
+def _q_pg_gremlin_subgraph(sf_dir):
+    """The string surface: run_gremlin() evaluates the same script shape
+    gremlin_to_subgraph() accepts and MATERIALIZES the traversed edges as
+    a new PropertyGraph; the query returns the subgraph's own edge table
+    (round-trip through the materialized graph, not the traversal)."""
+    from graphscope_ray.graph.gremlin import run_gremlin
+
+    sub = run_gremlin(
+        _gremlin_pg(sf_dir),
+        "g.V().hasLabel('customer').has('c_nationkey', P.within(0, 1, 2))"
+        ".outE('places').subgraph('s')",
+    )
+    df = sub.edge_table("places").to_pandas()
+    return df.sort_values(["src_oid", "dst_oid"]).reset_index(drop=True)
+
+
 def _q_samp_stratified(sf_dir):
     from graphscope_ray.functions.sampling import stratified_hash_sample
 
@@ -822,6 +881,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_pagerank": td.pg_pagerank,
         "pg_project_wcc": td.pg_project_wcc,
         "pg_addcol_consolidate": td.pg_addcol_consolidate,
+        "pg_gremlin_count": _q_pg_gremlin_count,
+        "pg_gremlin_groupcount": _q_pg_gremlin_groupcount,
+        "pg_gremlin_subgraph": _q_pg_gremlin_subgraph,
         "pg_graphar_roundtrip": td.pg_graphar_roundtrip,
         "lg_sssp_weighted": td.lg_sssp_weighted,
         "lg_sssp_delta": td.lg_sssp_delta,
@@ -1005,6 +1067,9 @@ def oracle_sql() -> dict[str, str]:
         "pg_pagerank": osql.pg_pagerank_sql(),
         "pg_project_wcc": osql.pg_project_wcc_sql(),
         "pg_addcol_consolidate": osql.pg_addcol_consolidate_sql(),
+        "pg_gremlin_count": osql.pg_gremlin_count_sql(),
+        "pg_gremlin_groupcount": osql.pg_gremlin_groupcount_sql(),
+        "pg_gremlin_subgraph": osql.pg_gremlin_subgraph_sql(),
         "pg_graphar_roundtrip": (
             "SELECT o_custkey AS src_oid, o_orderkey AS dst_oid FROM orders "
             "ORDER BY src_oid, dst_oid"

@@ -2123,6 +2123,46 @@ def op_hll_by_sql(p: int = 10) -> str:
     )
 
 
+def pg_gremlin_count_sql() -> str:
+    """gremlin.Traversal bag semantics ARE join multiplicities, so the
+    2-hop count g.V().hasLabel('customer').has('c_acctbal', gt(5000))
+    .out('places').out('contains').count() is exactly the 3-table join
+    cardinality (places = orders rows, contains = lineitem rows)."""
+    return (
+        "SELECT count(*) AS n FROM customer "
+        "JOIN orders ON o_custkey = c_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_acctbal > 5000"
+    )
+
+
+def pg_gremlin_groupcount_sql() -> str:
+    """values('p_size').groupCount() over the same traversal = GROUP BY
+    p_size over the 4-table join (the part hop is the values() property
+    join)."""
+    return (
+        "SELECT p_size AS value, count(*) AS count FROM customer "
+        "JOIN orders ON o_custkey = c_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN part ON p_partkey = l_partkey "
+        "WHERE c_acctbal > 5000 "
+        "GROUP BY p_size ORDER BY p_size"
+    )
+
+
+def pg_gremlin_subgraph_sql() -> str:
+    """The materialized subgraph's 'places' edge table: one row per parent
+    places edge whose src customer passes the nationkey filter (subgraph
+    dedups edges; places edges are unique (custkey, orderkey) pairs
+    already)."""
+    return (
+        "SELECT o_custkey AS src_oid, o_orderkey AS dst_oid FROM orders "
+        "JOIN customer ON c_custkey = o_custkey "
+        "WHERE c_nationkey IN (0, 1, 2) "
+        "ORDER BY src_oid, dst_oid"
+    )
+
+
 # ---------------------------------------------------------------------------
 # sssp_has_path / sssp_average_length / sssp_path / attribute assortativity /
 # directed LCC (the last distinct-semantics apps in the reference registry)
