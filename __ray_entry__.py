@@ -682,6 +682,32 @@ def _q_op_hll_by(sf_dir):
     return hll_count_by(li, "l_returnflag", "l_partkey", p=10)
 
 
+def _q_dedup_semantic(sf_dir, n_planted: int = 10):
+    """SemDeDup (cluster-then-prune semantic dedup) with planted exact
+    duplicates (vec_id+10000, same vector — cosine exactly 1 inside the
+    same cluster); the synthetic embeddings are near-orthogonal, so the
+    planted copies are the rows the 0.95 threshold must flag."""
+    import pyarrow as pa
+
+    from graphscope_ray.functions.dedup import semdedup
+
+    emb = _embeddings(sf_dir)
+
+    def _plant(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        extra = t.filter(pa.array(ids < n_planted))
+        extra = extra.set_column(
+            extra.schema.get_field_index("vec_id"),
+            "vec_id",
+            pa.array(extra["vec_id"].to_numpy(zero_copy_only=False) + 10000),
+        )
+        return pa.concat_tables([t, extra])
+
+    planted = emb.map_batches(_plant, batch_format="pyarrow")
+    out = semdedup(planted, k=8, iters=3, threshold=0.95).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def _gremlin_pg(sf_dir):
     from graphscope_ray.pipelines.testdata import _tripartite_pgraph
 
@@ -931,6 +957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substring": _q_dedup_substring,
         "dedup_paragraph": _q_dedup_paragraph,
         "dedup_lsh_incr": _q_dedup_lsh_incr,
+        "dedup_semantic": _q_dedup_semantic,
         "text_charlm": _q_text_charlm,
         "samp_mixture": _q_samp_mixture,
         "sim_pq_refined": _q_sim_pq,
@@ -1112,6 +1139,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring": osql.dedup_substring_sql(),
         "dedup_paragraph": osql.dedup_paragraph_sql(),
         "dedup_lsh_incr": osql.dedup_lsh_incr_sql(),
+        "dedup_semantic": osql.dedup_semantic_sql(),
         "text_charlm": osql.text_charlm_sql(),
         "text_entropy": osql.text_entropy_sql(),
         "llm_prep": osql.llm_prep_sql(),

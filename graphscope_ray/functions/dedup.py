@@ -1386,3 +1386,82 @@ def lsh_index_probe(
         )
 
     return withsig.map_batches(_estimate, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic (embedding-space) deduplication
+
+
+def semdedup(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 5,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk: int = 4096,
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
+    cluster the embeddings with k-means, then deduplicate INSIDE each
+    cluster by cosine similarity, so the expensive pairwise check never
+    crosses cluster boundaries (the paper's trick for web scale: k ≈ √N
+    clusters make the per-cluster quadratic affordable).
+
+    Deterministic drop rule (SQL-expressible, partition-invariant): a point
+    is a duplicate iff some in-cluster point with a LOWER id is ≥ threshold
+    cosine-similar.  The paper keeps one representative per ε-ball (chosen
+    by distance to centroid); this pairwise keep-min-id rule agrees
+    whenever balls don't chain and is exactly reproducible in SQL —
+    documented divergence on chained near-dup triples a~b~c with a≁c,
+    where the greedy scan would re-keep c.
+
+    Distributed shape: k-means is ``mlprep.kmeans`` (broadcast centroids,
+    k×d partials per block); assignment + L2 normalization happen in one
+    streaming ``map_batches`` over the corpus; the per-cluster check runs
+    in ``groupby(cluster).map_groups`` with CHUNKED causal matmuls
+    (``chunk`` rows vs the id-sorted prefix → O(c·chunk) memory, never the
+    full c×c similarity matrix).  Returns (id, cluster, dup) — dup ∈ {0,1}.
+    """
+    from graphscope_ray.functions.mlprep import kmeans
+    from graphscope_ray.utils import vecs2d
+
+    _, C = kmeans(ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    ref = ray.put(C)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        cents = ray.get(ref)
+        X = vecs2d(t[vec_col]).astype(np.float64)
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1).astype(np.int64)  # ties → lowest cid
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "cluster": pa.array(a),
+                "nv": pa.array(list(X), pa.list_(pa.float64())),
+            }
+        )
+
+    assigned = ds.select_columns([id_col, vec_col]).map_batches(
+        _assign, batch_format="pyarrow"
+    )
+
+    def _verify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col).reset_index(drop=True)
+        X = np.stack(df["nv"].to_numpy())
+        n = len(df)
+        dup = np.zeros(n, dtype=bool)
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            sims = X[s:e] @ X[:e].T  # rows: points s..e-1; cols: prefix 0..e-1
+            causal = np.arange(e)[None, :] < np.arange(s, e)[:, None]
+            dup[s:e] = ((sims >= threshold) & causal).any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col],
+                "cluster": df["cluster"],
+                "dup": dup.astype(np.int32),
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(_verify, batch_format="pandas")

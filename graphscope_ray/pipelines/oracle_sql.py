@@ -2123,6 +2123,71 @@ def op_hll_by_sql(p: int = 10) -> str:
     )
 
 
+def dedup_semantic_sql(
+    k: int = 8, iters: int = 3, threshold: float = 0.95, n_planted: int = 10
+) -> str:
+    """Exact replica of dedup.semdedup over the planted embeddings table:
+    the same unrolled Lloyd's as op_kmeans_sql (seed = k lowest ids,
+    argmin with min-cid tie-break, empty-centroid carry-over) computes the
+    final cluster per vector, then the SemDeDup drop rule — dup iff an
+    in-cluster LOWER-id vector is ≥ threshold cosine-similar — is one
+    per-cluster causal self-join.  dup/cluster are integers, so the check
+    is raw-hash exact; the 0.95 threshold sits in the wide gap between
+    planted copies (cosine 1) and the near-orthogonal synthetic corpus
+    (max ≈ 0.51), so float noise cannot flip a row."""
+    ctes = [
+        "em AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+        "UNION ALL "
+        f"SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id < {n_planted})",
+        "pts AS MATERIALIZED (SELECT vec_id, generate_subscripts(v, 1) - 1 AS d, "
+        "unnest(v) AS x FROM em)",
+        f"seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid "
+        f"FROM (SELECT vec_id FROM em ORDER BY vec_id LIMIT {k}))",
+        "c0 AS MATERIALIZED (SELECT s.cid, p.d, p.x FROM seed s JOIN pts p ON p.vec_id = s.vec_id)",
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"dist{t} AS MATERIALIZED (SELECT p.vec_id, c.cid, "
+            f"sum((p.x - c.x) * (p.x - c.x)) AS d2 "
+            f"FROM pts p JOIN c{t} c ON c.d = p.d GROUP BY p.vec_id, c.cid)"
+        )
+        ctes.append(
+            f"asg{t} AS MATERIALIZED (SELECT vec_id, cid FROM "
+            f"(SELECT vec_id, cid, row_number() OVER "
+            f"(PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM dist{t}) WHERE rk = 1)"
+        )
+        ctes.append(
+            f"nu{t} AS (SELECT a.cid, p.d, avg(p.x) AS x FROM asg{t} a "
+            f"JOIN pts p ON p.vec_id = a.vec_id GROUP BY a.cid, p.d)"
+        )
+        ctes.append(
+            f"c{t + 1} AS MATERIALIZED (SELECT c.cid, c.d, coalesce(nu.x, c.x) AS x "
+            f"FROM c{t} c LEFT JOIN nu{t} nu ON nu.cid = c.cid AND nu.d = c.d)"
+        )
+    ctes.append(
+        f"distF AS (SELECT p.vec_id, c.cid, sum((p.x - c.x) * (p.x - c.x)) AS d2 "
+        f"FROM pts p JOIN c{iters} c ON c.d = p.d GROUP BY p.vec_id, c.cid)"
+    )
+    ctes.append(
+        "asgF AS MATERIALIZED (SELECT vec_id, cid FROM "
+        "(SELECT vec_id, cid, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM distF) WHERE rk = 1)"
+    )
+    ctes.append(
+        "dups AS (SELECT a.vec_id, max(CASE WHEN "
+        f"list_cosine_similarity(ea.v, eb.v) >= {threshold} THEN 1 ELSE 0 END) AS dup "
+        "FROM asgF a JOIN asgF b ON b.cid = a.cid AND b.vec_id < a.vec_id "
+        "JOIN em ea ON ea.vec_id = a.vec_id JOIN em eb ON eb.vec_id = b.vec_id "
+        "GROUP BY a.vec_id)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + " "
+        "SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster, "
+        "CAST(coalesce(d.dup, 0) AS BIGINT) AS dup "
+        "FROM asgF a LEFT JOIN dups d ON d.vec_id = a.vec_id ORDER BY a.vec_id"
+    )
+
+
 def pg_gremlin_count_sql() -> str:
     """gremlin.Traversal bag semantics ARE join multiplicities, so the
     2-hop count g.V().hasLabel('customer').has('c_acctbal', gt(5000))

@@ -737,3 +737,33 @@ def test_normalize_text_ccnet_rules():
     ds = _docs(["  Hello, WORLD!!  123 foo\tbar ", "a.b,c;d", ""])
     out = text.normalize_text(ds).to_pandas().sort_values("doc_id")
     assert out.norm_text.tolist() == ["hello world 000 foo bar", "a b c d", ""]
+
+
+def test_semdedup_flags_planted_and_chunk_invariant():
+    from graphscope_ray.functions.dedup import semdedup
+
+    rng = np.random.default_rng(7)
+    # 3 well-separated gaussian blobs + planted near-copies inside each
+    # offset 10, noise sigma 1: within-blob cosine ~0.86 (below threshold),
+    # blob separation ~14 vs spread ~4 (k-means recovers the blobs)
+    base = rng.normal(size=(300, 16)) + np.repeat(np.eye(3, 16) * 10, 100, axis=0)
+    ids = np.arange(300, dtype=np.int64)
+    copies = base[:12] + rng.normal(scale=1e-4, size=(12, 16))  # ~cosine 1
+    X = np.vstack([base, copies])
+    allids = np.concatenate([ids, ids[:12] + 1000])
+    t = pa.table(
+        {"vec_id": pa.array(allids), "embedding": pa.array(list(X.astype(np.float32)))}
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    out = semdedup(ds, k=3, iters=4, threshold=0.99, chunk=37).to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    # every planted copy is a dup (its lower-id original shares the cluster)
+    assert out[out.vec_id >= 1000].dup.eq(1).all()
+    # originals of the planted pairs are kept (lowest id wins)
+    assert out[out.vec_id < 12].dup.eq(0).all()
+    # chunk size and partitioning don't change the decision
+    out2 = semdedup(ds.repartition(2), k=3, iters=4, threshold=0.99, chunk=4096).to_pandas()
+    pd.testing.assert_frame_equal(out, out2.sort_values("vec_id").reset_index(drop=True))
+    # clusters recover the 3 blobs: planted copies co-cluster with originals
+    m = out.set_index("vec_id")["cluster"]
+    assert (m.loc[allids[:12] + 1000].to_numpy() == m.loc[allids[:12]].to_numpy()).all()
