@@ -682,6 +682,64 @@ def _q_op_hll_by(sf_dir):
     return hll_count_by(li, "l_returnflag", "l_partkey", p=10)
 
 
+def _q_lg_khop(sf_dir):
+    """Deterministic GNN-minibatch k-hop fanout sampling over the link
+    graph: 11 seed ids (0, 97, …, 970), fanouts [4, 3], edge-hash ranks —
+    bit-exactly reproduced by row_number-over-hash SQL."""
+    import numpy as np
+
+    from graphscope_ray.graph.minibatch import khop_sample
+    from graphscope_ray.pipelines.testdata import LG_MOD, lg_edges
+
+    out = khop_sample(
+        lg_edges(sf_dir),
+        seeds=np.arange(0, LG_MOD, 97),
+        fanouts=[4, 3],
+        salt=5,
+        pair_mod=LG_MOD,
+    )
+    return (
+        out.to_pandas()
+        .sort_values(["layer", "src", "dst"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_text_ppmi(sf_dir):
+    """Skip-gram co-occurrence + PPMI (word2vec/GloVe corpus statistic):
+    window 2, pairs ≥ 5 occurrences."""
+    from graphscope_ray.functions.mlprep import cooccurrence_ppmi
+
+    out = cooccurrence_ppmi(_documents(sf_dir), window=2, min_count=5).to_pandas()
+    return out.sort_values(["w", "c"]).reset_index(drop=True)
+
+
+def _q_lg_negative_sample(sf_dir, k: int = 3, salt: int = 7):
+    """Deterministic negative-edge sampling over the link graph (k non-edges
+    per vertex, hash-uniform candidates, distributed anti-join against the
+    true edges)."""
+    import pyarrow as pa
+
+    from graphscope_ray.graph.minibatch import negative_sample
+    from graphscope_ray.pipelines.testdata import LG_MOD, lg_edges
+    from graphscope_ray.utils import hash_groupby_sum
+
+    e = lg_edges(sf_dir)
+
+    def _ends(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"oid": pa.array([], pa.int64())})
+        return pa.table(
+            {"oid": pa.concat_arrays([t["src"].combine_chunks(), t["dst"].combine_chunks()])}
+        )
+
+    verts = hash_groupby_sum(
+        e.map_batches(_ends, batch_format="pyarrow"), ["oid"], None, "__n", num_partitions=8
+    ).select_columns(["oid"])
+    out = negative_sample(e, verts, n_universe=LG_MOD, k=k, salt=salt).to_pandas()
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
 def _q_dedup_semantic(sf_dir, n_planted: int = 10):
     """SemDeDup (cluster-then-prune semantic dedup) with planted exact
     duplicates (vec_id+10000, same vector — cosine exactly 1 inside the
@@ -889,6 +947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "op_kmeans": td.op_kmeans,
         "text_tfidf": td.text_tfidf,
         "text_bigrams": td.text_bigrams,
+        "text_ppmi": _q_text_ppmi,
         "op_range_join": td.op_range_join,
         "op_semi_join": td.op_semi_join,
         "op_anti_join": td.op_anti_join,
@@ -902,6 +961,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_simple_paths": td.lg_simple_paths,
         "lg_is_simple_path": td.lg_is_simple_path,
         "lg_path_enum": td.lg_path_enum,
+        "lg_khop_sample": _q_lg_khop,
+        "lg_negative_sample": _q_lg_negative_sample,
         "pg_wcc": td.pg_wcc,
         "pg_sssp": td.pg_sssp,
         "pg_pagerank": td.pg_pagerank,
@@ -934,6 +995,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": td.events_funnel,
         "op_rollup": td.op_rollup,
         "op_left_join": td.op_left_join,
+        "op_full_join": td.op_full_join,
+        "op_quantiles_by": td.op_quantiles_by,
         # text analysis
         "text_tokens": _q_text_tokens,
         "text_tokens_bpe": _q_text_tokens_bpe,
@@ -1076,6 +1139,7 @@ def oracle_sql() -> dict[str, str]:
         "op_kmeans": osql.op_kmeans_sql(),
         "text_tfidf": osql.text_tfidf_sql(),
         "text_bigrams": osql.text_bigrams_sql(),
+        "text_ppmi": osql.text_ppmi_sql(),
         "op_range_join": osql.op_range_join_sql(),
         "op_semi_join": osql.op_semi_join_sql(),
         "op_anti_join": osql.op_anti_join_sql(),
@@ -1089,6 +1153,8 @@ def oracle_sql() -> dict[str, str]:
         "lg_simple_paths": osql.lg_simple_paths_sql(),
         "lg_is_simple_path": osql.lg_is_simple_path_sql(),
         "lg_path_enum": osql.lg_path_enum_sql(),
+        "lg_khop_sample": osql.lg_khop_sql(),
+        "lg_negative_sample": osql.lg_negative_sample_sql(),
         "pg_wcc": osql.pg_wcc_sql(),
         "pg_sssp": osql.pg_sssp_sql(),
         "pg_pagerank": osql.pg_pagerank_sql(),
@@ -1126,6 +1192,8 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": osql.events_funnel_sql(),
         "op_rollup": osql.op_rollup_sql(),
         "op_left_join": osql.op_left_join_sql(),
+        "op_full_join": osql.op_full_join_sql(),
+        "op_quantiles_by": osql.op_quantiles_by_sql(),
         "text_tokens": osql.text_tokens_sql(),
         "text_tokens_bpe": osql.text_tokens_bpe_sql(),
         "text_stats": osql.text_stats_sql(),

@@ -687,6 +687,30 @@ def headline() -> dict:
 
     timed_extra("samp_priority", _priority)
 
+    def _gremlin():
+        from graphscope_ray.graph.gremlin import P, traversal
+        from graphscope_ray.pipelines.testdata import _tripartite_pgraph
+
+        g = traversal(_tripartite_pgraph(SF_DIR), num_partitions=16)
+        (
+            g.V()
+            .hasLabel("customer")
+            .has("c_acctbal", P.gt(5000))
+            .out("places")
+            .out("contains")
+            .count()
+        )
+
+    timed_extra("gremlin_2hop", _gremlin)
+
+    def _semdedup():
+        from graphscope_ray.functions.dedup import semdedup
+
+        emb = _read_clean(f"{SF_DIR}/embeddings.parquet")
+        semdedup(emb, k=8, iters=3, threshold=0.95).count()
+
+    timed_extra("dedup_semantic", _semdedup)
+
     total = round(sum(qtimes.values()), 3)
     out = {
         "metric": "headline pipelines wall-clock (per-stage best-of-2)",

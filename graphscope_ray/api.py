@@ -378,3 +378,21 @@ def voterank(graph: GraphDAG, num_of_selected_nodes: int = 10) -> list[int]:
     ).take_all()
     vmap = {int(r["vid"]): int(r["oid"]) for r in rows}
     return [vmap[int(v)] for v in vids]
+
+
+def gremlin(graph: GraphDAG, script: str | None = None, num_partitions: int = 8):
+    """Reference parity: ``sess.gremlin(graph)`` hands back an interactive
+    handle whose traversals GIE executes and ``gremlin_to_subgraph``
+    materializes (ref python/graphscope/client/session.py gremlin(),
+    dag_utils.py:1048-1084).  Here the traversal runs on the SAME engine:
+    returns the ``g`` traversal source over the handle's property graph,
+    or — with ``script`` — evaluates the Gremlin string and returns its
+    result (a Dataset-backed Traversal, a value, or a new PropertyGraph
+    for ``..subgraph(..)`` scripts, which ``Session.g``-style chaining can
+    keep querying)."""
+    from graphscope_ray.graph.gremlin import run_gremlin, traversal
+
+    graph._sess._check()
+    if script is None:
+        return traversal(graph._pg, num_partitions=num_partitions)
+    return run_gremlin(graph._pg, script, num_partitions=num_partitions)

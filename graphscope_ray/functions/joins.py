@@ -380,3 +380,30 @@ def posexplode(
         )
 
     return ds.select_columns([id_col, text_col]).map_batches(_explode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# per-group exact quantiles
+
+
+def quantiles_by(
+    ds: ray.data.Dataset, key: str, col: str, qs: list[float]
+) -> ray.data.Dataset:
+    """EXACT per-group quantiles — (key, q, value) with DuckDB
+    ``quantile_disc`` semantics (value at 1-based rank ``ceil(n·q)``, same
+    rule as ``exact_quantiles``).  One hash exchange of (key, col) only,
+    then a vectorized order statistic per group.  Assumes a single group's
+    values fit one worker (true for per-category/per-language profiles at
+    any corpus scale — group count grows, group size doesn't); for
+    billion-row single groups run ``exact_quantiles`` per key instead."""
+    qarr = np.asarray(list(qs), dtype=np.float64)
+
+    def _g(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df[col].to_numpy(np.float64))
+        n = len(v)
+        ranks = np.maximum(np.ceil(n * qarr).astype(np.int64), 1)
+        return pd.DataFrame(
+            {key: df[key].iloc[0], "q": qarr, "value": v[ranks - 1]}
+        )
+
+    return ds.select_columns([key, col]).groupby(key).map_groups(_g, batch_format="pandas")

@@ -333,3 +333,87 @@ def pack_sequences(
         )
 
     return cum.map_batches(_cut, batch_format="pyarrow")
+
+
+def cooccurrence_ppmi(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 2,
+    min_count: int = 2,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Skip-gram co-occurrence counts + PPMI weights (the word2vec-SGNS /
+    GloVe corpus statistic, Levy & Goldberg 2014): for every ordered token
+    pair within ``window`` positions in the same document,
+    ``n(w, c)`` = pair count, ``ppmi = max(0, ln(N·n(w,c) / (n(w)·n(c))))``
+    with marginals over the pair table and N = Σn.
+
+    Tokens are single-space positions (the corpus contract, same rule as
+    bigram_counts — empty tokens hold their position but pair into
+    nothing).  Distributed shape: pairs are built by VECTORIZED shifts of
+    the flattened token array (one (left, right) + (right, left) slice
+    pair per offset d ≤ window, masked to same-doc), pre-combined per
+    block inside ``hash_groupby_sum``; the marginals are two more
+    hash-exchange groupbys OVER THE AGGREGATED pair table (vocab-sized,
+    not corpus-sized) joined back with ``hash_join``.  Nothing
+    corpus-sized is ever broadcast.  Returns (w, c, n, ppmi) with
+    n ≥ min_count, ppmi rounded to 8 dp."""
+    import pyarrow.compute as pc
+
+    from graphscope_ray.utils import hash_join
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        lst = pc.split_pattern(t[text_col], " ")
+        counts = pc.list_value_length(lst).to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.list_flatten(lst).to_numpy(zero_copy_only=False).astype(str)
+        doc = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        ws, cs = [], []
+        for d in range(1, window + 1):
+            if len(toks) <= d:
+                break
+            same = doc[:-d] == doc[d:]
+            left, right = toks[:-d], toks[d:]
+            m = same & (left != "") & (right != "")
+            ws.append(left[m]); cs.append(right[m])   # (w, c) forward
+            ws.append(right[m]); cs.append(left[m])   # (c, w) backward
+        if not ws:
+            return pa.table({"w": pa.array([], pa.string()), "c": pa.array([], pa.string())})
+        return pa.table(
+            {"w": pa.array(np.concatenate(ws)), "c": pa.array(np.concatenate(cs))}
+        )
+
+    pairs = ds.select_columns([id_col, text_col]).map_batches(_pairs, batch_format="pyarrow")
+    counts = hash_groupby_sum(pairs, ["w", "c"], None, "n", num_partitions=num_partitions)
+    counts = counts.materialize()
+    nw = hash_groupby_sum(counts, ["w"], "n", "nw", num_partitions=num_partitions)
+    nc = hash_groupby_sum(counts, ["c"], "n", "nc", num_partitions=num_partitions)
+    total = float(counts.sum("n"))
+    j = hash_join(counts, nw, "w", "w", num_partitions=num_partitions)
+    j = hash_join(j, nc, "c", "c", num_partitions=num_partitions)
+
+    def _score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n" not in t.column_names:
+            return pa.table(
+                {
+                    "w": pa.array([], pa.string()),
+                    "c": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "ppmi": pa.array([], pa.float64()),
+                }
+            )
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mw = t["nw"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mc = t["nc"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ppmi = np.round(np.maximum(np.log(total * n / (mw * mc)), 0.0), 8)
+        keep = t["n"].to_numpy(zero_copy_only=False) >= min_count
+        return pa.table(
+            {
+                "w": t["w"].filter(pa.array(keep)) if not keep.all() else t["w"],
+                "c": t["c"].filter(pa.array(keep)) if not keep.all() else t["c"],
+                "n": pa.array(t["n"].to_numpy(zero_copy_only=False)[keep]),
+                "ppmi": pa.array(ppmi[keep]),
+            }
+        )
+
+    return j.map_batches(_score, batch_format="pyarrow")

@@ -2123,6 +2123,53 @@ def op_hll_by_sql(p: int = 10) -> str:
     )
 
 
+def lg_khop_sql(fanouts=(4, 3), salt: int = 5, seed_step: int = 97) -> str:
+    """Bit-exact replica of graph/minibatch.khop_sample over the link graph:
+    per layer t, rank = hash_u64(src·LG_MOD + dst, salt + t) (the same
+    full-range Knuth kernel as samp_priority), sample = row_number() OVER
+    (PARTITION BY src ORDER BY rank, dst) ≤ fanouts[t]; the next frontier
+    is the distinct sampled dsts."""
+    ctes = [f"f0 AS (SELECT range AS oid FROM range(0, {LG_MOD}, {seed_step}))"]
+    sels = []
+    for t, f in enumerate(fanouts):
+        h = _knuth64_expr(f"(e.src * {LG_MOD} + e.dst)", salt + t)
+        ctes.append(
+            f"r{t} AS (SELECT e.src, e.dst, row_number() OVER "
+            f"(PARTITION BY e.src ORDER BY {h}, e.dst) AS rk "
+            f"FROM e JOIN f{t} ON f{t}.oid = e.src)"
+        )
+        ctes.append(
+            f"s{t} AS (SELECT CAST({t} AS BIGINT) AS layer, src, dst FROM r{t} WHERE rk <= {f})"
+        )
+        ctes.append(f"f{t + 1} AS (SELECT DISTINCT dst AS oid FROM s{t})")
+        sels.append(f"SELECT layer, src, dst FROM s{t}")
+    return (
+        f"WITH {_BASE}, " + ",\n".join(ctes) + " "
+        + " UNION ALL ".join(sels)
+        + " ORDER BY layer, src, dst"
+    )
+
+
+def lg_negative_sample_sql(k: int = 3, salt: int = 7, m: int = 14) -> str:
+    """Bit-exact replica of graph/minibatch.negative_sample over the link
+    graph: candidate i of vertex v is knuth64(v·LG_MOD + i, salt) % LG_MOD
+    (the engine's hash_u64 twin), self-loops and true edges anti-joined
+    out, first k surviving candidates by i win.  m = 2k + 8 (the engine
+    default)."""
+    h = _knuth64_expr(f"(v.oid * {LG_MOD} + t.i)", salt)
+    return (
+        f"WITH {_BASE}, "
+        f"cand AS (SELECT v.oid AS src, CAST(({h}) % {LG_MOD} AS BIGINT) AS dst, t.i AS i "
+        f"FROM v CROSS JOIN range({m}) t(i)), "
+        "cand2 AS (SELECT * FROM cand WHERE dst <> src), "
+        "surv AS (SELECT c.src, c.dst, c.i FROM cand2 c "
+        "LEFT JOIN e ON e.src = c.src AND e.dst = c.dst WHERE e.src IS NULL) "
+        "SELECT src, dst FROM (SELECT src, dst, row_number() OVER "
+        f"(PARTITION BY src ORDER BY i) AS rk FROM surv) WHERE rk <= {k} "
+        "ORDER BY src, dst"
+    )
+
+
 def dedup_semantic_sql(
     k: int = 8, iters: int = 3, threshold: float = 0.95, n_planted: int = 10
 ) -> str:
@@ -2383,6 +2430,33 @@ def op_quantiles_sql(qs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) -> str:
         f"SELECT CAST(unnest(qs) AS DOUBLE) AS q, round(unnest(vals), 8) AS value "
         f"FROM (SELECT quantile_disc(value, {lst}) AS vals FROM events), "
         f"(SELECT {lst} AS qs) ORDER BY q"
+    )
+
+
+def op_full_join_sql() -> str:
+    """testdata.op_full_join twin: FULL OUTER join of the two aggregated
+    sides, coalesced keys and zero-filled counts."""
+    return (
+        "WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer "
+        "WHERE c_nationkey < 20 GROUP BY 1), "
+        "s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier "
+        "WHERE s_nationkey >= 5 GROUP BY 1) "
+        "SELECT coalesce(c.nk, s.nk) AS nationkey, "
+        "coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp "
+        "FROM c FULL OUTER JOIN s ON s.nk = c.nk ORDER BY nationkey"
+    )
+
+
+def op_quantiles_by_sql(qs=(0.25, 0.5, 0.9)) -> str:
+    """Per-group quantile_disc (joins.quantiles_by shares the ceil(n·q)
+    rank rule with exact_quantiles / op_quantiles)."""
+    lst = "[" + ", ".join(str(q) for q in qs) + "]"
+    return (
+        f"SELECT event_type, CAST(unnest(qs) AS DOUBLE) AS q, "
+        f"round(unnest(vals), 8) AS value "
+        f"FROM (SELECT event_type, quantile_disc(value, {lst}) AS vals "
+        f"FROM events GROUP BY event_type), (SELECT {lst} AS qs) "
+        f"ORDER BY event_type, q"
     )
 
 
@@ -2730,6 +2804,27 @@ def text_tfidf_sql() -> str:
         "SELECT tf.doc_id, tf.tok, tf.tf, "
         "round(tf.tf * ln(nn.n / df.df), 8) AS tfidf "
         "FROM tf JOIN df USING (tok), nn ORDER BY tf.doc_id, tf.tok"
+    )
+
+
+def text_ppmi_sql(window: int = 2, min_count: int = 5) -> str:
+    """mlprep.cooccurrence_ppmi twin: ordered same-doc token pairs within
+    ``window`` positions (single-space token positions, empties pair into
+    nothing), marginals over the aggregated pair table, ppmi rounded 8dp."""
+    return (
+        "WITH tok AS MATERIALIZED (SELECT doc_id, generate_subscripts(ts, 1) AS i, "
+        "unnest(ts) AS w FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)), "
+        f"pairs AS (SELECT a.w AS w, b.w AS c FROM tok a JOIN tok b "
+        f"ON b.doc_id = a.doc_id AND b.i BETWEEN a.i - {window} AND a.i + {window} "
+        "AND b.i <> a.i WHERE a.w <> '' AND b.w <> ''), "
+        "pcnt AS MATERIALIZED (SELECT w, c, count(*) AS n FROM pairs GROUP BY w, c), "
+        "mw AS (SELECT w, sum(n) AS nw FROM pcnt GROUP BY w), "
+        "mc AS (SELECT c, sum(n) AS nc FROM pcnt GROUP BY c), "
+        "tot AS (SELECT CAST(sum(n) AS DOUBLE) AS N FROM pcnt) "
+        "SELECT pcnt.w, pcnt.c, CAST(pcnt.n AS BIGINT) AS n, "
+        "round(greatest(ln(tot.N * pcnt.n / (mw.nw * mc.nc)), 0), 8) AS ppmi "
+        "FROM pcnt JOIN mw USING (w) JOIN mc USING (c), tot "
+        f"WHERE pcnt.n >= {min_count} ORDER BY w, c"
     )
 
 

@@ -2100,6 +2100,53 @@ def events_funnel(sf_dir: str, steps=("view", "click", "purchase")) -> pd.DataFr
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def op_full_join(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER join of two pre-aggregated sides on nationkey (customers
+    restricted to nations < 20, suppliers to ≥ 5, so each side has rows the
+    other lacks): the hash-exchange join with ``how='outer'`` keeps
+    unmatched rows from BOTH sides; nulls coalesce to 0 counts."""
+    from graphscope_ray.utils import hash_groupby_sum, hash_join
+
+    import pyarrow.compute as pc
+
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: t.filter(pc.less(t["c_nationkey"], 20)), batch_format="pyarrow"
+    )
+    supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["s_nationkey"], 5)), batch_format="pyarrow"
+    )
+    aggc = hash_groupby_sum(cust, ["c_nationkey"], None, "n_cust", num_partitions=8)
+    aggs = hash_groupby_sum(supp, ["s_nationkey"], None, "n_supp", num_partitions=8)
+    j = hash_join(aggc, aggs, "c_nationkey", "s_nationkey", how="outer", num_partitions=8)
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        idx = df.index
+        ck = df["c_nationkey"] if "c_nationkey" in df else pd.Series(np.nan, index=idx)
+        sk = df["s_nationkey"] if "s_nationkey" in df else pd.Series(np.nan, index=idx)
+        return pd.DataFrame(
+            {
+                "nationkey": ck.fillna(sk).astype(np.int64),
+                "n_cust": df.get("n_cust", pd.Series(0, index=idx)).fillna(0).astype(np.int64),
+                "n_supp": df.get("n_supp", pd.Series(0, index=idx)).fillna(0).astype(np.int64),
+            }
+        )
+
+    out = j.map_batches(_final, batch_format="pandas").to_pandas()
+    return out.sort_values("nationkey").reset_index(drop=True)
+
+
+def op_quantiles_by(sf_dir: str, qs=(0.25, 0.5, 0.9)) -> pd.DataFrame:
+    """Per-group exact quantiles: quantile_disc of event value per
+    event_type (joins.quantiles_by — one (key, value) exchange, vectorized
+    order statistics per group)."""
+    from graphscope_ray.functions.joins import quantiles_by
+
+    ev = read(sf_dir, "events", columns=["event_type", "value"])
+    out = quantiles_by(ev, "event_type", "value", list(qs)).to_pandas()
+    out["value"] = out["value"].round(8)
+    return out.sort_values(["event_type", "q"]).reset_index(drop=True)
+
+
 def op_rollup(sf_dir: str) -> pd.DataFrame:
     """ROLLUP(o_orderpriority, o_orderstatus): counts and sums at all three
     granularities, totals labeled 'ALL' — three streaming groupbys unioned

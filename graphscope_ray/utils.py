@@ -210,10 +210,13 @@ def hash_join(
     def _merge(nleft: int, *dfs) -> pa.Table:
         lframes, rframes = dfs[:nleft], dfs[nleft:]
         if not lframes:  # zero-block left side
+            if how == "outer" and rframes:
+                rdf = pd.concat(rframes, ignore_index=True)
+                return pa.Table.from_pandas(rdf, preserve_index=False).replace_schema_metadata(None)
             return pa.table({})
         ldf = pd.concat(lframes, ignore_index=True)
         if not rframes:  # zero-block right side
-            if how == "left":
+            if how in ("left", "outer"):
                 return pa.Table.from_pandas(ldf, preserve_index=False).replace_schema_metadata(None)
             return pa.table({})
         rdf = pd.concat(rframes, ignore_index=True)

@@ -121,3 +121,26 @@ def test_sparse_oid_sssp_bfs_voterank():
     # unknown source oid is a loud error, not a silent wrong answer
     with pytest.raises(KeyError):
         gs.sssp(g, src=99)
+
+
+def test_gremlin_accessor_on_session_graph():
+    from graphscope_ray.graph.gremlin import P
+    from graphscope_ray.graph.property import PropertyGraph
+
+    sess = gs.session(num_partitions=2)
+    g = sess.g()
+    g = g.add_vertices(_vert_df(), label="node", vid_field="id")
+    g = g.add_edges(_edge_df(), label="link")
+    # traversal-source form (sess.gremlin(graph) parity)
+    t = gs.gremlin(g)
+    n = t.V().hasLabel("node").out("link").count()
+    assert n == len(EDGES)
+    assert t.V().has("name", P.within("v0", "v1")).count() == 2
+    # script form materializing a subgraph
+    sub = gs.gremlin(g, "g.V().hasId(2).outE('link').subgraph('s')")
+    assert isinstance(sub, PropertyGraph)
+    want = sorted(d for s, d in EDGES if s == 2)
+    assert sorted(sub.edge_table("link").to_pandas().dst_oid) == want
+    sess.close()
+    with pytest.raises(RuntimeError):
+        gs.gremlin(g)

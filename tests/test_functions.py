@@ -767,3 +767,42 @@ def test_semdedup_flags_planted_and_chunk_invariant():
     # clusters recover the 3 blobs: planted copies co-cluster with originals
     m = out.set_index("vec_id")["cluster"]
     assert (m.loc[allids[:12] + 1000].to_numpy() == m.loc[allids[:12]].to_numpy()).all()
+
+
+def test_cooccurrence_ppmi_matches_duckdb():
+    import duckdb
+
+    from graphscope_ray.functions.mlprep import cooccurrence_ppmi
+
+    rng = np.random.default_rng(13)
+    vocab = np.array(["alpha", "beta", "gamma", "delta", "eps"])
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 30))) for _ in range(120)]
+    texts += ["", "solo", "a  b"]  # empty doc, 1-token doc, double space
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(5)
+    got = (
+        cooccurrence_ppmi(ds, window=2, min_count=2)
+        .to_pandas()
+        .sort_values(["w", "c"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        "WITH tok AS (SELECT doc_id, generate_subscripts(ts, 1) AS i, unnest(ts) AS w "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM df)), "
+        "pairs AS (SELECT a.w AS w, b.w AS c FROM tok a JOIN tok b "
+        "ON b.doc_id = a.doc_id AND b.i BETWEEN a.i - 2 AND a.i + 2 AND b.i <> a.i "
+        "WHERE a.w <> '' AND b.w <> ''), "
+        "pcnt AS (SELECT w, c, count(*) AS n FROM pairs GROUP BY w, c), "
+        "mw AS (SELECT w, sum(n) AS nw FROM pcnt GROUP BY w), "
+        "mc AS (SELECT c, sum(n) AS nc FROM pcnt GROUP BY c), "
+        "tot AS (SELECT CAST(sum(n) AS DOUBLE) AS N FROM pcnt) "
+        "SELECT pcnt.w, pcnt.c, CAST(pcnt.n AS BIGINT) AS n, "
+        "round(greatest(ln(tot.N * pcnt.n / (mw.nw * mc.nc)), 0), 8) AS ppmi "
+        "FROM pcnt JOIN mw USING (w) JOIN mc USING (c), tot "
+        "WHERE pcnt.n >= 2 ORDER BY w, c"
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # symmetry of the statistic: n(w,c) == n(c,w)
+    piv = got.set_index(["w", "c"])["n"]
+    for (w, c), n in piv.items():
+        assert piv.get((c, w), 0) == n

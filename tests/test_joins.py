@@ -148,3 +148,45 @@ def test_posexplode_keeps_empties():
     assert out[out.doc_id == 1]["tok"].tolist() == [""]
     assert out[out.doc_id == 2]["tok"].tolist() == ["xy"]
     assert out[out.doc_id == 0]["pos"].tolist() == [0, 1, 2, 3]
+
+
+def test_hash_join_outer_keeps_both_unmatched_sides():
+    from graphscope_ray.utils import hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 3], "a": [10, 20, 30]})
+    right = pd.DataFrame({"j": [2, 3, 4], "b": [200, 300, 400]})
+    out = hash_join(_ds(left), _ds(right), "k", "j", num_partitions=4, how="outer").to_pandas()
+    want = left.merge(right, left_on="k", right_on="j", how="outer")
+    key = out["k"].fillna(out["j"])
+    assert sorted(key.astype(int)) == [1, 2, 3, 4]
+    assert len(out) == len(want)
+    # matched rows carry both payloads; unmatched carry NaN on the other side
+    m = out[key == 2].iloc[0]
+    assert m["a"] == 20 and m["b"] == 200
+    assert np.isnan(out[key == 1]["b"].iloc[0])
+    assert np.isnan(out[key == 4]["a"].iloc[0])
+
+
+def test_quantiles_by_matches_duckdb_quantile_disc():
+    from graphscope_ray.functions.joins import quantiles_by
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y", "z"], size=3000),
+            "v": rng.normal(size=3000).round(4),
+        }
+    )
+    qs = [0.1, 0.5, 0.9]
+    got = (
+        quantiles_by(_ds(df).repartition(6), "g", "v", qs)
+        .to_pandas()
+        .sort_values(["g", "q"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        "SELECT g, CAST(unnest([0.1,0.5,0.9]) AS DOUBLE) AS q, unnest(vals) AS value "
+        "FROM (SELECT g, quantile_disc(v, [0.1,0.5,0.9]) AS vals FROM df GROUP BY g) "
+        "ORDER BY g, q"
+    ).df()
+    pd.testing.assert_frame_equal(got, want.rename(columns={"g": "g"}), check_dtype=False)

@@ -1,0 +1,132 @@
+"""Deterministic k-hop fanout sampling (GNN minibatch loader primitive)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from graphscope_ray.functions.sampling import hash_u64
+from graphscope_ray.graph.minibatch import khop_sample
+
+
+def _brute(edges: pd.DataFrame, seeds, fanouts, salt, pair_mod):
+    """Reference loop: per layer, per frontier vertex, the f smallest
+    (hash, dst) out-edges."""
+    frontier = np.unique(np.asarray(seeds, dtype=np.int64))
+    rows = []
+    for t, f in enumerate(fanouts):
+        sub = edges[edges.src.isin(frontier)].copy()
+        if sub.empty:
+            break
+        rank = hash_u64((sub.src * pair_mod + sub.dst).to_numpy(), salt + t)
+        sub["rk"] = rank
+        nxt = []
+        for s, grp in sub.groupby("src"):
+            g = grp.sort_values(["rk", "dst"], key=lambda c: c.to_numpy().view(np.uint64) if c.name == "rk" else c).head(f)
+            for d in g.dst:
+                rows.append((t, s, d))
+                nxt.append(d)
+        frontier = np.unique(np.asarray(nxt, dtype=np.int64))
+    return (
+        pd.DataFrame(rows, columns=["layer", "src", "dst"])
+        .sort_values(["layer", "src", "dst"])
+        .reset_index(drop=True)
+    )
+
+
+def test_khop_matches_bruteforce_and_is_partition_invariant():
+    rng = np.random.default_rng(3)
+    n = 2500
+    e = pd.DataFrame(
+        {"src": rng.integers(0, 200, n).astype(np.int64),
+         "dst": rng.integers(0, 200, n).astype(np.int64)}
+    ).drop_duplicates()
+    e = e[e.src != e.dst].reset_index(drop=True)
+    seeds = np.arange(0, 200, 13)
+    t = pa.Table.from_pandas(e, preserve_index=False)
+
+    got = (
+        khop_sample(ray.data.from_arrow(t).repartition(7), seeds, [3, 2], salt=9, pair_mod=256)
+        .to_pandas()
+        .sort_values(["layer", "src", "dst"])
+        .reset_index(drop=True)
+    )
+    want = _brute(e, seeds, [3, 2], salt=9, pair_mod=256)
+    pd.testing.assert_frame_equal(got.astype(np.int64), want.astype(np.int64))
+
+    # partitioning must not change the sample (per-block partials are exact)
+    got2 = (
+        khop_sample(ray.data.from_arrow(t).repartition(2), seeds, [3, 2], salt=9, pair_mod=256)
+        .to_pandas()
+        .sort_values(["layer", "src", "dst"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype(np.int64), got2.astype(np.int64))
+
+    # fanout cap per (layer, src)
+    per = got.groupby(["layer", "src"]).size()
+    assert per[per.index.get_level_values(0) == 0].max() <= 3
+    assert per[per.index.get_level_values(0) == 1].max() <= 2
+    # layer-1 srcs are exactly drawn from layer-0 sampled dsts
+    l0_dst = set(got[got.layer == 0].dst)
+    assert set(got[got.layer == 1].src) <= l0_dst
+
+
+def test_khop_empty_seed_and_dead_end():
+    e = pd.DataFrame({"src": [1, 2], "dst": [2, 3]})
+    ds = ray.data.from_arrow(pa.Table.from_pandas(e, preserve_index=False))
+    # seeds that hit nothing
+    out = khop_sample(ds, np.array([99]), [4, 4], pair_mod=128).to_pandas()
+    assert len(out) == 0
+    # chain runs off the graph: layer 1 samples from {2}, layer 2 from {3} (none)
+    out = khop_sample(ds, np.array([1]), [4, 4, 4], pair_mod=128).to_pandas()
+    assert sorted(map(tuple, out[["layer", "src", "dst"]].to_numpy())) == [
+        (0, 1, 2),
+        (1, 2, 3),
+    ]
+
+
+def test_negative_sample_yields_nonedges_and_is_deterministic():
+    from graphscope_ray.graph.minibatch import negative_sample
+
+    rng = np.random.default_rng(21)
+    n_uni = 64
+    e = pd.DataFrame(
+        {"src": rng.integers(0, n_uni, 600).astype(np.int64),
+         "dst": rng.integers(0, n_uni, 600).astype(np.int64)}
+    ).drop_duplicates()
+    e = e[e.src != e.dst].reset_index(drop=True)
+    verts = pd.DataFrame({"oid": np.unique(np.r_[e.src, e.dst])})
+    eds = ray.data.from_arrow(pa.Table.from_pandas(e, preserve_index=False))
+    vds = ray.data.from_arrow(pa.Table.from_pandas(verts, preserve_index=False))
+
+    out = (
+        negative_sample(eds.repartition(4), vds.repartition(3), n_uni, k=3, salt=2)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    true_pairs = set(zip(e.src, e.dst))
+    # every emitted pair is a non-edge and not a self-loop, ids in-universe
+    for s, d in zip(out.src, out.dst):
+        assert (s, d) not in true_pairs and s != d and 0 <= d < n_uni
+    # ≤ k per src, and (with m=2k+8 candidates on a sparse graph) == k
+    per = out.groupby("src").size()
+    assert per.max() <= 3
+    assert per.min() == 3
+    assert set(per.index) == set(verts.oid)
+    # partition-invariant / deterministic
+    out2 = (
+        negative_sample(eds.repartition(1), vds.repartition(8), n_uni, k=3, salt=2)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
+    # brute-force replica: first k surviving hash candidates by i
+    m = 2 * 3 + 8
+    for v in verts.oid.to_numpy()[:20]:
+        cand = (hash_u64(np.int64(v) * n_uni + np.arange(m, dtype=np.int64), 2) % n_uni).astype(int)
+        keep = [d for i, d in enumerate(cand) if d != v and (v, d) not in true_pairs][:3]
+        got = out[out.src == v].dst.tolist()
+        assert sorted(got) == sorted(keep), v
