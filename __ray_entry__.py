@@ -963,6 +963,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_path_enum": td.lg_path_enum,
         "lg_khop_sample": _q_lg_khop,
         "lg_negative_sample": _q_lg_negative_sample,
+        "lg_link_features": td.lg_link_features,
+        "lg_sage_sum": td.lg_sage_sum,
         "pg_wcc": td.pg_wcc,
         "pg_sssp": td.pg_sssp,
         "pg_pagerank": td.pg_pagerank,
@@ -1155,6 +1157,8 @@ def oracle_sql() -> dict[str, str]:
         "lg_path_enum": osql.lg_path_enum_sql(),
         "lg_khop_sample": osql.lg_khop_sql(),
         "lg_negative_sample": osql.lg_negative_sample_sql(),
+        "lg_link_features": osql.lg_link_features_sql(),
+        "lg_sage_sum": osql.lg_sage_sum_sql(),
         "pg_wcc": osql.pg_wcc_sql(),
         "pg_sssp": osql.pg_sssp_sql(),
         "pg_pagerank": osql.pg_pagerank_sql(),

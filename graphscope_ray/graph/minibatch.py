@@ -220,3 +220,229 @@ def negative_sample(
         return pd.DataFrame({"src": out["src"].astype(np.int64), "dst": d})
 
     return surv.groupby("src").map_groups(_topk, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# link-prediction pair features
+
+AA_SCALE = 10**12
+
+
+def aa_weight_int(g):
+    """Integer Adamic–Adar weight of a mid vertex with degree ``g``:
+    ``round(1e12 / ln(g))``.  Both the engine and the SQL oracle use THIS
+    numpy kernel (the oracle embeds the values), so the per-pair sum is an
+    exact int64 on both sides — no float-accumulation order dependence."""
+    return np.round(AA_SCALE / np.log(np.asarray(g, dtype=np.float64))).astype(np.int64)
+
+
+def link_features(
+    edges: ray.data.Dataset,
+    seeds: np.ndarray,
+    pair_mod: int,
+    max_degree: int = 256,
+    min_cn: int = 1,
+    num_partitions: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> ray.data.Dataset:
+    """Link-prediction pair features (the classic GNN/LP training-data prep,
+    Liben-Nowell & Kleinberg 2003): for every candidate pair (u, v), u < v,
+    that shares ≥ ``min_cn`` common neighbors in the UNDIRECTED simple
+    graph and whose min endpoint u is in ``seeds`` (the candidate slice a
+    trainer featurizes), emit
+
+    - ``cn``       common-neighbor count,
+    - ``aa_e12``   Adamic–Adar index Σ 1/ln(deg(w)) over common neighbors
+                   w, as the EXACT integer Σ round(1e12/ln(deg(w))),
+    - ``jaccard``  cn / (deg(u) + deg(v) − cn), round 8 (tie-free for
+                   denominators ≤ 2·10^8: no p/q at that scale rounds on a
+                   half boundary),
+    - ``pref``     preferential attachment deg(u)·deg(v),
+    - ``is_edge``  1 if (u, v) is a true edge (the training label).
+
+    Distributed shape: ONE exchange groups the distinct undirected
+    adjacency by mid vertex; each mid group emits its seed-filtered pairs
+    with pre-combined integer partials; one hash exchange sums (cn, aaw)
+    per packed pair key; degrees and the edge label attach via hash joins
+    (vertex-sized sides — no broadcast).  Mids with degree > ``max_degree``
+    are SKIPPED (the standard hub cap: a 10^6-degree hub contributes
+    ~0 Adamic–Adar mass but deg² wedge pairs — at 100 TB that cap is what
+    keeps the wedge volume Σ min(deg, cap)² instead of Σ deg²)."""
+    from graphscope_ray.utils import hash_groupby_sum, hash_join
+
+    seeds_sorted = np.unique(np.asarray(seeds, dtype=np.int64))
+
+    def _both(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or src_col not in t.column_names:
+            return pa.table({"u": pa.array([], pa.int64()), "m": pa.array([], pa.int64())})
+        s = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {"u": pa.array(np.concatenate([s, d])), "m": pa.array(np.concatenate([d, s]))}
+        )
+
+    und = hash_groupby_sum(
+        edges.select_columns([src_col, dst_col]).map_batches(_both, batch_format="pyarrow"),
+        ["u", "m"],
+        None,
+        "__n",
+        num_partitions=num_partitions,
+    ).select_columns(["u", "m"])
+    und = und.materialize()  # reused three times below
+    deg = hash_groupby_sum(und, ["u"], None, "d", num_partitions=num_partitions)
+
+    def _wedges(df: pd.DataFrame) -> pd.DataFrame:
+        g = len(df)  # und is distinct, so the group size IS deg(mid)
+        empty = pd.DataFrame(
+            {"pk": pd.Series(dtype=np.int64), "cn": pd.Series(dtype=np.int64),
+             "aaw": pd.Series(dtype=np.int64)}
+        )
+        if g < 2 or g > max_degree:
+            return empty
+        u = np.sort(df["u"].to_numpy())
+        assert u[-1] < pair_mod and u[-1] < (1 << 62) // pair_mod
+        iu, iv = np.triu_indices(g, 1)
+        a, b = u[iu], u[iv]
+        hit = np.searchsorted(seeds_sorted, a)
+        m = (hit < len(seeds_sorted)) & (
+            seeds_sorted[np.minimum(hit, len(seeds_sorted) - 1)] == a
+        )
+        if not m.any():
+            return empty
+        a, b = a[m], b[m]
+        w = int(aa_weight_int(g))
+        return pd.DataFrame(
+            {"pk": a * pair_mod + b,
+             "cn": np.ones(len(a), dtype=np.int64),
+             "aaw": np.full(len(a), w, dtype=np.int64)}
+        )
+
+    wed = und.groupby("m").map_groups(_wedges, batch_format="pandas")
+    agg = hash_groupby_sum(
+        wed, ["pk"], ["cn", "aaw"], ["cn", "aaw"], num_partitions=num_partitions
+    )
+
+    def _unpack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "pk" not in t.column_names:
+            return pa.table(
+                {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+                 "cn": pa.array([], pa.int64()), "aaw": pa.array([], pa.int64()),
+                 "pk": pa.array([], pa.int64())}
+            )
+        pk = t["pk"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"u": pa.array(pk // pair_mod), "v": pa.array(pk % pair_mod),
+             "cn": t["cn"], "aaw": t["aaw"], "pk": t["pk"]}
+        )
+
+    pairs = agg.map_batches(_unpack, batch_format="pyarrow")
+
+    def _ren(old, new):
+        def _f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or old[0] not in t.column_names:
+                return pa.table({c: pa.array([], pa.int64()) for c in new})
+            return t.select(old).rename_columns(new)
+        return _f
+
+    degu = deg.map_batches(_ren(["u", "d"], ["ju", "du"]), batch_format="pyarrow")
+    degv = deg.map_batches(_ren(["u", "d"], ["jv", "dv"]), batch_format="pyarrow")
+    pairs = hash_join(pairs, degu, "u", "ju", num_partitions=num_partitions)
+    pairs = hash_join(pairs, degv, "v", "jv", num_partitions=num_partitions)
+
+    # training label: (u, v) is a true edge (und holds both orientations)
+    def _ekeys(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "u" not in t.column_names:
+            return pa.table({"epk": pa.array([], pa.int64()), "__e": pa.array([], pa.int8())})
+        u = t["u"].to_numpy(zero_copy_only=False)
+        m = t["m"].to_numpy(zero_copy_only=False)
+        keep = u < m
+        return pa.table(
+            {"epk": pa.array(u[keep] * pair_mod + m[keep]),
+             "__e": pa.array(np.ones(int(keep.sum()), dtype=np.int8))}
+        )
+
+    ekeys = und.map_batches(_ekeys, batch_format="pyarrow")
+    joined = hash_join(pairs, ekeys, "pk", "epk", num_partitions=num_partitions, how="left")
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["cn"] >= min_cn]
+        cn = df["cn"].to_numpy(np.float64)
+        du = df["du"].to_numpy(np.int64)
+        dv = df["dv"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"u": df["u"].astype(np.int64), "v": df["v"].astype(np.int64),
+             "cn": df["cn"].astype(np.int64), "aa_e12": df["aaw"].astype(np.int64),
+             "jaccard": np.round(cn / (du + dv - cn.astype(np.int64)), 8),
+             "pref": du * dv,
+             "is_edge": df["__e"].notna().astype(np.int64) if "__e" in df else np.zeros(len(df), np.int64)}
+        )
+
+    return joined.map_batches(_final, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# GraphSAGE mean aggregation (neighborhood feature propagation)
+
+
+def neighbor_feature_sum(
+    edges: ray.data.Dataset,
+    feat_ids: np.ndarray,
+    feat_mat: np.ndarray,
+    num_partitions: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> ray.data.Dataset:
+    """GraphSAGE-style neighborhood aggregation (Hamilton et al. 2017's
+    mean aggregator, returned as exact per-dimension SUM + in-degree so
+    callers divide — or keep integer features integer): for every vertex v,
+    Σ_{(u,v) ∈ E} f(u) per dimension, over a BROADCAST feature matrix
+    (``ray.put`` once, searchsorted lookup per batch — the small-side
+    pattern; for >object-store feature tables attach features with
+    ``utils.hash_join`` on src instead and feed the same partial kernel).
+
+    Distributed shape: each edge block scatters its src features into
+    per-dst partial sums (np.add.at on a (unique_dst × d) local buffer),
+    then ONE multi-column hash exchange sums the d partials + count per
+    dst — per-dst volume entering the exchange is ≤ #blocks rows, not
+    in-degree.  Returns (oid, n, s0..s{d-1})."""
+    from graphscope_ray.utils import hash_groupby_sum
+
+    order = np.argsort(feat_ids)
+    ids_sorted = np.ascontiguousarray(np.asarray(feat_ids, dtype=np.int64)[order])
+    mat_sorted = np.ascontiguousarray(np.asarray(feat_mat)[order])
+    d = mat_sorted.shape[1]
+    ref = ray.put((ids_sorted, mat_sorted))
+    scols = [f"s{j}" for j in range(d)]
+
+    def _partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"oid": pa.array([], pa.int64()), "n": pa.array([], pa.int64()),
+             **{c: pa.array([], pa.from_numpy_dtype(mat_sorted.dtype)) for c in scols}}
+        )
+        if t.num_rows == 0 or src_col not in t.column_names:
+            return empty
+        ids, mat = ray.get(ref)
+        src = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(ids, src)
+        ok = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == src)
+        if not ok.any():
+            return empty
+        src, dst, pos = src[ok], dst[ok], pos[ok]
+        udst, inv = np.unique(dst, return_inverse=True)
+        sums = np.zeros((len(udst), mat.shape[1]), dtype=mat.dtype)
+        np.add.at(sums, inv, mat[pos])
+        cnt = np.bincount(inv, minlength=len(udst)).astype(np.int64)
+        cols = {"oid": pa.array(udst), "n": pa.array(cnt)}
+        cols.update({c: pa.array(sums[:, j]) for j, c in enumerate(scols)})
+        return pa.table(cols)
+
+    partials = edges.select_columns([src_col, dst_col]).map_batches(
+        _partial, batch_format="pyarrow"
+    )
+    return hash_groupby_sum(
+        partials, ["oid"], ["n"] + scols, ["n"] + scols, num_partitions=num_partitions
+    )

@@ -9,6 +9,8 @@ pipelines/testdata.py (src = l_orderkey % MOD, dst = l_partkey % MOD).
 
 from __future__ import annotations
 
+import numpy as np
+
 from graphscope_ray.pipelines.testdata import LG_MOD
 
 _BASE = f"""
@@ -2167,6 +2169,56 @@ def lg_negative_sample_sql(k: int = 3, salt: int = 7, m: int = 14) -> str:
         "SELECT src, dst FROM (SELECT src, dst, row_number() OVER "
         f"(PARTITION BY src ORDER BY i) AS rk FROM surv) WHERE rk <= {k} "
         "ORDER BY src, dst"
+    )
+
+
+def lg_link_features_sql(
+    seed_step: int = 13, max_degree: int = 256, min_cn: int = 1
+) -> str:
+    """Bit-exact replica of graph/minibatch.link_features: wedges over the
+    distinct undirected adjacency (mid degree ≤ max_degree, min endpoint in
+    the seed slice), Adamic–Adar as the exact integer sum of the SAME
+    numpy-computed round(1e12/ln(g)) weights the engine uses (embedded as
+    a VALUES table), Jaccard round-8 (tie-free at these denominators)."""
+    from graphscope_ray.graph.minibatch import aa_weight_int
+
+    gs = np.arange(2, max_degree + 1)
+    wt = ", ".join(f"({g}, {int(w)})" for g, w in zip(gs, aa_weight_int(gs)))
+    return (
+        f"WITH {_BASE}, "
+        f"sd AS (SELECT range AS s FROM range(0, {LG_MOD}, {seed_step})), "
+        "udeg AS MATERIALIZED (SELECT src AS oid, count(*) AS d FROM ue GROUP BY src), "
+        f"wt(g, w) AS (VALUES {wt}), "
+        "wedge AS (SELECT a.src AS u, b.src AS v, dm.d AS g "
+        "FROM ue a JOIN ue b ON b.dst = a.dst AND a.src < b.src "
+        "JOIN udeg dm ON dm.oid = a.dst "
+        f"JOIN sd ON sd.s = a.src WHERE dm.d <= {max_degree}), "
+        "agg AS (SELECT u, v, count(*) AS cn, sum(wt.w) AS aaw "
+        "FROM wedge JOIN wt ON wt.g = wedge.g GROUP BY u, v) "
+        "SELECT agg.u, agg.v, CAST(cn AS BIGINT) AS cn, CAST(aaw AS BIGINT) AS aa_e12, "
+        "round(CAST(cn AS DOUBLE) / (du.d + dv.d - cn), 8) AS jaccard, "
+        "CAST(du.d * dv.d AS BIGINT) AS pref, "
+        "CAST(CASE WHEN t.src IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_edge "
+        "FROM agg JOIN udeg du ON du.oid = agg.u JOIN udeg dv ON dv.oid = agg.v "
+        "LEFT JOIN ue t ON t.src = agg.u AND t.dst = agg.v "
+        f"WHERE cn >= {min_cn} ORDER BY u, v"
+    )
+
+
+def lg_sage_sum_sql(n_feat: int = 500) -> str:
+    """testdata.lg_sage_sum twin: per-vertex per-dimension exact integer
+    sum of quantized in-neighbor features (feature of u =
+    round(1e6·embeddings[u % n_feat]), float32→float64 cast is exact and
+    the quantization is verified tie-free on this data) + in-degree."""
+    return (
+        f"WITH {_BASE}, "
+        "f AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim, "
+        "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q "
+        "FROM embeddings) "
+        "SELECT e.dst AS oid, f.dim, CAST(sum(f.q) AS BIGINT) AS s_e6, "
+        "CAST(count(*) AS BIGINT) AS n "
+        f"FROM e JOIN f ON f.vec_id = e.src % {n_feat} "
+        "GROUP BY e.dst, f.dim ORDER BY oid, dim"
     )
 
 

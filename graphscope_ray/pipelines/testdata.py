@@ -1175,6 +1175,56 @@ def lg_random_walks(sf_dir: str, n_starts: int = 64, length: int = 4) -> pd.Data
     return out[["walk_id", "step", "v"]].sort_values(["walk_id", "step"]).reset_index(drop=True)
 
 
+def lg_link_features(
+    sf_dir: str, seed_step: int = 13, max_degree: int = 256, min_cn: int = 1
+) -> pd.DataFrame:
+    """Link-prediction pair features over the undirected link graph for the
+    candidate slice whose min endpoint is a seed (oid % 13 == 0): common
+    neighbors, exact-integer Adamic–Adar, Jaccard, preferential attachment,
+    and the is_edge training label (graph/minibatch.link_features)."""
+    from graphscope_ray.graph.minibatch import link_features
+
+    out = link_features(
+        lg_edges(sf_dir),
+        seeds=np.arange(0, LG_MOD, seed_step),
+        pair_mod=LG_MOD,
+        max_degree=max_degree,
+        min_cn=min_cn,
+    ).to_pandas()
+    return out.sort_values(["u", "v"]).reset_index(drop=True)
+
+
+def lg_sage_sum(sf_dir: str) -> pd.DataFrame:
+    """GraphSAGE mean-aggregator statistics: per vertex, the exact integer
+    per-dimension SUM of in-neighbor features + in-degree, features =
+    round(1e6 · embeddings[oid % 500]) (quantized so the neighbor sums are
+    bit-exact int64 on both sides; the mean is sum/(1e6·n)).  Unpivoted to
+    (oid, dim, s_e6, n) for value hashing."""
+    from graphscope_ray.graph.minibatch import neighbor_feature_sum
+
+    emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).to_pandas()
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    mat = np.round(np.stack(emb["embedding"].to_numpy()).astype(np.float64) * 1e6).astype(
+        np.int64
+    )
+    vids = np.arange(LG_MOD, dtype=np.int64)
+    out = neighbor_feature_sum(
+        lg_edges(sf_dir), feat_ids=vids, feat_mat=mat[vids % len(emb)]
+    ).to_pandas()
+    d = mat.shape[1]
+    scols = [f"s{j}" for j in range(d)]
+    sums = out[scols].to_numpy()
+    long = pd.DataFrame(
+        {
+            "oid": np.repeat(out["oid"].to_numpy(np.int64), d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), len(out)),
+            "s_e6": sums.ravel(),
+            "n": np.repeat(out["n"].to_numpy(np.int64), d),
+        }
+    )
+    return long.sort_values(["oid", "dim"]).reset_index(drop=True)
+
+
 def op_orc_scan(sf_dir: str) -> pd.DataFrame:
     """ORC source parity: export the nation dimension to ORC once, read it
     back through the stripe-streaming ORC source with column projection."""

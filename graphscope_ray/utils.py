@@ -78,6 +78,9 @@ def hash_groupby_sum(
     ``Dataset.groupby().aggregate(Sum(...))`` where Ray's sort-based
     aggregate is overhead-bound (string keys, many small blocks); same
     all-to-all volume, ~10× less fixed cost.  ``val=None`` counts rows.
+    ``val``/``out`` may be parallel LISTS of columns — all aggregated with
+    the same ``agg`` in the one exchange (e.g. summing a count and a
+    weight, or per-dimension feature partials).
     ``agg`` ∈ {"sum","min","max"}; min/max compose with the same
     partial-combine (they are idempotent semigroup reductions), while
     count-then-sum handles ``val=None``."""
@@ -85,6 +88,12 @@ def hash_groupby_sum(
 
     assert agg in ("sum", "min", "max")
     assert agg == "sum" or val is not None, "row counting composes with sum only"
+    if isinstance(val, (list, tuple)):
+        vals, outs = list(val), list(out)
+        assert len(vals) == len(outs)
+    else:
+        vals, outs = ([val], [out]) if val is not None else (None, [out])
+    out = outs[0]
     K = num_partitions
     blocks = ds.materialize().to_arrow_refs()
 
@@ -98,10 +107,12 @@ def hash_groupby_sum(
             # schema-stripped empty block (Ray Data quirk): contribute nothing
             parts = tuple(df.iloc[:0] for _ in range(K))
             return parts if K > 1 else parts[0]
-        if val is None:
+        if vals is None:
             df = df.groupby(keys, as_index=False).size().rename(columns={"size": out})
         else:
-            df = df.groupby(keys, as_index=False)[val].agg(agg).rename(columns={val: out})
+            df = df.groupby(keys, as_index=False)[vals].agg(agg).rename(
+                columns=dict(zip(vals, outs))
+            )
         h = np.zeros(len(df), dtype=np.uint64)
         for k in keys:
             h = h * np.uint64(1000003) + pd.util.hash_pandas_object(df[k], index=False).to_numpy()
@@ -116,7 +127,7 @@ def hash_groupby_sum(
         alldf = pd.concat(dfs, ignore_index=True)
         if any(k not in alldf.columns for k in keys):  # every input was schema-less
             return pa.table({})
-        red = alldf.groupby(keys, as_index=False)[out].agg(agg)
+        red = alldf.groupby(keys, as_index=False)[outs].agg(agg)
         # strip pandas schema metadata: Ray Data hashes block schemas for
         # dedup and the metadata dict is unhashable (log-spam fix, ADVICE r1)
         return pa.Table.from_pandas(red, preserve_index=False).replace_schema_metadata(None)

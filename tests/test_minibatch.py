@@ -130,3 +130,106 @@ def test_negative_sample_yields_nonedges_and_is_deterministic():
         keep = [d for i, d in enumerate(cand) if d != v and (v, d) not in true_pairs][:3]
         got = out[out.src == v].dst.tolist()
         assert sorted(got) == sorted(keep), v
+
+
+def test_link_features_matches_bruteforce():
+    from graphscope_ray.graph.minibatch import aa_weight_int, link_features
+
+    rng = np.random.default_rng(5)
+    e = pd.DataFrame(
+        {"src": rng.integers(0, 60, 700).astype(np.int64),
+         "dst": rng.integers(0, 60, 700).astype(np.int64)}
+    ).drop_duplicates()
+    e = e[e.src != e.dst].reset_index(drop=True)
+    seeds = np.arange(0, 60, 7)
+    ds = ray.data.from_arrow(pa.Table.from_pandas(e, preserve_index=False))
+
+    got = (
+        link_features(ds.repartition(5), seeds, pair_mod=64, max_degree=16, min_cn=2)
+        .to_pandas()
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+
+    # brute force over the undirected simple graph
+    adj: dict = {}
+    for s, d in zip(e.src, e.dst):
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    rows = []
+    for u in sorted(adj):
+        if u not in set(seeds):
+            continue
+        for v in sorted(adj):
+            if v <= u:
+                continue
+            mids = [w for w in adj[u] & adj[v] if len(adj[w]) <= 16]
+            cn = len(mids)
+            if cn < 2:
+                continue
+            aaw = int(sum(int(aa_weight_int(len(adj[w]))) for w in mids))
+            du, dv = len(adj[u]), len(adj[v])
+            rows.append(
+                (u, v, cn, aaw, round(cn / (du + dv - cn), 8), du * dv,
+                 int(v in adj[u]))
+            )
+    want = pd.DataFrame(
+        rows, columns=["u", "v", "cn", "aa_e12", "jaccard", "pref", "is_edge"]
+    )
+    pd.testing.assert_frame_equal(got.astype({"jaccard": float}), want.astype({"jaccard": float}), check_dtype=False)
+
+    # partition invariance
+    got2 = (
+        link_features(ds.repartition(1), seeds, pair_mod=64, max_degree=16, min_cn=2)
+        .to_pandas()
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got2)
+
+
+def test_neighbor_feature_sum_exact_and_partition_invariant():
+    from graphscope_ray.graph.minibatch import neighbor_feature_sum
+
+    rng = np.random.default_rng(8)
+    n, d = 40, 5
+    feat = rng.integers(-1000, 1000, (n, d)).astype(np.int64)
+    e = pd.DataFrame(
+        {"src": rng.integers(0, n, 300).astype(np.int64),
+         "dst": rng.integers(0, n, 300).astype(np.int64)}
+    ).drop_duplicates().reset_index(drop=True)
+    ds = ray.data.from_arrow(pa.Table.from_pandas(e, preserve_index=False))
+
+    out = neighbor_feature_sum(
+        ds.repartition(6), np.arange(n), feat
+    ).to_pandas().sort_values("oid").reset_index(drop=True)
+
+    scols = [f"s{j}" for j in range(d)]
+    for _, r in out.iterrows():
+        srcs = e[e.dst == r.oid].src.to_numpy()
+        assert r["n"] == len(srcs)
+        np.testing.assert_array_equal(r[scols].to_numpy().astype(np.int64), feat[srcs].sum(0))
+    # every vertex with in-degree ≥ 1 appears
+    assert set(out.oid) == set(e.dst.unique())
+
+    out2 = neighbor_feature_sum(
+        ds.repartition(1), np.arange(n), feat
+    ).to_pandas().sort_values("oid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_hash_groupby_sum_multicol():
+    from graphscope_ray.utils import hash_groupby_sum
+
+    df = pd.DataFrame(
+        {"k": ["a", "b", "a", "c", "b"], "x": [1, 2, 3, 4, 5], "y": [10.0, 20.0, 30.0, 40.0, 50.0]}
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(3)
+    out = (
+        hash_groupby_sum(ds, ["k"], ["x", "y"], ["sx", "sy"], num_partitions=4)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = df.groupby("k", as_index=False).agg(sx=("x", "sum"), sy=("y", "sum"))
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
