@@ -304,15 +304,25 @@ def link_features(
             return empty
         u = np.sort(df["u"].to_numpy())
         assert u[-1] < pair_mod and u[-1] < (1 << 62) // pair_mod
-        iu, iv = np.triu_indices(g, 1)
-        a, b = u[iu], u[iv]
-        hit = np.searchsorted(seeds_sorted, a)
-        m = (hit < len(seeds_sorted)) & (
-            seeds_sorted[np.minimum(hit, len(seeds_sorted) - 1)] == a
+        # generate ONLY seed-anchored pairs (min endpoint ∈ seeds): for each
+        # seed at sorted position p, partners are u[p+1:] — seedfrac·g²
+        # rows materialized instead of the full C(g,2) triu
+        hit = np.searchsorted(seeds_sorted, u)
+        sel = np.flatnonzero(
+            (hit < len(seeds_sorted))
+            & (seeds_sorted[np.minimum(hit, len(seeds_sorted) - 1)] == u)
         )
-        if not m.any():
+        sel = sel[sel < g - 1]  # the max element anchors no pair
+        if len(sel) == 0:
             return empty
-        a, b = a[m], b[m]
+        counts = g - 1 - sel
+        offs = np.cumsum(counts)
+        idx = (
+            np.arange(offs[-1])
+            - np.repeat(offs - counts, counts)
+            + np.repeat(sel + 1, counts)
+        )
+        a, b = np.repeat(u[sel], counts), u[idx]
         w = int(aa_weight_int(g))
         return pd.DataFrame(
             {"pk": a * pair_mod + b,
