@@ -48,6 +48,68 @@ def _head_per_src(src, dst, rank, f):
     return order[pos < f]
 
 
+def _sample_layer(
+    edges: ray.data.Dataset,
+    frontier: np.ndarray,
+    f: int,
+    layer_salt: int,
+    layer_idx: int,
+    pair_mod: int,
+    src_col: str,
+    dst_col: str,
+) -> ray.data.Dataset:
+    """One fanout layer: the ≤f smallest-hash out-edges per frontier vertex
+    (per-block partials, then a per-src head-f reduce).  ``frontier`` must
+    be sorted (searchsorted membership)."""
+    ref = ray.put(frontier)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src": pa.array([], pa.int64()),
+                "dst": pa.array([], pa.int64()),
+                "prio": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or src_col not in batch.column_names:
+            return empty
+        fr = ray.get(ref)
+        src = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = np.searchsorted(fr, src)
+        m = (hit < len(fr)) & (fr[np.minimum(hit, len(fr) - 1)] == src)
+        src, dst = src[m], dst[m]
+        if len(src) == 0:
+            return empty
+        assert dst.max() < pair_mod and src.max() < (1 << 62) // pair_mod, (
+            "pair_mod must exceed every dst id (and src*pair_mod must fit int64)"
+        )
+        rank = hash_u64(src * pair_mod + dst, layer_salt)
+        keep = _head_per_src(src, dst, rank, f)
+        return pa.table(
+            {
+                "src": pa.array(src[keep]),
+                "dst": pa.array(dst[keep]),
+                "prio": pa.array(rank[keep].view(np.int64)),
+            }
+        )
+
+    partials = edges.select_columns([src_col, dst_col]).map_batches(
+        _partial, batch_format="pyarrow"
+    )
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["src"].to_numpy()
+        keep = _head_per_src(
+            src, df["dst"].to_numpy(), df["prio"].to_numpy().view(np.uint64), f
+        )
+        out = df.iloc[np.sort(keep)][["src", "dst"]].reset_index(drop=True)
+        out.insert(0, "layer", np.int64(layer_idx))
+        return out
+
+    return partials.groupby("src").map_groups(_final, batch_format="pandas").materialize()
+
+
 def khop_sample(
     edges: ray.data.Dataset,
     seeds: np.ndarray,
@@ -66,58 +128,68 @@ def khop_sample(
     for t, f in enumerate(fanouts):
         if len(frontier) == 0:
             break
-        ref = ray.put(frontier)  # sorted by construction (np.unique)
-
-        def _partial(batch: pa.Table, _t=t, _f=f) -> pa.Table:
-            empty = pa.table(
-                {
-                    "src": pa.array([], pa.int64()),
-                    "dst": pa.array([], pa.int64()),
-                    "prio": pa.array([], pa.int64()),
-                }
-            )
-            if batch.num_rows == 0 or src_col not in batch.column_names:
-                return empty
-            fr = ray.get(ref)
-            src = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            dst = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            hit = np.searchsorted(fr, src)
-            m = (hit < len(fr)) & (fr[np.minimum(hit, len(fr) - 1)] == src)
-            src, dst = src[m], dst[m]
-            if len(src) == 0:
-                return empty
-            assert dst.max() < pair_mod and src.max() < (1 << 62) // pair_mod, (
-                "pair_mod must exceed every dst id (and src*pair_mod must fit int64)"
-            )
-            rank = hash_u64(src * pair_mod + dst, salt + _t)
-            keep = _head_per_src(src, dst, rank, _f)
-            return pa.table(
-                {
-                    "src": pa.array(src[keep]),
-                    "dst": pa.array(dst[keep]),
-                    "prio": pa.array(rank[keep].view(np.int64)),
-                }
-            )
-
-        partials = edges.select_columns([src_col, dst_col]).map_batches(
-            _partial, batch_format="pyarrow"
+        sampled = _sample_layer(
+            edges, frontier, f, salt + t, t, pair_mod, src_col, dst_col
         )
-
-        def _final(df: pd.DataFrame, _t=t, _f=f) -> pd.DataFrame:
-            src = df["src"].to_numpy()
-            keep = _head_per_src(
-                src, df["dst"].to_numpy(), df["prio"].to_numpy().view(np.uint64), _f
-            )
-            out = df.iloc[np.sort(keep)][["src", "dst"]].reset_index(drop=True)
-            out.insert(0, "layer", np.int64(_t))
-            return out
-
-        sampled = partials.groupby("src").map_groups(_final, batch_format="pandas")
-        sampled = sampled.materialize()
         if sampled.count() == 0:  # frontier hit nothing — dead end
             break
         layers.append(sampled)
         # next frontier: the sampled dsts (minibatch-bounded: ≤ |frontier|·f)
+        frontier = np.unique(
+            sampled.select_columns(["dst"]).to_pandas()["dst"].to_numpy()
+        ).astype(np.int64)
+
+    if not layers:
+        return ray.data.from_items([])
+    out = layers[0]
+    for ds in layers[1:]:
+        out = out.union(ds)
+    return out
+
+
+def metapath_sample(
+    pg,
+    seeds: np.ndarray,
+    path: list[str],
+    fanouts: list[int],
+    salt: int = 0,
+    pair_mod: int = 1 << 21,
+) -> ray.data.Dataset:
+    """Metapath-guided fanout sampling over a first-class PropertyGraph —
+    the HETEROGENEOUS-GNN loader primitive (GLE's `meta_path` neighbor
+    sampler over a labeled graph; same role as `khop_sample` but layer t
+    draws from the edge-LABEL table ``path[t]``, e.g. customer
+    -[places]→ order -[contains]→ part).  Seeds are oids of
+    ``path[0]``'s src label.  Ranks are the same deterministic edge hash
+    as khop_sample, so the whole sample is bit-exactly SQL-reproducible.
+    Returns (layer, elabel, src, dst) with oids in each label's own id
+    space.  Multi-edges consume fanout slots per copy, identically on
+    both sides (the rank is a pure function of the pair)."""
+    assert len(path) == len(fanouts)
+    frontier = np.unique(np.asarray(seeds, dtype=np.int64))
+    layers = []
+    for t, (elabel, f) in enumerate(zip(path, fanouts)):
+        if len(frontier) == 0:
+            break
+        sampled = _sample_layer(
+            pg.edge_table(elabel),
+            frontier,
+            f,
+            salt + t,
+            t,
+            pair_mod,
+            "src_oid",
+            "dst_oid",
+        )
+        if sampled.count() == 0:
+            break
+
+        def _lab(tbl: pa.Table, _el=elabel) -> pa.Table:
+            return tbl.append_column(
+                "elabel", pa.array(np.full(tbl.num_rows, _el, dtype=object), pa.string())
+            )
+
+        layers.append(sampled.map_batches(_lab, batch_format="pyarrow"))
         frontier = np.unique(
             sampled.select_columns(["dst"]).to_pandas()["dst"].to_numpy()
         ).astype(np.int64)

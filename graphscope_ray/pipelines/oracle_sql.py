@@ -2205,6 +2205,43 @@ def lg_link_features_sql(
     )
 
 
+def pg_metapath_sql(
+    fanouts=(3, 2), salt: int = 11, seed_step: int = 97, pm: int = 1 << 21
+) -> str:
+    """Bit-exact replica of graph/minibatch.metapath_sample over the
+    tripartite property graph: layer t draws from its edge-label table
+    (places = orders, contains = lineitem), rank = hash_u64(src·pm + dst,
+    salt + t), sample = row_number() OVER (PARTITION BY src ORDER BY rank,
+    dst) ≤ fanouts[t]; multi-edges keep their multiplicity on both sides."""
+    paths = [
+        ("places", "SELECT o_custkey AS src, o_orderkey AS dst FROM orders"),
+        ("contains", "SELECT l_orderkey AS src, l_partkey AS dst FROM lineitem"),
+    ]
+    ctes = [
+        f"f0 AS (SELECT c_custkey AS oid FROM customer WHERE c_custkey % {seed_step} = 0)"
+    ]
+    sels = []
+    for t, (el, esel) in enumerate(paths):
+        h = _knuth64_expr(f"(e{t}.src * {pm} + e{t}.dst)", salt + t)
+        ctes.append(f"e{t} AS ({esel})")
+        ctes.append(
+            f"r{t} AS (SELECT e{t}.src, e{t}.dst, row_number() OVER "
+            f"(PARTITION BY e{t}.src ORDER BY {h}, e{t}.dst) AS rk "
+            f"FROM e{t} JOIN f{t} ON f{t}.oid = e{t}.src)"
+        )
+        ctes.append(
+            f"s{t} AS (SELECT CAST({t} AS BIGINT) AS layer, '{el}' AS elabel, "
+            f"src, dst FROM r{t} WHERE rk <= {fanouts[t]})"
+        )
+        ctes.append(f"f{t + 1} AS (SELECT DISTINCT dst AS oid FROM s{t})")
+        sels.append(f"SELECT layer, elabel, src, dst FROM s{t}")
+    return (
+        "WITH " + ",\n".join(ctes) + " "
+        + " UNION ALL ".join(sels)
+        + " ORDER BY layer, src, dst"
+    )
+
+
 def lg_sage_sum_sql(n_feat: int = 500) -> str:
     """testdata.lg_sage_sum twin: per-vertex per-dimension exact integer
     sum of quantized in-neighbor features (feature of u =

@@ -1194,6 +1194,27 @@ def lg_link_features(
     return out.sort_values(["u", "v"]).reset_index(drop=True)
 
 
+def pg_metapath_sample(
+    sf_dir: str, fanouts=(3, 2), salt: int = 11, seed_step: int = 97
+) -> pd.DataFrame:
+    """Metapath-guided heterogeneous fanout sampling over the first-class
+    property graph: customer -[places]→ order -[contains]→ part, seeds =
+    customers with c_custkey % 97 == 0, deterministic edge-hash ranks
+    (graph/minibatch.metapath_sample — the hetero-GNN loader primitive)."""
+    from graphscope_ray.graph.minibatch import metapath_sample
+
+    cust = read(sf_dir, "customer", columns=["c_custkey"]).to_pandas()["c_custkey"].to_numpy()
+    seeds = cust[cust % seed_step == 0]
+    out = metapath_sample(
+        _tripartite_pgraph(sf_dir),
+        seeds=seeds,
+        path=["places", "contains"],
+        fanouts=list(fanouts),
+        salt=salt,
+    ).to_pandas()
+    return out.sort_values(["layer", "src", "dst"]).reset_index(drop=True)
+
+
 def lg_sage_sum(sf_dir: str) -> pd.DataFrame:
     """GraphSAGE mean-aggregator statistics: per vertex, the exact integer
     per-dimension SUM of in-neighbor features + in-degree, features =

@@ -233,3 +233,67 @@ def test_hash_groupby_sum_multicol():
     )
     want = df.groupby("k", as_index=False).agg(sx=("x", "sum"), sy=("y", "sum"))
     pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_metapath_sample_respects_path_and_matches_bruteforce():
+    from graphscope_ray.graph.minibatch import metapath_sample
+    from graphscope_ray.graph.property import PropertyGraph
+
+    rng = np.random.default_rng(11)
+    # bipartite-ish labeled graph: user -[buys]-> item -[madeby]-> brand
+    users = pd.DataFrame({"uid": np.arange(20)})
+    items = pd.DataFrame({"iid": np.arange(30)})
+    brands = pd.DataFrame({"bid": np.arange(8)})
+    buys = pd.DataFrame(
+        {"u": rng.integers(0, 20, 200), "i": rng.integers(0, 30, 200)}
+    )  # keep duplicates: multi-edges consume fanout slots per copy
+    madeby = pd.DataFrame(
+        {"i": rng.integers(0, 30, 60), "b": rng.integers(0, 8, 60)}
+    ).drop_duplicates()
+    pg = (
+        PropertyGraph(directed=True)
+        .add_vertices(users, "user", vid_field="uid")
+        .add_vertices(items, "item", vid_field="iid")
+        .add_vertices(brands, "brand", vid_field="bid")
+        .add_edges(buys, "buys", src_label="user", dst_label="item",
+                   src_field="u", dst_field="i")
+        .add_edges(madeby, "madeby", src_label="item", dst_label="brand",
+                   src_field="i", dst_field="b")
+    )
+    seeds = np.array([0, 3, 7, 19])
+    got = (
+        metapath_sample(pg, seeds, ["buys", "madeby"], [2, 3], salt=4, pair_mod=64)
+        .to_pandas()
+        .sort_values(["layer", "src", "dst"])
+        .reset_index(drop=True)
+    )
+
+    # brute force, multi-edge aware
+    def brute_layer(edf, frontier, f, salt_t):
+        sub = edf[edf.src.isin(frontier)].copy()
+        sub["rk"] = hash_u64((sub.src * 64 + sub.dst).to_numpy(np.int64), salt_t)
+        rows = []
+        for s, grp in sub.groupby("src"):
+            g = grp.sort_values(
+                ["rk", "dst"],
+                key=lambda c: c.to_numpy().view(np.uint64) if c.name == "rk" else c,
+            ).head(f)
+            rows += [(s, d) for d in g.dst]
+        return rows
+
+    l0 = brute_layer(buys.rename(columns={"u": "src", "i": "dst"}), set(seeds), 2, 4)
+    f1 = sorted({d for _, d in l0})
+    l1 = brute_layer(madeby.rename(columns={"i": "src", "b": "dst"}), set(f1), 3, 5)
+    want = pd.DataFrame(
+        [(0, "buys", s, d) for s, d in l0] + [(1, "madeby", s, d) for s, d in l1],
+        columns=["layer", "elabel", "src", "dst"],
+    ).sort_values(["layer", "src", "dst"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["layer", "elabel", "src", "dst"]].astype({"layer": np.int64}),
+        want.astype({"layer": np.int64}),
+        check_dtype=False,
+    )
+    # layer-0 fanout cap 2 per seed, layer-1 srcs drawn from layer-0 dsts
+    per = got[got.layer == 0].groupby("src").size()
+    assert per.max() <= 2
+    assert set(got[got.layer == 1].src) <= set(got[got.layer == 0].dst)
