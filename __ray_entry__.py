@@ -965,6 +965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_negative_sample": _q_lg_negative_sample,
         "lg_link_features": td.lg_link_features,
         "pg_metapath_sample": td.pg_metapath_sample,
+        "lg_deepwalk_ppmi": td.lg_deepwalk_ppmi,
         "lg_sage_sum": td.lg_sage_sum,
         "pg_wcc": td.pg_wcc,
         "pg_sssp": td.pg_sssp,
@@ -1160,6 +1161,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_negative_sample": osql.lg_negative_sample_sql(),
         "lg_link_features": osql.lg_link_features_sql(),
         "pg_metapath_sample": osql.pg_metapath_sql(),
+        "lg_deepwalk_ppmi": osql.lg_deepwalk_ppmi_sql(),
         "lg_sage_sum": osql.lg_sage_sum_sql(),
         "pg_wcc": osql.pg_wcc_sql(),
         "pg_sssp": osql.pg_sssp_sql(),

@@ -384,6 +384,17 @@ def cooccurrence_ppmi(
         )
 
     pairs = ds.select_columns([id_col, text_col]).map_batches(_pairs, batch_format="pyarrow")
+    return ppmi_from_pairs(pairs, min_count, num_partitions, pa.string())
+
+
+def ppmi_from_pairs(
+    pairs: ray.data.Dataset, min_count: int, num_partitions: int, key_type
+) -> ray.data.Dataset:
+    """PPMI over a raw skip-gram pair stream (w, c): count exchange, two
+    vocab-sized marginal groupbys joined back, vectorized score.  Shared by
+    the text skip-gram path and the DeepWalk walk-corpus path."""
+    from graphscope_ray.utils import hash_join
+
     counts = hash_groupby_sum(pairs, ["w", "c"], None, "n", num_partitions=num_partitions)
     counts = counts.materialize()
     nw = hash_groupby_sum(counts, ["w"], "n", "nw", num_partitions=num_partitions)
@@ -396,8 +407,8 @@ def cooccurrence_ppmi(
         if t.num_rows == 0 or "n" not in t.column_names:
             return pa.table(
                 {
-                    "w": pa.array([], pa.string()),
-                    "c": pa.array([], pa.string()),
+                    "w": pa.array([], key_type),
+                    "c": pa.array([], key_type),
                     "n": pa.array([], pa.int64()),
                     "ppmi": pa.array([], pa.float64()),
                 }
@@ -417,3 +428,41 @@ def cooccurrence_ppmi(
         )
 
     return j.map_batches(_score, batch_format="pyarrow")
+
+
+def walk_skipgram_ppmi(
+    walks: ray.data.Dataset,
+    window: int = 2,
+    min_count: int = 1,
+    num_partitions: int = 8,
+    walk_col: str = "walk_id",
+    step_col: str = "step",
+    tok_col: str = "v",
+) -> ray.data.Dataset:
+    """DeepWalk corpus statistics (Perozzi et al. 2014 = random walks +
+    word2vec; with Levy & Goldberg 2014 the SGNS factorization target is
+    exactly this PPMI matrix): skip-gram pairs over each walk's step
+    sequence within ``window`` steps, then PPMI over the pair table.
+    Walks co-locate per walk_id in one groupby exchange; pairs come from
+    vectorized shifts of the step-sorted token array; the scoring tail is
+    shared with ``cooccurrence_ppmi``.  Returns (w, c, n, ppmi) with
+    int64 vertex tokens."""
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        v = df.sort_values(step_col)[tok_col].to_numpy(np.int64)
+        ws, cs = [], []
+        for d in range(1, window + 1):
+            if len(v) <= d:
+                break
+            ws.append(v[:-d]); cs.append(v[d:])
+            ws.append(v[d:]); cs.append(v[:-d])
+        if not ws:
+            return pd.DataFrame({"w": pd.Series(dtype=np.int64), "c": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"w": np.concatenate(ws), "c": np.concatenate(cs)})
+
+    pairs = (
+        walks.select_columns([walk_col, step_col, tok_col])
+        .groupby(walk_col)
+        .map_groups(_pairs, batch_format="pandas")
+    )
+    return ppmi_from_pairs(pairs, min_count, num_partitions, pa.int64())

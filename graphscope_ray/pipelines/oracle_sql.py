@@ -2205,6 +2205,29 @@ def lg_link_features_sql(
     )
 
 
+def lg_deepwalk_ppmi_sql(
+    n_starts: int = 64, length: int = 4, window: int = 2, min_count: int = 1
+) -> str:
+    """testdata.lg_deepwalk_ppmi twin: the lg_random_walks SQL as a
+    subquery, skip-gram pairs within ``window`` steps of the same walk,
+    PPMI over the pair table (same formula as text_ppmi_sql)."""
+    walks = lg_random_walks_sql(n_starts=n_starts, length=length)
+    return (
+        f"WITH walks AS MATERIALIZED (SELECT * FROM ({walks})), "
+        f"pairs AS (SELECT a.v AS w, b.v AS c FROM walks a JOIN walks b "
+        f"ON b.walk_id = a.walk_id AND b.step BETWEEN a.step - {window} "
+        f"AND a.step + {window} AND b.step <> a.step), "
+        "pcnt AS MATERIALIZED (SELECT w, c, count(*) AS n FROM pairs GROUP BY w, c), "
+        "mw AS (SELECT w, sum(n) AS nw FROM pcnt GROUP BY w), "
+        "mc AS (SELECT c, sum(n) AS nc FROM pcnt GROUP BY c), "
+        "tot AS (SELECT CAST(sum(n) AS DOUBLE) AS N FROM pcnt) "
+        "SELECT pcnt.w, pcnt.c, CAST(pcnt.n AS BIGINT) AS n, "
+        "round(greatest(ln(tot.N * pcnt.n / (mw.nw * mc.nc)), 0), 8) AS ppmi "
+        "FROM pcnt JOIN mw USING (w) JOIN mc USING (c), tot "
+        f"WHERE pcnt.n >= {min_count} ORDER BY w, c"
+    )
+
+
 def pg_metapath_sql(
     fanouts=(3, 2), salt: int = 11, seed_step: int = 97, pm: int = 1 << 21
 ) -> str:

@@ -1194,6 +1194,20 @@ def lg_link_features(
     return out.sort_values(["u", "v"]).reset_index(drop=True)
 
 
+def lg_deepwalk_ppmi(
+    sf_dir: str, n_starts: int = 64, length: int = 4, window: int = 2
+) -> pd.DataFrame:
+    """DeepWalk prep, composed end-to-end: the deterministic random-walk
+    corpus over the link graph → skip-gram pairs within 2 steps → PPMI
+    (the SGNS factorization target).  Both stages are the engine's own
+    operators (alg.random_walks + mlprep.walk_skipgram_ppmi)."""
+    from graphscope_ray.functions.mlprep import walk_skipgram_ppmi
+
+    walks = alg.random_walks(lg_edges(sf_dir), n_starts=n_starts, length=length)
+    out = walk_skipgram_ppmi(walks, window=window, min_count=1).to_pandas()
+    return out.sort_values(["w", "c"]).reset_index(drop=True)
+
+
 def pg_metapath_sample(
     sf_dir: str, fanouts=(3, 2), salt: int = 11, seed_step: int = 97
 ) -> pd.DataFrame:

@@ -136,3 +136,48 @@ def test_mixture_replicate():
     ).to_pandas()
     key = lambda d: sorted(map(tuple, d[["doc_id", "epoch"]].to_numpy()))
     assert key(out) == key(out2)
+
+
+def test_walk_skipgram_ppmi_matches_bruteforce():
+    import math
+
+    from graphscope_ray.functions.mlprep import walk_skipgram_ppmi
+
+    walks = pd.DataFrame(
+        {
+            "walk_id": [0, 0, 0, 0, 1, 1, 1, 2],
+            "step":    [0, 1, 2, 3, 0, 1, 2, 0],
+            "v":       [5, 3, 5, 7, 3, 5, 3, 9],
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(walks, preserve_index=False)).repartition(3)
+    got = (
+        walk_skipgram_ppmi(ds, window=2, min_count=1)
+        .to_pandas()
+        .sort_values(["w", "c"])
+        .reset_index(drop=True)
+    )
+
+    # brute force: ordered pairs within 2 steps of the same walk
+    pairs = []
+    for _, g in walks.groupby("walk_id"):
+        v = g.sort_values("step")["v"].tolist()
+        for i in range(len(v)):
+            for j in range(len(v)):
+                if i != j and abs(i - j) <= 2:
+                    pairs.append((v[i], v[j]))
+    from collections import Counter
+
+    cnt = Counter(pairs)
+    N = sum(cnt.values())
+    nw = Counter(); nc = Counter()
+    for (w, c), n in cnt.items():
+        nw[w] += n; nc[c] += n
+    rows = sorted(
+        (w, c, n, round(max(math.log(N * n / (nw[w] * nc[c])), 0.0), 8))
+        for (w, c), n in cnt.items()
+    )
+    want = pd.DataFrame(rows, columns=["w", "c", "n", "ppmi"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # lone-vertex walk (walk 2) contributes nothing
+    assert 9 not in set(got.w)
