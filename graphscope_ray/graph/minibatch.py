@@ -450,6 +450,11 @@ def link_features(
     joined = hash_join(pairs, ekeys, "pk", "epk", num_partitions=num_partitions, how="left")
 
     def _final(df: pd.DataFrame) -> pd.DataFrame:
+        if "cn" not in df.columns:  # zero-left-rows hash partition
+            return pd.DataFrame(
+                {c: pd.Series(dtype=np.int64)
+                 for c in ("u", "v", "cn", "aa_e12", "jaccard", "pref", "is_edge")}
+            ).astype({"jaccard": np.float64})
         df = df[df["cn"] >= min_cn]
         cn = df["cn"].to_numpy(np.float64)
         du = df["du"].to_numpy(np.int64)
