@@ -966,6 +966,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_link_features": td.lg_link_features,
         "pg_metapath_sample": td.pg_metapath_sample,
         "lg_deepwalk_ppmi": td.lg_deepwalk_ppmi,
+        "lg_modularity": td.lg_modularity,
+        "lg_community_stats": td.lg_community_stats,
+        "lg_contract": td.lg_contract,
         "lg_sage_sum": td.lg_sage_sum,
         "pg_wcc": td.pg_wcc,
         "pg_sssp": td.pg_sssp,
@@ -1162,6 +1165,9 @@ def oracle_sql() -> dict[str, str]:
         "lg_link_features": osql.lg_link_features_sql(),
         "pg_metapath_sample": osql.pg_metapath_sql(),
         "lg_deepwalk_ppmi": osql.lg_deepwalk_ppmi_sql(),
+        "lg_modularity": osql.lg_modularity_sql(),
+        "lg_community_stats": osql.lg_community_stats_sql(),
+        "lg_contract": osql.lg_contract_sql(),
         "lg_sage_sum": osql.lg_sage_sum_sql(),
         "pg_wcc": osql.pg_wcc_sql(),
         "pg_sssp": osql.pg_sssp_sql(),

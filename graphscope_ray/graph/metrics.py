@@ -1,0 +1,207 @@
+"""Community-quality metrics over (edges, labels) — the evaluation side of
+community detection (CDLP/Louvain/fluid): modularity, the contracted
+community graph, and per-community conductance statistics.
+
+The reference evaluates its community apps with NetworkX modularity in
+tests (python/graphscope/nx/algorithms/community); here the metrics are
+first-class DISTRIBUTED operators so a 10^9-vertex partition can be scored
+without collecting it: labels attach to edge endpoints via two hash-join
+exchanges, per-community statistics are integer partials through one
+hash-exchange groupby, and the driver folds only community-sized (or
+scalar) results.
+
+All outputs are EXACT INTEGERS (edge counts, degree sums, squared-degree
+sums) so the SQL oracles are bit-exact with no float-accumulation order
+dependence; callers derive the float metric (Q = q_num/q_den,
+φ_c = cut/min(vol, 2m−vol)) from the integers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from graphscope_ray.utils import hash_groupby_sum, hash_join
+
+
+def _undirected_simple(
+    edges: ray.data.Dataset, src_col: str, dst_col: str, num_partitions: int
+) -> ray.data.Dataset:
+    """Distinct undirected pairs (u < v) of the simple graph."""
+
+    def _norm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or src_col not in t.column_names:
+            return pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+        s = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {"u": pa.array(np.minimum(s, d)), "v": pa.array(np.maximum(s, d))}
+        )
+
+    pairs = edges.select_columns([src_col, dst_col]).map_batches(_norm, batch_format="pyarrow")
+    return hash_groupby_sum(
+        pairs, ["u", "v"], None, "__n", num_partitions=num_partitions
+    ).select_columns(["u", "v"])
+
+
+def _with_endpoint_labels(
+    und: ray.data.Dataset, labels: ray.data.Dataset, num_partitions: int,
+    oid_col: str, label_col: str,
+) -> ray.data.Dataset:
+    """Attach (lu, lv) to each undirected pair via two hash joins."""
+
+    def _ren(new_key, new_lab):
+        def _f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or oid_col not in t.column_names:
+                return pa.table(
+                    {new_key: pa.array([], pa.int64()), new_lab: pa.array([], pa.int64())}
+                )
+            return t.select([oid_col, label_col]).rename_columns([new_key, new_lab])
+        return _f
+
+    lu = labels.map_batches(_ren("ku", "lu"), batch_format="pyarrow")
+    lv = labels.map_batches(_ren("kv", "lv"), batch_format="pyarrow")
+    j = hash_join(und, lu, "u", "ku", num_partitions=num_partitions)
+    return hash_join(j, lv, "v", "kv", num_partitions=num_partitions)
+
+
+def community_edge_stats(
+    edges: ray.data.Dataset,
+    labels: ray.data.Dataset,
+    num_partitions: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    oid_col: str = "oid",
+    label_col: str = "label",
+) -> ray.data.Dataset:
+    """Per-community integer statistics over the UNDIRECTED simple graph:
+    (community, intra, cut, vol) — intra-community edge count, boundary
+    (cut) edge count, and degree volume Σdeg.  A cut edge counts toward
+    BOTH its endpoint communities; vol comes from the distinct undirected
+    degree.  One labeled-pair exchange + one groupby; everything int64."""
+    und = _undirected_simple(edges, src_col, dst_col, num_partitions).materialize()
+    lab = _with_endpoint_labels(und, labels, num_partitions, oid_col, label_col)
+
+    def _partials(df: pd.DataFrame) -> pd.DataFrame:
+        if "lu" not in df.columns:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=np.int64) for c in ("community", "intra", "cut")}
+            )
+        lu = df["lu"].to_numpy(np.int64)
+        lv = df["lv"].to_numpy(np.int64)
+        same = lu == lv
+        comm = np.concatenate([lu[same], lu[~same], lv[~same]])
+        intra = np.concatenate(
+            [np.ones(same.sum(), np.int64), np.zeros(2 * (~same).sum(), np.int64)]
+        )
+        cut = 1 - intra
+        return pd.DataFrame({"community": comm, "intra": intra, "cut": cut})
+
+    ic = hash_groupby_sum(
+        lab.map_batches(_partials, batch_format="pandas"),
+        ["community"], ["intra", "cut"], ["intra", "cut"],
+        num_partitions=num_partitions,
+    )
+
+    # vol: undirected degree summed per community (adjacency → label join)
+    def _ends(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "u" not in t.column_names:
+            return pa.table({"e": pa.array([], pa.int64())})
+        return pa.table(
+            {"e": pa.concat_arrays([t["u"].combine_chunks(), t["v"].combine_chunks()])}
+        )
+
+    deg = hash_groupby_sum(
+        und.map_batches(_ends, batch_format="pyarrow"), ["e"], None, "d",
+        num_partitions=num_partitions,
+    )
+    degl = hash_join(
+        deg,
+        labels.map_batches(
+            lambda t: t.select([oid_col, label_col]).rename_columns(["ko", "community"])
+            if t.num_rows and oid_col in t.column_names
+            else pa.table({"ko": pa.array([], pa.int64()), "community": pa.array([], pa.int64())}),
+            batch_format="pyarrow",
+        ),
+        "e", "ko", num_partitions=num_partitions,
+    )
+    vol = hash_groupby_sum(degl, ["community"], "d", "vol", num_partitions=num_partitions)
+    out = hash_join(ic, vol, "community", "community", num_partitions=num_partitions)
+
+    def _clean(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "community" not in t.column_names:
+            return pa.table(
+                {c: pa.array([], pa.int64()) for c in ("community", "intra", "cut", "vol")}
+            )
+        return t.select(["community", "intra", "cut", "vol"])
+
+    return out.map_batches(_clean, batch_format="pyarrow")
+
+
+def modularity_stats(
+    edges: ray.data.Dataset,
+    labels: ray.data.Dataset,
+    num_partitions: int = 8,
+    **cols,
+) -> pd.DataFrame:
+    """Newman modularity of a labeling, as EXACT integers: with m distinct
+    undirected edges, e_c intra edges and d_c degree volume per community,
+    Q = Σ_c e_c/m − Σ_c (d_c/2m)² = q_num/q_den with
+    q_num = 4m·Σe_c − Σd_c², q_den = 4m².  Returns one row
+    (m, q_num, q_den) — the driver folds three scalars."""
+    stats = community_edge_stats(edges, labels, num_partitions=num_partitions, **cols)
+    stats = stats.materialize()
+
+    def _sq(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "vol" not in t.column_names:
+            return pa.table({"v2": pa.array([], pa.int64()), "intra": pa.array([], pa.int64())})
+        v = t["vol"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"v2": pa.array(v * v), "intra": t["intra"]})
+
+    folded = stats.map_batches(_sq, batch_format="pyarrow")
+    sum_intra = int(folded.sum("intra") or 0)
+    sum_v2 = int(folded.sum("v2") or 0)
+    # m = Σvol/2 = total undirected edge count (avoids a second pass)
+    m = int(stats.sum("vol") or 0) // 2
+    return pd.DataFrame(
+        {"m": [m], "q_num": [4 * m * sum_intra - sum_v2], "q_den": [4 * m * m]}
+    )
+
+
+def contract_graph(
+    edges: ray.data.Dataset,
+    labels: ray.data.Dataset,
+    num_partitions: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    oid_col: str = "oid",
+    label_col: str = "label",
+) -> ray.data.Dataset:
+    """The contracted community graph (Louvain's coarsening step as a
+    standalone operator, ref apps/pregel/louvain aggregation): directed
+    community edges (csrc, cdst, weight = multiplicity of original DISTINCT
+    edges between the two communities, self-loops = intra edges kept).
+    Two label hash joins + one count groupby."""
+
+    def _ren(new_key, new_lab):
+        def _f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or oid_col not in t.column_names:
+                return pa.table(
+                    {new_key: pa.array([], pa.int64()), new_lab: pa.array([], pa.int64())}
+                )
+            return t.select([oid_col, label_col]).rename_columns([new_key, new_lab])
+        return _f
+
+    ls = labels.map_batches(_ren("ks", "csrc"), batch_format="pyarrow")
+    ld = labels.map_batches(_ren("kd", "cdst"), batch_format="pyarrow")
+    j = hash_join(edges.select_columns([src_col, dst_col]), ls, src_col, "ks",
+                  num_partitions=num_partitions)
+    j = hash_join(j, ld, dst_col, "kd", num_partitions=num_partitions)
+    return hash_groupby_sum(
+        j, ["csrc", "cdst"], None, "weight", num_partitions=num_partitions
+    )

@@ -2205,6 +2205,71 @@ def lg_link_features_sql(
     )
 
 
+_COMM_BASE = f"""
+ce AS MATERIALIZED (
+  SELECT DISTINCT (l_orderkey % {LG_MOD}) AS src, (l_partkey % {LG_MOD}) AS dst
+  FROM lineitem WHERE (l_orderkey % {LG_MOD}) <> (l_partkey % {LG_MOD})
+),
+cue AS MATERIALIZED (SELECT src, dst FROM ce UNION SELECT dst AS src, src AS dst FROM ce)
+"""
+# the CDLP labeling nests as a subquery with its own WITH (_BASE inside),
+# so the outer scope uses the ce/cue copies to avoid CTE-name collisions
+
+_COMM_STATS = """
+lab AS MATERIALIZED (SELECT oid, label_oid AS label FROM ({cdlp})),
+up AS MATERIALIZED (SELECT src AS u, dst AS v FROM cue WHERE src < dst),
+lp AS MATERIALIZED (SELECT a.label AS lu, b.label AS lv FROM up
+     JOIN lab a ON a.oid = up.u JOIN lab b ON b.oid = up.v),
+stat AS MATERIALIZED (SELECT community, sum(intra) AS intra, sum(cut) AS cut FROM (
+     SELECT lu AS community, CASE WHEN lu = lv THEN 1 ELSE 0 END AS intra,
+            CASE WHEN lu = lv THEN 0 ELSE 1 END AS cut FROM lp
+     UNION ALL SELECT lv, 0, 1 FROM lp WHERE lu <> lv) GROUP BY community),
+udeg2 AS MATERIALIZED (SELECT src AS oid, count(*) AS d FROM cue GROUP BY src),
+cvol AS MATERIALIZED (SELECT l.label AS community, sum(d.d) AS vol
+     FROM udeg2 d JOIN lab l ON l.oid = d.oid GROUP BY 1)
+"""
+
+
+def lg_community_stats_sql(rounds: int = 10) -> str:
+    """graph/metrics.community_edge_stats twin over the CDLP labels: per
+    community, intra / cut (boundary counted toward BOTH sides) / degree
+    volume over the distinct undirected simple graph — exact integers."""
+    body = _COMM_STATS.format(cdlp=lg_cdlp_sql(rounds))
+    return (
+        f"WITH {_COMM_BASE}, {body} "
+        "SELECT s.community, CAST(s.intra AS BIGINT) AS intra, "
+        "CAST(s.cut AS BIGINT) AS cut, CAST(cvol.vol AS BIGINT) AS vol "
+        "FROM stat s JOIN cvol ON cvol.community = s.community ORDER BY s.community"
+    )
+
+
+def lg_modularity_sql(rounds: int = 10) -> str:
+    """graph/metrics.modularity_stats twin: Q of the CDLP partition as the
+    exact rational q_num/q_den (q_num = 4m·Σintra − Σvol², q_den = 4m²)."""
+    body = _COMM_STATS.format(cdlp=lg_cdlp_sql(rounds))
+    return (
+        f"WITH {_COMM_BASE}, {body}, "
+        "mm AS (SELECT count(*) AS m FROM up), "
+        "si AS (SELECT sum(intra) AS s FROM stat), "
+        "sv AS (SELECT sum(vol * vol) AS s2 FROM cvol) "
+        "SELECT CAST(mm.m AS BIGINT) AS m, "
+        "CAST(4 * mm.m * si.s - sv.s2 AS BIGINT) AS q_num, "
+        "CAST(4 * mm.m * mm.m AS BIGINT) AS q_den FROM mm, si, sv"
+    )
+
+
+def lg_contract_sql(rounds: int = 10) -> str:
+    """graph/metrics.contract_graph twin: the directed community graph of
+    the CDLP partition with distinct-edge multiplicities."""
+    return (
+        f"WITH {_COMM_BASE}, "
+        f"lab AS MATERIALIZED (SELECT oid, label_oid AS label FROM ({lg_cdlp_sql(rounds)})) "
+        "SELECT a.label AS csrc, b.label AS cdst, CAST(count(*) AS BIGINT) AS weight "
+        "FROM ce JOIN lab a ON a.oid = ce.src JOIN lab b ON b.oid = ce.dst "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
 def lg_deepwalk_ppmi_sql(
     n_starts: int = 64, length: int = 4, window: int = 2, min_count: int = 1
 ) -> str:

@@ -1194,6 +1194,44 @@ def lg_link_features(
     return out.sort_values(["u", "v"]).reset_index(drop=True)
 
 
+def _cdlp_labels_ds(sf_dir: str, rounds: int = 10) -> ray.data.Dataset:
+    """CDLP community labels as a (oid, label) Dataset — the vertex-sized
+    export is the contract's comparison boundary, re-entering the engine
+    for the metric composition."""
+    lab = lg_cdlp(sf_dir, rounds=rounds).rename(columns={"label_oid": "label"})
+    return ray.data.from_arrow(pa.Table.from_pandas(lab, preserve_index=False))
+
+
+def lg_modularity(sf_dir: str) -> pd.DataFrame:
+    """Newman modularity of the CDLP partition over the undirected simple
+    link graph, as exact integers (m, q_num, q_den); Q = q_num/q_den
+    (graph/metrics.modularity_stats — the community-detection evaluation
+    metric, distributed)."""
+    from graphscope_ray.graph.metrics import modularity_stats
+
+    return modularity_stats(lg_edges(sf_dir), _cdlp_labels_ds(sf_dir))
+
+
+def lg_community_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-community integer quality statistics of the CDLP partition:
+    (community, intra, cut, vol) — conductance φ_c = cut/min(vol, 2m−vol)
+    derives from these (graph/metrics.community_edge_stats)."""
+    from graphscope_ray.graph.metrics import community_edge_stats
+
+    out = community_edge_stats(lg_edges(sf_dir), _cdlp_labels_ds(sf_dir)).to_pandas()
+    return out.sort_values("community").reset_index(drop=True)
+
+
+def lg_contract(sf_dir: str) -> pd.DataFrame:
+    """The contracted community graph of the CDLP partition (Louvain's
+    coarsening as a standalone op): directed (csrc, cdst, weight)
+    (graph/metrics.contract_graph)."""
+    from graphscope_ray.graph.metrics import contract_graph
+
+    out = contract_graph(lg_edges(sf_dir), _cdlp_labels_ds(sf_dir)).to_pandas()
+    return out.sort_values(["csrc", "cdst"]).reset_index(drop=True)
+
+
 def lg_deepwalk_ppmi(
     sf_dir: str, n_starts: int = 64, length: int = 4, window: int = 2
 ) -> pd.DataFrame:

@@ -1,0 +1,93 @@
+"""Community-quality metrics: modularity / stats / contraction vs networkx."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _dsets(rng, n=80, m=400):
+    e = pd.DataFrame(
+        {"src": rng.integers(0, n, m).astype(np.int64),
+         "dst": rng.integers(0, n, m).astype(np.int64)}
+    ).drop_duplicates()
+    e = e[e.src != e.dst].reset_index(drop=True)
+    labels = pd.DataFrame({"oid": np.arange(n, dtype=np.int64),
+                           "label": (np.arange(n) // 10).astype(np.int64)})
+    eds = ray.data.from_arrow(pa.Table.from_pandas(e, preserve_index=False)).repartition(4)
+    lds = ray.data.from_arrow(pa.Table.from_pandas(labels, preserve_index=False)).repartition(3)
+    return e, labels, eds, lds
+
+
+def test_modularity_matches_networkx():
+    import networkx as nx
+
+    from graphscope_ray.graph.metrics import modularity_stats
+
+    rng = np.random.default_rng(7)
+    e, labels, eds, lds = _dsets(rng)
+    out = modularity_stats(eds, lds)
+    q = out.q_num.iloc[0] / out.q_den.iloc[0]
+
+    g = nx.Graph()
+    g.add_nodes_from(labels.oid)
+    g.add_edges_from(zip(e.src, e.dst))
+    comms = [set(labels[labels.label == c].oid) for c in sorted(labels.label.unique())]
+    want = nx.algorithms.community.modularity(g, comms)
+    assert abs(q - want) < 1e-12
+    assert out.m.iloc[0] == g.number_of_edges()
+
+
+def test_community_stats_and_conductance_match_networkx():
+    import networkx as nx
+
+    from graphscope_ray.graph.metrics import community_edge_stats
+
+    rng = np.random.default_rng(9)
+    e, labels, eds, lds = _dsets(rng)
+    out = (
+        community_edge_stats(eds, lds)
+        .to_pandas()
+        .sort_values("community")
+        .reset_index(drop=True)
+    )
+    g = nx.Graph()
+    g.add_nodes_from(labels.oid)
+    g.add_edges_from(zip(e.src, e.dst))
+    lab = labels.set_index("oid")["label"]
+    for _, r in out.iterrows():
+        members = set(labels[labels.label == r.community].oid)
+        cut = nx.cut_size(g, members)
+        vol = nx.volume(g, members)
+        intra = g.subgraph(members).number_of_edges()
+        assert (r.cut, r.vol, r.intra) == (cut, vol, intra), r.community
+        # conductance derives exactly
+        if cut:
+            assert abs(
+                r.cut / min(r.vol, 2 * g.number_of_edges() - r.vol)
+                - nx.conductance(g, members)
+            ) < 1e-12
+
+
+def test_contract_graph_matches_pandas():
+    from graphscope_ray.graph.metrics import contract_graph
+
+    rng = np.random.default_rng(13)
+    e, labels, eds, lds = _dsets(rng)
+    got = (
+        contract_graph(eds, lds)
+        .to_pandas()
+        .sort_values(["csrc", "cdst"])
+        .reset_index(drop=True)
+    )
+    lab = labels.set_index("oid")["label"]
+    want = (
+        pd.DataFrame({"csrc": e.src.map(lab), "cdst": e.dst.map(lab)})
+        .groupby(["csrc", "cdst"], as_index=False)
+        .size()
+        .rename(columns={"size": "weight"})
+        .astype(np.int64)
+        .sort_values(["csrc", "cdst"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
