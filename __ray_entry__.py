@@ -967,6 +967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_metapath_sample": td.pg_metapath_sample,
         "lg_deepwalk_ppmi": td.lg_deepwalk_ppmi,
         "lg_modularity": td.lg_modularity,
+        "lg_wl_colors": td.lg_wl_colors,
         "lg_community_stats": td.lg_community_stats,
         "lg_contract": td.lg_contract,
         "lg_sage_sum": td.lg_sage_sum,
@@ -1166,6 +1167,7 @@ def oracle_sql() -> dict[str, str]:
         "pg_metapath_sample": osql.pg_metapath_sql(),
         "lg_deepwalk_ppmi": osql.lg_deepwalk_ppmi_sql(),
         "lg_modularity": osql.lg_modularity_sql(),
+        "lg_wl_colors": osql.lg_wl_colors_sql(),
         "lg_community_stats": osql.lg_community_stats_sql(),
         "lg_contract": osql.lg_contract_sql(),
         "lg_sage_sum": osql.lg_sage_sum_sql(),

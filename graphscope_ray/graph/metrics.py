@@ -205,3 +205,99 @@ def contract_graph(
     return hash_groupby_sum(
         j, ["csrc", "cdst"], None, "weight", num_partitions=num_partitions
     )
+
+
+def wl_colors(
+    edges: ray.data.Dataset,
+    rounds: int = 3,
+    salt: int = 0,
+    num_partitions: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> ray.data.Dataset:
+    """1-dimensional Weisfeiler–Lehman color refinement (the classic graph
+    canonization / GNN-expressiveness primitive, cf. networkx
+    weisfeiler_lehman_graph_hash): c₀(v) = 0; per round,
+    ``c_{t+1}(v) = H(c_t(v) ⊞ Σ_{u~v} H(c_t(u), 2t+salt), 2t+1+salt)``
+    over the undirected multigraph, where Σ/⊞ are mod-2^64 sums — an
+    ORDER-INVARIANT multiset combiner, so no sorting of neighbor colors is
+    needed and the whole refinement is exact-integer (bit-reproducible in
+    SQL through the split-multiply HUGEINT kernel).  Two vertices get the
+    same color after k rounds iff 1-WL cannot distinguish their k-hop
+    neighborhoods (up to hash collisions).  Per round: one join attaching
+    neighbor colors to arcs + one wrapping-sum exchange — the same volume
+    as a PageRank superstep.  Returns (oid, color) with color the wrapped
+    int64 view of the uint64 color."""
+    from graphscope_ray.functions.sampling import hash_u64
+
+    def _arcs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or src_col not in t.column_names:
+            return pa.table({"vv": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+        s = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"vv": pa.array(np.concatenate([d, s])), "n": pa.array(np.concatenate([s, d]))}
+        )
+
+    both = edges.select_columns([src_col, dst_col]).map_batches(
+        _arcs, batch_format="pyarrow"
+    ).materialize()
+    colors = hash_groupby_sum(
+        both.map_batches(
+            lambda t: pa.table({"oid": t["vv"]}) if t.num_rows else
+            pa.table({"oid": pa.array([], pa.int64())}),
+            batch_format="pyarrow",
+        ),
+        ["oid"], None, "__n", num_partitions=num_partitions,
+    ).map_batches(
+        lambda t: pa.table(
+            {"oid": t["oid"], "c": pa.array(np.zeros(t.num_rows, dtype=np.int64))}
+        ) if t.num_rows and "oid" in t.column_names else
+        pa.table({"oid": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for t in range(rounds):
+        nb = colors.map_batches(
+            lambda tb: tb.select(["oid", "c"]).rename_columns(["ko", "nc"])
+            if tb.num_rows and "oid" in tb.column_names
+            else pa.table({"ko": pa.array([], pa.int64()), "nc": pa.array([], pa.int64())}),
+            batch_format="pyarrow",
+        )
+        arcs_c = hash_join(both, nb, "n", "ko", num_partitions=num_partitions)
+
+        def _hmsg(tb: pa.Table, _s=2 * t + salt) -> pa.Table:
+            if tb.num_rows == 0 or "nc" not in tb.column_names:
+                return pa.table({"vv": pa.array([], pa.int64()), "hc": pa.array([], pa.int64())})
+            hc = hash_u64(tb["nc"].to_numpy(zero_copy_only=False).astype(np.int64), _s)
+            return pa.table({"vv": tb["vv"], "hc": pa.array(hc.view(np.int64))})
+
+        msgs = hash_groupby_sum(  # int64 sums wrap mod 2^64 — the multiset combiner
+            arcs_c.map_batches(_hmsg, batch_format="pyarrow"),
+            ["vv"], "hc", "m", num_partitions=num_partitions,
+        )
+        # INNER join is exact: colors is built from arc endpoints, so every
+        # vertex has ≥1 incident arc and therefore a message row.  (A left
+        # join would let pandas upcast int64 messages to float64 on
+        # NaN-bearing partitions — silently corrupting wrapped 64-bit sums.)
+        joined = hash_join(colors, msgs, "oid", "vv", num_partitions=num_partitions)
+
+        def _update(df: pd.DataFrame, _s=2 * t + 1 + salt) -> pd.DataFrame:
+            if "c" not in df.columns:
+                return pd.DataFrame(
+                    {"oid": pd.Series(dtype=np.int64), "c": pd.Series(dtype=np.int64)}
+                )
+            c = df["c"].to_numpy(np.int64).view(np.uint64)
+            m = df["m"].to_numpy(np.int64).view(np.uint64)
+            mixed = (c + m).view(np.int64)
+            newc = hash_u64(mixed, _s).view(np.int64)
+            return pd.DataFrame({"oid": df["oid"].astype(np.int64), "c": newc})
+
+        colors = joined.map_batches(_update, batch_format="pandas").materialize()
+
+    return colors.map_batches(
+        lambda tb: tb.rename_columns(["oid", "color"])
+        if tb.num_rows and "oid" in tb.column_names
+        else pa.table({"oid": pa.array([], pa.int64()), "color": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    )

@@ -2754,6 +2754,43 @@ def text_fingerprint_sql() -> str:
     )
 
 
+def _knuth64_full(x: str, salt: int) -> str:
+    """sampling.hash_u64 for a FULL-RANGE nonneg HUGEINT expression
+    (0..2^64-1): the Knuth multiply through the split ``_mulmod64`` so the
+    product never overflows INT128."""
+    mul = _mulmod64(f"({x})", "CAST(11400714819323198485 AS HUGEINT)")
+    return (
+        f"(({mul} + {salt} * CAST(14029467366897019727 AS HUGEINT)"
+        f" + CAST(1609587929392839161 AS HUGEINT)) & {_M64})"
+    )
+
+
+def lg_wl_colors_sql(rounds: int = 3, salt: int = 0) -> str:
+    """graph/metrics.wl_colors twin: 1-WL refinement with the mod-2^64
+    multiset combiner — per round, m(v) = Σ_{me arcs u→v} H(c(u), 2t+salt)
+    & 2^64-1 and c'(v) = H((c(v) + m(v)) & mask, 2t+1+salt), colors kept
+    as nonneg HUGEINTs and wrapped to the engine's int64 view at the end."""
+    ctes = ["wc0 AS MATERIALIZED (SELECT oid, CAST(0 AS HUGEINT) AS c FROM v)"]
+    for t in range(rounds):
+        hmsg = _knuth64_full("l.c", 2 * t + salt)
+        ctes.append(
+            f"wm{t} AS MATERIALIZED (SELECT me.dst AS oid, "
+            f"CAST(sum({hmsg}) & {_M64} AS HUGEINT) AS m "
+            f"FROM me JOIN wc{t} l ON l.oid = me.src GROUP BY me.dst)"
+        )
+        upd = _knuth64_full(f"(l.c + m.m) & {_M64}", 2 * t + 1 + salt)
+        ctes.append(
+            f"wc{t + 1} AS MATERIALIZED (SELECT l.oid, {upd} AS c "
+            f"FROM wc{t} l JOIN wm{t} m ON m.oid = l.oid)"
+        )
+    half = "9223372036854775808"
+    return (
+        f"WITH {_BASE}, " + ",\n".join(ctes) + " "
+        f"SELECT oid, CAST(CASE WHEN c >= {half} THEN c - {_Q64} ELSE c END "
+        f"AS BIGINT) AS color FROM wc{rounds} ORDER BY oid"
+    )
+
+
 def _bucket_expr_u64(col: str, salt: int) -> str:
     """sampling.hash_bucket for a FULL-RANGE uint64 key column (0..2^64-1):
     the plain ``_bucket_expr`` HUGEINT multiply overflows INT128 there, so

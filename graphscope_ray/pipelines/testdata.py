@@ -1232,6 +1232,17 @@ def lg_contract(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["csrc", "cdst"]).reset_index(drop=True)
 
 
+def lg_wl_colors(sf_dir: str, rounds: int = 3) -> pd.DataFrame:
+    """1-WL color refinement over the link graph: per-vertex canonical
+    structural colors after 3 rounds (graph/metrics.wl_colors — the graph
+    canonization / GNN-expressiveness primitive, exact mod-2^64 multiset
+    sums so the whole refinement is bit-reproducible)."""
+    from graphscope_ray.graph.metrics import wl_colors
+
+    out = wl_colors(lg_edges(sf_dir), rounds=rounds).to_pandas()
+    return out.sort_values("oid").reset_index(drop=True)
+
+
 def lg_deepwalk_ppmi(
     sf_dir: str, n_starts: int = 64, length: int = 4, window: int = 2
 ) -> pd.DataFrame:

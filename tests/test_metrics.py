@@ -91,3 +91,50 @@ def test_contract_graph_matches_pandas():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_wl_colors_isomorphism_invariant_and_refining():
+    from graphscope_ray.graph.metrics import wl_colors
+
+    rng = np.random.default_rng(21)
+    n = 60
+    e = pd.DataFrame(
+        {"src": rng.integers(0, n, 250).astype(np.int64),
+         "dst": rng.integers(0, n, 250).astype(np.int64)}
+    ).drop_duplicates()
+    e = e[e.src != e.dst].reset_index(drop=True)
+    ds = ray.data.from_arrow(pa.Table.from_pandas(e, preserve_index=False))
+
+    out = wl_colors(ds.repartition(5), rounds=3).to_pandas().sort_values("oid")
+    # partition invariance
+    out2 = wl_colors(ds.repartition(1), rounds=3).to_pandas().sort_values("oid")
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), out2.reset_index(drop=True))
+
+    # relabeling invariance: a vertex permutation permutes colors with it
+    perm = rng.permutation(n).astype(np.int64)
+    e2 = pd.DataFrame({"src": perm[e.src], "dst": perm[e.dst]})
+    ds2 = ray.data.from_arrow(pa.Table.from_pandas(e2, preserve_index=False))
+    outp = wl_colors(ds2.repartition(4), rounds=3).to_pandas().set_index("oid")["color"]
+    base = out.set_index("oid")["color"]
+    for v in base.index:
+        assert outp.loc[perm[v]] == base.loc[v]
+
+    # WL partition refines with rounds and is at least as fine as the
+    # MULTIGRAPH degree (wl_colors runs over both arcs of each directed
+    # edge, like the SQL `me` table — reciprocated pairs count twice)
+    mdeg = (
+        pd.concat([e.src, e.dst]).value_counts().to_dict()
+    )
+    one = wl_colors(ds, rounds=1).to_pandas().set_index("oid")["color"]
+    classes = {}
+    for v in one.index:
+        classes.setdefault(one.loc[v], set()).add(mdeg[v])
+    for degs in classes.values():
+        assert len(degs) == 1  # same round-1 color ⇒ same multigraph degree
+    # round-3 classes never merge round-1 classes
+    three = out.set_index("oid")["color"]
+    pairmap = {}
+    for v in one.index:
+        pairmap.setdefault(three.loc[v], set()).add(one.loc[v])
+    for s in pairmap.values():
+        assert len(s) == 1
