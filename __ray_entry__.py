@@ -968,6 +968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_deepwalk_ppmi": td.lg_deepwalk_ppmi,
         "lg_modularity": td.lg_modularity,
         "lg_wl_colors": td.lg_wl_colors,
+        "lg_node2vec": td.lg_node2vec,
         "lg_community_stats": td.lg_community_stats,
         "lg_contract": td.lg_contract,
         "lg_sage_sum": td.lg_sage_sum,
@@ -1168,6 +1169,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_deepwalk_ppmi": osql.lg_deepwalk_ppmi_sql(),
         "lg_modularity": osql.lg_modularity_sql(),
         "lg_wl_colors": osql.lg_wl_colors_sql(),
+        "lg_node2vec": osql.lg_node2vec_sql(),
         "lg_community_stats": osql.lg_community_stats_sql(),
         "lg_contract": osql.lg_contract_sql(),
         "lg_sage_sum": osql.lg_sage_sum_sql(),

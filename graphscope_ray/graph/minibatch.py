@@ -533,3 +533,159 @@ def neighbor_feature_sum(
     return hash_groupby_sum(
         partials, ["oid"], ["n"] + scols, ["n"] + scols, num_partitions=num_partitions
     )
+
+
+# ---------------------------------------------------------------------------
+# node2vec second-order biased walks
+
+
+def node2vec_walks(
+    edges: ray.data.Dataset,
+    n_starts: int,
+    length: int = 4,
+    w_ret: int = 1,
+    w_com: int = 4,
+    w_far: int = 2,
+    a: int = 1103515245,
+    b: int = 12345,
+    c: int = 97,
+    mod: int = 2147483647,
+    num_partitions: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> ray.data.Dataset:
+    """Deterministic node2vec walks (Grover & Leskovec 2016's second-order
+    p/q walk, with the search-bias weights as INTEGERS so the choice rule
+    is exact): one walk starts at every vertex < ``n_starts``; at step s a
+    candidate x ∈ N_out(cur) weighs ``w_ret`` if x == prev (the 1/p return
+    class), ``w_com`` if (prev → x) is an edge (the distance-1 class) and
+    ``w_far`` otherwise (the 1/q class); the next vertex is the ascending
+    candidate whose cumulative-weight interval contains
+    ``r = (a·walk_id + b·s + c·cur) mod m mod W`` (the same LCG-style
+    hash as ``algorithms.random_walks``, so re-runs/partitionings agree
+    and SQL reproduces the walk bit-exactly).  Step 1 uses prev = start
+    (every candidate lands in one class → uniform).  Walks stop at sinks.
+
+    Distributed shape per step: one hash join expands walks by cur's
+    out-neighbors, one LEFT pair-key join classifies the distance-1 set,
+    one per-walk map_groups picks the winner — candidate volume is
+    Σ deg(cur) per step, the loader-primitive scale (walks are
+    minibatch-sized).  Returns rows (walk_id, step, v)."""
+    from graphscope_ray.utils import hash_join
+
+    e = edges.select_columns([src_col, dst_col]).map_batches(
+        lambda t: t.rename_columns(["asrc", "adst"])
+        if t.num_rows and src_col in t.column_names
+        else pa.table({"asrc": pa.array([], pa.int64()), "adst": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def _emax(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"mx": pa.array([], pa.int64())})
+        return pa.table(
+            {"mx": pa.array([max(
+                int(pa.compute.max(t["asrc"]).as_py() or 0),
+                int(pa.compute.max(t["adst"]).as_py() or 0),
+            )], type=pa.int64())}
+        )
+
+    nmax = int(e.map_batches(_emax, batch_format="pyarrow").max("mx") or 0)
+    pair_mod = nmax + 1
+
+    ekeys = e.map_batches(
+        lambda t: pa.table(
+            {
+                "epk": pa.array(
+                    t["asrc"].to_numpy(zero_copy_only=False).astype(np.int64) * pair_mod
+                    + t["adst"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "__e": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        )
+        if t.num_rows
+        else pa.table({"epk": pa.array([], pa.int64()), "__e": pa.array([], pa.int8())}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    starts = pa.table(
+        {
+            "walk_id": pa.array(np.arange(n_starts, dtype=np.int64)),
+            "prev": pa.array(np.arange(n_starts, dtype=np.int64)),
+            "cur": pa.array(np.arange(n_starts, dtype=np.int64)),
+        }
+    )
+    walks = ray.data.from_arrow(starts)
+    outs = [
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "walk_id": starts["walk_id"],
+                    "step": pa.array(np.zeros(n_starts, dtype=np.int64)),
+                    "v": starts["cur"],
+                }
+            )
+        )
+    ]
+
+    for s in range(1, length + 1):
+        cand = hash_join(walks, e, "cur", "asrc", num_partitions=num_partitions)
+
+        def _key(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "adst" not in t.column_names:
+                return pa.table(
+                    {col: pa.array([], pa.int64())
+                     for col in ("walk_id", "prev", "cur", "nxt", "ck")}
+                )
+            prev = t["prev"].to_numpy(zero_copy_only=False).astype(np.int64)
+            nxt = t["adst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {"walk_id": t["walk_id"], "prev": t["prev"], "cur": t["cur"],
+                 "nxt": pa.array(nxt), "ck": pa.array(prev * pair_mod + nxt)}
+            )
+
+        keyed = cand.map_batches(_key, batch_format="pyarrow")
+        marked = hash_join(
+            keyed, ekeys, "ck", "epk", num_partitions=num_partitions, how="left"
+        )
+
+        def _pick(df: pd.DataFrame, _s=s) -> pd.DataFrame:
+            df = df.sort_values("nxt")
+            nxt = df["nxt"].to_numpy(np.int64)
+            prev = df["prev"].to_numpy(np.int64)
+            com = df["__e"].notna().to_numpy() if "__e" in df else np.zeros(len(df), bool)
+            ret = nxt == prev
+            wt = np.where(ret, w_ret, np.where(com, w_com, w_far)).astype(np.int64)
+            cum = np.cumsum(wt)
+            wid = int(df["walk_id"].iloc[0])
+            cur = int(df["cur"].iloc[0])
+            r = ((a * wid + b * _s + c * cur) % mod) % int(cum[-1])
+            i = int(np.searchsorted(cum, r, side="right"))
+            return pd.DataFrame(
+                {"walk_id": [wid], "prev": [cur], "cur": [int(nxt[i])]}
+            )
+
+        walks = (
+            marked.groupby("walk_id").map_groups(_pick, batch_format="pandas").materialize()
+        )
+        if walks.count() == 0:
+            break
+        outs.append(
+            walks.map_batches(
+                lambda t, _s=s: pa.table(
+                    {"walk_id": t["walk_id"],
+                     "step": pa.array(np.full(t.num_rows, _s, dtype=np.int64)),
+                     "v": t["cur"]}
+                )
+                if t.num_rows and "walk_id" in t.column_names
+                else pa.table({"walk_id": pa.array([], pa.int64()),
+                               "step": pa.array([], pa.int64()),
+                               "v": pa.array([], pa.int64())}),
+                batch_format="pyarrow",
+            )
+        )
+
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out

@@ -2270,6 +2270,54 @@ def lg_contract_sql(rounds: int = 10) -> str:
     )
 
 
+def lg_node2vec_sql(
+    n_starts: int = 64,
+    length: int = 4,
+    w_ret: int = 1,
+    w_com: int = 4,
+    w_far: int = 2,
+    a: int = 1103515245,
+    b: int = 12345,
+    c: int = 97,
+    mod: int = 2147483647,
+) -> str:
+    """graph/minibatch.node2vec_walks twin: per step, candidates = cur's
+    out-neighbors with integer class weights (return / distance-1 / far),
+    winner = the ascending candidate whose cumulative-weight interval
+    contains (a·walk_id + b·s + c·cur) mod m mod Σw — integer arithmetic
+    end to end."""
+    ctes = [
+        f"nw0 AS MATERIALIZED (SELECT oid AS walk_id, oid AS prev, oid AS cur "
+        f"FROM v WHERE oid < {n_starts})"
+    ]
+    for s in range(1, length + 1):
+        r = f"(({a} * walk_id + {b} * {s} + {c} * cur) % {mod}) % tot"
+        ctes.append(
+            f"nc{s} AS MATERIALIZED (SELECT w.walk_id, w.prev, w.cur, n.dst, "
+            f"CASE WHEN n.dst = w.prev THEN {w_ret} "
+            f"WHEN ep.src IS NOT NULL THEN {w_com} ELSE {w_far} END AS wt "
+            f"FROM nw{s - 1} w JOIN e n ON n.src = w.cur "
+            f"LEFT JOIN e ep ON ep.src = w.prev AND ep.dst = n.dst)"
+        )
+        ctes.append(
+            f"nk{s} AS MATERIALIZED (SELECT *, sum(wt) OVER (PARTITION BY walk_id "
+            f"ORDER BY dst ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+            f"sum(wt) OVER (PARTITION BY walk_id) AS tot FROM nc{s})"
+        )
+        ctes.append(
+            f"nw{s} AS MATERIALIZED (SELECT walk_id, cur AS prev, dst AS cur "
+            f"FROM nk{s} WHERE {r} >= cum - wt AND {r} < cum)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT walk_id, CAST({s} AS BIGINT) AS step, cur AS v FROM nw{s}"
+        for s in range(length + 1)
+    )
+    return (
+        f"WITH {_BASE}, " + ",\n".join(ctes)
+        + f" SELECT walk_id, step, v FROM ({union}) ORDER BY walk_id, step"
+    )
+
+
 def lg_deepwalk_ppmi_sql(
     n_starts: int = 64, length: int = 4, window: int = 2, min_count: int = 1
 ) -> str:

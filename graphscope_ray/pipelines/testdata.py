@@ -1232,6 +1232,16 @@ def lg_contract(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["csrc", "cdst"]).reset_index(drop=True)
 
 
+def lg_node2vec(sf_dir: str, n_starts: int = 64, length: int = 4) -> pd.DataFrame:
+    """Deterministic node2vec second-order biased walks over the link graph
+    (integer search-bias weights 1/4/2 for return/distance-1/far classes;
+    graph/minibatch.node2vec_walks)."""
+    from graphscope_ray.graph.minibatch import node2vec_walks
+
+    out = node2vec_walks(lg_edges(sf_dir), n_starts=n_starts, length=length).to_pandas()
+    return out.sort_values(["walk_id", "step"]).reset_index(drop=True)
+
+
 def lg_wl_colors(sf_dir: str, rounds: int = 3) -> pd.DataFrame:
     """1-WL color refinement over the link graph: per-vertex canonical
     structural colors after 3 rounds (graph/metrics.wl_colors — the graph

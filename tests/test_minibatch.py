@@ -297,3 +297,63 @@ def test_metapath_sample_respects_path_and_matches_bruteforce():
     per = got[got.layer == 0].groupby("src").size()
     assert per.max() <= 2
     assert set(got[got.layer == 1].src) <= set(got[got.layer == 0].dst)
+
+
+def test_node2vec_walks_match_bruteforce_and_bias():
+    from graphscope_ray.graph.minibatch import node2vec_walks
+
+    rng = np.random.default_rng(31)
+    n = 40
+    e = pd.DataFrame(
+        {"src": rng.integers(0, n, 260).astype(np.int64),
+         "dst": rng.integers(0, n, 260).astype(np.int64)}
+    ).drop_duplicates()
+    e = e[e.src != e.dst].reset_index(drop=True)
+    ds = ray.data.from_arrow(pa.Table.from_pandas(e, preserve_index=False))
+
+    a, b, c, mod = 1103515245, 12345, 97, 2147483647
+    wr, wc, wf = 1, 4, 2
+    got = (
+        node2vec_walks(ds.repartition(5), n_starts=10, length=3,
+                       w_ret=wr, w_com=wc, w_far=wf)
+        .to_pandas()
+        .sort_values(["walk_id", "step"])
+        .reset_index(drop=True)
+    )
+
+    adj = {}
+    eset = set(zip(e.src, e.dst))
+    for s, d in zip(e.src, e.dst):
+        adj.setdefault(s, []).append(d)
+    rows = []
+    for wid in range(10):
+        prev = cur = wid
+        rows.append((wid, 0, cur))
+        for s in range(1, 4):
+            nbrs = sorted(adj.get(cur, []))
+            if not nbrs:
+                break
+            wts = [wr if x == prev else (wc if (prev, x) in eset else wf) for x in nbrs]
+            r = ((a * wid + b * s + c * cur) % mod) % sum(wts)
+            acc = 0
+            for x, w in zip(nbrs, wts):
+                acc += w
+                if r < acc:
+                    nxt = x
+                    break
+            rows.append((wid, s, nxt))
+            prev, cur = cur, nxt
+    want = pd.DataFrame(rows, columns=["walk_id", "step", "v"]).sort_values(
+        ["walk_id", "step"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype(np.int64), want.astype(np.int64))
+
+    # partition invariance
+    got2 = (
+        node2vec_walks(ds.repartition(1), n_starts=10, length=3,
+                       w_ret=wr, w_com=wc, w_far=wf)
+        .to_pandas()
+        .sort_values(["walk_id", "step"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got2)
