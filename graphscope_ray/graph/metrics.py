@@ -49,23 +49,27 @@ def _undirected_simple(
     ).select_columns(["u", "v"])
 
 
+def _rename_labels(labels: ray.data.Dataset, oid_col: str, label_col: str,
+                   new_key: str, new_lab: str):
+    """(oid, label) → (new_key, new_lab) with the empty-schema-block guard."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or oid_col not in t.column_names:
+            return pa.table(
+                {new_key: pa.array([], pa.int64()), new_lab: pa.array([], pa.int64())}
+            )
+        return t.select([oid_col, label_col]).rename_columns([new_key, new_lab])
+
+    return labels.map_batches(_f, batch_format="pyarrow")
+
+
 def _with_endpoint_labels(
     und: ray.data.Dataset, labels: ray.data.Dataset, num_partitions: int,
     oid_col: str, label_col: str,
 ) -> ray.data.Dataset:
     """Attach (lu, lv) to each undirected pair via two hash joins."""
-
-    def _ren(new_key, new_lab):
-        def _f(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0 or oid_col not in t.column_names:
-                return pa.table(
-                    {new_key: pa.array([], pa.int64()), new_lab: pa.array([], pa.int64())}
-                )
-            return t.select([oid_col, label_col]).rename_columns([new_key, new_lab])
-        return _f
-
-    lu = labels.map_batches(_ren("ku", "lu"), batch_format="pyarrow")
-    lv = labels.map_batches(_ren("kv", "lv"), batch_format="pyarrow")
+    lu = _rename_labels(labels, oid_col, label_col, "ku", "lu")
+    lv = _rename_labels(labels, oid_col, label_col, "kv", "lv")
     j = hash_join(und, lu, "u", "ku", num_partitions=num_partitions)
     return hash_join(j, lv, "v", "kv", num_partitions=num_partitions)
 
@@ -119,17 +123,21 @@ def community_edge_stats(
     deg = hash_groupby_sum(
         und.map_batches(_ends, batch_format="pyarrow"), ["e"], None, "d",
         num_partitions=num_partitions,
-    )
+    ).materialize()
     degl = hash_join(
         deg,
-        labels.map_batches(
-            lambda t: t.select([oid_col, label_col]).rename_columns(["ko", "community"])
-            if t.num_rows and oid_col in t.column_names
-            else pa.table({"ko": pa.array([], pa.int64()), "community": pa.array([], pa.int64())}),
-            batch_format="pyarrow",
-        ),
+        _rename_labels(labels, oid_col, label_col, "ko", "community"),
         "e", "ko", num_partitions=num_partitions,
-    )
+    ).materialize()
+    # precondition: every edge endpoint must carry a label — an unlabeled
+    # endpoint would silently drop its pairs from intra/cut while vol still
+    # counted the labeled side, making the statistics mutually inconsistent
+    n_ep, n_lab = deg.count(), degl.count()
+    if n_lab != n_ep:
+        raise ValueError(
+            f"labels cover {n_lab} of {n_ep} edge-endpoint vertices; "
+            "label every vertex (or filter the edges) before scoring"
+        )
     vol = hash_groupby_sum(degl, ["community"], "d", "vol", num_partitions=num_partitions)
     out = hash_join(ic, vol, "community", "community", num_partitions=num_partitions)
 
@@ -155,19 +163,16 @@ def modularity_stats(
     q_num = 4m·Σe_c − Σd_c², q_den = 4m².  Returns one row
     (m, q_num, q_den) — the driver folds three scalars."""
     stats = community_edge_stats(edges, labels, num_partitions=num_partitions, **cols)
-    stats = stats.materialize()
-
-    def _sq(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "vol" not in t.column_names:
-            return pa.table({"v2": pa.array([], pa.int64()), "intra": pa.array([], pa.int64())})
-        v = t["vol"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"v2": pa.array(v * v), "intra": t["intra"]})
-
-    folded = stats.map_batches(_sq, batch_format="pyarrow")
-    sum_intra = int(folded.sum("intra") or 0)
-    sum_v2 = int(folded.sum("v2") or 0)
-    # m = Σvol/2 = total undirected edge count (avoids a second pass)
-    m = int(stats.sum("vol") or 0) // 2
+    # the per-community table is the module's documented driver boundary
+    # (community-sized); the fold runs in PYTHON ints so vol² cannot wrap
+    # int64 (a single community with ≥3.04e9 degree volume would) — the
+    # SQL oracle's HUGEINT arithmetic stays exact, and so does this.
+    pdf = stats.to_pandas()
+    sum_intra = int(pdf["intra"].astype(object).sum()) if len(pdf) else 0
+    sum_v2 = int(sum(int(x) ** 2 for x in pdf["vol"])) if len(pdf) else 0
+    vol_total = int(pdf["vol"].astype(object).sum()) if len(pdf) else 0
+    # Σvol = 2m exactly (community_edge_stats enforces full label coverage)
+    m = vol_total // 2
     return pd.DataFrame(
         {"m": [m], "q_num": [4 * m * sum_intra - sum_v2], "q_den": [4 * m * m]}
     )
@@ -187,18 +192,8 @@ def contract_graph(
     community edges (csrc, cdst, weight = multiplicity of original DISTINCT
     edges between the two communities, self-loops = intra edges kept).
     Two label hash joins + one count groupby."""
-
-    def _ren(new_key, new_lab):
-        def _f(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0 or oid_col not in t.column_names:
-                return pa.table(
-                    {new_key: pa.array([], pa.int64()), new_lab: pa.array([], pa.int64())}
-                )
-            return t.select([oid_col, label_col]).rename_columns([new_key, new_lab])
-        return _f
-
-    ls = labels.map_batches(_ren("ks", "csrc"), batch_format="pyarrow")
-    ld = labels.map_batches(_ren("kd", "cdst"), batch_format="pyarrow")
+    ls = _rename_labels(labels, oid_col, label_col, "ks", "csrc")
+    ld = _rename_labels(labels, oid_col, label_col, "kd", "cdst")
     j = hash_join(edges.select_columns([src_col, dst_col]), ls, src_col, "ks",
                   num_partitions=num_partitions)
     j = hash_join(j, ld, dst_col, "kd", num_partitions=num_partitions)

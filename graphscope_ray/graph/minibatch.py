@@ -352,6 +352,11 @@ def link_features(
         d = t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
         keep = s != d
         s, d = s[keep], d[keep]
+        if len(s):
+            mx = max(int(s.max()), int(d.max()))
+            assert mx < pair_mod and mx < (1 << 62) // pair_mod, (
+                f"vertex id {mx} >= pair_mod {pair_mod}: packed pair keys would alias"
+            )
         return pa.table(
             {"u": pa.array(np.concatenate([s, d])), "m": pa.array(np.concatenate([d, s]))}
         )
@@ -503,11 +508,15 @@ def neighbor_feature_sum(
     d = mat_sorted.shape[1]
     ref = ray.put((ids_sorted, mat_sorted))
     scols = [f"s{j}" for j in range(d)]
+    # only the dtype may enter the UDF closure — capturing mat_sorted itself
+    # would pickle the whole matrix into every task, defeating the broadcast
+    feat_dtype = pa.from_numpy_dtype(mat_sorted.dtype)
+    del order, feat_ids, feat_mat, ids_sorted, mat_sorted
 
     def _partial(t: pa.Table) -> pa.Table:
         empty = pa.table(
             {"oid": pa.array([], pa.int64()), "n": pa.array([], pa.int64()),
-             **{c: pa.array([], pa.from_numpy_dtype(mat_sorted.dtype)) for c in scols}}
+             **{c: pa.array([], feat_dtype) for c in scols}}
         )
         if t.num_rows == 0 or src_col not in t.column_names:
             return empty
@@ -571,14 +580,21 @@ def node2vec_walks(
     one per-walk map_groups picks the winner — candidate volume is
     Σ deg(cur) per step, the loader-primitive scale (walks are
     minibatch-sized).  Returns rows (walk_id, step, v)."""
-    from graphscope_ray.utils import hash_join
+    from graphscope_ray.utils import hash_groupby_sum, hash_join
 
-    e = edges.select_columns([src_col, dst_col]).map_batches(
-        lambda t: t.rename_columns(["asrc", "adst"])
-        if t.num_rows and src_col in t.column_names
-        else pa.table({"asrc": pa.array([], pa.int64()), "adst": pa.array([], pa.int64())}),
-        batch_format="pyarrow",
-    ).materialize()
+    assert min(w_ret, w_com, w_far) >= 0 and max(w_ret, w_com, w_far) > 0
+
+    # SIMPLE-graph semantics: multi-edges collapse (the SQL twin's e is
+    # DISTINCT; duplicate rows would double-count a candidate's weight)
+    e = hash_groupby_sum(
+        edges.select_columns([src_col, dst_col]).map_batches(
+            lambda t: t.rename_columns(["asrc", "adst"])
+            if t.num_rows and src_col in t.column_names
+            else pa.table({"asrc": pa.array([], pa.int64()), "adst": pa.array([], pa.int64())}),
+            batch_format="pyarrow",
+        ),
+        ["asrc", "adst"], None, "__n", num_partitions=num_partitions,
+    ).select_columns(["asrc", "adst"]).materialize()
 
     def _emax(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -592,6 +608,9 @@ def node2vec_walks(
 
     nmax = int(e.map_batches(_emax, batch_format="pyarrow").max("mx") or 0)
     pair_mod = nmax + 1
+    assert nmax * pair_mod + nmax < (1 << 63), (
+        f"max vertex id {nmax}: packed (prev, next) pair keys overflow int64"
+    )
 
     ekeys = e.map_batches(
         lambda t: pa.table(
@@ -659,6 +678,10 @@ def node2vec_walks(
             cum = np.cumsum(wt)
             wid = int(df["walk_id"].iloc[0])
             cur = int(df["cur"].iloc[0])
+            if cum[-1] == 0:  # every candidate in a zero-weight class: dead end
+                return pd.DataFrame(
+                    {c_: pd.Series(dtype=np.int64) for c_ in ("walk_id", "prev", "cur")}
+                )
             r = ((a * wid + b * _s + c * cur) % mod) % int(cum[-1])
             i = int(np.searchsorted(cum, r, side="right"))
             return pd.DataFrame(

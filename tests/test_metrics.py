@@ -138,3 +138,16 @@ def test_wl_colors_isomorphism_invariant_and_refining():
         pairmap.setdefault(three.loc[v], set()).add(one.loc[v])
     for s in pairmap.values():
         assert len(s) == 1
+
+
+def test_community_stats_rejects_partial_labels():
+    import pytest
+
+    from graphscope_ray.graph.metrics import community_edge_stats
+
+    e = pd.DataFrame({"src": [1, 2], "dst": [2, 3]})
+    labels = pd.DataFrame({"oid": [1, 2], "label": [0, 0]})  # vertex 3 unlabeled
+    eds = ray.data.from_arrow(pa.Table.from_pandas(e, preserve_index=False))
+    lds = ray.data.from_arrow(pa.Table.from_pandas(labels, preserve_index=False))
+    with pytest.raises(ValueError, match="labels cover 2 of 3"):
+        community_edge_stats(eds, lds).materialize()

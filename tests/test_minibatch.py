@@ -357,3 +357,29 @@ def test_node2vec_walks_match_bruteforce_and_bias():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_node2vec_zero_weight_class_is_dead_end_not_crash():
+    from graphscope_ray.graph.minibatch import node2vec_walks
+
+    # star out of 0: all step-2 candidates from vertex 1 are 'far' (w_far=0)
+    e = pd.DataFrame({"src": [0, 1, 1], "dst": [1, 5, 6]})
+    ds = ray.data.from_arrow(pa.Table.from_pandas(e, preserve_index=False))
+    out = node2vec_walks(ds, n_starts=1, length=3, w_ret=0, w_com=4, w_far=0).to_pandas()
+    # walk 0: step0=0, step1=1 ((0,1) is the only candidate, class com),
+    # then candidates {5,6} are far (w=0) and 1 is not prev's neighbor — stop
+    assert sorted(map(tuple, out[["step", "v"]].to_numpy())) == [(0, 0), (1, 1)]
+
+
+def test_node2vec_collapses_multiedges():
+    from graphscope_ray.graph.minibatch import node2vec_walks
+
+    e1 = pd.DataFrame({"src": [0, 0, 1, 1], "dst": [1, 2, 2, 3]})
+    e2 = pd.concat([e1, e1.iloc[[0, 2]]], ignore_index=True)  # duplicate rows
+    d1 = ray.data.from_arrow(pa.Table.from_pandas(e1, preserve_index=False))
+    d2 = ray.data.from_arrow(pa.Table.from_pandas(e2, preserve_index=False))
+    o1 = node2vec_walks(d1, n_starts=2, length=3).to_pandas().sort_values(
+        ["walk_id", "step"]).reset_index(drop=True)
+    o2 = node2vec_walks(d2, n_starts=2, length=3).to_pandas().sort_values(
+        ["walk_id", "step"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(o1, o2)
