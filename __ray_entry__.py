@@ -666,6 +666,16 @@ def _q_samp_priority(sf_dir):
     return priority_sample(docs, key="doc_id", weight_col="n_chars", k=50, salt=11)
 
 
+def _q_samp_dsir(sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
+    features, target = lang='en' docs, raw = whole corpus; top-200 docs by
+    exact-int quantized importance weight (functions/dsir.py)."""
+    from graphscope_ray.functions.dsir import dsir_select
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "text", "lang"])
+    return dsir_select(docs, target_col="lang", target_val="en", k=200)
+
+
 def _q_text_norm(sf_dir):
     from graphscope_ray.functions.text import normalize_text
 
@@ -1045,6 +1055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "samp_split": _q_samp_split,
         "samp_stratified": _q_samp_stratified,
         "samp_priority": _q_samp_priority,
+        "samp_dsir": _q_samp_dsir,
         "text_norm": _q_text_norm,
         "op_hll_by": _q_op_hll_by,
         # multimodal plumbing
@@ -1241,6 +1252,7 @@ def oracle_sql() -> dict[str, str]:
         "samp_split": osql.samp_split_sql(),
         "samp_stratified": osql.samp_stratified_sql(),
         "samp_priority": osql.samp_priority_sql(),
+        "samp_dsir": osql.samp_dsir_sql(),
         "text_norm": osql.text_norm_sql(),
         "op_hll_by": osql.op_hll_by_sql(),
         # no SQL oracle (heuristic / sequential / approximate / stateful):

@@ -210,6 +210,31 @@ def batch_token_hashes_lens(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return hashes, char_lens, boundaries
 
 
+def bigram_hashes(
+    hashes: np.ndarray, boundaries: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 hash of every adjacent same-doc token-hash pair:
+    ``mix64(h_i·B + h_{i+1})`` (the 2-column :func:`combine_rows` kernel)
+    for segmented input — ``hashes`` are per-token hashes, ``boundaries``
+    the per-doc start offsets (len = n_docs + 1, as returned by
+    :func:`batch_token_hashes`).  Pairs never cross a doc boundary; a doc
+    with < 2 tokens yields no pairs.  Returns (pair_hashes,
+    pair_boundaries) with the same segmented layout."""
+    counts = np.diff(boundaries)
+    bcounts = np.maximum(counts - 1, 0)
+    out_bounds = np.concatenate([[0], np.cumsum(bcounts)]).astype(np.int64)
+    total = int(out_bounds[-1])
+    if total == 0:
+        return _EMPTY_U64, out_bounds
+    intra = np.arange(total, dtype=np.int64) - np.repeat(
+        out_bounds[:-1][bcounts > 0], bcounts[bcounts > 0]
+    )
+    starts = np.repeat(boundaries[:-1][bcounts > 0], bcounts[bcounts > 0]) + intra
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+        h = hashes[starts] * _B + hashes[starts + 1]
+    return mix64(h), out_bounds
+
+
 def combine_rows(mat: np.ndarray) -> np.ndarray:
     """One uint64 hash per row of a (n, r) uint64 matrix (LSH band keys)."""
     m = mat.astype(np.uint64, copy=False)

@@ -3585,3 +3585,39 @@ SELECT doc_id,
        round(quality, 8) AS quality
 FROM ded ORDER BY doc_id
 """
+
+
+def samp_dsir_sql(k: int = 200, n_buckets: int = 4096, target: str = "en") -> str:
+    """Bit-exact replica of functions/dsir.dsir_select: hashed unigram +
+    bigram token features (the same ascending-polynomial + fmix64 token
+    hashes as the fingerprint, bigram = fmix64(h_i·B + h_{i+1})) into
+    ``n_buckets`` buckets, per-feature quantized log-ratio
+    round(1e6·ln((t+1)/(r+1))) — evaluated by THIS engine's ln on both
+    sides (the module computes its weight table via DuckDB for exactly
+    this reason) — exact int64 per-doc occurrence sums, top-k by
+    (weight desc, doc_id).  Valid for the synthetic documents table
+    (ASCII, space-delimited)."""
+    tok_ctes, th = _token_hash_ctes("lower(text)")
+    mixb, bth = _mix64_stages("bg0", "doc_id, tj", "bu")
+    ctes = [
+        *tok_ctes,
+        f"bg0 AS (SELECT a.doc_id, a.tj, "
+        f"(((a.h * CAST({_FNV_B} AS HUGEINT)) & {_M64}) + b.h) & {_M64} AS h "
+        f"FROM {th} a JOIN {th} b ON b.doc_id = a.doc_id AND b.tj = a.tj + 1)",
+        *mixb,
+        f"af AS MATERIALIZED (SELECT doc_id, CAST(h % {n_buckets} AS BIGINT) AS f "
+        f"FROM {th} UNION ALL "
+        f"SELECT doc_id, CAST(h % {n_buckets} AS BIGINT) AS f FROM {bth})",
+        f"cnt AS (SELECT af.f, sum(CASE WHEN d.lang = '{target}' THEN 1 ELSE 0 END) "
+        f"AS t, count(*) AS r FROM af JOIN documents d USING (doc_id) GROUP BY af.f)",
+        "wt AS (SELECT f, CAST(round(1000000 * ln((t + 1)::DOUBLE / (r + 1)::DOUBLE)) "
+        "AS BIGINT) AS s FROM cnt)",
+        "sc AS (SELECT d.doc_id, CAST(coalesce(sum(wt.s), 0) AS BIGINT) AS weight "
+        "FROM documents d LEFT JOIN af ON af.doc_id = d.doc_id "
+        "LEFT JOIN wt ON wt.f = af.f GROUP BY d.doc_id)",
+        f"win AS (SELECT doc_id, weight FROM sc ORDER BY weight DESC, doc_id LIMIT {k})",
+    ]
+    return (
+        "WITH RECURSIVE " + ",\n".join(ctes) + " "
+        "SELECT doc_id, weight FROM win ORDER BY doc_id"
+    )
