@@ -676,6 +676,27 @@ def _q_samp_dsir(sf_dir):
     return dsir_select(docs, target_col="lang", target_val="en", k=200)
 
 
+def _q_samp_shuffle(sf_dir):
+    """Deterministic global training-data shuffle: dense position in
+    hash_u64(doc_id, salt) order (functions/sampling.global_shuffle)."""
+    from graphscope_ray.functions.sampling import global_shuffle
+
+    return global_shuffle(_documents(sf_dir).select_columns(["doc_id"]), salt=3)
+
+
+def _q_op_qsketch(sf_dir):
+    """Deterministic MRL-style mergeable quantile summary over lineitem
+    l_extendedprice (functions/sketch.quantile_sketch) — the rank-statistic
+    member of the sketch family (HLL / CMS / Bloom)."""
+    from graphscope_ray.functions.sketch import quantile_sketch
+    from graphscope_ray.pipelines.testdata import read
+
+    li = read(
+        sf_dir, "lineitem", columns=["l_extendedprice", "l_orderkey", "l_linenumber"]
+    )
+    return quantile_sketch(li, "l_extendedprice", ("l_orderkey", "l_linenumber"))
+
+
 def _q_text_norm(sf_dir):
     from graphscope_ray.functions.text import normalize_text
 
@@ -1056,6 +1077,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "samp_stratified": _q_samp_stratified,
         "samp_priority": _q_samp_priority,
         "samp_dsir": _q_samp_dsir,
+        "samp_shuffle": _q_samp_shuffle,
+        "op_qsketch": _q_op_qsketch,
         "text_norm": _q_text_norm,
         "op_hll_by": _q_op_hll_by,
         # multimodal plumbing
@@ -1253,6 +1276,8 @@ def oracle_sql() -> dict[str, str]:
         "samp_stratified": osql.samp_stratified_sql(),
         "samp_priority": osql.samp_priority_sql(),
         "samp_dsir": osql.samp_dsir_sql(),
+        "samp_shuffle": osql.samp_shuffle_sql(),
+        "op_qsketch": osql.op_qsketch_sql(),
         "text_norm": osql.text_norm_sql(),
         "op_hll_by": osql.op_hll_by_sql(),
         # no SQL oracle (heuristic / sequential / approximate / stateful):

@@ -206,3 +206,34 @@ def mixture_replicate(
         return out.append_column("epoch", pa.array(ep, pa.int64()))
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def global_shuffle(
+    ds: ray.data.Dataset, key: str = "doc_id", salt: int = 0
+) -> ray.data.Dataset:
+    """Deterministic, reproducible GLOBAL training-data shuffle: every row
+    gets a dense 0-based ``pos`` in the order of its full-range Knuth hash
+    ``hash_u64(key, salt)`` (ties — astronomically rare but possible at
+    10^10 rows — broken by the key itself).  Unlike
+    ``Dataset.random_shuffle`` the permutation is a pure function of
+    (key, salt): re-runs, resumed jobs and different partitionings produce
+    THE SAME order, which is what an LM training pipeline needs to replay
+    a data order exactly (epoch e = salt e).
+
+    Distributed shape: one range-partitioned sort by the hash (the same
+    all-to-all a random shuffle costs) + a row-count scan for the dense
+    index (``zip_with_index``); driver state is per-block counts only."""
+    from graphscope_ray.utils import zip_with_index
+
+    def _h(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key not in t.column_names:
+            return pa.table(
+                {key: pa.array([], pa.int64()), "__h": pa.array([], pa.uint64())}
+            )
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({key: t[key], "__h": pa.array(hash_u64(k, salt))})
+
+    out = zip_with_index(
+        ds.map_batches(_h, batch_format="pyarrow"), ["__h", key], "pos"
+    )
+    return out.select_columns([key, "pos"])

@@ -353,3 +353,101 @@ def bloom_member(
         return t.append_column(out_col, pa.array(hit.astype(np.int64)))
 
     return ds.map_batches(_probe, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# deterministic mergeable quantile summary (MRL-style)
+
+
+def quantile_sketch(
+    ds: ray.data.Dataset,
+    value_col: str,
+    key_cols: tuple[str, str],
+    qs: tuple = ((1, 100), (1, 4), (1, 2), (3, 4), (99, 100)),
+    k: int = 128,
+    num_partitions: int = 16,
+    salt: int = 9,
+    key_mult: int = 8,
+) -> pd.DataFrame:
+    """Deterministic mergeable quantile summary (the Manku–Rajagopalan–
+    Lindsay '98 collapse scheme, rank-uniform variant): rows hash-partition
+    by a composite integer key, each partition sorts its values and keeps
+    the LAST row of every rank-chunk of size ceil(n_p / k) with the chunk
+    size as its weight — a classic ε-summary with DETERMINISTIC worst-case
+    rank error < max_p ceil(n_p / k) per kept item (no randomness, unlike
+    KLL compactors, so re-runs and the SQL oracle agree exactly).  The
+    ≤ P·k weighted items merge by value order; quantile q = num/den is the
+    first merged item whose cumulative weight reaches
+    ceil(q·N) = (num·N + den − 1) // den — exact integer arithmetic.
+
+    Completes the mergeable-sketch family (HLL cardinality, CMS heavy
+    hitters, Bloom membership) with rank statistics: at 100 TB the P
+    partition summaries are k-sized — only O(P·k) weighted rows ever leave
+    the partitions, vs the full sort an exact quantile needs.  (At extreme
+    P re-collapse the merged summary once more — same operation — to keep
+    the driver merge k-sized; the guarantee adds the two chunk sizes.)
+
+    ``key_cols`` = (major, minor) integer columns whose composite
+    ``major·key_mult + minor`` is unique per row (total order + stable
+    partitioning); minor must be < key_mult.  Returns (q, value), one row
+    per requested quantile."""
+    import pyarrow.compute as pc
+
+    from graphscope_ray.functions.sampling import hash_bucket
+
+    maj, mino = key_cols
+
+    def _part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or value_col not in t.column_names:
+            return pa.table(
+                {
+                    "part": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.float64()),
+                    "ok": pa.array([], pa.int64()),
+                    "ln": pa.array([], pa.int64()),
+                }
+            )
+        ok = t[maj].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = t[mino].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = hash_bucket(ok * key_mult + ln, salt) % num_partitions
+        return pa.table(
+            {
+                "part": pa.array(part),
+                "v": pc.cast(t[value_col], pa.float64()),
+                "ok": pa.array(ok),
+                "ln": pa.array(ln),
+            }
+        )
+
+    def _summarize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["v", "ok", "ln"], kind="mergesort").reset_index(
+            drop=True
+        )
+        n = len(df)
+        st = -(-n // k)  # ceil(n / k)
+        chunk = np.arange(n, dtype=np.int64) // st
+        last = np.flatnonzero(
+            np.concatenate([chunk[1:] != chunk[:-1], [True]])
+        )
+        w = np.diff(np.concatenate([[-1], last]))
+        out = df.iloc[last][["v", "ok", "ln"]].copy()
+        out["w"] = w.astype(np.int64)
+        return out
+
+    kept = (
+        ds.map_batches(_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_summarize, batch_format="pandas")
+        .to_pandas()
+    )
+    kept = kept.sort_values(["v", "ok", "ln"], kind="mergesort").reset_index(
+        drop=True
+    )
+    cw = kept["w"].to_numpy().cumsum()
+    n_total = int(cw[-1]) if len(cw) else 0
+    rows = []
+    for num, den in qs:
+        target = (num * n_total + den - 1) // den
+        idx = int(np.searchsorted(cw, target, side="left"))
+        rows.append((num / den, float(kept["v"].iloc[idx])))
+    return pd.DataFrame(rows, columns=["q", "value"])

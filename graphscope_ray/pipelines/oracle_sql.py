@@ -3621,3 +3621,46 @@ def samp_dsir_sql(k: int = 200, n_buckets: int = 4096, target: str = "en") -> st
         "WITH RECURSIVE " + ",\n".join(ctes) + " "
         "SELECT doc_id, weight FROM win ORDER BY doc_id"
     )
+
+
+def samp_shuffle_sql(salt: int = 3) -> str:
+    """sampling.global_shuffle twin: pos = dense rank of the full-range
+    Knuth hash of doc_id (ties by doc_id).  Integer end to end."""
+    h = _knuth64_expr("doc_id", salt)
+    return (
+        f"WITH h AS (SELECT doc_id, {h} AS h FROM documents) "
+        f"SELECT doc_id, row_number() OVER (ORDER BY h, doc_id) - 1 AS pos "
+        f"FROM h ORDER BY doc_id"
+    )
+
+
+def op_qsketch_sql(k: int = 128, P: int = 16, salt: int = 9) -> str:
+    """Bit-exact replica of sketch.quantile_sketch over lineitem
+    l_extendedprice: hash-partition by the composite key
+    l_orderkey·8 + l_linenumber (sampling.hash_bucket twin, mod P), keep
+    the last row of every rank-chunk of size ceil(n_p/k) with the chunk
+    size as weight, merge by (v, ok, ln), quantile num/den = first item
+    whose cumulative weight reaches (num·N + den − 1) // den.  Integer
+    arithmetic end to end; v is carried, never computed on."""
+    key = "(l_orderkey * 8 + l_linenumber)"
+    qrows = ", ".join(f"({n}, {d})" for n, d in ((1, 100), (1, 4), (1, 2), (3, 4), (99, 100)))
+    return f"""
+WITH b AS (SELECT l_extendedprice AS v, l_orderkey AS ok, l_linenumber AS ln,
+           ({_bucket_expr(key, salt)}) % {P} AS part FROM lineitem),
+r AS (SELECT *, row_number() OVER (PARTITION BY part ORDER BY v, ok, ln) - 1 AS rn,
+      count(*) OVER (PARTITION BY part) AS np FROM b),
+s AS (SELECT *, (np + {k} - 1) // {k} AS st FROM r),
+kept AS (SELECT part, v, ok, ln,
+         count(*) OVER (PARTITION BY part, rn // st) AS w,
+         row_number() OVER (PARTITION BY part, rn // st ORDER BY rn DESC) AS rr
+         FROM s QUALIFY rr = 1),
+m AS (SELECT v, ok, ln, w,
+      sum(w) OVER (ORDER BY v, ok, ln ROWS UNBOUNDED PRECEDING) AS cw FROM kept),
+tot AS (SELECT sum(w) AS n FROM kept),
+q(num, den) AS (VALUES {qrows}),
+tgt AS (SELECT num, den, (num * tot.n + den - 1) // den AS target FROM q, tot),
+ans AS (SELECT t.num, t.den, min(m.cw) AS c FROM tgt t
+        JOIN m ON m.cw >= t.target GROUP BY t.num, t.den)
+SELECT CAST(ans.num AS DOUBLE) / ans.den AS q, m.v AS value
+FROM ans JOIN m ON m.cw = ans.c ORDER BY q
+"""

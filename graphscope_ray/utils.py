@@ -141,8 +141,11 @@ def hash_groupby_sum(
     )
 
 
-def zip_with_index(ds: "ray.data.Dataset", key: str, index_col: str = "vid") -> "ray.data.Dataset":
-    """Globally sort ``ds`` by ``key`` and append a dense 0-based index column.
+def zip_with_index(
+    ds: "ray.data.Dataset", key: str | list, index_col: str = "vid"
+) -> "ray.data.Dataset":
+    """Globally sort ``ds`` by ``key`` (one column or a list) and append a
+    dense 0-based index column.
 
     Distributed: the driver only touches per-block row counts.  Sort is a
     range-partitioned shuffle; blocks come back in global order, so the

@@ -806,3 +806,28 @@ def test_cooccurrence_ppmi_matches_duckdb():
     piv = got.set_index(["w", "c"])["n"]
     for (w, c), n in piv.items():
         assert piv.get((c, w), 0) == n
+
+
+def test_global_shuffle_deterministic_permutation():
+    import numpy as np
+    import ray.data
+
+    from graphscope_ray.functions import sampling
+
+    ids = np.arange(100, dtype=np.int64)
+    ds1 = ray.data.from_items([{"doc_id": int(i)} for i in ids]).repartition(7)
+    ds2 = ray.data.from_items([{"doc_id": int(i)} for i in ids[::-1]]).repartition(3)
+    a = sampling.global_shuffle(ds1, salt=5).to_pandas().sort_values("doc_id")
+    b = sampling.global_shuffle(ds2, salt=5).to_pandas().sort_values("doc_id")
+    # partition-layout- and input-order-independent permutation
+    assert np.array_equal(a["pos"].to_numpy(), b["pos"].to_numpy())
+    # a real permutation of 0..n-1
+    assert sorted(a["pos"]) == list(range(100))
+    # the hash order matches the kernel
+    h = sampling.hash_u64(ids, 5)
+    exp_pos = np.empty(100, dtype=np.int64)
+    exp_pos[np.lexsort((ids, h))] = np.arange(100)
+    assert np.array_equal(a["pos"].to_numpy(), exp_pos)
+    # different salt -> different permutation
+    c = sampling.global_shuffle(ds1, salt=6).to_pandas().sort_values("doc_id")
+    assert not np.array_equal(a["pos"].to_numpy(), c["pos"].to_numpy())

@@ -131,3 +131,60 @@ def test_hll_count_by_matches_exact_and_is_partition_invariant():
     for _, row in out2.iterrows():
         true_n = truth[row["k"]]
         assert abs(row["estimate"] - true_n) / true_n < 0.12, (row["k"], row["estimate"], true_n)
+
+
+def test_quantile_sketch_rank_bound_and_determinism():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from graphscope_ray.functions.sketch import quantile_sketch
+
+    rng = np.random.RandomState(3)
+    n = 20_000
+    vals = rng.lognormal(4.0, 1.0, n)
+    df = pd.DataFrame(
+        {"v": vals, "ok": np.arange(n, dtype=np.int64), "ln": np.zeros(n, dtype=np.int64)}
+    )
+    k, P = 64, 8
+    out1 = quantile_sketch(
+        ray.data.from_pandas(df).repartition(9), "v", ("ok", "ln"), k=k,
+        num_partitions=P,
+    )
+    # partitioning-invariant (the hash partition, not Ray blocks, decides)
+    out2 = quantile_sketch(
+        ray.data.from_pandas(df.iloc[::-1].reset_index(drop=True)).repartition(2),
+        "v", ("ok", "ln"), k=k, num_partitions=P,
+    )
+    pd.testing.assert_frame_equal(out1, out2)
+    # worst-case rank error: between consecutive kept items of partition p
+    # there are < ceil(n_p / k) hidden rows, so the merged cumulative
+    # weight is within Σ_p ceil(n_p / k) ≈ n/k of the true rank
+    srt = np.sort(vals)
+    bound = 2 * (n // k)
+    for q, v in out1.itertuples(index=False):
+        target = int(np.ceil(q * n))
+        rank_lo = np.searchsorted(srt, v, side="left")
+        rank_hi = np.searchsorted(srt, v, side="right")
+        assert rank_lo - bound <= target <= rank_hi + bound, (q, v)
+
+
+def test_quantile_sketch_exact_when_small():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from graphscope_ray.functions.sketch import quantile_sketch
+
+    # n_p ≤ k everywhere → stride 1 → the sketch IS the sorted data and
+    # every quantile is the exact ceil(q·n)-th order statistic
+    n = 100
+    vals = np.arange(1, n + 1, dtype=np.float64)
+    df = pd.DataFrame(
+        {"v": vals, "ok": np.arange(n, dtype=np.int64), "ln": np.zeros(n, dtype=np.int64)}
+    )
+    out = quantile_sketch(
+        ray.data.from_pandas(df), "v", ("ok", "ln"), k=128, num_partitions=4
+    )
+    for q, v in out.itertuples(index=False):
+        assert v == float(int(np.ceil(q * n))), (q, v)
