@@ -181,6 +181,19 @@ def _q_text_bpe_train(sf_dir, num_merges: int = 12):
     )
 
 
+def _q_text_bpe_encode(sf_dir, num_merges: int = 12):
+    """Apply the trained BPE merge table back to the corpus — the encode
+    half of the tokenizer story (train → broadcast merges → per-doc
+    segmentation with per-word memoization).  Iterative/data-dependent
+    like its trainer, so pytest-oracled (tests/test_bpe.py segmentation
+    vs the Sennrich reference loop)."""
+    from graphscope_ray.functions.bpe import bpe_segment, train_bpe
+
+    docs = _documents(sf_dir)
+    merges = train_bpe(docs, num_merges=num_merges)
+    return bpe_segment(docs, merges)
+
+
 def _q_llm_prep(sf_dir, qmin: float = 0.8):
     """Composed LLM-corpus prep pipeline — the operators chained the way a
     real training-data run chains them: quality gate (C4/Gopher heuristic)
@@ -1034,6 +1047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": _q_sessionize,
         "events_funnel": td.events_funnel,
         "op_rollup": td.op_rollup,
+        "op_cube": td.op_cube,
         "op_left_join": td.op_left_join,
         "op_full_join": td.op_full_join,
         "op_quantiles_by": td.op_quantiles_by,
@@ -1045,6 +1059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_repetition": _q_text_repetition,
         "text_entropy": _q_text_entropy,
         "text_bpe_train": _q_text_bpe_train,
+        "text_bpe_encode": _q_text_bpe_encode,
         "llm_prep": _q_llm_prep,
         "pii_scrub": _q_pii_scrub,
         "pack_sequences": _q_pack_sequences,
@@ -1243,6 +1258,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": osql.sessionize_sql(),
         "events_funnel": osql.events_funnel_sql(),
         "op_rollup": osql.op_rollup_sql(),
+        "op_cube": osql.op_cube_sql(),
         "op_left_join": osql.op_left_join_sql(),
         "op_full_join": osql.op_full_join_sql(),
         "op_quantiles_by": osql.op_quantiles_by_sql(),

@@ -3664,3 +3664,13 @@ ans AS (SELECT t.num, t.den, min(m.cw) AS c FROM tgt t
 SELECT CAST(ans.num AS DOUBLE) / ans.den AS q, m.v AS value
 FROM ans JOIN m ON m.cw = ans.c ORDER BY q
 """
+
+
+def op_cube_sql() -> str:
+    return (
+        "SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority, "
+        "coalesce(o_orderstatus, 'ALL') AS o_orderstatus, "
+        "count(*) AS n, round(sum(o_totalprice), 4) AS sum_price "
+        "FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus) "
+        "ORDER BY o_orderpriority, o_orderstatus"
+    )

@@ -2327,6 +2327,47 @@ def op_rollup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["o_orderpriority", "o_orderstatus"]).reset_index(drop=True)
 
 
+def op_cube(sf_dir: str) -> pd.DataFrame:
+    """CUBE(o_orderpriority, o_orderstatus): the ROLLUP surface completed
+    with the cross-granularity (status-only) level — all four groupings
+    unioned, totals labeled 'ALL' (one streaming partial-combine aggregate
+    per level, like op_rollup)."""
+    od = read(sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def _agg(keys):
+        g = (
+            od.groupby(keys)
+            .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="sum_price"))
+            .to_pandas()
+            if keys
+            else pd.DataFrame(
+                {
+                    "n": [od.count()],
+                    "sum_price": [
+                        od.aggregate(Sum("o_totalprice", alias_name="s"))["s"]
+                    ],
+                }
+            )
+        )
+        for c in ("o_orderpriority", "o_orderstatus"):
+            if c not in g.columns:
+                g[c] = "ALL"
+        return g[["o_orderpriority", "o_orderstatus", "n", "sum_price"]]
+
+    out = pd.concat(
+        [
+            _agg(["o_orderpriority", "o_orderstatus"]),
+            _agg(["o_orderpriority"]),
+            _agg(["o_orderstatus"]),
+            _agg([]),
+        ],
+        ignore_index=True,
+    )
+    out["sum_price"] = out["sum_price"].astype(np.float64).round(4)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["o_orderpriority", "o_orderstatus"]).reset_index(drop=True)
+
+
 def op_left_join(sf_dir: str) -> pd.DataFrame:
     """Left outer join with aggregate fill: every customer with order count
     and total spend (0 for order-less customers) — small aggregated side

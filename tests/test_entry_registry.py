@@ -33,6 +33,7 @@ def test_registry_shape():
         "video_features",
         "repos_flagship",
         "text_bpe_train",
+        "text_bpe_encode",
     }, rows_only
 
 
