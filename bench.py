@@ -778,6 +778,18 @@ def headline() -> dict:
     timed_extra("dedup_paragraph", lambda: paragraph_dedup(docs, words=8).count())
     timed_extra("text_entropy", lambda: char_entropy(docs).count())
 
+    def _dsir():
+        from graphscope_ray.functions.dsir import dsir_select
+
+        dsir_select(
+            docs.select_columns(["doc_id", "text", "lang"]),
+            target_col="lang",
+            target_val="en",
+            k=200,
+        )
+
+    timed_extra("samp_dsir", _dsir)
+
     def _lsh_incr():
         import shutil
         import tempfile
