@@ -315,10 +315,11 @@ def _pr_gather_runner():
 
     import numpy as np
 
-    # same graph as scaling_child: RandomState(7) src/dst, sorted by dst
-    rng = np.random.RandomState(7)
-    src = rng.randint(0, SCALE_V, SCALE_E, dtype=np.int64).astype(np.int32)
-    dst = rng.randint(0, SCALE_V, SCALE_E, dtype=np.int64).astype(np.int32)
+    # literally the same graph as scaling_child: one source of truth
+    t = _scale_edges()
+    src = t["src"].to_numpy(zero_copy_only=False).astype(np.int32)
+    dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int32)
+    del t
     order = np.argsort(dst, kind="stable")
     src = src[order]
     dst = dst[order]

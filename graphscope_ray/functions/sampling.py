@@ -226,10 +226,12 @@ def global_shuffle(
     from graphscope_ray.utils import zip_with_index
 
     def _h(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or key not in t.column_names:
-            return pa.table(
-                {key: pa.array([], pa.int64()), "__h": pa.array([], pa.uint64())}
-            )
+        if t.num_rows == 0:
+            # schema-stripped empty block (Ray Data quirk); keep the key's
+            # real dtype when present.  A MISSING key on a non-empty block
+            # is a caller bug and raises below — never an empty result.
+            kcol = t[key] if key in t.column_names else pa.array([], pa.int64())
+            return pa.table({key: kcol, "__h": pa.array([], pa.uint64())})
         k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({key: t[key], "__h": pa.array(hash_u64(k, salt))})
 

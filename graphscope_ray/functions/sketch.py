@@ -398,7 +398,9 @@ def quantile_sketch(
     maj, mino = key_cols
 
     def _part(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or value_col not in t.column_names:
+        # a missing column on a NON-empty block is a caller bug and raises
+        # below; only genuinely empty (possibly schema-stripped) blocks pass
+        if t.num_rows == 0:
             return pa.table(
                 {
                     "part": pa.array([], pa.int64()),
@@ -443,8 +445,10 @@ def quantile_sketch(
     kept = kept.sort_values(["v", "ok", "ln"], kind="mergesort").reset_index(
         drop=True
     )
+    if kept.empty:
+        return pd.DataFrame(columns=["q", "value"])
     cw = kept["w"].to_numpy().cumsum()
-    n_total = int(cw[-1]) if len(cw) else 0
+    n_total = int(cw[-1])
     rows = []
     for num, den in qs:
         target = (num * n_total + den - 1) // den

@@ -2291,11 +2291,9 @@ def op_quantiles_by(sf_dir: str, qs=(0.25, 0.5, 0.9)) -> pd.DataFrame:
     return out.sort_values(["event_type", "q"]).reset_index(drop=True)
 
 
-def op_rollup(sf_dir: str) -> pd.DataFrame:
-    """ROLLUP(o_orderpriority, o_orderstatus): counts and sums at all three
-    granularities, totals labeled 'ALL' — three streaming groupbys unioned
-    (each a partial-combine aggregate, no extra scan of the fact table
-    beyond one pass per level)."""
+def _grouping_sets(sf_dir: str, sets: list[list[str]]) -> pd.DataFrame:
+    """Shared ROLLUP/CUBE machinery: one streaming partial-combine aggregate
+    per grouping set over orders, missing keys labeled 'ALL', unioned."""
     od = read(sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
 
     def _agg(keys):
@@ -2318,54 +2316,33 @@ def op_rollup(sf_dir: str) -> pd.DataFrame:
                 g[c] = "ALL"
         return g[["o_orderpriority", "o_orderstatus", "n", "sum_price"]]
 
-    out = pd.concat(
-        [_agg(["o_orderpriority", "o_orderstatus"]), _agg(["o_orderpriority"]), _agg([])],
-        ignore_index=True,
-    )
+    out = pd.concat([_agg(keys) for keys in sets], ignore_index=True)
     out["sum_price"] = out["sum_price"].astype(np.float64).round(4)
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values(["o_orderpriority", "o_orderstatus"]).reset_index(drop=True)
+
+
+def op_rollup(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP(o_orderpriority, o_orderstatus): counts and sums at all three
+    granularities, totals labeled 'ALL'."""
+    return _grouping_sets(
+        sf_dir,
+        [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], []],
+    )
 
 
 def op_cube(sf_dir: str) -> pd.DataFrame:
     """CUBE(o_orderpriority, o_orderstatus): the ROLLUP surface completed
-    with the cross-granularity (status-only) level — all four groupings
-    unioned, totals labeled 'ALL' (one streaming partial-combine aggregate
-    per level, like op_rollup)."""
-    od = read(sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
-
-    def _agg(keys):
-        g = (
-            od.groupby(keys)
-            .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="sum_price"))
-            .to_pandas()
-            if keys
-            else pd.DataFrame(
-                {
-                    "n": [od.count()],
-                    "sum_price": [
-                        od.aggregate(Sum("o_totalprice", alias_name="s"))["s"]
-                    ],
-                }
-            )
-        )
-        for c in ("o_orderpriority", "o_orderstatus"):
-            if c not in g.columns:
-                g[c] = "ALL"
-        return g[["o_orderpriority", "o_orderstatus", "n", "sum_price"]]
-
-    out = pd.concat(
+    with the cross-granularity (status-only) level — all four groupings."""
+    return _grouping_sets(
+        sf_dir,
         [
-            _agg(["o_orderpriority", "o_orderstatus"]),
-            _agg(["o_orderpriority"]),
-            _agg(["o_orderstatus"]),
-            _agg([]),
+            ["o_orderpriority", "o_orderstatus"],
+            ["o_orderpriority"],
+            ["o_orderstatus"],
+            [],
         ],
-        ignore_index=True,
     )
-    out["sum_price"] = out["sum_price"].astype(np.float64).round(4)
-    out["n"] = out["n"].astype(np.int64)
-    return out.sort_values(["o_orderpriority", "o_orderstatus"]).reset_index(drop=True)
 
 
 def op_left_join(sf_dir: str) -> pd.DataFrame:
