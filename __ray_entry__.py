@@ -473,6 +473,24 @@ def _q_sim_topk(sf_dir):
     return out
 
 
+def _q_sim_topk_filtered(sf_dir):
+    """Metadata-filtered vector search — the production ANN pattern
+    (predicate + top-k in one pass): brute-force cosine top-k restricted
+    to corpus vectors with label = 1.  The filter pushes into the
+    streaming scan before any distance work, so the cost scales with the
+    filtered subset, not the corpus."""
+    from graphscope_ray.functions.similarity import topk_cosine
+
+    emb = _embeddings(sf_dir)
+    qdf = emb.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = topk_cosine(
+        emb.filter(expr="label == 1"), Q, qdf["vec_id"].to_numpy(), k=10
+    ).to_pandas()
+    out["score"] = out["score"].round(8)
+    return out
+
+
 def _q_sim_ivf(sf_dir, nprobe=4, n_clusters=16):
     from graphscope_ray.functions.similarity import ivf_topk
 
@@ -1083,6 +1101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         # similarity search
         "sim_topk": _q_sim_topk,
+        "sim_topk_filtered": _q_sim_topk_filtered,
         "sim_ivf_topk": _q_sim_ivf,
         "sim_ivf_exact": _q_sim_ivf_exact,
         "sim_ivf_indexed": _q_sim_ivf_indexed,
@@ -1285,6 +1304,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": osql.decontaminate_sql(),
         "lg_louvain_level1": osql.lg_louvain_level1_sql(),
         "sim_topk": osql.sim_topk_sql(),
+        "sim_topk_filtered": osql.sim_topk_filtered_sql(),
         "sim_ivf_exact": osql.sim_topk_sql(),
         "sim_ivf_indexed": osql.sim_topk_sql(),
         "samp_sample": osql.samp_sample_sql(),

@@ -3674,3 +3674,18 @@ def op_cube_sql() -> str:
         "FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus) "
         "ORDER BY o_orderpriority, o_orderstatus"
     )
+
+
+def sim_topk_filtered_sql(n_queries: int = 5, k: int = 10, label: int = 1) -> str:
+    """sim_topk with a metadata predicate on the corpus side (filtered
+    vector search): identical cosine/rounding/tie-break contract."""
+    return f"""
+WITH q AS MATERIALIZED (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < {n_queries}),
+s AS MATERIALIZED (SELECT q.query_id, e.vec_id,
+        list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+      FROM q CROSS JOIN embeddings e WHERE e.label = {label})
+SELECT query_id, vec_id, round(sim, 8) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM s)
+WHERE rn <= {k}
+"""
