@@ -368,6 +368,21 @@ def _q_samp_mixture(sf_dir):
     return out.sort_values(["doc_id", "epoch"]).reset_index(drop=True)
 
 
+def _q_samp_temperature(sf_dir):
+    """Temperature-based (τ=2) mixture rebalancing: per-source expected
+    copies ∝ n_s^(1/τ)/n_s, realized by deterministic floor + hash-slice
+    replication (sampling.temperature_replicate)."""
+    from graphscope_ray.functions.sampling import temperature_replicate
+
+    out = temperature_replicate(
+        _documents(sf_dir).select_columns(["doc_id", "source"]),
+        stratum="source",
+        tau=2.0,
+        salt=6,
+    ).to_pandas()
+    return out.sort_values(["doc_id", "epoch"]).reset_index(drop=True)
+
+
 def _q_text_charlm(sf_dir):
     """In-corpus char-bigram LM perplexity scoring (CCNet-style two-pass:
     distributed count partials -> broadcast model -> vectorized scoring)."""
@@ -1096,6 +1111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_semantic": _q_dedup_semantic,
         "text_charlm": _q_text_charlm,
         "samp_mixture": _q_samp_mixture,
+        "samp_temperature": _q_samp_temperature,
         "sim_pq_refined": _q_sim_pq,
         "nx_pagerank": _q_nx_pagerank,
         "decontaminate": _q_decontaminate,
@@ -1299,6 +1315,7 @@ def oracle_sql() -> dict[str, str]:
         "text_entropy": osql.text_entropy_sql(),
         "llm_prep": osql.llm_prep_sql(),
         "samp_mixture": osql.samp_mixture_sql(),
+        "samp_temperature": osql.samp_temperature_sql(),
         "sim_pq_refined": osql.sim_topk_sql(),
         "nx_pagerank": osql.lg_pagerank_sql(rounds=15),
         "decontaminate": osql.decontaminate_sql(),

@@ -239,3 +239,44 @@ def global_shuffle(
         ds.map_batches(_h, batch_format="pyarrow"), ["__h", key], "pos"
     )
     return out.select_columns([key, "pos"])
+
+
+def temperature_replicate(
+    ds: ray.data.Dataset,
+    key: str = "doc_id",
+    stratum: str = "source",
+    tau: float = 2.0,
+    salt: int = 6,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Temperature-based mixture sampling — the multilingual/multi-domain
+    rebalancing knob (Arivazhagan et al. 2019 §4.2; mT5/UniMax): stratum s
+    is sampled with probability ∝ n_s^(1/τ), flattening the natural
+    distribution toward uniform as τ grows.  At the row level that is an
+    expected-copies rate e_s = (N / Σ_t n_t^(1/τ)) / n_s^(1−1/τ), realized
+    by the same deterministic floor + hash-slice replication as
+    :func:`mixture_replicate` (budget-preserving: Σ n_s·e_s = N).
+
+    τ = 2 (the common setting) computes weights with ``sqrt`` — an IEEE
+    correctly-rounded op, so numpy and the SQL oracle produce identical
+    doubles; other τ go through ``power`` and carry the repo's standard
+    last-ulp float caveat.  Two passes: one tiny stratum-count exchange,
+    then the stateless replication map — nothing corpus-sized leaves the
+    workers."""
+    from graphscope_ray.utils import hash_groupby_sum
+
+    cnt = hash_groupby_sum(
+        ds.select_columns([stratum]), [stratum], None, "n",
+        num_partitions=num_partitions,
+    ).to_pandas()
+    n = cnt["n"].to_numpy().astype(np.float64)
+    w = np.sqrt(n) if tau == 2.0 else np.power(n, 1.0 / tau)
+    total = float(n.sum())
+    ssum = float(w.sum())
+    # expression order mirrors the SQL oracle exactly: (N / Σw) / w_s
+    rates = {
+        s: (total / ssum) / float(ws) for s, ws in zip(cnt[stratum], w)
+    }
+    return mixture_replicate(
+        ds, key=key, stratum=stratum, epochs_by_stratum=rates, salt=salt
+    )

@@ -3689,3 +3689,27 @@ SELECT query_id, vec_id, round(sim, 8) AS score
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM s)
 WHERE rn <= {k}
 """
+
+
+def samp_temperature_sql(salt: int = 6) -> str:
+    """Replica of sampling.temperature_replicate at τ=2: stratum weight
+    sqrt(n_s) (IEEE correctly-rounded, so numpy and DuckDB agree
+    bit-for-bit; the Σ√n fold carries the repo's standard last-ulp sum
+    caveat), expected copies e_s = (N / Σ√n) / √n_s, then the same
+    floor + hash-slice replication as samp_mixture."""
+    b = _bucket_expr("d.doc_id", salt)
+    return (
+        "WITH cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n "
+        "FROM documents GROUP BY source), "
+        "tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn, "
+        "sum(sqrt(CAST(n AS DOUBLE))) AS ssum FROM cnt), "
+        "e AS (SELECT cnt.source, (tot.nn / tot.ssum) / "
+        "sqrt(CAST(cnt.n AS DOUBLE)) AS ee FROM cnt, tot), "
+        "r AS (SELECT d.doc_id, d.source, CAST(floor(e.ee) AS BIGINT) + "
+        f"CASE WHEN {b} < CAST(round((e.ee - floor(e.ee)) * 1000) AS BIGINT) "
+        "THEN 1 ELSE 0 END AS reps "
+        "FROM documents d JOIN e ON e.source = d.source), "
+        "ix(epoch) AS (SELECT unnest(generate_series(0, 99))) "
+        "SELECT r.doc_id, r.source, CAST(ix.epoch AS BIGINT) AS epoch "
+        "FROM r JOIN ix ON ix.epoch < r.reps ORDER BY r.doc_id, epoch"
+    )

@@ -831,3 +831,37 @@ def test_global_shuffle_deterministic_permutation():
     # different salt -> different permutation
     c = sampling.global_shuffle(ds1, salt=6).to_pandas().sort_values("doc_id")
     assert not np.array_equal(a["pos"].to_numpy(), c["pos"].to_numpy())
+
+
+def test_temperature_replicate_flattens_and_preserves_budget():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from graphscope_ray.functions import sampling
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(1000, dtype=np.int64),
+            "source": ["head"] * 900 + ["tail"] * 100,
+        }
+    )
+    out = sampling.temperature_replicate(
+        ray.data.from_pandas(df).repartition(4), stratum="source", tau=2.0, salt=6
+    ).to_pandas()
+    # budget-preserving: Σ n_s·e_s = N (hash-slice realization is within
+    # the permille quantization of the expectation)
+    assert abs(len(out) - 1000) < 50
+    # flattening: e_head = (N/Σ√n)/√900 < 1 < e_tail = (N/Σ√n)/√100
+    by = out.groupby("source").size()
+    assert by["head"] < 900 and by["tail"] > 100
+    # τ=2 closed form: e_head = (1000/40)/30 = 5/6 → 750; e_tail = 2.5 → 250
+    assert abs(by["head"] - 750) < 40 and abs(by["tail"] - 250) < 25
+    # partitioning-invariant
+    out2 = sampling.temperature_replicate(
+        ray.data.from_pandas(df.iloc[::-1].reset_index(drop=True)).repartition(9),
+        stratum="source", tau=2.0, salt=6,
+    ).to_pandas()
+    a = out.sort_values(["doc_id", "epoch"]).reset_index(drop=True)
+    b = out2.sort_values(["doc_id", "epoch"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
