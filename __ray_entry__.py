@@ -1008,6 +1008,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "op_join_addcolumn": td.op_join_addcolumn,
         "op_distinct": td.op_distinct,
         "op_union_distinct": td.op_union_distinct,
+        "op_intersect": td.op_intersect,
+        "op_except": td.op_except,
+        "op_unpivot": td.op_unpivot,
         "op_consolidate": td.op_consolidate_columns,
         "op_csv_scan": td.op_csv_scan,
         "op_jsonl_scan": td.op_jsonl_scan,
@@ -1216,6 +1219,9 @@ def oracle_sql() -> dict[str, str]:
         "op_join_addcolumn": osql.op_join_addcolumn_sql(),
         "op_distinct": osql.op_distinct_sql(),
         "op_union_distinct": osql.op_union_distinct_sql(),
+        "op_intersect": osql.op_intersect_sql(),
+        "op_except": osql.op_except_sql(),
+        "op_unpivot": osql.op_unpivot_sql(),
         "op_consolidate": osql.op_consolidate_sql(),
         "op_csv_scan": "SELECT r_regionkey, r_name FROM region",
         "op_jsonl_scan": "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",

@@ -602,6 +602,28 @@ def op_union_distinct_sql() -> str:
     )
 
 
+def op_intersect_sql() -> str:
+    return (
+        "SELECT p_partkey FROM part INTERSECT "
+        "SELECT l_partkey FROM lineitem WHERE l_quantity >= 46"
+    )
+
+
+def op_except_sql() -> str:
+    return (
+        "SELECT p_partkey FROM part EXCEPT "
+        "SELECT l_partkey FROM lineitem WHERE l_quantity >= 46"
+    )
+
+
+def op_unpivot_sql() -> str:
+    return (
+        "SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS value FROM part "
+        "UNION ALL "
+        "SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS value FROM part"
+    )
+
+
 def op_consolidate_sql() -> str:
     return (
         "SELECT p_partkey, printf('[%d,%.2f]', p_size, p_retailprice) AS consolidated FROM part"

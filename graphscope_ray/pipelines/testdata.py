@@ -721,6 +721,90 @@ def op_union_distinct(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _partkey_presence(sf_dir: str, min_qty: float = 46.0) -> pd.DataFrame:
+    """Shared kernel for op_intersect / op_except: per-block DISTINCT
+    (p_partkey, in_p, in_l) presence partials from part and the
+    qty-filtered lineitem, merged by ONE max-exchange
+    (utils.hash_groupby_sum agg="max").  The wire carries at most one row
+    per (block, key) — never row multiplicity — so the set ops at 100 TB
+    cost a presence exchange, not a row shuffle (the same economics as the
+    reference's distinct-based set algebra)."""
+    import pyarrow.compute as pc
+
+    from graphscope_ray.utils import hash_groupby_sum
+
+    def _mark_part(t: pa.Table) -> pa.Table:
+        k = np.unique(t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+        ones = np.ones(len(k), dtype=np.int64)
+        return pa.table(
+            {"p_partkey": pa.array(k), "in_p": pa.array(ones), "in_l": pa.array(ones * 0)}
+        )
+
+    def _mark_li(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["l_quantity"], min_qty))
+        k = np.unique(t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+        ones = np.ones(len(k), dtype=np.int64)
+        return pa.table(
+            {"p_partkey": pa.array(k), "in_p": pa.array(ones * 0), "in_l": pa.array(ones)}
+        )
+
+    p = read(sf_dir, "part", columns=["p_partkey"]).map_batches(
+        _mark_part, batch_format="pyarrow"
+    )
+    li = read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"]).map_batches(
+        _mark_li, batch_format="pyarrow"
+    )
+    pres = hash_groupby_sum(
+        p.union(li), ["p_partkey"], ["in_p", "in_l"], ["in_p", "in_l"],
+        num_partitions=8, agg="max",
+    )
+    return pres.to_pandas()
+
+
+def op_intersect(sf_dir: str) -> pd.DataFrame:
+    """INTERSECT (distinct set semantics): part keys with at least one
+    qty>=46 lineitem — presence exchange, no row shuffle."""
+    pres = _partkey_presence(sf_dir)
+    out = pres.loc[(pres["in_p"] == 1) & (pres["in_l"] == 1), ["p_partkey"]]
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def op_except(sf_dir: str) -> pd.DataFrame:
+    """EXCEPT (distinct set semantics): part keys with NO qty>=46 lineitem —
+    same presence exchange as op_intersect."""
+    pres = _partkey_presence(sf_dir)
+    out = pres.loc[(pres["in_p"] == 1) & (pres["in_l"] == 0), ["p_partkey"]]
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def op_unpivot(sf_dir: str) -> pd.DataFrame:
+    """UNPIVOT / melt: wide part columns (p_size, p_retailprice) → long
+    (p_partkey, attr, value) — a stateless per-block Arrow transform (k
+    stacked column slices per block), zero exchange at any scale."""
+    cols = ["p_size", "p_retailprice"]
+
+    def _melt(t: pa.Table) -> pa.Table:
+        k = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = np.concatenate(
+            [t[c].to_numpy(zero_copy_only=False).astype(np.float64) for c in cols]
+        )
+        attr = np.concatenate([np.full(len(k), c, dtype=object) for c in cols])
+        return pa.table(
+            {
+                "p_partkey": pa.array(np.tile(k, len(cols))),
+                "attr": pa.array(attr, pa.string()),
+                "value": pa.array(vals),
+            }
+        )
+
+    out = (
+        read(sf_dir, "part", columns=["p_partkey"] + cols)
+        .map_batches(_melt, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["p_partkey", "attr"]).reset_index(drop=True)
+
+
 def lpa_u2i_suppliers(sf_dir: str, max_round: int = 8) -> pd.DataFrame:
     """Property-graph lpa_u2i (apps/lpa/lpa_u2i.h) over the supplier→part
     bipartite graph (one edge per lineitem row, multiplicity kept): users =
