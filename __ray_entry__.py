@@ -1011,6 +1011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "op_intersect": td.op_intersect,
         "op_except": td.op_except,
         "op_unpivot": td.op_unpivot,
+        "text_winnow": td.text_winnow,
         "op_consolidate": td.op_consolidate_columns,
         "op_csv_scan": td.op_csv_scan,
         "op_jsonl_scan": td.op_jsonl_scan,
@@ -1222,6 +1223,7 @@ def oracle_sql() -> dict[str, str]:
         "op_intersect": osql.op_intersect_sql(),
         "op_except": osql.op_except_sql(),
         "op_unpivot": osql.op_unpivot_sql(),
+        "text_winnow": osql.text_winnow_sql(),
         "op_consolidate": osql.op_consolidate_sql(),
         "op_csv_scan": "SELECT r_regionkey, r_name FROM region",
         "op_jsonl_scan": "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",

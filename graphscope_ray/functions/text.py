@@ -433,3 +433,82 @@ def char_entropy(
     return ds.select_columns([id_col, text_col]).map_batches(
         _ent, batch_format="pyarrow"
     )
+
+
+def winnow_fingerprints(
+    ds: ray.data.Dataset,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """MOSS winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 §4): hash every k-char window (hashing.batch_shingle_hashes —
+    one vectorized pass per batch), then every window of w consecutive
+    hashes selects its RIGHTMOST minimal hash; the DISTINCT selected
+    (pos, hash) pairs are the doc's fingerprints.  Guarantee: any substring
+    match of length >= w + k - 1 shares a fingerprint, nothing shorter than
+    k does; expected density 2/(w+1) — the exchange payload is ~w/2-fold
+    smaller than shipping every window hash (the local-algorithm property
+    that makes winnowing the right fingerprint at corpus scale).
+
+    Stateless map_batches; docs with fewer than w hashes form one window of
+    all their hashes; empty texts are skipped (no fingerprint), matching
+    the SQL oracle's length(text) > 0 base.  Output: (doc_id, pos,
+    fingerprint int64-wrapped)."""
+    from graphscope_ray.functions.hashing import batch_shingle_hashes
+
+    def _block(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = [i for i, x in enumerate(texts) if x]
+        texts = [texts[i] for i in keep]
+        ids = ids[keep]
+        out_doc, out_pos, out_h = [], [], []
+        if texts:
+            sh, bounds, _ = batch_shingle_hashes(texts, k)
+            counts = np.diff(bounds)
+            long = np.flatnonzero(counts >= w)
+            if long.size:
+                # one global sliding window over the concatenated hash
+                # stream; valid starts stay inside a single doc
+                Wv = np.lib.stride_tricks.sliding_window_view(sh, w)
+                wc = counts[long] - w + 1
+                intra = np.arange(int(wc.sum()), dtype=np.int64) - np.repeat(
+                    np.concatenate([[0], np.cumsum(wc)])[:-1], wc
+                )
+                starts = np.repeat(bounds[:-1][long], wc) + intra
+                # rightmost argmin: first min of the reversed window
+                rpos = (w - 1) - np.argmin(Wv[starts][:, ::-1], axis=1)
+                sel = np.unique(starts + rpos)  # global idx == (doc, pos)
+                didx = np.searchsorted(bounds, sel, side="right") - 1
+                out_doc.append(ids[didx])
+                out_pos.append(sel - bounds[didx])
+                out_h.append(sh[sel])
+            for i in np.flatnonzero(counts < w):  # rare: < w hashes
+                seg = sh[bounds[i] : bounds[i + 1]]
+                p = len(seg) - 1 - int(np.argmin(seg[::-1]))
+                out_doc.append(ids[i : i + 1])
+                out_pos.append(np.array([p], dtype=np.int64))
+                out_h.append(seg[p : p + 1])
+        if not out_doc:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "fingerprint": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_doc)),
+                "pos": pa.array(np.concatenate(out_pos).astype(np.int64)),
+                "fingerprint": pa.array(
+                    np.concatenate(out_h).astype(np.uint64).view(np.int64)
+                ),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _block, batch_format="pyarrow"
+    )

@@ -3372,9 +3372,12 @@ def lg_induced_subgraph_sql(max_oid: int = 100) -> str:
 _BINV = "14886173955864302971"  # _FNV_B^-1 mod 2^64 (B is odd => invertible)
 
 
-def dedup_substring_sql(k: int = 40) -> str:
-    """Bit-exact HUGEINT replica of functions/dedup.py:substring_dup_stats
-    (ExactSubstr-style duplicate length-k char windows, stride 1).
+def _window_hash_ctes(k: int) -> tuple[list[str], str]:
+    """CTE chain computing the UNSIGNED (HUGEINT 0..2^64-1) rolling hash of
+    every length-k char window (stride 1) per doc: final CTE has
+    (doc_id, i, h) — bit-exact twin of hashing.shingle_hashes, incl. the
+    whole-text fallback for docs shorter than k.  Shared by
+    dedup_substring_sql and text_winnow_sql.
 
     The engine hashes window [i, i+L) with polynomial weights B^(L-1-j) +
     fmix64 (hashing.shingle_hashes).  O(n·k) per-window sums are avoided
@@ -3414,6 +3417,17 @@ def dedup_substring_sql(k: int = 40) -> str:
         f"h0 AS MATERIALIZED (SELECT w.doc_id, w.i, {_mulmod64(diff, 'pwi.p')} AS h "
         f"FROM win w JOIN pwi ON pwi.i = w.n - w.i - w.L)",
         *mix,
+    ]
+    return ctes, hfinal
+
+
+def dedup_substring_sql(k: int = 40) -> str:
+    """Bit-exact HUGEINT replica of functions/dedup.py:substring_dup_stats
+    (ExactSubstr-style duplicate length-k char windows, stride 1) — window
+    hashing via the shared `_window_hash_ctes` prefix."""
+    prefix, hfinal = _window_hash_ctes(k)
+    ctes = [
+        *prefix,
         f"occ AS (SELECT doc_id, h FROM {hfinal})",
         "tt AS (SELECT h, count(*) AS tot FROM occ GROUP BY h)",
         "nd AS (SELECT o.doc_id, count(*) AS n_dup FROM occ o "
@@ -3426,6 +3440,38 @@ def dedup_substring_sql(k: int = 40) -> str:
         "CAST(coalesce(nd.n_dup, 0) AS BIGINT) AS n_dup, "
         "round(CAST(coalesce(nd.n_dup, 0) AS DOUBLE) / b.n_windows, 8) AS dup_frac "
         "FROM base b LEFT JOIN nd USING (doc_id) ORDER BY b.doc_id"
+    )
+
+
+def text_winnow_sql(k: int = 5, w: int = 4) -> str:
+    """Bit-exact HUGEINT replica of functions/text.py:winnow_fingerprints
+    (MOSS winnowing, Schleimer et al. SIGMOD'03): over the per-position
+    k-gram hashes (shared `_window_hash_ctes` prefix), every window of w
+    consecutive hashes selects its RIGHTMOST minimal hash; output = the
+    DISTINCT selected (doc_id, pos, fingerprint) triples.  Docs with fewer
+    than w hashes form one window of all their hashes (least(w, nh))."""
+    half = "9223372036854775808"
+    prefix, hfinal = _window_hash_ctes(k)
+    ctes = [
+        *prefix,
+        f"occ AS MATERIALIZED (SELECT doc_id, i, h FROM {hfinal})",
+        "cnt AS (SELECT doc_id, count(*) AS nh FROM occ GROUP BY doc_id)",
+        f"st AS (SELECT o.doc_id, o.i AS s, least({w}, c.nh) AS wd "
+        f"FROM occ o JOIN cnt c USING (doc_id) "
+        f"WHERE o.i <= c.nh - least({w}, c.nh))",
+        "exp AS MATERIALIZED (SELECT s.doc_id, s.s, o.i, o.h FROM st s "
+        "JOIN occ o ON o.doc_id = s.doc_id AND o.i >= s.s AND o.i < s.s + s.wd)",
+        "wmn AS (SELECT doc_id, s, min(h) AS mn FROM exp GROUP BY doc_id, s)",
+        "sel AS (SELECT e.doc_id, max(e.i) AS pos, m.mn AS h FROM exp e "
+        "JOIN wmn m ON m.doc_id = e.doc_id AND m.s = e.s AND e.h = m.mn "
+        "GROUP BY e.doc_id, e.s, m.mn)",
+        "fp AS (SELECT DISTINCT doc_id, pos, h FROM sel)",
+    ]
+    return (
+        "WITH RECURSIVE " + ",\n".join(ctes) + " "
+        f"SELECT doc_id, CAST(pos AS BIGINT) AS pos, "
+        f"CAST(CASE WHEN h >= {half} THEN h - {_Q64} ELSE h END AS BIGINT) "
+        f"AS fingerprint FROM fp ORDER BY doc_id, pos"
     )
 
 

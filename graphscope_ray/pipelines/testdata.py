@@ -805,6 +805,17 @@ def op_unpivot(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["p_partkey", "attr"]).reset_index(drop=True)
 
 
+def text_winnow(sf_dir: str) -> pd.DataFrame:
+    """MOSS winnowing fingerprints (k=5 char grams, window w=4) over the
+    documents table — the local fingerprint scheme whose density (2/(w+1))
+    bounds the exchange payload at corpus scale."""
+    from graphscope_ray.functions.text import winnow_fingerprints
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = winnow_fingerprints(docs, k=5, w=4).to_pandas()
+    return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
 def lpa_u2i_suppliers(sf_dir: str, max_round: int = 8) -> pd.DataFrame:
     """Property-graph lpa_u2i (apps/lpa/lpa_u2i.h) over the supplier→part
     bipartite graph (one edge per lineitem row, multiplicity kept): users =

@@ -865,3 +865,66 @@ def test_temperature_replicate_flattens_and_preserves_budget():
     a = out.sort_values(["doc_id", "epoch"]).reset_index(drop=True)
     b = out2.sort_values(["doc_id", "epoch"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def _winnow_ref(s: str, k: int, w: int):
+    """Pure-python MOSS winnowing oracle: rightmost-min per window."""
+    from graphscope_ray.functions.hashing import shingle_hashes
+
+    if not s:
+        return set()
+    h = shingle_hashes(s.encode("utf-8"), k)
+    ww = min(w, len(h))
+    out = set()
+    for i in range(len(h) - ww + 1):
+        win = h[i : i + ww]
+        mn = win.min()
+        pos = i + max(j for j in range(ww) if win[j] == mn)
+        out.add((pos, int(h[pos])))
+    return out
+
+
+def test_winnow_fingerprints_vs_reference():
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "abcabcabcabcabc",
+        "xy",  # shorter than k: whole-text fallback, one fingerprint
+        "aaaaaaaaaaaa",  # all-equal hashes: rightmost-min tie-break path
+        "",
+    ]
+    k, w = 5, 4
+    out = text.winnow_fingerprints(_docs(texts), k=k, w=w).to_pandas()
+    for i, s in enumerate(texts):
+        got = {
+            (int(r.pos), int(np.int64(r.fingerprint).astype(np.uint64)))
+            for r in out[out.doc_id == i].itertuples()
+        }
+        want = {(p, h % 2**64) for p, h in _winnow_ref(s, k, w)}
+        assert got == want, f"doc {i}"
+
+
+def test_winnow_guarantee_and_partition_invariance():
+    # any shared substring of length >= w + k - 1 shares a fingerprint
+    k, w = 5, 4
+    shared = "zqxwvutsrqponm"  # len 14 >= w + k - 1 = 8
+    a = "prefix one " + shared + " tail alpha"
+    b = "completely different " + shared + " other end"
+    out = text.winnow_fingerprints(_docs([a, b]), k=k, w=w).to_pandas()
+    fa = set(out[out.doc_id == 0].fingerprint)
+    fb = set(out[out.doc_id == 1].fingerprint)
+    assert fa & fb, "winnowing guarantee violated"
+    # partition invariance
+    ds1 = _docs([a, b, "third doc here"]).repartition(3)
+    o1 = (
+        text.winnow_fingerprints(ds1, k=k, w=w)
+        .to_pandas()
+        .sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+    )
+    o2 = (
+        text.winnow_fingerprints(_docs([a, b, "third doc here"]), k=k, w=w)
+        .to_pandas()
+        .sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(o1, o2)
