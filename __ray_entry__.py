@@ -1076,6 +1076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_densest": td.lg_densest,
         "lg_ecc_all": td.lg_ecc_all,
         "lg_diameter": td.lg_diameter,
+        "lg_eff_diameter": td.lg_eff_diameter,
         "lg_kcenter": td.lg_kcenter,
         "lg_closeness_exact": td.lg_closeness_exact,
         # events (stream-shaped)
@@ -1294,6 +1295,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_kshell": osql.lg_kshell_sql(),
         "lg_ecc_all": osql.lg_ecc_all_sql(),
         "lg_diameter": osql.lg_diameter_sql(),
+        "lg_eff_diameter": osql.lg_eff_diameter_sql(),
         "lg_kcenter": osql.lg_kcenter_sql(),
         "lg_closeness_exact": osql.lg_closeness_exact_sql(),
         "events_window": osql.events_window_sql(),

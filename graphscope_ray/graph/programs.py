@@ -1053,6 +1053,19 @@ class MsBfs(VertexProgram):
         mx = np.where(finite, d, -1.0).max(axis=0)
         return mx, finite.sum(axis=0).astype(np.int64)
 
+    def dist_hist(self):
+        """Histogram of finite POSITIVE distances over this fragment's
+        (owned vertex, source) pairs — the fragment-side half of the
+        effective-diameter / hop-plot measure (counts stay distributed;
+        the driver merges P small vectors per source chunk)."""
+        d = self.dist
+        if d.size == 0:
+            return np.zeros(0, dtype=np.int64)
+        fin = np.isfinite(d) & (d > 0)
+        if not fin.any():
+            return np.zeros(0, dtype=np.int64)
+        return np.bincount(d[fin].astype(np.int64))
+
     def farthest(self):
         """k-center greedy step: per owned vertex the min distance to the
         current source set; local argmax with ties to the smallest vid

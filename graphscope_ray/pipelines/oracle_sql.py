@@ -1641,6 +1641,21 @@ def lg_diameter_sql() -> str:
     )
 
 
+def lg_eff_diameter_sql(num: int = 9, den: int = 10) -> str:
+    """graph/algorithms.effective_diameter twin: smallest d with
+    den·cum[d] >= num·total over the finite positive-distance pair
+    histogram of the sparse graph (d=0 self rows excluded)."""
+    return (
+        f"WITH RECURSIVE {_SBASE}, {_SWALK}, "
+        "hp AS MATERIALIZED (SELECT d, count(*) AS c FROM sdist WHERE d > 0 GROUP BY d), "
+        "tot AS (SELECT coalesce(sum(c), 0) AS t FROM hp), "
+        "cm AS (SELECT d, sum(c) OVER (ORDER BY d) AS cum FROM hp) "
+        f"SELECT CAST(coalesce((SELECT min(d) FROM cm, tot "
+        f"WHERE {den} * cum >= {num} * t), 0) AS BIGINT) AS effective_diameter, "
+        "CAST((SELECT t FROM tot) AS BIGINT) AS n_pairs"
+    )
+
+
 def lg_kcenter_sql(k: int = 4) -> str:
     """Greedy farthest-point k-center: seed = min oid; then repeatedly the
     vertex maximizing min-distance-to-centers (unreached ≡ 10^6, ties →

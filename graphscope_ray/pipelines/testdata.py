@@ -1615,6 +1615,20 @@ def lg_diameter(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"diameter": [d["diameter"]], "radius": [d["radius"]]})
 
 
+def lg_eff_diameter(sf_dir: str) -> pd.DataFrame:
+    """90th-percentile hop-plot effective diameter on the sparse graph
+    (directed finite positive-distance pairs; exact integer rule
+    10·cum[d] >= 9·total)."""
+    g = lg_sparse_graph(sf_dir)
+    d = alg.effective_diameter(g)
+    return pd.DataFrame(
+        {
+            "effective_diameter": [int(d["effective_diameter"])],
+            "n_pairs": [int(d["n_pairs"])],
+        }
+    )
+
+
 def lg_kcenter(sf_dir: str, k: int = 4) -> pd.DataFrame:
     """Greedy farthest-point k-center on the sparse graph (directed
     distances; unreached = infinitely far, radius -2 marks an inf pick)."""
