@@ -900,6 +900,13 @@ def headline() -> dict:
 
     timed_extra("gnn_prep", _gnn_prep)
 
+    def _winnow():
+        from graphscope_ray.functions.text import winnow_fingerprints
+
+        winnow_fingerprints(docs, k=5, w=4).count()
+
+    timed_extra("text_winnow", _winnow)
+
     total = round(sum(qtimes.values()), 3)
     out = {
         "metric": "headline pipelines wall-clock (per-stage best-of-2)",
