@@ -1077,6 +1077,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_ecc_all": td.lg_ecc_all,
         "lg_diameter": td.lg_diameter,
         "lg_eff_diameter": td.lg_eff_diameter,
+        "lg_global_efficiency": td.lg_global_efficiency,
+        "lg_richclub": td.lg_richclub,
         "lg_kcenter": td.lg_kcenter,
         "lg_closeness_exact": td.lg_closeness_exact,
         # events (stream-shaped)
@@ -1296,6 +1298,8 @@ def oracle_sql() -> dict[str, str]:
         "lg_ecc_all": osql.lg_ecc_all_sql(),
         "lg_diameter": osql.lg_diameter_sql(),
         "lg_eff_diameter": osql.lg_eff_diameter_sql(),
+        "lg_global_efficiency": osql.lg_global_efficiency_sql(),
+        "lg_richclub": osql.lg_richclub_sql(),
         "lg_kcenter": osql.lg_kcenter_sql(),
         "lg_closeness_exact": osql.lg_closeness_exact_sql(),
         "events_window": osql.events_window_sql(),

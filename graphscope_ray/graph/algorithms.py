@@ -1730,11 +1730,9 @@ def diameter_radius(g: Graph, chunk: int = 128) -> dict:
     }
 
 
-def effective_diameter(g: Graph, num: int = 9, den: int = 10, chunk: int = 128) -> dict:
-    """Hop-plot effective diameter (ANF / LDBC Graphalytics measurement
-    convention): the smallest d such that at least num/den of the finite
-    positive-distance ordered pairs lie within distance d — exact integer
-    arithmetic (den·cum[d] >= num·total), no float quantile.  Chunked
+def pair_distance_histogram(g: Graph, chunk: int = 128) -> np.ndarray:
+    """Exact histogram of finite positive directed hop distances over all
+    ordered vertex pairs: hist[d] = #{(u,v): u≠v, d(u,v)=d}.  Chunked
     multi-source BFS like eccentricity_all; each fragment returns one small
     histogram per chunk (MsBfs.dist_hist), the driver folds P tiny vectors —
     no O(N²) state anywhere."""
@@ -1753,12 +1751,37 @@ def effective_diameter(g: Graph, num: int = 9, den: int = 10, chunk: int = 128) 
                     [hist, np.zeros(len(p) - len(hist), dtype=np.int64)]
                 )
             hist[: len(p)] += p
+    return hist
+
+
+def effective_diameter(g: Graph, num: int = 9, den: int = 10, chunk: int = 128) -> dict:
+    """Hop-plot effective diameter (ANF / LDBC Graphalytics measurement
+    convention): the smallest d such that at least num/den of the finite
+    positive-distance ordered pairs lie within distance d — exact integer
+    arithmetic (den·cum[d] >= num·total), no float quantile."""
+    hist = pair_distance_histogram(g, chunk=chunk)
     total = int(hist.sum())
     if total == 0:
         return {"effective_diameter": 0, "n_pairs": 0}
     cum = np.cumsum(hist)
     d = int(np.flatnonzero(den * cum >= num * total).min())
     return {"effective_diameter": d, "n_pairs": total}
+
+
+def global_efficiency(g: Graph, chunk: int = 128) -> dict:
+    """Directed global efficiency (Latora–Marchiori, adapted to the directed
+    fragment like closeness_exact): GE = Σ_{u≠v, d(u,v)<∞} 1/d(u,v) divided
+    by N·(N−1).  Folds the same fragment-side distance histogram as
+    effective_diameter — the float sum has one term per distinct distance
+    (≤ diameter), not per pair, so the value is order-stable."""
+    hist = pair_distance_histogram(g, chunk=chunk)
+    N = g.N
+    if N < 2:
+        return {"global_efficiency": 0.0, "n_pairs": 0}
+    ds = np.arange(len(hist), dtype=np.float64)
+    ds[0] = 1.0  # hist[0] is always 0 (self pairs excluded); avoid 0/0
+    eff = float(np.sum(hist / ds)) / (N * (N - 1))
+    return {"global_efficiency": eff, "n_pairs": int(hist.sum())}
 
 
 def k_center(g: Graph, k: int = 4) -> list[tuple[int, int]]:

@@ -296,3 +296,108 @@ def wl_colors(
         else pa.table({"oid": pa.array([], pa.int64()), "color": pa.array([], pa.int64())}),
         batch_format="pyarrow",
     )
+
+
+def rich_club_coefficient(
+    edges: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Unnormalized rich-club coefficient over the undirected simple graph
+    (networkx rich_club_coefficient(G, normalized=False) semantics;
+    cf. Colizza et al. 2006): for each degree threshold k,
+    φ(k) = 2·E_k / (N_k·(N_k−1)) where N_k = #nodes of degree > k and
+    E_k = #edges with both endpoint degrees > k.  Rows for k ∈
+    [0, max_degree) with N_k ≥ 2.
+
+    Dataflow: canonical-edge distinct → degree hash exchange → two hash
+    joins attach endpoint degrees → per-block min-endpoint-degree histogram
+    partials; the driver folds two ≤max_degree-sized count vectors and
+    suffix-sums them — exact integers until the single final division, no
+    O(E) driver state.
+    """
+    ce = _undirected_simple(edges, src_col, dst_col, num_partitions)
+
+    def _ends(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "u" not in t.column_names:
+            return pa.table({"oid": pa.array([], pa.int64())})
+        return pa.table(
+            {"oid": pa.concat_arrays([t["u"].combine_chunks(), t["v"].combine_chunks()])}
+        )
+
+    deg = hash_groupby_sum(
+        ce.map_batches(_ends, batch_format="pyarrow"),
+        ["oid"],
+        None,
+        "d",
+        num_partitions=num_partitions,
+    )
+
+    # collision-free per-side degree columns: Ray Data skips projections on
+    # empty blocks, so a plain select/rename can leak a stale (oid, d)
+    # schema into the second join and trip pandas merge suffixing — rename
+    # through guarded map_batches into names no other stage uses instead.
+    def _rename_deg(side: str):
+        def _rn(df: pd.DataFrame) -> pd.DataFrame:
+            if "d" not in df.columns:
+                return pd.DataFrame(
+                    {
+                        f"oid_{side}": pd.Series(dtype=np.int64),
+                        f"d_{side}": pd.Series(dtype=np.int64),
+                    }
+                )
+            return pd.DataFrame(
+                {f"oid_{side}": df["oid"].to_numpy(), f"d_{side}": df["d"].to_numpy()}
+            )
+
+        return _rn
+
+    degu = deg.map_batches(_rename_deg("u"), batch_format="pandas")
+    degv = deg.map_batches(_rename_deg("v"), batch_format="pandas")
+    j = hash_join(ce, degu, left_on="u", right_on="oid_u", num_partitions=num_partitions)
+    j = hash_join(j, degv, left_on="v", right_on="oid_v", num_partitions=num_partitions)
+
+    _empty = pd.DataFrame(
+        {"m": pd.Series(dtype=np.int64), "c": pd.Series(dtype=np.int64)}
+    )
+
+    def _edge_hist(df: pd.DataFrame) -> pd.DataFrame:
+        if "d_u" not in df.columns or "d_v" not in df.columns or not len(df):
+            return _empty
+        m = np.minimum(df["d_u"].to_numpy(), df["d_v"].to_numpy())
+        h = np.bincount(m.astype(np.int64))
+        return pd.DataFrame({"m": np.arange(len(h), dtype=np.int64), "c": h})
+
+    def _node_hist(df: pd.DataFrame) -> pd.DataFrame:
+        if "d" not in df.columns:
+            return _empty
+        h = np.bincount(df["d"].to_numpy().astype(np.int64))
+        return pd.DataFrame({"m": np.arange(len(h), dtype=np.int64), "c": h})
+
+    eh = j.map_batches(_edge_hist, batch_format="pandas").to_pandas()
+    nh = deg.map_batches(_node_hist, batch_format="pandas").to_pandas()
+    max_d = int(nh["m"].max()) if len(nh) else 0
+    ec = np.zeros(max_d + 1, dtype=np.int64)
+    nc = np.zeros(max_d + 1, dtype=np.int64)
+    for t, acc in ((eh, ec), (nh, nc)):
+        if len(t):
+            g2 = t.groupby("m")["c"].sum()
+            acc[g2.index.to_numpy()] += g2.to_numpy()
+    # suffix sums: counts with degree / min-endpoint-degree strictly > k
+    e_gt = np.concatenate([np.cumsum(ec[::-1])[::-1][1:], [0]])
+    n_gt = np.concatenate([np.cumsum(nc[::-1])[::-1][1:], [0]])
+    ks = np.arange(max_d, dtype=np.int64)
+    keep = n_gt[:max_d] >= 2
+    ks = ks[keep]
+    nk = n_gt[ks]
+    ek = e_gt[ks]
+    phi = np.round(2.0 * ek / (nk * (nk - 1.0)), 8)
+    return pd.DataFrame(
+        {
+            "k": ks,
+            "n_nodes": nk.astype("int64"),
+            "n_edges": ek.astype("int64"),
+            "phi": phi,
+        }
+    )

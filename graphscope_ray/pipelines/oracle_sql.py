@@ -1656,6 +1656,39 @@ def lg_eff_diameter_sql(num: int = 9, den: int = 10) -> str:
     )
 
 
+def lg_global_efficiency_sql() -> str:
+    """graph/algorithms.global_efficiency twin: Σ 1/d over finite positive
+    directed pair distances / (N·(N−1)), summed in histogram form (one term
+    per distinct distance) exactly like the engine's fragment fold."""
+    return (
+        f"WITH RECURSIVE {_SBASE}, {_SWALK}, "
+        "hp AS MATERIALIZED (SELECT d, count(*) AS c FROM sdist WHERE d > 0 GROUP BY d) "
+        "SELECT round(coalesce((SELECT sum(c * 1.0 / d) FROM hp), 0) "
+        "/ ((SELECT n FROM snv) * ((SELECT n FROM snv) - 1)), 8) AS global_efficiency, "
+        "CAST(coalesce((SELECT sum(c) FROM hp), 0) AS BIGINT) AS n_pairs"
+    )
+
+
+def lg_richclub_sql() -> str:
+    """pipelines/testdata.lg_richclub twin: φ(k) = 2·E_k/(N_k·(N_k−1)) on
+    the undirected simple sparse graph, one row per k ∈ [0, max_degree)
+    with N_k ≥ 2 (networkx rich_club_coefficient(normalized=False))."""
+    return (
+        f"WITH {_SBASE}, "
+        "ce AS MATERIALIZED (SELECT src, dst FROM sue WHERE src < dst), "
+        "em AS MATERIALIZED (SELECT least(d1.d, d2.d) AS m FROM ce "
+        "JOIN sdeg d1 ON d1.oid = ce.src JOIN sdeg d2 ON d2.oid = ce.dst), "
+        "ks AS (SELECT DISTINCT m.k FROM sdeg, "
+        "LATERAL (SELECT unnest(generate_series(0, CAST(sdeg.d AS BIGINT) - 1)) AS k) m), "
+        "rc AS (SELECT k, "
+        "(SELECT count(*) FROM sdeg WHERE d > k) AS n_nodes, "
+        "(SELECT count(*) FROM em WHERE m > k) AS n_edges FROM ks) "
+        "SELECT k, n_nodes, n_edges, "
+        "round(2.0 * n_edges / (n_nodes * (n_nodes - 1.0)), 8) AS phi "
+        "FROM rc WHERE n_nodes >= 2 ORDER BY k"
+    )
+
+
 def lg_kcenter_sql(k: int = 4) -> str:
     """Greedy farthest-point k-center: seed = min oid; then repeatedly the
     vertex maximizing min-distance-to-centers (unreached ≡ 10^6, ties →

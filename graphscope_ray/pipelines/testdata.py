@@ -1629,6 +1629,29 @@ def lg_eff_diameter(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def lg_global_efficiency(sf_dir: str) -> pd.DataFrame:
+    """Directed global efficiency (Latora–Marchiori) on the sparse graph —
+    Σ 1/d over finite positive-distance ordered pairs, / N(N−1); folded
+    from the same fragment-side distance histogram as lg_eff_diameter."""
+    g = lg_sparse_graph(sf_dir)
+    d = alg.global_efficiency(g)
+    return pd.DataFrame(
+        {
+            "global_efficiency": [round(d["global_efficiency"], 8)],
+            "n_pairs": [int(d["n_pairs"])],
+        }
+    )
+
+
+def lg_richclub(sf_dir: str) -> pd.DataFrame:
+    """Rich-club coefficient on the undirected simple sparse graph
+    (networkx rich_club_coefficient(normalized=False) semantics) — the
+    distributed dataflow lives in graph.metrics.rich_club_coefficient."""
+    from graphscope_ray.graph.metrics import rich_club_coefficient
+
+    return rich_club_coefficient(_sparse_edges_ds(sf_dir))
+
+
 def lg_kcenter(sf_dir: str, k: int = 4) -> pd.DataFrame:
     """Greedy farthest-point k-center on the sparse graph (directed
     distances; unreached = infinitely far, radius -2 marks an inf pick)."""
