@@ -1079,6 +1079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_eff_diameter": td.lg_eff_diameter,
         "lg_global_efficiency": td.lg_global_efficiency,
         "lg_richclub": td.lg_richclub,
+        "lg_simrank": td.lg_simrank,
         "lg_kcenter": td.lg_kcenter,
         "lg_closeness_exact": td.lg_closeness_exact,
         # events (stream-shaped)
@@ -1300,6 +1301,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_eff_diameter": osql.lg_eff_diameter_sql(),
         "lg_global_efficiency": osql.lg_global_efficiency_sql(),
         "lg_richclub": osql.lg_richclub_sql(),
+        "lg_simrank": osql.lg_simrank_sql(),
         "lg_kcenter": osql.lg_kcenter_sql(),
         "lg_closeness_exact": osql.lg_closeness_exact_sql(),
         "events_window": osql.events_window_sql(),

@@ -401,3 +401,211 @@ def rich_club_coefficient(
             "phi": phi,
         }
     )
+
+
+def simrank(
+    edges: ray.data.Dataset,
+    c: float = 0.8,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """SimRank structural similarity (Jeh & Widom, KDD 2002) after a fixed
+    number of iterations: s₀(a,b) = [a=b];
+    s_{k+1}(a,b) = C/(|I(a)|·|I(b)|) · Σ_{u∈I(a), v∈I(b)} s_k(u,v) for a≠b
+    (0 when either in-neighborhood is empty), s_{k+1}(a,a) = 1.
+
+    Distributed as pair-space dataflow: the nonzero pair set (a, b, s) is a
+    Dataset; each iteration is two hash joins fanning every pair out along
+    both endpoints' OUT-edges (u→a ⇔ u ∈ I(a)), one hash-exchange groupby
+    summing contributions per (a,b), and two joins attaching the in-degree
+    normalizers — no driver state, each round materialized as the iteration
+    barrier (bounded by the nonzero pair count, like the k-means model).
+    Per-round tuple volume is Σ_{s_k(u,v)>0} od(u)·od(v): SimRank is
+    inherently pair-quadratic in the worst case, so at 100-TB scale this
+    operator targets bounded similarity universes (a projected subgraph or
+    a truncated/thresholded pair set), not the full web graph.
+
+    Returns the s_k > 0 off-diagonal pairs once per unordered pair
+    (src_oid < dst_oid, simrank) — s is symmetric.
+    """
+
+    def _dedup(ds: ray.data.Dataset, a: str, b: str) -> ray.data.Dataset:
+        return hash_groupby_sum(
+            ds, [a, b], None, "__n", num_partitions=num_partitions
+        ).select_columns([a, b])
+
+    e = _dedup(edges.select_columns([src_col, dst_col]), src_col, dst_col)
+
+    def _rename_edges(suffix: str):
+        def _rn(df: pd.DataFrame) -> pd.DataFrame:
+            if src_col not in df.columns:
+                return pd.DataFrame(
+                    {
+                        f"es_{suffix}": pd.Series(dtype=np.int64),
+                        f"ed_{suffix}": pd.Series(dtype=np.int64),
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    f"es_{suffix}": df[src_col].to_numpy(np.int64),
+                    f"ed_{suffix}": df[dst_col].to_numpy(np.int64),
+                }
+            )
+
+        return _rn
+
+    e1 = e.map_batches(_rename_edges("1"), batch_format="pandas").materialize()
+    e2 = e.map_batches(_rename_edges("2"), batch_format="pandas").materialize()
+
+    # in-degree normalizers, one copy per join side (collision-free names)
+    def _indeg(side: str):
+        def _rn(df: pd.DataFrame) -> pd.DataFrame:
+            if "oid" not in df.columns:
+                return pd.DataFrame(
+                    {
+                        f"iv_{side}": pd.Series(dtype=np.int64),
+                        f"id_{side}": pd.Series(dtype=np.int64),
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    f"iv_{side}": df["oid"].to_numpy(np.int64),
+                    f"id_{side}": df["d"].to_numpy(np.int64),
+                }
+            )
+
+        return _rn
+
+    ind = hash_groupby_sum(
+        e.map_batches(
+            lambda df: pd.DataFrame({"oid": df[dst_col].to_numpy(np.int64)})
+            if dst_col in df.columns
+            else pd.DataFrame({"oid": pd.Series(dtype=np.int64)}),
+            batch_format="pandas",
+        ),
+        ["oid"],
+        None,
+        "d",
+        num_partitions=num_partitions,
+    )
+    inda = ind.map_batches(_indeg("a"), batch_format="pandas").materialize()
+    indb = ind.map_batches(_indeg("b"), batch_format="pandas").materialize()
+
+    def _verts(df: pd.DataFrame) -> pd.DataFrame:
+        if src_col not in df.columns:
+            return pd.DataFrame({"oid": pd.Series(dtype=np.int64)})
+        return pd.DataFrame(
+            {
+                "oid": np.concatenate(
+                    [df[src_col].to_numpy(np.int64), df[dst_col].to_numpy(np.int64)]
+                )
+            }
+        )
+
+    verts = hash_groupby_sum(
+        e.map_batches(_verts, batch_format="pandas"),
+        ["oid"],
+        None,
+        "__n",
+        num_partitions=num_partitions,
+    ).select_columns(["oid"])
+
+    def _diag(df: pd.DataFrame) -> pd.DataFrame:
+        if "oid" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(dtype=np.int64),
+                    "b": pd.Series(dtype=np.int64),
+                    "s": pd.Series(dtype=np.float64),
+                }
+            )
+        o = df["oid"].to_numpy(np.int64)
+        return pd.DataFrame({"a": o, "b": o, "s": np.ones(len(o), dtype=np.float64)})
+
+    diag = verts.map_batches(_diag, batch_format="pandas").materialize()
+    pairs = diag
+
+    def _proj_fan1(df: pd.DataFrame) -> pd.DataFrame:
+        if "ed_1" not in df.columns or not len(df):
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(dtype=np.int64),
+                    "b": pd.Series(dtype=np.int64),
+                    "s": pd.Series(dtype=np.float64),
+                }
+            )
+        # fan pair (u, v, s) out along u's out-edges: new left endpoint
+        return pd.DataFrame(
+            {
+                "a": df["ed_1"].to_numpy(np.int64),
+                "b": df["b"].to_numpy(np.int64),
+                "s": df["s"].to_numpy(np.float64),
+            }
+        )
+
+    def _proj_fan2(df: pd.DataFrame) -> pd.DataFrame:
+        if "ed_2" not in df.columns or not len(df):
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(dtype=np.int64),
+                    "b": pd.Series(dtype=np.int64),
+                    "s": pd.Series(dtype=np.float64),
+                }
+            )
+        a = df["a"].to_numpy(np.int64)
+        b = df["ed_2"].to_numpy(np.int64)
+        s = df["s"].to_numpy(np.float64)
+        keep = a != b
+        return pd.DataFrame({"a": a[keep], "b": b[keep], "s": s[keep]})
+
+    def _scale(df: pd.DataFrame) -> pd.DataFrame:
+        if "id_a" not in df.columns or not len(df):
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(dtype=np.int64),
+                    "b": pd.Series(dtype=np.int64),
+                    "s": pd.Series(dtype=np.float64),
+                }
+            )
+        s = (
+            c
+            * df["t"].to_numpy(np.float64)
+            / (df["id_a"].to_numpy(np.float64) * df["id_b"].to_numpy(np.float64))
+        )
+        return pd.DataFrame(
+            {
+                "a": df["a"].to_numpy(np.int64),
+                "b": df["b"].to_numpy(np.int64),
+                "s": s,
+            }
+        )
+
+    for _ in range(iters):
+        j = hash_join(pairs, e1, left_on="a", right_on="es_1", num_partitions=num_partitions)
+        j = j.map_batches(_proj_fan1, batch_format="pandas")
+        j = hash_join(j, e2, left_on="b", right_on="es_2", num_partitions=num_partitions)
+        j = j.map_batches(_proj_fan2, batch_format="pandas")
+        t = hash_groupby_sum(j, ["a", "b"], "s", "t", num_partitions=num_partitions)
+        t = hash_join(t, inda, left_on="a", right_on="iv_a", num_partitions=num_partitions)
+        t = hash_join(t, indb, left_on="b", right_on="iv_b", num_partitions=num_partitions)
+        off = t.map_batches(_scale, batch_format="pandas")
+        pairs = diag.union(off).materialize()
+
+    def _out(df: pd.DataFrame) -> pd.DataFrame:
+        if "a" not in df.columns or not len(df):
+            return pd.DataFrame(
+                {
+                    "src_oid": pd.Series(dtype=np.int64),
+                    "dst_oid": pd.Series(dtype=np.int64),
+                    "simrank": pd.Series(dtype=np.float64),
+                }
+            )
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        s = np.round(df["s"].to_numpy(np.float64), 8)
+        keep = (a < b) & (s > 0)
+        return pd.DataFrame({"src_oid": a[keep], "dst_oid": b[keep], "simrank": s[keep]})
+
+    return pairs.map_batches(_out, batch_format="pandas")

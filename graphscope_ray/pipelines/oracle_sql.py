@@ -1689,6 +1689,35 @@ def lg_richclub_sql() -> str:
     )
 
 
+def lg_simrank_sql(c: float = 0.8, iters: int = 3) -> str:
+    """graph/metrics.simrank twin: Jeh–Widom in-neighbor SimRank unrolled
+    for a fixed iteration count on the directed sparse graph —
+    s_{k+1}(a,b) = C/(|I(a)|·|I(b)|)·Σ_{u∈I(a),v∈I(b)} s_k(u,v) for a≠b,
+    diagonal pinned to 1; output the nonzero unordered off-diagonal."""
+    ctes = [
+        "ind AS MATERIALIZED (SELECT dst AS v, count(*) AS d FROM se GROUP BY dst)",
+        "s0 AS MATERIALIZED (SELECT oid AS a, oid AS b, 1.0 AS s FROM sv)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"t{k} AS MATERIALIZED (SELECT e1.dst AS a, e2.dst AS b, sum(p.s) AS t "
+            f"FROM s{k - 1} p JOIN se e1 ON e1.src = p.a "
+            f"JOIN se e2 ON e2.src = p.b WHERE e1.dst <> e2.dst GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT t{k}.a, t{k}.b, "
+            f"{c} * t{k}.t / (ia.d * ib.d) AS s FROM t{k} "
+            f"JOIN ind ia ON ia.v = t{k}.a JOIN ind ib ON ib.v = t{k}.b "
+            "UNION ALL SELECT oid, oid, 1.0 FROM sv)"
+        )
+    return (
+        f"WITH {_SBASE}, "
+        + ",\n".join(ctes)
+        + f" SELECT a AS src_oid, b AS dst_oid, round(s, 8) AS simrank "
+        f"FROM s{iters} WHERE a < b AND s > 0 ORDER BY 1, 2"
+    )
+
+
 def lg_kcenter_sql(k: int = 4) -> str:
     """Greedy farthest-point k-center: seed = min oid; then repeatedly the
     vertex maximizing min-distance-to-centers (unreached ≡ 10^6, ties →

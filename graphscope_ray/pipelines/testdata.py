@@ -1652,6 +1652,16 @@ def lg_richclub(sf_dir: str) -> pd.DataFrame:
     return rich_club_coefficient(_sparse_edges_ds(sf_dir))
 
 
+def lg_simrank(sf_dir: str) -> pd.DataFrame:
+    """SimRank structural similarity (Jeh–Widom, 3 iterations, C=0.8) on the
+    directed sparse graph — nonzero off-diagonal unordered pairs; the
+    distributed pair-space dataflow lives in graph.metrics.simrank."""
+    from graphscope_ray.graph.metrics import simrank
+
+    out = simrank(_sparse_edges_ds(sf_dir), c=0.8, iters=3).to_pandas()
+    return out.sort_values(["src_oid", "dst_oid"]).reset_index(drop=True)
+
+
 def lg_kcenter(sf_dir: str, k: int = 4) -> pd.DataFrame:
     """Greedy farthest-point k-center on the sparse graph (directed
     distances; unreached = infinitely far, radius -2 marks an inf pick)."""
