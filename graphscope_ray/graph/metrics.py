@@ -298,25 +298,14 @@ def wl_colors(
     )
 
 
-def rich_club_coefficient(
-    edges: ray.data.Dataset,
-    src_col: str = "src",
-    dst_col: str = "dst",
-    num_partitions: int = 16,
-) -> pd.DataFrame:
-    """Unnormalized rich-club coefficient over the undirected simple graph
-    (networkx rich_club_coefficient(G, normalized=False) semantics;
-    cf. Colizza et al. 2006): for each degree threshold k,
-    φ(k) = 2·E_k / (N_k·(N_k−1)) where N_k = #nodes of degree > k and
-    E_k = #edges with both endpoint degrees > k.  Rows for k ∈
-    [0, max_degree) with N_k ≥ 2.
-
-    Dataflow: canonical-edge distinct → degree hash exchange → two hash
-    joins attach endpoint degrees → per-block min-endpoint-degree histogram
-    partials; the driver folds two ≤max_degree-sized count vectors and
-    suffix-sums them — exact integers until the single final division, no
-    O(E) driver state.
-    """
+def _pairs_with_degrees(
+    edges: ray.data.Dataset, src_col: str, dst_col: str, num_partitions: int
+):
+    """Shared degree-attachment dataflow for the degree-defined measures
+    (rich-club / s-metric / average neighbor degree): canonical-edge
+    distinct → one degree hash exchange → two hash joins attaching both
+    endpoint degrees.  Returns (ce, deg, joined) where ce has (u, v)
+    with u < v, deg has (oid, d), and joined has (u, v, d_u, d_v)."""
     ce = _undirected_simple(edges, src_col, dst_col, num_partitions)
 
     def _ends(t: pa.Table) -> pa.Table:
@@ -357,6 +346,29 @@ def rich_club_coefficient(
     degv = deg.map_batches(_rename_deg("v"), batch_format="pandas")
     j = hash_join(ce, degu, left_on="u", right_on="oid_u", num_partitions=num_partitions)
     j = hash_join(j, degv, left_on="v", right_on="oid_v", num_partitions=num_partitions)
+    return ce, deg, j
+
+
+def rich_club_coefficient(
+    edges: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Unnormalized rich-club coefficient over the undirected simple graph
+    (networkx rich_club_coefficient(G, normalized=False) semantics;
+    cf. Colizza et al. 2006): for each degree threshold k,
+    φ(k) = 2·E_k / (N_k·(N_k−1)) where N_k = #nodes of degree > k and
+    E_k = #edges with both endpoint degrees > k.  Rows for k ∈
+    [0, max_degree) with N_k ≥ 2.
+
+    Dataflow: canonical-edge distinct → degree hash exchange → two hash
+    joins attach endpoint degrees → per-block min-endpoint-degree histogram
+    partials; the driver folds two ≤max_degree-sized count vectors and
+    suffix-sums them — exact integers until the single final division, no
+    O(E) driver state.
+    """
+    ce, deg, j = _pairs_with_degrees(edges, src_col, dst_col, num_partitions)
 
     _empty = pd.DataFrame(
         {"m": pd.Series(dtype=np.int64), "c": pd.Series(dtype=np.int64)}
@@ -401,6 +413,169 @@ def rich_club_coefficient(
             "phi": phi,
         }
     )
+
+
+def s_metric(
+    edges: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int = 16,
+) -> int:
+    """s-metric (Li, Alderson, Doyle & Willinger 2005; networkx
+    ``s_metric``): Σ_{(u,v)∈E} deg(u)·deg(v) over the undirected simple
+    graph — the scale-free-ness statistic (maximal when high-degree nodes
+    attach to each other).  Exact integer: per-block partial products fold
+    to one scalar on the driver; the dataflow is the shared rich-club
+    degree-join (one degree exchange + two hash joins)."""
+    _ce, _deg, j = _pairs_with_degrees(edges, src_col, dst_col, num_partitions)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        if "d_u" not in df.columns or not len(df):
+            return pd.DataFrame({"s": pd.Series(dtype=np.int64)})
+        p = df["d_u"].to_numpy(np.int64) * df["d_v"].to_numpy(np.int64)
+        return pd.DataFrame({"s": [int(p.sum())]})
+
+    parts = j.map_batches(_partial, batch_format="pandas").to_pandas()
+    return int(parts["s"].sum()) if len(parts) else 0
+
+
+def avg_neighbor_degree(
+    edges: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Average neighbor degree per vertex over the undirected simple graph
+    (networkx ``average_neighbor_degree``): knn(u) = Σ_{v∈N(u)} deg(v) /
+    deg(u) — the per-vertex form of degree-degree correlation (Barrat et
+    al. 2004).  Rows (oid, avg_nbr_deg) for every non-isolated vertex.
+
+    Dataflow: the shared degree-join, then each joined edge emits both
+    directions' (vertex, neighbor_degree); ONE hash-exchange groupby sums
+    the integer degree totals and counts (count ≡ deg(u)), and the single
+    division happens per group — float enters only at the final divide,
+    so results are order-independent."""
+    _ce, _deg, j = _pairs_with_degrees(edges, src_col, dst_col, num_partitions)
+
+    def _emit(df: pd.DataFrame) -> pd.DataFrame:
+        if "d_u" not in df.columns or not len(df):
+            return pd.DataFrame(
+                {"oid": pd.Series(dtype=np.int64), "nd": pd.Series(dtype=np.int64)}
+            )
+        u = df["u"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        du = df["d_u"].to_numpy(np.int64)
+        dv = df["d_v"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"oid": np.concatenate([u, v]), "nd": np.concatenate([dv, du])}
+        )
+
+    em = j.map_batches(_emit, batch_format="pandas")
+    tot = hash_groupby_sum(em, ["oid"], "nd", "snd", num_partitions=num_partitions)
+    cnt = hash_groupby_sum(em, ["oid"], None, "c", num_partitions=num_partitions)
+
+    def _rn(df: pd.DataFrame) -> pd.DataFrame:
+        if "c" not in df.columns:
+            return pd.DataFrame(
+                {"oid_c": pd.Series(dtype=np.int64), "c": pd.Series(dtype=np.int64)}
+            )
+        return pd.DataFrame({"oid_c": df["oid"].to_numpy(), "c": df["c"].to_numpy()})
+
+    jj = hash_join(
+        tot,
+        cnt.map_batches(_rn, batch_format="pandas"),
+        left_on="oid",
+        right_on="oid_c",
+        num_partitions=num_partitions,
+    )
+
+    def _div(df: pd.DataFrame) -> pd.DataFrame:
+        if "snd" not in df.columns or not len(df):
+            return pd.DataFrame(
+                {
+                    "oid": pd.Series(dtype=np.int64),
+                    "avg_nbr_deg": pd.Series(dtype=np.float64),
+                }
+            )
+        a = np.round(
+            df["snd"].to_numpy(np.int64) / df["c"].to_numpy(np.float64), 8
+        )
+        return pd.DataFrame({"oid": df["oid"].to_numpy(np.int64), "avg_nbr_deg": a})
+
+    return jj.map_batches(_div, batch_format="pandas")
+
+
+def reciprocity(
+    edges: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int = 16,
+) -> dict:
+    """Overall reciprocity of the directed simple graph (networkx
+    ``overall_reciprocity``): the fraction of distinct directed arcs whose
+    reverse arc also exists.  Self-loops are excluded (the repo's simple-
+    graph canon — ``_undirected_simple`` drops them too).  Returns
+    {"reciprocity", "n_reciprocated", "n_edges"} with exact integer counts.
+
+    Dataflow: per-block the distinct arcs fold into canonical (min, max)
+    pairs carrying a direction bit (1 = forward, 2 = backward); ONE
+    hash-exchange groupby sums the bits, so a pair summing to 3 has both
+    arcs.  Per-block partials then count arcs and reciprocated arcs —
+    the driver folds scalars, never rows."""
+    arcs = hash_groupby_sum(
+        edges.select_columns([src_col, dst_col]),
+        [src_col, dst_col],
+        None,
+        "__n",
+        num_partitions=num_partitions,
+    )
+
+    def _canon(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or src_col not in t.column_names:
+            return pa.table(
+                {
+                    "u": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                }
+            )
+        s = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {
+                "u": pa.array(np.minimum(s, d)),
+                "v": pa.array(np.maximum(s, d)),
+                "b": pa.array(np.where(s < d, 1, 2).astype(np.int64)),
+            }
+        )
+
+    pairs = hash_groupby_sum(
+        arcs.map_batches(_canon, batch_format="pyarrow"),
+        ["u", "v"],
+        "b",
+        "s",
+        num_partitions=num_partitions,
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        if "s" not in df.columns or not len(df):
+            return pd.DataFrame(
+                {"ne": pd.Series(dtype=np.int64), "nr": pd.Series(dtype=np.int64)}
+            )
+        s = df["s"].to_numpy(np.int64)
+        both = int((s == 3).sum())
+        return pd.DataFrame({"ne": [len(s) + both], "nr": [2 * both]})
+
+    parts = pairs.map_batches(_partial, batch_format="pandas").to_pandas()
+    ne = int(parts["ne"].sum()) if len(parts) else 0
+    nr = int(parts["nr"].sum()) if len(parts) else 0
+    return {
+        "reciprocity": round(nr / ne, 8) if ne else 0.0,
+        "n_reciprocated": nr,
+        "n_edges": ne,
+    }
 
 
 def simrank(

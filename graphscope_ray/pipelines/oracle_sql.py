@@ -1689,6 +1689,46 @@ def lg_richclub_sql() -> str:
     )
 
 
+def lg_reciprocity_sql() -> str:
+    """graph/metrics.reciprocity twin: fraction of distinct self-loop-free
+    directed arcs whose reverse arc also exists (networkx
+    overall_reciprocity) — exact counts, one final division."""
+    return (
+        f"WITH {_SBASE}, "
+        "rec AS (SELECT count(*) AS r FROM se a "
+        "JOIN se b ON b.src = a.dst AND b.dst = a.src), "
+        "tot AS (SELECT count(*) AS n FROM se) "
+        "SELECT round(CAST(r AS DOUBLE) / n, 8) AS reciprocity, "
+        "CAST(r AS BIGINT) AS n_reciprocated, CAST(n AS BIGINT) AS n_edges "
+        "FROM rec, tot"
+    )
+
+
+def lg_avg_nbr_deg_sql() -> str:
+    """graph/metrics.avg_neighbor_degree twin: knn(u) = Σ_{v∈N(u)} deg(v)
+    / deg(u) on the undirected simple sparse graph — integer degree sum,
+    one division, round 8 (matching the engine's order-independent fold)."""
+    return (
+        f"WITH {_SBASE} "
+        "SELECT u.src AS oid, "
+        "round(sum(d2.d) * 1.0 / count(*), 8) AS avg_nbr_deg "
+        "FROM sue u JOIN sdeg d2 ON d2.oid = u.dst "
+        "GROUP BY u.src ORDER BY oid"
+    )
+
+
+def lg_smetric_sql() -> str:
+    """graph/metrics.s_metric twin: Σ deg(u)·deg(v) over distinct
+    undirected edges (u < v) — exact integer."""
+    return (
+        f"WITH {_SBASE}, "
+        "ce AS (SELECT src, dst FROM sue WHERE src < dst) "
+        "SELECT CAST(coalesce(sum(d1.d * d2.d), 0) AS BIGINT) AS s_metric "
+        "FROM ce JOIN sdeg d1 ON d1.oid = ce.src "
+        "JOIN sdeg d2 ON d2.oid = ce.dst"
+    )
+
+
 def lg_simrank_sql(c: float = 0.8, iters: int = 3) -> str:
     """graph/metrics.simrank twin: Jeh–Widom in-neighbor SimRank unrolled
     for a fixed iteration count on the directed sparse graph —

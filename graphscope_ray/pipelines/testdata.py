@@ -1652,6 +1652,42 @@ def lg_richclub(sf_dir: str) -> pd.DataFrame:
     return rich_club_coefficient(_sparse_edges_ds(sf_dir))
 
 
+def lg_reciprocity(sf_dir: str) -> pd.DataFrame:
+    """Overall reciprocity of the directed simple sparse graph (networkx
+    overall_reciprocity, self-loop-free) — distributed pair-bit dataflow
+    in graph.metrics.reciprocity."""
+    from graphscope_ray.graph.metrics import reciprocity
+
+    r = reciprocity(_sparse_edges_ds(sf_dir))
+    return pd.DataFrame(
+        {
+            "reciprocity": [r["reciprocity"]],
+            "n_reciprocated": [np.int64(r["n_reciprocated"])],
+            "n_edges": [np.int64(r["n_edges"])],
+        }
+    )
+
+
+def lg_avg_nbr_deg(sf_dir: str) -> pd.DataFrame:
+    """Average neighbor degree per vertex on the undirected simple sparse
+    graph (networkx average_neighbor_degree / Barrat et al. 2004) — the
+    per-vertex companion of lg_avg_degree_connectivity; dataflow in
+    graph.metrics.avg_neighbor_degree."""
+    from graphscope_ray.graph.metrics import avg_neighbor_degree
+
+    out = avg_neighbor_degree(_sparse_edges_ds(sf_dir)).to_pandas()
+    return out.sort_values("oid").reset_index(drop=True)
+
+
+def lg_smetric(sf_dir: str) -> pd.DataFrame:
+    """s-metric Σ_edges deg(u)·deg(v) on the undirected simple sparse graph
+    (Li–Alderson–Doyle–Willinger; networkx s_metric) — exact integer,
+    dataflow in graph.metrics.s_metric."""
+    from graphscope_ray.graph.metrics import s_metric
+
+    return pd.DataFrame({"s_metric": [np.int64(s_metric(_sparse_edges_ds(sf_dir)))]})
+
+
 def lg_simrank(sf_dir: str) -> pd.DataFrame:
     """SimRank structural similarity (Jeh–Widom, 3 iterations, C=0.8) on the
     directed sparse graph — nonzero off-diagonal unordered pairs; the
