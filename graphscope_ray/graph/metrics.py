@@ -505,6 +505,84 @@ def avg_neighbor_degree(
     return jj.map_batches(_div, batch_format="pandas")
 
 
+def bipartite_projection(
+    edges: ray.data.Dataset,
+    via_col: str,
+    onto_col: str,
+    num_partitions: int = 16,
+    max_fanout: int | None = None,
+) -> ray.data.Dataset:
+    """One-mode projection of a bipartite graph onto the ``onto_col`` side
+    (networkx ``bipartite.weighted_projected_graph`` semantics): vertices u,
+    v of the onto-side are connected iff they share ≥1 via-side neighbor;
+    weight = number of distinct shared neighbors.  Rows (a, b, weight) with
+    a < b, once per unordered pair.
+
+    Dataflow: distinct (via, onto) exchange → one distributed self
+    hash-join on the via key (wedge enumeration co-located per via vertex)
+    → one pair-key hash-exchange count.  Wedge volume is Σ_via f(f−1)/2
+    for via-fanout f, so a hot via vertex is quadratic: ``max_fanout``
+    deterministically drops via vertices with fanout > cap (the same skew
+    rule as minibatch.link_features' wedge-mid cap — document the cap with
+    the result; the SQL oracle replicates it exactly via HAVING)."""
+    bp = hash_groupby_sum(
+        edges.select_columns([via_col, onto_col]),
+        [via_col, onto_col],
+        None,
+        "__n",
+        num_partitions=num_partitions,
+    ).select_columns([via_col, onto_col])
+
+    if max_fanout is not None:
+        fan = hash_groupby_sum(
+            bp.select_columns([via_col]), [via_col], None, "f", num_partitions=num_partitions
+        )
+
+        def _keep(df: pd.DataFrame) -> pd.DataFrame:
+            if "f" not in df.columns:
+                return pd.DataFrame({"via_ok": pd.Series(dtype=np.int64)})
+            ok = df[df["f"].to_numpy() <= max_fanout]
+            return pd.DataFrame({"via_ok": ok[via_col].to_numpy(np.int64)})
+
+        ok = fan.map_batches(_keep, batch_format="pandas")
+        bp = hash_join(
+            bp, ok, left_on=via_col, right_on="via_ok", num_partitions=num_partitions
+        ).select_columns([via_col, onto_col])
+
+    def _rhs(df: pd.DataFrame) -> pd.DataFrame:
+        if via_col not in df.columns:
+            return pd.DataFrame(
+                {"via_r": pd.Series(dtype=np.int64), "onto_r": pd.Series(dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {
+                "via_r": df[via_col].to_numpy(np.int64),
+                "onto_r": df[onto_col].to_numpy(np.int64),
+            }
+        )
+
+    rhs = bp.map_batches(_rhs, batch_format="pandas")
+    j = hash_join(bp, rhs, left_on=via_col, right_on="via_r", num_partitions=num_partitions)
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if onto_col not in df.columns or not len(df):
+            return pd.DataFrame(
+                {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)}
+            )
+        a = df[onto_col].to_numpy(np.int64)
+        b = df["onto_r"].to_numpy(np.int64)
+        keep = a < b
+        return pd.DataFrame({"a": a[keep], "b": b[keep]})
+
+    return hash_groupby_sum(
+        j.map_batches(_pairs, batch_format="pandas"),
+        ["a", "b"],
+        None,
+        "weight",
+        num_partitions=num_partitions,
+    )
+
+
 def reciprocity(
     edges: ray.data.Dataset,
     src_col: str = "src",

@@ -1689,6 +1689,22 @@ def lg_richclub_sql() -> str:
     )
 
 
+def lg_bipartite_proj_sql(max_fanout: int = 5) -> str:
+    """graph/metrics.bipartite_projection twin: parts linked iff they share
+    an order, weight = #distinct shared orders, orders with more than
+    max_fanout distinct parts dropped (the deterministic skew cap)."""
+    return (
+        f"WITH bp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, "
+        f"(l_partkey % {LG_MOD}) AS p FROM lineitem), "
+        f"ok AS MATERIALIZED (SELECT o FROM bp GROUP BY o "
+        f"HAVING count(*) <= {max_fanout}), "
+        "bpc AS (SELECT bp.o, bp.p FROM bp JOIN ok ON ok.o = bp.o) "
+        "SELECT b1.p AS a, b2.p AS b, count(*) AS weight "
+        "FROM bpc b1 JOIN bpc b2 ON b1.o = b2.o AND b1.p < b2.p "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
 def lg_reciprocity_sql() -> str:
     """graph/metrics.reciprocity twin: fraction of distinct self-loop-free
     directed arcs whose reverse arc also exists (networkx

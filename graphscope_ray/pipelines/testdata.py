@@ -1652,6 +1652,39 @@ def lg_richclub(sf_dir: str) -> pd.DataFrame:
     return rich_club_coefficient(_sparse_edges_ds(sf_dir))
 
 
+def lg_bipartite_proj(sf_dir: str, max_fanout: int = 5) -> pd.DataFrame:
+    """One-mode projection of the order—part bipartite graph onto parts
+    (networkx bipartite.weighted_projected_graph): parts are linked iff
+    they share an order, weight = #distinct shared orders; orders with
+    more than max_fanout distinct parts are dropped (the documented
+    deterministic skew cap).  Dataflow in graph.metrics.bipartite_projection."""
+    from graphscope_ray.graph.metrics import bipartite_projection
+
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def _bp(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o": t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "p": (
+                    t["l_partkey"].to_numpy(zero_copy_only=False) % LG_MOD
+                ).astype(np.int64),
+            }
+        )
+
+    bp = li.map_batches(_bp, batch_format="pyarrow")
+    out = bipartite_projection(bp, "o", "p", max_fanout=max_fanout).to_pandas()
+    if "a" not in out.columns:  # empty result → zero-column blocks
+        out = pd.DataFrame(
+            {
+                "a": pd.Series(dtype=np.int64),
+                "b": pd.Series(dtype=np.int64),
+                "weight": pd.Series(dtype=np.int64),
+            }
+        )
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def lg_reciprocity(sf_dir: str) -> pd.DataFrame:
     """Overall reciprocity of the directed simple sparse graph (networkx
     overall_reciprocity, self-loop-free) — distributed pair-bit dataflow

@@ -79,6 +79,50 @@ def test_s_metric_exact(P):
     assert got == want
 
 
+@pytest.mark.parametrize("P", [1, 4])
+@pytest.mark.parametrize("cap", [None, 4])
+def test_bipartite_projection_vs_networkx(P, cap):
+    nx = pytest.importorskip("networkx")
+    from graphscope_ray.graph.metrics import bipartite_projection
+
+    rng = np.random.RandomState(13)
+    # vias 0..59 (fanout ~2-6 so cap=4 keeps some, drops some); ontos
+    # 100..129; duplicate rows exercise the distinct
+    via = rng.randint(0, 60, 200)
+    onto = rng.randint(100, 130, 200)
+    t = pa.table(
+        {"via": pa.array(via, pa.int64()), "onto": pa.array(onto, pa.int64())}
+    )
+    ds = ray.data.from_arrow(t).repartition(max(P, 1))
+    got = bipartite_projection(ds, "via", "onto", num_partitions=P, max_fanout=cap)
+    got = got.to_pandas()
+    if "a" not in got.columns:
+        got = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "weight": pa.array([], pa.int64())}
+        ).to_pandas()
+    got = got.sort_values(["a", "b"]).reset_index(drop=True)
+
+    pairs = {(int(v), int(o)) for v, o in zip(via, onto)}
+    if cap is not None:
+        fan = {}
+        for v, _o in pairs:
+            fan[v] = fan.get(v, 0) + 1
+        pairs = {(v, o) for v, o in pairs if fan[v] <= cap}
+    B = nx.Graph()
+    B.add_edges_from((("v", v), ("o", o)) for v, o in pairs)
+    ontos = {n for n in B if n[0] == "o"}
+    W = nx.bipartite.weighted_projected_graph(B, ontos)
+    want = {
+        (min(a[1], b[1]), max(a[1], b[1])): d["weight"]
+        for a, b, d in W.edges(data=True)
+    }
+    mine = {
+        (int(r["a"]), int(r["b"])): int(r["weight"]) for _, r in got.iterrows()
+    }
+    assert mine == want
+
+
 def test_empty_inputs():
     empty = ray.data.from_arrow(_tbl([]))
     assert s_metric(empty, num_partitions=2) == 0
