@@ -163,6 +163,12 @@ def _q_text_entropy(sf_dir):
     return char_entropy(_documents(sf_dir))
 
 
+def _q_text_gopher(sf_dir):
+    from graphscope_ray.functions.text import gopher_repetition
+
+    return gopher_repetition(_documents(sf_dir))
+
+
 def _q_text_bpe_train(sf_dir, num_merges: int = 12):
     """Distributed BPE merge-table training (Sennrich 2016) — iterative and
     data-dependent, so pytest-oracled (tests/test_bpe.py vs a pure-python
@@ -1103,6 +1109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _q_text_quality,
         "text_repetition": _q_text_repetition,
         "text_entropy": _q_text_entropy,
+        "text_gopher": _q_text_gopher,
         "text_bpe_train": _q_text_bpe_train,
         "text_bpe_encode": _q_text_bpe_encode,
         "llm_prep": _q_llm_prep,
@@ -1337,6 +1344,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": osql.dedup_semantic_sql(),
         "text_charlm": osql.text_charlm_sql(),
         "text_entropy": osql.text_entropy_sql(),
+        "text_gopher": osql.text_gopher_sql(),
         "llm_prep": osql.llm_prep_sql(),
         "samp_mixture": osql.samp_mixture_sql(),
         "samp_temperature": osql.samp_temperature_sql(),

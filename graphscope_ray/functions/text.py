@@ -435,6 +435,103 @@ def char_entropy(
     )
 
 
+def gopher_repetition(
+    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> ray.data.Dataset:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1 — the
+    filters MassiveText applies before training), per document:
+
+    - ``dup_line_frac``: repeated line occurrences beyond the first / total
+      lines (lines split on ``\\n``).
+    - ``dup_line_char_frac``: characters in those repeated occurrences /
+      total line characters.
+    - ``top_bigram_char_frac``: character mass of the most frequent
+      adjacent word 2-gram (count × (len(w1)+len(w2)), ties → smallest
+      (w1, w2)) / total token characters; 0 with fewer than two tokens.
+
+    All three are exact-integer counts with one final division (round 8) —
+    bit-matchable by the SQL oracle.  Embarrassingly parallel: each doc is
+    one row, so this is ONE ``map_batches`` pass with pandas-groupby (C)
+    kernels per block — no exchange, no driver state."""
+
+    def _stats(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        dl = np.zeros(n, dtype=np.float64)
+        dlc = np.zeros(n, dtype=np.float64)
+        tbc = np.zeros(n, dtype=np.float64)
+        if n:
+            # ---- line stats: explode → one (doc, line) groupby ----
+            lines = pc.split_pattern(t[text_col], "\n")
+            lcnt = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = lines.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+            drow = np.repeat(np.arange(n, dtype=np.int64), lcnt)
+            lf = pd.DataFrame({"d": drow, "line": flat})
+            g = lf.groupby(["d", "line"], sort=False).size().reset_index(name="c")
+            llen = g["line"].str.len().to_numpy(np.int64)
+            c = g["c"].to_numpy(np.int64)
+            agg = pd.DataFrame(
+                {
+                    "d": g["d"].to_numpy(),
+                    "nl": c,
+                    "nd": c - 1,
+                    "ch": llen * c,
+                    "chd": llen * (c - 1),
+                }
+            ).groupby("d").sum()
+            di = agg.index.to_numpy(np.int64)
+            nl = agg["nl"].to_numpy(np.int64)
+            ch = agg["ch"].to_numpy(np.int64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                dl[di] = np.where(nl > 0, agg["nd"].to_numpy(np.int64) / nl, 0.0)
+                dlc[di] = np.where(ch > 0, agg["chd"].to_numpy(np.int64) / ch, 0.0)
+            # ---- bigram stats: token shift → one (doc, w1, w2) groupby ----
+            toks = pc.split_pattern(t[text_col], " ")
+            tcnt = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+            tflat = toks.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+            tlen = pd.Series(tflat).str.len().to_numpy(np.int64)
+            trow = np.repeat(np.arange(n, dtype=np.int64), tcnt)
+            tchars = np.zeros(n, dtype=np.int64)
+            np.add.at(tchars, trow, tlen)
+            keep = np.ones(len(tflat), dtype=bool)
+            ends = np.cumsum(tcnt) - 1
+            keep[ends[tcnt > 0]] = False
+            bf = pd.DataFrame(
+                {
+                    "d": trow[keep],
+                    "w1": tflat[keep],
+                    "w2": np.roll(tflat, -1)[keep],
+                    "m": tlen[keep] + np.roll(tlen, -1)[keep],
+                }
+            )
+            if len(bf):
+                bg = (
+                    bf.groupby(["d", "w1", "w2"], sort=False)
+                    .agg(c=("m", "size"), m=("m", "first"))
+                    .reset_index()
+                )
+                top = bg.sort_values(
+                    ["d", "c", "w1", "w2"], ascending=[True, False, True, True]
+                ).drop_duplicates("d")
+                td = top["d"].to_numpy(np.int64)
+                mass = top["c"].to_numpy(np.int64) * top["m"].to_numpy(np.int64)
+                denom = tchars[td]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    tbc[td] = np.where(denom > 0, mass / denom, 0.0)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "dup_line_frac": np.round(dl, 8),
+                "dup_line_char_frac": np.round(dlc, 8),
+                "top_bigram_char_frac": np.round(tbc, 8),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _stats, batch_format="pyarrow"
+    )
+
+
 def winnow_fingerprints(
     ds: ray.data.Dataset,
     k: int = 5,

@@ -3245,6 +3245,38 @@ def text_ppmi_sql(window: int = 2, min_count: int = 5) -> str:
     )
 
 
+def text_gopher_sql() -> str:
+    """functions/text.gopher_repetition twin: Gopher §A1.1 repetition
+    signals — duplicate-line fraction / duplicate-line character fraction
+    (lines split on \\n) and top-bigram character fraction (tokens split
+    on ' ', ties → smallest (w1, w2)); exact integer counts, one division,
+    round 8."""
+    return (
+        "WITH lines AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, chr(10))) AS line "
+        "FROM documents), "
+        "lg AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2), "
+        "lstat AS MATERIALIZED (SELECT doc_id, sum(c) AS nl, sum(c - 1) AS nd, "
+        "sum(len(line) * c) AS ch, sum(len(line) * (c - 1)) AS chd FROM lg GROUP BY 1), "
+        "tok AS MATERIALIZED (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS i, "
+        "unnest(toks) AS tok FROM "
+        "(SELECT doc_id, string_split(text, ' ') AS toks FROM documents)), "
+        "tchars AS (SELECT doc_id, sum(len(tok)) AS tc FROM tok GROUP BY 1), "
+        "bg AS (SELECT t1.doc_id, t1.tok AS w1, t2.tok AS w2, count(*) AS n "
+        "FROM tok t1 JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1 "
+        "GROUP BY 1, 2, 3), "
+        "top AS (SELECT doc_id, w1, w2, n FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, w1, w2) AS rk "
+        "FROM bg) WHERE rk = 1) "
+        "SELECT l.doc_id, "
+        "round(CASE WHEN l.nl > 0 THEN l.nd * 1.0 / l.nl ELSE 0.0 END, 8) AS dup_line_frac, "
+        "round(CASE WHEN l.ch > 0 THEN l.chd * 1.0 / l.ch ELSE 0.0 END, 8) AS dup_line_char_frac, "
+        "round(coalesce(t.n * (len(t.w1) + len(t.w2)) * 1.0 / nullif(tc.tc, 0), 0.0), 8) "
+        "AS top_bigram_char_frac "
+        "FROM lstat l LEFT JOIN top t ON t.doc_id = l.doc_id "
+        "LEFT JOIN tchars tc ON tc.doc_id = l.doc_id ORDER BY l.doc_id"
+    )
+
+
 def text_bigrams_sql() -> str:
     return (
         "WITH tok AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS i, "

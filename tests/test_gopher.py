@@ -1,0 +1,59 @@
+"""gopher_repetition vs a pure-python per-doc oracle on adversarial texts."""
+
+from collections import Counter
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from graphscope_ray.functions.text import gopher_repetition
+
+DOCS = [
+    "a b c\na b c\nx y z",          # one duplicated line
+    "same\nsame\nsame\nsame",        # all lines identical
+    "unique one\nunique two",        # no duplication
+    "",                              # empty doc
+    "t t t t t",                     # one token repeated → one dominant bigram
+    "a b a b a b c",                 # 'a b' vs 'b a' tie-breaking territory
+    "x  y",                          # double space → empty middle token
+    "single",                        # one token → no bigram
+    "\n\n",                          # only empty lines (duplicated)
+    "ab cd ab cd zz qq ab cd",       # clear top bigram 'ab cd'
+]
+
+
+def _oracle(text):
+    lines = text.split("\n")
+    lc = Counter(lines)
+    nl = len(lines)
+    nd = sum(c - 1 for c in lc.values())
+    ch = sum(len(ln) * c for ln, c in lc.items())
+    chd = sum(len(ln) * (c - 1) for ln, c in lc.items())
+    dup_line = nd / nl if nl else 0.0
+    dup_char = chd / ch if ch else 0.0
+    toks = text.split(" ")
+    tc = sum(len(t) for t in toks)
+    bg = Counter(zip(toks, toks[1:]))
+    top = 0.0
+    if bg and tc:
+        (w1, w2), n = min(bg.items(), key=lambda kv: (-kv[1], kv[0]))
+        top = n * (len(w1) + len(w2)) / tc
+    return round(dup_line, 8), round(dup_char, 8), round(top, 8)
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_gopher_vs_python_oracle(P):
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(DOCS)), pa.int64()),
+            "text": pa.array(DOCS),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(P)
+    got = gopher_repetition(ds).to_pandas().sort_values("doc_id")
+    for _, r in got.iterrows():
+        want = _oracle(DOCS[int(r["doc_id"])])
+        assert abs(r["dup_line_frac"] - want[0]) < 1e-9, (r["doc_id"], "line")
+        assert abs(r["dup_line_char_frac"] - want[1]) < 1e-9, (r["doc_id"], "char")
+        assert abs(r["top_bigram_char_frac"] - want[2]) < 1e-9, (r["doc_id"], "bg")
+    assert len(got) == len(DOCS)
