@@ -907,6 +907,38 @@ def headline() -> dict:
 
     timed_extra("text_winnow", _winnow)
 
+    def _gopher():
+        from graphscope_ray.functions.text import gopher_repetition
+
+        gopher_repetition(docs).count()
+
+    timed_extra("text_gopher", _gopher)
+
+    def _bproj():
+        import pyarrow as pa
+
+        from graphscope_ray.graph.metrics import bipartite_projection
+
+        li = _read_clean(f"{SF_DIR}/lineitem.parquet").select_columns(
+            ["l_orderkey", "l_partkey"]
+        )
+
+        def _bp(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "o": t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    "p": (t["l_partkey"].to_numpy(zero_copy_only=False) % 1000).astype(
+                        np.int64
+                    ),
+                }
+            )
+
+        bipartite_projection(
+            li.map_batches(_bp, batch_format="pyarrow"), "o", "p", max_fanout=5
+        ).count()
+
+    timed_extra("bipartite_proj", _bproj)
+
     total = round(sum(qtimes.values()), 3)
     out = {
         "metric": "headline pipelines wall-clock (per-stage best-of-2)",

@@ -448,6 +448,10 @@ def gopher_repetition(
     - ``top_bigram_char_frac``: character mass of the most frequent
       adjacent word 2-gram (count × (len(w1)+len(w2)), ties → smallest
       (w1, w2)) / total token characters; 0 with fewer than two tokens.
+    - ``dup_5gram_char_frac``: characters of tokens covered by ANY
+      occurrence of a word 5-gram that appears ≥2 times in the doc
+      (coverage-union, the Gopher dup-n-gram rule) / total token
+      characters; 0 with fewer than five tokens.
 
     All three are exact-integer counts with one final division (round 8) —
     bit-matchable by the SQL oracle.  Embarrassingly parallel: each doc is
@@ -460,6 +464,7 @@ def gopher_repetition(
         dl = np.zeros(n, dtype=np.float64)
         dlc = np.zeros(n, dtype=np.float64)
         tbc = np.zeros(n, dtype=np.float64)
+        d5g = np.zeros(n, dtype=np.float64)
         if n:
             # ---- line stats: explode → one (doc, line) groupby ----
             lines = pc.split_pattern(t[text_col], "\n")
@@ -518,12 +523,38 @@ def gopher_repetition(
                 denom = tchars[td]
                 with np.errstate(divide="ignore", invalid="ignore"):
                     tbc[td] = np.where(denom > 0, mass / denom, 0.0)
+            # ---- dup 5-gram coverage: diff-array over flat positions ----
+            W = 5
+            nt = len(tflat)
+            if nt >= W:
+                off = np.concatenate([[0], np.cumsum(tcnt)[:-1]])
+                pos = np.arange(nt, dtype=np.int64) - np.repeat(off, tcnt)
+                ok = pos <= np.repeat(tcnt, tcnt) - W  # in-doc gram starts
+                # joined-by-space key is injective: tokens cannot contain ' '
+                key = tflat.astype(str)
+                for s in range(1, W):
+                    key = np.char.add(np.char.add(key, " "), np.roll(tflat, -s).astype(str))
+                starts = np.flatnonzero(ok)
+                if starts.size:
+                    gf = pd.DataFrame({"d": trow[starts], "k": key[starts], "j": starts})
+                    c5 = gf.groupby(["d", "k"], sort=False)["j"].transform("size").to_numpy()
+                    dupj = gf["j"].to_numpy(np.int64)[c5 > 1]
+                    if dupj.size:
+                        diff = np.zeros(nt + W, dtype=np.int64)
+                        np.add.at(diff, dupj, 1)
+                        np.add.at(diff, dupj + W, -1)
+                        covered = np.cumsum(diff[:nt]) > 0
+                        cmass = np.zeros(n, dtype=np.int64)
+                        np.add.at(cmass, trow[covered], tlen[covered])
+                        with np.errstate(divide="ignore", invalid="ignore"):
+                            d5g = np.where(tchars > 0, cmass / np.maximum(tchars, 1), 0.0)
         return pa.table(
             {
                 id_col: pa.array(ids, pa.int64()),
                 "dup_line_frac": np.round(dl, 8),
                 "dup_line_char_frac": np.round(dlc, 8),
                 "top_bigram_char_frac": np.round(tbc, 8),
+                "dup_5gram_char_frac": np.round(d5g, 8),
             }
         )
 

@@ -3248,9 +3248,10 @@ def text_ppmi_sql(window: int = 2, min_count: int = 5) -> str:
 def text_gopher_sql() -> str:
     """functions/text.gopher_repetition twin: Gopher §A1.1 repetition
     signals — duplicate-line fraction / duplicate-line character fraction
-    (lines split on \\n) and top-bigram character fraction (tokens split
-    on ' ', ties → smallest (w1, w2)); exact integer counts, one division,
-    round 8."""
+    (lines split on \\n), top-bigram character fraction (tokens split
+    on ' ', ties → smallest (w1, w2)), and duplicated-5-gram coverage
+    fraction (union of token positions inside any ≥2× 5-gram); exact
+    integer counts, one division, round 8."""
     return (
         "WITH lines AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, chr(10))) AS line "
         "FROM documents), "
@@ -3266,14 +3267,28 @@ def text_gopher_sql() -> str:
         "GROUP BY 1, 2, 3), "
         "top AS (SELECT doc_id, w1, w2, n FROM "
         "(SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, w1, w2) AS rk "
-        "FROM bg) WHERE rk = 1) "
+        "FROM bg) WHERE rk = 1), "
+        "g5 AS MATERIALIZED (SELECT t1.doc_id, t1.i, "
+        "t1.tok || ' ' || t2.tok || ' ' || t3.tok || ' ' || t4.tok || ' ' || t5.tok AS k "
+        "FROM tok t1 JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1 "
+        "JOIN tok t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2 "
+        "JOIN tok t4 ON t4.doc_id = t1.doc_id AND t4.i = t1.i + 3 "
+        "JOIN tok t5 ON t5.doc_id = t1.doc_id AND t5.i = t1.i + 4), "
+        "dupg AS (SELECT doc_id, k FROM g5 GROUP BY 1, 2 HAVING count(*) > 1), "
+        "cov AS (SELECT DISTINCT g5.doc_id, g5.i + u.s AS pos FROM g5 "
+        "JOIN dupg ON dupg.doc_id = g5.doc_id AND dupg.k = g5.k, "
+        "LATERAL (SELECT unnest(generate_series(0, 4)) AS s) u), "
+        "cm AS (SELECT c.doc_id, sum(len(t.tok)) AS cm FROM cov c "
+        "JOIN tok t ON t.doc_id = c.doc_id AND t.i = c.pos GROUP BY 1) "
         "SELECT l.doc_id, "
         "round(CASE WHEN l.nl > 0 THEN l.nd * 1.0 / l.nl ELSE 0.0 END, 8) AS dup_line_frac, "
         "round(CASE WHEN l.ch > 0 THEN l.chd * 1.0 / l.ch ELSE 0.0 END, 8) AS dup_line_char_frac, "
         "round(coalesce(t.n * (len(t.w1) + len(t.w2)) * 1.0 / nullif(tc.tc, 0), 0.0), 8) "
-        "AS top_bigram_char_frac "
+        "AS top_bigram_char_frac, "
+        "round(coalesce(cm.cm * 1.0 / nullif(tc.tc, 0), 0.0), 8) AS dup_5gram_char_frac "
         "FROM lstat l LEFT JOIN top t ON t.doc_id = l.doc_id "
-        "LEFT JOIN tchars tc ON tc.doc_id = l.doc_id ORDER BY l.doc_id"
+        "LEFT JOIN tchars tc ON tc.doc_id = l.doc_id "
+        "LEFT JOIN cm ON cm.doc_id = l.doc_id ORDER BY l.doc_id"
     )
 
 

@@ -19,6 +19,9 @@ DOCS = [
     "single",                        # one token → no bigram
     "\n\n",                          # only empty lines (duplicated)
     "ab cd ab cd zz qq ab cd",       # clear top bigram 'ab cd'
+    "a b c d e f a b c d e f",       # dup 5-grams with overlapping coverage
+    "p q r s t u v w x",             # 5-grams present, none duplicated
+    "m m m m m m m m",               # one repeated token → all covered
 ]
 
 
@@ -38,7 +41,13 @@ def _oracle(text):
     if bg and tc:
         (w1, w2), n = min(bg.items(), key=lambda kv: (-kv[1], kv[0]))
         top = n * (len(w1) + len(w2)) / tc
-    return round(dup_line, 8), round(dup_char, 8), round(top, 8)
+    g5 = Counter(tuple(toks[i : i + 5]) for i in range(len(toks) - 4))
+    covered = set()
+    for i in range(len(toks) - 4):
+        if g5[tuple(toks[i : i + 5])] > 1:
+            covered.update(range(i, i + 5))
+    d5 = sum(len(toks[i]) for i in covered) / tc if tc else 0.0
+    return round(dup_line, 8), round(dup_char, 8), round(top, 8), round(d5, 8)
 
 
 @pytest.mark.parametrize("P", [1, 3])
@@ -56,4 +65,5 @@ def test_gopher_vs_python_oracle(P):
         assert abs(r["dup_line_frac"] - want[0]) < 1e-9, (r["doc_id"], "line")
         assert abs(r["dup_line_char_frac"] - want[1]) < 1e-9, (r["doc_id"], "char")
         assert abs(r["top_bigram_char_frac"] - want[2]) < 1e-9, (r["doc_id"], "bg")
+        assert abs(r["dup_5gram_char_frac"] - want[3]) < 1e-9, (r["doc_id"], "5g")
     assert len(got) == len(DOCS)
