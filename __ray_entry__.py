@@ -1087,6 +1087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_richclub": td.lg_richclub,
         "lg_simrank": td.lg_simrank,
         "lg_bipartite_proj": td.lg_bipartite_proj,
+        "lg_salsa": td.lg_salsa,
         "lg_reciprocity": td.lg_reciprocity,
         "lg_avg_nbr_deg": td.lg_avg_nbr_deg,
         "lg_smetric": td.lg_smetric,
@@ -1314,6 +1315,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_richclub": osql.lg_richclub_sql(),
         "lg_simrank": osql.lg_simrank_sql(),
         "lg_bipartite_proj": osql.lg_bipartite_proj_sql(),
+        "lg_salsa": osql.lg_salsa_sql(),
         "lg_reciprocity": osql.lg_reciprocity_sql(),
         "lg_avg_nbr_deg": osql.lg_avg_nbr_deg_sql(),
         "lg_smetric": osql.lg_smetric_sql(),

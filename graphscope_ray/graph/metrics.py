@@ -505,6 +505,190 @@ def avg_neighbor_degree(
     return jj.map_batches(_div, batch_format="pandas")
 
 
+def salsa(
+    edges: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 5,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """SALSA link analysis (Lempel & Moran 2000 — the stochastic HITS
+    variant used for web link graphs), fixed-iteration form: starting from
+    uniform hubs, alternate
+
+        auth_k(i) = Σ_{j→i} hub_{k-1}(j) / outdeg(j)   then L1-normalize,
+        hub_k(j)  = Σ_{j→i} auth_k(i) / indeg(i)        then L1-normalize.
+
+    Rows (oid, auth, hub) for every endpoint vertex, round 8 — the same
+    normalize-per-step contract as the engine's HITS program, but with the
+    degree-stochastic transition SALSA defines.
+
+    Dataflow (mirrors simrank's Dataset iteration): out/in-degrees attach
+    to the arc table ONCE (two hash joins before the loop); each iteration
+    is one score join + one dst-key sum exchange per direction, and the
+    driver folds only the two L1 scalars per iteration — message volume
+    per round is O(E) like a PageRank superstep, no broadcast."""
+    e = hash_groupby_sum(
+        edges.select_columns([src_col, dst_col]),
+        [src_col, dst_col],
+        None,
+        "__n",
+        num_partitions=num_partitions,
+    ).select_columns([src_col, dst_col])
+
+    def _ren(ds, key_col, val_col, nk, nv):
+        def _f(df: pd.DataFrame) -> pd.DataFrame:
+            if key_col not in df.columns:
+                return pd.DataFrame(
+                    {nk: pd.Series(dtype=np.int64), nv: pd.Series(dtype=np.float64)}
+                )
+            return pd.DataFrame(
+                {nk: df[key_col].to_numpy(np.int64), nv: df[val_col].to_numpy()}
+            )
+
+        return ds.map_batches(_f, batch_format="pandas")
+
+    od = hash_groupby_sum(e, [src_col], None, "od", num_partitions=num_partitions)
+    idg = hash_groupby_sum(e, [dst_col], None, "idg", num_partitions=num_partitions)
+    e1 = hash_join(
+        e, _ren(od, src_col, "od", "k_od", "od"), left_on=src_col, right_on="k_od",
+        num_partitions=num_partitions,
+    ).materialize()
+    e2 = hash_join(
+        e, _ren(idg, dst_col, "idg", "k_id", "idg"), left_on=dst_col, right_on="k_id",
+        num_partitions=num_partitions,
+    ).materialize()
+
+    def _verts(df: pd.DataFrame) -> pd.DataFrame:
+        if src_col not in df.columns:
+            return pd.DataFrame({"oid": pd.Series(dtype=np.int64)})
+        return pd.DataFrame(
+            {
+                "oid": np.concatenate(
+                    [df[src_col].to_numpy(np.int64), df[dst_col].to_numpy(np.int64)]
+                )
+            }
+        )
+
+    verts = hash_groupby_sum(
+        e.map_batches(_verts, batch_format="pandas"),
+        ["oid"],
+        None,
+        "__n",
+        num_partitions=num_partitions,
+    ).select_columns(["oid"]).materialize()
+    n = verts.count()
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "oid": pa.array([], pa.int64()),
+                    "auth": pa.array([], pa.float64()),
+                    "hub": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    def _init(df: pd.DataFrame) -> pd.DataFrame:
+        if "oid" not in df.columns:
+            return pd.DataFrame(
+                {"oid": pd.Series(dtype=np.int64), "val": pd.Series(dtype=np.float64)}
+            )
+        return pd.DataFrame(
+            {"oid": df["oid"].to_numpy(np.int64), "val": np.full(len(df), 1.0 / n)}
+        )
+
+    def _l1(scores: ray.data.Dataset) -> float:
+        def _p(df: pd.DataFrame) -> pd.DataFrame:
+            if "s" not in df.columns or not len(df):
+                return pd.DataFrame({"t": pd.Series(dtype=np.float64)})
+            return pd.DataFrame({"t": [float(df["s"].to_numpy(np.float64).sum())]})
+
+        parts = scores.map_batches(_p, batch_format="pandas").to_pandas()
+        return float(parts["t"].sum()) if len(parts) else 0.0
+
+    def _step(ej, score, score_key, deg_col, group_key):
+        """sum over arcs of score(score_key)/deg → grouped by group_key,
+        then L1-normalized over the vertex set (missing vertices → 0)."""
+        j = hash_join(
+            ej,
+            _ren(score, "oid", "val", "k_s", "sv"),
+            left_on=score_key,
+            right_on="k_s",
+            num_partitions=num_partitions,
+        )
+
+        def _msg(df: pd.DataFrame) -> pd.DataFrame:
+            if "sv" not in df.columns or not len(df):
+                return pd.DataFrame(
+                    {"oid": pd.Series(dtype=np.int64), "m": pd.Series(dtype=np.float64)}
+                )
+            return pd.DataFrame(
+                {
+                    "oid": df[group_key].to_numpy(np.int64),
+                    "m": df["sv"].to_numpy(np.float64) / df[deg_col].to_numpy(np.float64),
+                }
+            )
+
+        raw = hash_groupby_sum(
+            j.map_batches(_msg, batch_format="pandas"),
+            ["oid"],
+            "m",
+            "s",
+            num_partitions=num_partitions,
+        ).materialize()
+        t = _l1(raw)
+        jj = hash_join(
+            verts, _ren(raw, "oid", "s", "k_r", "rv"), left_on="oid", right_on="k_r",
+            num_partitions=num_partitions, how="left",
+        )
+
+        def _norm(df: pd.DataFrame) -> pd.DataFrame:
+            if "oid" not in df.columns:
+                return pd.DataFrame(
+                    {"oid": pd.Series(dtype=np.int64), "val": pd.Series(dtype=np.float64)}
+                )
+            rv = df["rv"].to_numpy(np.float64) if "rv" in df.columns else np.zeros(len(df))
+            rv = np.nan_to_num(rv, nan=0.0)
+            v = rv / t if t != 0 else np.zeros(len(df))
+            return pd.DataFrame({"oid": df["oid"].to_numpy(np.int64), "val": v})
+
+        return jj.map_batches(_norm, batch_format="pandas").materialize()
+
+    hub = verts.map_batches(_init, batch_format="pandas").materialize()
+    auth = None
+    for _ in range(iters):
+        auth = _step(e1, hub, src_col, "od", dst_col)
+        hub = _step(e2, auth, dst_col, "idg", src_col)
+
+    aj = hash_join(
+        _ren(auth, "oid", "val", "oid", "auth"),
+        _ren(hub, "oid", "val", "k_h", "hub"),
+        left_on="oid",
+        right_on="k_h",
+        num_partitions=num_partitions,
+    )
+
+    def _out(df: pd.DataFrame) -> pd.DataFrame:
+        if "oid" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "oid": pd.Series(dtype=np.int64),
+                    "auth": pd.Series(dtype=np.float64),
+                    "hub": pd.Series(dtype=np.float64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "oid": df["oid"].to_numpy(np.int64),
+                "auth": np.round(df["auth"].to_numpy(np.float64), 8),
+                "hub": np.round(df["hub"].to_numpy(np.float64), 8),
+            }
+        )
+
+    return aj.map_batches(_out, batch_format="pandas")
+
+
 def bipartite_projection(
     edges: ray.data.Dataset,
     via_col: str,

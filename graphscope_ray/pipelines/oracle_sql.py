@@ -1705,6 +1705,48 @@ def lg_bipartite_proj_sql(max_fanout: int = 5) -> str:
     )
 
 
+def lg_salsa_sql(iters: int = 5) -> str:
+    """graph/metrics.salsa twin: fixed-iteration SALSA on the sparse graph —
+    auth_k(i) = Σ_{j→i} hub_{k-1}(j)/od(j), hub_k(j) = Σ_{j→i} auth_k(i)/id(i),
+    each L1-normalized over all endpoint vertices; round 8 at the end."""
+    ctes = [
+        "sod AS MATERIALIZED (SELECT src AS oid, count(*) AS d FROM se GROUP BY 1)",
+        "sid AS MATERIALIZED (SELECT dst AS oid, count(*) AS d FROM se GROUP BY 1)",
+        "sh0 AS MATERIALIZED (SELECT oid, 1.0/(SELECT n FROM snv) AS val FROM sv)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"sra{k} AS MATERIALIZED (SELECT e.dst AS oid, sum(h.val / o.d) AS s "
+            f"FROM se e JOIN sh{k - 1} h ON h.oid = e.src "
+            f"JOIN sod o ON o.oid = e.src GROUP BY 1)"
+        )
+        ctes.append(f"sta{k} AS (SELECT coalesce(sum(s), 0) AS t FROM sra{k})")
+        ctes.append(
+            f"sa{k} AS MATERIALIZED (SELECT v.oid, "
+            f"CASE WHEN (SELECT t FROM sta{k}) = 0 THEN 0.0 "
+            f"ELSE coalesce(r.s, 0)/(SELECT t FROM sta{k}) END AS val "
+            f"FROM sv v LEFT JOIN sra{k} r ON r.oid = v.oid)"
+        )
+        ctes.append(
+            f"srh{k} AS MATERIALIZED (SELECT e.src AS oid, sum(a.val / i.d) AS s "
+            f"FROM se e JOIN sa{k} a ON a.oid = e.dst "
+            f"JOIN sid i ON i.oid = e.dst GROUP BY 1)"
+        )
+        ctes.append(f"sth{k} AS (SELECT coalesce(sum(s), 0) AS t FROM srh{k})")
+        ctes.append(
+            f"sh{k} AS MATERIALIZED (SELECT v.oid, "
+            f"CASE WHEN (SELECT t FROM sth{k}) = 0 THEN 0.0 "
+            f"ELSE coalesce(r.s, 0)/(SELECT t FROM sth{k}) END AS val "
+            f"FROM sv v LEFT JOIN srh{k} r ON r.oid = v.oid)"
+        )
+    return (
+        f"WITH {_SBASE}, "
+        + ",\n".join(ctes)
+        + f" SELECT a.oid, round(a.val, 8) AS auth, round(h.val, 8) AS hub "
+        f"FROM sa{iters} a JOIN sh{iters} h ON h.oid = a.oid ORDER BY a.oid"
+    )
+
+
 def lg_reciprocity_sql() -> str:
     """graph/metrics.reciprocity twin: fraction of distinct self-loop-free
     directed arcs whose reverse arc also exists (networkx

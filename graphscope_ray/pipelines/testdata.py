@@ -1685,6 +1685,16 @@ def lg_bipartite_proj(sf_dir: str, max_fanout: int = 5) -> pd.DataFrame:
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def lg_salsa(sf_dir: str, iters: int = 5) -> pd.DataFrame:
+    """SALSA authorities/hubs (Lempel–Moran) on the directed sparse graph,
+    5 alternating L1-normalized iterations from uniform hubs — dataflow in
+    graph.metrics.salsa."""
+    from graphscope_ray.graph.metrics import salsa
+
+    out = salsa(_sparse_edges_ds(sf_dir), iters=iters).to_pandas()
+    return out.sort_values("oid").reset_index(drop=True)
+
+
 def lg_reciprocity(sf_dir: str) -> pd.DataFrame:
     """Overall reciprocity of the directed simple sparse graph (networkx
     overall_reciprocity, self-loop-free) — distributed pair-bit dataflow

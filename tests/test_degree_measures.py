@@ -123,6 +123,40 @@ def test_bipartite_projection_vs_networkx(P, cap):
     assert mine == want
 
 
+@pytest.mark.parametrize("P", [1, 4])
+def test_salsa_vs_python(P):
+    from graphscope_ray.graph.metrics import salsa
+
+    arcs, n = _rand_arcs(seed=29)
+    ds = ray.data.from_arrow(_tbl(arcs)).repartition(max(P, 1))
+    got = salsa(ds, iters=4, num_partitions=P).to_pandas()
+    mine = {int(r["oid"]): (r["auth"], r["hub"]) for _, r in got.iterrows()}
+
+    verts = sorted({v for a in arcs for v in a})
+    od, idg = {}, {}
+    for a, b in arcs:
+        od[a] = od.get(a, 0) + 1
+        idg[b] = idg.get(b, 0) + 1
+    hub = {v: 1.0 / len(verts) for v in verts}
+    for _ in range(4):
+        ra = {}
+        for a, b in arcs:
+            ra[b] = ra.get(b, 0.0) + hub[a] / od[a]
+        t = sum(ra.values())
+        auth = {v: (ra.get(v, 0.0) / t if t else 0.0) for v in verts}
+        rh = {}
+        for a, b in arcs:
+            rh[a] = rh.get(a, 0.0) + auth[b] / idg[b]
+        t = sum(rh.values())
+        hub = {v: (rh.get(v, 0.0) / t if t else 0.0) for v in verts}
+    assert set(mine) == set(verts)
+    for v in verts:
+        assert abs(mine[v][0] - auth[v]) < 1e-7, (v, "auth")
+        assert abs(mine[v][1] - hub[v]) < 1e-7, (v, "hub")
+    # L1 normalization holds
+    assert abs(sum(a for a, _h in mine.values()) - 1.0) < 1e-6
+
+
 def test_empty_inputs():
     empty = ray.data.from_arrow(_tbl([]))
     assert s_metric(empty, num_partitions=2) == 0
