@@ -505,6 +505,78 @@ def avg_neighbor_degree(
     return jj.map_batches(_div, batch_format="pandas")
 
 
+def disparity_filter(
+    edges: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Disparity-filter backbone scores (Serrano, Boguñá & Vespignani,
+    PNAS 2009) for a weighted directed graph: for each edge,
+    α_uv = (1 − w_uv/s_u)^(k_u−1) with s_u = Σ out-weights and k_u =
+    out-degree of u — the p-value that the edge's weight share arises from
+    a uniform split; small α marks the multiscale backbone.  Rows
+    (src, dst, weight, alpha); k_u = 1 edges get α = 1 (never
+    significant, the paper's convention).  Emitting the score instead of
+    thresholding keeps the result knife-edge-free for bit-exact oracles;
+    callers filter ``alpha < α₀`` downstream.
+
+    Dataflow: ONE (src → k, s) hash exchange joined back to the edges —
+    the per-edge math is a stateless vectorized map."""
+
+    def _ks(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or src_col not in t.column_names:
+            return pa.table(
+                {
+                    "k_src": pa.array([], pa.int64()),
+                    "k": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "k_src": t[src_col],
+                "k": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "s": t[weight_col].cast(pa.int64()),
+            }
+        )
+
+    ks = hash_groupby_sum(
+        edges.map_batches(_ks, batch_format="pyarrow"),
+        ["k_src"],
+        ["k", "s"],
+        ["k", "s"],
+        num_partitions=num_partitions,
+    )
+    j = hash_join(edges, ks, left_on=src_col, right_on="k_src", num_partitions=num_partitions)
+
+    def _alpha(df: pd.DataFrame) -> pd.DataFrame:
+        if "k" not in df.columns or not len(df):
+            return pd.DataFrame(
+                {
+                    "src": pd.Series(dtype=np.int64),
+                    "dst": pd.Series(dtype=np.int64),
+                    "weight": pd.Series(dtype=np.int64),
+                    "alpha": pd.Series(dtype=np.float64),
+                }
+            )
+        w = df[weight_col].to_numpy(np.float64)
+        s = df["s"].to_numpy(np.float64)
+        k = df["k"].to_numpy(np.int64)
+        a = np.where(k > 1, (1.0 - w / s) ** np.maximum(k - 1, 1), 1.0)
+        return pd.DataFrame(
+            {
+                "src": df[src_col].to_numpy(np.int64),
+                "dst": df[dst_col].to_numpy(np.int64),
+                "weight": df[weight_col].to_numpy(np.int64),
+                "alpha": np.round(a, 8),
+            }
+        )
+
+    return j.map_batches(_alpha, batch_format="pandas")
+
+
 def salsa(
     edges: ray.data.Dataset,
     src_col: str = "src",

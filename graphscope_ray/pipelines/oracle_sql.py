@@ -1705,6 +1705,22 @@ def lg_bipartite_proj_sql(max_fanout: int = 5) -> str:
     )
 
 
+def lg_backbone_sql() -> str:
+    """graph/metrics.disparity_filter twin: α_uv = (1 − w/s_u)^(k_u−1) over
+    the multiplicity-weighted directed lg edges; k=1 → α=1."""
+    return (
+        f"WITH we AS MATERIALIZED (SELECT (l_orderkey % {LG_MOD}) AS src, "
+        f"(l_partkey % {LG_MOD}) AS dst, count(*) AS weight FROM lineitem "
+        f"WHERE (l_orderkey % {LG_MOD}) <> (l_partkey % {LG_MOD}) GROUP BY 1, 2), "
+        "ks AS MATERIALIZED (SELECT src, count(*) AS k, sum(weight) AS s "
+        "FROM we GROUP BY 1) "
+        "SELECT we.src, we.dst, we.weight, "
+        "round(CASE WHEN ks.k > 1 "
+        "THEN power(1.0 - we.weight * 1.0 / ks.s, ks.k - 1) ELSE 1.0 END, 8) AS alpha "
+        "FROM we JOIN ks ON ks.src = we.src ORDER BY we.src, we.dst"
+    )
+
+
 def lg_salsa_sql(iters: int = 5) -> str:
     """graph/metrics.salsa twin: fixed-iteration SALSA on the sparse graph —
     auth_k(i) = Σ_{j→i} hub_{k-1}(j)/od(j), hub_k(j) = Σ_{j→i} auth_k(i)/id(i),

@@ -1685,6 +1685,38 @@ def lg_bipartite_proj(sf_dir: str, max_fanout: int = 5) -> pd.DataFrame:
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def lg_backbone(sf_dir: str) -> pd.DataFrame:
+    """Disparity-filter backbone α-scores (Serrano–Boguñá–Vespignani) over
+    the multiplicity-weighted directed link graph (lg_edges_weighted edges)
+    — dataflow in graph.metrics.disparity_filter."""
+    from graphscope_ray.graph.metrics import disparity_filter
+
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def _derive(t: pa.Table) -> pa.Table:
+        src = t["l_orderkey"].to_numpy(zero_copy_only=False) % LG_MOD
+        dst = t["l_partkey"].to_numpy(zero_copy_only=False) % LG_MOD
+        keep = src != dst
+        return pa.table(
+            {
+                "src": pa.array(src[keep].astype(np.int64)),
+                "dst": pa.array(dst[keep].astype(np.int64)),
+            }
+        )
+
+    from graphscope_ray.utils import hash_groupby_sum
+
+    we = hash_groupby_sum(
+        li.map_batches(_derive, batch_format="pyarrow"),
+        ["src", "dst"],
+        None,
+        "weight",
+        num_partitions=8,
+    )
+    out = disparity_filter(we).to_pandas()
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
 def lg_salsa(sf_dir: str, iters: int = 5) -> pd.DataFrame:
     """SALSA authorities/hubs (Lempel–Moran) on the directed sparse graph,
     5 alternating L1-normalized iterations from uniform hubs — dataflow in

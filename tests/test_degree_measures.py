@@ -157,6 +157,34 @@ def test_salsa_vs_python(P):
     assert abs(sum(a for a, _h in mine.values()) - 1.0) < 1e-6
 
 
+@pytest.mark.parametrize("P", [1, 3])
+def test_disparity_filter_vs_python(P):
+    from graphscope_ray.graph.metrics import disparity_filter
+
+    rng = np.random.RandomState(41)
+    arcs, _ = _rand_arcs(seed=41)
+    w = rng.randint(1, 9, len(arcs))
+    t = pa.table(
+        {
+            "src": pa.array([a for a, _b in arcs], pa.int64()),
+            "dst": pa.array([b for _a, b in arcs], pa.int64()),
+            "weight": pa.array(w, pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(max(P, 1))
+    got = disparity_filter(ds, num_partitions=P).to_pandas()
+    mine = {(int(r["src"]), int(r["dst"])): r["alpha"] for _, r in got.iterrows()}
+
+    s, k = {}, {}
+    for (a, _b), wt in zip(arcs, w):
+        s[a] = s.get(a, 0) + int(wt)
+        k[a] = k.get(a, 0) + 1
+    for (a, b), wt in zip(arcs, w):
+        want = (1.0 - wt / s[a]) ** (k[a] - 1) if k[a] > 1 else 1.0
+        assert abs(mine[(a, b)] - round(want, 8)) < 1e-9, (a, b)
+    assert len(mine) == len(arcs)
+
+
 def test_empty_inputs():
     empty = ray.data.from_arrow(_tbl([]))
     assert s_metric(empty, num_partitions=2) == 0
