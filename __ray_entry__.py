@@ -1089,6 +1089,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_bipartite_proj": td.lg_bipartite_proj,
         "lg_salsa": td.lg_salsa,
         "lg_backbone": td.lg_backbone,
+        "lg_degree_hist": td.lg_degree_hist,
+        "lg_degree_gini": td.lg_degree_gini,
         "lg_reciprocity": td.lg_reciprocity,
         "lg_avg_nbr_deg": td.lg_avg_nbr_deg,
         "lg_smetric": td.lg_smetric,
@@ -1318,6 +1320,8 @@ def oracle_sql() -> dict[str, str]:
         "lg_bipartite_proj": osql.lg_bipartite_proj_sql(),
         "lg_salsa": osql.lg_salsa_sql(),
         "lg_backbone": osql.lg_backbone_sql(),
+        "lg_degree_hist": osql.lg_degree_hist_sql(),
+        "lg_degree_gini": osql.lg_degree_gini_sql(),
         "lg_reciprocity": osql.lg_reciprocity_sql(),
         "lg_avg_nbr_deg": osql.lg_avg_nbr_deg_sql(),
         "lg_smetric": osql.lg_smetric_sql(),

@@ -1705,6 +1705,27 @@ def lg_bipartite_proj_sql(max_fanout: int = 5) -> str:
     )
 
 
+def lg_degree_hist_sql() -> str:
+    """graph/metrics.degree_histogram twin over the shared sdeg CTE."""
+    return (
+        f"WITH {_SBASE} "
+        "SELECT d AS degree, count(*) AS n_vertices FROM sdeg "
+        "GROUP BY 1 ORDER BY 1"
+    )
+
+
+def lg_degree_gini_sql() -> str:
+    """graph/metrics.degree_gini twin: G = 2·Σ i·d/(n·Σd) − (n+1)/n with
+    i = ascending degree rank (tie order irrelevant: equal degrees)."""
+    return (
+        f"WITH {_SBASE}, "
+        "r AS (SELECT d, row_number() OVER (ORDER BY d) AS i FROM sdeg) "
+        "SELECT round((2.0 * sum(i * d)) / (count(*) * sum(d)) "
+        "- (count(*) + 1.0) / count(*), 8) AS gini, "
+        "count(*) AS n_vertices FROM r"
+    )
+
+
 def lg_backbone_sql() -> str:
     """graph/metrics.disparity_filter twin: α_uv = (1 − w/s_u)^(k_u−1) over
     the multiplicity-weighted directed lg edges; k=1 → α=1."""

@@ -1685,6 +1685,26 @@ def lg_bipartite_proj(sf_dir: str, max_fanout: int = 5) -> pd.DataFrame:
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def lg_degree_hist(sf_dir: str) -> pd.DataFrame:
+    """Degree histogram (degree, n_vertices) of the undirected simple
+    sparse graph — graph.metrics.degree_histogram."""
+    from graphscope_ray.graph.metrics import degree_histogram
+
+    out = degree_histogram(_sparse_edges_ds(sf_dir)).to_pandas()
+    return out.sort_values("degree").reset_index(drop=True)
+
+
+def lg_degree_gini(sf_dir: str) -> pd.DataFrame:
+    """Gini coefficient of the sparse graph's undirected degree
+    distribution (the hub-skew statistic) — graph.metrics.degree_gini."""
+    from graphscope_ray.graph.metrics import degree_gini
+
+    r = degree_gini(_sparse_edges_ds(sf_dir))
+    return pd.DataFrame(
+        {"gini": [r["gini"]], "n_vertices": [np.int64(r["n_vertices"])]}
+    )
+
+
 def lg_backbone(sf_dir: str) -> pd.DataFrame:
     """Disparity-filter backbone α-scores (Serrano–Boguñá–Vespignani) over
     the multiplicity-weighted directed link graph (lg_edges_weighted edges)

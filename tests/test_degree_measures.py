@@ -185,6 +185,34 @@ def test_disparity_filter_vs_python(P):
     assert len(mine) == len(arcs)
 
 
+@pytest.mark.parametrize("P", [1, 4])
+def test_degree_hist_and_gini(P):
+    from graphscope_ray.graph.metrics import degree_gini, degree_histogram
+
+    arcs, n = _rand_arcs(seed=17)
+    und = {(min(a, b), max(a, b)) for a, b in arcs}
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    ds = ray.data.from_arrow(_tbl(arcs)).repartition(max(P, 1))
+
+    hist = degree_histogram(ds, num_partitions=P).to_pandas()
+    want_hist = {}
+    for d in deg.values():
+        want_hist[d] = want_hist.get(d, 0) + 1
+    got_hist = dict(zip(hist["degree"].tolist(), hist["n_vertices"].tolist()))
+    assert got_hist == want_hist
+
+    g = degree_gini(ds, num_partitions=P)
+    ds_sorted = sorted(deg.values())
+    nn = len(ds_sorted)
+    sd = sum(ds_sorted)
+    want = 2.0 * sum((i + 1) * d for i, d in enumerate(ds_sorted)) / (nn * sd) - (nn + 1.0) / nn
+    assert g["n_vertices"] == nn
+    assert abs(g["gini"] - round(want, 8)) < 1e-9
+
+
 def test_empty_inputs():
     empty = ray.data.from_arrow(_tbl([]))
     assert s_metric(empty, num_partitions=2) == 0
