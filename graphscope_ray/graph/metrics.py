@@ -505,6 +505,122 @@ def avg_neighbor_degree(
     return jj.map_batches(_div, batch_format="pandas")
 
 
+def directed_assortativity(
+    edges: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """The four directed degree-assortativity coefficients (Foster,
+    Foster, Grassberger & Paczuski, PNAS 2010; networkx
+    ``degree_assortativity_coefficient(G, x=…, y=…)``): for each (x, y) ∈
+    {out, in}², the Pearson correlation over distinct self-loop-free arcs
+    (u→v) of (x-degree(u), y-degree(v)).  Rows (x_deg, y_deg, r, n_edges);
+    r = 0 when either side is degenerate (zero variance).
+
+    Dataflow: two degree exchanges → one (oid, od, id) vertex table → two
+    hash joins attach both endpoints' degree pairs → per-block EXACT
+    integer moment partials (Σx, Σy, Σxy, Σx², Σy², m per combo) fold to
+    4×6 driver scalars; float enters only in the final Pearson formula
+    (identical expression in the SQL twin, so round 8 is bit-stable)."""
+    arcs = hash_groupby_sum(
+        edges.select_columns([src_col, dst_col]),
+        [src_col, dst_col],
+        None,
+        "__n",
+        num_partitions=num_partitions,
+    ).select_columns([src_col, dst_col])
+
+    def _noself(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or src_col not in t.column_names:
+            return pa.table(
+                {"s": pa.array([], pa.int64()), "d": pa.array([], pa.int64())}
+            )
+        s = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        return pa.table({"s": pa.array(s[keep]), "d": pa.array(d[keep])})
+
+    e = arcs.map_batches(_noself, batch_format="pyarrow").materialize()
+    od = hash_groupby_sum(e, ["s"], None, "od", num_partitions=num_partitions)
+    idg = hash_groupby_sum(e, ["d"], None, "idg", num_partitions=num_partitions)
+
+    def _rn(ds, key, val, nk, nv):
+        def _f(df: pd.DataFrame) -> pd.DataFrame:
+            if key not in df.columns:
+                return pd.DataFrame(
+                    {nk: pd.Series(dtype=np.int64), nv: pd.Series(dtype=np.int64)}
+                )
+            return pd.DataFrame(
+                {nk: df[key].to_numpy(np.int64), nv: df[val].to_numpy(np.int64)}
+            )
+
+        return ds.map_batches(_f, batch_format="pandas")
+
+    # degrees of the SRC endpoint (out + in), then of the DST endpoint
+    j = hash_join(
+        e, _rn(od, "s", "od", "k1", "od_s"), left_on="s", right_on="k1",
+        num_partitions=num_partitions,
+    )
+    j = hash_join(
+        j, _rn(idg, "d", "idg", "k2", "id_d"), left_on="d", right_on="k2",
+        num_partitions=num_partitions,
+    )
+    j = hash_join(
+        j, _rn(idg, "d", "idg", "k3", "id_s"), left_on="s", right_on="k3",
+        num_partitions=num_partitions, how="left",
+    )
+    j = hash_join(
+        j, _rn(od, "s", "od", "k4", "od_d"), left_on="d", right_on="k4",
+        num_partitions=num_partitions, how="left",
+    )
+
+    COMBOS = [("out", "out"), ("out", "in"), ("in", "out"), ("in", "in")]
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["combo", "sx", "sy", "sxy", "sxx", "syy", "m"]
+        if "od_s" not in df.columns or not len(df):
+            return pd.DataFrame({c: pd.Series(dtype=object if c == "combo" else np.int64) for c in cols})
+        side = {
+            ("s", "out"): df["od_s"].to_numpy(np.float64),
+            ("s", "in"): df["id_s"].to_numpy(np.float64) if "id_s" in df.columns else np.zeros(len(df)),
+            ("d", "out"): df["od_d"].to_numpy(np.float64) if "od_d" in df.columns else np.zeros(len(df)),
+            ("d", "in"): df["id_d"].to_numpy(np.float64),
+        }
+        rows = []
+        for cx, cy in COMBOS:
+            x = np.nan_to_num(side[("s", cx)], nan=0.0).astype(np.int64)
+            y = np.nan_to_num(side[("d", cy)], nan=0.0).astype(np.int64)
+            rows.append(
+                (
+                    f"{cx}-{cy}",
+                    int(x.sum()),
+                    int(y.sum()),
+                    int((x * y).sum()),
+                    int((x * x).sum()),
+                    int((y * y).sum()),
+                    len(df),
+                )
+            )
+        return pd.DataFrame(rows, columns=cols)
+
+    parts = j.map_batches(_partial, batch_format="pandas").to_pandas()
+    out = []
+    for cx, cy in COMBOS:
+        key = f"{cx}-{cy}"
+        p = parts[parts["combo"] == key]
+        m = int(p["m"].sum())
+        if m == 0:
+            out.append((cx, cy, 0.0, 0))
+            continue
+        sx, sy = int(p["sx"].sum()), int(p["sy"].sum())
+        sxy, sxx, syy = int(p["sxy"].sum()), int(p["sxx"].sum()), int(p["syy"].sum())
+        den = np.sqrt(float(m * sxx - sx * sx)) * np.sqrt(float(m * syy - sy * sy))
+        r = float(m * sxy - sx * sy) / den if den > 0 else 0.0
+        out.append((cx, cy, round(r, 8), m))
+    return pd.DataFrame(out, columns=["x_deg", "y_deg", "r", "n_edges"])
+
+
 def degree_histogram(
     edges: ray.data.Dataset,
     src_col: str = "src",

@@ -1705,6 +1705,41 @@ def lg_bipartite_proj_sql(max_fanout: int = 5) -> str:
     )
 
 
+def lg_assortativity_directed_sql() -> str:
+    """graph/metrics.directed_assortativity twin: Pearson over arcs of
+    (x-degree(src), y-degree(dst)) for the four out/in combinations —
+    exact integer moments, the same final float expression, round 8."""
+    xcol = {"out": "od_s", "in": "id_s"}
+    ycol = {"out": "od_d", "in": "id_d"}
+    sels = []
+    for cx in ("out", "in"):
+        for cy in ("out", "in"):
+            x, y = xcol[cx], ycol[cy]
+            m = (
+                f"(SELECT count(*) AS m, sum({x}) AS sx, sum({y}) AS sy, "
+                f"sum({x}*{y}) AS sxy, sum({x}*{x}) AS sxx, sum({y}*{y}) AS syy FROM ej)"
+            )
+            sels.append(
+                f"SELECT '{cx}' AS x_deg, '{cy}' AS y_deg, "
+                f"CASE WHEN m > 0 AND (m*sxx - sx*sx) > 0 AND (m*syy - sy*sy) > 0 "
+                f"THEN round(CAST(m*sxy - sx*sy AS DOUBLE) / "
+                f"(sqrt(CAST(m*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(m*syy - sy*sy AS DOUBLE))), 8) "
+                f"ELSE 0.0 END AS r, CAST(m AS BIGINT) AS n_edges FROM {m}"
+            )
+    return (
+        f"WITH {_SBASE}, "
+        "aod AS MATERIALIZED (SELECT src AS oid, count(*) AS dg FROM se GROUP BY 1), "
+        "aid AS MATERIALIZED (SELECT dst AS oid, count(*) AS dg FROM se GROUP BY 1), "
+        "ej AS MATERIALIZED (SELECT o1.dg AS od_s, coalesce(i1.dg, 0) AS id_s, "
+        "coalesce(o2.dg, 0) AS od_d, i2.dg AS id_d "
+        "FROM se e JOIN aod o1 ON o1.oid = e.src "
+        "LEFT JOIN aid i1 ON i1.oid = e.src "
+        "LEFT JOIN aod o2 ON o2.oid = e.dst "
+        "JOIN aid i2 ON i2.oid = e.dst) "
+        + " UNION ALL ".join(sels)
+    )
+
+
 def lg_degree_hist_sql() -> str:
     """graph/metrics.degree_histogram twin over the shared sdeg CTE."""
     return (

@@ -1685,6 +1685,15 @@ def lg_bipartite_proj(sf_dir: str, max_fanout: int = 5) -> pd.DataFrame:
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def lg_assortativity_directed(sf_dir: str) -> pd.DataFrame:
+    """The four directed degree-assortativity coefficients (out/in ×
+    out/in, Foster et al. 2010) on the directed sparse graph —
+    graph.metrics.directed_assortativity."""
+    from graphscope_ray.graph.metrics import directed_assortativity
+
+    return directed_assortativity(_sparse_edges_ds(sf_dir))
+
+
 def lg_degree_hist(sf_dir: str) -> pd.DataFrame:
     """Degree histogram (degree, n_vertices) of the undirected simple
     sparse graph — graph.metrics.degree_histogram."""

@@ -213,6 +213,25 @@ def test_degree_hist_and_gini(P):
     assert abs(g["gini"] - round(want, 8)) < 1e-9
 
 
+@pytest.mark.parametrize("P", [1, 4])
+def test_directed_assortativity_vs_networkx(P):
+    nx = pytest.importorskip("networkx")
+    from graphscope_ray.graph.metrics import directed_assortativity
+
+    arcs, n = _rand_arcs(seed=47)
+    ds = ray.data.from_arrow(_tbl(arcs)).repartition(max(P, 1))
+    got = directed_assortativity(ds, num_partitions=P)
+    mine = {(r["x_deg"], r["y_deg"]): r["r"] for _, r in got.iterrows()}
+
+    G = nx.DiGraph()
+    G.add_edges_from(arcs)
+    for cx in ("out", "in"):
+        for cy in ("out", "in"):
+            want = nx.degree_assortativity_coefficient(G, x=cx, y=cy)
+            assert abs(mine[(cx, cy)] - want) < 1e-7, (cx, cy, mine[(cx, cy)], want)
+    assert (got["n_edges"] == G.number_of_edges()).all()
+
+
 def test_empty_inputs():
     empty = ray.data.from_arrow(_tbl([]))
     assert s_metric(empty, num_partitions=2) == 0
