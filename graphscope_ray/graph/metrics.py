@@ -505,6 +505,167 @@ def avg_neighbor_degree(
     return jj.map_batches(_div, batch_format="pandas")
 
 
+def seeded_lpa(
+    edges: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_mod: int = 5,
+    n_classes: int = 3,
+    rounds: int = 6,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Semi-supervised label propagation with hard-clamped seeds (Zhu &
+    Ghahramani 2002 — the label-spreading primitive of training-data
+    annotation pipelines), synchronous, over the undirected simple graph:
+    seeds (oid % seed_mod == 0, class = oid % n_classes) never change;
+    every other vertex takes the MODE of its labeled neighbors' classes
+    each round (ties → smallest class), keeps its previous state when no
+    neighbor is labeled.  Unlabeled after ``rounds`` → -1.
+
+    Distributed rounds: one neighbor-label join + one (vertex, class)
+    count exchange + one per-vertex argmax exchange — the argmax rides the
+    SAME integer max-combiner as every other exchange here by packing
+    (count, −class) into v = count·M + (M−1−class), so no per-group sort
+    materializes anywhere."""
+    arcs = hash_groupby_sum(
+        edges.select_columns([src_col, dst_col]),
+        [src_col, dst_col],
+        None,
+        "__n",
+        num_partitions=num_partitions,
+    ).select_columns([src_col, dst_col])
+
+    def _sym(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or src_col not in t.column_names:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        s = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([s, d])),
+                "b": pa.array(np.concatenate([d, s])),
+            }
+        )
+
+    ne = hash_groupby_sum(
+        arcs.map_batches(_sym, batch_format="pyarrow"),
+        ["a", "b"],
+        None,
+        "__n",
+        num_partitions=num_partitions,
+    ).select_columns(["a", "b"]).materialize()
+
+    def _verts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table({"oid": pa.array([], pa.int64())})
+        return pa.table({"oid": t["a"]})
+
+    verts = hash_groupby_sum(
+        ne.map_batches(_verts, batch_format="pyarrow"),
+        ["oid"],
+        None,
+        "__n",
+        num_partitions=num_partitions,
+    ).select_columns(["oid"]).materialize()
+
+    def _init(df: pd.DataFrame) -> pd.DataFrame:
+        if "oid" not in df.columns:
+            return pd.DataFrame(
+                {"oid": pd.Series(dtype=np.int64), "label": pd.Series(dtype=np.int64)}
+            )
+        o = df["oid"].to_numpy(np.int64)
+        lab = np.where(o % seed_mod == 0, o % n_classes, -1)
+        return pd.DataFrame({"oid": o, "label": lab.astype(np.int64)})
+
+    labels = verts.map_batches(_init, batch_format="pandas").materialize()
+    M = np.int64(n_classes + 1)
+
+    def _rn(ds, key, val, nk, nv):
+        def _f(df: pd.DataFrame) -> pd.DataFrame:
+            if key not in df.columns:
+                return pd.DataFrame(
+                    {nk: pd.Series(dtype=np.int64), nv: pd.Series(dtype=np.int64)}
+                )
+            return pd.DataFrame(
+                {nk: df[key].to_numpy(np.int64), nv: df[val].to_numpy(np.int64)}
+            )
+
+        return ds.map_batches(_f, batch_format="pandas")
+
+    for _ in range(rounds):
+        j = hash_join(
+            ne, _rn(labels, "oid", "label", "k_l", "nl"), left_on="a", right_on="k_l",
+            num_partitions=num_partitions,
+        )
+
+        def _msg(df: pd.DataFrame) -> pd.DataFrame:
+            if "nl" not in df.columns or not len(df):
+                return pd.DataFrame(
+                    {"oid": pd.Series(dtype=np.int64), "c": pd.Series(dtype=np.int64)}
+                )
+            keep = df["nl"].to_numpy(np.int64) >= 0
+            return pd.DataFrame(
+                {
+                    "oid": df["b"].to_numpy(np.int64)[keep],
+                    "c": df["nl"].to_numpy(np.int64)[keep],
+                }
+            )
+
+        cnt = hash_groupby_sum(
+            j.map_batches(_msg, batch_format="pandas"),
+            ["oid", "c"],
+            None,
+            "n",
+            num_partitions=num_partitions,
+        )
+
+        def _pack(df: pd.DataFrame) -> pd.DataFrame:
+            if "n" not in df.columns:
+                return pd.DataFrame(
+                    {"oid": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)}
+                )
+            v = df["n"].to_numpy(np.int64) * M + (M - 1 - df["c"].to_numpy(np.int64))
+            return pd.DataFrame({"oid": df["oid"].to_numpy(np.int64), "v": v})
+
+        mode = hash_groupby_sum(
+            cnt.map_batches(_pack, batch_format="pandas"),
+            ["oid"],
+            "v",
+            "vmax",
+            num_partitions=num_partitions,
+            agg="max",
+        )
+        jj = hash_join(
+            labels, _rn(mode, "oid", "vmax", "k_m", "vmax"), left_on="oid",
+            right_on="k_m", num_partitions=num_partitions, how="left",
+        )
+
+        def _upd(df: pd.DataFrame) -> pd.DataFrame:
+            if "oid" not in df.columns:
+                return pd.DataFrame(
+                    {"oid": pd.Series(dtype=np.int64), "label": pd.Series(dtype=np.int64)}
+                )
+            o = df["oid"].to_numpy(np.int64)
+            old = df["label"].to_numpy(np.int64)
+            vm = (
+                df["vmax"].to_numpy(np.float64)
+                if "vmax" in df.columns
+                else np.full(len(df), np.nan)
+            )
+            has = ~np.isnan(vm)
+            picked = np.where(has, np.int64(M) - 1 - (np.nan_to_num(vm, nan=0.0).astype(np.int64) % np.int64(M)), old)
+            seed = o % seed_mod == 0
+            new = np.where(seed, o % n_classes, np.where(has, picked, old))
+            return pd.DataFrame({"oid": o, "label": new.astype(np.int64)})
+
+        labels = jj.map_batches(_upd, batch_format="pandas").materialize()
+    return labels
+
+
 def directed_assortativity(
     edges: ray.data.Dataset,
     src_col: str = "src",

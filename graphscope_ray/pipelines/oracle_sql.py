@@ -1705,6 +1705,41 @@ def lg_bipartite_proj_sql(max_fanout: int = 5) -> str:
     )
 
 
+def lg_seeded_lpa_sql(
+    seed_mod: int = 5, n_classes: int = 3, rounds: int = 6
+) -> str:
+    """graph/metrics.seeded_lpa twin: hard-clamped seeds, per round the
+    mode over labeled neighbors (count DESC, class ASC), unlabeled with no
+    labeled neighbor keep state; -1 = never labeled."""
+    ctes = [
+        f"pl0 AS MATERIALIZED (SELECT oid, CASE WHEN oid % {seed_mod} = 0 "
+        f"THEN oid % {n_classes} ELSE -1 END AS label FROM sv)"
+    ]
+    for k in range(rounds):
+        ctes.append(
+            f"pc{k} AS MATERIALIZED (SELECT e.dst AS oid, l.label, count(*) AS n "
+            f"FROM sue e JOIN pl{k} l ON l.oid = e.src WHERE l.label >= 0 "
+            f"GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"pm{k} AS MATERIALIZED (SELECT oid, label FROM (SELECT oid, label, "
+            f"row_number() OVER (PARTITION BY oid ORDER BY n DESC, label ASC) AS rk "
+            f"FROM pc{k}) WHERE rk = 1)"
+        )
+        ctes.append(
+            f"pl{k + 1} AS MATERIALIZED (SELECT v.oid, "
+            f"CASE WHEN v.oid % {seed_mod} = 0 THEN v.oid % {n_classes} "
+            f"ELSE coalesce(m.label, l.label) END AS label "
+            f"FROM sv v JOIN pl{k} l ON l.oid = v.oid "
+            f"LEFT JOIN pm{k} m ON m.oid = v.oid)"
+        )
+    return (
+        f"WITH {_SBASE}, "
+        + ",\n".join(ctes)
+        + f" SELECT oid, label FROM pl{rounds} ORDER BY oid"
+    )
+
+
 def lg_assortativity_directed_sql() -> str:
     """graph/metrics.directed_assortativity twin: Pearson over arcs of
     (x-degree(src), y-degree(dst)) for the four out/in combinations —

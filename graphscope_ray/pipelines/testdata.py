@@ -1685,6 +1685,16 @@ def lg_bipartite_proj(sf_dir: str, max_fanout: int = 5) -> pd.DataFrame:
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def lg_seeded_lpa(sf_dir: str) -> pd.DataFrame:
+    """Semi-supervised seeded label propagation (Zhu–Ghahramani hard clamp,
+    6 synchronous rounds, seeds oid%5==0 → class oid%3) on the undirected
+    sparse graph — graph.metrics.seeded_lpa."""
+    from graphscope_ray.graph.metrics import seeded_lpa
+
+    out = seeded_lpa(_sparse_edges_ds(sf_dir)).to_pandas()
+    return out.sort_values("oid").reset_index(drop=True)
+
+
 def lg_assortativity_directed(sf_dir: str) -> pd.DataFrame:
     """The four directed degree-assortativity coefficients (out/in ×
     out/in, Foster et al. 2010) on the directed sparse graph —

@@ -232,6 +232,40 @@ def test_directed_assortativity_vs_networkx(P):
     assert (got["n_edges"] == G.number_of_edges()).all()
 
 
+@pytest.mark.parametrize("P", [1, 4])
+def test_seeded_lpa_vs_python(P):
+    from graphscope_ray.graph.metrics import seeded_lpa
+
+    arcs, n = _rand_arcs(seed=53)
+    ds = ray.data.from_arrow(_tbl(arcs)).repartition(max(P, 1))
+    got = seeded_lpa(ds, seed_mod=5, n_classes=3, rounds=4, num_partitions=P)
+    mine = dict(
+        zip(got.to_pandas()["oid"].tolist(), got.to_pandas()["label"].tolist())
+    )
+
+    nbrs = {}
+    for a, b in arcs:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    lab = {v: (v % 3 if v % 5 == 0 else -1) for v in nbrs}
+    for _ in range(4):
+        new = {}
+        for v in nbrs:
+            if v % 5 == 0:
+                new[v] = v % 3
+                continue
+            counts = {}
+            for u in nbrs[v]:
+                if lab[u] >= 0:
+                    counts[lab[u]] = counts.get(lab[u], 0) + 1
+            if counts:
+                new[v] = min(counts, key=lambda c: (-counts[c], c))
+            else:
+                new[v] = lab[v]
+        lab = new
+    assert mine == lab
+
+
 def test_empty_inputs():
     empty = ray.data.from_arrow(_tbl([]))
     assert s_metric(empty, num_partitions=2) == 0
