@@ -1093,6 +1093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_degree_gini": td.lg_degree_gini,
         "lg_assortativity_directed": td.lg_assortativity_directed,
         "lg_seeded_lpa": td.lg_seeded_lpa,
+        "lg_two_hop": td.lg_two_hop,
         "lg_reciprocity": td.lg_reciprocity,
         "lg_avg_nbr_deg": td.lg_avg_nbr_deg,
         "lg_smetric": td.lg_smetric,
@@ -1326,6 +1327,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_degree_gini": osql.lg_degree_gini_sql(),
         "lg_assortativity_directed": osql.lg_assortativity_directed_sql(),
         "lg_seeded_lpa": osql.lg_seeded_lpa_sql(),
+        "lg_two_hop": osql.lg_two_hop_sql(),
         "lg_reciprocity": osql.lg_reciprocity_sql(),
         "lg_avg_nbr_deg": osql.lg_avg_nbr_deg_sql(),
         "lg_smetric": osql.lg_smetric_sql(),

@@ -505,6 +505,96 @@ def avg_neighbor_degree(
     return jj.map_batches(_div, batch_format="pandas")
 
 
+def two_hop_sizes(
+    edges: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-vertex directed 2-hop ball size: |{v ≠ u reachable from u in ≤2
+    hops}| — the per-vertex form of the neighborhood function N(h) that
+    hop-plot/ANF measures aggregate (and the cost model behind 2-hop
+    index/friend-of-friend features).  Rows (oid, n_within_2) for vertices
+    with out-edges.
+
+    Dataflow: one mid-vertex hash self-join enumerates the 2-paths
+    (volume Σ_mid in·out — the same wedge budget as the triangle and
+    link-features stages), then ONE pair-key distinct exchange unioned
+    with the direct arcs and a per-src count.  No driver state."""
+    e = hash_groupby_sum(
+        edges.select_columns([src_col, dst_col]),
+        [src_col, dst_col],
+        None,
+        "__n",
+        num_partitions=num_partitions,
+    ).select_columns([src_col, dst_col])
+
+    def _noself(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or src_col not in t.column_names:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        s = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        return pa.table({"a": pa.array(s[keep]), "b": pa.array(d[keep])})
+
+    ee = e.map_batches(_noself, batch_format="pyarrow").materialize()
+
+    def _rhs(df: pd.DataFrame) -> pd.DataFrame:
+        if "a" not in df.columns:
+            return pd.DataFrame(
+                {"m": pd.Series(dtype=np.int64), "c": pd.Series(dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {"m": df["a"].to_numpy(np.int64), "c": df["b"].to_numpy(np.int64)}
+        )
+
+    two = hash_join(
+        ee, ee.map_batches(_rhs, batch_format="pandas"), left_on="b", right_on="m",
+        num_partitions=num_partitions,
+    )
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if "c" not in df.columns or not len(df):
+            return pd.DataFrame(
+                {"a": pd.Series(dtype=np.int64), "t": pd.Series(dtype=np.int64)}
+            )
+        a = df["a"].to_numpy(np.int64)
+        c = df["c"].to_numpy(np.int64)
+        keep = a != c
+        return pd.DataFrame({"a": a[keep], "t": c[keep]})
+
+    def _direct(df: pd.DataFrame) -> pd.DataFrame:
+        if "a" not in df.columns:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype=np.int64), "t": pd.Series(dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {"a": df["a"].to_numpy(np.int64), "t": df["b"].to_numpy(np.int64)}
+        )
+
+    ball = two.map_batches(_pairs, batch_format="pandas").union(
+        ee.map_batches(_direct, batch_format="pandas")
+    )
+    dist = hash_groupby_sum(
+        ball, ["a", "t"], None, "__n", num_partitions=num_partitions
+    ).select_columns(["a"])
+
+    def _key(df: pd.DataFrame) -> pd.DataFrame:
+        if "a" not in df.columns:
+            return pd.DataFrame({"oid": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"oid": df["a"].to_numpy(np.int64)})
+
+    return hash_groupby_sum(
+        dist.map_batches(_key, batch_format="pandas"),
+        ["oid"],
+        None,
+        "n_within_2",
+        num_partitions=num_partitions,
+    )
+
+
 def seeded_lpa(
     edges: ray.data.Dataset,
     src_col: str = "src",

@@ -1705,6 +1705,18 @@ def lg_bipartite_proj_sql(max_fanout: int = 5) -> str:
     )
 
 
+def lg_two_hop_sql() -> str:
+    """graph/metrics.two_hop_sizes twin: distinct targets ≠ src reachable
+    in ≤2 directed hops, counted per src."""
+    return (
+        f"WITH {_SBASE}, "
+        "h2 AS (SELECT DISTINCT e1.src AS a, e2.dst AS t FROM se e1 "
+        "JOIN se e2 ON e2.src = e1.dst WHERE e2.dst <> e1.src), "
+        "hu AS (SELECT a, t FROM h2 UNION SELECT src, dst FROM se) "
+        "SELECT a AS oid, count(*) AS n_within_2 FROM hu GROUP BY 1 ORDER BY 1"
+    )
+
+
 def lg_seeded_lpa_sql(
     seed_mod: int = 5, n_classes: int = 3, rounds: int = 6
 ) -> str:

@@ -1685,6 +1685,15 @@ def lg_bipartite_proj(sf_dir: str, max_fanout: int = 5) -> pd.DataFrame:
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def lg_two_hop(sf_dir: str) -> pd.DataFrame:
+    """Per-vertex directed ≤2-hop ball sizes on the sparse graph —
+    graph.metrics.two_hop_sizes."""
+    from graphscope_ray.graph.metrics import two_hop_sizes
+
+    out = two_hop_sizes(_sparse_edges_ds(sf_dir)).to_pandas()
+    return out.sort_values("oid").reset_index(drop=True)
+
+
 def lg_seeded_lpa(sf_dir: str) -> pd.DataFrame:
     """Semi-supervised seeded label propagation (Zhu–Ghahramani hard clamp,
     6 synchronous rounds, seeds oid%5==0 → class oid%3) on the undirected

@@ -266,6 +266,28 @@ def test_seeded_lpa_vs_python(P):
     assert mine == lab
 
 
+@pytest.mark.parametrize("P", [1, 4])
+def test_two_hop_sizes_vs_python(P):
+    from graphscope_ray.graph.metrics import two_hop_sizes
+
+    arcs, n = _rand_arcs(seed=61)
+    ds = ray.data.from_arrow(_tbl(arcs)).repartition(max(P, 1))
+    got = two_hop_sizes(ds, num_partitions=P).to_pandas()
+    mine = dict(zip(got["oid"].tolist(), got["n_within_2"].tolist()))
+
+    out = {}
+    for a, b in arcs:
+        out.setdefault(a, set()).add(b)
+    want = {}
+    for a in out:
+        ball = set(out[a])
+        for b in out[a]:
+            ball |= out.get(b, set())
+        ball.discard(a)
+        want[a] = len(ball)
+    assert mine == want
+
+
 def test_empty_inputs():
     empty = ray.data.from_arrow(_tbl([]))
     assert s_metric(empty, num_partitions=2) == 0
