@@ -1094,6 +1094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_assortativity_directed": td.lg_assortativity_directed,
         "lg_seeded_lpa": td.lg_seeded_lpa,
         "lg_two_hop": td.lg_two_hop,
+        "lg_weighted_clustering": td.lg_weighted_clustering,
         "lg_reciprocity": td.lg_reciprocity,
         "lg_avg_nbr_deg": td.lg_avg_nbr_deg,
         "lg_smetric": td.lg_smetric,
@@ -1328,6 +1329,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_assortativity_directed": osql.lg_assortativity_directed_sql(),
         "lg_seeded_lpa": osql.lg_seeded_lpa_sql(),
         "lg_two_hop": osql.lg_two_hop_sql(),
+        "lg_weighted_clustering": osql.lg_weighted_clustering_sql(),
         "lg_reciprocity": osql.lg_reciprocity_sql(),
         "lg_avg_nbr_deg": osql.lg_avg_nbr_deg_sql(),
         "lg_smetric": osql.lg_smetric_sql(),

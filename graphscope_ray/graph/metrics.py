@@ -505,6 +505,274 @@ def avg_neighbor_degree(
     return jj.map_batches(_div, batch_format="pandas")
 
 
+def weighted_clustering(
+    edges: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Barrat weighted clustering coefficient (Barrat, Barthélemy,
+    Pastor-Satorras & Vespignani, PNAS 2004) per vertex over the weighted
+    undirected simple graph (arc weights of both directions sum into the
+    pair weight):
+
+        C_w(u) = Σ_{triangles (u,v,w)} (w_uv + w_uw) / (2·s_u·(k_u−1)),
+
+    0 when k_u < 2.  The numerator is an EXACT integer (weights are
+    multiplicities); float enters only in the one final division (round
+    8) — bit-matchable SQL.  Note networkx's ``clustering(weight=…)`` is
+    Onnela's geometric-mean formula, a different statistic.
+
+    Dataflow: degree-ordered orientation (the triangle-stage idiom that
+    caps hub wedges at O(√E) per vertex) → per-corner wedge self-join →
+    packed-key membership join closes the triangles → one corner-contrib
+    exchange + one (k, s) join.  Requires oids < 2³¹ (packed int64 pair
+    keys — asserted)."""
+
+    def _canon(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or src_col not in t.column_names:
+            return pa.table(
+                {
+                    "u": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.int64()),
+                }
+            )
+        s = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d, w = s[keep], d[keep], w[keep]
+        assert (s < 2**31).all() and (d < 2**31).all(), "packed pair keys need oid < 2^31"
+        return pa.table(
+            {
+                "u": pa.array(np.minimum(s, d)),
+                "v": pa.array(np.maximum(s, d)),
+                "w": pa.array(w),
+            }
+        )
+
+    wu = hash_groupby_sum(
+        edges.map_batches(_canon, batch_format="pyarrow"),
+        ["u", "v"],
+        "w",
+        "w",
+        num_partitions=num_partitions,
+    ).materialize()
+
+    def _ks(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "u" not in t.column_names:
+            return pa.table(
+                {
+                    "oid": pa.array([], pa.int64()),
+                    "one": pa.array([], pa.int64()),
+                    "ww": pa.array([], pa.int64()),
+                }
+            )
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "oid": pa.array(np.concatenate([u, v])),
+                "one": pa.array(np.ones(2 * len(u), dtype=np.int64)),
+                "ww": pa.array(np.concatenate([w, w])),
+            }
+        )
+
+    ks = hash_groupby_sum(
+        wu.map_batches(_ks, batch_format="pyarrow"),
+        ["oid"],
+        ["one", "ww"],
+        ["k", "s"],
+        num_partitions=num_partitions,
+    ).materialize()
+
+    def _rnk(side):
+        def _f(df: pd.DataFrame) -> pd.DataFrame:
+            if "k" not in df.columns:
+                return pd.DataFrame(
+                    {
+                        f"ko_{side}": pd.Series(dtype=np.int64),
+                        f"kk_{side}": pd.Series(dtype=np.int64),
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    f"ko_{side}": df["oid"].to_numpy(np.int64),
+                    f"kk_{side}": df["k"].to_numpy(np.int64),
+                }
+            )
+
+        return _f
+
+    ju = hash_join(
+        wu, ks.map_batches(_rnk("u"), batch_format="pandas"), left_on="u",
+        right_on="ko_u", num_partitions=num_partitions,
+    )
+    ju = hash_join(
+        ju, ks.map_batches(_rnk("v"), batch_format="pandas"), left_on="v",
+        right_on="ko_v", num_partitions=num_partitions,
+    )
+
+    def _orient(df: pd.DataFrame) -> pd.DataFrame:
+        if "kk_u" not in df.columns or not len(df):
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(dtype=np.int64),
+                    "b": pd.Series(dtype=np.int64),
+                    "w": pd.Series(dtype=np.int64),
+                }
+            )
+        u = df["u"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        w = df["w"].to_numpy(np.int64)
+        ku = df["kk_u"].to_numpy(np.int64)
+        kv = df["kk_v"].to_numpy(np.int64)
+        fwd = (ku < kv) | ((ku == kv) & (u < v))
+        return pd.DataFrame(
+            {
+                "a": np.where(fwd, u, v),
+                "b": np.where(fwd, v, u),
+                "w": w,
+            }
+        )
+
+    oe = ju.map_batches(_orient, batch_format="pandas").materialize()
+
+    # wedges at corner a: pairs of out-edges (a→b, a→c); membership of (b,c)
+    # in the oriented edge set closes the triangle
+    def _rhs(df: pd.DataFrame) -> pd.DataFrame:
+        if "a" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "a2": pd.Series(dtype=np.int64),
+                    "c": pd.Series(dtype=np.int64),
+                    "w2": pd.Series(dtype=np.int64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "a2": df["a"].to_numpy(np.int64),
+                "c": df["b"].to_numpy(np.int64),
+                "w2": df["w"].to_numpy(np.int64),
+            }
+        )
+
+    wedges = hash_join(
+        oe, oe.map_batches(_rhs, batch_format="pandas"), left_on="a", right_on="a2",
+        num_partitions=num_partitions,
+    )
+
+    def _wkey(df: pd.DataFrame) -> pd.DataFrame:
+        if "c" not in df.columns or not len(df):
+            return pd.DataFrame(
+                {
+                    "key": pd.Series(dtype=np.int64),
+                    "corner": pd.Series(dtype=np.int64),
+                    "wab": pd.Series(dtype=np.int64),
+                    "wac": pd.Series(dtype=np.int64),
+                }
+            )
+        b = df["b"].to_numpy(np.int64)
+        c = df["c"].to_numpy(np.int64)
+        keep = b < c  # each unordered out-pair once, keyed in oid order
+        b, c = b[keep], c[keep]
+        return pd.DataFrame(
+            {
+                "key": (b << np.int64(31)) | c,
+                "corner": df["a"].to_numpy(np.int64)[keep],
+                "wab": df["w"].to_numpy(np.int64)[keep],
+                "wac": df["w2"].to_numpy(np.int64)[keep],
+            }
+        )
+
+    def _ekey(df: pd.DataFrame) -> pd.DataFrame:
+        if "a" not in df.columns:
+            return pd.DataFrame(
+                {"ekey": pd.Series(dtype=np.int64), "wbc": pd.Series(dtype=np.int64)}
+            )
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {"ekey": (lo << np.int64(31)) | hi, "wbc": df["w"].to_numpy(np.int64)}
+        )
+
+    tri = hash_join(
+        wedges.map_batches(_wkey, batch_format="pandas"),
+        oe.map_batches(_ekey, batch_format="pandas"),
+        left_on="key",
+        right_on="ekey",
+        num_partitions=num_partitions,
+    )
+
+    def _contrib(df: pd.DataFrame) -> pd.DataFrame:
+        if "wbc" not in df.columns or not len(df):
+            return pd.DataFrame(
+                {"oid": pd.Series(dtype=np.int64), "c2": pd.Series(dtype=np.int64)}
+            )
+        key = df["key"].to_numpy(np.int64)
+        b = key >> np.int64(31)
+        c = key & np.int64(2**31 - 1)
+        a = df["corner"].to_numpy(np.int64)
+        wab = df["wab"].to_numpy(np.int64)
+        wac = df["wac"].to_numpy(np.int64)
+        wbc = df["wbc"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "oid": np.concatenate([a, b, c]),
+                "c2": np.concatenate([wab + wac, wab + wbc, wac + wbc]),
+            }
+        )
+
+    contrib = hash_groupby_sum(
+        tri.map_batches(_contrib, batch_format="pandas"),
+        ["oid"],
+        "c2",
+        "num2",
+        num_partitions=num_partitions,
+    )
+
+    def _rc(df: pd.DataFrame) -> pd.DataFrame:
+        if "num2" not in df.columns:
+            return pd.DataFrame(
+                {"kc": pd.Series(dtype=np.int64), "num2": pd.Series(dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {"kc": df["oid"].to_numpy(np.int64), "num2": df["num2"].to_numpy(np.int64)}
+        )
+
+    out = hash_join(
+        ks, contrib.map_batches(_rc, batch_format="pandas"), left_on="oid",
+        right_on="kc", num_partitions=num_partitions, how="left",
+    )
+
+    def _cw(df: pd.DataFrame) -> pd.DataFrame:
+        if "k" not in df.columns or not len(df):
+            return pd.DataFrame(
+                {
+                    "oid": pd.Series(dtype=np.int64),
+                    "cw": pd.Series(dtype=np.float64),
+                }
+            )
+        k = df["k"].to_numpy(np.int64)
+        s = df["s"].to_numpy(np.int64)
+        num2 = (
+            np.nan_to_num(df["num2"].to_numpy(np.float64), nan=0.0)
+            if "num2" in df.columns
+            else np.zeros(len(df))
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cw = np.where(k > 1, num2 / (2.0 * s * (k - 1)), 0.0)
+        return pa.table(
+            {"oid": df["oid"].to_numpy(np.int64), "cw": np.round(cw, 8)}
+        ).to_pandas()
+
+    return out.map_batches(_cw, batch_format="pandas")
+
+
 def two_hop_sizes(
     edges: ray.data.Dataset,
     src_col: str = "src",

@@ -1705,6 +1705,38 @@ def lg_bipartite_proj_sql(max_fanout: int = 5) -> str:
     )
 
 
+def lg_weighted_clustering_sql() -> str:
+    """graph/metrics.weighted_clustering twin (Barrat): the weighted
+    undirected pair graph (weight = lineitem multiplicity of both
+    directions), degree-ordered triangle enumeration, per-corner exact
+    integer numerator Σ(w1+w2), one division, round 8."""
+    return (
+        f"WITH raw AS MATERIALIZED (SELECT (l_orderkey % {LG_MOD}) AS src, "
+        f"(l_partkey % {LG_MOD}) AS dst FROM lineitem "
+        f"WHERE (l_orderkey % {LG_MOD}) <> (l_partkey % {LG_MOD})), "
+        "wu AS MATERIALIZED (SELECT least(src, dst) AS u, greatest(src, dst) AS v, "
+        "count(*) AS w FROM raw GROUP BY 1, 2), "
+        "wks AS MATERIALIZED (SELECT oid, count(*) AS k, sum(w) AS s FROM "
+        "(SELECT u AS oid, w FROM wu UNION ALL SELECT v, w FROM wu) GROUP BY 1), "
+        "woe AS MATERIALIZED (SELECT CASE WHEN (ku.k, wu.u) < (kv.k, wu.v) "
+        "THEN wu.u ELSE wu.v END AS a, "
+        "CASE WHEN (ku.k, wu.u) < (kv.k, wu.v) THEN wu.v ELSE wu.u END AS b, wu.w "
+        "FROM wu JOIN wks ku ON ku.oid = wu.u JOIN wks kv ON kv.oid = wu.v), "
+        "wtr AS MATERIALIZED (SELECT ab.a AS corner, "
+        "least(ab.b, ac.b) AS b, greatest(ab.b, ac.b) AS c, "
+        "ab.w AS wab, ac.w AS wac, bc.w AS wbc "
+        "FROM woe ab JOIN woe ac ON ac.a = ab.a AND ab.b < ac.b "
+        "JOIN wu bc ON bc.u = least(ab.b, ac.b) AND bc.v = greatest(ab.b, ac.b)), "
+        "contrib AS (SELECT corner AS oid, wab + wac AS c2 FROM wtr "
+        "UNION ALL SELECT b, wab + wbc FROM wtr "
+        "UNION ALL SELECT c, wac + wbc FROM wtr), "
+        "csum AS (SELECT oid, sum(c2) AS num2 FROM contrib GROUP BY 1) "
+        "SELECT k.oid, round(CASE WHEN k.k > 1 "
+        "THEN coalesce(c.num2, 0) * 1.0 / (2.0 * k.s * (k.k - 1)) ELSE 0.0 END, 8) AS cw "
+        "FROM wks k LEFT JOIN csum c ON c.oid = k.oid ORDER BY k.oid"
+    )
+
+
 def lg_two_hop_sql() -> str:
     """graph/metrics.two_hop_sizes twin: distinct targets ≠ src reachable
     in ≤2 directed hops, counted per src."""

@@ -288,6 +288,53 @@ def test_two_hop_sizes_vs_python(P):
     assert mine == want
 
 
+@pytest.mark.parametrize("P", [1, 4])
+def test_weighted_clustering_vs_python(P):
+    from graphscope_ray.graph.metrics import weighted_clustering
+
+    rng = np.random.RandomState(67)
+    arcs, _n = _rand_arcs(n=30, m=200, seed=67)  # dense enough for triangles
+    w = rng.randint(1, 6, len(arcs))
+    t = pa.table(
+        {
+            "src": pa.array([a for a, _b in arcs], pa.int64()),
+            "dst": pa.array([b for _a, b in arcs], pa.int64()),
+            "weight": pa.array(w, pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(max(P, 1))
+    got = weighted_clustering(ds, num_partitions=P).to_pandas()
+    mine = dict(zip(got["oid"].tolist(), got["cw"].tolist()))
+
+    # Barrat reference: undirected pair weight = sum of both arc weights
+    pw = {}
+    for (a, b), wt in zip(arcs, w):
+        key = (min(a, b), max(a, b))
+        pw[key] = pw.get(key, 0) + int(wt)
+    nbrs = {}
+    for (a, b), wt in pw.items():
+        nbrs.setdefault(a, {})[b] = wt
+        nbrs.setdefault(b, {})[a] = wt
+    want = {}
+    for u in nbrs:
+        k = len(nbrs[u])
+        s = sum(nbrs[u].values())
+        if k < 2:
+            want[u] = 0.0
+            continue
+        num = 0
+        ns = sorted(nbrs[u])
+        for i, v in enumerate(ns):
+            for x in ns[i + 1 :]:
+                if x in nbrs[v]:
+                    num += nbrs[u][v] + nbrs[u][x]
+        want[u] = round(num / (2.0 * s * (k - 1)), 8)
+    assert set(mine) == set(want)
+    for u in want:
+        assert abs(mine[u] - want[u]) < 1e-9, u
+    assert any(v > 0 for v in want.values())  # the fixture has triangles
+
+
 def test_empty_inputs():
     empty = ray.data.from_arrow(_tbl([]))
     assert s_metric(empty, num_partitions=2) == 0
