@@ -939,6 +939,41 @@ def headline() -> dict:
 
     timed_extra("bipartite_proj", _bproj)
 
+    def _salsa():
+        from graphscope_ray.graph.metrics import salsa
+        from graphscope_ray.pipelines.testdata import _sparse_edges_ds
+
+        salsa(_sparse_edges_ds(SF_DIR), iters=5).count()
+
+    def _wclust():
+        import pyarrow as pa
+
+        from graphscope_ray.graph.metrics import weighted_clustering
+
+        li = _read_clean(f"{SF_DIR}/lineitem.parquet").select_columns(
+            ["l_orderkey", "l_partkey"]
+        )
+
+        def _we(t: pa.Table) -> pa.Table:
+            # the SPARSE edge multiset (the dense sf0.1 multiplicity graph is
+            # ~64% dense — adversarial for any triangle enumerator; the link
+            # graph north star is sparse), multiplicity weights via weight=1
+            src = t["l_orderkey"].to_numpy(zero_copy_only=False) % 1000
+            dst = t["l_partkey"].to_numpy(zero_copy_only=False) % 1000
+            keep = (src != dst) & ((src * 31 + dst * 17) % 20 == 0)
+            return pa.table(
+                {
+                    "src": pa.array(src[keep].astype(np.int64)),
+                    "dst": pa.array(dst[keep].astype(np.int64)),
+                    "weight": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
+                }
+            )
+
+        weighted_clustering(li.map_batches(_we, batch_format="pyarrow")).count()
+
+    timed_extra("salsa", _salsa)
+    timed_extra("weighted_clustering", _wclust)
+
     total = round(sum(qtimes.values()), 3)
     out = {
         "metric": "headline pipelines wall-clock (per-stage best-of-2)",
