@@ -163,6 +163,27 @@ def _q_text_entropy(sf_dir):
     return char_entropy(_documents(sf_dir))
 
 
+def _q_dedup_decontaminate(sf_dir, n: int = 8):
+    """GPT-3-style test-set decontamination: train = doc_id%10≠0, test =
+    doc_id%10==0; flag train docs sharing any 8-gram with the test set."""
+    from graphscope_ray.functions.dedup import decontaminate
+
+    import pyarrow as _pa
+
+    def _split(want_test):
+        def _f(t: _pa.Table) -> _pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            mask = (ids % 10 == 0) if want_test else (ids % 10 != 0)
+            return t.filter(_pa.array(mask))
+
+        return _f
+
+    docs = _documents(sf_dir)
+    train = docs.map_batches(_split(False), batch_format="pyarrow")
+    test = docs.map_batches(_split(True), batch_format="pyarrow")
+    return decontaminate(train, test, n=n)
+
+
 def _q_text_gopher(sf_dir):
     from graphscope_ray.functions.text import gopher_repetition
 
@@ -1118,6 +1139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_repetition": _q_text_repetition,
         "text_entropy": _q_text_entropy,
         "text_gopher": _q_text_gopher,
+        "dedup_decontaminate": _q_dedup_decontaminate,
         "text_bpe_train": _q_text_bpe_train,
         "text_bpe_encode": _q_text_bpe_encode,
         "llm_prep": _q_llm_prep,
@@ -1361,6 +1383,7 @@ def oracle_sql() -> dict[str, str]:
         "text_charlm": osql.text_charlm_sql(),
         "text_entropy": osql.text_entropy_sql(),
         "text_gopher": osql.text_gopher_sql(),
+        "dedup_decontaminate": osql.dedup_decontaminate_sql(),
         "llm_prep": osql.llm_prep_sql(),
         "samp_mixture": osql.samp_mixture_sql(),
         "samp_temperature": osql.samp_temperature_sql(),

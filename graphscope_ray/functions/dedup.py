@@ -1465,3 +1465,110 @@ def semdedup(
         )
 
     return assigned.groupby("cluster").map_groups(_verify, batch_format="pandas")
+
+
+def decontaminate(
+    train: "ray.data.Dataset",
+    test: "ray.data.Dataset",
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Test-set contamination detection by word n-gram overlap (the GPT-3
+    appendix-C / PaLM decontamination rule): a training document is
+    contaminated if it shares any length-``n`` token n-gram with any test
+    document.  Rows (doc_id, n_contaminated) — the count of DISTINCT
+    train-side n-grams that occur anywhere in the test set — for
+    contaminated training docs only.
+
+    Dataflow: each side builds its distinct n-gram table per block
+    (vectorized np.char shift-joins; tokens split on ' ', so the joined
+    key is injective); the test side projects to a distinct-gram table
+    (docs dropped — at 100 TB the test set is the small side by
+    construction); ONE distributed hash semi-join on the gram key + one
+    per-doc count exchange.  For corpora where gram strings dominate the
+    wire, swap the join key for the repo's SQL-replicable fmix64 hash
+    (functions/hashing.py) — the join shape is unchanged."""
+
+    def _grams(keep_doc: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            cols = {"g": pa.array([], pa.string())}
+            if keep_doc:
+                cols = {"doc": pa.array([], pa.int64()), "g": pa.array([], pa.string())}
+            if t.num_rows == 0 or text_col not in t.column_names:
+                return pa.table(cols)
+            toks = pc.split_pattern(t[text_col], " ")
+            cnt = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = toks.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            nt = len(flat)
+            if nt < n:
+                return pa.table(cols)
+            pos = np.arange(nt, dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt
+            )
+            ok = pos <= np.repeat(cnt, cnt) - n
+            key = flat.astype(str)
+            for s in range(1, n):
+                key = np.char.add(np.char.add(key, " "), np.roll(flat, -s).astype(str))
+            starts = np.flatnonzero(ok)
+            if not starts.size:
+                return pa.table(cols)
+            drow = np.repeat(np.arange(len(ids), dtype=np.int64), cnt)[starts]
+            if keep_doc:
+                return pa.table(
+                    {"doc": pa.array(ids[drow]), "g": pa.array(key[starts])}
+                )
+            return pa.table({"g": pa.array(key[starts])})
+
+        return _f
+
+    from graphscope_ray.utils import hash_groupby_sum, hash_join
+
+    tg = hash_groupby_sum(
+        train.select_columns([id_col, text_col]).map_batches(
+            _grams(True), batch_format="pyarrow"
+        ),
+        ["doc", "g"],
+        None,
+        "__n",
+        num_partitions=num_partitions,
+    ).select_columns(["doc", "g"])
+    sg = hash_groupby_sum(
+        test.select_columns([id_col, text_col]).map_batches(
+            _grams(False), batch_format="pyarrow"
+        ),
+        ["g"],
+        None,
+        "__n",
+        num_partitions=num_partitions,
+    )
+
+    def _sgk(df: pd.DataFrame) -> pd.DataFrame:
+        if "g" not in df.columns:
+            return pd.DataFrame({"gk": pd.Series(dtype=object)})
+        return pd.DataFrame({"gk": df["g"].to_numpy()})
+
+    j = hash_join(
+        tg,
+        sg.map_batches(_sgk, batch_format="pandas"),
+        left_on="g",
+        right_on="gk",
+        num_partitions=num_partitions,
+    )
+
+    def _doc(df: pd.DataFrame) -> pd.DataFrame:
+        if "doc" not in df.columns:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"doc_id": df["doc"].to_numpy(np.int64)})
+
+    return hash_groupby_sum(
+        j.map_batches(_doc, batch_format="pandas"),
+        ["doc_id"],
+        None,
+        "n_contaminated",
+        num_partitions=num_partitions,
+    )

@@ -3438,6 +3438,27 @@ def text_ppmi_sql(window: int = 2, min_count: int = 5) -> str:
     )
 
 
+def dedup_decontaminate_sql(n: int = 8) -> str:
+    """functions/dedup.decontaminate twin: train (doc_id%10≠0) docs sharing
+    any word 8-gram with the test split (doc_id%10==0); count of distinct
+    contaminated train-side grams per doc."""
+    joins = " ".join(
+        f"JOIN tok t{i} ON t{i}.doc_id = t1.doc_id AND t{i}.i = t1.i + {i - 1}"
+        for i in range(2, n + 1)
+    )
+    gram = " || ' ' || ".join(f"t{i}.tok" for i in range(1, n + 1))
+    return (
+        "WITH tok AS MATERIALIZED (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS i, "
+        "unnest(toks) AS tok FROM "
+        "(SELECT doc_id, string_split(text, ' ') AS toks FROM documents)), "
+        f"g8 AS MATERIALIZED (SELECT t1.doc_id, {gram} AS g FROM tok t1 {joins}), "
+        "trg AS MATERIALIZED (SELECT DISTINCT doc_id, g FROM g8 WHERE doc_id % 10 <> 0), "
+        "teg AS MATERIALIZED (SELECT DISTINCT g FROM g8 WHERE doc_id % 10 = 0) "
+        "SELECT trg.doc_id, count(*) AS n_contaminated FROM trg "
+        "JOIN teg ON teg.g = trg.g GROUP BY 1 ORDER BY 1"
+    )
+
+
 def text_gopher_sql() -> str:
     """functions/text.gopher_repetition twin: Gopher §A1.1 repetition
     signals — duplicate-line fraction / duplicate-line character fraction

@@ -51,6 +51,45 @@ def _oracle(text):
 
 
 @pytest.mark.parametrize("P", [1, 3])
+def test_decontaminate_vs_python(P):
+    from graphscope_ray.functions.dedup import decontaminate
+
+    base = "the quick brown fox jumps over the lazy dog tonight"  # 10 tokens
+    train = [
+        base + " extra tail tokens here",        # shares 8-grams with test 0
+        "completely different text with no overlap at all whatsoever okay",
+        "a b c d e f g h i j",                  # shares with test 1
+        "short doc",                             # < 8 tokens → never flagged
+    ]
+    test = [base, "z z a b c d e f g h i j z z"]
+
+    def tbl(docs, ids):
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(docs)}
+        )
+
+    tr = ray.data.from_arrow(tbl(train, [1, 2, 3, 4])).repartition(P)
+    te = ray.data.from_arrow(tbl(test, [10, 20])).repartition(P)
+    got = decontaminate(tr, te, n=8).to_pandas()
+    mine = dict(zip(got["doc_id"].tolist(), got["n_contaminated"].tolist()))
+
+    def grams(s, n=8):
+        t = s.split(" ")
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    test_g = set()
+    for s in test:
+        test_g |= grams(s)
+    want = {}
+    for i, s in zip([1, 2, 3, 4], train):
+        c = len(grams(s) & test_g)
+        if c:
+            want[i] = c
+    assert mine == want
+    assert 1 in want and 3 in want and 2 not in want and 4 not in want
+
+
+@pytest.mark.parametrize("P", [1, 3])
 def test_gopher_vs_python_oracle(P):
     t = pa.table(
         {
