@@ -278,6 +278,41 @@ def lang_id(ds: ray.data.Dataset, concurrency=(1, 8)) -> ray.data.Dataset:
     )
 
 
+# PII patterns shared VERBATIM with the SQL oracle (oracle_sql.text_pii_sql).
+# Alternation-free greedy character-class regexes, so Python re (leftmost-
+# first) and DuckDB/RE2 (leftmost-longest) agree on every match span.
+PII_PATTERNS = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+",
+    "n_phones": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
+    "n_ips": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+class PiiScan:
+    """PII-pattern scan (the detection half of the redaction stage every
+    training-data pipeline runs before release — emails / phone numbers /
+    IPv4 literals): per-doc non-overlapping match counts.  Actor-pool
+    stage: patterns compile once per actor in ``__init__``; ``__call__``
+    counts via pandas vectorized ``str.count`` (C regex loop, no per-row
+    Python)."""
+
+    def __init__(self):
+        self.pats = {k: re.compile(v) for k, v in PII_PATTERNS.items()}
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        out = {"doc_id": pa.array(batch["doc_id"].to_numpy(np.int64))}
+        txt = batch["text"].fillna("")
+        for name, pat in self.pats.items():
+            out[name] = pa.array(txt.str.count(pat).to_numpy(np.int64))
+        return pa.table(out)
+
+
+def pii_scan(ds: ray.data.Dataset, concurrency=(1, 8)) -> ray.data.Dataset:
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        PiiScan, batch_format="pandas", batch_size=2048, concurrency=concurrency
+    )
+
+
 class Fingerprinter:
     """Rolling polynomial hash document fingerprint (64-bit), deterministic:
     fp = Σ hash(token_i)·B^(n-1-i) over whitespace tokens (uint64 wraparound).

@@ -3438,6 +3438,22 @@ def text_ppmi_sql(window: int = 2, min_count: int = 5) -> str:
     )
 
 
+def text_pii_sql() -> str:
+    """functions/text.pii_scan twin: the SAME alternation-free patterns
+    (PII_PATTERNS), counted with DuckDB's RE2 — leftmost-longest and
+    Python's leftmost-first agree because the patterns have no
+    alternation."""
+    from graphscope_ray.functions.text import PII_PATTERNS
+
+    # DuckDB single-quoted literals are RAW (no backslash processing) —
+    # only quotes need doubling; the pattern bytes pass through verbatim
+    cols = ", ".join(
+        f"len(regexp_extract_all(text, '{pat.replace(chr(39), chr(39) * 2)}')) AS {name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    return f"SELECT doc_id, {cols} FROM documents ORDER BY doc_id"
+
+
 def dedup_decontaminate_sql(n: int = 8) -> str:
     """functions/dedup.decontaminate twin: train (doc_id%10≠0) docs sharing
     any word 8-gram with the test split (doc_id%10==0); count of distinct

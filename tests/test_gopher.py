@@ -90,6 +90,51 @@ def test_decontaminate_vs_python(P):
 
 
 @pytest.mark.parametrize("P", [1, 3])
+def test_pii_scan_vs_python_and_duckdb(P):
+    import re
+
+    import duckdb
+
+    from graphscope_ray.functions.text import PII_PATTERNS, pii_scan
+
+    docs = [
+        "contact alice@example.com or bob.smith+tag@mail.co.uk today",
+        "call +1 (555) 123-4567 or 555 867 5309 now",
+        "server at 192.168.0.1 and 10.0.0.255, also 999.999.999.999",
+        "no pii here at all",
+        "a@b.cd x@y.z 1.2.3.4",  # x@y.z TLD too short → not an email
+        "",
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(docs)), pa.int64()), "text": pa.array(docs)}
+    )
+    got = (
+        pii_scan(ray.data.from_arrow(t).repartition(P))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # python-re oracle
+    for i, d in enumerate(docs):
+        for name, pat in PII_PATTERNS.items():
+            want = len(re.findall(pat, d))
+            assert int(got.loc[i, name]) == want, (i, name, d)
+    # the engine's counts must ALSO match DuckDB's RE2 on the same docs
+    # (validates the alternation-free leftmost-agreement claim in the oracle)
+    con = duckdb.connect()
+    con.register("documents", t)
+    from graphscope_ray.pipelines.oracle_sql import text_pii_sql
+
+    ddf = con.execute(text_pii_sql()).df()
+    for name in PII_PATTERNS:
+        assert (ddf[name].to_numpy() == got[name].to_numpy()).all(), name
+    # sanity: the fixture exercises every pattern
+    assert got["n_emails"].sum() >= 3
+    assert got["n_phones"].sum() >= 2
+    assert got["n_ips"].sum() >= 3
+
+
+@pytest.mark.parametrize("P", [1, 3])
 def test_gopher_vs_python_oracle(P):
     t = pa.table(
         {
