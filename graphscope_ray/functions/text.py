@@ -313,6 +313,43 @@ def pii_scan(ds: ray.data.Dataset, concurrency=(1, 8)) -> ray.data.Dataset:
     )
 
 
+PII_PLACEHOLDERS = {
+    "n_emails": "<EMAIL>",
+    "n_phones": "<PHONE>",
+    "n_ips": "<IP>",
+}
+
+
+class PiiRedact:
+    """The redaction half: every PII match replaced by its placeholder
+    token, applied in the fixed PII_PATTERNS order (emails before phones
+    before IPs — order matters when spans could overlap, so both engine
+    and oracle apply the same sequence).  Actor pool, vectorized
+    ``str.replace`` per pattern."""
+
+    def __init__(self):
+        self.pats = [
+            (re.compile(PII_PATTERNS[k]), PII_PLACEHOLDERS[k]) for k in PII_PATTERNS
+        ]
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        txt = batch["text"].fillna("")
+        for pat, repl in self.pats:
+            txt = txt.str.replace(pat, repl, regex=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(batch["doc_id"].to_numpy(np.int64)),
+                "text_redacted": pa.array(txt.tolist(), pa.string()),
+            }
+        )
+
+
+def pii_redact(ds: ray.data.Dataset, concurrency=(1, 8)) -> ray.data.Dataset:
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        PiiRedact, batch_format="pandas", batch_size=2048, concurrency=concurrency
+    )
+
+
 class Fingerprinter:
     """Rolling polynomial hash document fingerprint (64-bit), deterministic:
     fp = Σ hash(token_i)·B^(n-1-i) over whitespace tokens (uint64 wraparound).

@@ -3454,6 +3454,18 @@ def text_pii_sql() -> str:
     return f"SELECT doc_id, {cols} FROM documents ORDER BY doc_id"
 
 
+def text_redact_sql() -> str:
+    """functions/text.pii_redact twin: regexp_replace chain in the same
+    fixed pattern order with 'g' (all occurrences)."""
+    from graphscope_ray.functions.text import PII_PATTERNS, PII_PLACEHOLDERS
+
+    expr = "text"
+    for name, pat in PII_PATTERNS.items():
+        lit = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{lit}', '{PII_PLACEHOLDERS[name]}', 'g')"
+    return f"SELECT doc_id, {expr} AS text_redacted FROM documents ORDER BY doc_id"
+
+
 def dedup_decontaminate_sql(n: int = 8) -> str:
     """functions/dedup.decontaminate twin: train (doc_id%10≠0) docs sharing
     any word 8-gram with the test split (doc_id%10==0); count of distinct

@@ -135,6 +135,48 @@ def test_pii_scan_vs_python_and_duckdb(P):
 
 
 @pytest.mark.parametrize("P", [1, 3])
+def test_pii_redact_vs_python_and_duckdb(P):
+    import re
+
+    import duckdb
+
+    from graphscope_ray.functions.text import (
+        PII_PATTERNS,
+        PII_PLACEHOLDERS,
+        pii_redact,
+    )
+
+    docs = [
+        "mail alice@example.com from 10.0.0.1 and call +1 (555) 123-4567",
+        "nothing sensitive",
+        "a@b.cd then 1.2.3.4 then a@b.cd again",
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(docs)), pa.int64()), "text": pa.array(docs)}
+    )
+    got = (
+        pii_redact(ray.data.from_arrow(t).repartition(P))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, d in enumerate(docs):
+        want = d
+        for name, pat in PII_PATTERNS.items():
+            want = re.sub(pat, PII_PLACEHOLDERS[name], want)
+        assert got.loc[i, "text_redacted"] == want, (i, got.loc[i, "text_redacted"], want)
+    con = duckdb.connect()
+    con.register("documents", t)
+    from graphscope_ray.pipelines.oracle_sql import text_redact_sql
+
+    ddf = con.execute(text_redact_sql()).df()
+    assert (ddf["text_redacted"].to_numpy() == got["text_redacted"].to_numpy()).all()
+    assert "<EMAIL>" in got.loc[0, "text_redacted"]
+    assert "<IP>" in got.loc[0, "text_redacted"]
+    assert "<PHONE>" in got.loc[0, "text_redacted"]
+
+
+@pytest.mark.parametrize("P", [1, 3])
 def test_gopher_vs_python_oracle(P):
     t = pa.table(
         {
