@@ -1128,6 +1128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_seeded_lpa": td.lg_seeded_lpa,
         "lg_two_hop": td.lg_two_hop,
         "lg_weighted_clustering": td.lg_weighted_clustering,
+        "lg_onnela_clustering": td.lg_onnela_clustering,
         "lg_reciprocity": td.lg_reciprocity,
         "lg_avg_nbr_deg": td.lg_avg_nbr_deg,
         "lg_smetric": td.lg_smetric,
@@ -1366,6 +1367,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_seeded_lpa": osql.lg_seeded_lpa_sql(),
         "lg_two_hop": osql.lg_two_hop_sql(),
         "lg_weighted_clustering": osql.lg_weighted_clustering_sql(),
+        "lg_onnela_clustering": osql.lg_onnela_clustering_sql(),
         "lg_reciprocity": osql.lg_reciprocity_sql(),
         "lg_avg_nbr_deg": osql.lg_avg_nbr_deg_sql(),
         "lg_smetric": osql.lg_smetric_sql(),

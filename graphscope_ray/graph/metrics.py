@@ -511,18 +511,24 @@ def weighted_clustering(
     dst_col: str = "dst",
     weight_col: str = "weight",
     num_partitions: int = 16,
+    formula: str = "barrat",
 ) -> ray.data.Dataset:
-    """Barrat weighted clustering coefficient (Barrat, Barthélemy,
-    Pastor-Satorras & Vespignani, PNAS 2004) per vertex over the weighted
+    """Weighted clustering coefficient per vertex over the weighted
     undirected simple graph (arc weights of both directions sum into the
-    pair weight):
+    pair weight).  Two published formulas share one triangle dataflow:
 
-        C_w(u) = Σ_{triangles (u,v,w)} (w_uv + w_uw) / (2·s_u·(k_u−1)),
+    - ``formula="barrat"`` (Barrat, Barthélemy, Pastor-Satorras &
+      Vespignani, PNAS 2004):
+      C_w(u) = Σ_{triangles (u,v,w)} (w_uv + w_uw) / (2·s_u·(k_u−1)) —
+      the numerator is an EXACT integer; float enters only in the one
+      final division (round 8) — bit-matchable SQL.
+    - ``formula="onnela"`` (Onnela, Saramäki, Kertész & Kaski 2005 — what
+      networkx ``clustering(G, weight=…)`` computes):
+      Ĉ(u) = Σ_{triangles} (w_uv·w_uw·w_vw)^{1/3} / (max_w·k_u·(k_u−1)),
+      with the per-triangle cube root evaluated as ``pow(prod, 1/3)`` in
+      BOTH engines so the doubles agree bit-for-bit before the round-8.
 
-    0 when k_u < 2.  The numerator is an EXACT integer (weights are
-    multiplicities); float enters only in the one final division (round
-    8) — bit-matchable SQL.  Note networkx's ``clustering(weight=…)`` is
-    Onnela's geometric-mean formula, a different statistic.
+    0 when k_u < 2.
 
     Dataflow: degree-ordered orientation (the triangle-stage idiom that
     caps hub wedges at O(√E) per vertex) → per-corner wedge self-join →
@@ -708,10 +714,25 @@ def weighted_clustering(
         num_partitions=num_partitions,
     )
 
+    assert formula in ("barrat", "onnela")
+    onnela = formula == "onnela"
+    mw = 0
+    if onnela:
+        def _pmax(df: pd.DataFrame) -> pd.DataFrame:
+            if "w" not in df.columns or not len(df):
+                return pd.DataFrame({"m": pd.Series(dtype=np.int64)})
+            return pd.DataFrame({"m": [int(df["w"].to_numpy(np.int64).max())]})
+
+        pm = wu.map_batches(_pmax, batch_format="pandas").to_pandas()
+        mw = int(pm["m"].max()) if len(pm) else 0
+
     def _contrib(df: pd.DataFrame) -> pd.DataFrame:
         if "wbc" not in df.columns or not len(df):
             return pd.DataFrame(
-                {"oid": pd.Series(dtype=np.int64), "c2": pd.Series(dtype=np.int64)}
+                {
+                    "oid": pd.Series(dtype=np.int64),
+                    "c2": pd.Series(dtype=np.float64 if onnela else np.int64),
+                }
             )
         key = df["key"].to_numpy(np.int64)
         b = key >> np.int64(31)
@@ -720,6 +741,12 @@ def weighted_clustering(
         wab = df["wab"].to_numpy(np.int64)
         wac = df["wac"].to_numpy(np.int64)
         wbc = df["wbc"].to_numpy(np.int64)
+        if onnela:
+            # pow(prod, 1/3), same construct as the SQL's power(prod, 1.0/3.0)
+            t = (wab * wac * wbc).astype(np.float64) ** (1.0 / 3.0)
+            return pd.DataFrame(
+                {"oid": np.concatenate([a, b, c]), "c2": np.concatenate([t, t, t])}
+            )
         return pd.DataFrame(
             {
                 "oid": np.concatenate([a, b, c]),
@@ -738,10 +765,13 @@ def weighted_clustering(
     def _rc(df: pd.DataFrame) -> pd.DataFrame:
         if "num2" not in df.columns:
             return pd.DataFrame(
-                {"kc": pd.Series(dtype=np.int64), "num2": pd.Series(dtype=np.int64)}
+                {
+                    "kc": pd.Series(dtype=np.int64),
+                    "num2": pd.Series(dtype=np.float64 if onnela else np.int64),
+                }
             )
         return pd.DataFrame(
-            {"kc": df["oid"].to_numpy(np.int64), "num2": df["num2"].to_numpy(np.int64)}
+            {"kc": df["oid"].to_numpy(np.int64), "num2": df["num2"].to_numpy()}
         )
 
     out = hash_join(
@@ -765,7 +795,13 @@ def weighted_clustering(
             else np.zeros(len(df))
         )
         with np.errstate(divide="ignore", invalid="ignore"):
-            cw = np.where(k > 1, num2 / (2.0 * s * (k - 1)), 0.0)
+            if onnela:
+                # nx sums over ORDERED neighbor pairs — each triangle twice
+                cw = np.where(
+                    (k > 1) & (mw > 0), 2.0 * num2 / (mw * k * (k - 1.0)), 0.0
+                )
+            else:
+                cw = np.where(k > 1, num2 / (2.0 * s * (k - 1)), 0.0)
         return pa.table(
             {"oid": df["oid"].to_numpy(np.int64), "cw": np.round(cw, 8)}
         ).to_pandas()

@@ -1737,6 +1737,38 @@ def lg_weighted_clustering_sql() -> str:
     )
 
 
+def lg_onnela_clustering_sql() -> str:
+    """graph/metrics.weighted_clustering(formula='onnela') twin: per-corner
+    Σ power(w_ab·w_ac·w_bc, 1/3) over the same degree-ordered triangle
+    enumeration, normalized by max_w·k·(k−1)."""
+    return (
+        f"WITH raw AS MATERIALIZED (SELECT (l_orderkey % {LG_MOD}) AS src, "
+        f"(l_partkey % {LG_MOD}) AS dst FROM lineitem "
+        f"WHERE (l_orderkey % {LG_MOD}) <> (l_partkey % {LG_MOD})), "
+        "wu AS MATERIALIZED (SELECT least(src, dst) AS u, greatest(src, dst) AS v, "
+        "count(*) AS w FROM raw GROUP BY 1, 2), "
+        "mw AS (SELECT max(w) AS m FROM wu), "
+        "wks AS MATERIALIZED (SELECT oid, count(*) AS k FROM "
+        "(SELECT u AS oid FROM wu UNION ALL SELECT v FROM wu) GROUP BY 1), "
+        "woe AS MATERIALIZED (SELECT CASE WHEN (ku.k, wu.u) < (kv.k, wu.v) "
+        "THEN wu.u ELSE wu.v END AS a, "
+        "CASE WHEN (ku.k, wu.u) < (kv.k, wu.v) THEN wu.v ELSE wu.u END AS b, wu.w "
+        "FROM wu JOIN wks ku ON ku.oid = wu.u JOIN wks kv ON kv.oid = wu.v), "
+        "wtr AS MATERIALIZED (SELECT ab.a AS corner, "
+        "least(ab.b, ac.b) AS b, greatest(ab.b, ac.b) AS c, "
+        "power(CAST(ab.w * ac.w * bc.w AS DOUBLE), 1.0/3.0) AS t "
+        "FROM woe ab JOIN woe ac ON ac.a = ab.a AND ab.b < ac.b "
+        "JOIN wu bc ON bc.u = least(ab.b, ac.b) AND bc.v = greatest(ab.b, ac.b)), "
+        "contrib AS (SELECT corner AS oid, t FROM wtr "
+        "UNION ALL SELECT b, t FROM wtr UNION ALL SELECT c, t FROM wtr), "
+        "csum AS (SELECT oid, sum(t) AS num2 FROM contrib GROUP BY 1) "
+        "SELECT k.oid, round(CASE WHEN k.k > 1 "
+        "THEN 2.0 * coalesce(c.num2, 0) / ((SELECT m FROM mw) * k.k * (k.k - 1.0)) "
+        "ELSE 0.0 END, 8) AS cw "
+        "FROM wks k LEFT JOIN csum c ON c.oid = k.oid ORDER BY k.oid"
+    )
+
+
 def lg_two_hop_sql() -> str:
     """graph/metrics.two_hop_sizes twin: distinct targets ≠ src reachable
     in ≤2 directed hops, counted per src."""

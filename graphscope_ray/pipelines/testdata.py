@@ -1709,6 +1709,31 @@ def lg_weighted_clustering(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("oid").reset_index(drop=True)
 
 
+def lg_onnela_clustering(sf_dir: str) -> pd.DataFrame:
+    """Onnela weighted clustering (the networkx clustering(weight=…)
+    formula) over the same multiplicity-weighted undirected link graph —
+    graph.metrics.weighted_clustering(formula='onnela')."""
+    from graphscope_ray.graph.metrics import weighted_clustering
+
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def _derive(t: pa.Table) -> pa.Table:
+        src = t["l_orderkey"].to_numpy(zero_copy_only=False) % LG_MOD
+        dst = t["l_partkey"].to_numpy(zero_copy_only=False) % LG_MOD
+        keep = src != dst
+        return pa.table(
+            {
+                "src": pa.array(src[keep].astype(np.int64)),
+                "dst": pa.array(dst[keep].astype(np.int64)),
+                "weight": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
+            }
+        )
+
+    we = li.map_batches(_derive, batch_format="pyarrow")
+    out = weighted_clustering(we, formula="onnela").to_pandas()
+    return out.sort_values("oid").reset_index(drop=True)
+
+
 def lg_two_hop(sf_dir: str) -> pd.DataFrame:
     """Per-vertex directed ≤2-hop ball sizes on the sparse graph —
     graph.metrics.two_hop_sizes."""

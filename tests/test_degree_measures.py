@@ -335,6 +335,38 @@ def test_weighted_clustering_vs_python(P):
     assert any(v > 0 for v in want.values())  # the fixture has triangles
 
 
+@pytest.mark.parametrize("P", [1, 4])
+def test_onnela_clustering_vs_networkx(P):
+    nx = pytest.importorskip("networkx")
+    from graphscope_ray.graph.metrics import weighted_clustering
+
+    rng = np.random.RandomState(71)
+    arcs, _n = _rand_arcs(n=30, m=200, seed=71)
+    w = rng.randint(1, 6, len(arcs))
+    t = pa.table(
+        {
+            "src": pa.array([a for a, _b in arcs], pa.int64()),
+            "dst": pa.array([b for _a, b in arcs], pa.int64()),
+            "weight": pa.array(w, pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(max(P, 1))
+    got = weighted_clustering(ds, num_partitions=P, formula="onnela").to_pandas()
+    mine = dict(zip(got["oid"].tolist(), got["cw"].tolist()))
+
+    G = nx.Graph()
+    for (a, b), wt in zip(arcs, w):
+        if G.has_edge(a, b):
+            G[a][b]["weight"] += int(wt)
+        else:
+            G.add_edge(a, b, weight=int(wt))
+    want = nx.clustering(G, weight="weight")
+    assert set(mine) == set(want)
+    for v, c in want.items():
+        assert abs(mine[v] - c) < 1e-7, (v, mine[v], c)
+    assert any(c > 0 for c in want.values())
+
+
 def test_empty_inputs():
     empty = ray.data.from_arrow(_tbl([]))
     assert s_metric(empty, num_partitions=2) == 0
