@@ -202,6 +202,12 @@ def _q_text_redact(sf_dir):
     return pii_redact(_documents(sf_dir))
 
 
+def _q_text_readability(sf_dir):
+    from graphscope_ray.functions.text import readability
+
+    return readability(_documents(sf_dir))
+
+
 def _q_text_bpe_train(sf_dir, num_merges: int = 12):
     """Distributed BPE merge-table training (Sennrich 2016) — iterative and
     data-dependent, so pytest-oracled (tests/test_bpe.py vs a pure-python
@@ -1155,6 +1161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_decontaminate": _q_dedup_decontaminate,
         "text_pii": _q_text_pii,
         "text_redact": _q_text_redact,
+        "text_readability": _q_text_readability,
         "text_bpe_train": _q_text_bpe_train,
         "text_bpe_encode": _q_text_bpe_encode,
         "llm_prep": _q_llm_prep,
@@ -1402,6 +1409,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_decontaminate": osql.dedup_decontaminate_sql(),
         "text_pii": osql.text_pii_sql(),
         "text_redact": osql.text_redact_sql(),
+        "text_readability": osql.text_readability_sql(),
         "llm_prep": osql.llm_prep_sql(),
         "samp_mixture": osql.samp_mixture_sql(),
         "samp_temperature": osql.samp_temperature_sql(),

@@ -3498,6 +3498,25 @@ def text_redact_sql() -> str:
     return f"SELECT doc_id, {expr} AS text_redacted FROM documents ORDER BY doc_id"
 
 
+def text_readability_sql() -> str:
+    """functions/text.readability twin: the same three regex counts and
+    the same float expressions (word/sentence/vowel-group runs)."""
+    return (
+        "WITH c AS (SELECT doc_id, "
+        "len(regexp_extract_all(text, '\\S+')) AS w, "
+        "len(regexp_extract_all(text, '[.!?]+')) AS s, "
+        "len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS y FROM documents) "
+        "SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables, "
+        "round(CASE WHEN w > 0 AND s > 0 "
+        "THEN 206.835 - 1.015 * (w * 1.0 / s) - 84.6 * (y * 1.0 / w) "
+        "ELSE 0.0 END, 8) AS flesch_ease, "
+        "round(CASE WHEN w > 0 AND s > 0 "
+        "THEN 0.39 * (w * 1.0 / s) + 11.8 * (y * 1.0 / w) - 15.59 "
+        "ELSE 0.0 END, 8) AS fk_grade "
+        "FROM c ORDER BY doc_id"
+    )
+
+
 def dedup_decontaminate_sql(n: int = 8) -> str:
     """functions/dedup.decontaminate twin: train (doc_id%10≠0) docs sharing
     any word 8-gram with the test split (doc_id%10==0); count of distinct

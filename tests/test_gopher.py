@@ -177,6 +177,46 @@ def test_pii_redact_vs_python_and_duckdb(P):
 
 
 @pytest.mark.parametrize("P", [1, 3])
+def test_readability_vs_python(P):
+    import re
+
+    from graphscope_ray.functions.text import readability
+
+    docs = [
+        "The cat sat on the mat. It was happy!",
+        "Extraordinarily complicated terminology notwithstanding, comprehension persists.",
+        "no sentence terminator here",
+        "",
+        "Hi! Go. Run? Yes!!",
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(docs)), pa.int64()), "text": pa.array(docs)}
+    )
+    got = (
+        readability(ray.data.from_arrow(t).repartition(P))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, d in enumerate(docs):
+        w = len(re.findall(r"\S+", d))
+        s = len(re.findall(r"[.!?]+", d))
+        y = len(re.findall(r"[aeiouyAEIOUY]+", d))
+        assert int(got.loc[i, "n_words"]) == w
+        assert int(got.loc[i, "n_sentences"]) == s
+        assert int(got.loc[i, "n_syllables"]) == y
+        if w and s:
+            ease = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+            grade = 0.39 * (w / s) + 11.8 * (y / w) - 15.59
+        else:
+            ease = grade = 0.0
+        assert abs(got.loc[i, "flesch_ease"] - round(ease, 8)) < 1e-9
+        assert abs(got.loc[i, "fk_grade"] - round(grade, 8)) < 1e-9
+    # the hard-vocabulary doc reads as harder than the easy one
+    assert got.loc[1, "fk_grade"] > got.loc[0, "fk_grade"]
+
+
+@pytest.mark.parametrize("P", [1, 3])
 def test_gopher_vs_python_oracle(P):
     t = pa.table(
         {
