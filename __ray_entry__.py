@@ -190,6 +190,12 @@ def _q_text_gopher(sf_dir):
     return gopher_repetition(_documents(sf_dir))
 
 
+def _q_dedup_keep_best(sf_dir):
+    from graphscope_ray.functions.dedup import keep_best_dedup
+
+    return keep_best_dedup(_documents(sf_dir))
+
+
 def _q_text_pii(sf_dir):
     from graphscope_ray.functions.text import pii_scan
 
@@ -1159,6 +1165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_entropy": _q_text_entropy,
         "text_gopher": _q_text_gopher,
         "dedup_decontaminate": _q_dedup_decontaminate,
+        "dedup_keep_best": _q_dedup_keep_best,
         "text_pii": _q_text_pii,
         "text_redact": _q_text_redact,
         "text_readability": _q_text_readability,
@@ -1407,6 +1414,7 @@ def oracle_sql() -> dict[str, str]:
         "text_entropy": osql.text_entropy_sql(),
         "text_gopher": osql.text_gopher_sql(),
         "dedup_decontaminate": osql.dedup_decontaminate_sql(),
+        "dedup_keep_best": osql.dedup_keep_best_sql(),
         "text_pii": osql.text_pii_sql(),
         "text_redact": osql.text_redact_sql(),
         "text_readability": osql.text_readability_sql(),

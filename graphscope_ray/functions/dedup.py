@@ -1572,3 +1572,91 @@ def decontaminate(
         "n_contaminated",
         num_partitions=num_partitions,
     )
+
+
+def keep_best_dedup(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """NORMALIZED-dup collapse with a QUALITY policy (the production
+    variant of keep-first: docs are grouped by the sha256 of their CCNet
+    normalization — so case/digit/punctuation variants land in one
+    cluster — and the LONGEST original wins, ties → min id: e.g. the copy
+    that kept its formatting).  Rows (text_sha256, kept_doc_id, quality,
+    n_copies); text_sha256 is the normalized-text hash.
+
+    Same exchange discipline as ``exact_dedup``: the per-block combiner
+    reduces to ONE candidate row per (block, sha) carrying (best id,
+    quality, partial count); the sha-keyed exchange ships only those; the
+    per-partition reduce re-applies the same (quality DESC, id ASC) rule
+    and sums the copy counts — winner selection is associative, so the
+    result is partition-invariant."""
+    import ray
+
+    from graphscope_ray.functions.text import NORM_STEPS
+
+    def _q(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = pc.utf8_lower(t[text_col])
+        for pat, repl in NORM_STEPS:
+            s = pc.replace_substring_regex(s, pat, replacement=repl)
+        s = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(s, r"\s+", replacement=" ")
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "text_sha256": sha256_column(s),
+                "q": pc.cast(pc.utf8_length(t[text_col]), pa.int64()),
+            }
+        )
+
+    hashed = ds.select_columns([id_col, text_col]).map_batches(
+        _q, batch_format="pyarrow"
+    )
+    K = num_partitions
+    blocks = hashed.materialize().to_arrow_refs()
+
+    def _best(df: "pd.DataFrame") -> "pd.DataFrame":
+        cnt = df.groupby("text_sha256", sort=False)["n" if "n" in df.columns else id_col].agg(
+            "sum" if "n" in df.columns else "size"
+        )
+        best = df.sort_values(["q", id_col], ascending=[False, True]).drop_duplicates(
+            "text_sha256", keep="first"
+        )
+        best = best[[id_col, "text_sha256", "q"]].merge(
+            cnt.rename("n"), left_on="text_sha256", right_index=True
+        )
+        return best
+
+    @ray.remote
+    def _split(t: pa.Table):
+        df = _best(t.to_pandas())
+        h = pd.util.hash_pandas_object(df["text_sha256"], index=False).to_numpy()
+        part = (h % np.uint64(K)).astype(np.int64)
+        parts = tuple(df[part == p] for p in range(K))
+        return parts if K > 1 else parts[0]
+
+    @ray.remote
+    def _reduce(*dfs) -> pa.Table:
+        df = _best(pd.concat(dfs, ignore_index=True))
+        out = pd.DataFrame(
+            {
+                "text_sha256": df["text_sha256"].to_numpy(),
+                "kept_doc_id": df[id_col].to_numpy(np.int64),
+                "quality": df["q"].to_numpy(np.int64),
+                "n_copies": df["n"].to_numpy(np.int64),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    if K == 1:
+        refs = [_split.remote(b) for b in blocks]
+        return ray.data.from_arrow_refs([_reduce.remote(*refs)])
+    split_refs = [_split.options(num_returns=K).remote(b) for b in blocks]
+    return ray.data.from_arrow_refs(
+        [_reduce.remote(*[s[k] for s in split_refs]) for k in range(K)]
+    )

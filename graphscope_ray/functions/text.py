@@ -281,7 +281,9 @@ def lang_id(ds: ray.data.Dataset, concurrency=(1, 8)) -> ray.data.Dataset:
 # PII patterns shared VERBATIM with the SQL oracle (oracle_sql.text_pii_sql).
 # Alternation-free greedy character-class regexes, so Python re (leftmost-
 # first) and DuckDB/RE2 (leftmost-longest) agree on every match span.
-PII_PATTERNS = {
+# (Distinct from the word-boundary PII_PATTERNS tuple list that pii_scrub
+# uses above — different pattern family, different query.)
+PII_COUNT_PATTERNS = {
     "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+",
     "n_phones": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
     "n_ips": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
@@ -297,7 +299,7 @@ class PiiScan:
     Python)."""
 
     def __init__(self):
-        self.pats = {k: re.compile(v) for k, v in PII_PATTERNS.items()}
+        self.pats = {k: re.compile(v) for k, v in PII_COUNT_PATTERNS.items()}
 
     def __call__(self, batch: pd.DataFrame) -> pa.Table:
         out = {"doc_id": pa.array(batch["doc_id"].to_numpy(np.int64))}
@@ -322,14 +324,15 @@ PII_PLACEHOLDERS = {
 
 class PiiRedact:
     """The redaction half: every PII match replaced by its placeholder
-    token, applied in the fixed PII_PATTERNS order (emails before phones
+    token, applied in the fixed PII_COUNT_PATTERNS order (emails before phones
     before IPs — order matters when spans could overlap, so both engine
     and oracle apply the same sequence).  Actor pool, vectorized
     ``str.replace`` per pattern."""
 
     def __init__(self):
         self.pats = [
-            (re.compile(PII_PATTERNS[k]), PII_PLACEHOLDERS[k]) for k in PII_PATTERNS
+            (re.compile(PII_COUNT_PATTERNS[k]), PII_PLACEHOLDERS[k])
+            for k in PII_COUNT_PATTERNS
         ]
 
     def __call__(self, batch: pd.DataFrame) -> pa.Table:

@@ -3472,16 +3472,16 @@ def text_ppmi_sql(window: int = 2, min_count: int = 5) -> str:
 
 def text_pii_sql() -> str:
     """functions/text.pii_scan twin: the SAME alternation-free patterns
-    (PII_PATTERNS), counted with DuckDB's RE2 — leftmost-longest and
+    (PII_COUNT_PATTERNS), counted with DuckDB's RE2 — leftmost-longest and
     Python's leftmost-first agree because the patterns have no
     alternation."""
-    from graphscope_ray.functions.text import PII_PATTERNS
+    from graphscope_ray.functions.text import PII_COUNT_PATTERNS
 
     # DuckDB single-quoted literals are RAW (no backslash processing) —
     # only quotes need doubling; the pattern bytes pass through verbatim
     cols = ", ".join(
         f"len(regexp_extract_all(text, '{pat.replace(chr(39), chr(39) * 2)}')) AS {name}"
-        for name, pat in PII_PATTERNS.items()
+        for name, pat in PII_COUNT_PATTERNS.items()
     )
     return f"SELECT doc_id, {cols} FROM documents ORDER BY doc_id"
 
@@ -3489,13 +3489,30 @@ def text_pii_sql() -> str:
 def text_redact_sql() -> str:
     """functions/text.pii_redact twin: regexp_replace chain in the same
     fixed pattern order with 'g' (all occurrences)."""
-    from graphscope_ray.functions.text import PII_PATTERNS, PII_PLACEHOLDERS
+    from graphscope_ray.functions.text import PII_COUNT_PATTERNS, PII_PLACEHOLDERS
 
     expr = "text"
-    for name, pat in PII_PATTERNS.items():
+    for name, pat in PII_COUNT_PATTERNS.items():
         lit = pat.replace("'", "''")
         expr = f"regexp_replace({expr}, '{lit}', '{PII_PLACEHOLDERS[name]}', 'g')"
     return f"SELECT doc_id, {expr} AS text_redacted FROM documents ORDER BY doc_id"
+
+
+def dedup_keep_best_sql() -> str:
+    """functions/dedup.keep_best_dedup twin: group by sha256 of the CCNet
+    normalization (text_norm's exact expression), keep the longest
+    ORIGINAL text (ties → min doc_id), with the copy count."""
+    return (
+        "WITH c AS (SELECT doc_id, "
+        "sha256(trim(regexp_replace(regexp_replace(regexp_replace("
+        "lower(text), '[0-9]', '0', 'g'), '[^a-z0\\s]', ' ', 'g'), "
+        "'\\s+', ' ', 'g'))) AS sha, len(text) AS q FROM documents) "
+        "SELECT sha AS text_sha256, doc_id AS kept_doc_id, q AS quality, "
+        "CAST(cnt AS BIGINT) AS n_copies FROM "
+        "(SELECT *, count(*) OVER (PARTITION BY sha) AS cnt, "
+        "row_number() OVER (PARTITION BY sha ORDER BY q DESC, doc_id) AS rk FROM c) "
+        "WHERE rk = 1 ORDER BY 1"
+    )
 
 
 def text_readability_sql() -> str:

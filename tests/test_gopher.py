@@ -95,7 +95,7 @@ def test_pii_scan_vs_python_and_duckdb(P):
 
     import duckdb
 
-    from graphscope_ray.functions.text import PII_PATTERNS, pii_scan
+    from graphscope_ray.functions.text import PII_COUNT_PATTERNS, pii_scan
 
     docs = [
         "contact alice@example.com or bob.smith+tag@mail.co.uk today",
@@ -116,7 +116,7 @@ def test_pii_scan_vs_python_and_duckdb(P):
     )
     # python-re oracle
     for i, d in enumerate(docs):
-        for name, pat in PII_PATTERNS.items():
+        for name, pat in PII_COUNT_PATTERNS.items():
             want = len(re.findall(pat, d))
             assert int(got.loc[i, name]) == want, (i, name, d)
     # the engine's counts must ALSO match DuckDB's RE2 on the same docs
@@ -126,7 +126,7 @@ def test_pii_scan_vs_python_and_duckdb(P):
     from graphscope_ray.pipelines.oracle_sql import text_pii_sql
 
     ddf = con.execute(text_pii_sql()).df()
-    for name in PII_PATTERNS:
+    for name in PII_COUNT_PATTERNS:
         assert (ddf[name].to_numpy() == got[name].to_numpy()).all(), name
     # sanity: the fixture exercises every pattern
     assert got["n_emails"].sum() >= 3
@@ -141,7 +141,7 @@ def test_pii_redact_vs_python_and_duckdb(P):
     import duckdb
 
     from graphscope_ray.functions.text import (
-        PII_PATTERNS,
+        PII_COUNT_PATTERNS,
         PII_PLACEHOLDERS,
         pii_redact,
     )
@@ -162,7 +162,7 @@ def test_pii_redact_vs_python_and_duckdb(P):
     )
     for i, d in enumerate(docs):
         want = d
-        for name, pat in PII_PATTERNS.items():
+        for name, pat in PII_COUNT_PATTERNS.items():
             want = re.sub(pat, PII_PLACEHOLDERS[name], want)
         assert got.loc[i, "text_redacted"] == want, (i, got.loc[i, "text_redacted"], want)
     con = duckdb.connect()
@@ -174,6 +174,36 @@ def test_pii_redact_vs_python_and_duckdb(P):
     assert "<EMAIL>" in got.loc[0, "text_redacted"]
     assert "<IP>" in got.loc[0, "text_redacted"]
     assert "<PHONE>" in got.loc[0, "text_redacted"]
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_keep_best_dedup(P):
+    from graphscope_ray.functions.dedup import keep_best_dedup
+
+    docs = [
+        (1, "Hello, World! This is DOC one."),     # normalizes same as 2,3
+        (2, "hello world this is doc one"),         # shortest variant
+        (3, "HELLO  WORLD -- this is doc ONE!!!"),  # longest variant → winner
+        (4, "a completely different document"),
+        (5, "tie a"),                                # same norm + same len as 6
+        (6, "tie a"),                                # → min id 5 wins
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([s for _, s in docs]),
+        }
+    )
+    got = (
+        keep_best_dedup(ray.data.from_arrow(t).repartition(P), num_partitions=P)
+        .to_pandas()
+        .sort_values("kept_doc_id")
+        .reset_index(drop=True)
+    )
+    kept = dict(zip(got["kept_doc_id"].tolist(), got["n_copies"].tolist()))
+    assert kept == {3: 3, 4: 1, 5: 2}
+    q = dict(zip(got["kept_doc_id"].tolist(), got["quality"].tolist()))
+    assert q[3] == len(docs[2][1])
 
 
 @pytest.mark.parametrize("P", [1, 3])
