@@ -214,6 +214,66 @@ def _q_text_readability(sf_dir):
     return readability(_documents(sf_dir))
 
 
+def _q_text_ttr(sf_dir):
+    from graphscope_ray.functions.text import type_token_ratio
+
+    return type_token_ratio(_documents(sf_dir))
+
+
+def _q_text_lang_mix(sf_dir):
+    """Language-mixture audit: langid × token counts rolled up per
+    predicted language (one tiny lang-keyed exchange)."""
+    import pandas as _pd
+
+    from graphscope_ray.functions.text import lang_id, token_counts
+    from graphscope_ray.utils import hash_groupby_sum, hash_join
+
+    docs = _documents(sf_dir)
+    lid = lang_id(docs)
+    tok = token_counts(docs)
+
+    def _tk(df):
+        if "n_tokens" not in df.columns:
+            return _pd.DataFrame(
+                {"tid": _pd.Series(dtype="int64"), "n_tokens": _pd.Series(dtype="int64")}
+            )
+        return _pd.DataFrame(
+            {"tid": df["doc_id"].to_numpy(), "n_tokens": df["n_tokens"].to_numpy()}
+        )
+
+    j = hash_join(
+        lid, tok.map_batches(_tk, batch_format="pandas"), left_on="doc_id",
+        right_on="tid", num_partitions=8,
+    )
+
+    def _emit(df):
+        if "lang_pred" not in df.columns:
+            return _pd.DataFrame(
+                {
+                    "lang_pred": _pd.Series(dtype=object),
+                    "one": _pd.Series(dtype="int64"),
+                    "n_tokens": _pd.Series(dtype="int64"),
+                }
+            )
+        import numpy as _np
+
+        return _pd.DataFrame(
+            {
+                "lang_pred": df["lang_pred"].to_numpy(),
+                "one": _np.ones(len(df), dtype=_np.int64),
+                "n_tokens": df["n_tokens"].to_numpy(_np.int64),
+            }
+        )
+
+    return hash_groupby_sum(
+        j.map_batches(_emit, batch_format="pandas"),
+        ["lang_pred"],
+        ["one", "n_tokens"],
+        ["n_docs", "n_tokens"],
+        num_partitions=4,
+    )
+
+
 def _q_text_bpe_train(sf_dir, num_merges: int = 12):
     """Distributed BPE merge-table training (Sennrich 2016) — iterative and
     data-dependent, so pytest-oracled (tests/test_bpe.py vs a pure-python
@@ -1169,6 +1229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_pii": _q_text_pii,
         "text_redact": _q_text_redact,
         "text_readability": _q_text_readability,
+        "text_ttr": _q_text_ttr,
+        "text_lang_mix": _q_text_lang_mix,
         "text_bpe_train": _q_text_bpe_train,
         "text_bpe_encode": _q_text_bpe_encode,
         "llm_prep": _q_llm_prep,
@@ -1418,6 +1480,8 @@ def oracle_sql() -> dict[str, str]:
         "text_pii": osql.text_pii_sql(),
         "text_redact": osql.text_redact_sql(),
         "text_readability": osql.text_readability_sql(),
+        "text_ttr": osql.text_ttr_sql(),
+        "text_lang_mix": osql.text_lang_mix_sql(),
         "llm_prep": osql.llm_prep_sql(),
         "samp_mixture": osql.samp_mixture_sql(),
         "samp_temperature": osql.samp_temperature_sql(),

@@ -353,6 +353,46 @@ def pii_redact(ds: ray.data.Dataset, concurrency=(1, 8)) -> ray.data.Dataset:
     )
 
 
+def type_token_ratio(
+    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> ray.data.Dataset:
+    """Type-token ratio per document (lexical-diversity quality feature):
+    distinct whitespace tokens / total tokens, round 8 (0 for empty docs).
+    One map_batches pass; the per-doc distinct runs in a pandas groupby
+    nunique (C), never a Python loop."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lst = pc.split_pattern_regex(t[text_col], r"\s+")
+        cnt = pc.list_value_length(lst).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = lst.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        drow = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        keep = flat != ""  # \s+ split yields empty edge tokens; \S+ runs only
+        df = pd.DataFrame({"d": drow[keep], "tok": flat[keep]})
+        ntok = np.zeros(n, dtype=np.int64)
+        nty = np.zeros(n, dtype=np.int64)
+        if len(df):
+            g = df.groupby("d")["tok"]
+            sz = g.size()
+            un = g.nunique()
+            ntok[sz.index.to_numpy()] = sz.to_numpy()
+            nty[un.index.to_numpy()] = un.to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ttr = np.where(ntok > 0, nty / np.maximum(ntok, 1), 0.0)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": pa.array(ntok),
+                "n_types": pa.array(nty),
+                "ttr": np.round(ttr, 8),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(_f, batch_format="pyarrow")
+
+
 def readability(
     ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
 ) -> ray.data.Dataset:

@@ -3515,6 +3515,31 @@ def dedup_keep_best_sql() -> str:
     )
 
 
+def text_ttr_sql() -> str:
+    """functions/text.type_token_ratio twin: whitespace tokens, distinct
+    types, one division."""
+    return (
+        "WITH c AS (SELECT doc_id, "
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks "
+        "FROM documents) "
+        "SELECT doc_id, CAST(length(toks) AS BIGINT) AS n_tokens, "
+        "CAST(length(list_distinct(toks)) AS BIGINT) AS n_types, "
+        "round(CASE WHEN length(toks) > 0 "
+        "THEN length(list_distinct(toks)) * 1.0 / length(toks) ELSE 0.0 END, 8) AS ttr "
+        "FROM c ORDER BY doc_id"
+    )
+
+
+def text_lang_mix_sql() -> str:
+    """Language-mixture audit twin: the langid SQL joined to the token
+    counts, rolled up per predicted language."""
+    return (
+        f"WITH L AS ({text_langid_sql()}), T AS ({text_tokens_sql()}) "
+        "SELECT L.lang_pred, count(*) AS n_docs, sum(T.n_tokens) AS n_tokens "
+        "FROM L JOIN T ON T.doc_id = L.doc_id GROUP BY 1 ORDER BY 1"
+    )
+
+
 def text_readability_sql() -> str:
     """functions/text.readability twin: the same three regex counts and
     the same float expressions (word/sentence/vowel-group runs)."""
