@@ -196,6 +196,100 @@ def _q_dedup_keep_best(sf_dir):
     return keep_best_dedup(_documents(sf_dir))
 
 
+def _q_corpus_funnel(sf_dir):
+    """End-to-end curation FUNNEL audit — the per-stage survivor counts a
+    production corpus build reports: raw → exact-dedup (sha keep-min) →
+    quality gate (composite score ≥ 0.7, UNROUNDED — engine and SQL share
+    the identical float expression so the threshold compare is bit-stable)
+    → English only.  One row per stage: (stage, n_docs, n_tokens).  All
+    stage flags attach to the token table by hash joins; the rollup is one
+    4-row exchange."""
+    import numpy as _np
+    import pandas as _pd
+
+    from graphscope_ray.functions.dedup import exact_dedup
+    from graphscope_ray.functions.text import lang_id, quality_score, token_counts
+    from graphscope_ray.utils import hash_groupby_sum, hash_join
+
+    docs = _documents(sf_dir)
+    tok = token_counts(docs)
+    kept = exact_dedup(docs)
+    qs = quality_score(docs)
+    lid = lang_id(docs)
+
+    def _rn(mapping):
+        def _f(df):
+            if not set(mapping) <= set(df.columns):
+                return _pd.DataFrame(
+                    {v: _pd.Series(dtype=object) for v in mapping.values()}
+                )
+            return _pd.DataFrame({v: df[c].to_numpy() for c, v in mapping.items()})
+
+        return _f
+
+    j = hash_join(
+        tok,
+        kept.map_batches(_rn({"doc_id": "kept_id"}), batch_format="pandas"),
+        left_on="doc_id",
+        right_on="kept_id",
+        num_partitions=8,
+        how="left",
+    )
+    j = hash_join(
+        j,
+        qs.map_batches(
+            _rn({"doc_id": "q_id", "quality": "quality"}), batch_format="pandas"
+        ),
+        left_on="doc_id",
+        right_on="q_id",
+        num_partitions=8,
+    )
+    j = hash_join(
+        j,
+        lid.map_batches(
+            _rn({"doc_id": "l_id", "lang_pred": "lang_pred"}), batch_format="pandas"
+        ),
+        left_on="doc_id",
+        right_on="l_id",
+        num_partitions=8,
+    )
+
+    def _stages(df):
+        if "n_tokens" not in df.columns or not len(df):
+            return _pd.DataFrame(
+                {
+                    "stage": _pd.Series(dtype=object),
+                    "one": _pd.Series(dtype="int64"),
+                    "n_tokens": _pd.Series(dtype="int64"),
+                }
+            )
+        nt = df["n_tokens"].to_numpy(_np.int64)
+        dedup_ok = (
+            df["kept_id"].notna().to_numpy()
+            if "kept_id" in df.columns
+            else _np.ones(len(df), bool)
+        )
+        q_ok = dedup_ok & (df["quality"].to_numpy(_np.float64) >= 0.7)
+        en_ok = q_ok & (df["lang_pred"].to_numpy() == "en")
+        rows = []
+        for stage, mask in (
+            ("1_raw", _np.ones(len(df), bool)),
+            ("2_dedup", dedup_ok),
+            ("3_quality", q_ok),
+            ("4_english", en_ok),
+        ):
+            rows.append((stage, int(mask.sum()), int(nt[mask].sum())))
+        return _pd.DataFrame(rows, columns=["stage", "one", "n_tokens"])
+
+    return hash_groupby_sum(
+        j.map_batches(_stages, batch_format="pandas"),
+        ["stage"],
+        ["one", "n_tokens"],
+        ["n_docs", "n_tokens"],
+        num_partitions=2,
+    )
+
+
 def _q_text_pii(sf_dir):
     from graphscope_ray.functions.text import pii_scan
 
@@ -1226,6 +1320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_gopher": _q_text_gopher,
         "dedup_decontaminate": _q_dedup_decontaminate,
         "dedup_keep_best": _q_dedup_keep_best,
+        "corpus_funnel": _q_corpus_funnel,
         "text_pii": _q_text_pii,
         "text_redact": _q_text_redact,
         "text_readability": _q_text_readability,
@@ -1477,6 +1572,7 @@ def oracle_sql() -> dict[str, str]:
         "text_gopher": osql.text_gopher_sql(),
         "dedup_decontaminate": osql.dedup_decontaminate_sql(),
         "dedup_keep_best": osql.dedup_keep_best_sql(),
+        "corpus_funnel": osql.corpus_funnel_sql(),
         "text_pii": osql.text_pii_sql(),
         "text_redact": osql.text_redact_sql(),
         "text_readability": osql.text_readability_sql(),

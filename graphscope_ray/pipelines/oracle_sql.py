@@ -3540,6 +3540,43 @@ def text_lang_mix_sql() -> str:
     )
 
 
+def corpus_funnel_sql() -> str:
+    """__ray_entry__._q_corpus_funnel twin: per-stage survivor counts with
+    the UNROUNDED quality expression (identical float arithmetic to the
+    engine's quality_score, so the ≥0.7 compare is bit-stable)."""
+    stages = {
+        "1_raw": "TRUE",
+        "2_dedup": "dk",
+        "3_quality": "dk AND q >= 0.7",
+        "4_english": "dk AND q >= 0.7 AND lang_pred = 'en'",
+    }
+    sels = " UNION ALL ".join(
+        f"SELECT '{name}' AS stage, count(*) AS n_docs, "
+        f"CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM f WHERE {cond}"
+        for name, cond in stages.items()
+    )
+    return (
+        "WITH tok AS MATERIALIZED (SELECT doc_id, "
+        "CAST(length(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) "
+        "AS n_tokens FROM documents), "
+        "kept AS MATERIALIZED (SELECT doc_id FROM documents "
+        "QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1), "
+        "qs AS MATERIALIZED (SELECT doc_id, "
+        "0.4 * (CASE WHEN chars >= 50 AND chars <= 100000 THEN 1 ELSE 0 END) "
+        "+ 0.4 * (CASE WHEN chars > 0 THEN alpha / chars ELSE 0 END) "
+        "+ 0.2 * (CASE WHEN words > 0 AND chars/words >= 3 AND chars/words <= 12 THEN 1 ELSE 0 END) "
+        "AS q FROM (SELECT doc_id, CAST(length(text) AS DOUBLE) AS chars, "
+        "CAST(length(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS DOUBLE) AS words, "
+        "CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha FROM documents)), "
+        f"L AS MATERIALIZED ({text_langid_sql()}), "
+        "f AS MATERIALIZED (SELECT t.doc_id, t.n_tokens, "
+        "(k.doc_id IS NOT NULL) AS dk, q.q, L.lang_pred "
+        "FROM tok t LEFT JOIN kept k ON k.doc_id = t.doc_id "
+        "JOIN qs q ON q.doc_id = t.doc_id JOIN L ON L.doc_id = t.doc_id) "
+        + sels
+    )
+
+
 def text_readability_sql() -> str:
     """functions/text.readability twin: the same three regex counts and
     the same float expressions (word/sentence/vowel-group runs)."""
