@@ -166,7 +166,7 @@ def _q_text_entropy(sf_dir):
 def _q_dedup_decontaminate(sf_dir, n: int = 8):
     """GPT-3-style test-set decontamination: train = doc_id%10≠0, test =
     doc_id%10==0; flag train docs sharing any 8-gram with the test set."""
-    from graphscope_ray.functions.dedup import decontaminate
+    from graphscope_ray.functions.dedup import decontaminate_ngram
 
     import pyarrow as _pa
 
@@ -181,7 +181,7 @@ def _q_dedup_decontaminate(sf_dir, n: int = 8):
     docs = _documents(sf_dir)
     train = docs.map_batches(_split(False), batch_format="pyarrow")
     test = docs.map_batches(_split(True), batch_format="pyarrow")
-    return decontaminate(train, test, n=n)
+    return decontaminate_ngram(train, test, n=n)
 
 
 def _q_text_gopher(sf_dir):
@@ -1194,6 +1194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_voterank": td.lg_voterank,
         "lg_closeness_sampled": td.lg_closeness,
         "lg_betweenness_sampled": td.lg_betweenness,
+        "lg_edge_betweenness": td.lg_edge_betweenness,
         "lg_kshell": td.lg_kshell,
         "lg_louvain": td.lg_louvain,
         "lg_louvain_level1": td.lg_louvain_level1,
@@ -1425,6 +1426,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_voterank": osql.lg_voterank_sql(k=10),
         "lg_closeness_sampled": osql.lg_closeness_sampled_sql(),
         "lg_betweenness_sampled": osql.lg_betweenness_sql(),
+        "lg_edge_betweenness": osql.lg_edge_betweenness_sql(),
         "lg_closeness_harmonic": osql.lg_closeness_harmonic_sql(),
         "lg_apsp": osql.lg_apsp_sql(),
         "lg_has_path": osql.lg_has_path_sql(),

@@ -1467,7 +1467,7 @@ def semdedup(
     return assigned.groupby("cluster").map_groups(_verify, batch_format="pandas")
 
 
-def decontaminate(
+def decontaminate_ngram(
     train: "ray.data.Dataset",
     test: "ray.data.Dataset",
     n: int = 8,

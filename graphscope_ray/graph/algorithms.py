@@ -308,6 +308,44 @@ def betweenness_sampled(
     return g.program_state(name)
 
 
+def edge_betweenness_sampled(
+    g: Graph, sources: list[int] | None = None, num_sources: int = 8, seed: int = 0
+) -> ray.data.Dataset:
+    """Per-EDGE Brandes betweenness restricted to sampled sources (networkx
+    ``edge_betweenness_centrality`` semantics at sources=range(N); directed,
+    unnormalized).  Same superstep structure as :func:`betweenness_sampled`
+    plus one published-values round per source — per-edge scoring stays
+    fragment-local (see programs.BrandesEdge); returns (src, dst, ebc) in
+    vid space."""
+    import ray as _ray
+
+    assert g.has_in, "edge betweenness needs build_graph(store_in_edges=True)"
+    if sources is None:
+        rng = np.random.RandomState(seed)
+        sources = rng.choice(g.N, size=min(num_sources, g.N), replace=False).tolist()
+    name = "brandes_edge"
+    acts = g.actors
+    _ray.get([a.p_init.remote(name, "brandes_edge", {}) for a in acts])
+
+    def _round(glob):
+        refs = [a.p_scatter_all.remote(name, 0, glob) for a in acts]
+        return _ray.get([q.p_gather_shared.remote(name, 0, glob, *refs) for q in acts])
+
+    for s in sources:
+        _round({"op": "reset", "source": int(s)})
+        k = 0
+        while True:
+            stats = _round({"op": "fwd", "k": k})
+            if sum(st.get("new", 0) for st in stats) == 0:
+                break
+            k += 1
+        for kb in range(k, 0, -1):
+            _round({"op": "bwd", "k": kb})
+        pubs = [a.p_method.remote(name, "publish_vals") for a in acts]
+        _ray.get([a.p_method.remote(name, "edge_accumulate", *pubs) for a in acts])
+    return ray.data.from_arrow_refs([a.p_method.remote(name, "edge_state") for a in acts])
+
+
 def closeness_sampled(
     g: Graph, num_sources: int = 8, seed: int = 0, sources: list[int] | None = None
 ) -> ray.data.Dataset:

@@ -958,6 +958,12 @@ class FragmentActor:
         if hasattr(prog, "finalize"):
             prog.finalize(glob)
 
+    def p_method(self, name: str, meth: str, *args):
+        """Generic program-method passthrough for per-algorithm extension
+        rounds that are not scatter/gather shaped (e.g. BrandesEdge's
+        publish_vals / edge_accumulate / edge_state)."""
+        return getattr(self.programs[name], meth)(*args)
+
     def p_state(self, name: str) -> pa.Table:
         cols = self.programs[name].state_columns()
         vids = self.owned_vids()

@@ -1199,6 +1199,66 @@ class Brandes(VertexProgram):
         return {"betweenness": self.bc}
 
 
+class BrandesEdge(Brandes):
+    """Per-EDGE Brandes betweenness (networkx ``edge_betweenness_centrality``
+    semantics restricted to sampled sources; directed, unnormalized) — the
+    same forward-σ / backward-δ supersteps as :class:`Brandes`, plus ONE
+    published-values round per source: every fragment publishes
+    ``(g(w), depth(w))`` for its owned vertices with ``g(w) = (1+δ(w))/σ(w)``
+    (0 when unreached), and each fragment then scores its LOCAL out-edges
+    ``(v, w)`` on the shortest-path DAG (``depth(w) == depth(v)+1``) as
+    ``c(v, w) = σ(v)·g(w)`` (Brandes 2001 Thm. 6 per-edge split of δ),
+    accumulating into a per-edge float array aligned with the out-CSR.
+
+    Scale shape: the publication is the shared-scatter O(N/P)-per-fragment
+    object layout the supersteps already use (receivers gather dst values by
+    ``vid % P`` / ``vid // P`` zero-copy); the per-edge work is fragment-local
+    vectorized numpy — no E×sources dataflow, no driver state (semantics of
+    apps/centrality/betweenness extended per edge)."""
+
+    def init(self) -> dict:
+        out = super().init()
+        self.ebc = np.zeros(self.frag.out.n_edges, dtype=np.float64)
+        return out
+
+    def publish_vals(self):
+        safe = np.where(self.sigma > 0, self.sigma, 1.0)
+        g = np.where(self.sigma > 0, (1.0 + self.delta) / safe, 0.0)
+        return g, self.depth
+
+    def edge_accumulate(self, *published) -> dict:
+        f = self.frag
+        o = f.out
+        if o.n_edges == 0:
+            return {}
+        dst = o.dst
+        idx = dst // f.P
+        gd = np.empty(dst.size, dtype=np.float64)
+        dd = np.empty(dst.size, dtype=np.int64)
+        for p in range(f.P):
+            m = dst % f.P == p
+            if m.any():
+                gp, dp = published[p]
+                gd[m] = gp[idx[m]]
+                dd[m] = dp[idx[m]]
+        dep_src = np.repeat(self.depth, o.deg)
+        m = (dep_src >= 0) & (dd == dep_src + 1)
+        if m.any():
+            sig_src = np.repeat(self.sigma, o.deg)
+            self.ebc[m] += sig_src[m] * gd[m]
+        return {}
+
+    def edge_state(self):
+        import pyarrow as pa
+
+        f = self.frag
+        o = f.out
+        src = np.repeat(f.owned_vids(), o.deg)
+        return pa.table(
+            {"src": pa.array(src), "dst": pa.array(o.dst), "ebc": pa.array(self.ebc)}
+        )
+
+
 class LpaU2I(VertexProgram):
     """Property-graph (multi-label) label propagation U2I
     (apps/lpa/lpa_u2i.h:44-246, context apps/lpa/lpa_u2i_context.h:38-93):
@@ -1948,6 +2008,7 @@ PROGRAMS: dict[str, ProgramSpec] = {
     ),
     "voterank": ProgramSpec(VoteRank, _never, 10_000),
     "brandes": ProgramSpec(Brandes, _never, 10_000),
+    "brandes_edge": ProgramSpec(BrandesEdge, _never, 10_000),
     "msbfs": ProgramSpec(MsBfs, lambda glob, p, N, s: glob.get("changed", 1) == 0, 10_000),
     "mssp": ProgramSpec(MsSssp, lambda glob, p, N, s: glob.get("changed", 1) == 0, 10_000),
     "kshell": ProgramSpec(KShell, _never, 10_000),

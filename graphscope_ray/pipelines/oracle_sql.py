@@ -899,16 +899,10 @@ def pg_sssp_sql(max_depth: int = 64) -> str:
     )
 
 
-def lg_betweenness_sql(num_sources: int = 8, max_depth: int = 12) -> str:
-    """Unrolled Brandes betweenness (directed, unnormalized, endpoints
-    excluded) from the ``num_sources`` smallest oids: per source, BFS levels
-    (recursive, depth-capped), σ path counts forward per level, δ
-    dependencies backward per level (δ(v) = Σ_{v→w, lvl(w)=lvl(v)+1}
-    σ(v)/σ(w)·(1+δ(w))); bc(v) = Σ_s δ_s(v), v ≠ s.  Empty levels yield
-    empty CTEs and contribute nothing, so max_depth only needs to be ≥ the
-    true eccentricity of each source."""
+def _brandes_ctes(num_sources: int, max_depth: int) -> list[str]:
+    """Shared per-source Brandes CTEs (BFS levels, forward σ, backward δ)
+    used by both the vertex and the per-edge betweenness oracles."""
     ctes = []
-    contribs = []
     for s in range(num_sources):
         p = f"s{s}"
         ctes.append(
@@ -940,6 +934,21 @@ def lg_betweenness_sql(num_sources: int = 8, max_depth: int = 12) -> str:
                 f"LEFT JOIN dl{k + 1}_{p} dw ON dw.v = e.dst "
                 f"GROUP BY sv.v)"
             )
+    return ctes
+
+
+def lg_betweenness_sql(num_sources: int = 8, max_depth: int = 12) -> str:
+    """Unrolled Brandes betweenness (directed, unnormalized, endpoints
+    excluded) from the ``num_sources`` smallest oids: per source, BFS levels
+    (recursive, depth-capped), σ path counts forward per level, δ
+    dependencies backward per level (δ(v) = Σ_{v→w, lvl(w)=lvl(v)+1}
+    σ(v)/σ(w)·(1+δ(w))); bc(v) = Σ_s δ_s(v), v ≠ s.  Empty levels yield
+    empty CTEs and contribute nothing, so max_depth only needs to be ≥ the
+    true eccentricity of each source."""
+    ctes = _brandes_ctes(num_sources, max_depth)
+    contribs = []
+    for s in range(num_sources):
+        p = f"s{s}"
         contribs.extend(
             f"SELECT v, del FROM dl{k}_{p} WHERE v <> {s}" for k in range(max_depth + 1)
         )
@@ -953,6 +962,37 @@ def lg_betweenness_sql(num_sources: int = 8, max_depth: int = 12) -> str:
         "FROM (SELECT DISTINCT oid FROM v) v "
         "LEFT JOIN (SELECT v, sum(del) AS bc FROM contrib GROUP BY v) c ON c.v = v.oid "
         "ORDER BY v.oid"
+    )
+
+
+def lg_edge_betweenness_sql(num_sources: int = 8, max_depth: int = 12) -> str:
+    """Per-EDGE Brandes betweenness (networkx edge_betweenness_centrality
+    semantics over the sampled sources, unnormalized): reuses the vertex
+    oracle's σ/δ CTEs; the per-edge contribution of shortest-path-DAG edge
+    (v, w) at level k→k+1 under source s is σ_s(v)·(1+δ_s(w))/σ_s(w)
+    (Brandes 2001 Thm. 6); ebc(e) = Σ_s Σ_k contributions.  Edges off every
+    source's DAG report 0."""
+    ctes = _brandes_ctes(num_sources, max_depth)
+    contribs = []
+    for s in range(num_sources):
+        p = f"s{s}"
+        contribs.extend(
+            f"SELECT e.src, e.dst, sv.sig * ((1 + dw.del) / sw.sig) AS c "
+            f"FROM e JOIN sg{k}_{p} sv ON sv.v = e.src "
+            f"JOIN sg{k + 1}_{p} sw ON sw.v = e.dst "
+            f"JOIN dl{k + 1}_{p} dw ON dw.v = e.dst"
+            for k in range(max_depth)
+        )
+    union = " UNION ALL ".join(contribs)
+    return (
+        f"WITH RECURSIVE {_BASE}, " + ",\n".join(ctes)
+        + f", contrib AS MATERIALIZED ({union}) "
+        # DISTINCT guard: see lg_betweenness_sql
+        "SELECT ed.src, ed.dst, round(coalesce(c.ebc, 0), 8) AS ebc "
+        "FROM (SELECT DISTINCT src, dst FROM e) ed "
+        "LEFT JOIN (SELECT src, dst, sum(c) AS ebc FROM contrib GROUP BY src, dst) c "
+        "ON c.src = ed.src AND c.dst = ed.dst "
+        "ORDER BY ed.src, ed.dst"
     )
 
 

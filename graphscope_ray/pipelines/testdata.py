@@ -610,6 +610,24 @@ def lg_betweenness(sf_dir: str, num_sources: int = 8) -> pd.DataFrame:
     return out
 
 
+def lg_edge_betweenness(sf_dir: str, num_sources: int = 8) -> pd.DataFrame:
+    """Per-edge Brandes betweenness from the num_sources smallest-oid
+    sources (networkx edge_betweenness_centrality semantics, directed,
+    unnormalized; deterministic sources → SQL-oracle-able).  Per-edge
+    accumulation is fragment-local (programs.BrandesEdge)."""
+    g = lg_graph(sf_dir)
+    srcs = list(range(min(num_sources, g.N)))
+    df = alg.edge_betweenness_sampled(g, sources=srcs).to_pandas()
+    vmap = g.vertices_ds.to_pandas()
+    df = df.merge(vmap.rename(columns={"vid": "src", "oid": "src_oid"}), on="src")
+    df = df.merge(vmap.rename(columns={"vid": "dst", "oid": "dst_oid"}), on="dst")
+    df["ebc"] = df["ebc"].round(8)
+    out = df[["src_oid", "dst_oid", "ebc"]].rename(
+        columns={"src_oid": "src", "dst_oid": "dst"}
+    )
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
 def lg_closeness(sf_dir: str, num_sources: int = 8) -> pd.DataFrame:
     """Harmonic closeness estimated from the num_sources smallest-oid
     sources (deterministic sources → SQL-oracle-able)."""

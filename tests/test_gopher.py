@@ -52,7 +52,7 @@ def _oracle(text):
 
 @pytest.mark.parametrize("P", [1, 3])
 def test_decontaminate_vs_python(P):
-    from graphscope_ray.functions.dedup import decontaminate
+    from graphscope_ray.functions.dedup import decontaminate_ngram
 
     base = "the quick brown fox jumps over the lazy dog tonight"  # 10 tokens
     train = [
@@ -70,7 +70,7 @@ def test_decontaminate_vs_python(P):
 
     tr = ray.data.from_arrow(tbl(train, [1, 2, 3, 4])).repartition(P)
     te = ray.data.from_arrow(tbl(test, [10, 20])).repartition(P)
-    got = decontaminate(tr, te, n=8).to_pandas()
+    got = decontaminate_ngram(tr, te, n=8).to_pandas()
     mine = dict(zip(got["doc_id"].tolist(), got["n_contaminated"].tolist()))
 
     def grams(s, n=8):

@@ -88,3 +88,54 @@ def test_export_golden_format(tmp_path):
     import pyarrow.parquet as pq
 
     assert pq.read_table(p + ".parquet").num_rows == n
+
+
+def test_edge_betweenness_exact_vs_networkx():
+    import networkx as nx
+
+    edges, n = GRAPHS["rand60"]
+    g = build_graph(_tbl(edges), num_partitions=3, num_vertices=n, store_in_edges=True)
+    df = (
+        alg.edge_betweenness_sampled(g, sources=list(range(n)))
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    G = nx.DiGraph(edges)
+    G.add_nodes_from(range(n))
+    want = nx.edge_betweenness_centrality(G, normalized=False)
+    got = {(int(r.src), int(r.dst)): r.ebc for r in df.itertuples()}
+    assert set(got) == set((u, v) for u, v in G.edges())
+    for e, w in want.items():
+        assert abs(got[e] - w) < 1e-9, (e, got[e], w)
+
+
+def test_edge_betweenness_subset_partition_invariant():
+    edges, n = GRAPHS["two_cliques"]
+    srcs = [0, 4]
+    outs = []
+    for P in (1, 3):
+        g = build_graph(_tbl(edges), num_partitions=P, num_vertices=n, store_in_edges=True)
+        outs.append(
+            alg.edge_betweenness_sampled(g, sources=srcs)
+            .to_pandas()
+            .sort_values(["src", "dst"])
+            .reset_index(drop=True)
+        )
+    assert (outs[0][["src", "dst"]].values == outs[1][["src", "dst"]].values).all()
+    assert np.allclose(outs[0]["ebc"], outs[1]["ebc"], atol=1e-12)
+    # subset consistency: vertex delta = sum of its out-edge contributions
+    vbc = (
+        alg.betweenness_sampled(
+            build_graph(_tbl(edges), num_partitions=2, num_vertices=n, store_in_edges=True),
+            sources=srcs,
+        )
+        .to_pandas()
+        .sort_values("vid")["betweenness"]
+        .to_numpy()
+    )
+    per_src = outs[0].groupby("src")["ebc"].sum()
+    for v in range(n):
+        if v in srcs:
+            continue
+        assert abs(per_src.get(v, 0.0) - vbc[v]) < 1e-9
