@@ -1275,6 +1275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_eccentricity": td.lg_eccentricity,
         # FLASH-suite (connectivity / matching / subgraph / measurement)
         "lg_scc": td.lg_scc,
+        "lg_condensation": td.lg_condensation,
         "lg_mis": td.lg_mis,
         "lg_matching": td.lg_matching,
         "lg_coloring": td.lg_coloring,
@@ -1519,6 +1520,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_pagerank_converged": osql.lg_pagerank_converged_sql(),
         "lg_pagerank_p2p": osql.lg_pagerank_sql(rounds=15),
         "lg_scc": osql.lg_scc_sql(),
+        "lg_condensation": osql.lg_condensation_sql(),
         "lg_mis": osql.lg_mis_sql(),
         "lg_matching": osql.lg_matching_sql(),
         "lg_coloring": osql.lg_coloring_sql(),

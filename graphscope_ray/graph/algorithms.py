@@ -1700,6 +1700,59 @@ def scc(g: Graph) -> tuple[ray.data.Dataset, RunResult]:
     return g.program_state(res.name).select_columns(["vid", "scc"]), res
 
 
+def condensation(g: Graph, max_rounds: int = 64) -> ray.data.Dataset:
+    """SCC condensation with longest-path layering (networkx
+    ``condensation`` plus a DAG level per component): per vertex
+    ``(vid, scc, lvl)`` where ``scc`` is the min-vid SCC label and
+    ``lvl(c)`` is the length of the longest path ENDING at component ``c``
+    in the condensation DAG (0 for source components) — the topological
+    layering of the component graph.
+
+    Dataflow: one SCC run, two hash-join exchanges map edge endpoints to
+    component labels, one hash-distinct produces the component-sized DAG
+    edge table, then the layering runs as ``dag_level`` max-propagation
+    SUPERSTEPS on a graph built over the DAG edges (component labels are
+    vids, so the same dense-vid frame fits) — ≤ DAG-depth rounds, no O(N)
+    driver state anywhere."""
+    from graphscope_ray.graph.build import build_graph
+    from graphscope_ray.utils import hash_groupby_sum, hash_join
+
+    comp, _ = scc(g)
+    edges = ray.data.from_arrow_refs([a.edges_table.remote() for a in g.actors])
+    edges = edges.select_columns(["src", "dst"])
+
+    def _proj(cols: dict):
+        def _f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or not set(cols).issubset(t.column_names):
+                return pa.table({v: pa.array([], pa.int64()) for v in cols.values()})
+            return pa.table({v: t[k] for k, v in cols.items()})
+
+        return _f
+
+    e1 = hash_join(edges, comp, "src", "vid").map_batches(
+        _proj({"scc": "csrc", "dst": "dst"}), batch_format="pyarrow"
+    )
+    e2 = hash_join(e1, comp, "dst", "vid").map_batches(
+        _proj({"csrc": "csrc", "scc": "cdst"}), batch_format="pyarrow"
+    )
+    e2 = e2.map_batches(
+        lambda t: t.filter(pc.not_equal(t["csrc"], t["cdst"])), batch_format="pyarrow"
+    )
+    ce = hash_groupby_sum(e2, ["csrc", "cdst"], None, "n", num_partitions=g.P).map_batches(
+        _proj({"csrc": "src", "cdst": "dst"}), batch_format="pyarrow"
+    )
+
+    cond_g = build_graph(ce, num_partitions=g.P, num_vertices=g.N)
+    res = cond_g.run_program("dag_level", max_rounds=max_rounds)
+    levels = cond_g.program_state(res.name).map_batches(
+        _proj({"vid": "comp", "lvl": "lvl"}), batch_format="pyarrow"
+    )
+    out = hash_join(comp, levels, "scc", "comp", num_partitions=g.P)
+    return out.map_batches(
+        _proj({"vid": "vid", "scc": "scc", "lvl": "lvl"}), batch_format="pyarrow"
+    )
+
+
 def mis(g: Graph) -> tuple[ray.data.Dataset, RunResult]:
     """Deterministic maximal independent set (apps/flash/matching/mis.h
     priority r = deg·N + vid, smallest r wins)."""

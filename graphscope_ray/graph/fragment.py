@@ -397,6 +397,14 @@ def acc_min(n_local: int, msgs, init: float = np.inf) -> np.ndarray:
     return acc
 
 
+def acc_max(n_local: int, msgs, init: float = -np.inf) -> np.ndarray:
+    acc = np.full(n_local, init, dtype=np.float64)
+    for uniq, vals in _parts(msgs):
+        if len(uniq):
+            acc[uniq] = np.maximum(acc[uniq], vals)
+    return acc
+
+
 def merge_label_counts(msgs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Merge label-count messages → (dst_local, label, total_count) sorted by
     (dst_local, label) — the full multiset (Louvain needs every adjacent

@@ -27,6 +27,7 @@ import numpy as np
 from graphscope_ray.graph.fragment import (
     _EMPTY_F64,
     _EMPTY_I64,
+    acc_max,
     acc_min,
     acc_sum,
     merge_label_counts,
@@ -1199,6 +1200,37 @@ class Brandes(VertexProgram):
         return {"betweenness": self.bc}
 
 
+class DagLevel(VertexProgram):
+    """Longest-path layering of a DAG: lvl(v) = length of the longest path
+    ending at v (0 for sources), by frontier max-propagation — each
+    superstep relaxes lvl(dst) = max(lvl(dst), lvl(src)+1) from vertices
+    whose level changed.  Converges in DAG-depth rounds; runs on the SCC
+    condensation graph in algorithms.condensation."""
+
+    def __init__(self, frag, max_rounds: int = 0):
+        super().__init__(frag)
+
+    def init(self) -> dict:
+        self.lvl = np.zeros(self.frag.n_local, dtype=np.float64)
+        self.active = np.ones(self.frag.n_local, dtype=bool)
+        return {"changed": int(self.frag.n_local)}
+
+    def scatter(self, step, glob):
+        return _wrap(
+            self.frag.out.push_reduce_masked(self.lvl + 1.0, self.active, "max")
+        )
+
+    def gather(self, step, glob, msgs):
+        cand = acc_max(self.frag.n_local, msgs)
+        upd = cand > self.lvl
+        self.lvl[upd] = cand[upd]
+        self.active = upd
+        return {"changed": int(upd.sum())}
+
+    def state_columns(self):
+        return {"lvl": self.lvl.astype(np.int64)}
+
+
 class BrandesEdge(Brandes):
     """Per-EDGE Brandes betweenness (networkx ``edge_betweenness_centrality``
     semantics restricted to sampled sources; directed, unnormalized) — the
@@ -2009,6 +2041,9 @@ PROGRAMS: dict[str, ProgramSpec] = {
     "voterank": ProgramSpec(VoteRank, _never, 10_000),
     "brandes": ProgramSpec(Brandes, _never, 10_000),
     "brandes_edge": ProgramSpec(BrandesEdge, _never, 10_000),
+    "dag_level": ProgramSpec(
+        DagLevel, lambda glob, p, N, s: glob.get("changed", 1) == 0, 10_000
+    ),
     "msbfs": ProgramSpec(MsBfs, lambda glob, p, N, s: glob.get("changed", 1) == 0, 10_000),
     "mssp": ProgramSpec(MsSssp, lambda glob, p, N, s: glob.get("changed", 1) == 0, 10_000),
     "kshell": ProgramSpec(KShell, _never, 10_000),

@@ -1404,6 +1404,30 @@ def lg_scc_sql() -> str:
     )
 
 
+def lg_condensation_sql(max_depth: int = 64) -> str:
+    """SCC condensation + longest-path layering: components via the
+    transitive closure (as lg_scc_sql), component DAG edges by mapping the
+    sparse edges through the labels, lvl(c) = max path length ending at c
+    (recursive path enumeration over the DAG — finite because the
+    condensation is acyclic; max_depth is a loud-failure guard)."""
+    return (
+        f"WITH RECURSIVE {_SBASE}, "
+        "reach(s, t) AS MATERIALIZED (SELECT oid, oid FROM sv UNION "
+        "SELECT r.s, se.dst FROM reach r JOIN se ON se.src = r.t), "
+        "comp AS MATERIALIZED (SELECT r1.t AS oid, min(r1.s) AS c FROM reach r1 "
+        "JOIN reach r2 ON r2.s = r1.t AND r2.t = r1.s GROUP BY r1.t), "
+        "ce AS MATERIALIZED (SELECT DISTINCT c1.c AS src, c2.c AS dst FROM se "
+        "JOIN comp c1 ON c1.oid = se.src JOIN comp c2 ON c2.oid = se.dst "
+        "WHERE c1.c <> c2.c), "
+        f"paths(c, d) AS MATERIALIZED (SELECT DISTINCT c, 0 FROM comp UNION "
+        f"SELECT ce.dst, p.d + 1 FROM paths p JOIN ce ON ce.src = p.c "
+        f"WHERE p.d < {max_depth}) "
+        "SELECT comp.oid, comp.c AS scc_oid, l.lvl FROM comp "
+        "JOIN (SELECT c, max(d) AS lvl FROM paths GROUP BY c) l ON l.c = comp.c "
+        "ORDER BY comp.oid"
+    )
+
+
 def lg_mis_sql(rounds: int = 6) -> str:
     """Unrolled deterministic Luby MIS with FLASH's priority
     r = und_deg·C + oid (C > max oid ⇒ lexicographic (deg, id))."""

@@ -1570,6 +1570,21 @@ def lg_scc(sf_dir: str) -> pd.DataFrame:
     return df[["oid", "scc_oid"]].sort_values("oid").reset_index(drop=True)
 
 
+def lg_condensation(sf_dir: str) -> pd.DataFrame:
+    """SCC condensation DAG with longest-path layering (networkx
+    ``condensation`` + topological level) on the sparse link graph:
+    (oid, scc_oid, lvl) — lvl is the longest path ending at the vertex's
+    component in the component DAG."""
+    g = lg_sparse_graph(sf_dir)
+    df = alg.condensation(g).to_pandas()
+    vmap = g.vertices_ds.to_pandas()
+    df = df.merge(vmap, on="vid")
+    df = df.merge(vmap.rename(columns={"vid": "scc", "oid": "scc_oid"}), on="scc")
+    return (
+        df[["oid", "scc_oid", "lvl"]].sort_values("oid").reset_index(drop=True)
+    )
+
+
 def lg_mis(sf_dir: str) -> pd.DataFrame:
     g = lg_sparse_graph(sf_dir)
     ds, _ = alg.mis(g)

@@ -254,3 +254,45 @@ def test_articlerank(gname, P):
     got = _col(ds, "score")
     want = oracles.articlerank(edges, n, rounds=10)
     assert np.allclose(got, want, atol=1e-12)
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_condensation_vs_networkx(P):
+    import networkx as nx
+
+    edges, n = _rand_graph(40, 160, seed=11)
+    g = _build(edges, n, P, store_in_edges=True)
+    df = alg.condensation(g).to_pandas().sort_values("vid").reset_index(drop=True)
+    assert len(df) == n
+
+    G = nx.DiGraph(edges)
+    G.add_nodes_from(range(n))
+    # oracle comp labels: min member per SCC
+    want_comp = {}
+    for scc_nodes in nx.strongly_connected_components(G):
+        m = min(scc_nodes)
+        for v in scc_nodes:
+            want_comp[v] = m
+    assert df.set_index("vid")["scc"].to_dict() == want_comp
+    # oracle levels: longest path ending at each condensation node
+    C = nx.condensation(G)
+    lvl = {c: 0 for c in C.nodes}
+    for c in nx.topological_sort(C):
+        for _, w in C.out_edges(c):
+            lvl[w] = max(lvl[w], lvl[c] + 1)
+    # map nx condensation node -> min-vid label
+    want_lvl = {}
+    for c, data in C.nodes(data=True):
+        m = min(data["members"])
+        want_lvl[m] = lvl[c]
+    got = df.drop_duplicates("scc").set_index("scc")["lvl"].to_dict()
+    assert got == want_lvl
+
+
+def test_condensation_dag_is_identity_levels():
+    # pure DAG: every vertex is its own component; lvl = longest-path depth
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)]
+    g = _build(edges, 5, 2, store_in_edges=True)
+    df = alg.condensation(g).to_pandas().sort_values("vid")
+    assert (df["scc"].to_numpy() == np.arange(5)).all()
+    assert df["lvl"].tolist() == [0, 1, 1, 2, 3]
