@@ -124,6 +124,66 @@ def normalize_text(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dat
     return ds.select_columns(["doc_id", text_col]).map_batches(_f, batch_format="pyarrow")
 
 
+def chunk_documents(
+    ds: ray.data.Dataset,
+    size: int = 512,
+    overlap: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """RAG/embedding-prep chunking: split every document into windows of
+    ``size`` characters with ``overlap`` characters shared between
+    consecutive chunks (stride = size - overlap).  One row per chunk:
+    (doc_id, start, chunk, chunk_len); every doc emits ≥1 chunk (an empty
+    doc yields one empty chunk), so no document silently disappears.
+
+    Vectorized: per batch, one ``utf8_slice_codeunits`` call PER CHUNK
+    POSITION k (start = k·stride, a fixed offset — Arrow slices the whole
+    column at once) restricted to docs long enough to own chunk k; a
+    stateless flat-map, streams at any corpus size with no exchange."""
+    assert 0 <= overlap < size
+    stride = size - overlap
+
+    def _f(t: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(t[text_col]).to_numpy(zero_copy_only=False)
+        n_chunks = np.maximum(lens - 1, 0) // stride + 1
+        ids_parts, start_parts, chunk_parts = [], [], []
+        k = 0
+        remaining = np.arange(len(lens))
+        while remaining.size:
+            has_k = remaining[n_chunks[remaining] > k]
+            if has_k.size == 0:
+                break
+            sub = t.take(has_k)
+            sl = pc.utf8_slice_codeunits(sub[text_col], k * stride, k * stride + size)
+            ids_parts.append(sub[id_col])
+            start_parts.append(pa.array(np.full(has_k.size, k * stride, dtype=np.int64)))
+            chunk_parts.append(sl.combine_chunks() if isinstance(sl, pa.ChunkedArray) else sl)
+            remaining = has_k
+            k += 1
+        if not ids_parts:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "start": pa.array([], pa.int64()),
+                    "chunk": pa.array([], pa.string()),
+                    "chunk_len": pa.array([], pa.int64()),
+                }
+            )
+        ids = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in ids_parts])
+        chunks = pa.concat_arrays(chunk_parts)
+        return pa.table(
+            {
+                id_col: ids,
+                "start": pa.concat_arrays(start_parts),
+                "chunk": chunks,
+                "chunk_len": pc.cast(pc.utf8_length(chunks), pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(_f, batch_format="pyarrow")
+
+
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),

@@ -2526,6 +2526,21 @@ def samp_priority_sql(k: int = 50, salt: int = 11) -> str:
     )
 
 
+def text_chunks_sql(size: int = 256, overlap: int = 64) -> str:
+    """RAG chunking replica: one row per (doc, window) with stride
+    size-overlap; generate_series(0, greatest(len-1, 0), stride) yields
+    exactly max(len-1,0)//stride + 1 starts, so empty docs still emit one
+    empty chunk like the engine."""
+    stride = size - overlap
+    return (
+        f"SELECT doc_id, s.start AS start, "
+        f"substr(text, s.start + 1, {size}) AS chunk, "
+        f"length(substr(text, s.start + 1, {size})) AS chunk_len "
+        f"FROM documents, LATERAL (SELECT unnest(generate_series(0, "
+        f"greatest(length(text) - 1, 0), {stride})) AS start) s"
+    )
+
+
 def text_norm_sql() -> str:
     """CCNet-style normalization (text.normalize_text): lowercase, digits→0,
     punctuation→space, whitespace collapsed + trimmed.  Same RE2 patterns

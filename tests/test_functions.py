@@ -928,3 +928,27 @@ def test_winnow_guarantee_and_partition_invariance():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(o1, o2)
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_chunk_documents(P):
+    from graphscope_ray.functions.text import chunk_documents
+
+    docs = ["a" * 10, "", "xyz", "b" * 7, "héllo wörld unicode " * 3]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()), "text": pa.array(docs)})
+    out = (
+        chunk_documents(ray.data.from_arrow(t).repartition(P), size=4, overlap=1)
+        .to_pandas()
+        .sort_values(["doc_id", "start"])
+        .reset_index(drop=True)
+    )
+    stride = 3
+    for i, d in enumerate(docs):
+        rows = out[out.doc_id == i]
+        want = [(s, d[s : s + 4]) for s in range(0, max(len(d) - 1, 0) + 1, stride)]
+        assert list(zip(rows.start, rows.chunk)) == want, (i, list(rows.chunk), want)
+        assert (rows.chunk_len == rows.chunk.str.len()).all()
+    # overlap property: consecutive chunks share `overlap` chars
+    r0 = out[out.doc_id == 0].chunk.tolist()
+    for a, b in zip(r0, r0[1:]):
+        assert a[stride:] == b[: len(a) - stride]
