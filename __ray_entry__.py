@@ -1277,6 +1277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_sssp_weighted": td.lg_sssp_weighted,
         "lg_sssp_delta": td.lg_sssp_delta,
         "lg_ktruss": td.lg_ktruss,
+        "lg_trussness": td.lg_trussness,
         "lg_random_walks": td.lg_random_walks,
         "lg_eccentricity": td.lg_eccentricity,
         # FLASH-suite (connectivity / matching / subgraph / measurement)
@@ -1522,6 +1523,7 @@ def oracle_sql() -> dict[str, str]:
         # delta-stepping computes the same exact distances -> same oracle
         "lg_sssp_delta": osql.lg_sssp_weighted_sql(),
         "lg_ktruss": osql.lg_ktruss_sql(),
+        "lg_trussness": osql.lg_trussness_sql(),
         "lg_random_walks": osql.lg_random_walks_sql(),
         "lg_eccentricity": osql.lg_eccentricity_sql(),
         "lg_pagerank_converged": osql.lg_pagerank_converged_sql(),

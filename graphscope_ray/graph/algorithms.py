@@ -1044,6 +1044,93 @@ def ktruss(edges: ray.data.Dataset, k: int, max_rounds: int = 50) -> ray.data.Da
     return e
 
 
+def truss_decomposition(
+    edges: ray.data.Dataset, kmax_guard: int = 64
+) -> ray.data.Dataset:
+    """Full truss decomposition: trussness(e) = max k such that e survives
+    in the k-truss (≥ 2 for every edge; the FLASH suite's kcore-style
+    decomposition applied to trusses).  Iterates :func:`ktruss` at
+    k = 3, 4, … — each stage peels the PREVIOUS stage's survivors (k-truss ⊆
+    (k-1)-truss, so no work is repeated on removed edges); edges dropped at
+    stage k get trussness k-1.  All set differences are distributed hash
+    joins on the packed (src<<32|dst) key; returns (src, dst, trussness).
+
+    ``edges`` must be the canonical undirected edge set (src < dst, dedup)."""
+    from graphscope_ray.utils import hash_join
+
+    def _pack(tag: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or t.num_columns == 0:
+                cols = {"key": pa.array([], pa.int64())}
+                if not tag:
+                    cols.update(
+                        {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+                    )
+                else:
+                    cols["tag"] = pa.array([], pa.int64())
+                return pa.table(cols)
+            s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            key = (s << np.int64(32)) | d
+            if tag:
+                return pa.table(
+                    {"key": pa.array(key), "tag": pa.array(np.ones(len(key), np.int64))}
+                )
+            return pa.table({"key": pa.array(key), "src": t["src"], "dst": t["dst"]})
+
+        return _f
+
+    cur = edges.map_batches(
+        lambda t: t.select(["src", "dst"])
+        if t.num_rows
+        else pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+    parts: list[ray.data.Dataset] = []
+    k = 3
+    while k <= kmax_guard:
+        nxt = ktruss(cur, k).materialize()
+        n_next = nxt.count()
+        j = hash_join(
+            cur.map_batches(_pack(False), batch_format="pyarrow"),
+            nxt.map_batches(_pack(True), batch_format="pyarrow"),
+            "key",
+            "key",
+            how="left",
+            num_partitions=8,
+        )
+
+        def _removed(t: pa.Table, kk=k) -> pa.Table:
+            guard = {
+                "src": pa.array([], pa.int64()),
+                "dst": pa.array([], pa.int64()),
+                "trussness": pa.array([], pa.int64()),
+            }
+            if t.num_rows == 0 or "src" not in t.column_names:
+                return pa.table(guard)
+            if "tag" in t.column_names:
+                t = t.filter(pc.is_null(t["tag"], nan_is_null=True))
+            if t.num_rows == 0:
+                return pa.table(guard)
+            return pa.table(
+                {
+                    "src": t["src"],
+                    "dst": t["dst"],
+                    "trussness": pa.array(np.full(t.num_rows, kk - 1, dtype=np.int64)),
+                }
+            )
+
+        parts.append(j.map_batches(_removed, batch_format="pyarrow").materialize())
+        if n_next == 0:
+            break
+        cur = nxt
+        k += 1
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
 def _i64(t: pa.Table, name: str) -> np.ndarray:
     return t[name].to_numpy(zero_copy_only=False).astype(np.int64)
 

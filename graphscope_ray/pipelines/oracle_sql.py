@@ -1259,6 +1259,59 @@ def lg_ktruss_sql(k: int = 4, rounds: int = 8) -> str:
     )
 
 
+def lg_trussness_sql(kmax: int = 6, rounds: int = 6) -> str:
+    """Full truss decomposition on the canonical SPARSE undirected edges:
+    for k = 3..kmax, chain the lg_ktruss_sql peel (each k starts from the
+    previous k's fixpoint — k-truss ⊆ (k-1)-truss); trussness(e) = 2 + the
+    number of k-fixpoints containing e.  kmax/rounds over-unroll safely
+    (peels are monotone and idempotent at their fixpoints)."""
+    ctes = [
+        "f2 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src, "
+        "greatest(src, dst) AS dst FROM se)"
+    ]
+    for k in range(3, kmax + 1):
+        prev = f"f{k - 1}"
+        ctes.append(f"tc{k}_0 AS MATERIALIZED (SELECT src, dst FROM {prev})")
+        for r in range(rounds):
+            p = f"tc{k}_{r}"
+            ctes.append(
+                f"td{k}_{r} AS MATERIALIZED (SELECT tv, count(*) AS d FROM ("
+                f"SELECT src AS tv FROM {p} UNION ALL SELECT dst FROM {p}) GROUP BY tv)"
+            )
+            ctes.append(
+                f"to{k}_{r} AS MATERIALIZED (SELECT CASE WHEN fa THEN src ELSE dst END AS a, "
+                f"CASE WHEN fa THEN dst ELSE src END AS b FROM ("
+                f"SELECT ce.src, ce.dst, (da.d < db.d OR (da.d = db.d AND ce.src < ce.dst)) AS fa "
+                f"FROM {p} ce JOIN td{k}_{r} da ON da.tv = ce.src "
+                f"JOIN td{k}_{r} db ON db.tv = ce.dst))"
+            )
+            ctes.append(
+                f"tt{k}_{r} AS MATERIALIZED (SELECT ab.a, ab.b, bc.b AS c FROM to{k}_{r} ab "
+                f"JOIN to{k}_{r} bc ON bc.a = ab.b "
+                f"JOIN to{k}_{r} ac ON ac.a = ab.a AND ac.b = bc.b)"
+            )
+            ctes.append(
+                f"ts{k}_{r} AS MATERIALIZED (SELECT src, dst, count(*) AS sup FROM ("
+                f"SELECT least(a, b) AS src, greatest(a, b) AS dst FROM tt{k}_{r} "
+                f"UNION ALL SELECT least(b, c), greatest(b, c) FROM tt{k}_{r} "
+                f"UNION ALL SELECT least(a, c), greatest(a, c) FROM tt{k}_{r}) GROUP BY src, dst)"
+            )
+            ctes.append(
+                f"tc{k}_{r + 1} AS MATERIALIZED "
+                f"(SELECT src, dst FROM ts{k}_{r} WHERE sup >= {k - 2})"
+            )
+        ctes.append(f"f{k} AS MATERIALIZED (SELECT src, dst FROM tc{k}_{rounds})")
+    member = " + ".join(
+        f"(CASE WHEN EXISTS (SELECT 1 FROM f{k} WHERE f{k}.src = f2.src "
+        f"AND f{k}.dst = f2.dst) THEN 1 ELSE 0 END)"
+        for k in range(3, kmax + 1)
+    )
+    return (
+        f"WITH {_SBASE}, " + ",\n".join(ctes)
+        + f" SELECT src, dst, 2 + {member} AS trussness FROM f2 ORDER BY src, dst"
+    )
+
+
 def lg_random_walks_sql(
     n_starts: int = 64,
     length: int = 4,

@@ -1280,6 +1280,33 @@ def lg_ktruss(sf_dir: str, k: int = 4) -> pd.DataFrame:
     return out.sort_values(["src", "dst"]).reset_index(drop=True)
 
 
+def lg_trussness(sf_dir: str) -> pd.DataFrame:
+    """Full truss decomposition (max k with the edge in the k-truss) of the
+    canonical SPARSE undirected edge set — iterative distributed peeling
+    (algorithms.truss_decomposition); (src, dst, trussness)."""
+    from graphscope_ray.utils import hash_groupby_sum
+
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def _derive(t: pa.Table) -> pa.Table:
+        src = t["l_orderkey"].to_numpy(zero_copy_only=False) % LG_MOD
+        dst = t["l_partkey"].to_numpy(zero_copy_only=False) % LG_MOD
+        keep = (src != dst) & ((src * 31 + dst * 17) % SPARSE_MOD == 0)
+        a, b = src[keep], dst[keep]
+        return pa.table(
+            {
+                "src": pa.array(np.minimum(a, b).astype(np.int64)),
+                "dst": pa.array(np.maximum(a, b).astype(np.int64)),
+            }
+        )
+
+    e = hash_groupby_sum(
+        li.map_batches(_derive, batch_format="pyarrow"), ["src", "dst"], None, "n"
+    ).select_columns(["src", "dst"])
+    out = alg.truss_decomposition(e).to_pandas()
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
 def lg_random_walks(sf_dir: str, n_starts: int = 64, length: int = 4) -> pd.DataFrame:
     """Deterministic random-walk corpus over the lg edges (embedding-
     training sampling): rows (walk_id, step, v)."""

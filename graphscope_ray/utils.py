@@ -234,8 +234,17 @@ def hash_join(
                 return pa.Table.from_pandas(ldf, preserve_index=False).replace_schema_metadata(None)
             return pa.table({})
         rdf = pd.concat(rframes, ignore_index=True)
-        if left_on not in ldf.columns or right_on not in rdf.columns:
-            return pa.table({})  # every contributing block was schema-less
+        if left_on not in ldf.columns:
+            # left side contributed only schema-less empty blocks
+            if how == "outer" and right_on in rdf.columns:
+                return pa.Table.from_pandas(rdf, preserve_index=False).replace_schema_metadata(None)
+            return pa.table({})
+        if right_on not in rdf.columns:
+            # right side contributed only schema-less empty blocks — for
+            # left/outer the left rows must still survive (all unmatched)
+            if how in ("left", "outer"):
+                return pa.Table.from_pandas(ldf, preserve_index=False).replace_schema_metadata(None)
+            return pa.table({})
         out = ldf.merge(rdf, left_on=left_on, right_on=right_on, how=how)
         return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 

@@ -296,3 +296,50 @@ def test_condensation_dag_is_identity_levels():
     df = alg.condensation(g).to_pandas().sort_values("vid")
     assert (df["scc"].to_numpy() == np.arange(5)).all()
     assert df["lvl"].tolist() == [0, 1, 1, 2, 3]
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_truss_decomposition_vs_networkx(P):
+    import networkx as nx
+    import ray
+    import ray.data
+
+    edges, n = _rand_graph(30, 140, seed=5)
+    # canonical undirected set
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    t = _tbl(canon)
+    ds = ray.data.from_arrow(t).repartition(P)
+    got = (
+        alg.truss_decomposition(ds)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    G = nx.Graph(canon)
+    want = {}
+    k = 3
+    prev = {(min(a, b), max(a, b)) for a, b in G.edges()}
+    while prev:
+        H = nx.k_truss(G, k)
+        cur = {(min(a, b), max(a, b)) for a, b in H.edges()}
+        for e in prev - cur:
+            want[e] = k - 1
+        prev = cur
+        k += 1
+    assert {(r.src, r.dst): r.trussness for r in got.itertuples()} == want
+
+
+def test_hash_join_left_with_empty_right():
+    import ray.data
+    from graphscope_ray.utils import hash_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()), "v": pa.array([10, 20, 30], pa.int64())})
+    )
+    empty = ray.data.from_arrow(
+        pa.table({"k": pa.array([], pa.int64()), "w": pa.array([], pa.int64())})
+    )
+    # filter to produce schema-stripped empty blocks mid-pipeline
+    empty = empty.filter(expr="k > 100")
+    out = hash_join(left, empty, "k", "k", how="left").to_pandas()
+    assert sorted(out["k"].tolist()) == [1, 2, 3]
