@@ -1278,6 +1278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_sssp_delta": td.lg_sssp_delta,
         "lg_ktruss": td.lg_ktruss,
         "lg_trussness": td.lg_trussness,
+        "lg_cocitation": td.lg_cocitation,
         "lg_random_walks": td.lg_random_walks,
         "lg_eccentricity": td.lg_eccentricity,
         # FLASH-suite (connectivity / matching / subgraph / measurement)
@@ -1524,6 +1525,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_sssp_delta": osql.lg_sssp_weighted_sql(),
         "lg_ktruss": osql.lg_ktruss_sql(),
         "lg_trussness": osql.lg_trussness_sql(),
+        "lg_cocitation": osql.lg_cocitation_sql(),
         "lg_random_walks": osql.lg_random_walks_sql(),
         "lg_eccentricity": osql.lg_eccentricity_sql(),
         "lg_pagerank_converged": osql.lg_pagerank_converged_sql(),

@@ -1312,6 +1312,25 @@ def lg_trussness_sql(kmax: int = 6, rounds: int = 6) -> str:
     )
 
 
+def lg_cocitation_sql(k: int = 5, cap: int = 16) -> str:
+    """Co-citation top-k replica: per-source cap smallest out-neighbors
+    (row_number over dst), pair counts among capped fanouts, symmetric
+    expand, rank by (cocit DESC, v ASC) per u."""
+    return (
+        f"WITH {_BASE}, "
+        f"ecap AS MATERIALIZED (SELECT src, dst FROM ("
+        f"SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rn "
+        f"FROM e) WHERE rn <= {cap}), "
+        "pairs AS MATERIALIZED (SELECT a.dst AS u, b.dst AS v, count(*) AS cocit "
+        "FROM ecap a JOIN ecap b ON a.src = b.src AND a.dst < b.dst GROUP BY u, v), "
+        "sym AS MATERIALIZED (SELECT u, v, cocit FROM pairs "
+        "UNION ALL SELECT v AS u, u AS v, cocit FROM pairs), "
+        "rk AS (SELECT u, v, cocit, row_number() OVER ("
+        "PARTITION BY u ORDER BY cocit DESC, v ASC) AS rnk FROM sym) "
+        f"SELECT u, v, cocit, rnk FROM rk WHERE rnk <= {k} ORDER BY u, rnk"
+    )
+
+
 def lg_random_walks_sql(
     n_starts: int = 64,
     length: int = 4,

@@ -1307,6 +1307,19 @@ def lg_trussness(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["src", "dst"]).reset_index(drop=True)
 
 
+def lg_cocitation(sf_dir: str, k: int = 5, cap: int = 16) -> pd.DataFrame:
+    """Top-k co-cited partners per vertex (shared-in-neighbor similarity
+    with deterministic fanout cap — graph/metrics.cocitation_topk)."""
+    from graphscope_ray.graph.metrics import cocitation_topk
+
+    out = cocitation_topk(lg_edges(sf_dir), k=k, cap=cap).to_pandas()
+    return (
+        out[["u", "v", "cocit", "rnk"]]
+        .sort_values(["u", "rnk"])
+        .reset_index(drop=True)
+    )
+
+
 def lg_random_walks(sf_dir: str, n_starts: int = 64, length: int = 4) -> pd.DataFrame:
     """Deterministic random-walk corpus over the lg edges (embedding-
     training sampling): rows (walk_id, step, v)."""

@@ -3,6 +3,7 @@
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 import ray
 
 
@@ -151,3 +152,45 @@ def test_community_stats_rejects_partial_labels():
     lds = ray.data.from_arrow(pa.Table.from_pandas(labels, preserve_index=False))
     with pytest.raises(ValueError, match="labels cover 2 of 3"):
         community_edge_stats(eds, lds).materialize()
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_cocitation_topk_vs_python(P):
+    import itertools
+    from collections import Counter
+
+    import ray.data
+
+    from graphscope_ray.graph.metrics import cocitation_topk
+
+    rng = np.random.RandomState(3)
+    e = rng.randint(0, 25, size=(150, 2))
+    e = sorted({(int(a), int(b)) for a, b in e if a != b})
+    t = pa.table(
+        {"src": pa.array([x[0] for x in e], pa.int64()),
+         "dst": pa.array([x[1] for x in e], pa.int64())}
+    )
+    got = (
+        cocitation_topk(ray.data.from_arrow(t).repartition(P), k=3, cap=4)
+        .to_pandas()
+        .sort_values(["u", "rnk"])
+        .reset_index(drop=True)
+    )
+    # python oracle with identical cap rule
+    out_adj = {}
+    for s, d in e:
+        out_adj.setdefault(s, []).append(d)
+    cnt = Counter()
+    for s, ds in out_adj.items():
+        for u, v in itertools.combinations(sorted(ds)[:4], 2):
+            cnt[(u, v)] += 1
+    per_u = {}
+    for (u, v), c in cnt.items():
+        per_u.setdefault(u, []).append((v, c))
+        per_u.setdefault(v, []).append((u, c))
+    want = []
+    for u in sorted(per_u):
+        ranked = sorted(per_u[u], key=lambda vc: (-vc[1], vc[0]))[:3]
+        for r, (v, c) in enumerate(ranked, 1):
+            want.append((u, v, c, r))
+    assert [tuple(map(int, r)) for r in got[["u", "v", "cocit", "rnk"]].to_numpy()] == want
