@@ -184,6 +184,12 @@ def _q_dedup_decontaminate(sf_dir, n: int = 8):
     return decontaminate_ngram(train, test, n=n)
 
 
+def _q_text_c4(sf_dir):
+    from graphscope_ray.functions.text import c4_clean
+
+    return c4_clean(_documents(sf_dir))
+
+
 def _q_text_chunks(sf_dir):
     from graphscope_ray.functions.text import chunk_documents
 
@@ -1375,6 +1381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "samp_shuffle": _q_samp_shuffle,
         "op_qsketch": _q_op_qsketch,
         "text_chunks": _q_text_chunks,
+        "text_c4": _q_text_c4,
         "text_norm": _q_text_norm,
         "op_hll_by": _q_op_hll_by,
         # multimodal plumbing
@@ -1612,6 +1619,7 @@ def oracle_sql() -> dict[str, str]:
         "samp_shuffle": osql.samp_shuffle_sql(),
         "op_qsketch": osql.op_qsketch_sql(),
         "text_chunks": osql.text_chunks_sql(),
+        "text_c4": osql.text_c4_sql(),
         "text_norm": osql.text_norm_sql(),
         "op_hll_by": osql.op_hll_by_sql(),
         # no SQL oracle (heuristic / sequential / approximate / stateful):

@@ -856,3 +856,57 @@ def winnow_fingerprints(
     return ds.select_columns([id_col, text_col]).map_batches(
         _block, batch_format="pyarrow"
     )
+
+
+_C4_TERMINAL = re.compile(r'[.!?"]$')
+_C4_WORD = re.compile(r"\S+")
+
+
+def c4_clean(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2, the public
+    Common-Crawl curation rules): keep only lines that (a) end in a terminal
+    punctuation mark (. ! ? \"), (b) contain ≥ 3 words, and (c) do not
+    contain the word "javascript"; a document is kept (keep_doc=1) iff it
+    retains ≥ 3 lines AND mentions neither "lorem ipsum" nor a curly brace.
+    One row per doc: (doc_id, keep_doc, n_lines, n_kept, clean_text) —
+    clean_text is the kept lines re-joined with newlines (reported for
+    dropped docs too, so the filter decision is auditable).
+
+    Stateless map_batches; the per-line predicates run on the FLATTENED
+    line array (one split + vectorized regex per batch), only the final
+    per-doc join is a pandas groupby-agg."""
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[text_col].fillna("")
+        lines = texts.str.split("\n")
+        n_lines = lines.str.len().astype(np.int64)
+        flat = lines.explode()
+        doc_idx = flat.index.to_numpy()
+        t = flat.fillna("").str.strip(" \t\r")
+        words = t.str.count(_C4_WORD.pattern)
+        kept_mask = (
+            t.str.contains(_C4_TERMINAL.pattern, regex=True)
+            & (words >= 3)
+            & ~t.str.lower().str.contains("javascript", regex=False)
+        ).to_numpy()
+        kept = pd.Series(t.to_numpy()[kept_mask], index=doc_idx[kept_mask])
+        joined = kept.groupby(level=0).agg("\n".join)
+        n_kept = kept.groupby(level=0).size()
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_lines": n_lines.to_numpy(),
+            },
+            index=df.index,
+        )
+        out["n_kept"] = n_kept.reindex(df.index, fill_value=0).astype(np.int64)
+        out["clean_text"] = joined.reindex(df.index, fill_value="")
+        low = texts.str.lower()
+        out["keep_doc"] = (
+            (out["n_kept"] >= 3)
+            & ~low.str.contains("lorem ipsum", regex=False)
+            & ~texts.str.contains("{", regex=False)
+        ).astype(np.int64)
+        return out[["doc_id", "keep_doc", "n_lines", "n_kept", "clean_text"]]
+
+    return ds.select_columns(["doc_id", text_col]).map_batches(_f, batch_format="pandas")

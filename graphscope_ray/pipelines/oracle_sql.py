@@ -2598,6 +2598,32 @@ def samp_priority_sql(k: int = 50, salt: int = 11) -> str:
     )
 
 
+def text_c4_sql() -> str:
+    """C4 line-filter replica: parallel unnest zips (line, ordinal), the
+    same RE2 predicates as the engine, string_agg(ORDER BY ordinal)
+    reassembles kept lines."""
+    ws = "' ' || chr(9) || chr(13)"
+    return (
+        "WITH ls AS MATERIALIZED (SELECT doc_id, text, "
+        "string_split(text, chr(10)) AS arr FROM documents), "
+        f"fl AS MATERIALIZED (SELECT doc_id, trim(u.line, {ws}) AS t, u.i "
+        "FROM ls, LATERAL (SELECT unnest(arr) AS line, "
+        "unnest(generate_series(1, len(arr))) AS i) u), "
+        "kept AS MATERIALIZED (SELECT doc_id, t, i FROM fl "
+        "WHERE regexp_matches(t, '[.!?\"]$') "
+        "AND len(regexp_extract_all(t, '\\S+')) >= 3 "
+        "AND NOT contains(lower(t), 'javascript')), "
+        "agg AS MATERIALIZED (SELECT doc_id, count(*) AS n_kept, "
+        "string_agg(t, chr(10) ORDER BY i) AS clean_text FROM kept GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(a.n_kept, 0) >= 3 "
+        "AND NOT contains(lower(d.text), 'lorem ipsum') "
+        "AND NOT contains(d.text, '{') AS BIGINT) AS keep_doc, "
+        "len(string_split(d.text, chr(10))) AS n_lines, "
+        "coalesce(a.n_kept, 0) AS n_kept, coalesce(a.clean_text, '') AS clean_text "
+        "FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id ORDER BY d.doc_id"
+    )
+
+
 def text_chunks_sql(size: int = 256, overlap: int = 64) -> str:
     """RAG chunking replica: one row per (doc, window) with stride
     size-overlap; generate_series(0, greatest(len-1, 0), stride) yields

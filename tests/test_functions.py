@@ -952,3 +952,46 @@ def test_chunk_documents(P):
     r0 = out[out.doc_id == 0].chunk.tolist()
     for a, b in zip(r0, r0[1:]):
         assert a[stride:] == b[: len(a) - stride]
+
+
+@pytest.mark.parametrize("P", [1, 2])
+def test_c4_clean_vs_python(P):
+    import re as _re
+
+    from graphscope_ray.functions.text import c4_clean
+
+    docs = [
+        "Good line with punctuation.\nshort.\nAnother good line stays here!\nA third keeper line, yes?\nno punct line at all",
+        "uses javascript here today.\nA fine line indeed it is.\nB fine line indeed it is.\nC fine line indeed it is.",
+        "Lorem Ipsum dolor sit amet.\nKeep this sentence right here.\nAnd also this one too.\nAnd a third one as well.",
+        "Brace { doc with lines.\nThis line is long enough.\nSo is this other line here.\nAnd this third one too.",
+        "",
+        "  trimmed line ends well.  \n\tTabbed line also ends fine.\t\r\nx y.\nfourth proper line is here.",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()), "text": pa.array(docs)})
+    got = (
+        c4_clean(ray.data.from_arrow(t).repartition(P))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    for i, d in enumerate(docs):
+        lines = d.split("\n")
+        kept = []
+        for ln in lines:
+            s = ln.strip(" \t\r")
+            if (
+                _re.search(r'[.!?"]$', s)
+                and len(_re.findall(r"\S+", s)) >= 3
+                and "javascript" not in s.lower()
+            ):
+                kept.append(s)
+        keep_doc = int(
+            len(kept) >= 3 and "lorem ipsum" not in d.lower() and "{" not in d
+        )
+        row = got[got.doc_id == i].iloc[0]
+        assert row.n_lines == len(lines), i
+        assert row.n_kept == len(kept), (i, row.n_kept, kept)
+        assert row.clean_text == "\n".join(kept), i
+        assert row.keep_doc == keep_doc, i
