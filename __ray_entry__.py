@@ -1285,6 +1285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_ktruss": td.lg_ktruss,
         "lg_trussness": td.lg_trussness,
         "lg_cocitation": td.lg_cocitation,
+        "lg_sweep_cut": td.lg_sweep_cut,
         "lg_random_walks": td.lg_random_walks,
         "lg_eccentricity": td.lg_eccentricity,
         # FLASH-suite (connectivity / matching / subgraph / measurement)
@@ -1533,6 +1534,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_ktruss": osql.lg_ktruss_sql(),
         "lg_trussness": osql.lg_trussness_sql(),
         "lg_cocitation": osql.lg_cocitation_sql(),
+        "lg_sweep_cut": osql.lg_sweep_cut_sql(),
         "lg_random_walks": osql.lg_random_walks_sql(),
         "lg_eccentricity": osql.lg_eccentricity_sql(),
         "lg_pagerank_converged": osql.lg_pagerank_converged_sql(),

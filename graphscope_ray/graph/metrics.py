@@ -1959,3 +1959,106 @@ def cocitation_topk(
         .groupby("u")
         .map_groups(_tk_merge, batch_format="pandas")
     )
+
+
+def sweep_cut(
+    scores: ray.data.Dataset, arcs: ray.data.Dataset, topk: int = 64
+) -> pd.DataFrame:
+    """Conductance sweep (the Andersen–Chung–Lang local-clustering step,
+    FOCS'06 — public method): rank vertices by score/deg (ties → smaller
+    oid), then for every prefix S_k of the top-``topk`` ranking report
+    cut(S_k) (arcs leaving S_k), vol(S_k) (Σ deg) and conductance
+    φ = cut / min(vol, vol(V) − vol); the best local community around the
+    score's seed is the argmin-φ prefix.
+
+    Scale shape: degrees via one hash-exchange count; ranking via per-block
+    partial top-k + a K-row driver merge; cut/vol come from per-block
+    DIFFERENCE-ARRAY partials — each arc block folds into a (K+1)-vector
+    (+1 at rank(src), −1 at rank(dst) for in-DAG arcs), so the exchange is
+    K-sized regardless of edge count; the K-row curve folds driver-side.
+    ``scores`` rows (oid, score); ``arcs`` the DIRECTED arc multiset whose
+    src-degree defines vol (pass both directions for undirected sweeps)."""
+    import ray as _ray
+
+    arcs = arcs.materialize()  # consumed three times (deg, events, count)
+    deg = hash_groupby_sum(arcs, ["src"], None, "d", num_partitions=8)
+    rt = hash_join(scores, deg, "oid", "src", num_partitions=8)
+
+    def _ratio_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if "oid" not in df.columns or df.empty:
+            return pd.DataFrame(
+                {"oid": np.empty(0, np.int64), "d": np.empty(0, np.int64),
+                 "ratio": np.empty(0, np.float64)}
+            )
+        out = pd.DataFrame(
+            {
+                "oid": df["oid"].to_numpy(),
+                "d": df["d"].to_numpy(),
+                "ratio": np.round(df["score"].to_numpy(), 8) / df["d"].to_numpy(),
+            }
+        )
+        return out.sort_values(["ratio", "oid"], ascending=[False, True]).head(topk)
+
+    ranked = (
+        rt.map_batches(_ratio_partial, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["ratio", "oid"], ascending=[False, True])
+        .head(topk)
+        .reset_index(drop=True)
+    )
+    K = len(ranked)
+    oids = ranked["oid"].to_numpy().astype(np.int64)
+    order = np.argsort(oids)
+    ref = _ray.put((oids[order], (order + 1).astype(np.int64)))
+
+    def _lookup(sorted_oids, ranks, x):
+        if len(sorted_oids) == 0:
+            return np.zeros(len(x), dtype=np.int64)
+        idx = np.minimum(np.searchsorted(sorted_oids, x), len(sorted_oids) - 1)
+        return np.where(sorted_oids[idx] == x, ranks[idx], 0)
+
+    def _events(t: pa.Table) -> pa.Table:
+        sorted_oids, ranks = _ray.get(ref)
+        guard = pa.table(
+            {"at": pa.array([], pa.int64()), "plus": pa.array([], pa.int64()),
+             "minus": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0 or "src" not in t.column_names:
+            return guard
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        rs = _lookup(sorted_oids, ranks, s)
+        rd = _lookup(sorted_oids, ranks, d)
+        plus = np.zeros(K + 2, dtype=np.int64)
+        minus = np.zeros(K + 2, dtype=np.int64)
+        m_plus = (rs > 0) & ((rd == 0) | (rs < rd))
+        np.add.at(plus, rs[m_plus], 1)
+        m_minus = (rs > 0) & (rd > 0) & (rs < rd)
+        np.add.at(minus, rd[m_minus], 1)
+        nz = np.flatnonzero(plus + minus)
+        return pa.table(
+            {"at": pa.array(nz.astype(np.int64)), "plus": pa.array(plus[nz]),
+             "minus": pa.array(minus[nz])}
+        )
+
+    ev = arcs.map_batches(_events, batch_format="pyarrow").to_pandas()
+    plus = np.zeros(K + 2, dtype=np.int64)
+    minus = np.zeros(K + 2, dtype=np.int64)
+    if len(ev):
+        np.add.at(plus, ev["at"].to_numpy(), ev["plus"].to_numpy())
+        np.add.at(minus, ev["at"].to_numpy(), ev["minus"].to_numpy())
+    m_tot = arcs.count()
+    cut = np.cumsum(plus - minus)[1 : K + 1]
+    vol = np.cumsum(ranked["d"].to_numpy())
+    den = np.minimum(vol, m_tot - vol)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        phi = np.where(den > 0, np.round(cut / den, 8), 0.0)
+    return pd.DataFrame(
+        {
+            "rnk": np.arange(1, K + 1, dtype=np.int64),
+            "oid": ranked["oid"].to_numpy(),
+            "cut": cut.astype(np.int64),
+            "vol": vol.astype(np.int64),
+            "phi": phi,
+        }
+    )

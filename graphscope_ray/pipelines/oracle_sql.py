@@ -128,10 +128,8 @@ def lg_pagerank_push_sql(rounds: int = 15, alpha: float = 0.85) -> str:
     )
 
 
-def lg_ppr_sql(rounds: int = 10, source: int = 0) -> str:
-    """Unrolled FLASH PPR (apps/flash/ranking/ppr.h:41-72): r0 = e_source;
-    r'[v] = 0.5·Σ_{u∈N(v)} r[u]/deg[u] + 0.5·1{v=source} over both edge
-    directions (EU) with deg = outdeg + indeg (flash_utils.h:47)."""
+def _ppr_ctes(rounds: int = 10, source: int = 0) -> list[str]:
+    """Shared unrolled FLASH-PPR CTEs (used by lg_ppr and lg_sweep_cut)."""
     ctes = [
         "degb AS MATERIALIZED (SELECT src AS oid, count(*) AS d FROM me GROUP BY src)",
         f"p0 AS MATERIALIZED (SELECT oid, CASE WHEN oid = {source} THEN 1.0 ELSE 0.0 END AS score FROM v)",
@@ -147,8 +145,50 @@ def lg_ppr_sql(rounds: int = 10, source: int = 0) -> str:
             f"CASE WHEN v.oid = {source} THEN 0.5 ELSE 0.0 END AS score "
             f"FROM v LEFT JOIN s{k} s ON s.oid = v.oid)"
         )
+    return ctes
+
+
+def lg_ppr_sql(rounds: int = 10, source: int = 0) -> str:
+    """Unrolled FLASH PPR (apps/flash/ranking/ppr.h:41-72): r0 = e_source;
+    r'[v] = 0.5·Σ_{u∈N(v)} r[u]/deg[u] + 0.5·1{v=source} over both edge
+    directions (EU) with deg = outdeg + indeg (flash_utils.h:47)."""
+    ctes = _ppr_ctes(rounds, source)
     return f"WITH {_BASE}, " + ",\n".join(ctes) + (
         f" SELECT oid, round(score, 8) AS score FROM p{rounds}"
+    )
+
+
+def lg_sweep_cut_sql(rounds: int = 10, source: int = 0, topk: int = 64) -> str:
+    """Conductance sweep over the PPR ranking (Andersen–Chung–Lang):
+    ratio = round(score,8)/deg, rank by (ratio DESC, oid), per-prefix cut
+    from +/- rank events of each me arc (crossing while src inside, dst
+    outside), vol = running Σ deg, φ = cut / min(vol, m − vol) (0 when the
+    denominator is 0).  Mirrors metrics.sweep_cut bit-for-bit."""
+    ctes = _ppr_ctes(rounds, source)
+    return (
+        f"WITH {_BASE}, " + ",\n".join(ctes)
+        + f""",
+rt AS MATERIALIZED (SELECT p.oid, b.d, round(p.score, 8) / b.d AS ratio
+  FROM p{rounds} p JOIN degb b ON b.oid = p.oid),
+rk AS MATERIALIZED (SELECT oid, d, rn FROM (
+  SELECT oid, d, row_number() OVER (ORDER BY ratio DESC, oid) AS rn FROM rt)
+  WHERE rn <= {topk}),
+plus AS MATERIALIZED (SELECT a.rn AS at, count(*) AS c FROM me
+  JOIN rk a ON a.oid = me.src LEFT JOIN rk b ON b.oid = me.dst
+  WHERE b.rn IS NULL OR a.rn < b.rn GROUP BY a.rn),
+minus AS MATERIALIZED (SELECT b.rn AS at, count(*) AS c FROM me
+  JOIN rk a ON a.oid = me.src JOIN rk b ON b.oid = me.dst
+  WHERE a.rn < b.rn GROUP BY b.rn),
+tot AS MATERIALIZED (SELECT count(*) AS m FROM me),
+curve AS (SELECT rk.rn AS rnk, rk.oid,
+  CAST(sum(coalesce(p.c, 0) - coalesce(mi.c, 0)) OVER (ORDER BY rk.rn) AS BIGINT) AS cut,
+  CAST(sum(rk.d) OVER (ORDER BY rk.rn) AS BIGINT) AS vol
+  FROM rk LEFT JOIN plus p ON p.at = rk.rn LEFT JOIN minus mi ON mi.at = rk.rn)
+SELECT rnk, oid, cut, vol,
+  CASE WHEN least(vol, (SELECT m FROM tot) - vol) > 0
+       THEN round(CAST(cut AS DOUBLE) / least(vol, (SELECT m FROM tot) - vol), 8)
+       ELSE 0.0 END AS phi
+FROM curve ORDER BY rnk"""
     )
 
 

@@ -1307,6 +1307,39 @@ def lg_trussness(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["src", "dst"]).reset_index(drop=True)
 
 
+def lg_sweep_cut(
+    sf_dir: str, source: int = 0, rounds: int = 10, topk: int = 64
+) -> pd.DataFrame:
+    """Local community around the min-oid vertex: FLASH PPR scores swept by
+    conductance (Andersen–Chung–Lang) over the undirected arc multiset —
+    (rnk, oid, cut, vol, phi) per prefix of the score/deg ranking."""
+    from graphscope_ray.graph.metrics import sweep_cut
+
+    g = lg_graph(sf_dir)
+    ds, _ = alg.ppr(g, source=source, max_rounds=rounds)
+    scores = _oid_space(g, ds, ["score"])
+    arcs = lg_edges(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+                )
+                if t.num_rows
+                else pa.array([], pa.int64()),
+                "dst": pa.concat_arrays(
+                    [t["dst"].combine_chunks(), t["src"].combine_chunks()]
+                )
+                if t.num_rows
+                else pa.array([], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = sweep_cut(ray.data.from_pandas(scores), arcs, topk=topk)
+    out["phi"] = out["phi"].round(8)
+    return out
+
+
 def lg_cocitation(sf_dir: str, k: int = 5, cap: int = 16) -> pd.DataFrame:
     """Top-k co-cited partners per vertex (shared-in-neighbor similarity
     with deterministic fanout cap — graph/metrics.cocitation_topk)."""

@@ -194,3 +194,50 @@ def test_cocitation_topk_vs_python(P):
         for r, (v, c) in enumerate(ranked, 1):
             want.append((u, v, c, r))
     assert [tuple(map(int, r)) for r in got[["u", "v", "cocit", "rnk"]].to_numpy()] == want
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_sweep_cut_vs_python(P):
+    import itertools
+
+    import ray.data
+
+    from graphscope_ray.graph.metrics import sweep_cut
+
+    # two 5-cliques joined by one bridge edge (4,5)
+    und = (
+        [(a, b) for a, b in itertools.combinations(range(5), 2)]
+        + [(a + 5, b + 5) for a, b in itertools.combinations(range(5), 2)]
+        + [(4, 5)]
+    )
+    arcs = und + [(b, a) for a, b in und]
+    at = pa.table(
+        {"src": pa.array([x[0] for x in arcs], pa.int64()),
+         "dst": pa.array([x[1] for x in arcs], pa.int64())}
+    )
+    # scores concentrated on community A
+    sc = [1.0, 0.9, 0.8, 0.7, 0.6, 0.05, 0.04, 0.03, 0.02, 0.01]
+    st = pa.table({"oid": pa.array(range(10), pa.int64()), "score": pa.array(sc)})
+    got = sweep_cut(
+        ray.data.from_arrow(st).repartition(P),
+        ray.data.from_arrow(at).repartition(P),
+        topk=10,
+    )
+    # python oracle
+    deg = {v: sum(1 for s, _ in arcs if s == v) for v in range(10)}
+    order = sorted(range(10), key=lambda v: (-round(sc[v], 8) / deg[v], v))
+    m = len(arcs)
+    S = set()
+    for k, v in enumerate(order, 1):
+        S.add(v)
+        cut = sum(1 for s, d in arcs if s in S and d not in S)
+        vol = sum(deg[x] for x in S)
+        den = min(vol, m - vol)
+        phi = round(cut / den, 8) if den > 0 else 0.0
+        row = got[got.rnk == k].iloc[0]
+        assert row.oid == v and row.cut == cut and row.vol == vol, (k, dict(row))
+        assert abs(row.phi - phi) < 1e-12
+    # the conductance minimum over non-degenerate prefixes (vol < m) is the
+    # planted community boundary (k=5)
+    nd = got[got.vol < m].set_index("rnk")
+    assert nd["phi"].idxmin() == 5
