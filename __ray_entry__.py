@@ -769,6 +769,14 @@ def _q_sim_ivf_exact(sf_dir):
     return out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
 
 
+def _q_events_cohort(sf_dir):
+    from graphscope_ray.functions.windows import cohort_retention
+
+    ev = _read_clean(f"{sf_dir}/events.parquet")
+    df = cohort_retention(ev).to_pandas()
+    return df.sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+
+
 def _q_events_window(sf_dir):
     import ray.data
 
@@ -1285,6 +1293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_ktruss": td.lg_ktruss,
         "lg_trussness": td.lg_trussness,
         "lg_cocitation": td.lg_cocitation,
+        "lg_bibcoupling": td.lg_bibcoupling,
         "lg_sweep_cut": td.lg_sweep_cut,
         "lg_random_walks": td.lg_random_walks,
         "lg_eccentricity": td.lg_eccentricity,
@@ -1319,6 +1328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_closeness_exact": td.lg_closeness_exact,
         # events (stream-shaped)
         "events_window": _q_events_window,
+        "events_cohort": _q_events_cohort,
         "events_hopping": _q_events_hopping,
         "events_sessionize": _q_sessionize,
         "events_funnel": td.events_funnel,
@@ -1534,6 +1544,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_ktruss": osql.lg_ktruss_sql(),
         "lg_trussness": osql.lg_trussness_sql(),
         "lg_cocitation": osql.lg_cocitation_sql(),
+        "lg_bibcoupling": osql.lg_bibcoupling_sql(),
         "lg_sweep_cut": osql.lg_sweep_cut_sql(),
         "lg_random_walks": osql.lg_random_walks_sql(),
         "lg_eccentricity": osql.lg_eccentricity_sql(),
@@ -1569,6 +1580,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_kcenter": osql.lg_kcenter_sql(),
         "lg_closeness_exact": osql.lg_closeness_exact_sql(),
         "events_window": osql.events_window_sql(),
+        "events_cohort": osql.events_cohort_sql(),
         "events_hopping": osql.events_hopping_sql(),
         "events_sessionize": osql.sessionize_sql(),
         "events_funnel": osql.events_funnel_sql(),

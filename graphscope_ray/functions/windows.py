@@ -108,3 +108,69 @@ def hopping_window(
             Sum(value_col, alias_name="sum_value"),
         )
     )
+
+
+def cohort_retention(
+    ds: ray.data.Dataset,
+    week_us: int = 604_800_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> ray.data.Dataset:
+    """Weekly cohort-retention matrix (the standard product-analytics
+    rollup): cohort(user) = epoch-week of the user's FIRST event; for every
+    (cohort_week, week_offset) report how many of that cohort's users were
+    active offset weeks later.  Rows (cohort_week, week_offset, n_users);
+    week_offset 0 row = cohort size.
+
+    Dataflow: one vectorized epoch-floor map, one (user, week) hash-distinct,
+    one per-user min exchange (cohort assignment), one hash join back, one
+    final (cohort, offset) count exchange — all keyed partials, no
+    driver-side user state."""
+    from graphscope_ray.utils import hash_groupby_sum, hash_join
+
+    def _weeks(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()), "wk": pa.array([], pa.int64())}
+            )
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t[user_col],
+                "wk": pa.array(ts // week_us),
+            }
+        )
+
+    uw = hash_groupby_sum(
+        ds.select_columns([user_col, ts_col]).map_batches(_weeks, batch_format="pyarrow"),
+        ["user_id", "wk"],
+        None,
+        "n",
+    ).select_columns(["user_id", "wk"])
+    uw = uw.materialize()  # feeds both the cohort min and the join
+    coh = hash_groupby_sum(uw, ["user_id"], "wk", "cw", agg="min")
+    j = hash_join(uw, coh.select_columns(["user_id", "cw"]), "user_id", "user_id")
+
+    def _off(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "wk" not in t.column_names:
+            return pa.table(
+                {
+                    "cohort_week": pa.array([], pa.int64()),
+                    "week_offset": pa.array([], pa.int64()),
+                }
+            )
+        wk = t["wk"].to_numpy(zero_copy_only=False)
+        cw = t["cw"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cohort_week": pa.array(cw.astype(np.int64)),
+                "week_offset": pa.array((wk - cw).astype(np.int64)),
+            }
+        )
+
+    return hash_groupby_sum(
+        j.map_batches(_off, batch_format="pyarrow"),
+        ["cohort_week", "week_offset"],
+        None,
+        "n_users",
+    )

@@ -670,6 +670,19 @@ def op_consolidate_sql() -> str:
     )
 
 
+def events_cohort_sql(week_us: int = 604_800_000_000) -> str:
+    """Weekly cohort retention replica: epoch-week floor, per-user min week
+    as the cohort, distinct active (user, week), count per offset."""
+    return (
+        f"WITH uw AS MATERIALIZED (SELECT DISTINCT user_id, "
+        f"epoch_us(ts) // {week_us} AS wk FROM events), "
+        "coh AS MATERIALIZED (SELECT user_id, min(wk) AS cw FROM uw GROUP BY user_id) "
+        "SELECT c.cw AS cohort_week, u.wk - c.cw AS week_offset, "
+        "count(*) AS n_users FROM uw u JOIN coh c ON c.user_id = u.user_id "
+        "GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset"
+    )
+
+
 def events_window_sql(window_s: int = 3600) -> str:
     return (
         f"SELECT event_type, CAST(floor(epoch(ts) / {window_s}) AS BIGINT) * {window_s} "
@@ -1368,6 +1381,25 @@ def lg_cocitation_sql(k: int = 5, cap: int = 16) -> str:
         "rk AS (SELECT u, v, cocit, row_number() OVER ("
         "PARTITION BY u ORDER BY cocit DESC, v ASC) AS rnk FROM sym) "
         f"SELECT u, v, cocit, rnk FROM rk WHERE rnk <= {k} ORDER BY u, rnk"
+    )
+
+
+def lg_bibcoupling_sql(k: int = 5, cap: int = 16) -> str:
+    """Bibliographic-coupling top-k replica: lg_cocitation_sql on the
+    reversed arcs — per-TARGET cap smallest citers, pair counts, rank."""
+    return (
+        f"WITH {_BASE}, "
+        f"ecap AS MATERIALIZED (SELECT src, dst FROM ("
+        f"SELECT dst AS src, src AS dst, "
+        f"row_number() OVER (PARTITION BY dst ORDER BY src) AS rn "
+        f"FROM e) WHERE rn <= {cap}), "
+        "pairs AS MATERIALIZED (SELECT a.dst AS u, b.dst AS v, count(*) AS coupling "
+        "FROM ecap a JOIN ecap b ON a.src = b.src AND a.dst < b.dst GROUP BY u, v), "
+        "sym AS MATERIALIZED (SELECT u, v, coupling FROM pairs "
+        "UNION ALL SELECT v AS u, u AS v, coupling FROM pairs), "
+        "rk AS (SELECT u, v, coupling, row_number() OVER ("
+        "PARTITION BY u ORDER BY coupling DESC, v ASC) AS rnk FROM sym) "
+        f"SELECT u, v, coupling, rnk FROM rk WHERE rnk <= {k} ORDER BY u, rnk"
     )
 
 

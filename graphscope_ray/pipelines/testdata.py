@@ -1353,6 +1353,30 @@ def lg_cocitation(sf_dir: str, k: int = 5, cap: int = 16) -> pd.DataFrame:
     )
 
 
+def lg_bibcoupling(sf_dir: str, k: int = 5, cap: int = 16) -> pd.DataFrame:
+    """Top-k bibliographically-coupled partners per vertex (Kessler 1963 —
+    shared OUT-neighbors, the dual of co-citation): the same capped wedge
+    dataflow run on the reversed arcs (group by citation target, pair the
+    citers)."""
+    from graphscope_ray.graph.metrics import cocitation_topk
+
+    rev = lg_edges(sf_dir).map_batches(
+        lambda t: pa.table({"src": t["dst"], "dst": t["src"]})
+        if t.num_rows
+        else pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    out = cocitation_topk(rev, k=k, cap=cap).to_pandas()
+    return (
+        out[["u", "v", "cocit", "rnk"]]
+        .rename(columns={"cocit": "coupling"})
+        .sort_values(["u", "rnk"])
+        .reset_index(drop=True)
+    )
+
+
 def lg_random_walks(sf_dir: str, n_starts: int = 64, length: int = 4) -> pd.DataFrame:
     """Deterministic random-walk corpus over the lg edges (embedding-
     training sampling): rows (walk_id, step, v)."""

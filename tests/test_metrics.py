@@ -241,3 +241,47 @@ def test_sweep_cut_vs_python(P):
     # planted community boundary (k=5)
     nd = got[got.vol < m].set_index("rnk")
     assert nd["phi"].idxmin() == 5
+
+
+def test_bibcoupling_duality():
+    """Coupling on G must equal co-citation on G with arcs reversed."""
+    import itertools
+    from collections import Counter
+
+    import ray.data
+
+    from graphscope_ray.graph.metrics import cocitation_topk
+
+    rng = np.random.RandomState(9)
+    e = rng.randint(0, 20, size=(120, 2))
+    e = sorted({(int(a), int(b)) for a, b in e if a != b})
+    rev = [(b, a) for a, b in e]
+    t = pa.table(
+        {"src": pa.array([x[0] for x in rev], pa.int64()),
+         "dst": pa.array([x[1] for x in rev], pa.int64())}
+    )
+    got = (
+        cocitation_topk(ray.data.from_arrow(t).repartition(2), k=3, cap=5)
+        .to_pandas()
+        .sort_values(["u", "rnk"])
+        .reset_index(drop=True)
+    )
+    # python oracle: group original edges by TARGET, pair the citers
+    by_target = {}
+    for s, d in e:
+        by_target.setdefault(d, []).append(s)
+    cnt = Counter()
+    for w, citers in by_target.items():
+        for u, v in itertools.combinations(sorted(citers)[:5], 2):
+            cnt[(u, v)] += 1
+    per_u = {}
+    for (u, v), c in cnt.items():
+        per_u.setdefault(u, []).append((v, c))
+        per_u.setdefault(v, []).append((u, c))
+    want = []
+    for u in sorted(per_u):
+        for r, (v, c) in enumerate(
+            sorted(per_u[u], key=lambda vc: (-vc[1], vc[0]))[:3], 1
+        ):
+            want.append((u, v, c, r))
+    assert [tuple(map(int, r)) for r in got[["u", "v", "cocit", "rnk"]].to_numpy()] == want
