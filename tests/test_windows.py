@@ -1,0 +1,42 @@
+"""Event-log window operators (functions/windows.py) vs hand-built logs."""
+
+import pyarrow as pa
+import pytest
+import ray
+import ray.data
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_cohort_retention_vs_python(P):
+    from graphscope_ray.functions.windows import cohort_retention
+
+    WEEK = 604_800_000_000
+    # user 1: first week 0, active weeks 0,1,3; user 2: first week 1, active 1,2
+    # user 3: first week 0 only; duplicate events same week collapse
+    rows = [
+        (1, 0), (1, 0), (1, WEEK + 5), (1, 3 * WEEK),
+        (2, WEEK), (2, 2 * WEEK - 1), (2, 2 * WEEK),
+        (3, 10),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        }
+    )
+    got = (
+        cohort_retention(ray.data.from_arrow(t).repartition(P))
+        .to_pandas()
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    want = {
+        (0, 0): 2,  # users 1, 3
+        (0, 1): 1,  # user 1
+        (0, 3): 1,  # user 1
+        (1, 0): 1,  # user 2
+        (1, 1): 1,  # user 2
+    }
+    assert {
+        (int(r.cohort_week), int(r.week_offset)): int(r.n_users)
+        for r in got.itertuples()
+    } == want
