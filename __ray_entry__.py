@@ -190,6 +190,29 @@ def _q_text_c4(sf_dir):
     return c4_clean(_documents(sf_dir))
 
 
+def _q_emb_covariance(sf_dir):
+    from graphscope_ray.functions.mlprep import embedding_covariance
+
+    df = embedding_covariance(_embeddings(sf_dir)).to_pandas()
+    return df.sort_values(["i", "j"]).reset_index(drop=True)
+
+
+def _q_emb_pca(sf_dir):
+    """Distributed PCA projection (top-4 components) — eigendecomposition is
+    not SQL-expressible, so this is a rows-only driver check; the covariance
+    all-reduce underneath is exact-SQL-gated as emb_covariance, and
+    tests/test_mlprep.py verifies the projection against a one-box numpy
+    PCA."""
+    from graphscope_ray.functions.mlprep import pca_project
+
+    ds = pca_project(_embeddings(sf_dir), n_components=4)
+    df = ds.to_pandas()
+    for c in df.columns:
+        if c.startswith("pc"):
+            df[c] = df[c].round(6)
+    return df.sort_values("vec_id").reset_index(drop=True)
+
+
 def _q_text_chunks(sf_dir):
     from graphscope_ray.functions.text import chunk_documents
 
@@ -1391,6 +1414,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "samp_dsir": _q_samp_dsir,
         "samp_shuffle": _q_samp_shuffle,
         "op_qsketch": _q_op_qsketch,
+        "emb_covariance": _q_emb_covariance,
+        "emb_pca": _q_emb_pca,
         "text_chunks": _q_text_chunks,
         "text_c4": _q_text_c4,
         "text_norm": _q_text_norm,
@@ -1632,6 +1657,7 @@ def oracle_sql() -> dict[str, str]:
         "samp_dsir": osql.samp_dsir_sql(),
         "samp_shuffle": osql.samp_shuffle_sql(),
         "op_qsketch": osql.op_qsketch_sql(),
+        "emb_covariance": osql.emb_covariance_sql(),
         "text_chunks": osql.text_chunks_sql(),
         "text_c4": osql.text_c4_sql(),
         "text_norm": osql.text_norm_sql(),

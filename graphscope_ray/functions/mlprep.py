@@ -466,3 +466,104 @@ def walk_skipgram_ppmi(
         .map_groups(_pairs, batch_format="pandas")
     )
     return ppmi_from_pairs(pairs, min_count, num_partitions, pa.int64())
+
+
+def embedding_covariance(
+    ds: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Exact-integer second-moment table of an embedding column — the
+    all-reduce half of distributed PCA: vectors quantize to
+    q = floor(scale·x + 0.5) (floor(x+0.5) rounds identically in numpy and
+    SQL, unlike banker's round), and each block folds into d(d+1)/2
+    constant-size partials (n, Σq_i, Σq_j, Σq_i·q_j) — ONE tiny
+    hash-exchange of dimension-pair keys regardless of corpus size.
+    Rows (i, j, n, sa, sb, spp), i ≤ j, all int64 (exact: |q| ≤ scale·|x|,
+    d·n·scale² far below 2^63 for unit-normalized embeddings).
+    Covariance derives as (spp/n − sa·sb/n²)/scale² driver-side."""
+    from graphscope_ray.utils import hash_groupby_sum, vecs2d
+
+    def _partial(t: pa.Table) -> pa.Table:
+        guard = {
+            c: pa.array([], pa.int64()) for c in ("i", "j", "n", "sa", "sb", "spp")
+        }
+        if t.num_rows == 0 or vec_col not in t.column_names:
+            return pa.table(guard)
+        X = vecs2d(t[vec_col])
+        if X.size == 0:
+            return pa.table(guard)
+        Q = np.floor(X * scale + 0.5).astype(np.int64)
+        d = Q.shape[1]
+        P = Q.T @ Q
+        S = Q.sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64)),
+                "j": pa.array(ju.astype(np.int64)),
+                "n": pa.array(np.full(iu.size, len(Q), dtype=np.int64)),
+                "sa": pa.array(S[iu]),
+                "sb": pa.array(S[ju]),
+                "spp": pa.array(P[iu, ju]),
+            }
+        )
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    return hash_groupby_sum(
+        partials, ["i", "j"], ["n", "sa", "sb", "spp"], ["n", "sa", "sb", "spp"],
+        num_partitions=8,
+    )
+
+
+def pca_project(
+    ds: "ray.data.Dataset",
+    n_components: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Distributed PCA: covariance from :func:`embedding_covariance`
+    (d²-sized, exact), eigendecomposition driver-side (d×d — constant work),
+    deterministic sign convention (each component's largest-|entry|
+    coordinate is positive, ties → lowest index), then one streaming
+    map_batches projects every vector onto the top components (model
+    broadcast once via ray.put).  Rows (vec_id, pc0..pc{k-1})."""
+    import ray as _ray
+
+    from graphscope_ray.utils import vecs2d
+
+    cov_rows = embedding_covariance(ds, vec_col=vec_col, scale=scale).to_pandas()
+    d = int(cov_rows["i"].max()) + 1
+    n = int(cov_rows.loc[(cov_rows.i == 0) & (cov_rows.j == 0), "n"].iloc[0])
+    C = np.zeros((d, d), dtype=np.float64)
+    mu = np.zeros(d, dtype=np.float64)
+    for r in cov_rows.itertuples():
+        cij = (r.spp / n - (r.sa / n) * (r.sb / n)) / (scale * scale)
+        C[r.i, r.j] = C[r.j, r.i] = cij
+        if r.i == r.j:
+            mu[r.i] = r.sa / n / scale
+    w, V = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1][:n_components]
+    comps = V[:, order].T  # (k, d)
+    for c in comps:
+        m = np.argmax(np.abs(np.round(c, 12)))
+        if c[m] < 0:
+            c *= -1.0
+    ref = _ray.put((mu, comps))
+
+    def _proj(t: pa.Table) -> pa.Table:
+        mu_, comps_ = _ray.get(ref)
+        k = comps_.shape[0]
+        guard = {id_col: pa.array([], pa.int64())}
+        guard.update({f"pc{c}": pa.array([], pa.float64()) for c in range(k)})
+        if t.num_rows == 0 or vec_col not in t.column_names:
+            return pa.table(guard)
+        X = vecs2d(t[vec_col])
+        Y = (X - mu_) @ comps_.T
+        cols = {id_col: t[id_col]}
+        for c in range(k):
+            cols[f"pc{c}"] = pa.array(Y[:, c])
+        return pa.table(cols)
+
+    return ds.select_columns([id_col, vec_col]).map_batches(_proj, batch_format="pyarrow")

@@ -2696,6 +2696,25 @@ def text_c4_sql() -> str:
     )
 
 
+def emb_covariance_sql(scale: int = 1_000_000) -> str:
+    """Exact-integer embedding second moments: q = floor(scale*x + 0.5)
+    (identical rounding in numpy and SQL), pairwise sums per (i, j) via a
+    self-join of the ordinality-zipped unnest, all BIGINT."""
+    return (
+        f"WITH q AS MATERIALIZED (SELECT vec_id, list_transform(embedding, "
+        f"x -> CAST(floor({scale} * CAST(x AS DOUBLE) + 0.5) AS BIGINT)) AS qe "
+        "FROM embeddings), "
+        "flat AS MATERIALIZED (SELECT vec_id, u.i - 1 AS i, u.v FROM q, "
+        "LATERAL (SELECT unnest(generate_series(1, len(qe))) AS i, "
+        "unnest(qe) AS v) u) "
+        "SELECT a.i AS i, b.i AS j, count(*) AS n, "
+        "CAST(sum(a.v) AS BIGINT) AS sa, CAST(sum(b.v) AS BIGINT) AS sb, "
+        "CAST(sum(a.v * b.v) AS BIGINT) AS spp "
+        "FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.i <= b.i "
+        "GROUP BY a.i, b.i ORDER BY i, j"
+    )
+
+
 def text_chunks_sql(size: int = 256, overlap: int = 64) -> str:
     """RAG chunking replica: one row per (doc, window) with stride
     size-overlap; generate_series(0, greatest(len-1, 0), stride) yields

@@ -3,6 +3,7 @@
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 import ray.data
 
 from graphscope_ray.functions.mlprep import bigram_counts, kmeans, standardize, tfidf
@@ -181,3 +182,49 @@ def test_walk_skipgram_ppmi_matches_bruteforce():
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     # lone-vertex walk (walk 2) contributes nothing
     assert 9 not in set(got.w)
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_pca_project_vs_numpy(P):
+    from graphscope_ray.functions.mlprep import embedding_covariance, pca_project
+
+    rng = np.random.RandomState(4)
+    n, d, k = 200, 8, 3
+    X = (rng.randn(n, d) * np.linspace(3, 0.1, d)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in X]),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(P)
+
+    # covariance partials agree with numpy exact-int reference
+    cov = embedding_covariance(ds).to_pandas().sort_values(["i", "j"])
+    Q = np.floor(X.astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
+    P2 = Q.T @ Q
+    S = Q.sum(axis=0)
+    for r in cov.itertuples():
+        assert r.n == n and r.sa == S[r.i] and r.sb == S[r.j] and r.spp == P2[r.i, r.j]
+
+    got = pca_project(ds, n_components=k).to_pandas().sort_values("vec_id")
+    Y = got[[f"pc{c}" for c in range(k)]].to_numpy()
+
+    # numpy reference PCA on the SAME quantized covariance
+    Xq = Q / 1_000_000.0
+    mu = Xq.mean(axis=0)
+    C = ((Xq - mu).T @ (Xq - mu)) / n
+    # engine covariance uses E[xy] - E[x]E[y] (same thing up to fp order)
+    w, V = np.linalg.eigh(C)
+    comps = V[:, np.argsort(w)[::-1][:k]].T
+    for c in comps:
+        m = np.argmax(np.abs(np.round(c, 12)))
+        if c[m] < 0:
+            c *= -1.0
+    want = (X.astype(np.float64) - mu) @ comps.T
+    # projections agree up to small fp differences in the eig problem
+    assert np.allclose(Y, want, atol=1e-6), np.abs(Y - want).max()
+
+    # variance ordering: pc0 captures the most variance
+    v = Y.var(axis=0)
+    assert v[0] >= v[1] >= v[2]
