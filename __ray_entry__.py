@@ -1194,6 +1194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # analytical apps (oracle: unrolled/recursive SQL)
         "lg_pagerank": td.lg_pagerank_fixed,
         "lg_pagerank_push": td.lg_pagerank_push,
+        "lg_pagerank_weighted": td.lg_pagerank_weighted,
         "lg_pagerank_converged": td.lg_pagerank_converged,
         "lg_pagerank_p2p": td.lg_pagerank_p2p,
         "lg_wcc": td.lg_wcc,
@@ -1445,6 +1446,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_induced_subgraph": osql.lg_induced_subgraph_sql(),
         "lg_pagerank": osql.lg_pagerank_sql(rounds=15),
         "lg_pagerank_push": osql.lg_pagerank_push_sql(rounds=15),
+        "lg_pagerank_weighted": osql.lg_pagerank_weighted_sql(),
         "lg_wcc": osql.lg_wcc_sql(),
         "lg_wcc_phash": osql.lg_wcc_sql(),
         "lg_wcc_compact": osql.lg_wcc_sql(),

@@ -34,6 +34,21 @@ def pagerank(
     return g.program_state(res.name), res
 
 
+def pagerank_weighted(
+    g: Graph,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_rounds: int = 100,
+    **run_kwargs,
+) -> tuple[ray.data.Dataset, RunResult]:
+    """Weight-proportional PageRank (networkx pagerank(weight=...)) over a
+    graph built with build_graph(weight=True)."""
+    res = g.run_program(
+        "pagerank_weighted", alpha=alpha, tol=tol, max_rounds=max_rounds, **run_kwargs
+    )
+    return g.program_state(res.name), res
+
+
 def pagerank_push(
     g: Graph,
     alpha: float = 0.85,

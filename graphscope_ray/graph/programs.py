@@ -133,6 +133,33 @@ class PageRank(VertexProgram):
 
 
 # --------------------------------------------------------------------------
+class PageRankWeighted(PageRank):
+    """Weight-proportional PageRank (networkx ``pagerank(weight=...)``
+    semantics; the reference's pagerank over a weighted projection):
+    r'[v] = α·Σ_{u→v} r[u]·w(u,v)/W(u) + (α·dangling + 1−α)/N with
+    W(u) = Σ out-edge weights and dangling = {u : W(u) = 0}.  Same
+    superstep/gather shape as :class:`PageRank`; the scatter is the
+    weighted-diffusion push (messages pre-combined per boundary vertex)."""
+
+    def init(self) -> dict:
+        f = self.frag
+        n, N = f.n_local, max(f.N, 1)
+        self.score = np.full(n, 1.0 / N, dtype=np.float64)
+        o = f.out
+        W = np.zeros(n, dtype=np.float64)
+        if o.n_edges:
+            w = o.weight if o.weight is not None else np.ones(o.n_edges)
+            np.add.at(W, np.repeat(np.arange(n), o.deg), w)
+        self.dangling = W == 0
+        with np.errstate(divide="ignore"):
+            self.invdeg = np.where(self.dangling, 0.0, 1.0 / W)
+        return {"dangling_sum": float(self.score[self.dangling].sum())}
+
+    def scatter(self, step, glob):
+        vals = self.score * self.invdeg
+        return _wrap(self.frag.out.push_weighted_sum(vals))
+
+
 class PageRankPush(VertexProgram):
     """Push/delta PageRank — the reference registry's ``pagerank_push``
     execution-strategy variant (residual propagation instead of full
@@ -2015,6 +2042,12 @@ def _never(glob, params, N, step):
 PROGRAMS: dict[str, ProgramSpec] = {
     "pagerank": ProgramSpec(
         PageRank,
+        lambda glob, params, N, step: glob.get("residual", np.inf)
+        < params.get("tol", 1e-6) * max(N, 1),
+        100,
+    ),
+    "pagerank_weighted": ProgramSpec(
+        PageRankWeighted,
         lambda glob, params, N, step: glob.get("residual", np.inf)
         < params.get("tol", 1e-6) * max(N, 1),
         100,

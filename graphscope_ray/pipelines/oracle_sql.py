@@ -92,6 +92,41 @@ def lg_pagerank_sql(rounds: int = 15, alpha: float = 0.85) -> str:
     return f"WITH {_BASE}, " + ",\n".join(ctes) + f" SELECT oid, round(score, 8) AS score FROM p{rounds}"
 
 
+def lg_pagerank_weighted_sql(rounds: int = 15, alpha: float = 0.85) -> str:
+    """Unrolled weight-proportional PageRank over the multiplicity-weighted
+    edges: r' = α·Σ r[u]·w/W(u) + (α·dangling + 1−α)/N; the vertex frame is
+    the engine's dense [0, LG_MOD) vid space (isolated oids score the base
+    mass, exactly like the engine's num_vertices=LG_MOD build)."""
+    N = LG_MOD
+    ctes = [
+        f"we AS MATERIALIZED (SELECT (l_orderkey % {LG_MOD}) AS src, "
+        f"(l_partkey % {LG_MOD}) AS dst, CAST(count(*) AS DOUBLE) AS w FROM lineitem "
+        f"WHERE (l_orderkey % {LG_MOD}) <> (l_partkey % {LG_MOD}) GROUP BY src, dst)",
+        f"wpv AS MATERIALIZED (SELECT unnest(generate_series(0, {N - 1})) AS oid)",
+        "wout AS MATERIALIZED (SELECT src AS oid, sum(w) AS wd FROM we GROUP BY src)",
+        f"p0 AS MATERIALIZED (SELECT oid, 1.0/{N} AS score FROM wpv)",
+    ]
+    for k in range(rounds):
+        ctes.append(
+            f"d{k} AS MATERIALIZED (SELECT coalesce(sum(p.score),0) AS ds FROM p{k} p "
+            f"LEFT JOIN wout o ON o.oid=p.oid WHERE o.wd IS NULL)"
+        )
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT we.dst AS oid, "
+            f"sum(p.score / o.wd * we.w) AS insum "
+            f"FROM we JOIN p{k} p ON p.oid=we.src JOIN wout o ON o.oid=we.src "
+            "GROUP BY we.dst)"
+        )
+        ctes.append(
+            f"p{k + 1} AS MATERIALIZED (SELECT v.oid, {alpha}*coalesce(s.insum,0) + "
+            f"({alpha}*(SELECT ds FROM d{k}) + {1 - alpha:.2f})/{N} AS score "
+            f"FROM wpv v LEFT JOIN s{k} s ON s.oid=v.oid)"
+        )
+    return "WITH " + ",\n".join(ctes) + (
+        f" SELECT oid, round(score, 8) AS score FROM p{rounds} ORDER BY oid"
+    )
+
+
 def lg_pagerank_push_sql(rounds: int = 15, alpha: float = 0.85) -> str:
     """Unrolled PUSH/delta PageRank (programs.PageRankPush): p0 = 0,
     r0 = (1-α)/N; per round p' = p + r and r' = Σ_in α·r[u]/outdeg[u]

@@ -218,6 +218,17 @@ def lg_pagerank_converged(sf_dir: str, tol: float = 1e-6) -> pd.DataFrame:
     return out
 
 
+def lg_pagerank_weighted(sf_dir: str, rounds: int = 15, alpha: float = 0.85) -> pd.DataFrame:
+    """Weight-proportional PageRank over the multiplicity-weighted lg graph
+    (networkx pagerank(weight=...) semantics), fixed rounds for the SQL
+    oracle."""
+    g = lg_graph_weighted(sf_dir)
+    ds, _ = alg.pagerank_weighted(g, alpha=alpha, tol=0.0, max_rounds=rounds)
+    out = ds.to_pandas()[["vid", "score"]].rename(columns={"vid": "oid"})
+    out["score"] = out["score"].round(8)
+    return out.sort_values("oid").reset_index(drop=True)
+
+
 def lg_pagerank_push(sf_dir: str, rounds: int = 15) -> pd.DataFrame:
     """Push/delta PageRank (programs.PageRankPush — the registry's
     ``pagerank_push`` execution-strategy variant): residual propagation,

@@ -343,3 +343,40 @@ def test_hash_join_left_with_empty_right():
     empty = empty.filter(expr="k > 100")
     out = hash_join(left, empty, "k", "k", how="left").to_pandas()
     assert sorted(out["k"].tolist()) == [1, 2, 3]
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_pagerank_weighted_vs_networkx(P):
+    rng = np.random.RandomState(17)
+    n = 40
+    e = rng.randint(0, n, size=(220, 2))
+    e = sorted({(int(a), int(b)) for a, b in e if a != b})
+    w = {pair: float(rng.randint(1, 6)) for pair in e}
+    t = pa.table(
+        {
+            "src": pa.array([x[0] for x in e], pa.int64()),
+            "dst": pa.array([x[1] for x in e], pa.int64()),
+            "weight": pa.array([w[x] for x in e], pa.float64()),
+        }
+    )
+    g = build_graph(t, num_partitions=P, num_vertices=n, weight=True)
+    ds, _ = alg.pagerank_weighted(g, alpha=0.85, tol=1e-12, max_rounds=200)
+    got = ds.to_pandas().sort_values("vid")["score"].to_numpy()
+
+    # pure-python weighted power iteration (networkx pagerank(weight=...)
+    # semantics: dangling mass redistributed uniformly, L1 stop)
+    W = np.zeros(n)
+    for (a, b), wt in w.items():
+        W[a] += wt
+    p = np.full(n, 1.0 / n)
+    for _ in range(500):
+        new = np.zeros(n)
+        for (a, b), wt in w.items():
+            new[b] += p[a] * wt / W[a]
+        dang = p[W == 0].sum()
+        new = 0.85 * new + (0.85 * dang + 0.15) / n
+        if np.abs(new - p).sum() < 1e-14 * n:
+            p = new
+            break
+        p = new
+    assert np.allclose(got, p, atol=1e-9)
