@@ -213,6 +213,13 @@ def _q_emb_pca(sf_dir):
     return df.sort_values("vec_id").reset_index(drop=True)
 
 
+def _q_samp_cap(sf_dir):
+    from graphscope_ray.functions.sampling import cap_per_stratum
+
+    df = cap_per_stratum(_documents(sf_dir), cap=40, stratum="lang", salt=7).to_pandas()
+    return df.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
 def _q_text_chunks(sf_dir):
     from graphscope_ray.functions.text import chunk_documents
 
@@ -1411,6 +1418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "samp_sample": _q_samp_sample,
         "samp_split": _q_samp_split,
         "samp_stratified": _q_samp_stratified,
+        "samp_cap": _q_samp_cap,
         "samp_priority": _q_samp_priority,
         "samp_dsir": _q_samp_dsir,
         "samp_shuffle": _q_samp_shuffle,
@@ -1655,6 +1663,7 @@ def oracle_sql() -> dict[str, str]:
         "samp_sample": osql.samp_sample_sql(),
         "samp_split": osql.samp_split_sql(),
         "samp_stratified": osql.samp_stratified_sql(),
+        "samp_cap": osql.samp_cap_sql(),
         "samp_priority": osql.samp_priority_sql(),
         "samp_dsir": osql.samp_dsir_sql(),
         "samp_shuffle": osql.samp_shuffle_sql(),

@@ -280,3 +280,61 @@ def temperature_replicate(
     return mixture_replicate(
         ds, key=key, stratum=stratum, epochs_by_stratum=rates, salt=salt
     )
+
+
+def cap_per_stratum(
+    ds: ray.data.Dataset,
+    cap: int = 100,
+    key: str = "doc_id",
+    stratum: str = "lang",
+    salt: int = 0,
+) -> ray.data.Dataset:
+    """Hard per-stratum size cap (the UniMax-style corpus-cap rebalancing
+    knob — bound every language/domain at ``cap`` docs): keep each
+    stratum's ``cap`` rows with the smallest ``hash_u64(key)`` (ties →
+    key).  Content-stable like every sampler here — re-runs, repartitioning
+    and incremental ingest keep the same winners.
+
+    Distributed shape: per-block keep-cap-smallest-per-stratum partials (a
+    valid combiner — the global cap smallest ⊆ union of per-block cap
+    smallest) → one stratum-keyed map_groups merge of ≤ cap·blocks rows.
+    Rows (key, stratum, h) with h the uint64 hash wrapped to int64."""
+    import pandas as pd
+
+    def _partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], pa.int64()),
+                stratum: pa.array([], pa.string()),
+                "h": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0 or t.num_columns == 0:
+            return empty
+        ids = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                key: ids,
+                stratum: t[stratum].to_pylist(),
+                "h": hash_u64(ids, salt).view(np.int64),
+            }
+        )
+        # sort by the UNSIGNED hash (view back), then key
+        df["_hu"] = df["h"].to_numpy().view(np.uint64)
+        df = df.sort_values(["_hu", key]).groupby(stratum, as_index=False).head(cap)
+        return pa.Table.from_pandas(
+            df[[key, stratum, "h"]], preserve_index=False
+        ).replace_schema_metadata(None)
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["_hu"] = g["h"].to_numpy().view(np.uint64)
+        g = g.sort_values(["_hu", key]).head(cap)
+        return g[[key, stratum, "h"]]
+
+    return (
+        ds.select_columns([key, stratum])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(stratum)
+        .map_groups(_merge, batch_format="pandas")
+    )

@@ -2705,6 +2705,21 @@ def samp_priority_sql(k: int = 50, salt: int = 11) -> str:
     )
 
 
+def samp_cap_sql(cap: int = 40, salt: int = 7) -> str:
+    """Per-stratum hard cap replica: rank each lang's docs by the HUGEINT
+    Knuth hash (ties doc_id), keep rank <= cap; h wraps to int64 like the
+    engine's uint64 view."""
+    h = _knuth64_expr("doc_id", salt)
+    return (
+        f"WITH hv AS (SELECT doc_id, lang, {h} AS hu FROM documents), "
+        "rk AS (SELECT doc_id, lang, hu, row_number() OVER ("
+        "PARTITION BY lang ORDER BY hu, doc_id) AS rn FROM hv) "
+        f"SELECT doc_id, lang, CAST(CASE WHEN hu >= 9223372036854775808 "
+        f"THEN hu - {_Q64} ELSE hu END AS BIGINT) AS h "
+        f"FROM rk WHERE rn <= {cap} ORDER BY lang, doc_id"
+    )
+
+
 def text_c4_sql() -> str:
     """C4 line-filter replica: parallel unnest zips (line, ordinal), the
     same RE2 predicates as the engine, string_agg(ORDER BY ordinal)
