@@ -807,6 +807,16 @@ def _q_events_cohort(sf_dir):
     return df.sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
 
 
+def _q_events_first_touch(sf_dir):
+    from graphscope_ray.functions.windows import first_touch
+
+    ev = _read_clean(f"{sf_dir}/events.parquet")
+    df = first_touch(ev).to_pandas()
+    return df[["user_id", "first_ts", "first_event_id", "first_type"]].sort_values(
+        "user_id"
+    ).reset_index(drop=True)
+
+
 def _q_events_window(sf_dir):
     import ray.data
 
@@ -1360,6 +1370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events (stream-shaped)
         "events_window": _q_events_window,
         "events_cohort": _q_events_cohort,
+        "events_first_touch": _q_events_first_touch,
         "events_hopping": _q_events_hopping,
         "events_sessionize": _q_sessionize,
         "events_funnel": td.events_funnel,
@@ -1616,6 +1627,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_closeness_exact": osql.lg_closeness_exact_sql(),
         "events_window": osql.events_window_sql(),
         "events_cohort": osql.events_cohort_sql(),
+        "events_first_touch": osql.events_first_touch_sql(),
         "events_hopping": osql.events_hopping_sql(),
         "events_sessionize": osql.sessionize_sql(),
         "events_funnel": osql.events_funnel_sql(),

@@ -174,3 +174,45 @@ def cohort_retention(
         None,
         "n_users",
     )
+
+
+def first_touch(
+    ds: ray.data.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> ray.data.Dataset:
+    """First-touch attribution: each user's EARLIEST event (ties → smallest
+    event_id) with its type — the standard acquisition-channel rollup.
+    Per-block argmin partials (≤ one row per user per block, a valid
+    combiner) → one user-keyed map_groups argmin merge.  Rows
+    (user_id, first_ts, first_event_id, first_type)."""
+    import pandas as pd
+
+    cols = [user_col, ts_col, id_col, type_col]
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or user_col not in df.columns:
+            return pd.DataFrame(
+                {user_col: pd.Series([], dtype=np.int64),
+                 ts_col: pd.Series([], dtype="datetime64[us]"),
+                 id_col: pd.Series([], dtype=np.int64),
+                 type_col: pd.Series([], dtype=object)}
+            )
+        return (
+            df.sort_values([ts_col, id_col]).groupby(user_col, as_index=False).head(1)
+        )
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col]).head(1)
+        return g.rename(
+            columns={ts_col: "first_ts", id_col: "first_event_id", type_col: "first_type"}
+        )
+
+    return (
+        ds.select_columns(cols)
+        .map_batches(_partial, batch_format="pandas")
+        .groupby(user_col)
+        .map_groups(_merge, batch_format="pandas")
+    )

@@ -705,6 +705,17 @@ def op_consolidate_sql() -> str:
     )
 
 
+def events_first_touch_sql() -> str:
+    """First-touch replica: min (ts, event_id) row per user."""
+    return (
+        "SELECT user_id, ts AS first_ts, event_id AS first_event_id, "
+        "event_type AS first_type FROM ("
+        "SELECT user_id, ts, event_id, event_type, row_number() OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) "
+        "WHERE rn = 1 ORDER BY user_id"
+    )
+
+
 def events_cohort_sql(week_us: int = 604_800_000_000) -> str:
     """Weekly cohort retention replica: epoch-week floor, per-user min week
     as the cohort, distinct active (user, week), count per offset."""

@@ -40,3 +40,33 @@ def test_cohort_retention_vs_python(P):
         (int(r.cohort_week), int(r.week_offset)): int(r.n_users)
         for r in got.itertuples()
     } == want
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_first_touch_vs_python(P):
+    from graphscope_ray.functions.windows import first_touch
+
+    rows = [
+        (10, 100, 5, "b"),   # user 10: ties on ts → smaller event_id wins
+        (11, 100, 4, "a"),
+        (10, 100, 3, "a"),
+        (10, 50, 9, "c"),    # earliest ts wins outright
+        (11, 200, 1, "c"),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+        }
+    )
+    got = (
+        first_touch(ray.data.from_arrow(t).repartition(P))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got["user_id"].tolist() == [10, 11]
+    assert got["first_event_id"].tolist() == [9, 4]
+    assert got["first_type"].tolist() == ["c", "a"]
