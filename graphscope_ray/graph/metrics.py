@@ -1350,7 +1350,7 @@ def salsa(
     src_col: str = "src",
     dst_col: str = "dst",
     iters: int = 5,
-    num_partitions: int = 16,
+    num_partitions: int = 8,
 ) -> ray.data.Dataset:
     """SALSA link analysis (Lempel & Moran 2000 — the stochastic HITS
     variant used for web link graphs), fixed-iteration form: starting from
@@ -1447,9 +1447,13 @@ def salsa(
         parts = scores.map_batches(_p, batch_format="pandas").to_pandas()
         return float(parts["t"].sum()) if len(parts) else 0.0
 
-    def _step(ej, score, score_key, deg_col, group_key):
-        """sum over arcs of score(score_key)/deg → grouped by group_key,
-        then L1-normalized over the vertex set (missing vertices → 0)."""
+    def _step(ej, score, t_prev, score_key, deg_col, group_key):
+        """sum over arcs of (score/t_prev)/deg → grouped by group_key.
+        Scores stay RAW between steps — the previous step's L1 scale
+        divides lazily here with the identical float-op order
+        (rv/t then /deg), so results are bit-identical to normalizing
+        eagerly while saving one verts-join + map pass per half-iteration.
+        Returns (raw_scores, their L1)."""
         j = hash_join(
             ej,
             _ren(score, "oid", "val", "k_s", "sv"),
@@ -1463,10 +1467,12 @@ def salsa(
                 return pd.DataFrame(
                     {"oid": pd.Series(dtype=np.int64), "m": pd.Series(dtype=np.float64)}
                 )
+            sv = df["sv"].to_numpy(np.float64)
+            sv = sv / t_prev if t_prev != 0 else np.zeros(len(df))
             return pd.DataFrame(
                 {
                     "oid": df[group_key].to_numpy(np.int64),
-                    "m": df["sv"].to_numpy(np.float64) / df[deg_col].to_numpy(np.float64),
+                    "m": sv / df[deg_col].to_numpy(np.float64),
                 }
             )
 
@@ -1477,10 +1483,16 @@ def salsa(
             "s",
             num_partitions=num_partitions,
         ).materialize()
-        t = _l1(raw)
+        return raw.map_batches(
+            lambda df: df.rename(columns={"s": "val"}), batch_format="pandas"
+        ).materialize(), _l1(raw)
+
+    def _final(raw, t):
+        """Normalize raw scores over the FULL vertex set (missing → 0) —
+        the eager per-step pass, now applied once at the end."""
         jj = hash_join(
-            verts, _ren(raw, "oid", "s", "k_r", "rv"), left_on="oid", right_on="k_r",
-            num_partitions=num_partitions, how="left",
+            verts, _ren(raw, "oid", "val", "k_r", "rv"), left_on="oid",
+            right_on="k_r", num_partitions=num_partitions, how="left",
         )
 
         def _norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -1496,10 +1508,14 @@ def salsa(
         return jj.map_batches(_norm, batch_format="pandas").materialize()
 
     hub = verts.map_batches(_init, batch_format="pandas").materialize()
-    auth = None
+    t_hub = 1.0  # init values are already the normalized uniform vector
+    auth, t_auth = None, 1.0
     for _ in range(iters):
-        auth = _step(e1, hub, src_col, "od", dst_col)
-        hub = _step(e2, auth, dst_col, "idg", src_col)
+        auth, t_auth = _step(e1, hub, t_hub, src_col, "od", dst_col)
+        hub, t_hub = _step(e2, auth, t_auth, dst_col, "idg", src_col)
+
+    auth = _final(auth, t_auth)
+    hub = _final(hub, t_hub)
 
     aj = hash_join(
         _ren(auth, "oid", "val", "oid", "auth"),
