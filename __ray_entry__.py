@@ -1335,6 +1335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_trussness": td.lg_trussness,
         "lg_cocitation": td.lg_cocitation,
         "lg_bibcoupling": td.lg_bibcoupling,
+        "lg_adamic_topk": td.lg_adamic_topk,
         "lg_sweep_cut": td.lg_sweep_cut,
         "lg_random_walks": td.lg_random_walks,
         "lg_eccentricity": td.lg_eccentricity,
@@ -1591,6 +1592,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_trussness": osql.lg_trussness_sql(),
         "lg_cocitation": osql.lg_cocitation_sql(),
         "lg_bibcoupling": osql.lg_bibcoupling_sql(),
+        "lg_adamic_topk": osql.lg_adamic_topk_sql(),
         "lg_sweep_cut": osql.lg_sweep_cut_sql(),
         "lg_random_walks": osql.lg_random_walks_sql(),
         "lg_eccentricity": osql.lg_eccentricity_sql(),

@@ -2078,3 +2078,94 @@ def sweep_cut(
             "phi": phi,
         }
     )
+
+
+def adamic_adar_topk(
+    edges: ray.data.Dataset, k: int = 5, cap: int = 16
+) -> ray.data.Dataset:
+    """Adamic–Adar related-items DISCOVERY (Liben-Nowell & Kleinberg 2003):
+    aa(u, v) = Σ_{w→u, w→v} 1/ln(deg(w)) over shared in-neighbors w, with
+    the same deterministic per-source fanout cap as
+    :func:`cocitation_topk` (pairs drawn among each source's ``cap``
+    smallest out-neighbors; the 1/ln uses w's FULL out-degree).  Weights
+    are the EXACT integers of minibatch.aa_weight_int (round(1e12/ln d) —
+    the SQL oracle embeds the same numpy table), so per-pair sums carry no
+    float-order dependence.  Top-k partners per vertex, ties → smaller id;
+    rows (u, v, aa, rnk)."""
+    from graphscope_ray.graph.minibatch import aa_weight_int
+
+    def _cap_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "src" not in df.columns:
+            return pd.DataFrame(
+                {"src": pd.Series(dtype=np.int64), "dst": pd.Series(dtype=np.int64),
+                 "cnt": pd.Series(dtype=np.int64)}
+            )
+        kept = df.sort_values(["src", "dst"]).groupby("src", as_index=False).head(cap)
+        kept = kept.assign(cnt=np.int64(0))
+        marks = (
+            df.groupby("src", as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+            .assign(dst=np.int64(-1))
+        )
+        return pd.concat(
+            [kept[["src", "dst", "cnt"]], marks[["src", "dst", "cnt"]]],
+            ignore_index=True,
+        )
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        full_deg = int(g["cnt"].sum())
+        d = np.sort(np.unique(g.loc[g["dst"] >= 0, "dst"].to_numpy()))[:cap]
+        n = d.size
+        if n < 2 or full_deg < 2:
+            return pd.DataFrame(
+                {"u": np.empty(0, np.int64), "v": np.empty(0, np.int64),
+                 "w": np.empty(0, np.int64)}
+            )
+        w = int(aa_weight_int(full_deg))
+        iu, iv = np.triu_indices(n, 1)
+        return pd.DataFrame(
+            {"u": d[iu], "v": d[iv], "w": np.full(iu.size, w, dtype=np.int64)}
+        )
+
+    pairs = (
+        edges.map_batches(_cap_partial, batch_format="pandas")
+        .groupby("src")
+        .map_groups(_pairs, batch_format="pandas")
+    )
+    counts = hash_groupby_sum(pairs, ["u", "v"], "w", "aa")
+
+    def _sym(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "u" not in t.column_names:
+            return pa.table({c: pa.array([], pa.int64()) for c in ("u", "v", "aa")})
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        c = t["aa"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([u, v])),
+                "v": pa.array(np.concatenate([v, u])),
+                "aa": pa.array(np.concatenate([c, c]).astype(np.int64)),
+            }
+        )
+
+    sym = counts.map_batches(_sym, batch_format="pyarrow")
+
+    def _tk_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["aa", "v"], ascending=[False, True])
+            .groupby("u", as_index=False)
+            .head(k)
+        )
+
+    def _tk_merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["aa", "v"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        sym.map_batches(_tk_partial, batch_format="pandas")
+        .groupby("u")
+        .map_groups(_tk_merge, batch_format="pandas")
+    )

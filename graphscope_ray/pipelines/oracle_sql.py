@@ -1430,6 +1430,37 @@ def lg_cocitation_sql(k: int = 5, cap: int = 16) -> str:
     )
 
 
+def lg_adamic_topk_sql(k: int = 5, cap: int = 16, max_deg: int = 2048) -> str:
+    """Adamic–Adar top-k replica: the capped-wedge pair join of
+    lg_cocitation_sql weighted by the shared source's full out-degree
+    through the EMBEDDED numpy integer table round(1e12/ln d) —
+    minibatch.aa_weight_int evaluated in python so both sides share one
+    rounding kernel (degrees are bounded by the LG_MOD vertex universe)."""
+    import numpy as np
+
+    from graphscope_ray.graph.minibatch import aa_weight_int
+
+    degs = np.arange(2, max_deg + 1)
+    ws = aa_weight_int(degs)
+    vals = ", ".join(f"({int(d)}, {int(w)})" for d, w in zip(degs, ws))
+    return (
+        f"WITH {_BASE}, "
+        f"wt(d, w) AS (VALUES {vals}), "
+        f"ecap AS MATERIALIZED (SELECT src, dst FROM ("
+        f"SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rn "
+        f"FROM e) WHERE rn <= {cap}), "
+        "pairs AS MATERIALIZED (SELECT a.dst AS u, b.dst AS v, "
+        "CAST(sum(w.w) AS BIGINT) AS aa "
+        "FROM ecap a JOIN ecap b ON a.src = b.src AND a.dst < b.dst "
+        "JOIN outd o ON o.oid = a.src JOIN wt w ON w.d = o.d GROUP BY u, v), "
+        "sym AS MATERIALIZED (SELECT u, v, aa FROM pairs "
+        "UNION ALL SELECT v AS u, u AS v, aa FROM pairs), "
+        "rk AS (SELECT u, v, aa, row_number() OVER ("
+        "PARTITION BY u ORDER BY aa DESC, v ASC) AS rnk FROM sym) "
+        f"SELECT u, v, aa, rnk FROM rk WHERE rnk <= {k} ORDER BY u, rnk"
+    )
+
+
 def lg_bibcoupling_sql(k: int = 5, cap: int = 16) -> str:
     """Bibliographic-coupling top-k replica: lg_cocitation_sql on the
     reversed arcs — per-TARGET cap smallest citers, pair counts, rank."""

@@ -1364,6 +1364,17 @@ def lg_cocitation(sf_dir: str, k: int = 5, cap: int = 16) -> pd.DataFrame:
     )
 
 
+def lg_adamic_topk(sf_dir: str, k: int = 5, cap: int = 16) -> pd.DataFrame:
+    """Top-k Adamic–Adar partners per vertex (capped-wedge discovery with
+    exact-integer 1/ln weights — graph/metrics.adamic_adar_topk)."""
+    from graphscope_ray.graph.metrics import adamic_adar_topk
+
+    out = adamic_adar_topk(lg_edges(sf_dir), k=k, cap=cap).to_pandas()
+    return (
+        out[["u", "v", "aa", "rnk"]].sort_values(["u", "rnk"]).reset_index(drop=True)
+    )
+
+
 def lg_bibcoupling(sf_dir: str, k: int = 5, cap: int = 16) -> pd.DataFrame:
     """Top-k bibliographically-coupled partners per vertex (Kessler 1963 —
     shared OUT-neighbors, the dual of co-citation): the same capped wedge

@@ -285,3 +285,49 @@ def test_bibcoupling_duality():
         ):
             want.append((u, v, c, r))
     assert [tuple(map(int, r)) for r in got[["u", "v", "cocit", "rnk"]].to_numpy()] == want
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_adamic_adar_topk_vs_python(P):
+    import itertools
+    from collections import defaultdict
+
+    import ray.data
+
+    from graphscope_ray.graph.metrics import adamic_adar_topk
+    from graphscope_ray.graph.minibatch import aa_weight_int
+
+    rng = np.random.RandomState(6)
+    e = rng.randint(0, 22, size=(130, 2))
+    e = sorted({(int(a), int(b)) for a, b in e if a != b})
+    t = pa.table(
+        {"src": pa.array([x[0] for x in e], pa.int64()),
+         "dst": pa.array([x[1] for x in e], pa.int64())}
+    )
+    got = (
+        adamic_adar_topk(ray.data.from_arrow(t).repartition(P), k=3, cap=4)
+        .to_pandas()
+        .sort_values(["u", "rnk"])
+        .reset_index(drop=True)
+    )
+    out_adj = defaultdict(list)
+    for s, d in e:
+        out_adj[s].append(d)
+    aa = defaultdict(int)
+    for s, ds in out_adj.items():
+        if len(ds) < 2:
+            continue
+        w = int(aa_weight_int(len(ds)))
+        for u, v in itertools.combinations(sorted(ds)[:4], 2):
+            aa[(u, v)] += w
+    per_u = defaultdict(list)
+    for (u, v), c in aa.items():
+        per_u[u].append((v, c))
+        per_u[v].append((u, c))
+    want = []
+    for u in sorted(per_u):
+        for r, (v, c) in enumerate(
+            sorted(per_u[u], key=lambda vc: (-vc[1], vc[0]))[:3], 1
+        ):
+            want.append((u, v, c, r))
+    assert [tuple(map(int, r)) for r in got[["u", "v", "aa", "rnk"]].to_numpy()] == want
