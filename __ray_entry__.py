@@ -1333,6 +1333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_sssp_delta": td.lg_sssp_delta,
         "lg_ktruss": td.lg_ktruss,
         "lg_trussness": td.lg_trussness,
+        "lg_embeddedness": td.lg_embeddedness,
         "lg_cocitation": td.lg_cocitation,
         "lg_bibcoupling": td.lg_bibcoupling,
         "lg_adamic_topk": td.lg_adamic_topk,
@@ -1590,6 +1591,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_sssp_delta": osql.lg_sssp_weighted_sql(),
         "lg_ktruss": osql.lg_ktruss_sql(),
         "lg_trussness": osql.lg_trussness_sql(),
+        "lg_embeddedness": osql.lg_embeddedness_sql(),
         "lg_cocitation": osql.lg_cocitation_sql(),
         "lg_bibcoupling": osql.lg_bibcoupling_sql(),
         "lg_adamic_topk": osql.lg_adamic_topk_sql(),

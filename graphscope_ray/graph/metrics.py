@@ -2169,3 +2169,163 @@ def adamic_adar_topk(
         .groupby("u")
         .map_groups(_tk_merge, batch_format="pandas")
     )
+
+
+def edge_embeddedness(
+    edges: ray.data.Dataset, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """Edge embeddedness (Granovetter's tie strength — the number of
+    common neighbors of an edge's endpoints in the undirected simple
+    graph) and the derived LOCAL-BRIDGE flag (embeddedness 0: removing the
+    edge puts its endpoints ≥ 3 hops apart).  ``edges`` must be the
+    canonical undirected set (src < dst, dedup).
+
+    Dataflow = one round of the k-truss support computation
+    (algorithms.ktruss step 1-3): degree-ordered orientation (two degree
+    joins), wedge join, per-edge support count; edges in no triangle LEFT-
+    join a 0.  Rows (src, dst, support, local_bridge)."""
+
+    def _proj(cols: dict):
+        def _f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or not set(cols.values()).issubset(t.column_names):
+                return pa.table({o: pa.array([], pa.int64()) for o in cols})
+            return pa.table({o: t[s] for o, s in cols.items()})
+
+        return _f
+
+    e = edges.select_columns(["src", "dst"]).materialize()
+    ue = e.map_batches(
+        lambda t: pa.table(
+            {
+                "tv": pa.array(
+                    np.concatenate(
+                        [
+                            t["src"].to_numpy(zero_copy_only=False),
+                            t["dst"].to_numpy(zero_copy_only=False),
+                        ]
+                    )
+                )
+            }
+        )
+        if t.num_rows
+        else pa.table({"tv": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    deg = hash_groupby_sum(ue, ["tv"], None, "d", num_partitions=num_partitions)
+    j1 = hash_join(e, deg, "src", "tv", num_partitions=num_partitions).map_batches(
+        _proj({"src": "src", "dst": "dst", "da": "d"}), batch_format="pyarrow"
+    )
+    j2 = hash_join(j1, deg, "dst", "tv", num_partitions=num_partitions)
+
+    def _orient(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "src" not in t.column_names:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        da = t["da"].to_numpy(zero_copy_only=False).astype(np.int64)
+        db = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fwd = (da < db) | ((da == db) & (s < d))
+        return pa.table(
+            {"a": pa.array(np.where(fwd, s, d)), "b": pa.array(np.where(fwd, d, s))}
+        )
+
+    oe = j2.map_batches(_orient, batch_format="pyarrow").materialize()
+    w = hash_join(
+        oe,
+        oe.map_batches(_proj({"b2": "a", "c": "b"}), batch_format="pyarrow"),
+        "b",
+        "b2",
+        num_partitions=num_partitions,
+    )
+
+    def _pack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table({n: pa.array([], pa.int64()) for n in ("a", "b", "c", "ac")})
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"a": pa.array(a), "b": pa.array(b), "c": pa.array(c),
+             "ac": pa.array((a << np.int64(32)) | c)}
+        )
+
+    w = w.map_batches(_pack, batch_format="pyarrow")
+    ok = oe.map_batches(
+        lambda t: pa.table(
+            {"ac2": pa.array(
+                (t["a"].to_numpy(zero_copy_only=False).astype(np.int64) << np.int64(32))
+                | t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )}
+        )
+        if t.num_rows and "a" in t.column_names
+        else pa.table({"ac2": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    tri = hash_join(w, ok, "ac", "ac2", num_partitions=num_partitions)
+
+    def _edges3(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.concatenate([np.minimum(a, b), np.minimum(b, c), np.minimum(a, c)])
+        v = np.concatenate([np.maximum(a, b), np.maximum(b, c), np.maximum(a, c)])
+        return pa.table({"src": pa.array(u), "dst": pa.array(v)})
+
+    sup = hash_groupby_sum(
+        tri.map_batches(_edges3, batch_format="pyarrow"),
+        ["src", "dst"],
+        None,
+        "support",
+        num_partitions=num_partitions,
+    )
+
+    def _skey(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "src" not in t.column_names:
+            return pa.table({"k2": pa.array([], pa.int64()), "support": pa.array([], pa.int64())})
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"k2": pa.array((s << np.int64(32)) | d), "support": t["support"]})
+
+    def _ekey(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "src" not in t.column_names:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
+                 "k": pa.array([], pa.int64())}
+            )
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": t["src"], "dst": t["dst"], "k": pa.array((s << np.int64(32)) | d)})
+
+    out = hash_join(
+        e.map_batches(_ekey, batch_format="pyarrow"),
+        sup.map_batches(_skey, batch_format="pyarrow"),
+        "k",
+        "k2",
+        how="left",
+        num_partitions=num_partitions,
+    )
+
+    def _fin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "src" not in t.column_names:
+            return pa.table(
+                {c: pa.array([], pa.int64())
+                 for c in ("src", "dst", "support", "local_bridge")}
+            )
+        sup_np = (
+            t["support"].to_numpy(zero_copy_only=False).astype(np.float64)
+            if "support" in t.column_names
+            else np.zeros(t.num_rows)
+        )
+        sup_np = np.nan_to_num(sup_np, nan=0.0).astype(np.int64)
+        return pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "support": pa.array(sup_np),
+                "local_bridge": pa.array((sup_np == 0).astype(np.int64)),
+            }
+        )
+
+    return out.map_batches(_fin, batch_format="pyarrow")

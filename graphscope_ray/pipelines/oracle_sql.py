@@ -1480,6 +1480,33 @@ def lg_bibcoupling_sql(k: int = 5, cap: int = 16) -> str:
     )
 
 
+def lg_embeddedness_sql() -> str:
+    """Per-edge embeddedness replica: one round of the lg_ktruss_sql
+    support computation, LEFT-joined back so triangle-free edges report 0
+    (local bridges)."""
+    return (
+        f"WITH {_BASE}, "
+        "ce AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src, "
+        "greatest(src, dst) AS dst FROM e), "
+        "kd AS MATERIALIZED (SELECT tv, count(*) AS d FROM ("
+        "SELECT src AS tv FROM ce UNION ALL SELECT dst FROM ce) GROUP BY tv), "
+        "ko AS MATERIALIZED (SELECT CASE WHEN fa THEN src ELSE dst END AS a, "
+        "CASE WHEN fa THEN dst ELSE src END AS b FROM ("
+        "SELECT ce.src, ce.dst, (da.d < db.d OR (da.d = db.d AND ce.src < ce.dst)) AS fa "
+        "FROM ce JOIN kd da ON da.tv = ce.src JOIN kd db ON db.tv = ce.dst)), "
+        "kt AS MATERIALIZED (SELECT ab.a, ab.b, bc.b AS c FROM ko ab "
+        "JOIN ko bc ON bc.a = ab.b JOIN ko ac ON ac.a = ab.a AND ac.b = bc.b), "
+        "ks AS MATERIALIZED (SELECT src, dst, count(*) AS sup FROM ("
+        "SELECT least(a, b) AS src, greatest(a, b) AS dst FROM kt "
+        "UNION ALL SELECT least(b, c), greatest(b, c) FROM kt "
+        "UNION ALL SELECT least(a, c), greatest(a, c) FROM kt) GROUP BY src, dst) "
+        "SELECT ce.src, ce.dst, coalesce(ks.sup, 0) AS support, "
+        "CAST(coalesce(ks.sup, 0) = 0 AS BIGINT) AS local_bridge "
+        "FROM ce LEFT JOIN ks ON ks.src = ce.src AND ks.dst = ce.dst "
+        "ORDER BY ce.src, ce.dst"
+    )
+
+
 def lg_random_walks_sql(
     n_starts: int = 64,
     length: int = 4,

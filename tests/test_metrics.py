@@ -331,3 +331,31 @@ def test_adamic_adar_topk_vs_python(P):
         ):
             want.append((u, v, c, r))
     assert [tuple(map(int, r)) for r in got[["u", "v", "aa", "rnk"]].to_numpy()] == want
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_edge_embeddedness_vs_networkx(P):
+    import networkx as nx
+    import ray.data
+
+    from graphscope_ray.graph.metrics import edge_embeddedness
+
+    rng = np.random.RandomState(12)
+    e = rng.randint(0, 18, size=(90, 2))
+    canon = sorted({(min(int(a), int(b)), max(int(a), int(b))) for a, b in e if a != b})
+    t = pa.table(
+        {"src": pa.array([x[0] for x in canon], pa.int64()),
+         "dst": pa.array([x[1] for x in canon], pa.int64())}
+    )
+    got = (
+        edge_embeddedness(ray.data.from_arrow(t).repartition(P))
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    G = nx.Graph(canon)
+    for r in got.itertuples():
+        cn = len(list(nx.common_neighbors(G, r.src, r.dst)))
+        assert r.support == cn, (r.src, r.dst, r.support, cn)
+        assert r.local_bridge == int(cn == 0)
+    assert len(got) == len(canon)
