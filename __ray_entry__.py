@@ -817,6 +817,12 @@ def _q_events_first_touch(sf_dir):
     ).reset_index(drop=True)
 
 
+def _q_events_rfm(sf_dir):
+    from graphscope_ray.functions.windows import rfm_scores
+
+    return rfm_scores(_read_clean(f"{sf_dir}/events.parquet"))
+
+
 def _q_events_window(sf_dir):
     import ray.data
 
@@ -1373,6 +1379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "events_cohort": _q_events_cohort,
         "events_first_touch": _q_events_first_touch,
+        "events_rfm": _q_events_rfm,
         "events_hopping": _q_events_hopping,
         "events_sessionize": _q_sessionize,
         "events_funnel": td.events_funnel,
@@ -1632,6 +1639,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window": osql.events_window_sql(),
         "events_cohort": osql.events_cohort_sql(),
         "events_first_touch": osql.events_first_touch_sql(),
+        "events_rfm": osql.events_rfm_sql(),
         "events_hopping": osql.events_hopping_sql(),
         "events_sessionize": osql.sessionize_sql(),
         "events_funnel": osql.events_funnel_sql(),

@@ -216,3 +216,79 @@ def first_touch(
         .groupby(user_col)
         .map_groups(_merge, batch_format="pandas")
     )
+
+
+def rfm_scores(
+    ds: ray.data.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> pd.DataFrame:
+    """RFM segmentation (the classic marketing rollup): per user, Recency =
+    last event time, Frequency = event count, Monetary = Σ cents (each
+    event's value quantized floor(100·v + 0.5) BEFORE summing, so the sum
+    is an exact int64 with no float-order dependence); each metric scores
+    1–5 by its exact population quintiles (score = 1 + #cuts strictly
+    below the value; quantile_disc cut semantics via joins.exact_quantiles,
+    so the SQL oracle reproduces every cut bit-for-bit).
+
+    Dataflow: two per-user hash exchanges (max for recency, sum for
+    count/cents), three exact-quantile probes over the user-sized
+    aggregate (each a bounded candidate/histogram pass — nothing
+    event-sized leaves the stream), one broadcast of 12 cut scalars, one
+    scoring map.  Rows (user_id, r, f, m, r_score, f_score, m_score)."""
+    from graphscope_ray.functions.joins import exact_quantiles
+    from graphscope_ray.utils import hash_groupby_sum, hash_join
+
+    def _prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {user_col: pa.array([], pa.int64()), "r": pa.array([], pa.int64()),
+                 "one": pa.array([], pa.int64()), "cents": pa.array([], pa.int64())}
+            )
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                user_col: t[user_col],
+                "r": pa.array(ts),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "cents": pa.array(np.floor(100.0 * v + 0.5).astype(np.int64)),
+            }
+        )
+
+    ev = ds.select_columns([user_col, ts_col, value_col]).map_batches(
+        _prep, batch_format="pyarrow"
+    ).materialize()
+    rmax = hash_groupby_sum(ev, [user_col], "r", "r", agg="max", num_partitions=8)
+    fm = hash_groupby_sum(
+        ev, [user_col], ["one", "cents"], ["f", "m"], num_partitions=8
+    )
+    agg = hash_join(rmax, fm, user_col, user_col, num_partitions=8).materialize()
+
+    qs = [0.2, 0.4, 0.6, 0.8]
+    cuts = {
+        c: exact_quantiles(agg, c, qs)["value"].to_numpy() for c in ("r", "f", "m")
+    }
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or user_col not in df.columns:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=np.int64)
+                 for c in (user_col, "r", "f", "m", "r_score", "f_score", "m_score")}
+            )
+        out = df[[user_col, "r", "f", "m"]].copy()
+        for c in ("r", "f", "m"):
+            v = df[c].to_numpy(np.float64)
+            sc = np.ones(len(df), dtype=np.int64)
+            for cut in cuts[c]:
+                sc += (v > cut).astype(np.int64)
+            out[f"{c}_score"] = sc
+        return out
+
+    return (
+        agg.map_batches(_score, batch_format="pandas")
+        .to_pandas()
+        .sort_values(user_col)
+        .reset_index(drop=True)
+    )

@@ -716,6 +716,26 @@ def events_first_touch_sql() -> str:
     )
 
 
+def events_rfm_sql() -> str:
+    """RFM replica: per-user (max epoch-us, count, exact cents sum),
+    quintile cuts via quantile_disc at 0.2/0.4/0.6/0.8, score = 1 + #cuts
+    strictly below the metric."""
+    cut = lambda c, q: (
+        f"(SELECT quantile_disc({c}, {q}) FROM agg)"
+    )
+    score = lambda c: " + ".join(
+        f"(CASE WHEN {c} > {cut(c, q)} THEN 1 ELSE 0 END)" for q in (0.2, 0.4, 0.6, 0.8)
+    )
+    return (
+        "WITH agg AS MATERIALIZED (SELECT user_id, max(epoch_us(ts)) AS r, "
+        "count(*) AS f, CAST(sum(CAST(floor(100 * value + 0.5) AS BIGINT)) AS BIGINT) AS m "
+        "FROM events GROUP BY user_id) "
+        f"SELECT user_id, r, f, m, 1 + {score('r')} AS r_score, "
+        f"1 + {score('f')} AS f_score, 1 + {score('m')} AS m_score "
+        "FROM agg ORDER BY user_id"
+    )
+
+
 def events_cohort_sql(week_us: int = 604_800_000_000) -> str:
     """Weekly cohort retention replica: epoch-week floor, per-user min week
     as the cohort, distinct active (user, week), count per offset."""

@@ -1,5 +1,6 @@
 """Event-log window operators (functions/windows.py) vs hand-built logs."""
 
+import numpy as np
 import pyarrow as pa
 import pytest
 import ray
@@ -70,3 +71,35 @@ def test_first_touch_vs_python(P):
     assert got["user_id"].tolist() == [10, 11]
     assert got["first_event_id"].tolist() == [9, 4]
     assert got["first_type"].tolist() == ["c", "a"]
+
+
+def test_rfm_scores_vs_python():
+    from graphscope_ray.functions.windows import rfm_scores
+
+    rng = np.random.RandomState(2)
+    n = 120
+    users = rng.randint(0, 25, n)
+    ts = rng.randint(1, 10**9, n).astype("int64")
+    vals = np.round(rng.rand(n) * 50, 3)
+    t = pa.table(
+        {
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    got = rfm_scores(ray.data.from_arrow(t).repartition(4))
+
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {"u": users, "ts": ts, "cents": np.floor(100 * vals + 0.5).astype(np.int64)}
+    )
+    agg = df.groupby("u").agg(r=("ts", "max"), f=("ts", "size"), m=("cents", "sum"))
+    for c in ("r", "f", "m"):
+        v = np.sort(agg[c].to_numpy())
+        cuts = [v[int(np.ceil(len(v) * q)) - 1] for q in (0.2, 0.4, 0.6, 0.8)]
+        agg[f"{c}_score"] = 1 + sum((agg[c] > cut).astype(int) for cut in cuts)
+    agg = agg.sort_index()
+    for col in ("r", "f", "m", "r_score", "f_score", "m_score"):
+        assert got[col].tolist() == agg[col].tolist(), col
