@@ -220,6 +220,13 @@ def _q_samp_cap(sf_dir):
     return df.sort_values(["lang", "doc_id"]).reset_index(drop=True)
 
 
+def _q_text_feature_hash(sf_dir):
+    from graphscope_ray.functions.mlprep import feature_hash
+
+    df = feature_hash(_documents(sf_dir)).to_pandas()
+    return df.sort_values(["doc_id", "bucket"]).reset_index(drop=True)
+
+
 def _q_text_chunks(sf_dir):
     from graphscope_ray.functions.text import chunk_documents
 
@@ -1446,6 +1453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_covariance": _q_emb_covariance,
         "emb_pca": _q_emb_pca,
         "text_chunks": _q_text_chunks,
+        "text_feature_hash": _q_text_feature_hash,
         "text_c4": _q_text_c4,
         "text_norm": _q_text_norm,
         "op_hll_by": _q_op_hll_by,
@@ -1694,6 +1702,7 @@ def oracle_sql() -> dict[str, str]:
         "op_qsketch": osql.op_qsketch_sql(),
         "emb_covariance": osql.emb_covariance_sql(),
         "text_chunks": osql.text_chunks_sql(),
+        "text_feature_hash": osql.text_feature_hash_sql(),
         "text_c4": osql.text_c4_sql(),
         "text_norm": osql.text_norm_sql(),
         "op_hll_by": osql.op_hll_by_sql(),

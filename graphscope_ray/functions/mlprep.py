@@ -567,3 +567,47 @@ def pca_project(
         return pa.table(cols)
 
     return ds.select_columns([id_col, vec_col]).map_batches(_proj, batch_format="pyarrow")
+
+
+def feature_hash(
+    ds: "ray.data.Dataset", m: int = 1024, text_col: str = "text"
+) -> "ray.data.Dataset":
+    """Hashing-trick bag-of-tokens featurization (Weinberger et al. 2009):
+    sparse rows (doc_id, bucket, cnt) with bucket = token_hash mod m over
+    the lowercased whitespace tokens — the fixed-width feature map that
+    needs NO vocabulary broadcast at any corpus size.  Uses the repo's
+    SQL-replicable polynomial+fmix64 token hash (functions/hashing.py), so
+    the oracle reproduces every bucket bit-for-bit.  Stateless flat-map:
+    each doc's counts complete inside its own batch — no exchange."""
+    assert m & (m - 1) == 0, "m must be a power of two (hash mask)"
+    from graphscope_ray.functions.hashing import batch_token_hashes
+
+    def _f(t: pa.Table) -> pa.Table:
+        guard = {
+            "doc_id": pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+        }
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return pa.table(guard)
+        import pyarrow.compute as pc
+
+        texts = pc.utf8_lower(t[text_col]).to_pylist()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hashes, bounds = batch_token_hashes(texts)
+        if hashes.size == 0:
+            return pa.table(guard)
+        buckets = (hashes % np.uint64(m)).astype(np.int64)
+        ntok = np.diff(bounds)
+        doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), ntok)
+        packed = doc_of * m + buckets
+        uniq, cnt = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[uniq // m]),
+                "bucket": pa.array(uniq % m),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return ds.select_columns(["doc_id", text_col]).map_batches(_f, batch_format="pyarrow")

@@ -3693,6 +3693,18 @@ def _token_hash_ctes(text_expr: str = "lower(text)") -> tuple[list[str], str]:
     return ctes, final
 
 
+def text_feature_hash_sql(m: int = 1024) -> str:
+    """Feature-hashing replica: the shared token-hash CTE chain, bucket =
+    h & (m-1) (m a power of two), count per (doc, bucket)."""
+    ctes, th = _token_hash_ctes("lower(text)")
+    return (
+        "WITH RECURSIVE " + ",\n".join(ctes)
+        + f" SELECT doc_id, CAST(h & {m - 1} AS BIGINT) AS bucket, "
+        f"count(*) AS cnt FROM {th} GROUP BY doc_id, bucket "
+        "ORDER BY doc_id, bucket"
+    )
+
+
 def dedup_simhash_sql(bands: int = 4) -> str:
     tok_ctes, th = _token_hash_ctes("lower(text)")
     width = 64 // bands

@@ -228,3 +228,25 @@ def test_pca_project_vs_numpy(P):
     # variance ordering: pc0 captures the most variance
     v = Y.var(axis=0)
     assert v[0] >= v[1] >= v[2]
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_feature_hash_vs_python(P):
+    from graphscope_ray.functions.hashing import token_hashes
+    from graphscope_ray.functions.mlprep import feature_hash
+
+    docs = ["Alpha beta GAMMA alpha", "one two  two three", "", "alpha"]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": pa.array(docs)})
+    got = (
+        feature_hash(ray.data.from_arrow(t).repartition(P), m=64)
+        .to_pandas()
+        .sort_values(["doc_id", "bucket"])
+        .reset_index(drop=True)
+    )
+    want = {}
+    for i, d in enumerate(docs):
+        hs = token_hashes(d.lower().encode())
+        for h in hs:
+            b = int(h % np.uint64(64))
+            want[(i, b)] = want.get((i, b), 0) + 1
+    assert {(int(r.doc_id), int(r.bucket)): int(r.cnt) for r in got.itertuples()} == want
