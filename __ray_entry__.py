@@ -1347,6 +1347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_ktruss": td.lg_ktruss,
         "lg_trussness": td.lg_trussness,
         "lg_embeddedness": td.lg_embeddedness,
+        "lg_edge_jaccard": td.lg_edge_jaccard,
         "lg_cocitation": td.lg_cocitation,
         "lg_bibcoupling": td.lg_bibcoupling,
         "lg_adamic_topk": td.lg_adamic_topk,
@@ -1607,6 +1608,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_ktruss": osql.lg_ktruss_sql(),
         "lg_trussness": osql.lg_trussness_sql(),
         "lg_embeddedness": osql.lg_embeddedness_sql(),
+        "lg_edge_jaccard": osql.lg_edge_jaccard_sql(),
         "lg_cocitation": osql.lg_cocitation_sql(),
         "lg_bibcoupling": osql.lg_bibcoupling_sql(),
         "lg_adamic_topk": osql.lg_adamic_topk_sql(),

@@ -2329,3 +2329,73 @@ def edge_embeddedness(
         )
 
     return out.map_batches(_fin, batch_format="pyarrow")
+
+
+def edge_jaccard(
+    edges: ray.data.Dataset, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """Neighborhood Jaccard similarity per EXISTING edge:
+    J(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)\\{u,v}| = cn / (deg(u)+deg(v)−cn)
+    over the undirected simple graph — the normalized form of
+    :func:`edge_embeddedness` (tie-strength in [0, 1]).  Two extra degree
+    joins on the support table; the division is a single float op so the
+    SQL oracle is digit-identical at 8dp.  Rows (src, dst, support, du,
+    dv, jaccard)."""
+    emb = edge_embeddedness(edges, num_partitions=num_partitions).materialize()
+    ue = edges.select_columns(["src", "dst"]).map_batches(
+        lambda t: pa.table(
+            {
+                "tv": pa.array(
+                    np.concatenate(
+                        [
+                            t["src"].to_numpy(zero_copy_only=False),
+                            t["dst"].to_numpy(zero_copy_only=False),
+                        ]
+                    )
+                )
+            }
+        )
+        if t.num_rows
+        else pa.table({"tv": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    deg = hash_groupby_sum(ue, ["tv"], None, "d", num_partitions=num_partitions)
+
+    def _proj(cols: dict):
+        def _f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or not set(cols.values()).issubset(t.column_names):
+                return pa.table({o: pa.array([], pa.int64()) for o in cols})
+            return pa.table({o: t[s] for o, s in cols.items()})
+
+        return _f
+
+    j1 = hash_join(emb, deg, "src", "tv", num_partitions=num_partitions).map_batches(
+        _proj({"src": "src", "dst": "dst", "support": "support", "du": "d"}),
+        batch_format="pyarrow",
+    )
+    j2 = hash_join(j1, deg, "dst", "tv", num_partitions=num_partitions)
+
+    def _fin(t: pa.Table) -> pa.Table:
+        cols = ("src", "dst", "support", "du", "dv", "jaccard")
+        if t.num_rows == 0 or "support" not in t.column_names:
+            out = {c: pa.array([], pa.int64()) for c in cols[:5]}
+            out["jaccard"] = pa.array([], pa.float64())
+            return pa.table(out)
+        cn = t["support"].to_numpy(zero_copy_only=False).astype(np.int64)
+        du = t["du"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dv = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        den = du + dv - cn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            j = np.where(den > 0, np.round(cn / den, 8), 0.0)
+        return pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "support": pa.array(cn),
+                "du": pa.array(du),
+                "dv": pa.array(dv),
+                "jaccard": pa.array(j),
+            }
+        )
+
+    return j2.map_batches(_fin, batch_format="pyarrow")

@@ -1527,6 +1527,24 @@ def lg_embeddedness_sql() -> str:
     )
 
 
+def lg_edge_jaccard_sql() -> str:
+    """Edge-Jaccard replica: the lg_embeddedness_sql support round plus the
+    endpoint-degree joins; J = support / (du + dv - support)."""
+    base = lg_embeddedness_sql()
+    head, tail = base.split("SELECT ce.src, ce.dst, coalesce(ks.sup, 0) AS support,")
+    return (
+        head
+        + "SELECT ce.src, ce.dst, coalesce(ks.sup, 0) AS support, "
+        "da.d AS du, db.d AS dv, "
+        "CASE WHEN da.d + db.d - coalesce(ks.sup, 0) > 0 THEN "
+        "round(CAST(coalesce(ks.sup, 0) AS DOUBLE) / "
+        "(da.d + db.d - coalesce(ks.sup, 0)), 8) ELSE 0.0 END AS jaccard "
+        "FROM ce LEFT JOIN ks ON ks.src = ce.src AND ks.dst = ce.dst "
+        "JOIN kd da ON da.tv = ce.src JOIN kd db ON db.tv = ce.dst "
+        "ORDER BY ce.src, ce.dst"
+    )
+
+
 def lg_random_walks_sql(
     n_starts: int = 64,
     length: int = 4,

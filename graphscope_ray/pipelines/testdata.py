@@ -1430,6 +1430,36 @@ def lg_embeddedness(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["src", "dst"]).reset_index(drop=True)
 
 
+def lg_edge_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Per-edge neighborhood Jaccard (normalized embeddedness) over the
+    canonical undirected lg edges (graph/metrics.edge_jaccard)."""
+    from graphscope_ray.graph.metrics import edge_jaccard
+    from graphscope_ray.utils import hash_groupby_sum
+
+    e = lg_edges(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "src": pa.array(
+                    np.minimum(
+                        t["src"].to_numpy(zero_copy_only=False),
+                        t["dst"].to_numpy(zero_copy_only=False),
+                    )
+                ),
+                "dst": pa.array(
+                    np.maximum(
+                        t["src"].to_numpy(zero_copy_only=False),
+                        t["dst"].to_numpy(zero_copy_only=False),
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    e = hash_groupby_sum(e, ["src", "dst"], None, "n").select_columns(["src", "dst"])
+    out = edge_jaccard(e).to_pandas()
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
 def lg_random_walks(sf_dir: str, n_starts: int = 64, length: int = 4) -> pd.DataFrame:
     """Deterministic random-walk corpus over the lg edges (embedding-
     training sampling): rows (walk_id, step, v)."""

@@ -359,3 +359,32 @@ def test_edge_embeddedness_vs_networkx(P):
         assert r.support == cn, (r.src, r.dst, r.support, cn)
         assert r.local_bridge == int(cn == 0)
     assert len(got) == len(canon)
+
+
+def test_edge_jaccard_vs_networkx():
+    import networkx as nx
+    import ray.data
+
+    from graphscope_ray.graph.metrics import edge_jaccard
+
+    rng = np.random.RandomState(15)
+    e = rng.randint(0, 16, size=(80, 2))
+    canon = sorted({(min(int(a), int(b)), max(int(a), int(b))) for a, b in e if a != b})
+    t = pa.table(
+        {"src": pa.array([x[0] for x in canon], pa.int64()),
+         "dst": pa.array([x[1] for x in canon], pa.int64())}
+    )
+    got = (
+        edge_jaccard(ray.data.from_arrow(t).repartition(3))
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    G = nx.Graph(canon)
+    assert len(got) == len(canon)
+    for r in got.itertuples():
+        cn = len(list(nx.common_neighbors(G, r.src, r.dst)))
+        du, dv = G.degree(r.src), G.degree(r.dst)
+        assert (r.support, r.du, r.dv) == (cn, du, dv)
+        want = round(cn / (du + dv - cn), 8) if du + dv - cn > 0 else 0.0
+        assert abs(r.jaccard - want) < 1e-12
