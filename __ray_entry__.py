@@ -830,6 +830,13 @@ def _q_events_rfm(sf_dir):
     return rfm_scores(_read_clean(f"{sf_dir}/events.parquet"))
 
 
+def _q_events_trending(sf_dir):
+    from graphscope_ray.functions.windows import trending
+
+    df = trending(_read_clean(f"{sf_dir}/events.parquet")).to_pandas()
+    return df.sort_values(["window_start", "rnk"]).reset_index(drop=True)
+
+
 def _q_events_window(sf_dir):
     import ray.data
 
@@ -1388,6 +1395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohort": _q_events_cohort,
         "events_first_touch": _q_events_first_touch,
         "events_rfm": _q_events_rfm,
+        "events_trending": _q_events_trending,
         "events_hopping": _q_events_hopping,
         "events_sessionize": _q_sessionize,
         "events_funnel": td.events_funnel,
@@ -1650,6 +1658,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cohort": osql.events_cohort_sql(),
         "events_first_touch": osql.events_first_touch_sql(),
         "events_rfm": osql.events_rfm_sql(),
+        "events_trending": osql.events_trending_sql(),
         "events_hopping": osql.events_hopping_sql(),
         "events_sessionize": osql.sessionize_sql(),
         "events_funnel": osql.events_funnel_sql(),

@@ -292,3 +292,62 @@ def rfm_scores(
         .sort_values(user_col)
         .reset_index(drop=True)
     )
+
+
+def trending(
+    ds: ray.data.Dataset,
+    window_s: int = 3600,
+    k: int = 3,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> ray.data.Dataset:
+    """Trending items per tumbling window: the k most frequent event types
+    in each window (ties → lexicographically smaller type), with their
+    counts and rank — the leaderboard rollup every event pipeline ships.
+    One (window, type) count exchange, then per-block partial top-k + a
+    per-window merge (both tiny: rows are window×type aggregates).  Rows
+    (window_start, rnk, event_type, n_events)."""
+    from graphscope_ray.utils import hash_groupby_sum
+
+    def _win(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"window_start": pa.array([], pa.int64()),
+                 type_col: pa.array([], pa.string())}
+            )
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = (ts // (window_s * 1_000_000)) * window_s
+        return pa.table({"window_start": pa.array(w), type_col: t[type_col]})
+
+    counts = hash_groupby_sum(
+        ds.select_columns([ts_col, type_col]).map_batches(_win, batch_format="pyarrow"),
+        ["window_start", type_col],
+        None,
+        "n_events",
+        num_partitions=8,
+    )
+
+    def _tk_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "window_start" not in df.columns:
+            return pd.DataFrame(
+                {"window_start": pd.Series(dtype=np.int64),
+                 type_col: pd.Series(dtype=object),
+                 "n_events": pd.Series(dtype=np.int64)}
+            )
+        return (
+            df.sort_values(["n_events", type_col], ascending=[False, True])
+            .groupby("window_start", as_index=False)
+            .head(k)
+        )
+
+    def _tk_merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_events", type_col], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["window_start", "rnk", type_col, "n_events"]]
+
+    return (
+        counts.map_batches(_tk_partial, batch_format="pandas")
+        .groupby("window_start")
+        .map_groups(_tk_merge, batch_format="pandas")
+    )

@@ -736,6 +736,20 @@ def events_rfm_sql() -> str:
     )
 
 
+def events_trending_sql(window_s: int = 3600, k: int = 3) -> str:
+    """Trending replica: (window, type) counts, rank by (count DESC, type)."""
+    return (
+        f"WITH c AS MATERIALIZED (SELECT "
+        f"(epoch_us(ts) // {window_s * 1_000_000}) * {window_s} AS window_start, "
+        "event_type, count(*) AS n_events FROM events "
+        "GROUP BY window_start, event_type) "
+        "SELECT window_start, rnk, event_type, n_events FROM ("
+        "SELECT window_start, event_type, n_events, row_number() OVER ("
+        "PARTITION BY window_start ORDER BY n_events DESC, event_type) AS rnk FROM c) "
+        f"WHERE rnk <= {k} ORDER BY window_start, rnk"
+    )
+
+
 def events_cohort_sql(week_us: int = 604_800_000_000) -> str:
     """Weekly cohort retention replica: epoch-week floor, per-user min week
     as the cohort, distinct active (user, week), count per offset."""

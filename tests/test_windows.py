@@ -103,3 +103,33 @@ def test_rfm_scores_vs_python():
     agg = agg.sort_index()
     for col in ("r", "f", "m", "r_score", "f_score", "m_score"):
         assert got[col].tolist() == agg[col].tolist(), col
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_trending_vs_python(P):
+    from collections import Counter
+
+    from graphscope_ray.functions.windows import trending
+
+    W = 3600 * 1_000_000
+    rows = [
+        (0, "a"), (1, "a"), (2, "b"), (3, "b"), (4, "c"),          # win 0: a2 b2 c1
+        (W, "c"), (W + 1, "c"), (W + 2, "b"),                      # win 1: c2 b1
+    ]
+    t = pa.table(
+        {
+            "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[1] for r in rows]),
+        }
+    )
+    got = (
+        trending(ray.data.from_arrow(t).repartition(P), k=2)
+        .to_pandas()
+        .sort_values(["window_start", "rnk"])
+        .reset_index(drop=True)
+    )
+    want = [(0, 1, "a", 2), (0, 2, "b", 2), (3600, 1, "c", 2), (3600, 2, "b", 1)]
+    assert [
+        (int(r.window_start), int(r.rnk), r.event_type, int(r.n_events))
+        for r in got.itertuples()
+    ] == want
