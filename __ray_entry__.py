@@ -1355,6 +1355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_trussness": td.lg_trussness,
         "lg_embeddedness": td.lg_embeddedness,
         "lg_edge_jaccard": td.lg_edge_jaccard,
+        "lg_khop_sizes": td.lg_khop_sizes,
         "lg_cocitation": td.lg_cocitation,
         "lg_bibcoupling": td.lg_bibcoupling,
         "lg_adamic_topk": td.lg_adamic_topk,
@@ -1617,6 +1618,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_trussness": osql.lg_trussness_sql(),
         "lg_embeddedness": osql.lg_embeddedness_sql(),
         "lg_edge_jaccard": osql.lg_edge_jaccard_sql(),
+        "lg_khop_sizes": osql.lg_khop_sizes_sql(),
         "lg_cocitation": osql.lg_cocitation_sql(),
         "lg_bibcoupling": osql.lg_bibcoupling_sql(),
         "lg_adamic_topk": osql.lg_adamic_topk_sql(),

@@ -1541,6 +1541,28 @@ def lg_embeddedness_sql() -> str:
     )
 
 
+def lg_khop_sizes_sql(num_sources: int = 8, max_depth: int = 24) -> str:
+    """Per-source exact-hop-distance histogram: depth-capped recursive
+    walk per source, min depth per vertex, count per depth."""
+    ctes = []
+    sels = []
+    for s in range(num_sources):
+        ctes.append(
+            f"kl_{s}(v, d) AS MATERIALIZED (SELECT CAST({s} AS BIGINT), 0 "
+            f"UNION SELECT e.dst, l.d + 1 FROM kl_{s} l JOIN e ON e.src = l.v "
+            f"WHERE l.d < {max_depth})"
+        )
+        sels.append(
+            f"SELECT CAST({s} AS BIGINT) AS source, d AS depth, count(*) AS n "
+            f"FROM (SELECT v, min(d) AS d FROM kl_{s} GROUP BY v) GROUP BY d"
+        )
+    return (
+        f"WITH RECURSIVE {_BASE}, " + ",\n".join(ctes)
+        + " SELECT source, depth, n FROM (" + " UNION ALL ".join(sels)
+        + ") ORDER BY source, depth"
+    )
+
+
 def lg_edge_jaccard_sql() -> str:
     """Edge-Jaccard replica: the lg_embeddedness_sql support round plus the
     endpoint-degree joins; J = support / (du + dv - support)."""

@@ -1430,6 +1430,31 @@ def lg_embeddedness(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["src", "dst"]).reset_index(drop=True)
 
 
+def lg_khop_sizes(sf_dir: str, num_sources: int = 8) -> pd.DataFrame:
+    """Neighborhood function per source (the per-vertex hop-plot): for each
+    of the num_sources smallest-oid vertices, the number of vertices at
+    EXACT hop distance d (directed BFS).  One BFS program per source; the
+    histogram folds per depth with a distributed count exchange (≤ diameter
+    rows per source ever reach the driver)."""
+    import pyarrow.compute as pc
+
+    from graphscope_ray.utils import hash_groupby_sum
+
+    g = lg_graph(sf_dir)
+    parts = []
+    for s in range(min(num_sources, g.N)):
+        ds, _ = alg.bfs(g, source=s)
+        depths = ds.select_columns(["depth"]).map_batches(
+            lambda t: t.filter(pc.greater_equal(t["depth"], 0)), batch_format="pyarrow"
+        )
+        hist = hash_groupby_sum(depths, ["depth"], None, "n", num_partitions=4).to_pandas()
+        hist["source"] = np.int64(s)
+        parts.append(hist)
+    out = pd.concat(parts, ignore_index=True)[["source", "depth", "n"]]
+    out["depth"] = out["depth"].astype(np.int64)
+    return out.sort_values(["source", "depth"]).reset_index(drop=True)
+
+
 def lg_edge_jaccard(sf_dir: str) -> pd.DataFrame:
     """Per-edge neighborhood Jaccard (normalized embeddedness) over the
     canonical undirected lg edges (graph/metrics.edge_jaccard)."""

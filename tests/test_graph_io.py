@@ -139,3 +139,30 @@ def test_edge_betweenness_subset_partition_invariant():
         if v in srcs:
             continue
         assert abs(per_src.get(v, 0.0) - vbc[v]) < 1e-9
+
+
+def test_khop_sizes_vs_python():
+    from collections import deque
+
+    from graphscope_ray.pipelines import testdata as td
+
+    df = td.lg_khop_sizes("/root/testdata/sf0.001", num_sources=2)
+    # python BFS oracle on the raw edge table
+    e = td.lg_edges("/root/testdata/sf0.001").to_pandas()
+    adj = {}
+    for s, d in zip(e["src"], e["dst"]):
+        adj.setdefault(int(s), []).append(int(d))
+    for src in (0, 1):
+        dist = {src: 0}
+        q = deque([src])
+        while q:
+            v = q.popleft()
+            for w in adj.get(v, ()):  # noqa
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        from collections import Counter
+
+        want = Counter(dist.values())
+        rows = df[df.source == src]
+        assert {int(r.depth): int(r.n) for r in rows.itertuples()} == dict(want)
