@@ -227,6 +227,40 @@ def _q_text_feature_hash(sf_dir):
     return df.sort_values(["doc_id", "bucket"]).reset_index(drop=True)
 
 
+def _q_text_zipf(sf_dir, k: int = 100):
+    """Top-k corpus token frequencies with dense rank (the Zipf head —
+    vocabulary-distribution audit): one hash-exchange token count, per-block
+    partial top-k, tiny driver merge; ties -> lexicographic token."""
+    import numpy as _np
+    import pandas as _pd
+    import pyarrow as _pa
+
+    from graphscope_ray.functions.joins import posexplode
+    from graphscope_ray.utils import hash_groupby_sum
+
+    toks = posexplode(_documents(sf_dir), "doc_id", "text", sep=" ").filter(
+        expr="tok != ''"
+    )
+    counts = hash_groupby_sum(
+        toks.select_columns(["tok"]), ["tok"], None, "n", num_partitions=8
+    )
+
+    def _partial(df):
+        if "tok" not in df.columns or df.empty:
+            return _pd.DataFrame({"tok": _pd.Series(dtype=object), "n": _pd.Series(dtype=_np.int64)})
+        return df.sort_values(["n", "tok"], ascending=[False, True]).head(k)
+
+    top = (
+        counts.map_batches(_partial, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["n", "tok"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    top["rnk"] = _np.arange(1, len(top) + 1, dtype=_np.int64)
+    return top[["rnk", "tok", "n"]]
+
+
 def _q_text_chunks(sf_dir):
     from graphscope_ray.functions.text import chunk_documents
 
@@ -837,6 +871,13 @@ def _q_events_trending(sf_dir):
     return df.sort_values(["window_start", "rnk"]).reset_index(drop=True)
 
 
+def _q_op_mad(sf_dir):
+    from graphscope_ray.functions.joins import robust_outliers
+
+    ev = _read_clean(f"{sf_dir}/events.parquet").select_columns(["value"])
+    return robust_outliers(ev, "value")
+
+
 def _q_events_window(sf_dir):
     import ray.data
 
@@ -1404,6 +1445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "op_cube": td.op_cube,
         "op_left_join": td.op_left_join,
         "op_full_join": td.op_full_join,
+        "op_mad": _q_op_mad,
         "op_quantiles_by": td.op_quantiles_by,
         # text analysis
         "text_tokens": _q_text_tokens,
@@ -1464,6 +1506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_pca": _q_emb_pca,
         "text_chunks": _q_text_chunks,
         "text_feature_hash": _q_text_feature_hash,
+        "text_zipf": _q_text_zipf,
         "text_c4": _q_text_c4,
         "text_norm": _q_text_norm,
         "op_hll_by": _q_op_hll_by,
@@ -1668,6 +1711,7 @@ def oracle_sql() -> dict[str, str]:
         "op_cube": osql.op_cube_sql(),
         "op_left_join": osql.op_left_join_sql(),
         "op_full_join": osql.op_full_join_sql(),
+        "op_mad": osql.op_mad_sql(),
         "op_quantiles_by": osql.op_quantiles_by_sql(),
         "text_tokens": osql.text_tokens_sql(),
         "text_tokens_bpe": osql.text_tokens_bpe_sql(),
@@ -1716,6 +1760,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_covariance": osql.emb_covariance_sql(),
         "text_chunks": osql.text_chunks_sql(),
         "text_feature_hash": osql.text_feature_hash_sql(),
+        "text_zipf": osql.text_zipf_sql(),
         "text_c4": osql.text_c4_sql(),
         "text_norm": osql.text_norm_sql(),
         "op_hll_by": osql.op_hll_by_sql(),

@@ -407,3 +407,41 @@ def quantiles_by(
         )
 
     return ds.select_columns([key, col]).groupby(key).map_groups(_g, batch_format="pandas")
+
+
+def robust_outliers(
+    ds: "ray.data.Dataset", col: str, z_cut: float = 3.5
+) -> "pd.DataFrame":
+    """Robust outlier summary by MAD (median absolute deviation — the
+    Iglewicz–Hoaglin modified z-score, the filter of choice when the metric
+    itself is skewed): median via :func:`exact_quantiles` (quantile_disc
+    rank semantics), MAD = median(|x − median|) via a second exact-quantile
+    pass over the derived deviations, outliers = rows with
+    0.6745·|x − med|/mad > z_cut.  Three bounded passes, nothing
+    data-sized reaches the driver; one summary row
+    (n, median, mad, n_outliers)."""
+    n = ds.count()
+    if n == 0:
+        return pd.DataFrame({"n": [0], "median": [np.nan], "mad": [np.nan], "n_outliers": [0]})
+    med = float(exact_quantiles(ds, col, [0.5])["value"].iloc[0])
+
+    def _dev(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"__dev": pa.array(np.abs(v - med))})
+
+    dev = ds.map_batches(_dev, batch_format="pyarrow")
+    mad = float(exact_quantiles(dev, "__dev", [0.5])["value"].iloc[0])
+
+    def _cnt(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if mad > 0:
+            z = 0.6745 * np.abs(v - med) / mad
+            c = int((z > z_cut).sum())
+        else:
+            c = 0
+        return pa.table({"c": pa.array([c], pa.int64())})
+
+    n_out = int(ds.map_batches(_cnt, batch_format="pyarrow").to_pandas()["c"].sum())
+    return pd.DataFrame(
+        {"n": [n], "median": [round(med, 8)], "mad": [round(mad, 8)], "n_outliers": [n_out]}
+    )

@@ -750,6 +750,21 @@ def events_trending_sql(window_s: int = 3600, k: int = 3) -> str:
     )
 
 
+def op_mad_sql(z_cut: float = 3.5) -> str:
+    """MAD robust-outlier replica: quantile_disc medians, the same
+    0.6745 modified-z rule."""
+    return (
+        "WITH med AS MATERIALIZED (SELECT quantile_disc(value, 0.5) AS m FROM events), "
+        "mad AS MATERIALIZED (SELECT quantile_disc(abs(value - (SELECT m FROM med)), 0.5) AS d "
+        "FROM events) "
+        "SELECT count(*) AS n, round((SELECT m FROM med), 8) AS median, "
+        "round((SELECT d FROM mad), 8) AS mad, "
+        "CAST(coalesce(sum(CASE WHEN (SELECT d FROM mad) > 0 AND "
+        f"0.6745 * abs(value - (SELECT m FROM med)) / (SELECT d FROM mad) > {z_cut} "
+        "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_outliers FROM events"
+    )
+
+
 def events_cohort_sql(week_us: int = 604_800_000_000) -> str:
     """Weekly cohort retention replica: epoch-week floor, per-user min week
     as the cohort, distinct active (user, week), count per offset."""
@@ -2905,6 +2920,19 @@ def emb_covariance_sql(scale: int = 1_000_000) -> str:
         "CAST(sum(a.v * b.v) AS BIGINT) AS spp "
         "FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.i <= b.i "
         "GROUP BY a.i, b.i ORDER BY i, j"
+    )
+
+
+def text_zipf_sql(k: int = 100) -> str:
+    """Zipf head replica: non-empty single-space tokens, count, rank by
+    (count DESC, token)."""
+    return (
+        "WITH toks AS MATERIALIZED (SELECT unnest(list_filter("
+        "string_split(text, ' '), x -> x <> '')) AS tok FROM documents), "
+        "c AS MATERIALIZED (SELECT tok, count(*) AS n FROM toks GROUP BY tok) "
+        "SELECT rnk, tok, n FROM (SELECT tok, n, row_number() OVER ("
+        "ORDER BY n DESC, tok) AS rnk FROM c) "
+        f"WHERE rnk <= {k} ORDER BY rnk"
     )
 
 

@@ -190,3 +190,26 @@ def test_quantiles_by_matches_duckdb_quantile_disc():
         "ORDER BY g, q"
     ).df()
     pd.testing.assert_frame_equal(got, want.rename(columns={"g": "g"}), check_dtype=False)
+
+
+def test_robust_outliers_vs_numpy():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from graphscope_ray.functions.joins import robust_outliers
+
+    rng = np.random.RandomState(8)
+    v = np.concatenate([rng.randn(500), [40.0, -35.0, 50.0]])  # 3 gross outliers
+    t = pa.table({"value": pa.array(v, pa.float64())})
+    out = robust_outliers(ray.data.from_arrow(t).repartition(4), "value")
+    sv = np.sort(v)
+    n = len(v)
+    med = sv[int(np.ceil(n * 0.5)) - 1]
+    dev = np.sort(np.abs(v - med))
+    mad = dev[int(np.ceil(n * 0.5)) - 1]
+    want_out = int((0.6745 * np.abs(v - med) / mad > 3.5).sum())
+    assert out["n"].iloc[0] == n
+    assert abs(out["median"].iloc[0] - round(med, 8)) < 1e-12
+    assert abs(out["mad"].iloc[0] - round(mad, 8)) < 1e-12
+    assert out["n_outliers"].iloc[0] == want_out >= 3
