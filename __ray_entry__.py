@@ -1347,6 +1347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "op_topk_per_group": td.op_topk_per_group,
         "op_groupby_median": td.op_groupby_median,
         "op_asof_join": td.op_asof_join,
+        "op_asof_forward": td.op_asof_forward,
         "op_zscore": td.op_zscore,
         "op_count_distinct": td.op_count_distinct,
         "op_hll_count": td.op_hll_count,
@@ -1608,6 +1609,7 @@ def oracle_sql() -> dict[str, str]:
         "op_topk_per_group": osql.op_topk_per_group_sql(),
         "op_groupby_median": osql.op_groupby_median_sql(),
         "op_asof_join": osql.op_asof_join_sql(),
+        "op_asof_forward": osql.op_asof_forward_sql(),
         "op_zscore": osql.op_zscore_sql(),
         "op_count_distinct": osql.op_count_distinct_sql(),
         "op_hll_count": osql.op_hll_count_sql(),

@@ -40,11 +40,14 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     num_partitions: int = 16,
+    direction: str = "backward",
 ) -> ray.data.Dataset:
-    """As-of (backward) join: for every left row, attach the right row with
-    the same ``on`` key and the greatest ``right_ts`` <= ``left_ts``
-    (inner: left rows with no earlier right row are dropped) — DuckDB
-    ``ASOF JOIN`` semantics.
+    """As-of join: for every left row, attach the right row with the same
+    ``on`` key and the greatest ``right_ts`` <= ``left_ts`` (backward,
+    default) or the SMALLEST ``right_ts`` >= ``left_ts``
+    (direction="forward" — the next-following match, e.g. "first order
+    after the signup event"); inner semantics either way — DuckDB ``ASOF
+    JOIN`` with ``>=`` resp. ``<=``.
 
     Ties on (key, right_ts) are resolved deterministically: the right side
     is deduplicated per (key, ts) keeping the row that sorts LAST by the
@@ -100,7 +103,7 @@ def asof_join(
         rdf = rdf.sort_values(right_ts, kind="mergesort")
         rdf = rdf.assign(__asof_matched__=np.float64(1.0))
         out = pd.merge_asof(
-            ldf, rdf, left_on=left_ts, right_on=right_ts, by=on, direction="backward"
+            ldf, rdf, left_on=left_ts, right_on=right_ts, by=on, direction=direction
         )
         # inner semantics: drop left rows with no match
         out = out[out["__asof_matched__"].notna()].drop(columns="__asof_matched__")

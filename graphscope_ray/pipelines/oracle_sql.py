@@ -3479,6 +3479,20 @@ def op_asof_join_sql() -> str:
     )
 
 
+def op_asof_forward_sql() -> str:
+    """Forward ASOF replica (l.ts <= r.ts picks the nearest FOLLOWING
+    right row): each order's first event at/after its date, events deduped
+    per (user, ts) keeping max event_id."""
+    return (
+        "WITH ev AS (SELECT user_id, ts, max(event_id) AS event_id "
+        "FROM events GROUP BY user_id, ts) "
+        "SELECT o.o_orderkey, o.o_custkey, e.event_id "
+        "FROM orders o ASOF JOIN ev e "
+        "ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts "
+        "ORDER BY o.o_orderkey"
+    )
+
+
 def op_range_join_sql() -> str:
     return (
         "WITH bands(band, lo, hi) AS (VALUES "

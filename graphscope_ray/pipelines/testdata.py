@@ -2563,6 +2563,24 @@ def op_asof_join(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def op_asof_forward(sf_dir: str) -> pd.DataFrame:
+    """FORWARD as-of join: each ORDER picks the EARLIEST event (same
+    customer key) at or after its order date — the "next touchpoint after
+    the conversion" join (asof_join(direction="forward")); right side
+    deduped per (key, ts) keeping max event_id."""
+    from graphscope_ray.functions.joins import asof_join
+
+    od = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    ev = read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    ev = ev.rename_columns({"user_id": "o_custkey"})
+    out = asof_join(
+        od, ev, on="o_custkey", left_ts="o_orderdate", right_ts="ts",
+        direction="forward",
+    ).to_pandas()
+    out = out[["o_orderkey", "o_custkey", "event_id"]].astype(np.int64)
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def op_range_join(sf_dir: str) -> pd.DataFrame:
     """Range (interval) join: orders banded by o_totalprice against a static
     interval table, then count + sum per band."""

@@ -213,3 +213,28 @@ def test_robust_outliers_vs_numpy():
     assert abs(out["median"].iloc[0] - round(med, 8)) < 1e-12
     assert abs(out["mad"].iloc[0] - round(mad, 8)) < 1e-12
     assert out["n_outliers"].iloc[0] == want_out >= 3
+
+
+def test_asof_join_forward():
+    import pyarrow as pa
+    import ray.data
+
+    from graphscope_ray.functions.joins import asof_join
+
+    l = pa.table({"k": pa.array([1, 1, 2], pa.int64()), "lts": pa.array([5, 20, 3], pa.int64())})
+    r = pa.table(
+        {"k": pa.array([1, 1, 2], pa.int64()), "rts": pa.array([6, 10, 1], pa.int64()),
+         "v": pa.array([100, 200, 300], pa.int64())}
+    )
+    out = (
+        asof_join(
+            ray.data.from_arrow(l).repartition(2),
+            ray.data.from_arrow(r).repartition(2),
+            on="k", left_ts="lts", right_ts="rts", direction="forward",
+        )
+        .to_pandas()
+        .sort_values(["k", "lts"])
+        .reset_index(drop=True)
+    )
+    # (1,5)->rts6 v100; (1,20)->no following; (2,3)->no following
+    assert out[["k", "lts", "v"]].values.tolist() == [[1, 5, 100]]
