@@ -871,6 +871,15 @@ def _q_events_trending(sf_dir):
     return df.sort_values(["window_start", "rnk"]).reset_index(drop=True)
 
 
+def _q_op_corr(sf_dir):
+    from graphscope_ray.functions.mlprep import pearson_corr
+
+    li = _read_clean(f"{sf_dir}/lineitem.parquet").select_columns(
+        ["l_quantity", "l_discount", "l_tax"]
+    )
+    return pearson_corr(li, ["l_quantity", "l_discount", "l_tax"])
+
+
 def _q_op_mad(sf_dir):
     from graphscope_ray.functions.joins import robust_outliers
 
@@ -1447,6 +1456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "op_left_join": td.op_left_join,
         "op_full_join": td.op_full_join,
         "op_mad": _q_op_mad,
+        "op_corr": _q_op_corr,
         "op_quantiles_by": td.op_quantiles_by,
         # text analysis
         "text_tokens": _q_text_tokens,
@@ -1714,6 +1724,7 @@ def oracle_sql() -> dict[str, str]:
         "op_left_join": osql.op_left_join_sql(),
         "op_full_join": osql.op_full_join_sql(),
         "op_mad": osql.op_mad_sql(),
+        "op_corr": osql.op_corr_sql(),
         "op_quantiles_by": osql.op_quantiles_by_sql(),
         "text_tokens": osql.text_tokens_sql(),
         "text_tokens_bpe": osql.text_tokens_bpe_sql(),

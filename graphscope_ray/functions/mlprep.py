@@ -611,3 +611,67 @@ def feature_hash(
         )
 
     return ds.select_columns(["doc_id", text_col]).map_batches(_f, batch_format="pyarrow")
+
+
+def pearson_corr(
+    ds: "ray.data.Dataset", cols: list[str], scale: int = 100
+) -> "pd.DataFrame":
+    """Pairwise Pearson correlation matrix over numeric columns with
+    EXACT-integer moments: values quantize to q = floor(scale·x + 0.5)
+    (numpy/SQL-identical rounding), each block folds into per-pair
+    (n, Σqa, Σqb, Σqa·qb) int64 partials — constant-size, one tiny driver
+    fold; r derives in ONE float expression per pair, so the SQL oracle is
+    digit-identical at 8dp.  Rows (col_a, col_b, n, r)."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        guard = {
+            "i": pa.array([], pa.int64()), "j": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()), "sa": pa.array([], pa.int64()),
+            "sb": pa.array([], pa.int64()), "spp": pa.array([], pa.int64()),
+        }
+        if t.num_rows == 0 or not set(cols).issubset(t.column_names):
+            return pa.table(guard)
+        Q = np.stack(
+            [
+                np.floor(
+                    t[c].to_numpy(zero_copy_only=False).astype(np.float64) * scale + 0.5
+                ).astype(np.int64)
+                for c in cols
+            ],
+            axis=1,
+        )
+        P = Q.T @ Q
+        S = Q.sum(axis=0)
+        iu, ju = np.triu_indices(len(cols))
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64)),
+                "j": pa.array(ju.astype(np.int64)),
+                "n": pa.array(np.full(iu.size, len(Q), dtype=np.int64)),
+                "sa": pa.array(S[iu]),
+                "sb": pa.array(S[ju]),
+                "spp": pa.array(P[iu, ju]),
+            }
+        )
+
+    agg = (
+        ds.select_columns(cols)
+        .map_batches(_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["i", "j"], as_index=False)
+        .sum()
+    )
+    mom = {(int(r.i), int(r.j)): r for r in agg.itertuples()}
+    rows = []
+    for (i, j), r in sorted(mom.items()):
+        if i == j:
+            continue
+        n = int(r.n)
+        vii, vjj = mom[(i, i)], mom[(j, j)]
+        # python ints: n·Σab exceeds int64 long before the partials do
+        num = n * int(r.spp) - int(r.sa) * int(r.sb)
+        dena = n * int(vii.spp) - int(vii.sa) ** 2
+        denb = n * int(vjj.spp) - int(vjj.sa) ** 2
+        rho = float(num) / np.sqrt(float(dena) * float(denb)) if dena > 0 and denb > 0 else 0.0
+        rows.append((cols[i], cols[j], n, round(rho, 8)))
+    return pd.DataFrame(rows, columns=["col_a", "col_b", "n", "r"])

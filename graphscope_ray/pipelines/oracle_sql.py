@@ -750,6 +750,37 @@ def events_trending_sql(window_s: int = 3600, k: int = 3) -> str:
     )
 
 
+def op_corr_sql(scale: int = 100) -> str:
+    """Pearson replica over (l_quantity, l_discount, l_tax): the same
+    floor(scale*x+0.5) quantization, HUGEINT moments, one float combine."""
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    q = {c: f"CAST(floor({scale} * CAST({c} AS DOUBLE) + 0.5) AS HUGEINT)" for c in cols}
+    moments = ", ".join(
+        f"sum({q[a]} * {q[b]}) AS s_{ia}_{ib}"
+        for ia, a in enumerate(cols)
+        for ib, b in enumerate(cols)
+        if ia <= ib
+    ) + ", " + ", ".join(f"sum({q[c]}) AS t_{ic}" for ic, c in enumerate(cols))
+    pair_rows = []
+    for ia, a in enumerate(cols):
+        for ib, b in enumerate(cols):
+            if ia >= ib:
+                continue
+            num = f"(n * s_{ia}_{ib} - t_{ia} * t_{ib})"
+            dena = f"(n * s_{ia}_{ia} - t_{ia} * t_{ia})"
+            denb = f"(n * s_{ib}_{ib} - t_{ib} * t_{ib})"
+            pair_rows.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, CAST(n AS BIGINT) AS n, "
+                f"CASE WHEN {dena} > 0 AND {denb} > 0 THEN round("
+                f"CAST({num} AS DOUBLE) / sqrt(CAST({dena} AS DOUBLE) * "
+                f"CAST({denb} AS DOUBLE)), 8) ELSE 0.0 END AS r FROM m"
+            )
+    return (
+        f"WITH m AS MATERIALIZED (SELECT count(*) AS n, {moments} FROM lineitem) "
+        + " UNION ALL ".join(pair_rows)
+    )
+
+
 def op_mad_sql(z_cut: float = 3.5) -> str:
     """MAD robust-outlier replica: quantile_disc medians, the same
     0.6745 modified-z rule."""

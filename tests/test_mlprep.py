@@ -250,3 +250,24 @@ def test_feature_hash_vs_python(P):
             b = int(h % np.uint64(64))
             want[(i, b)] = want.get((i, b), 0) + 1
     assert {(int(r.doc_id), int(r.bucket)): int(r.cnt) for r in got.itertuples()} == want
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_pearson_corr_vs_numpy(P):
+    from graphscope_ray.functions.mlprep import pearson_corr
+
+    rng = np.random.RandomState(7)
+    n = 400
+    a = rng.rand(n) * 50
+    b = a * 0.5 + rng.rand(n) * 5     # strongly correlated with a
+    c = rng.rand(n)                    # independent
+    t = pa.table({"a": pa.array(a), "b": pa.array(b), "c": pa.array(c)})
+    out = pearson_corr(ray.data.from_arrow(t).repartition(P), ["a", "b", "c"])
+    Q = {k: np.floor(v * 100 + 0.5).astype(np.int64) for k, v in {"a": a, "b": b, "c": c}.items()}
+    for row in out.itertuples():
+        x, y = Q[row.col_a].astype(np.float64), Q[row.col_b].astype(np.float64)
+        want = np.corrcoef(x, y)[0, 1]
+        assert abs(row.r - want) < 1e-6, (row.col_a, row.col_b)
+    ab = out[(out.col_a == "a") & (out.col_b == "b")]["r"].iloc[0]
+    ac = out[(out.col_a == "a") & (out.col_b == "c")]["r"].iloc[0]
+    assert ab > 0.9 and abs(ac) < 0.2
