@@ -887,6 +887,12 @@ def _q_op_mad(sf_dir):
     return robust_outliers(ev, "value")
 
 
+def _q_events_trend(sf_dir):
+    from graphscope_ray.functions.windows import group_trend
+
+    return group_trend(_read_clean(f"{sf_dir}/events.parquet"))
+
+
 def _q_events_window(sf_dir):
     import ray.data
 
@@ -1448,6 +1454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_first_touch": _q_events_first_touch,
         "events_rfm": _q_events_rfm,
         "events_trending": _q_events_trending,
+        "events_trend": _q_events_trend,
         "events_hopping": _q_events_hopping,
         "events_sessionize": _q_sessionize,
         "events_funnel": td.events_funnel,
@@ -1716,6 +1723,7 @@ def oracle_sql() -> dict[str, str]:
         "events_first_touch": osql.events_first_touch_sql(),
         "events_rfm": osql.events_rfm_sql(),
         "events_trending": osql.events_trending_sql(),
+        "events_trend": osql.events_trend_sql(),
         "events_hopping": osql.events_hopping_sql(),
         "events_sessionize": osql.sessionize_sql(),
         "events_funnel": osql.events_funnel_sql(),

@@ -351,3 +351,77 @@ def trending(
         .groupby("window_start")
         .map_groups(_tk_merge, batch_format="pandas")
     )
+
+
+def group_trend(
+    ds: ray.data.Dataset,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> pd.DataFrame:
+    """Per-group OLS trend slope of value against time (cents per second —
+    "is this metric drifting?" per segment): exact-integer moments with
+    t = whole seconds since the global min timestamp (bounds Σt² inside
+    int64 partials) and v = floor(100·value + 0.5) cents; slope =
+    (n·Σtv − Σt·Σv) / (n·Σt² − (Σt)²) combined with python ints (the
+    n-scaled moments exceed int64), ONE float division at the end — the
+    SQL oracle is digit-identical at 8dp.  One min pass + one group-keyed
+    moment exchange; rows (group, n, slope).
+
+    Bound: the int64 partials need span_seconds² × rows_per_block < 2^63 —
+    fine for event logs spanning years (3·10⁸ s → 9·10¹⁶ per element);
+    re-zero or bucket the clock first for longer spans."""
+    from graphscope_ray.utils import hash_groupby_sum
+
+    t0 = int(
+        ds.select_columns([ts_col])
+        .map_batches(
+            lambda t: pa.table(
+                {"m": pa.array([int(t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False).min())], pa.int64())}
+            )
+            if t.num_rows
+            else pa.table({"m": pa.array([], pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["m"]
+        .min()
+    )
+
+    def _mom(t: pa.Table) -> pa.Table:
+        guard = {group_col: pa.array([], pa.string())}
+        guard.update({c: pa.array([], pa.int64()) for c in ("one", "t", "v", "tv", "tt")})
+        if t.num_rows == 0:
+            return pa.table(guard)
+        ts = (t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False) - t0) // 1_000_000
+        v = np.floor(
+            100.0 * t[value_col].to_numpy(zero_copy_only=False).astype(np.float64) + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                group_col: t[group_col],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "t": pa.array(ts),
+                "v": pa.array(v),
+                "tv": pa.array(ts * v),
+                "tt": pa.array(ts * ts),
+            }
+        )
+
+    agg = hash_groupby_sum(
+        ds.select_columns([group_col, ts_col, value_col]).map_batches(
+            _mom, batch_format="pyarrow"
+        ),
+        [group_col],
+        ["one", "t", "v", "tv", "tt"],
+        ["n", "st", "sv", "stv", "stt"],
+        num_partitions=8,
+    ).to_pandas()
+    rows = []
+    for r in agg.itertuples():
+        n = int(r.n)
+        num = n * int(r.stv) - int(r.st) * int(r.sv)
+        den = n * int(r.stt) - int(r.st) ** 2
+        slope = round(float(num) / float(den), 8) if den > 0 else 0.0
+        rows.append((getattr(r, group_col), n, slope))
+    out = pd.DataFrame(rows, columns=[group_col, "n", "slope"])
+    return out.sort_values(group_col).reset_index(drop=True)

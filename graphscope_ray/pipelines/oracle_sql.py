@@ -796,6 +796,24 @@ def op_mad_sql(z_cut: float = 3.5) -> str:
     )
 
 
+def events_trend_sql() -> str:
+    """Per-type OLS slope replica: seconds since global min ts, cents
+    values, HUGEINT moments, one float division."""
+    return (
+        "WITH t0 AS MATERIALIZED (SELECT min(epoch_us(ts)) AS m FROM events), "
+        "q AS MATERIALIZED (SELECT event_type, "
+        "CAST((epoch_us(ts) - (SELECT m FROM t0)) // 1000000 AS HUGEINT) AS t, "
+        "CAST(floor(100 * value + 0.5) AS HUGEINT) AS v FROM events), "
+        "m AS MATERIALIZED (SELECT event_type, count(*) AS n, sum(t) AS st, "
+        "sum(v) AS sv, sum(t * v) AS stv, sum(t * t) AS stt "
+        "FROM q GROUP BY event_type) "
+        "SELECT event_type, CAST(n AS BIGINT) AS n, "
+        "CASE WHEN n * stt - st * st > 0 THEN round("
+        "CAST(n * stv - st * sv AS DOUBLE) / CAST(n * stt - st * st AS DOUBLE), 8) "
+        "ELSE 0.0 END AS slope FROM m ORDER BY event_type"
+    )
+
+
 def events_cohort_sql(week_us: int = 604_800_000_000) -> str:
     """Weekly cohort retention replica: epoch-week floor, per-user min week
     as the cohort, distinct active (user, week), count per offset."""

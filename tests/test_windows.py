@@ -133,3 +133,39 @@ def test_trending_vs_python(P):
         (int(r.window_start), int(r.rnk), r.event_type, int(r.n_events))
         for r in got.itertuples()
     ] == want
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_group_trend_vs_numpy(P):
+    from graphscope_ray.functions.windows import group_trend
+
+    rng = np.random.RandomState(5)
+    n = 300
+    # type "up": value rises with time; type "flat": no trend
+    ts = np.sort(rng.randint(0, 10**6, n)).astype("int64") * 1_000_000
+    half = n // 2
+    types = ["up"] * half + ["flat"] * (n - half)
+    vals = np.concatenate(
+        [ts[:half] / 1e9 + rng.rand(half), rng.rand(n - half) * 3]
+    )
+    t = pa.table(
+        {
+            "event_type": pa.array(types),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    got = group_trend(ray.data.from_arrow(t).repartition(P))
+    t0 = int(ts.min())
+    for r in got.itertuples():
+        m = np.array(types) == r.event_type
+        tt = (ts[m] - t0) // 1_000_000
+        vv = np.floor(100 * vals[m] + 0.5).astype(np.int64)
+        nn = m.sum()
+        num = nn * int((tt * vv).sum()) - int(tt.sum()) * int(vv.sum())
+        den = nn * int((tt * tt).sum()) - int(tt.sum()) ** 2
+        want = round(num / den, 8) if den > 0 else 0.0
+        assert abs(r.slope - want) < 1e-12, r.event_type
+    up = got[got.event_type == "up"]["slope"].iloc[0]
+    fl = got[got.event_type == "flat"]["slope"].iloc[0]
+    assert up > abs(fl)
