@@ -34,6 +34,7 @@ def test_registry_shape():
         "repos_flagship",
         "text_bpe_train",
         "text_bpe_encode",
+        "emb_pca",  # eigendecomposition — covariance gated via emb_covariance
     }, rows_only
 
 
