@@ -893,6 +893,42 @@ def _q_events_trend(sf_dir):
     return group_trend(_read_clean(f"{sf_dir}/events.parquet"))
 
 
+def _q_op_histogram(sf_dir, width: float = 50.0):
+    """Fixed-width histogram of events.value: bin = floor(value / width),
+    count + exact cents sum per bin — one vectorized binning map + one
+    hash-exchange aggregate."""
+    import numpy as _np
+    import pyarrow as _pa
+
+    from graphscope_ray.utils import hash_groupby_sum
+
+    ev = _read_clean(f"{sf_dir}/events.parquet").select_columns(["value"])
+
+    def _bin(t: _pa.Table) -> _pa.Table:
+        if t.num_rows == 0:
+            return _pa.table(
+                {"bin": _pa.array([], _pa.int64()), "one": _pa.array([], _pa.int64()),
+                 "cents": _pa.array([], _pa.int64())}
+            )
+        v = t["value"].to_numpy(zero_copy_only=False).astype(_np.float64)
+        return _pa.table(
+            {
+                "bin": _pa.array(_np.floor(v / width).astype(_np.int64)),
+                "one": _pa.array(_np.ones(t.num_rows, dtype=_np.int64)),
+                "cents": _pa.array(_np.floor(100.0 * v + 0.5).astype(_np.int64)),
+            }
+        )
+
+    out = hash_groupby_sum(
+        ev.map_batches(_bin, batch_format="pyarrow"),
+        ["bin"],
+        ["one", "cents"],
+        ["n", "sum_cents"],
+        num_partitions=4,
+    ).to_pandas()
+    return out.sort_values("bin").reset_index(drop=True)
+
+
 def _q_events_window(sf_dir):
     import ray.data
 
@@ -1464,6 +1500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "op_full_join": td.op_full_join,
         "op_mad": _q_op_mad,
         "op_corr": _q_op_corr,
+        "op_histogram": _q_op_histogram,
         "op_quantiles_by": td.op_quantiles_by,
         # text analysis
         "text_tokens": _q_text_tokens,
@@ -1733,6 +1770,7 @@ def oracle_sql() -> dict[str, str]:
         "op_full_join": osql.op_full_join_sql(),
         "op_mad": osql.op_mad_sql(),
         "op_corr": osql.op_corr_sql(),
+        "op_histogram": osql.op_histogram_sql(),
         "op_quantiles_by": osql.op_quantiles_by_sql(),
         "text_tokens": osql.text_tokens_sql(),
         "text_tokens_bpe": osql.text_tokens_bpe_sql(),

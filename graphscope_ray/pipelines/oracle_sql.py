@@ -781,6 +781,15 @@ def op_corr_sql(scale: int = 100) -> str:
     )
 
 
+def op_histogram_sql(width: float = 50.0) -> str:
+    """Histogram replica: floor(value/width) bins, count + exact cents."""
+    return (
+        f"SELECT CAST(floor(value / {width}) AS BIGINT) AS bin, count(*) AS n, "
+        "CAST(sum(CAST(floor(100 * value + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents "
+        "FROM events GROUP BY bin ORDER BY bin"
+    )
+
+
 def op_mad_sql(z_cut: float = 3.5) -> str:
     """MAD robust-outlier replica: quantile_disc medians, the same
     0.6745 modified-z rule."""
