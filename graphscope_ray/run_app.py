@@ -59,6 +59,7 @@ def main(argv=None):
             "pagerank", "wcc", "cdlp", "triangles", "sssp", "bfs", "hits",
             "kcore", "eigenvector", "katz", "lcc", "degree",
             "kshell", "louvain", "closeness", "apsp", "dfs", "voterank",
+            "betweenness", "scc", "pagerank_weighted",
         ],
     )
     ap.add_argument("--out_prefix", required=True)
@@ -176,6 +177,16 @@ def main(argv=None):
             )
         )
         col = "ecc"
+    elif app == "betweenness":
+        ds = alg.betweenness_sampled(g, sources=list(range(min(g.N, args.k or 8))))
+        col = "betweenness"
+    elif app == "scc":
+        ds, res = alg.scc(g)
+        col = "scc"
+    elif app == "pagerank_weighted":
+        ds, res = alg.pagerank_weighted(g, alpha=args.alpha, tol=args.tol,
+                                        max_rounds=args.max_rounds or 100)
+        col = "score"
     elif app == "dfs":
         ds = alg.dfs(g, source=args.source)
         col = "order"
