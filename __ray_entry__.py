@@ -764,6 +764,17 @@ def _q_dedup_lsh_incr(sf_dir, threshold: float = 0.5):
     return out.sort_values(["new_id", "old_id"]).reset_index(drop=True)
 
 
+def _q_sim_range(sf_dir, tau: float = 0.3):
+    from graphscope_ray.functions.similarity import range_cosine
+
+    emb = _embeddings(sf_dir)
+    qdf = emb.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = range_cosine(emb, Q, qdf["vec_id"].to_numpy(), tau=tau).to_pandas()
+    out["score"] = out["score"].round(8)
+    return out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+
 def _q_sim_topk(sf_dir):
     from graphscope_ray.functions.similarity import topk_cosine
 
@@ -1544,6 +1555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         # similarity search
         "sim_topk": _q_sim_topk,
+        "sim_range": _q_sim_range,
         "sim_topk_filtered": _q_sim_topk_filtered,
         "sim_ivf_topk": _q_sim_ivf,
         "sim_ivf_exact": _q_sim_ivf_exact,
@@ -1805,6 +1817,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": osql.decontaminate_sql(),
         "lg_louvain_level1": osql.lg_louvain_level1_sql(),
         "sim_topk": osql.sim_topk_sql(),
+        "sim_range": osql.sim_range_sql(),
         "sim_topk_filtered": osql.sim_topk_filtered_sql(),
         "sim_ivf_exact": osql.sim_topk_sql(),
         "sim_ivf_indexed": osql.sim_topk_sql(),

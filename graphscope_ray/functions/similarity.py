@@ -532,3 +532,50 @@ def pq_topk_refined(
     return ray.data.from_arrow(
         pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
     )
+
+
+def range_cosine(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    tau: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Cosine RANGE search: every corpus vector with similarity ≥ tau to
+    each query (the radius-neighbor dual of :func:`topk_cosine` — recall
+    sets, dedup candidates, near-match audits).  Same broadcast-queries /
+    per-block matmul shape; matches stream straight out (no merge stage —
+    the result is a plain union of per-block hits).  Rows
+    (query_id, vec_id, score)."""
+    Q = np.asarray(queries, dtype=np.float64)
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((Q, np.asarray(query_ids, dtype=np.int64)))
+
+    def _block(t: pa.Table) -> pa.Table:
+        guard = {
+            "query_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+        if t.num_rows == 0 or vec_col not in t.column_names:
+            return pa.table(guard)
+        Qm, qids = ray.get(ref)
+        V = vecs2d(t[vec_col])
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = Qm @ V.T
+        qi, vi = np.nonzero(sims >= tau)
+        if qi.size == 0:
+            return pa.table(guard)
+        return pa.table(
+            {
+                "query_id": pa.array(qids[qi]),
+                "vec_id": pa.array(ids[vi]),
+                "score": pa.array(sims[qi, vi]),
+            }
+        )
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        _block, batch_format="pyarrow", batch_size=4096
+    )

@@ -914,6 +914,20 @@ WHERE rn <= {k}
 """
 
 
+def sim_range_sql(n_queries: int = 5, tau: float = 0.3) -> str:
+    """Cosine range-search replica: every (query, vector) pair with
+    list_cosine_similarity >= tau."""
+    return f"""
+WITH q AS MATERIALIZED (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < {n_queries}),
+s AS MATERIALIZED (SELECT q.query_id, e.vec_id,
+        list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+      FROM q CROSS JOIN embeddings e)
+SELECT query_id, vec_id, round(sim, 8) AS score FROM s WHERE sim >= {tau}
+ORDER BY query_id, vec_id
+"""
+
+
 def lpa_u2i_sql(max_round: int = 8) -> str:
     """Unrolled lpa_u2i (apps/lpa/lpa_u2i.h IncEval steps 2..max_round) over
     the supplier→part bipartite graph: u2i at even reference steps (items
