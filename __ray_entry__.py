@@ -940,6 +940,13 @@ def _q_op_histogram(sf_dir, width: float = 50.0):
     return out.sort_values("bin").reset_index(drop=True)
 
 
+def _q_events_gaps(sf_dir):
+    from graphscope_ray.functions.windows import interarrival_stats
+
+    df = interarrival_stats(_read_clean(f"{sf_dir}/events.parquet")).to_pandas()
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_events_window(sf_dir):
     import ray.data
 
@@ -1502,6 +1509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rfm": _q_events_rfm,
         "events_trending": _q_events_trending,
         "events_trend": _q_events_trend,
+        "events_gaps": _q_events_gaps,
         "events_hopping": _q_events_hopping,
         "events_sessionize": _q_sessionize,
         "events_funnel": td.events_funnel,
@@ -1773,6 +1781,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rfm": osql.events_rfm_sql(),
         "events_trending": osql.events_trending_sql(),
         "events_trend": osql.events_trend_sql(),
+        "events_gaps": osql.events_gaps_sql(),
         "events_hopping": osql.events_hopping_sql(),
         "events_sessionize": osql.sessionize_sql(),
         "events_funnel": osql.events_funnel_sql(),

@@ -425,3 +425,49 @@ def group_trend(
         rows.append((getattr(r, group_col), n, slope))
     out = pd.DataFrame(rows, columns=[group_col, "n", "slope"])
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def interarrival_stats(
+    ds: ray.data.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> ray.data.Dataset:
+    """Per-user inter-arrival gap statistics (engagement-cadence audit):
+    consecutive-event gaps in microseconds with the (ts, event_id)
+    ordering, per user (n_gaps, min/max/median gap) — median by the
+    quantile_disc rank rule (value at 1-based rank ceil(n·0.5)), so the
+    SQL window replica is bit-exact.  One user-keyed map_groups (the
+    per-key ordering contract of sessionize); users with < 2 events drop
+    out, matching the SQL's WHERE gap IS NOT NULL."""
+    import pandas as pd
+
+    def _g(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col])
+        ts = g[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        if len(ts) < 2:
+            return pd.DataFrame(
+                {user_col: pd.Series(dtype=np.int64),
+                 "n_gaps": pd.Series(dtype=np.int64),
+                 "min_gap": pd.Series(dtype=np.int64),
+                 "max_gap": pd.Series(dtype=np.int64),
+                 "median_gap": pd.Series(dtype=np.int64)}
+            )
+        gaps = np.sort(np.diff(ts))
+        n = len(gaps)
+        med = gaps[int(np.ceil(n * 0.5)) - 1]
+        return pd.DataFrame(
+            {
+                user_col: [np.int64(g[user_col].iloc[0])],
+                "n_gaps": [np.int64(n)],
+                "min_gap": [np.int64(gaps[0])],
+                "max_gap": [np.int64(gaps[-1])],
+                "median_gap": [np.int64(med)],
+            }
+        )
+
+    return (
+        ds.select_columns([user_col, ts_col, id_col])
+        .groupby(user_col)
+        .map_groups(_g, batch_format="pandas")
+    )

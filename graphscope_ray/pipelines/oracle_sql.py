@@ -823,6 +823,18 @@ def events_trend_sql() -> str:
     )
 
 
+def events_gaps_sql() -> str:
+    """Inter-arrival replica: lag window gaps in microseconds, min/max/
+    quantile_disc median per user."""
+    return (
+        "WITH d AS MATERIALIZED (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events) "
+        "SELECT user_id, count(gap) AS n_gaps, min(gap) AS min_gap, "
+        "max(gap) AS max_gap, quantile_disc(gap, 0.5) AS median_gap "
+        "FROM d WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id"
+    )
+
+
 def events_cohort_sql(week_us: int = 604_800_000_000) -> str:
     """Weekly cohort retention replica: epoch-week floor, per-user min week
     as the cohort, distinct active (user, week), count per offset."""

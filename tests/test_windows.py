@@ -169,3 +169,33 @@ def test_group_trend_vs_numpy(P):
     up = got[got.event_type == "up"]["slope"].iloc[0]
     fl = got[got.event_type == "flat"]["slope"].iloc[0]
     assert up > abs(fl)
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_interarrival_stats_vs_python(P):
+    from graphscope_ray.functions.windows import interarrival_stats
+
+    rows = [
+        (1, 100, 1), (1, 50, 2), (1, 300, 3), (1, 300, 4),  # gaps 50,200,0 (tie order by id)
+        (2, 7, 5),                                           # single event -> dropped
+        (3, 10, 6), (3, 30, 7),                              # one gap 20
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_id": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    got = (
+        interarrival_stats(ray.data.from_arrow(t).repartition(P))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got["user_id"].tolist() == [1, 3]
+    r1 = got.iloc[0]
+    # sorted gaps for user 1: [0, 50, 200]; median = rank ceil(3*0.5)=2 -> 50
+    assert (r1.n_gaps, r1.min_gap, r1.max_gap, r1.median_gap) == (3, 0, 200, 50)
+    r3 = got.iloc[1]
+    assert (r3.n_gaps, r3.min_gap, r3.max_gap, r3.median_gap) == (1, 20, 20, 20)
