@@ -947,6 +947,45 @@ def _q_events_gaps(sf_dir):
     return df.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_events_session_stats(sf_dir, gap_s: int = 1800):
+    """Corpus-level session summary over sessionize: sessions, single-event
+    bounces, total events and the largest session — integer-exact
+    aggregates, so the oracle nests the sessionize SQL directly."""
+    import numpy as _np
+    import pandas as _pd
+
+    from graphscope_ray.functions.windows import sessionize
+
+    ev = _read_clean(f"{sf_dir}/events.parquet")
+    sess = sessionize(ev, gap_s=gap_s)
+
+    def _p(df: _pd.DataFrame) -> _pd.DataFrame:
+        if df.empty or "n_events" not in df.columns:
+            return _pd.DataFrame(
+                {c: _pd.Series(dtype=_np.int64)
+                 for c in ("n_sessions", "n_bounce", "total_events", "max_events")}
+            )
+        ne = df["n_events"].to_numpy(_np.int64)
+        return _pd.DataFrame(
+            {
+                "n_sessions": [_np.int64(len(ne))],
+                "n_bounce": [_np.int64((ne == 1).sum())],
+                "total_events": [_np.int64(ne.sum())],
+                "max_events": [_np.int64(ne.max())],
+            }
+        )
+
+    parts = sess.map_batches(_p, batch_format="pandas").to_pandas()
+    return _pd.DataFrame(
+        {
+            "n_sessions": [_np.int64(parts["n_sessions"].sum())],
+            "n_bounce": [_np.int64(parts["n_bounce"].sum())],
+            "total_events": [_np.int64(parts["total_events"].sum())],
+            "max_events": [_np.int64(parts["max_events"].max())],
+        }
+    )
+
+
 def _q_events_window(sf_dir):
     import ray.data
 
@@ -1510,6 +1549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trending": _q_events_trending,
         "events_trend": _q_events_trend,
         "events_gaps": _q_events_gaps,
+        "events_session_stats": _q_events_session_stats,
         "events_hopping": _q_events_hopping,
         "events_sessionize": _q_sessionize,
         "events_funnel": td.events_funnel,
@@ -1782,6 +1822,7 @@ def oracle_sql() -> dict[str, str]:
         "events_trending": osql.events_trending_sql(),
         "events_trend": osql.events_trend_sql(),
         "events_gaps": osql.events_gaps_sql(),
+        "events_session_stats": osql.events_session_stats_sql(),
         "events_hopping": osql.events_hopping_sql(),
         "events_sessionize": osql.sessionize_sql(),
         "events_funnel": osql.events_funnel_sql(),

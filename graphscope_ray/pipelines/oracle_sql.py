@@ -872,6 +872,19 @@ FROM y GROUP BY user_id, sid
 """
 
 
+def events_session_stats_sql(gap_s: int = 1800) -> str:
+    """Session-summary replica: integer aggregates over the nested
+    sessionize query."""
+    inner = sessionize_sql(gap_s)
+    return (
+        f"SELECT count(*) AS n_sessions, "
+        "CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce, "
+        "CAST(sum(n_events) AS BIGINT) AS total_events, "
+        "CAST(max(n_events) AS BIGINT) AS max_events "
+        f"FROM ({inner})"
+    )
+
+
 def dedup_exact_sql() -> str:
     return (
         "SELECT doc_id, sha256(text) AS text_sha256 FROM documents "
