@@ -1396,6 +1396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_eigenvector": td.lg_eigenvector_fixed,
         "lg_katz": td.lg_katz_fixed,
         "lg_ppr": td.lg_ppr,
+        "lg_ppr_seeds": td.lg_ppr_seeds,
         "lg_articlerank": td.lg_articlerank,
         "lg_motifs": td.lg_motifs,
         "lg_directed_census": td.lg_directed_census,
@@ -1664,6 +1665,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_eigenvector": osql.lg_eigenvector_sql(iters=10),
         "lg_katz": osql.lg_katz_sql(iters=8),
         "lg_ppr": osql.lg_ppr_sql(rounds=10),
+        "lg_ppr_seeds": osql.lg_ppr_seeds_sql(),
         "lg_articlerank": osql.lg_articlerank_sql(rounds=10),
         "lg_motifs": osql.lg_motifs_sql(),
         "lg_directed_census": osql.lg_directed_census_sql(),

@@ -49,6 +49,17 @@ def pagerank_weighted(
     return g.program_state(res.name), res
 
 
+def ppr_seeds(
+    g: Graph, seeds: list[int], max_rounds: int = 10, **run_kwargs
+) -> tuple[ray.data.Dataset, RunResult]:
+    """Seed-set personalized PageRank (programs.PprSeeds — community-seed
+    expansion; reduces to FLASH ppr at |seeds| = 1)."""
+    res = g.run_program(
+        "ppr_seeds", seeds=[int(s) for s in seeds], max_rounds=max_rounds, **run_kwargs
+    )
+    return g.program_state(res.name), res
+
+
 def pagerank_push(
     g: Graph,
     alpha: float = 0.85,

@@ -1930,6 +1930,44 @@ class Ppr(VertexProgram):
         return {"score": self.score}
 
 
+class PprSeeds(Ppr):
+    """Seed-SET personalized PageRank (community-seed expansion): the FLASH
+    Ppr iteration with the teleport mass split uniformly over a seed set S —
+    r0 = (1/|S|)·1_S, per round r' = 0.5·Σ r[u]/deg[u] + (0.5/|S|)·1_S.
+    |S| = 1 reduces exactly to Ppr."""
+
+    def __init__(self, frag, seeds=(), max_rounds: int = 10):
+        VertexProgram.__init__(self, frag)
+        self.seeds = sorted({int(x) for x in seeds})
+
+    def _owned_seed_locals(self):
+        f = self.frag
+        return [s // f.P for s in self.seeds if s % f.P == f.part]
+
+    def init(self) -> dict:
+        f = self.frag
+        self.score = np.zeros(f.n_local, dtype=np.float64)
+        w = 1.0 / max(len(self.seeds), 1)
+        for li in self._owned_seed_locals():
+            self.score[li] = w
+        outdeg, indeg = f.degrees()
+        deg = outdeg.astype(np.float64)
+        if indeg is not None:
+            deg = deg + indeg
+        with np.errstate(divide="ignore"):
+            self.invdeg = np.where(deg == 0, 0.0, 1.0 / deg)
+        return {}
+
+    def gather(self, step, glob, msgs):
+        f = self.frag
+        new = acc_sum(f.n_local, msgs)
+        w = 1.0 / max(len(self.seeds), 1)
+        for li in self._owned_seed_locals():
+            new[li] += 0.5 * w
+        self.score = new
+        return {}
+
+
 # --------------------------------------------------------------------------
 class ArticleRank(VertexProgram):
     """FLASH ArticleRank (apps/flash/ranking/articlerank.h:42-74):
@@ -2080,6 +2118,7 @@ PROGRAMS: dict[str, ProgramSpec] = {
     "msbfs": ProgramSpec(MsBfs, lambda glob, p, N, s: glob.get("changed", 1) == 0, 10_000),
     "mssp": ProgramSpec(MsSssp, lambda glob, p, N, s: glob.get("changed", 1) == 0, 10_000),
     "kshell": ProgramSpec(KShell, _never, 10_000),
+    "ppr_seeds": ProgramSpec(PprSeeds, _never, 10),
     "louvain_move": ProgramSpec(LouvainMove, _never, 10_000),
     "lpa_u2i": ProgramSpec(LpaU2I, _never, 20),
     "katz": ProgramSpec(

@@ -193,6 +193,32 @@ def lg_ppr_sql(rounds: int = 10, source: int = 0) -> str:
     )
 
 
+def lg_ppr_seeds_sql(rounds: int = 10, n_seeds: int = 4) -> str:
+    """Unrolled seed-set PPR: p0 = (1/k)·1_S, teleport 0.5·(1/k) on the
+    seed set, same me-degree diffusion as lg_ppr_sql."""
+    seeds = ", ".join(str(x) for x in range(n_seeds))
+    w = f"(1.0/{n_seeds})"
+    ctes = [
+        "degb AS MATERIALIZED (SELECT src AS oid, count(*) AS d FROM me GROUP BY src)",
+        f"p0 AS MATERIALIZED (SELECT oid, CASE WHEN oid IN ({seeds}) THEN {w} "
+        "ELSE 0.0 END AS score FROM v)",
+    ]
+    for k in range(rounds):
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT me.dst AS oid, sum(p.score / b.d) AS insum "
+            f"FROM me JOIN p{k} p ON p.oid = me.src JOIN degb b ON b.oid = me.src "
+            "GROUP BY me.dst)"
+        )
+        ctes.append(
+            f"p{k + 1} AS MATERIALIZED (SELECT v.oid, 0.5*coalesce(s.insum, 0) + "
+            f"CASE WHEN v.oid IN ({seeds}) THEN 0.5*{w} ELSE 0.0 END AS score "
+            f"FROM v LEFT JOIN s{k} s ON s.oid = v.oid)"
+        )
+    return f"WITH {_BASE}, " + ",\n".join(ctes) + (
+        f" SELECT oid, round(score, 8) AS score FROM p{rounds}"
+    )
+
+
 def lg_sweep_cut_sql(rounds: int = 10, source: int = 0, topk: int = 64) -> str:
     """Conductance sweep over the PPR ranking (Andersen–Chung–Lang):
     ratio = round(score,8)/deg, rank by (ratio DESC, oid), per-prefix cut

@@ -251,6 +251,17 @@ def lg_ppr(sf_dir: str, source: int = 0, rounds: int = 10) -> pd.DataFrame:
     return out
 
 
+def lg_ppr_seeds(sf_dir: str, n_seeds: int = 4, rounds: int = 10) -> pd.DataFrame:
+    """Seed-SET personalized PageRank from the n_seeds smallest-oid
+    vertices (teleport mass split uniformly — community-seed expansion)."""
+    g = lg_graph(sf_dir)
+    seeds = list(range(min(n_seeds, g.N)))
+    ds, _ = alg.ppr_seeds(g, seeds=seeds, max_rounds=rounds)
+    out = _oid_space(g, ds, ["score"])
+    out["score"] = out["score"].round(8)
+    return out
+
+
 def lg_articlerank(sf_dir: str, damping: float = 0.85, rounds: int = 10) -> pd.DataFrame:
     """FLASH ArticleRank (apps/flash/ranking/articlerank.h): like PageRank but
     contributions divide by (outdeg + avg_outdeg); val' = next + 1 − d."""

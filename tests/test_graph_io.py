@@ -166,3 +166,25 @@ def test_khop_sizes_vs_python():
         want = Counter(dist.values())
         rows = df[df.source == src]
         assert {int(r.depth): int(r.n) for r in rows.itertuples()} == dict(want)
+
+
+def test_ppr_seeds_reduces_to_ppr():
+    edges, n = GRAPHS["rand60"]
+    g = build_graph(_tbl(edges), num_partitions=3, num_vertices=n, store_in_edges=True)
+    a = alg.ppr(g, source=0, max_rounds=8)[0].to_pandas().sort_values("vid")["score"].to_numpy()
+    b = (
+        alg.ppr_seeds(g, seeds=[0], max_rounds=8)[0]
+        .to_pandas()
+        .sort_values("vid")["score"]
+        .to_numpy()
+    )
+    assert np.allclose(a, b, atol=0)  # bit-identical at |S| = 1
+
+
+def test_ppr_seeds_mass_concentrates_on_seed_set():
+    edges, n = GRAPHS["two_cliques"]
+    g = build_graph(_tbl(edges), num_partitions=2, num_vertices=n, store_in_edges=True)
+    df = alg.ppr_seeds(g, seeds=[0, 1], max_rounds=12)[0].to_pandas().sort_values("vid")
+    s = df["score"].to_numpy()
+    # seeds in clique A: clique-A vertices outrank clique-B vertices
+    assert s[:4].min() > s[4:].max()
