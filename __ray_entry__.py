@@ -976,6 +976,14 @@ def _q_events_session_stats(sf_dir, gap_s: int = 1800):
         )
 
     parts = sess.map_batches(_p, batch_format="pandas").to_pandas()
+    if parts.empty or "n_sessions" not in parts.columns:
+        # Empty events table: every block hit the guard (or Ray dropped the
+        # schema entirely) — return the zero-session summary row instead of
+        # letting max() produce NaN.
+        return _pd.DataFrame(
+            {c: [_np.int64(0)]
+             for c in ("n_sessions", "n_bounce", "total_events", "max_events")}
+        )
     return _pd.DataFrame(
         {
             "n_sessions": [_np.int64(parts["n_sessions"].sum())],

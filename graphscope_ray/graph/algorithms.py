@@ -1113,6 +1113,7 @@ def truss_decomposition(
         batch_format="pyarrow",
     ).materialize()
     parts: list[ray.data.Dataset] = []
+    n_prev_survivors = cur.count()
     k = 3
     while k <= kmax_guard:
         nxt = ktruss(cur, k).materialize()
@@ -1148,9 +1149,47 @@ def truss_decomposition(
 
         parts.append(j.map_batches(_removed, batch_format="pyarrow").materialize())
         if n_next == 0:
+            n_prev_survivors = 0
             break
         cur = nxt
+        n_prev_survivors = n_next
         k += 1
+    else:
+        # Loop exhausted kmax_guard with edges still surviving: give them a
+        # trussness row at the guard instead of silently omitting them, so
+        # the output always covers every input edge.
+        if n_prev_survivors > 0:
+
+            def _at_guard(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0 or "src" not in t.column_names:
+                    return pa.table(
+                        {
+                            "src": pa.array([], pa.int64()),
+                            "dst": pa.array([], pa.int64()),
+                            "trussness": pa.array([], pa.int64()),
+                        }
+                    )
+                return pa.table(
+                    {
+                        "src": t["src"],
+                        "dst": t["dst"],
+                        "trussness": pa.array(
+                            np.full(t.num_rows, kmax_guard, dtype=np.int64)
+                        ),
+                    }
+                )
+
+            parts.append(cur.map_batches(_at_guard, batch_format="pyarrow").materialize())
+    if not parts:  # kmax_guard < 3 with no edges: typed empty result
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "trussness": pa.array([], pa.int64()),
+                }
+            )
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)

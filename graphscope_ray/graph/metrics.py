@@ -1922,6 +1922,11 @@ def cocitation_topk(
     top-k per u → per-u merge.  Rows (u, v, cocit, rnk)."""
 
     def _cap_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "src" not in df.columns:
+            # Ray strips schemas off empty pandas blocks; return typed empty.
+            return pd.DataFrame(
+                {"src": pd.Series(dtype=np.int64), "dst": pd.Series(dtype=np.int64)}
+            )
         return df.sort_values(["src", "dst"]).groupby("src", as_index=False).head(cap)
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:

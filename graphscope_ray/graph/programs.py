@@ -143,6 +143,17 @@ class PageRankWeighted(PageRank):
 
     def init(self) -> dict:
         f = self.frag
+        if f.hub_vids is not None:
+            # Hub-split shards carry hub out-edges (and their weights) outside
+            # the local CSR, so W/dangling computed below would be wrong and
+            # the inherited hub_apply path divides by the *unweighted* hub
+            # degree.  Fail loudly rather than return silently-wrong scores.
+            raise NotImplementedError(
+                "PageRankWeighted does not support hub-split graphs: "
+                "out-edge weights of hub vertices live in hub shards, so the "
+                "per-vertex weight sums would be wrong. Rebuild the graph "
+                "without hub_threshold (or run unweighted pagerank)."
+            )
         n, N = f.n_local, max(f.N, 1)
         self.score = np.full(n, 1.0 / N, dtype=np.float64)
         o = f.out

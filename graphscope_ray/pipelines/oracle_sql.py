@@ -1535,7 +1535,18 @@ def lg_trussness_sql(kmax: int = 6, rounds: int = 6) -> str:
     for k = 3..kmax, chain the lg_ktruss_sql peel (each k starts from the
     previous k's fixpoint — k-truss ⊆ (k-1)-truss); trussness(e) = 2 + the
     number of k-fixpoints containing e.  kmax/rounds over-unroll safely
-    (peels are monotone and idempotent at their fixpoints)."""
+    (peels are monotone and idempotent at their fixpoints).
+
+    The engine (algorithms.truss_decomposition) runs with kmax_guard=64 and
+    peels each k to its true fixpoint; a static SQL unroll of that budget is
+    infeasible, so this oracle uses data-dependent bounds (default 6/6,
+    sufficient for the SPARSE-sampled test graph at every sf) and makes the
+    bounds SELF-CHECKING instead of silently saturating: the final SELECT
+    calls duckdb ``error()`` if (a) any peel level failed to reach its
+    fixpoint within ``rounds`` (tc{k}_{rounds} != tc{k}_{rounds-1}) or
+    (b) edges survive the kmax-truss (true trussness could exceed kmax).
+    On denser data the gate therefore fails LOUDLY with a named cause —
+    raise kmax/rounds — rather than reporting a false value mismatch."""
     ctes = [
         "f2 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src, "
         "greatest(src, dst) AS dst FROM se)"
@@ -1577,9 +1588,24 @@ def lg_trussness_sql(kmax: int = 6, rounds: int = 6) -> str:
         f"AND f{k}.dst = f2.dst) THEN 1 ELSE 0 END)"
         for k in range(3, kmax + 1)
     )
+    # Self-check CTEs: every peel level converged within `rounds`, and the
+    # kmax-truss is empty (otherwise true trussness could exceed kmax).
+    conv = " + ".join(
+        f"(SELECT abs(count(*) - (SELECT count(*) FROM tc{k}_{rounds - 1})) "
+        f"FROM tc{k}_{rounds})"
+        for k in range(3, kmax + 1)
+    )
+    ctes.append(
+        f"truss_guard AS (SELECT CASE WHEN ({conv}) > 0 THEN "
+        f"error('lg_trussness_sql: peel unconverged within rounds={rounds}; raise rounds') "
+        f"WHEN (SELECT count(*) FROM f{kmax}) > 0 THEN "
+        f"error('lg_trussness_sql: edges survive the kmax={kmax}-truss; raise kmax') "
+        f"ELSE 0 END AS ok)"
+    )
     return (
         f"WITH {_SBASE}, " + ",\n".join(ctes)
-        + f" SELECT src, dst, 2 + {member} AS trussness FROM f2 ORDER BY src, dst"
+        + f" SELECT src, dst, 2 + {member} AS trussness FROM f2, truss_guard "
+        f"WHERE truss_guard.ok = 0 ORDER BY src, dst"
     )
 
 
