@@ -21,6 +21,30 @@ from graphscope_ray.graph import algorithms as _alg
 from graphscope_ray.graph.dynamic import DynamicGraph
 
 
+# The nx facade materializes node- or edge-sized results on the driver (the
+# same contract as networkx itself).  Guard every such site so a user who
+# points it at a web-scale graph gets a clear redirect instead of an OOM.
+MAX_DRIVER_ROWS = 5_000_000
+
+
+def _guard_materialize(n_rows: int, what: str) -> None:
+    if n_rows > MAX_DRIVER_ROWS:
+        raise ValueError(
+            f"nx_compat would materialize {n_rows:,} {what} on the driver "
+            f"(limit {MAX_DRIVER_ROWS:,}). The networkx facade is for "
+            "small/dynamic graphs; use the primary Dataset API "
+            "(graphscope_ray.api / graph.algorithms) for graphs at this "
+            "scale, or raise graphscope_ray.nx_compat.MAX_DRIVER_ROWS "
+            "explicitly if you really have the driver memory."
+        )
+
+
+def _vmap(g):
+    """Driver-side vid→oid map, guarded by MAX_DRIVER_ROWS."""
+    _guard_materialize(g.N, "vertices")
+    return g.vertices_ds.to_pandas()
+
+
 def _decode(s):
     """Fragment exports stringify oids for Arrow uniformity
     (dynamic.py nodes_table/edges_table); map numeric strings back to int.
@@ -136,6 +160,7 @@ class Graph:
 
     @property
     def edges(self):
+        _guard_materialize(self.number_of_edges(), "edges")
         return [
             (_decode(r["src"]), _decode(r["dst"]))
             for r in self._g.edges_dataset().take_all()
@@ -203,6 +228,7 @@ class _NodeView:
         self._G = G
 
     def _ids(self):
+        _guard_materialize(self._G.number_of_nodes(), "nodes")
         return [_decode(r["oid"]) for r in self._G._g.nodes_dataset().take_all()]
 
     def __iter__(self):
@@ -242,7 +268,7 @@ def _wrap(dg: DynamicGraph, directed: bool):
 
 
 def _to_dict(g, ds, col) -> dict:
-    vmap = g.vertices_ds.to_pandas()
+    vmap = _vmap(g)
     df = ds.to_pandas().merge(vmap, on="vid")
     return {_decode(o): v for o, v in zip(df["oid"], df[col])}
 
@@ -472,7 +498,7 @@ def _ecc_frame(G: Graph):
             "eccentricity is undefined: graph is not "
             + ("strongly connected" if G._directed else "connected")
         )
-    vmap = g.vertices_ds.to_pandas()
+    vmap = _vmap(g)
     df = ecc.merge(vmap, left_on="src", right_on="vid")
     d = {_decode(o): int(e) for o, e in zip(df["oid"], df["ecc"])}
     return d, int(ecc["ecc"].max()), int(ecc["ecc"].min())
@@ -553,7 +579,7 @@ def voterank(G: Graph, number_of_nodes: int | None = None) -> list:
     g = G._snapshot()
     n_elect = g.N if number_of_nodes is None else number_of_nodes
     vids = _alg.voterank(g, num_elected=n_elect)
-    vmap = g.vertices_ds.to_pandas().set_index("vid")["oid"]
+    vmap = _vmap(g).set_index("vid")["oid"]
     return [_decode(vmap.loc[v]) for v in vids]
 
 
@@ -564,7 +590,7 @@ def degree_assortativity_coefficient(G: Graph) -> float:
     import ray as _ray
 
     g = G._snapshot()
-    deg = g.degrees().to_pandas().merge(g.vertices_ds.to_pandas(), on="vid")
+    deg = g.degrees().to_pandas().merge(_vmap(g), on="vid")
     if G._directed:
         x_map = dict(zip(deg["oid"], deg["out_deg"].astype(float)))
         y_map = dict(zip(deg["oid"], deg["in_deg"].astype(float)))

@@ -76,34 +76,51 @@ def _findall_modules(pat: re.Pattern, content: str) -> list[str]:
 
 
 class ImportMiner:
-    """Explode each file into its imported module tokens (vectorized pandas
-    str.findall per language)."""
+    """Explode each file into its imported module tokens.  Arrow-native:
+    the batch arrives zero-copy from the object store; only the matching
+    rows' ``content`` strings are surfaced to Python for the (inherently
+    scalar) regex scan — one combined alternation regex per language, one
+    pass per file body."""
 
     def __init__(self):
-        self.patterns = _compiled_patterns()
+        self.patterns = _combined_patterns()
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out_src, out_mod = [], []
-        for lang, pats in self.patterns.items():
-            mask = batch["lang"] == lang
-            if not mask.any():
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"src_repo": pa.array([], pa.string()), "module": pa.array([], pa.string())}
+        )
+        if batch.num_rows == 0 or "lang" not in batch.column_names:
+            return empty
+        lang_np = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        out_src: list[np.ndarray] = []
+        out_mod: list[list[str]] = []
+        for lang, pat in self.patterns.items():
+            idx = np.nonzero(lang_np == lang)[0]
+            if idx.size == 0:
                 continue
-            sub = batch.loc[mask, ["repo", "content"]]
-            for pat in pats:
-                found = sub["content"].str.findall(pat)
-                n = found.str.len().to_numpy()
-                if n.sum() == 0:
-                    continue
-                out_src.append(np.repeat(sub["repo"].to_numpy(), n))
-                out_mod.append(np.concatenate([np.asarray(f, dtype=object) for f in found if f]))
+            sub = batch.take(pa.array(idx))
+            repos = sub["repo"].to_pylist()
+            counts = np.zeros(idx.size, dtype=np.int64)
+            mods: list[str] = []
+            for i, content in enumerate(sub["content"].to_pylist()):
+                found = _findall_modules(pat, content)
+                counts[i] = len(found)
+                mods.extend(found)
+            if not mods:
+                continue
+            out_src.append(np.repeat(np.asarray(repos, dtype=object), counts))
+            out_mod.append(mods)
         if not out_src:
-            return pd.DataFrame({"src_repo": pd.Series([], dtype=str), "module": pd.Series([], dtype=str)})
-        return pd.DataFrame(
-            {"src_repo": np.concatenate(out_src), "module": np.concatenate(out_mod)}
+            return empty
+        return pa.table(
+            {
+                "src_repo": pa.array(np.concatenate(out_src).tolist(), pa.string()),
+                "module": pa.array([m for ms in out_mod for m in ms], pa.string()),
+            }
         )
 
 
-def _mine_batch(batch: pd.DataFrame) -> pd.DataFrame:
+def _mine_batch(batch: pa.Table) -> pa.Table:
     return ImportMiner()(batch)
 
 
@@ -152,7 +169,7 @@ def mine_imports(ds: ray.data.Dataset, concurrency=None) -> ray.data.Dataset:
     stage scales elastically to every free CPU instead of a fixed pool."""
     ds = ds.select_columns(["repo", "lang", "content"])
     kwargs = {"concurrency": concurrency} if concurrency else {}
-    return ds.map_batches(_mine_batch, batch_format="pandas", batch_size=512, **kwargs)
+    return ds.map_batches(_mine_batch, batch_format="pyarrow", batch_size=512, **kwargs)
 
 
 def build_exports(ds: ray.data.Dataset) -> pd.DataFrame:

@@ -2,12 +2,17 @@
 and its oracle_sql() side-by-side via DuckDB, compare row count + schema +
 order-insensitive values.  Usage:
 
-    python scripts/verify_oracles.py [--raw] [sf_dir] [name ...]
+    python scripts/verify_oracles.py [--raw] [--changed[=REV]] [sf_dir] [name ...]
 
 --raw replicates the driver's hash gate: NO float rounding on either side —
 values must match bit-for-bit (the engine must bake any round() its oracle
 emits into its own output).  Default mode rounds both sides to 8dp, which
 is more forgiving and CANNOT catch engine-side rounding omissions.
+
+--changed[=REV] selects only the queries affected by the current worktree
+diff vs REV (default HEAD) — AST-scoped per-query dependency analysis, see
+scripts/changed_queries.py.  Explicit names are added on top.  The full
+sweep (no selector) remains the round-close gate.
 """
 
 from __future__ import annotations
@@ -45,7 +50,15 @@ def canon(df: pd.DataFrame, raw: bool = False) -> pd.DataFrame:
 
 
 def main():
-    argv = [a for a in sys.argv[1:] if a != "--raw"]
+    changed_rev = None
+    argv = []
+    for a in sys.argv[1:]:
+        if a == "--raw":
+            continue
+        if a == "--changed" or a.startswith("--changed="):
+            changed_rev = a.partition("=")[2] or "HEAD"
+            continue
+        argv.append(a)
     raw = "--raw" in sys.argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     only = set(argv[1:])
@@ -54,6 +67,18 @@ def main():
     import __ray_entry__ as entrymod
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if changed_rev is not None:
+        from changed_queries import select_changed
+
+        sel, reasons = select_changed(qs, rev=changed_rev)
+        for r in reasons:
+            print(f"# {r}")
+        print(f"# --changed vs {changed_rev}: {len(sel)} of {len(qs)} queries selected")
+        only |= sel
+        if not only:
+            print("# nothing affected; 0 queries to run")
+            ray.shutdown()
+            sys.exit(0)
     con = duckdb.connect()
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")

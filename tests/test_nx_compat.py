@@ -250,3 +250,22 @@ def test_voterank_zero_and_assortativity_nan():
     got = gnx.degree_assortativity_coefficient(G)
     want = nx.degree_assortativity_coefficient(R)
     assert np.isnan(got) and np.isnan(want)
+
+
+def test_big_graph_guard(monkeypatch):
+    """The facade refuses driver-side materialization past MAX_DRIVER_ROWS
+    with a clear redirect to the primary API (it must not OOM silently)."""
+    import pytest
+
+    G = gnx.Graph([(0, 1), (1, 2), (2, 3)], num_partitions=2)
+    monkeypatch.setattr(gnx, "MAX_DRIVER_ROWS", 2)
+    with pytest.raises(ValueError, match="primary Dataset API"):
+        _ = G.edges
+    with pytest.raises(ValueError, match="primary Dataset API"):
+        list(G.nodes)
+    with pytest.raises(ValueError, match="primary Dataset API"):
+        gnx.pagerank(G, weight=None)
+    # point reads stay fine under the cap
+    assert G.number_of_nodes() == 4 and G.has_edge(1, 2)
+    monkeypatch.setattr(gnx, "MAX_DRIVER_ROWS", 5_000_000)
+    assert len(G.edges) == 3
