@@ -1344,6 +1344,73 @@ def _q_pg_gremlin_subgraph(sf_dir):
     return df.sort_values(["src_oid", "dst_oid"]).reset_index(drop=True)
 
 
+def _q_pg_gremlin_repeat(sf_dir):
+    """``repeat(__.out()).times(2)`` — bounded iteration compiled to a
+    2-fold hop composition (customer→order→part on the tripartite graph);
+    groupCount gives the exact 3-table join multiplicities."""
+    from graphscope_ray.graph.gremlin import P, __, traversal
+
+    g = traversal(_gremlin_pg(sf_dir))
+    return (
+        g.V().hasLabel("customer").has("oid", P.lte(200))
+        .repeat(__.out()).times(2).groupCount()
+    )
+
+
+def _q_pg_gremlin_emit(sf_dir):
+    """``repeat(__.out()).emit().times(2)`` — emit unions the frontier
+    after every round, so the result is orders ∪ parts reachable from the
+    filtered customers (SQL UNION ALL of the 2- and 3-table joins)."""
+    from graphscope_ray.graph.gremlin import P, __, traversal
+
+    g = traversal(_gremlin_pg(sf_dir))
+    return (
+        g.V().hasLabel("customer").has("oid", P.lte(200))
+        .repeat(__.out()).emit().times(2).groupCount()
+    )
+
+
+def _q_pg_gremlin_union(sf_dir):
+    """``union(__.in_('places'), __.out('contains'))`` from high-value
+    orders — both branches applied to the same frontier, bags add
+    (customers placing the orders ∪ parts contained in them)."""
+    from graphscope_ray.graph.gremlin import P, __, traversal
+
+    g = traversal(_gremlin_pg(sf_dir))
+    return (
+        g.V().hasLabel("order").has("o_totalprice", P.gt(100000))
+        .union(__.in_("places"), __.out("contains")).groupCount()
+    )
+
+
+def _q_pg_gremlin_order_range(sf_dir):
+    """``order().by('p_retailprice', desc).range(5, 25)`` — distributed
+    sort with deterministic (key, label, oid) tie-break then an
+    order-preserving slice; the surviving parts' sizes groupCount()ed
+    (= SQL row_number() window)."""
+    from graphscope_ray.graph.gremlin import Order, traversal
+
+    g = traversal(_gremlin_pg(sf_dir))
+    return (
+        g.V().hasLabel("part").order().by("p_retailprice", Order.desc)
+        .range(5, 25).values("p_size").groupCount()
+    )
+
+
+def _q_pg_gremlin_where(sf_dir):
+    """``where(__.out('places').has(...))`` — existential semi-join (SQL
+    EXISTS): customers with at least one order over 200k, evaluated once
+    per distinct element via carried origin tags."""
+    from graphscope_ray.graph.gremlin import P, __, traversal
+
+    g = traversal(_gremlin_pg(sf_dir))
+    return (
+        g.V().hasLabel("customer")
+        .where(__.out("places").has("o_totalprice", P.gt(200000)))
+        .to_pandas()
+    )
+
+
 def _q_samp_stratified(sf_dir):
     from graphscope_ray.functions.sampling import stratified_hash_sample
 
@@ -1507,6 +1574,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_gremlin_count": _q_pg_gremlin_count,
         "pg_gremlin_groupcount": _q_pg_gremlin_groupcount,
         "pg_gremlin_subgraph": _q_pg_gremlin_subgraph,
+        "pg_gremlin_repeat": _q_pg_gremlin_repeat,
+        "pg_gremlin_emit": _q_pg_gremlin_emit,
+        "pg_gremlin_union": _q_pg_gremlin_union,
+        "pg_gremlin_order_range": _q_pg_gremlin_order_range,
+        "pg_gremlin_where": _q_pg_gremlin_where,
         "pg_graphar_roundtrip": td.pg_graphar_roundtrip,
         "lg_sssp_weighted": td.lg_sssp_weighted,
         "lg_sssp_delta": td.lg_sssp_delta,
@@ -1776,6 +1848,11 @@ def oracle_sql() -> dict[str, str]:
         "pg_gremlin_count": osql.pg_gremlin_count_sql(),
         "pg_gremlin_groupcount": osql.pg_gremlin_groupcount_sql(),
         "pg_gremlin_subgraph": osql.pg_gremlin_subgraph_sql(),
+        "pg_gremlin_repeat": osql.pg_gremlin_repeat_sql(),
+        "pg_gremlin_emit": osql.pg_gremlin_emit_sql(),
+        "pg_gremlin_union": osql.pg_gremlin_union_sql(),
+        "pg_gremlin_order_range": osql.pg_gremlin_order_range_sql(),
+        "pg_gremlin_where": osql.pg_gremlin_where_sql(),
         "pg_graphar_roundtrip": (
             "SELECT o_custkey AS src_oid, o_orderkey AS dst_oid FROM orders "
             "ORDER BY src_oid, dst_oid"

@@ -32,11 +32,35 @@ Ray-Data-first execution model (NOT a port of GIE's BSP dataflow):
 
 Supported steps: ``V, E, hasLabel, has, hasId, out, in_, both, outE,
 inE, bothE, outV, inV, bothV, values, dedup, limit, count, groupCount,
-subgraph, to_pandas / toList``.  Predicates: ``P.eq/neq/gt/gte/lt/lte/
+subgraph, to_pandas / toList`` plus (round 5, the GIE branching subset —
+ref interactive_engine/compiler step tests are the semantic anchor):
+
+- ``repeat(__.out(..)).times(k)`` — bounded iteration, compiled to a
+  k-fold composition of the body's lazy hop joins; ``.emit()`` unions the
+  frontier after every round (times-bounded emit-after semantics).
+- ``union(__...., __....)`` — each anonymous branch applied to the same
+  incoming frontier, results merged per label (bag union — traverser
+  multiplicities add, exactly SQL ``UNION ALL``).
+- ``__`` — anonymous sub-traversal (a step recorder replayed against the
+  frontier by ``repeat``/``union``/``where``).
+- ``order().by(key[, Order.desc]).range(lo, hi)`` / ``.limit(n)`` — a
+  distributed sort of the (label, oid, key) bag with DETERMINISTIC
+  tie-break (key, v_label, oid), then an order-preserving slice
+  (``split_at_indices`` — no driver materialization).  ``hi=-1`` means
+  "to the end".  Gremlin leaves ties unspecified; the deterministic
+  tie-break makes ``range`` reproducible and SQL-oracle-able
+  (``row_number() OVER (ORDER BY key, label, oid)``).
+- ``where(__....)`` — existential filter (SQL ``EXISTS`` semi-join): a
+  traverser survives iff the sub-traversal from it reaches ≥1 element.
+  Implemented by tagging each distinct frontier element with an origin
+  column carried through the sub-traversal's hops, then a distinct-origin
+  semi-join back — no per-traverser loop, two extra exchanges total.
+
+Predicates: ``P.eq/neq/gt/gte/lt/lte/
 within/without/inside/outside/between``.  Documented boundaries (raise
-``GremlinUnsupported``): branching (``union``/``repeat``/``__``), path
-tracking, ``otherV`` (needs per-traverser direction memory), and
-side-effect steps other than ``subgraph``.
+``GremlinUnsupported``): ``path``/``select`` tracking, ``otherV`` (needs
+per-traverser direction memory), unbounded ``repeat().until()``, nested
+``where``, and side-effect steps other than ``subgraph``.
 
 ``run_gremlin(pg, script)`` evaluates a Gremlin-Python-style script string
 (``"g.V().hasLabel('x').out('y').subgraph('s')"``) against these builders —
@@ -179,11 +203,21 @@ class Traversal:
     first hop only the ``oid`` bag column travels.
     """
 
-    def __init__(self, pg: PropertyGraph, kind: str, state, num_partitions: int = 8):
+    def __init__(
+        self,
+        pg: PropertyGraph,
+        kind: str,
+        state,
+        num_partitions: int = 8,
+        carry: tuple[str, ...] = (),
+    ):
         self._pg = pg
         self._kind = kind
         self._state = state
         self._K = num_partitions
+        # extra bag columns carried through hops/filters (where() origin
+        # tracking); always () on full-table V() frontiers by construction
+        self._carry = carry
 
     # ---- sources -----------------------------------------------------------
 
@@ -198,8 +232,11 @@ class Traversal:
         state = {lbl: e.ds for lbl, e in pg._e.items()}
         return Traversal(pg, _EDGE, state, num_partitions)
 
-    def _derive(self, kind, state) -> "Traversal":
-        return Traversal(self._pg, kind, state, self._K)
+    def _derive(self, kind, state, carry=None) -> "Traversal":
+        return Traversal(
+            self._pg, kind, state, self._K,
+            carry=self._carry if carry is None else carry,
+        )
 
     # ---- filters -----------------------------------------------------------
 
@@ -256,9 +293,10 @@ class Traversal:
 
     def dedup(self) -> "Traversal":
         if self._kind == _VERTEX:
+            cols = ["oid", *self._carry]
             return self._derive(
                 _VERTEX,
-                {l: (_distinct(ds if not full else ds.select_columns(["oid"]), ["oid"], self._K), False)
+                {l: (_distinct(ds if not full else ds.select_columns(["oid"]), cols if not full else ["oid"], self._K), False)
                  for l, (ds, full) in self._state.items()},
             )
         if self._kind == _EDGE:
@@ -294,7 +332,7 @@ class Traversal:
     def _vertex_bags(self) -> dict[str, ray.data.Dataset]:
         assert self._kind == _VERTEX
         return {
-            l: (ds.select_columns(["oid"]) if full else ds)
+            l: (ds.select_columns(["oid"]) if full else ds.select_columns(["oid", *self._carry]))
             for l, (ds, full) in self._state.items()
         }
 
@@ -331,7 +369,7 @@ class Traversal:
                 col, vlbl = (
                     ("dst_oid", e.dst_label) if key == "src_oid" else ("src_oid", e.src_label)
                 )
-                bag = _rename(part.select_columns([col]), {col: "oid"})
+                bag = _rename(part.select_columns([col, *self._carry]), {col: "oid"})
                 out[vlbl] = out[vlbl].union(bag) if vlbl in out else bag
         return self._derive(_VERTEX, {l: (ds, False) for l, ds in out.items()})
 
@@ -372,7 +410,9 @@ class Traversal:
                 which, [("src_oid", e.src_label), ("dst_oid", e.dst_label)]
             )
             for col, vlbl in ends:
-                bag = _rename(ds.select_columns([col]), {col: "oid"})
+                # edge frontiers with carry columns always come from _hop_E,
+                # which preserves them in every part
+                bag = _rename(ds.select_columns([col, *self._carry]), {col: "oid"})
                 if vlbl in out:
                     out[vlbl] = (out[vlbl][0].union(bag), False)
                 else:
@@ -396,6 +436,8 @@ class Traversal:
     def values(self, key: str) -> "Traversal":
         """Project traversers to a property-value bag.  Labels lacking the
         property contribute nothing (Gremlin semantics)."""
+        if self._carry:
+            raise GremlinUnsupported("values() inside where() drops the origin")
         parts = []
         if self._kind == _VERTEX:
             for lbl, (ds, full) in self._state.items():
@@ -515,12 +557,337 @@ class Traversal:
             )
         return sub
 
-    # unsupported branches — explicit boundary, not silent wrong answers
-    def union(self, *args):
-        raise GremlinUnsupported("branching (union/repeat/__) is GIE territory")
+    # ---- branching / iteration / ordering (GIE subset, round 5) ------------
 
-    repeat = union
-    path = union
+    def union(self, *subs) -> "Traversal":
+        """Apply each anonymous branch to THIS frontier and merge the
+        results per label — bag union, multiplicities add (SQL UNION ALL).
+        All branches must land on the same frontier kind."""
+        if not subs:
+            raise GremlinUnsupported("union() needs at least one branch")
+        results = []
+        for s in subs:
+            r = _apply_sub(s, self)
+            if not isinstance(r, Traversal):
+                raise GremlinUnsupported("union() branches must end in a frontier")
+            results.append(r)
+        kinds = {r._kind for r in results}
+        if len(kinds) != 1:
+            raise GremlinUnsupported(
+                f"union() branches produce mixed frontier kinds {sorted(kinds)}"
+            )
+        return _merge_frontiers(results)
+
+    def repeat(self, sub) -> "_RepeatBuilder":
+        """Bounded iteration: ``repeat(__....).times(k)`` composes the body
+        k times over the lazy frontier (a k-way join chain — exactly how a
+        k-hop unrolls in SQL).  ``.emit()`` additionally unions the frontier
+        after every round.  Unbounded ``until()`` is not supported."""
+        return _RepeatBuilder(self, sub)
+
+    def order(self) -> "_OrderBuilder":
+        """Global ordering: ``order().by(key[, Order.desc])`` then
+        ``range(lo, hi)`` / ``limit(n)``.  Distributed sort of the
+        (key, v_label, oid) bag with a deterministic tie-break, then an
+        order-preserving slice; the selected set returns to a normal
+        per-label frontier for further steps."""
+        if self._carry:
+            raise GremlinUnsupported("order() inside where()")
+        return _OrderBuilder(self)
+
+    def range(self, lo: int, hi: int) -> "Traversal":
+        """Positional slice without order(): Gremlin leaves the order
+        unspecified, so only the COUNT is well-defined — require order()
+        first for deterministic results."""
+        raise GremlinUnsupported("range() requires order().by(..) first")
+
+    def where(self, sub) -> "Traversal":
+        """Existential filter (SQL EXISTS): keep each traverser iff the
+        anonymous sub-traversal starting from it reaches at least one
+        element.  Distributed plan: tag each DISTINCT frontier element with
+        (__origin, __olabel) columns, run the sub-traversal once with the
+        tags carried through every hop, distinct the surviving tags, and
+        semi-join them back against the original bags — condition evaluated
+        once per element regardless of traverser multiplicity."""
+        if self._kind != _VERTEX:
+            raise GremlinUnsupported("where(sub) needs a vertex frontier")
+        if self._carry:
+            raise GremlinUnsupported("nested where()")
+        marked = {}
+        for lbl, (ds, full) in self._state.items():
+            bag = ds.select_columns(["oid"])
+            keys = _distinct(bag, ["oid"], self._K)
+
+            def _mark(t: pa.Table, _lbl=lbl) -> pa.Table:
+                if t.num_rows == 0 or "oid" not in t.column_names:
+                    return pa.table(
+                        {
+                            "oid": pa.array([], pa.int64()),
+                            "__origin": pa.array([], pa.int64()),
+                            "__olabel": pa.array([], pa.string()),
+                        }
+                    )
+                return pa.table(
+                    {
+                        "oid": t["oid"],
+                        "__origin": t["oid"],
+                        "__olabel": pa.array([_lbl] * t.num_rows, pa.string()),
+                    }
+                )
+
+            marked[lbl] = (keys.map_batches(_mark, batch_format="pyarrow"), False)
+        probe = Traversal(
+            self._pg, _VERTEX, marked, self._K, carry=("__origin", "__olabel")
+        )
+        res = _apply_sub(sub, probe)
+        if not isinstance(res, Traversal) or res._kind == _VALUE:
+            raise GremlinUnsupported(
+                "where() sub-traversal must end as a vertex/edge frontier"
+            )
+        parts = []
+        if res._kind == _VERTEX:
+            for _, (ds, _full) in res._state.items():
+                parts.append(ds.select_columns(["__olabel", "__origin"]))
+        else:
+            for _, ds in res._state.items():
+                parts.append(ds.select_columns(["__olabel", "__origin"]))
+        if not parts:
+            return self._derive(_VERTEX, {})
+        surv = parts[0]
+        for p in parts[1:]:
+            surv = surv.union(p)
+        surv = _distinct(surv, ["__olabel", "__origin"], self._K)
+        out = {}
+        for lbl, (ds, full) in self._state.items():
+            bag = ds.select_columns(["oid"]) if full else ds
+            keys = _rename(
+                _filter_ds(surv, "__olabel", P.eq(lbl)).select_columns(["__origin"]),
+                {"__origin": "__k"},
+            )
+            out[lbl] = (
+                _drop(hash_join(bag, keys, "oid", "__k", num_partitions=self._K), ["__k"]),
+                False,
+            )
+        return self._derive(_VERTEX, out)
+
+    # unsupported — explicit boundary, not silent wrong answers
+    def path(self, *args):
+        raise GremlinUnsupported("path/select tracking is GIE territory")
+
+    select = path
+
+
+def _apply_sub(sub, trav: "Traversal"):
+    """Replay an anonymous sub-traversal (or call a plain callable) against
+    a concrete frontier."""
+    if isinstance(sub, AnonymousTraversal):
+        return sub.apply(trav)
+    if callable(sub):
+        return sub(trav)
+    raise GremlinUnsupported(f"cannot apply {type(sub).__name__} as a sub-traversal")
+
+
+def _merge_frontiers(travs: list["Traversal"]) -> "Traversal":
+    """Per-label bag union of same-kind frontiers (multiplicities add)."""
+    base, kind = travs[0], travs[0]._kind
+    if kind == _VALUE:
+        ds = travs[0]._state
+        for t in travs[1:]:
+            ds = ds.union(t._state)
+        return base._derive(_VALUE, ds)
+    out: dict[str, ray.data.Dataset] = {}
+    for t in travs:
+        if kind == _VERTEX:
+            for lbl, bag in t._vertex_bags().items():
+                out[lbl] = out[lbl].union(bag) if lbl in out else bag
+        else:
+            for lbl, ds in t._state.items():
+                out[lbl] = out[lbl].union(ds) if lbl in out else ds
+    if kind == _VERTEX:
+        return base._derive(_VERTEX, {l: (d, False) for l, d in out.items()})
+    return base._derive(_EDGE, out)
+
+
+class Order:
+    """gremlin-python's Order tokens."""
+
+    asc = "asc"
+    desc = "desc"
+    incr = "asc"
+    decr = "desc"
+
+
+class _RepeatBuilder:
+    """``repeat(sub)`` pending its ``times(k)`` terminator."""
+
+    def __init__(self, trav: Traversal, sub):
+        self._t, self._sub, self._emit = trav, sub, False
+
+    def emit(self) -> "_RepeatBuilder":
+        self._emit = True
+        return self
+
+    def until(self, *_):
+        raise GremlinUnsupported(
+            "unbounded repeat().until() needs a dataflow fixpoint; use times(k)"
+        )
+
+    def times(self, k: int) -> Traversal:
+        if k < 0:
+            raise ValueError("times(k) needs k >= 0")
+        cur = self._t
+        emitted: list[Traversal] = []
+        for _ in range(int(k)):
+            nxt = _apply_sub(self._sub, cur)
+            if not isinstance(nxt, Traversal):
+                raise GremlinUnsupported("repeat() body must keep a frontier")
+            if nxt._kind != cur._kind:
+                raise GremlinUnsupported(
+                    "repeat() body must preserve the frontier kind "
+                    f"({cur._kind} -> {nxt._kind})"
+                )
+            cur = nxt
+            if self._emit:
+                emitted.append(cur)
+        if not self._emit:
+            return cur
+        return _merge_frontiers(emitted) if emitted else cur
+
+
+class _OrderBuilder:
+    """``order()`` pending ``by(key[, Order])`` and a slice.  The sort is a
+    Ray range-partition sort of the unified (key, v_label, oid) bag; the
+    slice uses ``split_at_indices`` (order-preserving, distributed)."""
+
+    def __init__(self, trav: Traversal):
+        self._t = trav
+        self._key: str | None = None
+        self._desc = False
+
+    def by(self, key: str, order: str = "asc") -> "_OrderBuilder":
+        self._key = key
+        self._desc = order in ("desc", "decr", Order.desc)
+        return self
+
+    def limit(self, n: int) -> Traversal:
+        return self.range(0, n)
+
+    def range_(self, lo: int, hi: int) -> Traversal:
+        return self.range(lo, hi)
+
+    def _sorted_value(self) -> ray.data.Dataset:
+        return self._t._state.sort("value", descending=self._desc)
+
+    def _sorted_vertex(self) -> ray.data.Dataset:
+        t, key = self._t, self._key
+        if key is None:
+            raise GremlinUnsupported("order() on a vertex frontier needs .by(property)")
+        parts = []
+        for lbl, (ds, full) in t._state.items():
+            v = t._pg._v[lbl]
+            if key != "oid" and key not in v.properties:
+                raise ValueError(f"order().by({key!r}): label {lbl!r} lacks the property")
+            if full:
+                part = ds.select_columns(["oid", key] if key != "oid" else ["oid"])
+            elif key == "oid":
+                part = ds.select_columns(["oid"])
+            else:
+                prop = _rename(v.ds.select_columns(["oid", key]), {"oid": "__k"})
+                part = hash_join(ds, prop, "oid", "__k", num_partitions=t._K)
+                part = part.select_columns(["oid", key])
+
+            def _tag(tb: pa.Table, _lbl=lbl, _key=key) -> pa.Table:
+                if tb.num_rows == 0 or "oid" not in tb.column_names:
+                    return pa.table(
+                        {
+                            "v_label": pa.array([], pa.string()),
+                            "oid": pa.array([], pa.int64()),
+                            "__key": pa.array([], pa.int64()),
+                        }
+                    )
+                return pa.table(
+                    {
+                        "v_label": pa.array([_lbl] * tb.num_rows, pa.string()),
+                        "oid": tb["oid"],
+                        "__key": tb["oid"] if _key == "oid" else tb[_key],
+                    }
+                )
+
+            parts.append(part.map_batches(_tag, batch_format="pyarrow"))
+        if not parts:
+            raise ValueError("order() on an empty frontier")
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.union(p)
+        return u.sort(["__key", "v_label", "oid"], descending=[self._desc, False, False])
+
+    def range(self, lo: int, hi: int) -> Traversal:
+        """[lo, hi) slice in the by()-order (hi=-1 → to the end); ties
+        broken by (v_label, oid) so the selected SET is deterministic."""
+        t = self._t
+        if lo < 0 or (hi != -1 and hi < lo):
+            raise ValueError(f"range({lo}, {hi})")
+        if t._kind == _VALUE:
+            s = self._sorted_value()
+            if hi != -1:
+                s = s.limit(hi)
+            if lo > 0:
+                s = s.split_at_indices([lo])[1]
+            return t._derive(_VALUE, s)
+        if t._kind != _VERTEX:
+            raise GremlinUnsupported("order() supports vertex/value frontiers")
+        s = self._sorted_vertex()
+        if hi != -1:
+            s = s.limit(hi)
+        if lo > 0:
+            s = s.split_at_indices([lo])[1]
+        out = {}
+        for lbl in t._state:
+            bag = _filter_ds(s, "v_label", P.eq(lbl)).select_columns(["oid"])
+            out[lbl] = (bag, False)
+        return t._derive(_VERTEX, out)
+
+
+class AnonymousTraversal:
+    """gremlin-python's ``__``: an unanchored step list.  Each step call
+    returns a NEW recorder (immutable, like Traversal); ``apply`` replays
+    the steps against a concrete frontier — builder steps (``times``,
+    ``emit``, ``by``, ``range``, ``limit``) replay equally because apply
+    just chains attribute calls on whatever the previous step returned."""
+
+    _STEPS = (
+        "hasLabel", "has", "hasId", "out", "in_", "both", "outE", "inE",
+        "bothE", "outV", "inV", "bothV", "dedup", "limit", "values",
+        "where", "union", "repeat", "order", "range", "by", "times", "emit",
+    )
+
+    def __init__(self, steps: tuple = ()):
+        self._steps = steps
+
+    def _add(self, name, args, kwargs):
+        return AnonymousTraversal(self._steps + ((name, args, kwargs),))
+
+    def apply(self, trav):
+        cur = trav
+        for name, args, kwargs in self._steps:
+            cur = getattr(cur, name)(*args, **kwargs)
+        return cur
+
+
+def _anon_step(name):
+    def _f(self, *args, **kwargs):
+        return self._add(name, args, kwargs)
+
+    _f.__name__ = name
+    return _f
+
+
+for _n in AnonymousTraversal._STEPS:
+    setattr(AnonymousTraversal, _n, _anon_step(_n))
+
+#: the anonymous-traversal entry point (``from ... import __`` mirrors
+#: ``from gremlin_python.process.graph_traversal import __``)
+__ = AnonymousTraversal()
 
 
 class GraphTraversalSource:
@@ -545,12 +912,16 @@ def run_gremlin(pg: PropertyGraph, script: str, num_partitions: int = 8):
     """Evaluate a Gremlin-Python-style traversal STRING against ``pg`` —
     the ``gremlin_to_subgraph(graph, gremlin_script=...)`` string surface.
     ``.in(`` (a Python keyword) is rewritten to ``.in_(`` like
-    gremlin-python does.  The namespace exposes only ``g`` and ``P``."""
+    gremlin-python does.  The namespace exposes ``g``, ``P``, ``Order``
+    and the anonymous-traversal ``__``."""
     src = script.strip().replace(".in(", ".in_(")
     if not src.startswith("g."):
         raise ValueError("gremlin script must start with 'g.'")
     return eval(  # noqa: S307 — restricted namespace, test/CLI surface
-        src, {"__builtins__": {}}, {"g": traversal(pg, num_partitions), "P": P}
+        src,
+        {"__builtins__": {}},
+        {"g": traversal(pg, num_partitions), "P": P, "Order": Order,
+         "__": AnonymousTraversal()},
     )
 
 

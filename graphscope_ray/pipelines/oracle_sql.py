@@ -3505,6 +3505,72 @@ def pg_gremlin_groupcount_sql() -> str:
     )
 
 
+def pg_gremlin_repeat_sql(cmax: int = 200) -> str:
+    """repeat(out()).times(2) from customers with oid<=cmax is exactly the
+    2-fold hop composition customer→order→part: groupCount = the 3-table
+    join multiplicity per part."""
+    return (
+        "SELECT 'part' AS v_label, l_partkey AS oid, count(*) AS count "
+        "FROM customer JOIN orders ON o_custkey = c_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        f"WHERE c_custkey <= {cmax} GROUP BY l_partkey ORDER BY v_label, oid"
+    )
+
+
+def pg_gremlin_emit_sql(cmax: int = 200) -> str:
+    """repeat(out()).emit().times(2): frontier after round 1 (orders) UNION
+    ALL frontier after round 2 (parts), each groupCount()ed."""
+    return (
+        "SELECT * FROM ("
+        "SELECT 'order' AS v_label, o_orderkey AS oid, count(*) AS count "
+        "FROM customer JOIN orders ON o_custkey = c_custkey "
+        f"WHERE c_custkey <= {cmax} GROUP BY o_orderkey "
+        "UNION ALL "
+        "SELECT 'part', l_partkey, count(*) "
+        "FROM customer JOIN orders ON o_custkey = c_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        f"WHERE c_custkey <= {cmax} GROUP BY l_partkey"
+        ") ORDER BY v_label, oid"
+    )
+
+
+def pg_gremlin_union_sql(minprice: int = 100000) -> str:
+    """union(in_('places'), out('contains')) from high-value orders:
+    traverser bags add across branches = SQL UNION ALL of the two hops."""
+    return (
+        "SELECT * FROM ("
+        "SELECT 'customer' AS v_label, o_custkey AS oid, count(*) AS count "
+        f"FROM orders WHERE o_totalprice > {minprice} GROUP BY o_custkey "
+        "UNION ALL "
+        "SELECT 'part', l_partkey, count(*) "
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+        f"WHERE o_totalprice > {minprice} GROUP BY l_partkey"
+        ") ORDER BY v_label, oid"
+    )
+
+
+def pg_gremlin_order_range_sql(lo: int = 5, hi: int = 25) -> str:
+    """order().by(p_retailprice, desc).range(lo, hi): the engine's
+    deterministic tie-break (key desc, label, oid asc) is the row_number
+    window ORDER BY p_retailprice DESC, p_partkey."""
+    return (
+        "WITH ranked AS (SELECT p_partkey, p_size, "
+        "row_number() OVER (ORDER BY p_retailprice DESC, p_partkey) AS rn FROM part) "
+        "SELECT p_size AS value, count(*) AS count FROM ranked "
+        f"WHERE rn > {lo} AND rn <= {hi} GROUP BY p_size ORDER BY value"
+    )
+
+
+def pg_gremlin_where_sql(minprice: int = 200000) -> str:
+    """where(out('places').has(o_totalprice > minprice)) = SQL EXISTS:
+    V() multiplicity is 1 per customer, preserved by the semi-join."""
+    return (
+        "SELECT 'customer' AS v_label, c_custkey AS oid FROM customer "
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        f"AND o_totalprice > {minprice}) ORDER BY oid"
+    )
+
+
 def pg_gremlin_subgraph_sql() -> str:
     """The materialized subgraph's 'places' edge table: one row per parent
     places edge whose src customer passes the nationkey filter (subgraph

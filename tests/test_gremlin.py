@@ -180,3 +180,122 @@ def test_limit_takes_n_traversers(tiny):
     g = traversal(pg, num_partitions=2)
     assert g.V().limit(4).count() == 4
     assert g.V().hasLabel("person").values("age").limit(2).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# round-5 branching subset: repeat / union / __ / order-range / where
+
+
+def test_repeat_times_is_khop_composition(tiny):
+    from graphscope_ray.graph.gremlin import __
+
+    pg, person, post, authored, likes = tiny
+    g = traversal(pg, num_partitions=2)
+    # repeat(out()).times(1) == out(); times(2) on this bipartite graph dies
+    got1 = g.V().hasLabel("person").repeat(__.out("authored")).times(1).to_pandas()
+    want1 = g.V().hasLabel("person").out("authored").to_pandas()
+    pd.testing.assert_frame_equal(got1, want1)
+    assert g.V().hasLabel("person").repeat(__.out("authored")).times(2).count() == 0
+    # times(0) is the identity
+    assert g.V().hasLabel("person").repeat(__.out()).times(0).count() == 3
+    # until() is the documented boundary
+    with pytest.raises(GremlinUnsupported):
+        g.V().repeat(__.out()).until(None)
+
+
+def test_repeat_emit_unions_rounds(tiny):
+    from graphscope_ray.graph.gremlin import __
+
+    pg, person, post, authored, likes = tiny
+    g = traversal(pg, num_partitions=2)
+    got = g.V().hasLabel("person").repeat(__.out()).emit().times(2).to_pandas()
+    # round 1: authored ∪ likes targets (bag); round 2: empty (posts have no out)
+    r1 = pd.concat([authored.q, likes.q])
+    want = pd.DataFrame({"v_label": "post", "oid": sorted(r1)})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_union_adds_bags(tiny):
+    from graphscope_ray.graph.gremlin import __
+
+    pg, person, post, authored, likes = tiny
+    g = traversal(pg, num_partitions=2)
+    got = (
+        g.V().hasLabel("person").has("age", P.gt(30))
+        .union(__.out("authored"), __.out("likes"), __.out("likes"))
+        .groupCount()
+    )
+    base = pd.concat([
+        authored[authored.p.isin([2, 3])].q,
+        likes[likes.p.isin([2, 3])].q,
+        likes[likes.p.isin([2, 3])].q,
+    ])
+    want = base.value_counts().sort_index()
+    assert dict(zip(got.oid, got["count"])) == want.to_dict()
+    # mixed frontier kinds refuse loudly
+    with pytest.raises(GremlinUnsupported):
+        g.V().hasLabel("person").union(__.out(), __.outE())
+
+
+def test_order_by_range_deterministic(tiny):
+    from graphscope_ray.graph.gremlin import Order
+
+    pg, person, post, authored, likes = tiny
+    g = traversal(pg, num_partitions=2)
+    # post scores desc: 12(9), 10(5), 13(3), 11(1)
+    got = g.V().hasLabel("post").order().by("score", Order.desc).range(1, 3).to_pandas()
+    assert got.oid.tolist() == [10, 13]
+    # asc with limit
+    got2 = g.V().hasLabel("post").order().by("score").limit(2).to_pandas()
+    assert got2.oid.tolist() == [11, 13]
+    # hi=-1 → to the end
+    got3 = g.V().hasLabel("post").order().by("score").range(2, -1).to_pandas()
+    assert sorted(got3.oid.tolist()) == [10, 12]
+    # value frontier ordering
+    vals = g.V().hasLabel("post").values("score").order().range(1, 3).toList()
+    assert vals == [3, 5]
+    # range without order is not deterministic → boundary
+    with pytest.raises(GremlinUnsupported):
+        g.V().range(0, 2)
+
+
+def test_where_exists_semijoin(tiny):
+    from graphscope_ray.graph.gremlin import __
+
+    pg, person, post, authored, likes = tiny
+    g = traversal(pg, num_partitions=2)
+    # persons who like a post with score > 4: likes → (1→12:9, 2→10:5, 3→10:5)
+    got = g.V().hasLabel("person").where(
+        __.out("likes").has("score", P.gt(4))
+    ).to_pandas()
+    assert got.oid.tolist() == [1, 2, 3]
+    got2 = g.V().hasLabel("person").where(
+        __.out("likes").has("score", P.gt(5))
+    ).to_pandas()
+    assert got2.oid.tolist() == [1]
+    # multiplicity of the ORIGINAL frontier is preserved (bag in, bag out)
+    bag = g.V().hasLabel("person").out("authored").in_("authored")  # person bag with repeats
+    n_before = bag.count()
+    kept = bag.where(__.out("likes")).count()
+    assert kept == n_before  # every person likes something
+    # edge-frontier where-target works (outE terminal in the sub)
+    got3 = g.V().hasLabel("person").where(__.outE("likes")).count()
+    assert got3 == 3
+    with pytest.raises(GremlinUnsupported):
+        g.V().where(__.out().where(__.out()))  # nested where
+
+
+def test_run_gremlin_branching_script_surface(tiny):
+    pg, person, post, authored, likes = tiny
+    n = run_gremlin(
+        pg,
+        "g.V().hasLabel('person').union(__.out('authored'), __.out('likes')).count()",
+        num_partitions=2,
+    )
+    assert n == len(authored) + len(likes)
+    vals = run_gremlin(
+        pg,
+        "g.V().hasLabel('post').order().by('score', Order.desc).limit(2).values('score').toList()",
+        num_partitions=2,
+    )
+    assert vals == [5, 9]
