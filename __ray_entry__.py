@@ -1411,6 +1411,35 @@ def _q_pg_gremlin_where(sf_dir):
     )
 
 
+def _q_train_epoch_order(sf_dir, B: int = 64, seed: int = 11, epoch: int = 2):
+    """The training hand-off's determinism contract as data: EpochIterator's
+    batch stream over documents (seed=11, epoch=2) flattened to (doc_id,
+    batch, pos) — the oracle replays the same Knuth-hash shuffle order with
+    a row_number window, so the ENTIRE epoch permutation is verified
+    bit-for-bit."""
+    import numpy as _np
+    import pandas as _pd
+
+    from graphscope_ray.functions.epoch import EpochIterator
+
+    ds = _read_clean(f"{sf_dir}/documents.parquet").select_columns(["doc_id"])
+    it = EpochIterator(ds, key="doc_id", batch_size=B, seed=seed)
+    frames = []
+    for bi, batch in enumerate(it.epoch(epoch)):
+        ids = _np.asarray(batch["doc_id"], dtype=_np.int64)
+        frames.append(
+            _pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "batch": _np.full(len(ids), bi, dtype=_np.int64),
+                    "pos": _np.arange(len(ids), dtype=_np.int64),
+                }
+            )
+        )
+    out = _pd.concat(frames, ignore_index=True)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_samp_stratified(sf_dir):
     from graphscope_ray.functions.sampling import stratified_hash_sample
 
@@ -1579,6 +1608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_gremlin_union": _q_pg_gremlin_union,
         "pg_gremlin_order_range": _q_pg_gremlin_order_range,
         "pg_gremlin_where": _q_pg_gremlin_where,
+        "train_epoch_order": _q_train_epoch_order,
         "pg_graphar_roundtrip": td.pg_graphar_roundtrip,
         "lg_sssp_weighted": td.lg_sssp_weighted,
         "lg_sssp_delta": td.lg_sssp_delta,
@@ -1853,6 +1883,7 @@ def oracle_sql() -> dict[str, str]:
         "pg_gremlin_union": osql.pg_gremlin_union_sql(),
         "pg_gremlin_order_range": osql.pg_gremlin_order_range_sql(),
         "pg_gremlin_where": osql.pg_gremlin_where_sql(),
+        "train_epoch_order": osql.train_epoch_order_sql(),
         "pg_graphar_roundtrip": (
             "SELECT o_custkey AS src_oid, o_orderkey AS dst_oid FROM orders "
             "ORDER BY src_oid, dst_oid"

@@ -3505,6 +3505,23 @@ def pg_gremlin_groupcount_sql() -> str:
     )
 
 
+def train_epoch_order_sql(B: int = 64, seed: int = 11, epoch: int = 2) -> str:
+    """epoch.EpochIterator order twin: rows sorted by the SIGNED int64 view
+    of hash_u64(doc_id, salt) (the engine sorts the raw .view(int64), so
+    hashes ≥ 2^63 wrap negative and come first), ties by doc_id; batch/pos
+    from the 0-based row_number."""
+    salt = (int(seed) & 0x7FFFFFFF) ^ ((int(epoch) + 1) * 0x9E3779B1)
+    hu = _knuth64_expr("doc_id", salt)
+    return (
+        f"WITH h AS (SELECT doc_id, {hu} AS hu FROM documents), "
+        "s AS (SELECT doc_id, CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT) "
+        "THEN hu - CAST(18446744073709551616 AS HUGEINT) ELSE hu END AS hs FROM h), "
+        "r AS (SELECT doc_id, row_number() OVER (ORDER BY hs, doc_id) - 1 AS rk FROM s) "
+        f"SELECT doc_id, CAST(rk // {B} AS BIGINT) AS batch, "
+        f"CAST(rk % {B} AS BIGINT) AS pos FROM r ORDER BY doc_id"
+    )
+
+
 def pg_gremlin_repeat_sql(cmax: int = 200) -> str:
     """repeat(out()).times(2) from customers with oid<=cmax is exactly the
     2-fold hop composition customer→order→part: groupCount = the 3-table
