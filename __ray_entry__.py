@@ -1411,6 +1411,57 @@ def _q_pg_gremlin_where(sf_dir):
     )
 
 
+def _q_pg_mutations(sf_dir):
+    """First-class property-graph mutation rebuild (ref
+    grape_instance.cc:91-177, dag_utils.py:114-231): EXTEND the customer
+    label with supplier-derived delta rows (concat), ADD delta places
+    edges from lineitem wiring new customers to existing orders, then
+    REMOVE every negative-balance customer with cascade — surviving places
+    edges must reference surviving customers only.  Output: the mutated
+    graph's places edge table (bag, duplicates preserved)."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from graphscope_ray.pipelines.testdata import _tripartite_pgraph, read
+
+    pg = _tripartite_pgraph(sf_dir)
+
+    delta_v = read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+
+    def _shift(t: _pa.Table) -> _pa.Table:
+        return _pa.table(
+            {
+                "oid": _pc.add(t["s_suppkey"], 100000),
+                "c_nationkey": t["s_nationkey"],
+                "c_acctbal": t["s_acctbal"],
+            }
+        )
+
+    delta_v = delta_v.map_batches(_shift, batch_format="pyarrow")
+    pg = pg.add_vertices(delta_v, "customer", properties=["c_nationkey", "c_acctbal"],
+                         vid_field="oid")
+
+    delta_e = read(sf_dir, "lineitem", columns=["l_suppkey", "l_orderkey"])
+
+    def _wire(t: _pa.Table) -> _pa.Table:
+        return _pa.table(
+            {
+                "src_oid": _pc.add(t["l_suppkey"], 100000),
+                "dst_oid": t["l_orderkey"],
+            }
+        )
+
+    delta_e = delta_e.map_batches(_wire, batch_format="pyarrow")
+    pg = pg.add_edges(delta_e, "places", src_label="customer", dst_label="order",
+                      src_field="src_oid", dst_field="dst_oid")
+
+    pg = pg.remove_vertices(
+        "customer", where=lambda t: _pc.less(t["c_acctbal"], 0.0), cascade=True
+    )
+    df = pg.edge_table("places").to_pandas()[["src_oid", "dst_oid"]]
+    return df.sort_values(["src_oid", "dst_oid"]).reset_index(drop=True)
+
+
 def _q_train_epoch_order(sf_dir, B: int = 64, seed: int = 11, epoch: int = 2):
     """The training hand-off's determinism contract as data: EpochIterator's
     batch stream over documents (seed=11, epoch=2) flattened to (doc_id,
@@ -1609,6 +1660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_gremlin_order_range": _q_pg_gremlin_order_range,
         "pg_gremlin_where": _q_pg_gremlin_where,
         "train_epoch_order": _q_train_epoch_order,
+        "pg_mutations": _q_pg_mutations,
         "pg_graphar_roundtrip": td.pg_graphar_roundtrip,
         "lg_sssp_weighted": td.lg_sssp_weighted,
         "lg_sssp_delta": td.lg_sssp_delta,
@@ -1884,6 +1936,7 @@ def oracle_sql() -> dict[str, str]:
         "pg_gremlin_order_range": osql.pg_gremlin_order_range_sql(),
         "pg_gremlin_where": osql.pg_gremlin_where_sql(),
         "train_epoch_order": osql.train_epoch_order_sql(),
+        "pg_mutations": osql.pg_mutations_sql(),
         "pg_graphar_roundtrip": (
             "SELECT o_custkey AS src_oid, o_orderkey AS dst_oid FROM orders "
             "ORDER BY src_oid, dst_oid"

@@ -46,6 +46,7 @@ from typing import Mapping
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -417,6 +418,96 @@ class PropertyGraph:
             batch_format="pyarrow",
         )
         return self._replace(kind, label, out, entry.properties + tuple(cols))
+
+    def remove_vertices(
+        self, label: str, ids=None, where=None, cascade: bool = True
+    ) -> "PropertyGraph":
+        """MODIFY_VERTICES delete with referential re-route — the
+        first-class mutation rebuild (ref grape_instance.cc:91-177's
+        add/modify rebuild path and dag_utils.py:114-231 MODIFY ops; the
+        reference rebuilds the ArrowFragment from the mutated tables, we
+        rebuild the lazy label plan).  Select victims by explicit ``ids``
+        (small-side, broadcast into a vectorized ``is_in`` filter) or by
+        ``where`` (a callable ``pa.Table -> BooleanArray`` marking rows to
+        REMOVE — evaluated distributed, nothing driver-side).  With
+        ``cascade`` (default), every edge label incident to this vertex
+        label is re-routed through a distributed semi-join so surviving
+        edges reference surviving vertices only — the graph never holds a
+        dangling endpoint."""
+        from graphscope_ray.utils import hash_join
+
+        if label not in self._v:
+            raise ValueError(f"unknown vertex label {label!r}")
+        if (ids is None) == (where is None):
+            raise ValueError("remove_vertices needs exactly one of ids / where")
+        v = self._v[label]
+        if ids is not None:
+            victim = pa.array(list(ids), pa.int64())
+
+            def _keep(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0 or "oid" not in t.column_names:
+                    return t
+                return t.filter(pc.invert(pc.is_in(t["oid"], value_set=victim)))
+
+        else:
+
+            def _keep(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0 or "oid" not in t.column_names:
+                    return t
+                mask = where(t)
+                return t.filter(pc.invert(pc.fill_null(mask, False)))
+
+        surviving = v.ds.map_batches(_keep, batch_format="pyarrow")
+        new = self._copy()
+        new._v[label] = VertexLabel(label, surviving, v.properties)
+        if not cascade:
+            return new
+        keys = _rename(surviving.select_columns(["oid"]), {"oid": "__surv"})
+        for elbl, e in list(new._e.items()):
+            eds = e.ds
+            touched = False
+            for side, vlbl in (("src_oid", e.src_label), ("dst_oid", e.dst_label)):
+                if vlbl != label:
+                    continue
+                # oid is unique per vertex table, so the inner semi-join
+                # preserves each surviving edge row exactly once
+                eds = hash_join(eds, keys, side, "__surv")
+                eds = eds.map_batches(
+                    lambda t: t.drop_columns(
+                        [c for c in ("__surv",) if c in t.column_names]
+                    ),
+                    batch_format="pyarrow",
+                )
+                touched = True
+            if touched:
+                new._e[elbl] = EdgeLabel(
+                    elbl, eds, e.src_label, e.dst_label, e.properties
+                )
+        return new
+
+    def remove_edges(self, label: str, where) -> "PropertyGraph":
+        """MODIFY_EDGES delete: drop edge rows matched by ``where`` (a
+        callable ``pa.Table -> BooleanArray`` of rows to REMOVE, evaluated
+        distributed).  Vertices are untouched (isolated vertices are legal,
+        as in the reference)."""
+        if label not in self._e:
+            raise ValueError(f"unknown edge label {label!r}")
+        e = self._e[label]
+
+        def _keep(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "src_oid" not in t.column_names:
+                return t
+            return t.filter(pc.invert(pc.fill_null(where(t), False)))
+
+        new = self._copy()
+        new._e[label] = EdgeLabel(
+            label,
+            e.ds.map_batches(_keep, batch_format="pyarrow"),
+            e.src_label,
+            e.dst_label,
+            e.properties,
+        )
+        return new
 
     def _find(self, label: str):
         if label in self._v:

@@ -3505,6 +3505,22 @@ def pg_gremlin_groupcount_sql() -> str:
     )
 
 
+def pg_mutations_sql() -> str:
+    """Property-graph mutation twin: customers = base UNION ALL shifted
+    suppliers; places = base orders edges UNION ALL shifted lineitem wires
+    (bag — duplicates preserved); cascade delete = inner semi-join of the
+    edge bag against the non-negative-balance survivors."""
+    return (
+        "WITH cust AS (SELECT c_custkey AS oid, c_acctbal FROM customer "
+        "UNION ALL SELECT s_suppkey + 100000, s_acctbal FROM supplier), "
+        "surv AS (SELECT oid FROM cust WHERE NOT (c_acctbal < 0)), "
+        "pl AS (SELECT o_custkey AS src_oid, o_orderkey AS dst_oid FROM orders "
+        "UNION ALL SELECT l_suppkey + 100000, l_orderkey FROM lineitem) "
+        "SELECT src_oid, dst_oid FROM pl JOIN surv ON surv.oid = pl.src_oid "
+        "ORDER BY src_oid, dst_oid"
+    )
+
+
 def train_epoch_order_sql(B: int = 64, seed: int = 11, epoch: int = 2) -> str:
     """epoch.EpochIterator order twin: rows sorted by the SIGNED int64 view
     of hash_u64(doc_id, salt) (the engine sorts the raw .view(int64), so

@@ -136,3 +136,43 @@ def test_extend_label():
     assert g.vertex_table("person").count() == 6
     with pytest.raises(ValueError):
         _graph().add_vertices(pd.DataFrame({"pid": [1], "zzz": [2]}), "person", vid_field="pid")
+
+
+def test_remove_vertices_cascade_and_remove_edges():
+    """First-class mutation rebuild: delete by ids / by predicate, cascade
+    semi-join re-route, and edge deletes (ref grape_instance.cc:91-177)."""
+    import pyarrow.compute as pc
+
+    from graphscope_ray.graph.property import PropertyGraph
+
+    person = pd.DataFrame({"pid": [1, 2, 3, 4], "age": [10, 20, 30, 40]})
+    knows = pd.DataFrame({"a": [1, 1, 2, 3, 4], "b": [2, 3, 3, 4, 1],
+                          "w": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    pg = (
+        PropertyGraph(directed=True)
+        .add_vertices(person, "person", vid_field="pid")
+        .add_edges(knows, "knows", src_label="person", dst_label="person",
+                   src_field="a", dst_field="b")
+    )
+    # delete by explicit ids with cascade: vertex 3 vanishes with all its edges
+    g2 = pg.remove_vertices("person", ids=[3])
+    assert sorted(g2.vertex_table("person").to_pandas()["oid"]) == [1, 2, 4]
+    e2 = g2.edge_table("knows").to_pandas()
+    assert sorted(zip(e2.src_oid, e2.dst_oid)) == [(1, 2), (4, 1)]
+    # delete by predicate without cascade keeps edges (dangling allowed off)
+    g3 = pg.remove_vertices("person", where=lambda t: pc.greater(t["age"], 25),
+                            cascade=False)
+    assert sorted(g3.vertex_table("person").to_pandas()["oid"]) == [1, 2]
+    assert g3.edge_table("knows").count() == 5
+    # remove_edges by predicate on an edge property
+    g4 = pg.remove_edges("knows", where=lambda t: pc.greater(t["w"], 2.5))
+    e4 = g4.edge_table("knows").to_pandas()
+    assert sorted(zip(e4.src_oid, e4.dst_oid)) == [(1, 2), (1, 3)]
+    # the original graph is untouched (copy-on-write)
+    assert pg.vertex_table("person").count() == 4
+    assert pg.edge_table("knows").count() == 5
+    # exactly one selector
+    with pytest.raises(ValueError):
+        pg.remove_vertices("person")
+    with pytest.raises(ValueError):
+        pg.remove_vertices("person", ids=[1], where=lambda t: t)
