@@ -27,6 +27,40 @@ import ray.data
 from graphscope_ray.utils import hash_groupby_sum, hash_join
 
 
+def _i64(t: pa.Table, name: str) -> np.ndarray:
+    return t[name].to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _f64(t: pa.Table, name: str) -> np.ndarray:
+    return t[name].to_numpy(zero_copy_only=False).astype(np.float64)
+
+
+def _typed_empty(**cols) -> pa.Table:
+    """Typed empty table for schema-stripped empty blocks: value "i" →
+    int64 column, "f" → float64."""
+    return pa.table(
+        {
+            k: pa.array([], pa.int64() if v == "i" else pa.float64())
+            for k, v in cols.items()
+        }
+    )
+
+
+def _group_rank(primary: np.ndarray, *tiebreak: np.ndarray):
+    """(order, rank-within-group) for rows grouped by ``primary`` and
+    ordered inside each group by the tiebreak keys (last key most
+    significant after primary) — the numpy twin of pandas
+    ``sort_values().groupby().head``/cumcount."""
+    order = np.lexsort((*tiebreak, primary))
+    p = primary[order]
+    idx = np.arange(len(p))
+    newg = np.concatenate([[True], p[1:] != p[:-1]]) if len(p) else np.array([], bool)
+    gidx = np.cumsum(newg) - 1 if len(p) else np.array([], np.int64)
+    starts = idx[newg] if len(p) else np.array([], np.int64)
+    rank = idx - starts[gidx] if len(p) else np.array([], np.int64)
+    return order, rank
+
+
 def _undirected_simple(
     edges: ray.data.Dataset, src_col: str, dst_col: str, num_partitions: int
 ) -> ray.data.Dataset:
@@ -91,23 +125,22 @@ def community_edge_stats(
     und = _undirected_simple(edges, src_col, dst_col, num_partitions).materialize()
     lab = _with_endpoint_labels(und, labels, num_partitions, oid_col, label_col)
 
-    def _partials(df: pd.DataFrame) -> pd.DataFrame:
-        if "lu" not in df.columns:
-            return pd.DataFrame(
-                {c: pd.Series(dtype=np.int64) for c in ("community", "intra", "cut")}
-            )
-        lu = df["lu"].to_numpy(np.int64)
-        lv = df["lv"].to_numpy(np.int64)
+    def _partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "lu" not in t.column_names:
+            return _typed_empty(community="i", intra="i", cut="i")
+        lu, lv = _i64(t, "lu"), _i64(t, "lv")
         same = lu == lv
         comm = np.concatenate([lu[same], lu[~same], lv[~same]])
         intra = np.concatenate(
             [np.ones(same.sum(), np.int64), np.zeros(2 * (~same).sum(), np.int64)]
         )
         cut = 1 - intra
-        return pd.DataFrame({"community": comm, "intra": intra, "cut": cut})
+        return pa.table(
+            {"community": pa.array(comm), "intra": pa.array(intra), "cut": pa.array(cut)}
+        )
 
     ic = hash_groupby_sum(
-        lab.map_batches(_partials, batch_format="pandas"),
+        lab.map_batches(_partials, batch_format="pyarrow"),
         ["community"], ["intra", "cut"], ["intra", "cut"],
         num_partitions=num_partitions,
     )
@@ -277,18 +310,17 @@ def wl_colors(
         # NaN-bearing partitions — silently corrupting wrapped 64-bit sums.)
         joined = hash_join(colors, msgs, "oid", "vv", num_partitions=num_partitions)
 
-        def _update(df: pd.DataFrame, _s=2 * t + 1 + salt) -> pd.DataFrame:
-            if "c" not in df.columns:
-                return pd.DataFrame(
-                    {"oid": pd.Series(dtype=np.int64), "c": pd.Series(dtype=np.int64)}
-                )
-            c = df["c"].to_numpy(np.int64).view(np.uint64)
-            m = df["m"].to_numpy(np.int64).view(np.uint64)
-            mixed = (c + m).view(np.int64)
+        def _update(tb: pa.Table, _s=2 * t + 1 + salt) -> pa.Table:
+            if tb.num_rows == 0 or "c" not in tb.column_names:
+                return _typed_empty(oid="i", c="i")
+            c = _i64(tb, "c").view(np.uint64)
+            m = _i64(tb, "m").view(np.uint64)
+            with np.errstate(over="ignore"):
+                mixed = (c + m).view(np.int64)
             newc = hash_u64(mixed, _s).view(np.int64)
-            return pd.DataFrame({"oid": df["oid"].astype(np.int64), "c": newc})
+            return pa.table({"oid": pa.array(_i64(tb, "oid")), "c": pa.array(newc)})
 
-        colors = joined.map_batches(_update, batch_format="pandas").materialize()
+        colors = joined.map_batches(_update, batch_format="pyarrow").materialize()
 
     return colors.map_batches(
         lambda tb: tb.rename_columns(["oid", "color"])
@@ -328,22 +360,15 @@ def _pairs_with_degrees(
     # schema into the second join and trip pandas merge suffixing — rename
     # through guarded map_batches into names no other stage uses instead.
     def _rename_deg(side: str):
-        def _rn(df: pd.DataFrame) -> pd.DataFrame:
-            if "d" not in df.columns:
-                return pd.DataFrame(
-                    {
-                        f"oid_{side}": pd.Series(dtype=np.int64),
-                        f"d_{side}": pd.Series(dtype=np.int64),
-                    }
-                )
-            return pd.DataFrame(
-                {f"oid_{side}": df["oid"].to_numpy(), f"d_{side}": df["d"].to_numpy()}
-            )
+        def _rn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "d" not in t.column_names:
+                return _typed_empty(**{f"oid_{side}": "i", f"d_{side}": "i"})
+            return pa.table({f"oid_{side}": t["oid"], f"d_{side}": t["d"]})
 
         return _rn
 
-    degu = deg.map_batches(_rename_deg("u"), batch_format="pandas")
-    degv = deg.map_batches(_rename_deg("v"), batch_format="pandas")
+    degu = deg.map_batches(_rename_deg("u"), batch_format="pyarrow")
+    degv = deg.map_batches(_rename_deg("v"), batch_format="pyarrow")
     j = hash_join(ce, degu, left_on="u", right_on="oid_u", num_partitions=num_partitions)
     j = hash_join(j, degv, left_on="v", right_on="oid_v", num_partitions=num_partitions)
     return ce, deg, j
@@ -370,25 +395,21 @@ def rich_club_coefficient(
     """
     ce, deg, j = _pairs_with_degrees(edges, src_col, dst_col, num_partitions)
 
-    _empty = pd.DataFrame(
-        {"m": pd.Series(dtype=np.int64), "c": pd.Series(dtype=np.int64)}
-    )
+    def _edge_hist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "d_u" not in t.column_names or "d_v" not in t.column_names:
+            return _typed_empty(m="i", c="i")
+        m = np.minimum(_i64(t, "d_u"), _i64(t, "d_v"))
+        h = np.bincount(m)
+        return pa.table({"m": pa.array(np.arange(len(h), dtype=np.int64)), "c": pa.array(h.astype(np.int64))})
 
-    def _edge_hist(df: pd.DataFrame) -> pd.DataFrame:
-        if "d_u" not in df.columns or "d_v" not in df.columns or not len(df):
-            return _empty
-        m = np.minimum(df["d_u"].to_numpy(), df["d_v"].to_numpy())
-        h = np.bincount(m.astype(np.int64))
-        return pd.DataFrame({"m": np.arange(len(h), dtype=np.int64), "c": h})
+    def _node_hist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "d" not in t.column_names:
+            return _typed_empty(m="i", c="i")
+        h = np.bincount(_i64(t, "d"))
+        return pa.table({"m": pa.array(np.arange(len(h), dtype=np.int64)), "c": pa.array(h.astype(np.int64))})
 
-    def _node_hist(df: pd.DataFrame) -> pd.DataFrame:
-        if "d" not in df.columns:
-            return _empty
-        h = np.bincount(df["d"].to_numpy().astype(np.int64))
-        return pd.DataFrame({"m": np.arange(len(h), dtype=np.int64), "c": h})
-
-    eh = j.map_batches(_edge_hist, batch_format="pandas").to_pandas()
-    nh = deg.map_batches(_node_hist, batch_format="pandas").to_pandas()
+    eh = j.map_batches(_edge_hist, batch_format="pyarrow").to_pandas()
+    nh = deg.map_batches(_node_hist, batch_format="pyarrow").to_pandas()
     max_d = int(nh["m"].max()) if len(nh) else 0
     ec = np.zeros(max_d + 1, dtype=np.int64)
     nc = np.zeros(max_d + 1, dtype=np.int64)
@@ -429,13 +450,13 @@ def s_metric(
     degree-join (one degree exchange + two hash joins)."""
     _ce, _deg, j = _pairs_with_degrees(edges, src_col, dst_col, num_partitions)
 
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        if "d_u" not in df.columns or not len(df):
-            return pd.DataFrame({"s": pd.Series(dtype=np.int64)})
-        p = df["d_u"].to_numpy(np.int64) * df["d_v"].to_numpy(np.int64)
-        return pd.DataFrame({"s": [int(p.sum())]})
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "d_u" not in t.column_names:
+            return _typed_empty(s="i")
+        p = _i64(t, "d_u") * _i64(t, "d_v")
+        return pa.table({"s": pa.array([int(p.sum())], pa.int64())})
 
-    parts = j.map_batches(_partial, batch_format="pandas").to_pandas()
+    parts = j.map_batches(_partial, batch_format="pyarrow").to_pandas()
     return int(parts["s"].sum()) if len(parts) else 0
 
 
@@ -457,52 +478,39 @@ def avg_neighbor_degree(
     so results are order-independent."""
     _ce, _deg, j = _pairs_with_degrees(edges, src_col, dst_col, num_partitions)
 
-    def _emit(df: pd.DataFrame) -> pd.DataFrame:
-        if "d_u" not in df.columns or not len(df):
-            return pd.DataFrame(
-                {"oid": pd.Series(dtype=np.int64), "nd": pd.Series(dtype=np.int64)}
-            )
-        u = df["u"].to_numpy(np.int64)
-        v = df["v"].to_numpy(np.int64)
-        du = df["d_u"].to_numpy(np.int64)
-        dv = df["d_v"].to_numpy(np.int64)
-        return pd.DataFrame(
-            {"oid": np.concatenate([u, v]), "nd": np.concatenate([dv, du])}
+    def _emit(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "d_u" not in t.column_names:
+            return _typed_empty(oid="i", nd="i")
+        u, v = _i64(t, "u"), _i64(t, "v")
+        du, dv = _i64(t, "d_u"), _i64(t, "d_v")
+        return pa.table(
+            {"oid": pa.array(np.concatenate([u, v])), "nd": pa.array(np.concatenate([dv, du]))}
         )
 
-    em = j.map_batches(_emit, batch_format="pandas")
+    em = j.map_batches(_emit, batch_format="pyarrow")
     tot = hash_groupby_sum(em, ["oid"], "nd", "snd", num_partitions=num_partitions)
     cnt = hash_groupby_sum(em, ["oid"], None, "c", num_partitions=num_partitions)
 
-    def _rn(df: pd.DataFrame) -> pd.DataFrame:
-        if "c" not in df.columns:
-            return pd.DataFrame(
-                {"oid_c": pd.Series(dtype=np.int64), "c": pd.Series(dtype=np.int64)}
-            )
-        return pd.DataFrame({"oid_c": df["oid"].to_numpy(), "c": df["c"].to_numpy()})
+    def _rn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c" not in t.column_names:
+            return _typed_empty(oid_c="i", c="i")
+        return pa.table({"oid_c": t["oid"], "c": t["c"]})
 
     jj = hash_join(
         tot,
-        cnt.map_batches(_rn, batch_format="pandas"),
+        cnt.map_batches(_rn, batch_format="pyarrow"),
         left_on="oid",
         right_on="oid_c",
         num_partitions=num_partitions,
     )
 
-    def _div(df: pd.DataFrame) -> pd.DataFrame:
-        if "snd" not in df.columns or not len(df):
-            return pd.DataFrame(
-                {
-                    "oid": pd.Series(dtype=np.int64),
-                    "avg_nbr_deg": pd.Series(dtype=np.float64),
-                }
-            )
-        a = np.round(
-            df["snd"].to_numpy(np.int64) / df["c"].to_numpy(np.float64), 8
-        )
-        return pd.DataFrame({"oid": df["oid"].to_numpy(np.int64), "avg_nbr_deg": a})
+    def _div(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "snd" not in t.column_names:
+            return _typed_empty(oid="i", avg_nbr_deg="f")
+        a = np.round(_i64(t, "snd") / _f64(t, "c"), 8)
+        return pa.table({"oid": pa.array(_i64(t, "oid")), "avg_nbr_deg": pa.array(a)})
 
-    return jj.map_batches(_div, batch_format="pandas")
+    return jj.map_batches(_div, batch_format="pyarrow")
 
 
 def weighted_clustering(
@@ -596,119 +604,77 @@ def weighted_clustering(
     ).materialize()
 
     def _rnk(side):
-        def _f(df: pd.DataFrame) -> pd.DataFrame:
-            if "k" not in df.columns:
-                return pd.DataFrame(
-                    {
-                        f"ko_{side}": pd.Series(dtype=np.int64),
-                        f"kk_{side}": pd.Series(dtype=np.int64),
-                    }
-                )
-            return pd.DataFrame(
-                {
-                    f"ko_{side}": df["oid"].to_numpy(np.int64),
-                    f"kk_{side}": df["k"].to_numpy(np.int64),
-                }
-            )
+        def _f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "k" not in t.column_names:
+                return _typed_empty(**{f"ko_{side}": "i", f"kk_{side}": "i"})
+            return pa.table({f"ko_{side}": t["oid"], f"kk_{side}": t["k"]})
 
         return _f
 
     ju = hash_join(
-        wu, ks.map_batches(_rnk("u"), batch_format="pandas"), left_on="u",
+        wu, ks.map_batches(_rnk("u"), batch_format="pyarrow"), left_on="u",
         right_on="ko_u", num_partitions=num_partitions,
     )
     ju = hash_join(
-        ju, ks.map_batches(_rnk("v"), batch_format="pandas"), left_on="v",
+        ju, ks.map_batches(_rnk("v"), batch_format="pyarrow"), left_on="v",
         right_on="ko_v", num_partitions=num_partitions,
     )
 
-    def _orient(df: pd.DataFrame) -> pd.DataFrame:
-        if "kk_u" not in df.columns or not len(df):
-            return pd.DataFrame(
-                {
-                    "a": pd.Series(dtype=np.int64),
-                    "b": pd.Series(dtype=np.int64),
-                    "w": pd.Series(dtype=np.int64),
-                }
-            )
-        u = df["u"].to_numpy(np.int64)
-        v = df["v"].to_numpy(np.int64)
-        w = df["w"].to_numpy(np.int64)
-        ku = df["kk_u"].to_numpy(np.int64)
-        kv = df["kk_v"].to_numpy(np.int64)
+    def _orient(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "kk_u" not in t.column_names:
+            return _typed_empty(a="i", b="i", w="i")
+        u, v, w = _i64(t, "u"), _i64(t, "v"), _i64(t, "w")
+        ku, kv = _i64(t, "kk_u"), _i64(t, "kk_v")
         fwd = (ku < kv) | ((ku == kv) & (u < v))
-        return pd.DataFrame(
+        return pa.table(
             {
-                "a": np.where(fwd, u, v),
-                "b": np.where(fwd, v, u),
-                "w": w,
+                "a": pa.array(np.where(fwd, u, v)),
+                "b": pa.array(np.where(fwd, v, u)),
+                "w": pa.array(w),
             }
         )
 
-    oe = ju.map_batches(_orient, batch_format="pandas").materialize()
+    oe = ju.map_batches(_orient, batch_format="pyarrow").materialize()
 
     # wedges at corner a: pairs of out-edges (a→b, a→c); membership of (b,c)
     # in the oriented edge set closes the triangle
-    def _rhs(df: pd.DataFrame) -> pd.DataFrame:
-        if "a" not in df.columns:
-            return pd.DataFrame(
-                {
-                    "a2": pd.Series(dtype=np.int64),
-                    "c": pd.Series(dtype=np.int64),
-                    "w2": pd.Series(dtype=np.int64),
-                }
-            )
-        return pd.DataFrame(
-            {
-                "a2": df["a"].to_numpy(np.int64),
-                "c": df["b"].to_numpy(np.int64),
-                "w2": df["w"].to_numpy(np.int64),
-            }
-        )
+    def _rhs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return _typed_empty(a2="i", c="i", w2="i")
+        return pa.table({"a2": t["a"], "c": t["b"], "w2": t["w"]})
 
     wedges = hash_join(
-        oe, oe.map_batches(_rhs, batch_format="pandas"), left_on="a", right_on="a2",
+        oe, oe.map_batches(_rhs, batch_format="pyarrow"), left_on="a", right_on="a2",
         num_partitions=num_partitions,
     )
 
-    def _wkey(df: pd.DataFrame) -> pd.DataFrame:
-        if "c" not in df.columns or not len(df):
-            return pd.DataFrame(
-                {
-                    "key": pd.Series(dtype=np.int64),
-                    "corner": pd.Series(dtype=np.int64),
-                    "wab": pd.Series(dtype=np.int64),
-                    "wac": pd.Series(dtype=np.int64),
-                }
-            )
-        b = df["b"].to_numpy(np.int64)
-        c = df["c"].to_numpy(np.int64)
+    def _wkey(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c" not in t.column_names:
+            return _typed_empty(key="i", corner="i", wab="i", wac="i")
+        b, c = _i64(t, "b"), _i64(t, "c")
         keep = b < c  # each unordered out-pair once, keyed in oid order
         b, c = b[keep], c[keep]
-        return pd.DataFrame(
+        return pa.table(
             {
-                "key": (b << np.int64(31)) | c,
-                "corner": df["a"].to_numpy(np.int64)[keep],
-                "wab": df["w"].to_numpy(np.int64)[keep],
-                "wac": df["w2"].to_numpy(np.int64)[keep],
+                "key": pa.array((b << np.int64(31)) | c),
+                "corner": pa.array(_i64(t, "a")[keep]),
+                "wab": pa.array(_i64(t, "w")[keep]),
+                "wac": pa.array(_i64(t, "w2")[keep]),
             }
         )
 
-    def _ekey(df: pd.DataFrame) -> pd.DataFrame:
-        if "a" not in df.columns:
-            return pd.DataFrame(
-                {"ekey": pd.Series(dtype=np.int64), "wbc": pd.Series(dtype=np.int64)}
-            )
-        a = df["a"].to_numpy(np.int64)
-        b = df["b"].to_numpy(np.int64)
+    def _ekey(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return _typed_empty(ekey="i", wbc="i")
+        a, b = _i64(t, "a"), _i64(t, "b")
         lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame(
-            {"ekey": (lo << np.int64(31)) | hi, "wbc": df["w"].to_numpy(np.int64)}
+        return pa.table(
+            {"ekey": pa.array((lo << np.int64(31)) | hi), "wbc": pa.array(_i64(t, "w"))}
         )
 
     tri = hash_join(
-        wedges.map_batches(_wkey, batch_format="pandas"),
-        oe.map_batches(_ekey, batch_format="pandas"),
+        wedges.map_batches(_wkey, batch_format="pyarrow"),
+        oe.map_batches(_ekey, batch_format="pyarrow"),
         left_on="key",
         right_on="ekey",
         num_partitions=num_partitions,
@@ -718,81 +684,63 @@ def weighted_clustering(
     onnela = formula == "onnela"
     mw = 0
     if onnela:
-        def _pmax(df: pd.DataFrame) -> pd.DataFrame:
-            if "w" not in df.columns or not len(df):
-                return pd.DataFrame({"m": pd.Series(dtype=np.int64)})
-            return pd.DataFrame({"m": [int(df["w"].to_numpy(np.int64).max())]})
+        def _pmax(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "w" not in t.column_names:
+                return _typed_empty(m="i")
+            return pa.table({"m": pa.array([int(_i64(t, "w").max())], pa.int64())})
 
-        pm = wu.map_batches(_pmax, batch_format="pandas").to_pandas()
+        pm = wu.map_batches(_pmax, batch_format="pyarrow").to_pandas()
         mw = int(pm["m"].max()) if len(pm) else 0
 
-    def _contrib(df: pd.DataFrame) -> pd.DataFrame:
-        if "wbc" not in df.columns or not len(df):
-            return pd.DataFrame(
-                {
-                    "oid": pd.Series(dtype=np.int64),
-                    "c2": pd.Series(dtype=np.float64 if onnela else np.int64),
-                }
-            )
-        key = df["key"].to_numpy(np.int64)
+    def _contrib(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0 or "wbc" not in tb.column_names:
+            return _typed_empty(oid="i", c2="f" if onnela else "i")
+        key = _i64(tb, "key")
         b = key >> np.int64(31)
         c = key & np.int64(2**31 - 1)
-        a = df["corner"].to_numpy(np.int64)
-        wab = df["wab"].to_numpy(np.int64)
-        wac = df["wac"].to_numpy(np.int64)
-        wbc = df["wbc"].to_numpy(np.int64)
+        a = _i64(tb, "corner")
+        wab, wac, wbc = _i64(tb, "wab"), _i64(tb, "wac"), _i64(tb, "wbc")
         if onnela:
             # pow(prod, 1/3), same construct as the SQL's power(prod, 1.0/3.0)
             t = (wab * wac * wbc).astype(np.float64) ** (1.0 / 3.0)
-            return pd.DataFrame(
-                {"oid": np.concatenate([a, b, c]), "c2": np.concatenate([t, t, t])}
+            return pa.table(
+                {"oid": pa.array(np.concatenate([a, b, c])),
+                 "c2": pa.array(np.concatenate([t, t, t]))}
             )
-        return pd.DataFrame(
+        return pa.table(
             {
-                "oid": np.concatenate([a, b, c]),
-                "c2": np.concatenate([wab + wac, wab + wbc, wac + wbc]),
+                "oid": pa.array(np.concatenate([a, b, c])),
+                "c2": pa.array(np.concatenate([wab + wac, wab + wbc, wac + wbc])),
             }
         )
 
     contrib = hash_groupby_sum(
-        tri.map_batches(_contrib, batch_format="pandas"),
+        tri.map_batches(_contrib, batch_format="pyarrow"),
         ["oid"],
         "c2",
         "num2",
         num_partitions=num_partitions,
     )
 
-    def _rc(df: pd.DataFrame) -> pd.DataFrame:
-        if "num2" not in df.columns:
-            return pd.DataFrame(
-                {
-                    "kc": pd.Series(dtype=np.int64),
-                    "num2": pd.Series(dtype=np.float64 if onnela else np.int64),
-                }
-            )
-        return pd.DataFrame(
-            {"kc": df["oid"].to_numpy(np.int64), "num2": df["num2"].to_numpy()}
-        )
+    def _rc(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "num2" not in t.column_names:
+            return _typed_empty(kc="i", num2="f" if onnela else "i")
+        return pa.table({"kc": t["oid"], "num2": t["num2"]})
 
     out = hash_join(
-        ks, contrib.map_batches(_rc, batch_format="pandas"), left_on="oid",
+        ks, contrib.map_batches(_rc, batch_format="pyarrow"), left_on="oid",
         right_on="kc", num_partitions=num_partitions, how="left",
     )
 
-    def _cw(df: pd.DataFrame) -> pd.DataFrame:
-        if "k" not in df.columns or not len(df):
-            return pd.DataFrame(
-                {
-                    "oid": pd.Series(dtype=np.int64),
-                    "cw": pd.Series(dtype=np.float64),
-                }
-            )
-        k = df["k"].to_numpy(np.int64)
-        s = df["s"].to_numpy(np.int64)
+    def _cw(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "k" not in t.column_names:
+            return _typed_empty(oid="i", cw="f")
+        k = _i64(t, "k")
+        s = _i64(t, "s")
         num2 = (
-            np.nan_to_num(df["num2"].to_numpy(np.float64), nan=0.0)
-            if "num2" in df.columns
-            else np.zeros(len(df))
+            np.nan_to_num(_f64(t, "num2"), nan=0.0)
+            if "num2" in t.column_names
+            else np.zeros(t.num_rows)
         )
         with np.errstate(divide="ignore", invalid="ignore"):
             if onnela:
@@ -803,10 +751,10 @@ def weighted_clustering(
             else:
                 cw = np.where(k > 1, num2 / (2.0 * s * (k - 1)), 0.0)
         return pa.table(
-            {"oid": df["oid"].to_numpy(np.int64), "cw": np.round(cw, 8)}
-        ).to_pandas()
+            {"oid": pa.array(_i64(t, "oid")), "cw": pa.array(np.round(cw, 8))}
+        )
 
-    return out.map_batches(_cw, batch_format="pandas")
+    return out.map_batches(_cw, batch_format="pyarrow")
 
 
 def two_hop_sizes(
@@ -845,53 +793,42 @@ def two_hop_sizes(
 
     ee = e.map_batches(_noself, batch_format="pyarrow").materialize()
 
-    def _rhs(df: pd.DataFrame) -> pd.DataFrame:
-        if "a" not in df.columns:
-            return pd.DataFrame(
-                {"m": pd.Series(dtype=np.int64), "c": pd.Series(dtype=np.int64)}
-            )
-        return pd.DataFrame(
-            {"m": df["a"].to_numpy(np.int64), "c": df["b"].to_numpy(np.int64)}
-        )
+    def _rhs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return _typed_empty(m="i", c="i")
+        return pa.table({"m": t["a"], "c": t["b"]})
 
     two = hash_join(
-        ee, ee.map_batches(_rhs, batch_format="pandas"), left_on="b", right_on="m",
+        ee, ee.map_batches(_rhs, batch_format="pyarrow"), left_on="b", right_on="m",
         num_partitions=num_partitions,
     )
 
-    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
-        if "c" not in df.columns or not len(df):
-            return pd.DataFrame(
-                {"a": pd.Series(dtype=np.int64), "t": pd.Series(dtype=np.int64)}
-            )
-        a = df["a"].to_numpy(np.int64)
-        c = df["c"].to_numpy(np.int64)
+    def _pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c" not in t.column_names:
+            return _typed_empty(a="i", t="i")
+        a, c = _i64(t, "a"), _i64(t, "c")
         keep = a != c
-        return pd.DataFrame({"a": a[keep], "t": c[keep]})
+        return pa.table({"a": pa.array(a[keep]), "t": pa.array(c[keep])})
 
-    def _direct(df: pd.DataFrame) -> pd.DataFrame:
-        if "a" not in df.columns:
-            return pd.DataFrame(
-                {"a": pd.Series(dtype=np.int64), "t": pd.Series(dtype=np.int64)}
-            )
-        return pd.DataFrame(
-            {"a": df["a"].to_numpy(np.int64), "t": df["b"].to_numpy(np.int64)}
-        )
+    def _direct(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return _typed_empty(a="i", t="i")
+        return pa.table({"a": t["a"], "t": t["b"]})
 
-    ball = two.map_batches(_pairs, batch_format="pandas").union(
-        ee.map_batches(_direct, batch_format="pandas")
+    ball = two.map_batches(_pairs, batch_format="pyarrow").union(
+        ee.map_batches(_direct, batch_format="pyarrow")
     )
     dist = hash_groupby_sum(
         ball, ["a", "t"], None, "__n", num_partitions=num_partitions
     ).select_columns(["a"])
 
-    def _key(df: pd.DataFrame) -> pd.DataFrame:
-        if "a" not in df.columns:
-            return pd.DataFrame({"oid": pd.Series(dtype=np.int64)})
-        return pd.DataFrame({"oid": df["a"].to_numpy(np.int64)})
+    def _key(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return _typed_empty(oid="i")
+        return pa.table({"oid": t["a"]})
 
     return hash_groupby_sum(
-        dist.map_batches(_key, batch_format="pandas"),
+        dist.map_batches(_key, batch_format="pyarrow"),
         ["oid"],
         None,
         "n_within_2",
@@ -966,29 +903,23 @@ def seeded_lpa(
         num_partitions=num_partitions,
     ).select_columns(["oid"]).materialize()
 
-    def _init(df: pd.DataFrame) -> pd.DataFrame:
-        if "oid" not in df.columns:
-            return pd.DataFrame(
-                {"oid": pd.Series(dtype=np.int64), "label": pd.Series(dtype=np.int64)}
-            )
-        o = df["oid"].to_numpy(np.int64)
+    def _init(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "oid" not in t.column_names:
+            return _typed_empty(oid="i", label="i")
+        o = _i64(t, "oid")
         lab = np.where(o % seed_mod == 0, o % n_classes, -1)
-        return pd.DataFrame({"oid": o, "label": lab.astype(np.int64)})
+        return pa.table({"oid": pa.array(o), "label": pa.array(lab.astype(np.int64))})
 
-    labels = verts.map_batches(_init, batch_format="pandas").materialize()
+    labels = verts.map_batches(_init, batch_format="pyarrow").materialize()
     M = np.int64(n_classes + 1)
 
     def _rn(ds, key, val, nk, nv):
-        def _f(df: pd.DataFrame) -> pd.DataFrame:
-            if key not in df.columns:
-                return pd.DataFrame(
-                    {nk: pd.Series(dtype=np.int64), nv: pd.Series(dtype=np.int64)}
-                )
-            return pd.DataFrame(
-                {nk: df[key].to_numpy(np.int64), nv: df[val].to_numpy(np.int64)}
-            )
+        def _f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or key not in t.column_names:
+                return _typed_empty(**{nk: "i", nv: "i"})
+            return pa.table({nk: pa.array(_i64(t, key)), nv: pa.array(_i64(t, val))})
 
-        return ds.map_batches(_f, batch_format="pandas")
+        return ds.map_batches(_f, batch_format="pyarrow")
 
     for _ in range(rounds):
         j = hash_join(
@@ -996,37 +927,31 @@ def seeded_lpa(
             num_partitions=num_partitions,
         )
 
-        def _msg(df: pd.DataFrame) -> pd.DataFrame:
-            if "nl" not in df.columns or not len(df):
-                return pd.DataFrame(
-                    {"oid": pd.Series(dtype=np.int64), "c": pd.Series(dtype=np.int64)}
-                )
-            keep = df["nl"].to_numpy(np.int64) >= 0
-            return pd.DataFrame(
-                {
-                    "oid": df["b"].to_numpy(np.int64)[keep],
-                    "c": df["nl"].to_numpy(np.int64)[keep],
-                }
+        def _msg(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "nl" not in t.column_names:
+                return _typed_empty(oid="i", c="i")
+            nl = _i64(t, "nl")
+            keep = nl >= 0
+            return pa.table(
+                {"oid": pa.array(_i64(t, "b")[keep]), "c": pa.array(nl[keep])}
             )
 
         cnt = hash_groupby_sum(
-            j.map_batches(_msg, batch_format="pandas"),
+            j.map_batches(_msg, batch_format="pyarrow"),
             ["oid", "c"],
             None,
             "n",
             num_partitions=num_partitions,
         )
 
-        def _pack(df: pd.DataFrame) -> pd.DataFrame:
-            if "n" not in df.columns:
-                return pd.DataFrame(
-                    {"oid": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)}
-                )
-            v = df["n"].to_numpy(np.int64) * M + (M - 1 - df["c"].to_numpy(np.int64))
-            return pd.DataFrame({"oid": df["oid"].to_numpy(np.int64), "v": v})
+        def _pack(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "n" not in t.column_names:
+                return _typed_empty(oid="i", v="i")
+            v = _i64(t, "n") * M + (M - 1 - _i64(t, "c"))
+            return pa.table({"oid": pa.array(_i64(t, "oid")), "v": pa.array(v)})
 
         mode = hash_groupby_sum(
-            cnt.map_batches(_pack, batch_format="pandas"),
+            cnt.map_batches(_pack, batch_format="pyarrow"),
             ["oid"],
             "v",
             "vmax",
@@ -1038,25 +963,23 @@ def seeded_lpa(
             right_on="k_m", num_partitions=num_partitions, how="left",
         )
 
-        def _upd(df: pd.DataFrame) -> pd.DataFrame:
-            if "oid" not in df.columns:
-                return pd.DataFrame(
-                    {"oid": pd.Series(dtype=np.int64), "label": pd.Series(dtype=np.int64)}
-                )
-            o = df["oid"].to_numpy(np.int64)
-            old = df["label"].to_numpy(np.int64)
+        def _upd(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "oid" not in t.column_names:
+                return _typed_empty(oid="i", label="i")
+            o = _i64(t, "oid")
+            old = _i64(t, "label")
             vm = (
-                df["vmax"].to_numpy(np.float64)
-                if "vmax" in df.columns
-                else np.full(len(df), np.nan)
+                _f64(t, "vmax")
+                if "vmax" in t.column_names
+                else np.full(t.num_rows, np.nan)
             )
             has = ~np.isnan(vm)
             picked = np.where(has, np.int64(M) - 1 - (np.nan_to_num(vm, nan=0.0).astype(np.int64) % np.int64(M)), old)
             seed = o % seed_mod == 0
             new = np.where(seed, o % n_classes, np.where(has, picked, old))
-            return pd.DataFrame({"oid": o, "label": new.astype(np.int64)})
+            return pa.table({"oid": pa.array(o), "label": pa.array(new.astype(np.int64))})
 
-        labels = jj.map_batches(_upd, batch_format="pandas").materialize()
+        labels = jj.map_batches(_upd, batch_format="pyarrow").materialize()
     return labels
 
 
@@ -1101,16 +1024,12 @@ def directed_assortativity(
     idg = hash_groupby_sum(e, ["d"], None, "idg", num_partitions=num_partitions)
 
     def _rn(ds, key, val, nk, nv):
-        def _f(df: pd.DataFrame) -> pd.DataFrame:
-            if key not in df.columns:
-                return pd.DataFrame(
-                    {nk: pd.Series(dtype=np.int64), nv: pd.Series(dtype=np.int64)}
-                )
-            return pd.DataFrame(
-                {nk: df[key].to_numpy(np.int64), nv: df[val].to_numpy(np.int64)}
-            )
+        def _f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or key not in t.column_names:
+                return _typed_empty(**{nk: "i", nv: "i"})
+            return pa.table({nk: pa.array(_i64(t, key)), nv: pa.array(_i64(t, val))})
 
-        return ds.map_batches(_f, batch_format="pandas")
+        return ds.map_batches(_f, batch_format="pyarrow")
 
     # degrees of the SRC endpoint (out + in), then of the DST endpoint
     j = hash_join(
@@ -1132,34 +1051,36 @@ def directed_assortativity(
 
     COMBOS = [("out", "out"), ("out", "in"), ("in", "out"), ("in", "in")]
 
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["combo", "sx", "sy", "sxy", "sxx", "syy", "m"]
-        if "od_s" not in df.columns or not len(df):
-            return pd.DataFrame({c: pd.Series(dtype=object if c == "combo" else np.int64) for c in cols})
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "od_s" not in t.column_names:
+            return pa.table(
+                {"combo": pa.array([], pa.string()),
+                 **{c: pa.array([], pa.int64())
+                    for c in ("sx", "sy", "sxy", "sxx", "syy", "m")}}
+            )
+        n = t.num_rows
         side = {
-            ("s", "out"): df["od_s"].to_numpy(np.float64),
-            ("s", "in"): df["id_s"].to_numpy(np.float64) if "id_s" in df.columns else np.zeros(len(df)),
-            ("d", "out"): df["od_d"].to_numpy(np.float64) if "od_d" in df.columns else np.zeros(len(df)),
-            ("d", "in"): df["id_d"].to_numpy(np.float64),
+            ("s", "out"): _f64(t, "od_s"),
+            ("s", "in"): _f64(t, "id_s") if "id_s" in t.column_names else np.zeros(n),
+            ("d", "out"): _f64(t, "od_d") if "od_d" in t.column_names else np.zeros(n),
+            ("d", "in"): _f64(t, "id_d"),
         }
-        rows = []
+        combos, sx, sy, sxy, sxx, syy, m = [], [], [], [], [], [], []
         for cx, cy in COMBOS:
             x = np.nan_to_num(side[("s", cx)], nan=0.0).astype(np.int64)
             y = np.nan_to_num(side[("d", cy)], nan=0.0).astype(np.int64)
-            rows.append(
-                (
-                    f"{cx}-{cy}",
-                    int(x.sum()),
-                    int(y.sum()),
-                    int((x * y).sum()),
-                    int((x * x).sum()),
-                    int((y * y).sum()),
-                    len(df),
-                )
-            )
-        return pd.DataFrame(rows, columns=cols)
+            combos.append(f"{cx}-{cy}")
+            sx.append(int(x.sum())); sy.append(int(y.sum()))
+            sxy.append(int((x * y).sum())); sxx.append(int((x * x).sum()))
+            syy.append(int((y * y).sum())); m.append(n)
+        return pa.table(
+            {"combo": pa.array(combos), "sx": pa.array(sx, pa.int64()),
+             "sy": pa.array(sy, pa.int64()), "sxy": pa.array(sxy, pa.int64()),
+             "sxx": pa.array(sxx, pa.int64()), "syy": pa.array(syy, pa.int64()),
+             "m": pa.array(m, pa.int64())}
+        )
 
-    parts = j.map_batches(_partial, batch_format="pandas").to_pandas()
+    parts = j.map_batches(_partial, batch_format="pyarrow").to_pandas()
     out = []
     for cx, cy in COMBOS:
         key = f"{cx}-{cy}"
@@ -1250,20 +1171,18 @@ def degree_gini(
     )
     ranked = zip_with_index(deg, "d", index_col="__i")
 
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        if "d" not in df.columns or not len(df):
-            return pd.DataFrame(
-                {
-                    "wd": pd.Series(dtype=np.int64),
-                    "sd": pd.Series(dtype=np.int64),
-                    "n": pd.Series(dtype=np.int64),
-                }
-            )
-        d = df["d"].to_numpy(np.int64)
-        i = df["__i"].to_numpy(np.int64) + 1
-        return pd.DataFrame({"wd": [int((i * d).sum())], "sd": [int(d.sum())], "n": [len(d)]})
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "d" not in t.column_names:
+            return _typed_empty(wd="i", sd="i", n="i")
+        d = _i64(t, "d")
+        i = _i64(t, "__i") + 1
+        return pa.table(
+            {"wd": pa.array([int((i * d).sum())], pa.int64()),
+             "sd": pa.array([int(d.sum())], pa.int64()),
+             "n": pa.array([len(d)], pa.int64())}
+        )
 
-    parts = ranked.map_batches(_partial, batch_format="pandas").to_pandas()
+    parts = ranked.map_batches(_partial, batch_format="pyarrow").to_pandas()
     n = int(parts["n"].sum()) if len(parts) else 0
     if n == 0:
         return {"gini": 0.0, "n_vertices": 0}
@@ -1319,30 +1238,23 @@ def disparity_filter(
     )
     j = hash_join(edges, ks, left_on=src_col, right_on="k_src", num_partitions=num_partitions)
 
-    def _alpha(df: pd.DataFrame) -> pd.DataFrame:
-        if "k" not in df.columns or not len(df):
-            return pd.DataFrame(
-                {
-                    "src": pd.Series(dtype=np.int64),
-                    "dst": pd.Series(dtype=np.int64),
-                    "weight": pd.Series(dtype=np.int64),
-                    "alpha": pd.Series(dtype=np.float64),
-                }
-            )
-        w = df[weight_col].to_numpy(np.float64)
-        s = df["s"].to_numpy(np.float64)
-        k = df["k"].to_numpy(np.int64)
+    def _alpha(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "k" not in t.column_names:
+            return _typed_empty(src="i", dst="i", weight="i", alpha="f")
+        w = _f64(t, weight_col)
+        s = _f64(t, "s")
+        k = _i64(t, "k")
         a = np.where(k > 1, (1.0 - w / s) ** np.maximum(k - 1, 1), 1.0)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "src": df[src_col].to_numpy(np.int64),
-                "dst": df[dst_col].to_numpy(np.int64),
-                "weight": df[weight_col].to_numpy(np.int64),
-                "alpha": np.round(a, 8),
+                "src": pa.array(_i64(t, src_col)),
+                "dst": pa.array(_i64(t, dst_col)),
+                "weight": pa.array(_i64(t, weight_col)),
+                "alpha": pa.array(np.round(a, 8)),
             }
         )
 
-    return j.map_batches(_alpha, batch_format="pandas")
+    return j.map_batches(_alpha, batch_format="pyarrow")
 
 
 def salsa(
@@ -1377,16 +1289,12 @@ def salsa(
     ).select_columns([src_col, dst_col])
 
     def _ren(ds, key_col, val_col, nk, nv):
-        def _f(df: pd.DataFrame) -> pd.DataFrame:
-            if key_col not in df.columns:
-                return pd.DataFrame(
-                    {nk: pd.Series(dtype=np.int64), nv: pd.Series(dtype=np.float64)}
-                )
-            return pd.DataFrame(
-                {nk: df[key_col].to_numpy(np.int64), nv: df[val_col].to_numpy()}
-            )
+        def _f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or key_col not in t.column_names:
+                return _typed_empty(**{nk: "i", nv: "f"})
+            return pa.table({nk: pa.array(_i64(t, key_col)), nv: t[val_col]})
 
-        return ds.map_batches(_f, batch_format="pandas")
+        return ds.map_batches(_f, batch_format="pyarrow")
 
     od = hash_groupby_sum(e, [src_col], None, "od", num_partitions=num_partitions)
     idg = hash_groupby_sum(e, [dst_col], None, "idg", num_partitions=num_partitions)
@@ -1399,19 +1307,15 @@ def salsa(
         num_partitions=num_partitions,
     ).materialize()
 
-    def _verts(df: pd.DataFrame) -> pd.DataFrame:
-        if src_col not in df.columns:
-            return pd.DataFrame({"oid": pd.Series(dtype=np.int64)})
-        return pd.DataFrame(
-            {
-                "oid": np.concatenate(
-                    [df[src_col].to_numpy(np.int64), df[dst_col].to_numpy(np.int64)]
-                )
-            }
+    def _verts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or src_col not in t.column_names:
+            return _typed_empty(oid="i")
+        return pa.table(
+            {"oid": pa.array(np.concatenate([_i64(t, src_col), _i64(t, dst_col)]))}
         )
 
     verts = hash_groupby_sum(
-        e.map_batches(_verts, batch_format="pandas"),
+        e.map_batches(_verts, batch_format="pyarrow"),
         ["oid"],
         None,
         "__n",
@@ -1429,22 +1333,20 @@ def salsa(
             )
         )
 
-    def _init(df: pd.DataFrame) -> pd.DataFrame:
-        if "oid" not in df.columns:
-            return pd.DataFrame(
-                {"oid": pd.Series(dtype=np.int64), "val": pd.Series(dtype=np.float64)}
-            )
-        return pd.DataFrame(
-            {"oid": df["oid"].to_numpy(np.int64), "val": np.full(len(df), 1.0 / n)}
+    def _init(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "oid" not in t.column_names:
+            return _typed_empty(oid="i", val="f")
+        return pa.table(
+            {"oid": pa.array(_i64(t, "oid")), "val": pa.array(np.full(t.num_rows, 1.0 / n))}
         )
 
     def _l1(scores: ray.data.Dataset) -> float:
-        def _p(df: pd.DataFrame) -> pd.DataFrame:
-            if "s" not in df.columns or not len(df):
-                return pd.DataFrame({"t": pd.Series(dtype=np.float64)})
-            return pd.DataFrame({"t": [float(df["s"].to_numpy(np.float64).sum())]})
+        def _p(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "s" not in t.column_names:
+                return _typed_empty(t="f")
+            return pa.table({"t": pa.array([float(_f64(t, "s").sum())])})
 
-        parts = scores.map_batches(_p, batch_format="pandas").to_pandas()
+        parts = scores.map_batches(_p, batch_format="pyarrow").to_pandas()
         return float(parts["t"].sum()) if len(parts) else 0.0
 
     def _step(ej, score, t_prev, score_key, deg_col, group_key):
@@ -1462,29 +1364,30 @@ def salsa(
             num_partitions=num_partitions,
         )
 
-        def _msg(df: pd.DataFrame) -> pd.DataFrame:
-            if "sv" not in df.columns or not len(df):
-                return pd.DataFrame(
-                    {"oid": pd.Series(dtype=np.int64), "m": pd.Series(dtype=np.float64)}
-                )
-            sv = df["sv"].to_numpy(np.float64)
-            sv = sv / t_prev if t_prev != 0 else np.zeros(len(df))
-            return pd.DataFrame(
+        def _msg(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "sv" not in t.column_names:
+                return _typed_empty(oid="i", m="f")
+            sv = _f64(t, "sv")
+            sv = sv / t_prev if t_prev != 0 else np.zeros(t.num_rows)
+            return pa.table(
                 {
-                    "oid": df[group_key].to_numpy(np.int64),
-                    "m": sv / df[deg_col].to_numpy(np.float64),
+                    "oid": pa.array(_i64(t, group_key)),
+                    "m": pa.array(sv / _f64(t, deg_col)),
                 }
             )
 
         raw = hash_groupby_sum(
-            j.map_batches(_msg, batch_format="pandas"),
+            j.map_batches(_msg, batch_format="pyarrow"),
             ["oid"],
             "m",
             "s",
             num_partitions=num_partitions,
         ).materialize()
         return raw.map_batches(
-            lambda df: df.rename(columns={"s": "val"}), batch_format="pandas"
+            lambda t: pa.table({"oid": t["oid"], "val": t["s"]})
+            if t.num_rows and "s" in t.column_names
+            else _typed_empty(oid="i", val="f"),
+            batch_format="pyarrow",
         ).materialize(), _l1(raw)
 
     def _final(raw, t):
@@ -1495,19 +1398,17 @@ def salsa(
             right_on="k_r", num_partitions=num_partitions, how="left",
         )
 
-        def _norm(df: pd.DataFrame) -> pd.DataFrame:
-            if "oid" not in df.columns:
-                return pd.DataFrame(
-                    {"oid": pd.Series(dtype=np.int64), "val": pd.Series(dtype=np.float64)}
-                )
-            rv = df["rv"].to_numpy(np.float64) if "rv" in df.columns else np.zeros(len(df))
+        def _norm(tb: pa.Table) -> pa.Table:
+            if tb.num_rows == 0 or "oid" not in tb.column_names:
+                return _typed_empty(oid="i", val="f")
+            rv = _f64(tb, "rv") if "rv" in tb.column_names else np.zeros(tb.num_rows)
             rv = np.nan_to_num(rv, nan=0.0)
-            v = rv / t if t != 0 else np.zeros(len(df))
-            return pd.DataFrame({"oid": df["oid"].to_numpy(np.int64), "val": v})
+            v = rv / t if t != 0 else np.zeros(tb.num_rows)
+            return pa.table({"oid": pa.array(_i64(tb, "oid")), "val": pa.array(v)})
 
-        return jj.map_batches(_norm, batch_format="pandas").materialize()
+        return jj.map_batches(_norm, batch_format="pyarrow").materialize()
 
-    hub = verts.map_batches(_init, batch_format="pandas").materialize()
+    hub = verts.map_batches(_init, batch_format="pyarrow").materialize()
     t_hub = 1.0  # init values are already the normalized uniform vector
     auth, t_auth = None, 1.0
     for _ in range(iters):
@@ -1525,24 +1426,18 @@ def salsa(
         num_partitions=num_partitions,
     )
 
-    def _out(df: pd.DataFrame) -> pd.DataFrame:
-        if "oid" not in df.columns:
-            return pd.DataFrame(
-                {
-                    "oid": pd.Series(dtype=np.int64),
-                    "auth": pd.Series(dtype=np.float64),
-                    "hub": pd.Series(dtype=np.float64),
-                }
-            )
-        return pd.DataFrame(
+    def _out(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "oid" not in t.column_names:
+            return _typed_empty(oid="i", auth="f", hub="f")
+        return pa.table(
             {
-                "oid": df["oid"].to_numpy(np.int64),
-                "auth": np.round(df["auth"].to_numpy(np.float64), 8),
-                "hub": np.round(df["hub"].to_numpy(np.float64), 8),
+                "oid": pa.array(_i64(t, "oid")),
+                "auth": pa.array(np.round(_f64(t, "auth"), 8)),
+                "hub": pa.array(np.round(_f64(t, "hub"), 8)),
             }
         )
 
-    return aj.map_batches(_out, batch_format="pandas")
+    return aj.map_batches(_out, batch_format="pyarrow")
 
 
 def bipartite_projection(
@@ -1578,44 +1473,34 @@ def bipartite_projection(
             bp.select_columns([via_col]), [via_col], None, "f", num_partitions=num_partitions
         )
 
-        def _keep(df: pd.DataFrame) -> pd.DataFrame:
-            if "f" not in df.columns:
-                return pd.DataFrame({"via_ok": pd.Series(dtype=np.int64)})
-            ok = df[df["f"].to_numpy() <= max_fanout]
-            return pd.DataFrame({"via_ok": ok[via_col].to_numpy(np.int64)})
+        def _keep(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "f" not in t.column_names:
+                return _typed_empty(via_ok="i")
+            good = _i64(t, "f") <= max_fanout
+            return pa.table({"via_ok": pa.array(_i64(t, via_col)[good])})
 
-        ok = fan.map_batches(_keep, batch_format="pandas")
+        ok = fan.map_batches(_keep, batch_format="pyarrow")
         bp = hash_join(
             bp, ok, left_on=via_col, right_on="via_ok", num_partitions=num_partitions
         ).select_columns([via_col, onto_col])
 
-    def _rhs(df: pd.DataFrame) -> pd.DataFrame:
-        if via_col not in df.columns:
-            return pd.DataFrame(
-                {"via_r": pd.Series(dtype=np.int64), "onto_r": pd.Series(dtype=np.int64)}
-            )
-        return pd.DataFrame(
-            {
-                "via_r": df[via_col].to_numpy(np.int64),
-                "onto_r": df[onto_col].to_numpy(np.int64),
-            }
-        )
+    def _rhs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or via_col not in t.column_names:
+            return _typed_empty(via_r="i", onto_r="i")
+        return pa.table({"via_r": t[via_col], "onto_r": t[onto_col]})
 
-    rhs = bp.map_batches(_rhs, batch_format="pandas")
+    rhs = bp.map_batches(_rhs, batch_format="pyarrow")
     j = hash_join(bp, rhs, left_on=via_col, right_on="via_r", num_partitions=num_partitions)
 
-    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
-        if onto_col not in df.columns or not len(df):
-            return pd.DataFrame(
-                {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)}
-            )
-        a = df[onto_col].to_numpy(np.int64)
-        b = df["onto_r"].to_numpy(np.int64)
+    def _pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or onto_col not in t.column_names:
+            return _typed_empty(a="i", b="i")
+        a, b = _i64(t, onto_col), _i64(t, "onto_r")
         keep = a < b
-        return pd.DataFrame({"a": a[keep], "b": b[keep]})
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
 
     return hash_groupby_sum(
-        j.map_batches(_pairs, batch_format="pandas"),
+        j.map_batches(_pairs, batch_format="pyarrow"),
         ["a", "b"],
         None,
         "weight",
@@ -1677,16 +1562,17 @@ def reciprocity(
         num_partitions=num_partitions,
     )
 
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        if "s" not in df.columns or not len(df):
-            return pd.DataFrame(
-                {"ne": pd.Series(dtype=np.int64), "nr": pd.Series(dtype=np.int64)}
-            )
-        s = df["s"].to_numpy(np.int64)
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "s" not in t.column_names:
+            return _typed_empty(ne="i", nr="i")
+        s = _i64(t, "s")
         both = int((s == 3).sum())
-        return pd.DataFrame({"ne": [len(s) + both], "nr": [2 * both]})
+        return pa.table(
+            {"ne": pa.array([len(s) + both], pa.int64()),
+             "nr": pa.array([2 * both], pa.int64())}
+        )
 
-    parts = pairs.map_batches(_partial, batch_format="pandas").to_pandas()
+    parts = pairs.map_batches(_partial, batch_format="pyarrow").to_pandas()
     ne = int(parts["ne"].sum()) if len(parts) else 0
     nr = int(parts["nr"].sum()) if len(parts) else 0
     return {
@@ -1732,176 +1618,111 @@ def simrank(
     e = _dedup(edges.select_columns([src_col, dst_col]), src_col, dst_col)
 
     def _rename_edges(suffix: str):
-        def _rn(df: pd.DataFrame) -> pd.DataFrame:
-            if src_col not in df.columns:
-                return pd.DataFrame(
-                    {
-                        f"es_{suffix}": pd.Series(dtype=np.int64),
-                        f"ed_{suffix}": pd.Series(dtype=np.int64),
-                    }
-                )
-            return pd.DataFrame(
-                {
-                    f"es_{suffix}": df[src_col].to_numpy(np.int64),
-                    f"ed_{suffix}": df[dst_col].to_numpy(np.int64),
-                }
-            )
+        def _rn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or src_col not in t.column_names:
+                return _typed_empty(**{f"es_{suffix}": "i", f"ed_{suffix}": "i"})
+            return pa.table({f"es_{suffix}": t[src_col], f"ed_{suffix}": t[dst_col]})
 
         return _rn
 
-    e1 = e.map_batches(_rename_edges("1"), batch_format="pandas").materialize()
-    e2 = e.map_batches(_rename_edges("2"), batch_format="pandas").materialize()
+    e1 = e.map_batches(_rename_edges("1"), batch_format="pyarrow").materialize()
+    e2 = e.map_batches(_rename_edges("2"), batch_format="pyarrow").materialize()
 
     # in-degree normalizers, one copy per join side (collision-free names)
     def _indeg(side: str):
-        def _rn(df: pd.DataFrame) -> pd.DataFrame:
-            if "oid" not in df.columns:
-                return pd.DataFrame(
-                    {
-                        f"iv_{side}": pd.Series(dtype=np.int64),
-                        f"id_{side}": pd.Series(dtype=np.int64),
-                    }
-                )
-            return pd.DataFrame(
-                {
-                    f"iv_{side}": df["oid"].to_numpy(np.int64),
-                    f"id_{side}": df["d"].to_numpy(np.int64),
-                }
-            )
+        def _rn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "oid" not in t.column_names:
+                return _typed_empty(**{f"iv_{side}": "i", f"id_{side}": "i"})
+            return pa.table({f"iv_{side}": t["oid"], f"id_{side}": t["d"]})
 
         return _rn
 
     ind = hash_groupby_sum(
         e.map_batches(
-            lambda df: pd.DataFrame({"oid": df[dst_col].to_numpy(np.int64)})
-            if dst_col in df.columns
-            else pd.DataFrame({"oid": pd.Series(dtype=np.int64)}),
-            batch_format="pandas",
+            lambda t: pa.table({"oid": t[dst_col]})
+            if t.num_rows and dst_col in t.column_names
+            else _typed_empty(oid="i"),
+            batch_format="pyarrow",
         ),
         ["oid"],
         None,
         "d",
         num_partitions=num_partitions,
     )
-    inda = ind.map_batches(_indeg("a"), batch_format="pandas").materialize()
-    indb = ind.map_batches(_indeg("b"), batch_format="pandas").materialize()
+    inda = ind.map_batches(_indeg("a"), batch_format="pyarrow").materialize()
+    indb = ind.map_batches(_indeg("b"), batch_format="pyarrow").materialize()
 
-    def _verts(df: pd.DataFrame) -> pd.DataFrame:
-        if src_col not in df.columns:
-            return pd.DataFrame({"oid": pd.Series(dtype=np.int64)})
-        return pd.DataFrame(
-            {
-                "oid": np.concatenate(
-                    [df[src_col].to_numpy(np.int64), df[dst_col].to_numpy(np.int64)]
-                )
-            }
+    def _verts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or src_col not in t.column_names:
+            return _typed_empty(oid="i")
+        return pa.table(
+            {"oid": pa.array(np.concatenate([_i64(t, src_col), _i64(t, dst_col)]))}
         )
 
     verts = hash_groupby_sum(
-        e.map_batches(_verts, batch_format="pandas"),
+        e.map_batches(_verts, batch_format="pyarrow"),
         ["oid"],
         None,
         "__n",
         num_partitions=num_partitions,
     ).select_columns(["oid"])
 
-    def _diag(df: pd.DataFrame) -> pd.DataFrame:
-        if "oid" not in df.columns:
-            return pd.DataFrame(
-                {
-                    "a": pd.Series(dtype=np.int64),
-                    "b": pd.Series(dtype=np.int64),
-                    "s": pd.Series(dtype=np.float64),
-                }
-            )
-        o = df["oid"].to_numpy(np.int64)
-        return pd.DataFrame({"a": o, "b": o, "s": np.ones(len(o), dtype=np.float64)})
+    def _diag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "oid" not in t.column_names:
+            return _typed_empty(a="i", b="i", s="f")
+        o = _i64(t, "oid")
+        return pa.table(
+            {"a": pa.array(o), "b": pa.array(o), "s": pa.array(np.ones(len(o)))}
+        )
 
-    diag = verts.map_batches(_diag, batch_format="pandas").materialize()
+    diag = verts.map_batches(_diag, batch_format="pyarrow").materialize()
     pairs = diag
 
-    def _proj_fan1(df: pd.DataFrame) -> pd.DataFrame:
-        if "ed_1" not in df.columns or not len(df):
-            return pd.DataFrame(
-                {
-                    "a": pd.Series(dtype=np.int64),
-                    "b": pd.Series(dtype=np.int64),
-                    "s": pd.Series(dtype=np.float64),
-                }
-            )
+    def _proj_fan1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ed_1" not in t.column_names:
+            return _typed_empty(a="i", b="i", s="f")
         # fan pair (u, v, s) out along u's out-edges: new left endpoint
-        return pd.DataFrame(
-            {
-                "a": df["ed_1"].to_numpy(np.int64),
-                "b": df["b"].to_numpy(np.int64),
-                "s": df["s"].to_numpy(np.float64),
-            }
-        )
+        return pa.table({"a": t["ed_1"], "b": t["b"], "s": t["s"]})
 
-    def _proj_fan2(df: pd.DataFrame) -> pd.DataFrame:
-        if "ed_2" not in df.columns or not len(df):
-            return pd.DataFrame(
-                {
-                    "a": pd.Series(dtype=np.int64),
-                    "b": pd.Series(dtype=np.int64),
-                    "s": pd.Series(dtype=np.float64),
-                }
-            )
-        a = df["a"].to_numpy(np.int64)
-        b = df["ed_2"].to_numpy(np.int64)
-        s = df["s"].to_numpy(np.float64)
+    def _proj_fan2(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ed_2" not in t.column_names:
+            return _typed_empty(a="i", b="i", s="f")
+        a, b = _i64(t, "a"), _i64(t, "ed_2")
+        s = _f64(t, "s")
         keep = a != b
-        return pd.DataFrame({"a": a[keep], "b": b[keep], "s": s[keep]})
+        return pa.table(
+            {"a": pa.array(a[keep]), "b": pa.array(b[keep]), "s": pa.array(s[keep])}
+        )
 
-    def _scale(df: pd.DataFrame) -> pd.DataFrame:
-        if "id_a" not in df.columns or not len(df):
-            return pd.DataFrame(
-                {
-                    "a": pd.Series(dtype=np.int64),
-                    "b": pd.Series(dtype=np.int64),
-                    "s": pd.Series(dtype=np.float64),
-                }
-            )
-        s = (
-            c
-            * df["t"].to_numpy(np.float64)
-            / (df["id_a"].to_numpy(np.float64) * df["id_b"].to_numpy(np.float64))
-        )
-        return pd.DataFrame(
-            {
-                "a": df["a"].to_numpy(np.int64),
-                "b": df["b"].to_numpy(np.int64),
-                "s": s,
-            }
-        )
+    def _scale(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "id_a" not in t.column_names:
+            return _typed_empty(a="i", b="i", s="f")
+        s = c * _f64(t, "t") / (_f64(t, "id_a") * _f64(t, "id_b"))
+        return pa.table({"a": t["a"], "b": t["b"], "s": pa.array(s)})
 
     for _ in range(iters):
         j = hash_join(pairs, e1, left_on="a", right_on="es_1", num_partitions=num_partitions)
-        j = j.map_batches(_proj_fan1, batch_format="pandas")
+        j = j.map_batches(_proj_fan1, batch_format="pyarrow")
         j = hash_join(j, e2, left_on="b", right_on="es_2", num_partitions=num_partitions)
-        j = j.map_batches(_proj_fan2, batch_format="pandas")
+        j = j.map_batches(_proj_fan2, batch_format="pyarrow")
         t = hash_groupby_sum(j, ["a", "b"], "s", "t", num_partitions=num_partitions)
         t = hash_join(t, inda, left_on="a", right_on="iv_a", num_partitions=num_partitions)
         t = hash_join(t, indb, left_on="b", right_on="iv_b", num_partitions=num_partitions)
-        off = t.map_batches(_scale, batch_format="pandas")
+        off = t.map_batches(_scale, batch_format="pyarrow")
         pairs = diag.union(off).materialize()
 
-    def _out(df: pd.DataFrame) -> pd.DataFrame:
-        if "a" not in df.columns or not len(df):
-            return pd.DataFrame(
-                {
-                    "src_oid": pd.Series(dtype=np.int64),
-                    "dst_oid": pd.Series(dtype=np.int64),
-                    "simrank": pd.Series(dtype=np.float64),
-                }
-            )
-        a = df["a"].to_numpy(np.int64)
-        b = df["b"].to_numpy(np.int64)
-        s = np.round(df["s"].to_numpy(np.float64), 8)
+    def _out(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return _typed_empty(src_oid="i", dst_oid="i", simrank="f")
+        a, b = _i64(t, "a"), _i64(t, "b")
+        s = np.round(_f64(t, "s"), 8)
         keep = (a < b) & (s > 0)
-        return pd.DataFrame({"src_oid": a[keep], "dst_oid": b[keep], "simrank": s[keep]})
+        return pa.table(
+            {"src_oid": pa.array(a[keep]), "dst_oid": pa.array(b[keep]),
+             "simrank": pa.array(s[keep])}
+        )
 
-    return pairs.map_batches(_out, batch_format="pandas")
+    return pairs.map_batches(_out, batch_format="pyarrow")
 
 
 def cocitation_topk(
@@ -1921,26 +1742,27 @@ def cocitation_topk(
     one pair-key count exchange → symmetric expand → per-block partial
     top-k per u → per-u merge.  Rows (u, v, cocit, rnk)."""
 
-    def _cap_partial(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty or "src" not in df.columns:
-            # Ray strips schemas off empty pandas blocks; return typed empty.
-            return pd.DataFrame(
-                {"src": pd.Series(dtype=np.int64), "dst": pd.Series(dtype=np.int64)}
-            )
-        return df.sort_values(["src", "dst"]).groupby("src", as_index=False).head(cap)
+    def _cap_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "src" not in t.column_names:
+            # Ray strips schemas off empty blocks; return typed empty.
+            return _typed_empty(src="i", dst="i")
+        src, dst = _i64(t, "src"), _i64(t, "dst")
+        order, rank = _group_rank(src, dst)
+        keep = order[rank < cap]
+        return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        d = np.sort(np.unique(g["dst"].to_numpy()))[:cap]
+    def _pairs(g: pa.Table) -> pa.Table:
+        d = np.sort(np.unique(_i64(g, "dst")))[:cap]
         n = d.size
         if n < 2:
-            return pd.DataFrame({"u": np.empty(0, np.int64), "v": np.empty(0, np.int64)})
+            return _typed_empty(u="i", v="i")
         iu, iv = np.triu_indices(n, 1)
-        return pd.DataFrame({"u": d[iu], "v": d[iv]})
+        return pa.table({"u": pa.array(d[iu]), "v": pa.array(d[iv])})
 
     pairs = (
-        edges.map_batches(_cap_partial, batch_format="pandas")
+        edges.map_batches(_cap_partial, batch_format="pyarrow")
         .groupby("src")
-        .map_groups(_pairs, batch_format="pandas")
+        .map_groups(_pairs, batch_format="pyarrow")
     )
     counts = hash_groupby_sum(pairs, ["u", "v"], None, "cocit")
 
@@ -1962,23 +1784,32 @@ def cocitation_topk(
 
     sym = counts.map_batches(_sym, batch_format="pyarrow")
 
-    def _tk_partial(df: pd.DataFrame) -> pd.DataFrame:
-        return (
-            df.sort_values(["cocit", "v"], ascending=[False, True])
-            .groupby("u", as_index=False)
-            .head(k)
+    def _tk_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "u" not in t.column_names:
+            return _typed_empty(u="i", v="i", cocit="i")
+        u, v, c = _i64(t, "u"), _i64(t, "v"), _i64(t, "cocit")
+        order, rank = _group_rank(u, v, -c)
+        keep = order[rank < k]
+        return pa.table(
+            {"u": pa.array(u[keep]), "v": pa.array(v[keep]), "cocit": pa.array(c[keep])}
         )
 
-    def _tk_merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cocit", "v"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    def _tk_merge(g: pa.Table) -> pa.Table:
+        u, v, c = _i64(g, "u"), _i64(g, "v"), _i64(g, "cocit")
+        take = np.lexsort((v, -c))[:k]
+        return pa.table(
+            {
+                "u": pa.array(u[take]),
+                "v": pa.array(v[take]),
+                "cocit": pa.array(c[take]),
+                "rnk": pa.array(np.arange(1, len(take) + 1, dtype=np.int64)),
+            }
+        )
 
     return (
-        sym.map_batches(_tk_partial, batch_format="pandas")
+        sym.map_batches(_tk_partial, batch_format="pyarrow")
         .groupby("u")
-        .map_groups(_tk_merge, batch_format="pandas")
+        .map_groups(_tk_merge, batch_format="pyarrow")
     )
 
 
@@ -2005,23 +1836,19 @@ def sweep_cut(
     deg = hash_groupby_sum(arcs, ["src"], None, "d", num_partitions=8)
     rt = hash_join(scores, deg, "oid", "src", num_partitions=8)
 
-    def _ratio_partial(df: pd.DataFrame) -> pd.DataFrame:
-        if "oid" not in df.columns or df.empty:
-            return pd.DataFrame(
-                {"oid": np.empty(0, np.int64), "d": np.empty(0, np.int64),
-                 "ratio": np.empty(0, np.float64)}
-            )
-        out = pd.DataFrame(
-            {
-                "oid": df["oid"].to_numpy(),
-                "d": df["d"].to_numpy(),
-                "ratio": np.round(df["score"].to_numpy(), 8) / df["d"].to_numpy(),
-            }
+    def _ratio_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "oid" not in t.column_names:
+            return _typed_empty(oid="i", d="i", ratio="f")
+        oid, d = _i64(t, "oid"), _i64(t, "d")
+        ratio = np.round(_f64(t, "score"), 8) / d
+        take = np.lexsort((oid, -ratio))[:topk]
+        return pa.table(
+            {"oid": pa.array(oid[take]), "d": pa.array(d[take]),
+             "ratio": pa.array(ratio[take])}
         )
-        return out.sort_values(["ratio", "oid"], ascending=[False, True]).head(topk)
 
     ranked = (
-        rt.map_batches(_ratio_partial, batch_format="pandas")
+        rt.map_batches(_ratio_partial, batch_format="pyarrow")
         .to_pandas()
         .sort_values(["ratio", "oid"], ascending=[False, True])
         .head(topk)
@@ -2099,44 +1926,45 @@ def adamic_adar_topk(
     rows (u, v, aa, rnk)."""
     from graphscope_ray.graph.minibatch import aa_weight_int
 
-    def _cap_partial(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty or "src" not in df.columns:
-            return pd.DataFrame(
-                {"src": pd.Series(dtype=np.int64), "dst": pd.Series(dtype=np.int64),
-                 "cnt": pd.Series(dtype=np.int64)}
-            )
-        kept = df.sort_values(["src", "dst"]).groupby("src", as_index=False).head(cap)
-        kept = kept.assign(cnt=np.int64(0))
-        marks = (
-            df.groupby("src", as_index=False)
-            .size()
-            .rename(columns={"size": "cnt"})
-            .assign(dst=np.int64(-1))
-        )
-        return pd.concat(
-            [kept[["src", "dst", "cnt"]], marks[["src", "dst", "cnt"]]],
-            ignore_index=True,
+    def _cap_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "src" not in t.column_names:
+            return _typed_empty(src="i", dst="i", cnt="i")
+        src, dst = _i64(t, "src"), _i64(t, "dst")
+        order, rank = _group_rank(src, dst)
+        keep = order[rank < cap]
+        mark_src, mark_cnt = np.unique(src, return_counts=True)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([src[keep], mark_src])),
+                "dst": pa.array(
+                    np.concatenate([dst[keep], np.full(len(mark_src), -1, np.int64)])
+                ),
+                "cnt": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(keep), np.int64), mark_cnt.astype(np.int64)]
+                    )
+                ),
+            }
         )
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        full_deg = int(g["cnt"].sum())
-        d = np.sort(np.unique(g.loc[g["dst"] >= 0, "dst"].to_numpy()))[:cap]
+    def _pairs(g: pa.Table) -> pa.Table:
+        cnt, dst = _i64(g, "cnt"), _i64(g, "dst")
+        full_deg = int(cnt.sum())
+        d = np.sort(np.unique(dst[dst >= 0]))[:cap]
         n = d.size
         if n < 2 or full_deg < 2:
-            return pd.DataFrame(
-                {"u": np.empty(0, np.int64), "v": np.empty(0, np.int64),
-                 "w": np.empty(0, np.int64)}
-            )
+            return _typed_empty(u="i", v="i", w="i")
         w = int(aa_weight_int(full_deg))
         iu, iv = np.triu_indices(n, 1)
-        return pd.DataFrame(
-            {"u": d[iu], "v": d[iv], "w": np.full(iu.size, w, dtype=np.int64)}
+        return pa.table(
+            {"u": pa.array(d[iu]), "v": pa.array(d[iv]),
+             "w": pa.array(np.full(iu.size, w, dtype=np.int64))}
         )
 
     pairs = (
-        edges.map_batches(_cap_partial, batch_format="pandas")
+        edges.map_batches(_cap_partial, batch_format="pyarrow")
         .groupby("src")
-        .map_groups(_pairs, batch_format="pandas")
+        .map_groups(_pairs, batch_format="pyarrow")
     )
     counts = hash_groupby_sum(pairs, ["u", "v"], "w", "aa")
 
@@ -2156,23 +1984,32 @@ def adamic_adar_topk(
 
     sym = counts.map_batches(_sym, batch_format="pyarrow")
 
-    def _tk_partial(df: pd.DataFrame) -> pd.DataFrame:
-        return (
-            df.sort_values(["aa", "v"], ascending=[False, True])
-            .groupby("u", as_index=False)
-            .head(k)
+    def _tk_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "u" not in t.column_names:
+            return _typed_empty(u="i", v="i", aa="i")
+        u, v, c = _i64(t, "u"), _i64(t, "v"), _i64(t, "aa")
+        order, rank = _group_rank(u, v, -c)
+        keep = order[rank < k]
+        return pa.table(
+            {"u": pa.array(u[keep]), "v": pa.array(v[keep]), "aa": pa.array(c[keep])}
         )
 
-    def _tk_merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["aa", "v"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    def _tk_merge(g: pa.Table) -> pa.Table:
+        u, v, c = _i64(g, "u"), _i64(g, "v"), _i64(g, "aa")
+        take = np.lexsort((v, -c))[:k]
+        return pa.table(
+            {
+                "u": pa.array(u[take]),
+                "v": pa.array(v[take]),
+                "aa": pa.array(c[take]),
+                "rnk": pa.array(np.arange(1, len(take) + 1, dtype=np.int64)),
+            }
+        )
 
     return (
-        sym.map_batches(_tk_partial, batch_format="pandas")
+        sym.map_batches(_tk_partial, batch_format="pyarrow")
         .groupby("u")
-        .map_groups(_tk_merge, batch_format="pandas")
+        .map_groups(_tk_merge, batch_format="pyarrow")
     )
 
 
