@@ -91,6 +91,7 @@ def affinity_assignment(
     src_col: str = "src",
     dst_col: str = "dst",
     num_partitions_exchange: int = 32,
+    init: str = "hash",
 ) -> ray.data.Dataset:
     """(oid, part) for every vid in [0, N) — neighbor-affinity label
     propagation with hard capacity, then an exact-balance spill pass so the
@@ -105,17 +106,27 @@ def affinity_assignment(
        in (gain desc, oid asc) order up to the capacity slack — admission
        is one groupby over the movers, bounded by the P-sized load vector.
 
-    Isolated vertices (no arcs) keep their initial hash assignment."""
+    ``init="hash"`` starts from the uniform spread (the engine's default
+    owner); ``init="segmented"`` starts from the reference's
+    SegmentedPartitioner contiguous ranges (partitioner.h:56-90) — the
+    right opening move when vertex ids carry locality (crawl order, the
+    rank-encode of lexicographically close repo names), which LP then
+    refines.  Isolated vertices (no arcs) keep their initial assignment."""
     K = num_partitions_exchange
     arcs = _arcs_both(edges, src_col, dst_col).materialize()
+
+    if init not in ("hash", "segmented"):
+        raise ValueError(init)
 
     def _init(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "oid" not in t.column_names:
             return _empty(oid=1, part=1)
         o = _i64(t, "oid")
-        return pa.table(
-            {"oid": pa.array(o), "part": pa.array((hash_u64(o) % np.uint64(P)).astype(np.int64))}
-        )
+        if init == "segmented":
+            p0 = np.minimum(o * P // max(N, 1), P - 1)
+        else:
+            p0 = (hash_u64(o) % np.uint64(P)).astype(np.int64)
+        return pa.table({"oid": pa.array(o), "part": pa.array(p0.astype(np.int64))})
 
     universe = ray.data.range(N).map_batches(
         lambda t: pa.table({"oid": t["id"]}), batch_format="pyarrow"
@@ -123,14 +134,14 @@ def affinity_assignment(
     owner = universe.map_batches(_init, batch_format="pyarrow").materialize()
     cap = int(np.ceil(N / P * (1.0 + slack)))
 
-    for _ in range(max(0, rounds)):
-        owner, moved = _affinity_round(owner, arcs, P, cap, K)
+    for r in range(max(0, rounds)):
+        owner, moved = _affinity_round(owner, arcs, P, cap, K, r)
         if moved == 0:
             break
     return _exact_balance(owner, arcs, N, P, K)
 
 
-def _affinity_round(owner, arcs, P, cap, K):
+def _affinity_round(owner, arcs, P, cap, K, rnd: int = 0):
     nb = hash_join(
         arcs,
         owner.map_batches(
@@ -198,7 +209,15 @@ def _affinity_round(owner, arcs, P, cap, K):
         bestp = (P - 1) - (pki % P)
         bestc = pki // P
         ccur = np.nan_to_num(cc, nan=0.0).astype(np.int64)
-        mv = has & (bestp != curp) & (bestc > ccur)
+        # deterministic half-moves damping (two-coloring) from round 1 on:
+        # round 0 moves freely (fast coarse snowball), later rounds move
+        # only ~half the vertices so symmetric neighbors stop chasing each
+        # other across partitions
+        if rnd == 0:
+            eligible = np.ones(len(o), dtype=bool)
+        else:
+            eligible = (hash_u64(o, salt=1000 + rnd) & np.uint64(1)) == 0
+        mv = has & (bestp != curp) & (bestc > ccur) & eligible
         return pa.table(
             {"oid": pa.array(o[mv]), "cur": pa.array(curp[mv]),
              "tgt": pa.array(bestp[mv]), "gain": pa.array((bestc - ccur)[mv])}
@@ -209,7 +228,21 @@ def _affinity_round(owner, arcs, P, cap, K):
     if n_movers == 0:
         return owner, 0
     loads = _loads(owner, P, K)
-    room = {p: max(0, cap - int(loads[p])) for p in range(P)}
+    # room includes each partition's own departures: every proposer leaves
+    # its partition independent of where others land, so counting outflow
+    # lets communities snowball into one partition instead of being choked
+    # at (cap − load) ≈ slack.  Mid-stream over-admission (a leaver whose
+    # own move was rejected) is bounded by outflow and repaired by the
+    # exact-balance pass.
+    outflow = _loads(
+        movers.map_batches(
+            lambda t: pa.table({"part": t["cur"]})
+            if t.num_rows and "cur" in t.column_names else _empty(part=1),
+            batch_format="pyarrow",
+        ),
+        P, K,
+    )
+    room = {p: max(0, cap - int(loads[p]) + int(outflow[p])) for p in range(P)}
 
     def _admit(g: pa.Table) -> pa.Table:
         if g.num_rows == 0 or "tgt" not in g.column_names:
@@ -225,7 +258,11 @@ def _affinity_round(owner, arcs, P, cap, K):
              "newp": pa.array(np.full(len(take), tgt, dtype=np.int64))}
         )
 
-    accepted = movers.groupby("tgt").map_groups(_admit, batch_format="pyarrow")
+    # map_groups emits pandas-backed blocks; normalize to arrow so later
+    # exchanges/sorts see one block type
+    accepted = movers.groupby("tgt").map_groups(
+        _admit, batch_format="pyarrow"
+    ).map_batches(lambda t: t, batch_format="pyarrow")
     upd = hash_join(
         owner,
         accepted.map_batches(
@@ -310,7 +347,7 @@ def _exact_balance(owner, arcs, N, P, K):
 
     spill = withown.groupby("part").map_groups(
         _spill_candidates, batch_format="pyarrow"
-    ).materialize()
+    ).map_batches(lambda t: t, batch_format="pyarrow").materialize()
     deficits = np.maximum(targets - loads, 0)
     # undo: spilled counts return to their sources; recompute deficits after
     # removal: partition p ends at loads[p] - over.get(p,0); deficit vs target
