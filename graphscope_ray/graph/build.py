@@ -824,6 +824,8 @@ def build_graph_from_oids(
     broadcast_limit: int = 20_000_000,
     vertices: ray.data.Dataset | None = None,
     use_perfect_hash: bool = False,
+    partitioner: str = "hash",
+    partitioner_rounds: int = 2,
     **kwargs,
 ) -> Graph:
     """Encode arbitrary (string/int) vertex oids to dense vids, then build.
@@ -845,6 +847,11 @@ def build_graph_from_oids(
     universe explicitly — oids absent from the edge table stay in the graph
     as isolated vertices (the property-graph project_to_simple contract:
     the label's whole vertex table is the universe, ref graph.py:816-869).
+
+    ``partitioner="affinity"`` (broadcast encode path only): route vertices
+    by the neighbor-affinity locality partitioner (graph/partition.py)
+    instead of hash — rank-order (= segmented) init, ``partitioner_rounds``
+    LP refinement rounds, identical algorithm results after decode.
 
     ``use_perfect_hash``: replace the broadcast sorted-oid array (8 B/vertex
     in every node's object store) with a BBHash minimal perfect hash
@@ -914,6 +921,12 @@ def build_graph_from_oids(
         if encode == "auto":
             encode = "broadcast" if distinct.count() <= broadcast_limit else "join"
         if encode == "join":
+            if partitioner != "hash":
+                raise NotImplementedError(
+                    "partitioner='affinity' on the distributed-join encode "
+                    "path: compute the assignment with "
+                    "partition.affinity_assignment and relabel explicitly"
+                )
             return _build_from_oids_join(edges, distinct, src_col, dst_col, **kwargs)
         oid_arr = np.sort(distinct.to_pandas()["oid"].to_numpy())
 
@@ -952,6 +965,32 @@ def build_graph_from_oids(
         vids = np.arange(len(oid_arr), dtype=np.int64)
 
     enc = edges.map_batches(_encode, batch_format="pyarrow")
+    if partitioner == "affinity":
+        # locality-aware layout (partition.py): the rank-encoded vids are
+        # re-permuted by the neighbor-affinity assignment; vertices_ds
+        # composes both maps so decode still lands on the original oids.
+        # Rank-order init == "segmented" when oids carry locality.
+        from graphscope_ray.graph.partition import build_graph_locality
+
+        g = build_graph_locality(
+            enc.select_columns(
+                ["src", "dst"] + ([c for c in ("weight",) if kwargs.get("weight")])
+            ),
+            num_partitions=kwargs.pop("num_partitions", 8),
+            num_vertices=len(oid_arr),
+            rounds=partitioner_rounds,
+            init="segmented",
+            **{k: v for k, v in kwargs.items() if k != "num_vertices"},
+        )
+        inner = g.vertices_ds.to_pandas()  # (oid = rank vid, vid = locality vid)
+        perm = np.empty(len(oid_arr), dtype=np.int64)
+        perm[inner["oid"].to_numpy(np.int64)] = inner["vid"].to_numpy(np.int64)
+        g.vertices_ds = ray.data.from_arrow(
+            pa.table({"oid": pa.array(oid_arr), "vid": pa.array(perm[vids])})
+        )
+        return g
+    elif partitioner != "hash":
+        raise ValueError(f"unknown partitioner {partitioner!r}")
     g = build_graph(enc, num_vertices=len(oid_arr), **kwargs)
     g.vertices_ds = ray.data.from_arrow(
         pa.table({"oid": pa.array(oid_arr), "vid": pa.array(vids)})

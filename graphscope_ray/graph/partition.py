@@ -506,6 +506,7 @@ def build_graph_locality(
     num_vertices: int | None = None,
     rounds: int = 3,
     slack: float = 0.05,
+    init: str = "hash",
     **kwargs,
 ):
     """``build_graph`` behind the affinity partitioner: compute the
@@ -523,7 +524,7 @@ def build_graph_locality(
         num_vertices = int(max(mx["max(src)"], mx["max(dst)"])) + 1 if mx else 0
     P = max(1, num_partitions)
     assignment = affinity_assignment(
-        edges, num_vertices, P, rounds=rounds, slack=slack
+        edges, num_vertices, P, rounds=rounds, slack=slack, init=init
     )
     mapping = locality_mapping(assignment, P).materialize()
     relabeled = relabel_edges(edges, mapping)
