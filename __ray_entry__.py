@@ -1534,6 +1534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_induced_subgraph": td.lg_induced_subgraph,
         # analytical apps (oracle: unrolled/recursive SQL)
         "lg_pagerank": td.lg_pagerank_fixed,
+        "lg_pagerank_locality": td.lg_pagerank_locality,
         "lg_pagerank_push": td.lg_pagerank_push,
         "lg_pagerank_weighted": td.lg_pagerank_weighted,
         "lg_pagerank_converged": td.lg_pagerank_converged,
@@ -1812,6 +1813,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_undirected_edge_count": osql.lg_undirected_edge_count_sql(),
         "lg_induced_subgraph": osql.lg_induced_subgraph_sql(),
         "lg_pagerank": osql.lg_pagerank_sql(rounds=15),
+        "lg_pagerank_locality": osql.lg_pagerank_sql(rounds=15),
         "lg_pagerank_push": osql.lg_pagerank_push_sql(rounds=15),
         "lg_pagerank_weighted": osql.lg_pagerank_weighted_sql(),
         "lg_wcc": osql.lg_wcc_sql(),

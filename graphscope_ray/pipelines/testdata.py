@@ -208,6 +208,42 @@ def lg_pagerank_fixed(sf_dir: str, rounds: int = 15, alpha: float = 0.85) -> pd.
     return out
 
 
+def lg_pagerank_locality(sf_dir: str, rounds: int = 15, alpha: float = 0.85) -> pd.DataFrame:
+    """PageRank on the LOCALITY-partitioned build — the round-5 affinity
+    partitioner (graph/partition.py, ref partitioner.h:43-90) routed through
+    ``build_graph_from_oids(partitioner="affinity")``.  Decoded to oid space
+    it must match the hash-partitioned ``lg_pagerank`` SQL oracle exactly:
+    the driver-gated parity proof that the relabeled layout computes the
+    identical fixpoint."""
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def _derive(t: pa.Table) -> pa.Table:
+        src = t["l_orderkey"].to_numpy(zero_copy_only=False) % LG_MOD
+        dst = t["l_partkey"].to_numpy(zero_copy_only=False) % LG_MOD
+        keep = src != dst
+        return pa.table(
+            {
+                "src_oid": pa.array(src[keep].astype(np.int64)),
+                "dst_oid": pa.array(dst[keep].astype(np.int64)),
+            }
+        )
+
+    edges = li.map_batches(_derive, batch_format="pyarrow")
+    g = build_graph_from_oids(
+        edges,
+        num_partitions=4,
+        view="directed",
+        store_in_edges=True,
+        dedup_edges=True,
+        partitioner="affinity",
+        partitioner_rounds=2,
+    )
+    ds, _ = alg.pagerank(g, alpha=alpha, tol=0.0, max_rounds=rounds)
+    out = _oid_space(g, ds, ["score"])
+    out["score"] = out["score"].round(8)
+    return out
+
+
 def lg_pagerank_converged(sf_dir: str, tol: float = 1e-6) -> pd.DataFrame:
     g = lg_graph(sf_dir)
     ds, _ = alg.pagerank(g, tol=tol)
