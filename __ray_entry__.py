@@ -1462,6 +1462,77 @@ def _q_pg_mutations(sf_dir):
     return df.sort_values(["src_oid", "dst_oid"]).reset_index(drop=True)
 
 
+def _q_pg_gremlin_agg(sf_dir):
+    """Gremlin scalar terminals sum()/mean()/max()/min() over a values()
+    bag — the 2-hop traversal's o_totalprice multiset, distributed
+    per-block partials folded to four driver scalars."""
+    import pandas as _pd
+
+    from graphscope_ray.graph.gremlin import P, traversal
+
+    g = traversal(_gremlin_pg(sf_dir))
+    t = g.V().hasLabel("customer").has("c_acctbal", P.gt(5000)).out("places")
+    vals = t.values("o_totalprice")
+    return _pd.DataFrame(
+        {
+            "sum_price": [round(vals.sum_(), 2)],
+            "mean_price": [round(vals.mean_(), 6)],
+            "max_price": [vals.max_()],
+            "min_price": [vals.min_()],
+        }
+    )
+
+
+def _q_pg_update_column(sf_dir):
+    """PropertyGraph.update_column (MODIFY property writeback): overwrite
+    c_acctbal with a computed per-customer order total for customers that
+    HAVE orders, keep the old balance elsewhere — SQL COALESCE over a LEFT
+    join."""
+    import pyarrow as _pa
+
+    from graphscope_ray.pipelines.testdata import _tripartite_pgraph, read
+    from graphscope_ray.utils import hash_groupby_sum
+
+    pg = _tripartite_pgraph(sf_dir)
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def _cents(t: _pa.Table) -> _pa.Table:
+        import numpy as _np
+
+        return _pa.table(
+            {
+                "oid": t["o_custkey"],
+                "cents": _pa.array(
+                    _np.round(
+                        t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+                    ).astype(_np.int64)
+                ),
+            }
+        )
+
+    totals = hash_groupby_sum(
+        orders.map_batches(_cents, batch_format="pyarrow"), ["oid"], "cents", "tot"
+    )
+
+    def _dollars(t: _pa.Table) -> _pa.Table:
+        import numpy as _np
+
+        return _pa.table(
+            {
+                "oid": t["oid"],
+                "c_acctbal": _pa.array(
+                    t["tot"].to_numpy(zero_copy_only=False) / 100.0
+                ),
+            }
+        )
+
+    upd = totals.map_batches(_dollars, batch_format="pyarrow")
+    pg2 = pg.update_column("customer", upd, key="oid", column="c_acctbal")
+    df = pg2.vertex_table("customer").to_pandas()[["oid", "c_nationkey", "c_acctbal"]]
+    df["c_acctbal"] = df["c_acctbal"].round(2)
+    return df.sort_values("oid").reset_index(drop=True)
+
+
 def _q_train_epoch_order(sf_dir, B: int = 64, seed: int = 11, epoch: int = 2):
     """The training hand-off's determinism contract as data: EpochIterator's
     batch stream over documents (seed=11, epoch=2) flattened to (doc_id,
@@ -1660,6 +1731,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_gremlin_union": _q_pg_gremlin_union,
         "pg_gremlin_order_range": _q_pg_gremlin_order_range,
         "pg_gremlin_where": _q_pg_gremlin_where,
+        "pg_gremlin_agg": _q_pg_gremlin_agg,
+        "pg_update_column": _q_pg_update_column,
         "train_epoch_order": _q_train_epoch_order,
         "pg_mutations": _q_pg_mutations,
         "pg_graphar_roundtrip": td.pg_graphar_roundtrip,
@@ -1937,6 +2010,8 @@ def oracle_sql() -> dict[str, str]:
         "pg_gremlin_union": osql.pg_gremlin_union_sql(),
         "pg_gremlin_order_range": osql.pg_gremlin_order_range_sql(),
         "pg_gremlin_where": osql.pg_gremlin_where_sql(),
+        "pg_gremlin_agg": osql.pg_gremlin_agg_sql(),
+        "pg_update_column": osql.pg_update_column_sql(),
         "train_epoch_order": osql.train_epoch_order_sql(),
         "pg_mutations": osql.pg_mutations_sql(),
         "pg_graphar_roundtrip": (

@@ -465,6 +465,55 @@ class Traversal:
             bag = bag.union(p)
         return self._derive(_VALUE, _rename(bag, {key: "value"}))
 
+    def _value_agg(self, which: str):
+        """Distributed scalar aggregate of a value frontier (Gremlin's
+        sum()/mean()/max()/min() terminals): per-block partials → one
+        driver fold over block-count rows."""
+        if self._kind != _VALUE:
+            raise GremlinUnsupported(f"{which}() needs a values(..) frontier")
+
+        def _p(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "value" not in t.column_names:
+                return pa.table(
+                    {"s": pa.array([], pa.float64()), "n": pa.array([], pa.int64()),
+                     "mx": pa.array([], pa.float64()), "mn": pa.array([], pa.float64())}
+                )
+            v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.table(
+                {"s": pa.array([float(v.sum())]), "n": pa.array([len(v)], pa.int64()),
+                 "mx": pa.array([float(v.max())]), "mn": pa.array([float(v.min())])}
+            )
+
+        parts = self._state.map_batches(_p, batch_format="pyarrow").to_pandas()
+        if not len(parts) or int(parts["n"].sum()) == 0:
+            raise ValueError(f"{which}() of an empty traversal")
+        if which == "sum":
+            return float(parts["s"].sum())
+        if which == "mean":
+            return float(parts["s"].sum() / parts["n"].sum())
+        if which == "max":
+            return float(parts["mx"].max())
+        return float(parts["mn"].min())
+
+    def sum_(self) -> float:
+        return self._value_agg("sum")
+
+    def mean_(self) -> float:
+        return self._value_agg("mean")
+
+    def max_(self) -> float:
+        return self._value_agg("max")
+
+    def min_(self) -> float:
+        return self._value_agg("min")
+
+    # gremlin-python spells these sum()/mean()/max()/min(); both spellings
+    # work (methods cannot shadow builtins in the restricted eval namespace)
+    sum = sum_
+    mean = mean_
+    max = max_
+    min = min_
+
     def count(self) -> int:
         if self._kind == _VALUE:
             return self._state.count()
@@ -859,6 +908,7 @@ class AnonymousTraversal:
         "hasLabel", "has", "hasId", "out", "in_", "both", "outE", "inE",
         "bothE", "outV", "inV", "bothV", "dedup", "limit", "values",
         "where", "union", "repeat", "order", "range", "by", "times", "emit",
+        "sum_", "mean_", "max_", "min_",
     )
 
     def __init__(self, steps: tuple = ()):

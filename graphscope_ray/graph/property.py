@@ -419,6 +419,58 @@ class PropertyGraph:
         )
         return self._replace(kind, label, out, entry.properties + tuple(cols))
 
+    def update_column(
+        self, label: str, results, key: str = "oid", column: str | None = None
+    ) -> "PropertyGraph":
+        """MODIFY in-place property update: overwrite ``column`` for rows
+        matched by ``results`` (a (key, column) Dataset/DataFrame), keep the
+        old value elsewhere — the coalesce twin of :meth:`add_column` (which
+        ATTACHES a new column; ref graph.py:772-814's app-result writeback
+        covers both shapes)."""
+        from graphscope_ray.utils import hash_join
+
+        kind, entry = self._find(label)
+        res = _to_dataset(results)
+        names = res.schema().names
+        if key not in names:
+            raise ValueError(f"results have no key column {key!r}")
+        if column is None:
+            others = [c for c in names if c != key]
+            if len(others) != 1:
+                raise ValueError("pass column= when results carry several columns")
+            column = others[0]
+        if column not in entry.properties:
+            raise ValueError(f"label {label!r} has no property {column!r}")
+        res = res.select_columns([key, column])
+        res = _rename(res, {key: "__uc_key", column: "__uc_new"})
+        join_on = "oid" if kind == "v" else "src_oid"
+        out = hash_join(entry.ds, res, join_on, "__uc_key", how="left")
+
+        def _coalesce(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or column not in t.column_names:
+                return t
+            if "__uc_new" in t.column_names:
+                # pandas-backed left join marks unmatched rows NaN (not
+                # Arrow null) and upcasts ints to float — go through numpy
+                # so NaN means "keep old" and the dtype round-trips
+                old = t[column]
+                oldnp = old.to_numpy(zero_copy_only=False)
+                newnp = t["__uc_new"].to_numpy(zero_copy_only=False)
+                mask = pd.isna(newnp)
+                merged = np.where(mask, oldnp, newnp)
+                if np.issubdtype(oldnp.dtype, np.number) and merged.dtype != oldnp.dtype:
+                    merged = merged.astype(oldnp.dtype)
+                t = t.set_column(
+                    t.schema.get_field_index(column), column,
+                    pa.array(merged, type=old.type),
+                )
+            return t.drop_columns(
+                [c for c in ("__uc_key", "__uc_new") if c in t.column_names]
+            )
+
+        out = out.map_batches(_coalesce, batch_format="pyarrow")
+        return self._replace(kind, label, out, entry.properties)
+
     def remove_vertices(
         self, label: str, ids=None, where=None, cascade: bool = True
     ) -> "PropertyGraph":

@@ -3521,6 +3521,33 @@ def pg_mutations_sql() -> str:
     )
 
 
+def pg_gremlin_agg_sql() -> str:
+    """Gremlin sum/mean/max/min terminals over the values('o_totalprice')
+    bag of the filtered 2-hop = plain SQL aggregates over the join.  The
+    engine folds per-block float partials; at these magnitudes (<1e9, ~1e4
+    rows) the sum is exact well past round(2)/round(6)."""
+    return (
+        "SELECT round(sum(o_totalprice), 2) AS sum_price, "
+        "round(sum(o_totalprice) / count(*), 6) AS mean_price, "
+        "max(o_totalprice) AS max_price, min(o_totalprice) AS min_price "
+        "FROM customer JOIN orders ON o_custkey = c_custkey "
+        "WHERE c_acctbal > 5000"
+    )
+
+
+def pg_update_column_sql() -> str:
+    """update_column's coalesce twin: per-customer order total in exact
+    integer cents where orders exist, else the original balance."""
+    return (
+        "WITH tot AS (SELECT o_custkey, sum(CAST(round(o_totalprice * 100) "
+        "AS BIGINT)) AS cents FROM orders GROUP BY o_custkey) "
+        "SELECT c_custkey AS oid, c_nationkey, "
+        "round(coalesce(cents / 100.0, c_acctbal), 2) AS c_acctbal "
+        "FROM customer LEFT JOIN tot ON o_custkey = c_custkey "
+        "ORDER BY oid"
+    )
+
+
 def train_epoch_order_sql(B: int = 64, seed: int = 11, epoch: int = 2) -> str:
     """epoch.EpochIterator order twin: rows sorted by the SIGNED int64 view
     of hash_u64(doc_id, salt) (the engine sorts the raw .view(int64), so

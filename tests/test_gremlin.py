@@ -299,3 +299,20 @@ def test_run_gremlin_branching_script_surface(tiny):
         num_partitions=2,
     )
     assert vals == [5, 9]
+
+
+def test_value_aggregates(tiny):
+    pg, person, post, authored, likes = tiny
+    g = traversal(pg, num_partitions=2)
+    vals = g.V().hasLabel("post").values("score")
+    assert vals.sum_() == float(post.score.sum())
+    assert vals.mean_() == float(post.score.mean())
+    assert vals.max_() == float(post.score.max())
+    assert vals.min_() == float(post.score.min())
+    # spelled like gremlin-python too, and through the script surface
+    assert g.V().hasLabel("post").values("score").sum() == float(post.score.sum())
+    got = run_gremlin(pg, "g.V().hasLabel('post').values('score').mean()",
+                      num_partitions=2)
+    assert got == float(post.score.mean())
+    with pytest.raises(GremlinUnsupported):
+        g.V().sum_()  # needs a value frontier

@@ -176,3 +176,23 @@ def test_remove_vertices_cascade_and_remove_edges():
         pg.remove_vertices("person")
     with pytest.raises(ValueError):
         pg.remove_vertices("person", ids=[1], where=lambda t: t)
+
+
+def test_update_column_coalesce():
+    """update_column overwrites matched rows, keeps old values elsewhere,
+    and round-trips the column dtype through the NaN-marked left join."""
+    from graphscope_ray.graph.property import PropertyGraph
+
+    person = pd.DataFrame({"pid": [1, 2, 3, 4], "age": [10, 20, 30, 40],
+                           "name": ["a", "b", "c", "d"]})
+    pg = PropertyGraph(directed=True).add_vertices(person, "person", vid_field="pid")
+    upd = pd.DataFrame({"oid": [2, 4], "age": [99, 77]})
+    g2 = pg.update_column("person", upd, key="oid", column="age")
+    out = g2.vertex_table("person").to_pandas().sort_values("oid")
+    assert out["age"].tolist() == [10, 99, 30, 77]
+    assert out["age"].dtype == np.int64
+    assert out["name"].tolist() == ["a", "b", "c", "d"]
+    # original untouched; unknown column refuses
+    assert pg.vertex_table("person").to_pandas()["age"].sum() == 100
+    with pytest.raises(ValueError):
+        pg.update_column("person", upd, key="oid", column="nope")
