@@ -1462,6 +1462,20 @@ def _q_pg_mutations(sf_dir):
     return df.sort_values(["src_oid", "dst_oid"]).reset_index(drop=True)
 
 
+def _q_pg_gremlin_path(sf_dir):
+    """withPath() linear path tracking: per-traverser position history of
+    the 2-hop traversal — rows (v_label, p0, p1, p2) are exactly the
+    3-table join tuples (the ``__p*`` carry columns through the hop
+    joins)."""
+    from graphscope_ray.graph.gremlin import P, traversal
+
+    g = traversal(_gremlin_pg(sf_dir)).withPath()
+    return (
+        g.V().hasLabel("customer").has("c_acctbal", P.gt(9000))
+        .out("places").out("contains").path()
+    )
+
+
 def _q_pg_gremlin_agg(sf_dir):
     """Gremlin scalar terminals sum()/mean()/max()/min() over a values()
     bag — the 2-hop traversal's o_totalprice multiset, distributed
@@ -1732,6 +1746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_gremlin_order_range": _q_pg_gremlin_order_range,
         "pg_gremlin_where": _q_pg_gremlin_where,
         "pg_gremlin_agg": _q_pg_gremlin_agg,
+        "pg_gremlin_path": _q_pg_gremlin_path,
         "pg_update_column": _q_pg_update_column,
         "train_epoch_order": _q_train_epoch_order,
         "pg_mutations": _q_pg_mutations,
@@ -2011,6 +2026,7 @@ def oracle_sql() -> dict[str, str]:
         "pg_gremlin_order_range": osql.pg_gremlin_order_range_sql(),
         "pg_gremlin_where": osql.pg_gremlin_where_sql(),
         "pg_gremlin_agg": osql.pg_gremlin_agg_sql(),
+        "pg_gremlin_path": osql.pg_gremlin_path_sql(),
         "pg_update_column": osql.pg_update_column_sql(),
         "train_epoch_order": osql.train_epoch_order_sql(),
         "pg_mutations": osql.pg_mutations_sql(),

@@ -57,10 +57,14 @@ ref interactive_engine/compiler step tests are the semantic anchor):
   semi-join back — no per-traverser loop, two extra exchanges total.
 
 Predicates: ``P.eq/neq/gt/gte/lt/lte/
-within/without/inside/outside/between``.  Documented boundaries (raise
-``GremlinUnsupported``): ``path``/``select`` tracking, ``otherV`` (needs
-per-traverser direction memory), unbounded ``repeat().until()``, nested
-``where``, and side-effect steps other than ``subgraph``.
+within/without/inside/outside/between``.  ``traversal(pg).withPath().V()
+....path()`` tracks LINEAR vertex paths (position history as carry
+columns through the hop joins — rows are exactly the join tuples).
+Documented boundaries (raise ``GremlinUnsupported``): ``select``
+tracking, path under branching (union/where/order) or edge hops,
+``otherV`` (needs per-traverser direction memory), unbounded
+``repeat().until()``, nested ``where``, and side-effect steps other than
+``subgraph``.
 
 ``run_gremlin(pg, script)`` evaluates a Gremlin-Python-style script string
 (``"g.V().hasLabel('x').out('y').subgraph('s')"``) against these builders —
@@ -210,21 +214,27 @@ class Traversal:
         state,
         num_partitions: int = 8,
         carry: tuple[str, ...] = (),
+        pathlen: int | None = None,
     ):
         self._pg = pg
         self._kind = kind
         self._state = state
         self._K = num_partitions
         # extra bag columns carried through hops/filters (where() origin
-        # tracking); always () on full-table V() frontiers by construction
+        # tracking and withPath() position history); always () on full-table
+        # V() frontiers by construction
         self._carry = carry
+        # None = path tracking off; k = number of hops taken so far (the
+        # carry columns __p0..__p{k-1} hold the positions before each hop)
+        self._pathlen = pathlen
 
     # ---- sources -----------------------------------------------------------
 
     @staticmethod
-    def V(pg: PropertyGraph, *ids, num_partitions: int = 8) -> "Traversal":
+    def V(pg: PropertyGraph, *ids, num_partitions: int = 8, path: bool = False) -> "Traversal":
         state = {lbl: (v.ds, True) for lbl, v in pg._v.items()}
-        t = Traversal(pg, _VERTEX, state, num_partitions)
+        t = Traversal(pg, _VERTEX, state, num_partitions,
+                      pathlen=0 if path else None)
         return t.hasId(*ids) if ids else t
 
     @staticmethod
@@ -232,10 +242,11 @@ class Traversal:
         state = {lbl: e.ds for lbl, e in pg._e.items()}
         return Traversal(pg, _EDGE, state, num_partitions)
 
-    def _derive(self, kind, state, carry=None) -> "Traversal":
+    def _derive(self, kind, state, carry=None, pathlen="inherit") -> "Traversal":
         return Traversal(
             self._pg, kind, state, self._K,
             carry=self._carry if carry is None else carry,
+            pathlen=self._pathlen if pathlen == "inherit" else pathlen,
         )
 
     # ---- filters -----------------------------------------------------------
@@ -369,9 +380,24 @@ class Traversal:
                 col, vlbl = (
                     ("dst_oid", e.dst_label) if key == "src_oid" else ("src_oid", e.src_label)
                 )
-                bag = _rename(part.select_columns([col, *self._carry]), {col: "oid"})
+                sel = [col, *self._carry]
+                ren = {col: "oid"}
+                if self._pathlen is not None:
+                    # withPath: the joined endpoint (key side) IS the
+                    # traverser's position before this hop — save it
+                    sel.append(key)
+                    ren[key] = f"__p{self._pathlen}"
+                bag = _rename(part.select_columns(sel), ren)
                 out[vlbl] = out[vlbl].union(bag) if vlbl in out else bag
-        return self._derive(_VERTEX, {l: (ds, False) for l, ds in out.items()})
+        new_carry = self._carry
+        new_len = self._pathlen
+        if self._pathlen is not None:
+            new_carry = self._carry + (f"__p{self._pathlen}",)
+            new_len = self._pathlen + 1
+        return self._derive(
+            _VERTEX, {l: (ds, False) for l, ds in out.items()},
+            carry=new_carry, pathlen=new_len,
+        )
 
     def out(self, *elabels) -> "Traversal":
         return self._hop_vertices(elabels, "out")
@@ -383,6 +409,8 @@ class Traversal:
         return self._hop_vertices(elabels, "both")
 
     def _hop_E(self, elabels, direction: str) -> "Traversal":
+        if self._pathlen is not None:
+            raise GremlinUnsupported("edge hops under withPath() (vertex paths only)")
         out = {}
         for lbl, parts in self._hop_edges(elabels, direction).items():
             ds = parts[0][1]
@@ -437,7 +465,9 @@ class Traversal:
         """Project traversers to a property-value bag.  Labels lacking the
         property contribute nothing (Gremlin semantics)."""
         if self._carry:
-            raise GremlinUnsupported("values() inside where() drops the origin")
+            raise GremlinUnsupported(
+                "values() inside where()/withPath() drops the carried columns"
+            )
         parts = []
         if self._kind == _VERTEX:
             for lbl, (ds, full) in self._state.items():
@@ -612,6 +642,8 @@ class Traversal:
         """Apply each anonymous branch to THIS frontier and merge the
         results per label — bag union, multiplicities add (SQL UNION ALL).
         All branches must land on the same frontier kind."""
+        if self._pathlen is not None:
+            raise GremlinUnsupported("union() under withPath() (branch paths diverge)")
         if not subs:
             raise GremlinUnsupported("union() needs at least one branch")
         results = []
@@ -640,8 +672,8 @@ class Traversal:
         (key, v_label, oid) bag with a deterministic tie-break, then an
         order-preserving slice; the selected set returns to a normal
         per-label frontier for further steps."""
-        if self._carry:
-            raise GremlinUnsupported("order() inside where()")
+        if self._carry or self._pathlen is not None:
+            raise GremlinUnsupported("order() inside where() / under withPath()")
         return _OrderBuilder(self)
 
     def range(self, lo: int, hi: int) -> "Traversal":
@@ -660,8 +692,8 @@ class Traversal:
         once per element regardless of traverser multiplicity."""
         if self._kind != _VERTEX:
             raise GremlinUnsupported("where(sub) needs a vertex frontier")
-        if self._carry:
-            raise GremlinUnsupported("nested where()")
+        if self._carry or self._pathlen is not None:
+            raise GremlinUnsupported("nested where() / where() under withPath()")
         marked = {}
         for lbl, (ds, full) in self._state.items():
             bag = ds.select_columns(["oid"])
@@ -719,11 +751,43 @@ class Traversal:
             )
         return self._derive(_VERTEX, out)
 
-    # unsupported — explicit boundary, not silent wrong answers
-    def path(self, *args):
-        raise GremlinUnsupported("path/select tracking is GIE territory")
+    def path(self) -> pd.DataFrame:
+        """Per-traverser position history of a LINEAR traversal (round 5 —
+        the data-plane slice of GIE path tracking): rows
+        (v_label, p0, .., p{k-1}, pk) where p0..p{k-1} are the positions
+        before each hop (the ``__p*`` carry columns) and pk the current
+        element; every bag in one frontier shares the same hop count, so
+        the schema is rectangular.  Requires path tracking enabled at the
+        source: ``traversal(pg).withPath().V()...`` — enabling it lazily
+        at the terminal would need replaying the chain (GIE territory).
+        Sorted for deterministic comparison."""
+        if self._pathlen is None:
+            raise GremlinUnsupported(
+                "path() needs path tracking on from the source: "
+                "traversal(pg).withPath().V()..."
+            )
+        if self._kind != _VERTEX:
+            raise GremlinUnsupported("path() supports vertex frontiers")
+        k = self._pathlen
+        cols = [f"p{i}" for i in range(k)] + [f"p{k}"]
+        frames = []
+        for lbl, bag in self._vertex_bags().items():
+            df = bag.to_pandas()
+            ren = {f"__p{i}": f"p{i}" for i in range(k)}
+            ren["oid"] = f"p{k}"
+            df = df.rename(columns=ren)
+            df.insert(0, "v_label", lbl)
+            frames.append(df[["v_label"] + cols])
+        out = (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame(columns=["v_label"] + cols)
+        )
+        return out.sort_values(["v_label"] + cols).reset_index(drop=True)
 
-    select = path
+    # unsupported — explicit boundary, not silent wrong answers
+    def select(self, *args):
+        raise GremlinUnsupported("select tracking is GIE territory")
 
 
 def _apply_sub(sub, trav: "Traversal"):
@@ -948,10 +1012,18 @@ class GraphTraversalSource:
         self._K = num_partitions
 
     def V(self, *ids) -> Traversal:
-        return Traversal.V(self._pg, *ids, num_partitions=self._K)
+        return Traversal.V(self._pg, *ids, num_partitions=self._K,
+                           path=getattr(self, "_path", False))
 
     def E(self) -> Traversal:
         return Traversal.E(self._pg, num_partitions=self._K)
+
+    def withPath(self) -> "GraphTraversalSource":
+        """Enable linear path tracking for traversals from this source
+        (``...V()....path()`` then returns the position-history table)."""
+        src = GraphTraversalSource(self._pg, self._K)
+        src._path = True
+        return src
 
 
 def traversal(pg: PropertyGraph, num_partitions: int = 8) -> GraphTraversalSource:

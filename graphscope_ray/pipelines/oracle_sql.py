@@ -3521,6 +3521,17 @@ def pg_mutations_sql() -> str:
     )
 
 
+def pg_gremlin_path_sql(minbal: int = 9000) -> str:
+    """withPath() 2-hop path rows = the 3-table join tuples."""
+    return (
+        "SELECT 'part' AS v_label, c_custkey AS p0, o_orderkey AS p1, "
+        "l_partkey AS p2 FROM customer "
+        "JOIN orders ON o_custkey = c_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        f"WHERE c_acctbal > {minbal} ORDER BY v_label, p0, p1, p2"
+    )
+
+
 def pg_gremlin_agg_sql() -> str:
     """Gremlin sum/mean/max/min terminals over the values('o_totalprice')
     bag of the filtered 2-hop = plain SQL aggregates over the join.  The

@@ -316,3 +316,22 @@ def test_value_aggregates(tiny):
     assert got == float(post.score.mean())
     with pytest.raises(GremlinUnsupported):
         g.V().sum_()  # needs a value frontier
+
+
+def test_with_path_linear_tracking(tiny):
+    pg, person, post, authored, likes = tiny
+    g = traversal(pg, num_partitions=2).withPath()
+    got = g.V().hasLabel("person").has("age", P.gt(30)).out("likes").path()
+    want = likes[likes.p.isin([2, 3])].rename(columns={"p": "p0", "q": "p1"})
+    want = want.assign(v_label="post")[["v_label", "p0", "p1"]]
+    want = want.sort_values(["v_label", "p0", "p1"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    # dedup under withPath = distinct PATHS; count = path multiplicity
+    assert g.V().hasLabel("person").out("authored").path().shape == (4, 3)
+    # boundaries: path() off-source, values/order/union/where under withPath
+    with pytest.raises(GremlinUnsupported):
+        traversal(pg, num_partitions=2).V().out().path()
+    with pytest.raises(GremlinUnsupported):
+        g.V().hasLabel("person").out("likes").values("score")
+    with pytest.raises(GremlinUnsupported):
+        g.V().hasLabel("person").outE("likes")
