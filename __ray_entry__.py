@@ -1476,6 +1476,20 @@ def _q_pg_gremlin_path(sf_dir):
     )
 
 
+def _q_pg_gremlin_select(sf_dir):
+    """as_/select labeled-step projection (the GIE select step's data
+    plane): saved positions ride as carry columns through the hops; the
+    (c, o) projection keeps the lineitem hop's multiplicity — exactly the
+    3-table join pairs."""
+    from graphscope_ray.graph.gremlin import P, traversal
+
+    g = traversal(_gremlin_pg(sf_dir))
+    return (
+        g.V().hasLabel("customer").has("c_acctbal", P.gt(9000)).as_("c")
+        .out("places").as_("o").out("contains").select("c", "o")
+    )
+
+
 def _q_pg_gremlin_agg(sf_dir):
     """Gremlin scalar terminals sum()/mean()/max()/min() over a values()
     bag — the 2-hop traversal's o_totalprice multiset, distributed
@@ -1747,6 +1761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_gremlin_where": _q_pg_gremlin_where,
         "pg_gremlin_agg": _q_pg_gremlin_agg,
         "pg_gremlin_path": _q_pg_gremlin_path,
+        "pg_gremlin_select": _q_pg_gremlin_select,
         "pg_update_column": _q_pg_update_column,
         "train_epoch_order": _q_train_epoch_order,
         "pg_mutations": _q_pg_mutations,
@@ -2027,6 +2042,7 @@ def oracle_sql() -> dict[str, str]:
         "pg_gremlin_where": osql.pg_gremlin_where_sql(),
         "pg_gremlin_agg": osql.pg_gremlin_agg_sql(),
         "pg_gremlin_path": osql.pg_gremlin_path_sql(),
+        "pg_gremlin_select": osql.pg_gremlin_select_sql(),
         "pg_update_column": osql.pg_update_column_sql(),
         "train_epoch_order": osql.train_epoch_order_sql(),
         "pg_mutations": osql.pg_mutations_sql(),

@@ -60,8 +60,9 @@ Predicates: ``P.eq/neq/gt/gte/lt/lte/
 within/without/inside/outside/between``.  ``traversal(pg).withPath().V()
 ....path()`` tracks LINEAR vertex paths (position history as carry
 columns through the hop joins — rows are exactly the join tuples).
-Documented boundaries (raise ``GremlinUnsupported``): ``select``
-tracking, path under branching (union/where/order) or edge hops,
+``as_(name)``/``select(names..)`` project labeled positions the same
+way.  Documented boundaries (raise ``GremlinUnsupported``): path under
+branching (union/where/order) or edge hops,
 ``otherV`` (needs per-traverser direction memory), unbounded
 ``repeat().until()``, nested ``where``, and side-effect steps other than
 ``subgraph``.
@@ -751,6 +752,53 @@ class Traversal:
             )
         return self._derive(_VERTEX, out)
 
+    def as_(self, name: str) -> "Traversal":
+        """Label the current position (gremlin-python ``as_``): saves each
+        traverser's element id in a carry column that rides through every
+        later hop/filter; ``select(..)`` projects the saved positions."""
+        if self._kind != _VERTEX:
+            raise GremlinUnsupported("as_() supports vertex frontiers")
+        col = f"__as_{name}"
+        if col in self._carry:
+            raise ValueError(f"step label {name!r} already used")
+        out = {}
+        for lbl, (ds, full) in self._state.items():
+            bag = ds.select_columns(["oid"]) if full else ds
+
+            def _mark(t: pa.Table, _c=col) -> pa.Table:
+                if t.num_rows == 0 or "oid" not in t.column_names:
+                    return t.append_column(_c, pa.array([], pa.int64()))
+                return t.append_column(_c, t["oid"])
+
+            out[lbl] = (bag.map_batches(_mark, batch_format="pyarrow"), False)
+        return self._derive(_VERTEX, out, carry=self._carry + (col,))
+
+    def select(self, *names: str) -> pd.DataFrame:
+        """Project the positions saved by ``as_`` (the GIE select step's
+        data plane): one row per traverser, columns = the selected labels'
+        element ids (exactly the join tuples of the hops between the
+        ``as_`` marks).  Sorted for deterministic comparison."""
+        if not names:
+            raise GremlinUnsupported("select() needs at least one step label")
+        cols = [f"__as_{n}" for n in names]
+        missing = [n for n, c in zip(names, cols) if c not in self._carry]
+        if missing:
+            raise ValueError(f"select({missing[0]!r}): no as_({missing[0]!r}) upstream")
+        if self._kind != _VERTEX:
+            raise GremlinUnsupported("select() supports vertex frontiers")
+        frames = []
+        for _, bag in self._vertex_bags().items():
+            df = bag.to_pandas()
+            frames.append(
+                df[cols].rename(columns=dict(zip(cols, names)))
+            )
+        out = (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame(columns=list(names))
+        )
+        return out.sort_values(list(names)).reset_index(drop=True)
+
     def path(self) -> pd.DataFrame:
         """Per-traverser position history of a LINEAR traversal (round 5 —
         the data-plane slice of GIE path tracking): rows
@@ -785,9 +833,7 @@ class Traversal:
         )
         return out.sort_values(["v_label"] + cols).reset_index(drop=True)
 
-    # unsupported — explicit boundary, not silent wrong answers
-    def select(self, *args):
-        raise GremlinUnsupported("select tracking is GIE territory")
+
 
 
 def _apply_sub(sub, trav: "Traversal"):
@@ -972,7 +1018,7 @@ class AnonymousTraversal:
         "hasLabel", "has", "hasId", "out", "in_", "both", "outE", "inE",
         "bothE", "outV", "inV", "bothV", "dedup", "limit", "values",
         "where", "union", "repeat", "order", "range", "by", "times", "emit",
-        "sum_", "mean_", "max_", "min_",
+        "sum_", "mean_", "max_", "min_", "as_", "select", "path",
     )
 
     def __init__(self, steps: tuple = ()):

@@ -3532,6 +3532,16 @@ def pg_gremlin_path_sql(minbal: int = 9000) -> str:
     )
 
 
+def pg_gremlin_select_sql(minbal: int = 9000) -> str:
+    """as_/select projection = the join pair multiset."""
+    return (
+        "SELECT c_custkey AS c, o_orderkey AS o FROM customer "
+        "JOIN orders ON o_custkey = c_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        f"WHERE c_acctbal > {minbal} ORDER BY c, o"
+    )
+
+
 def pg_gremlin_agg_sql() -> str:
     """Gremlin sum/mean/max/min terminals over the values('o_totalprice')
     bag of the filtered 2-hop = plain SQL aggregates over the join.  The

@@ -335,3 +335,20 @@ def test_with_path_linear_tracking(tiny):
         g.V().hasLabel("person").out("likes").values("score")
     with pytest.raises(GremlinUnsupported):
         g.V().hasLabel("person").outE("likes")
+
+
+def test_as_select_projection(tiny):
+    pg, person, post, authored, likes = tiny
+    g = traversal(pg, num_partitions=2)
+    got = g.V().hasLabel("person").as_("p").out("likes").as_("q").select("p", "q")
+    want = likes.rename(columns={"p": "p", "q": "q"})[["p", "q"]]
+    want = want.sort_values(["p", "q"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    # single-label select; filters after as_ shrink the projection
+    got2 = (g.V().hasLabel("person").as_("p").out("likes")
+            .has("score", P.gt(4)).select("p"))
+    assert got2["p"].tolist() == [1, 2, 3]
+    with pytest.raises(ValueError):
+        g.V().hasLabel("person").select("nope")
+    with pytest.raises(ValueError):
+        g.V().hasLabel("person").as_("x").as_("x")
