@@ -768,6 +768,39 @@ class FragmentActor:
         v = vals[self.hs_idx]
         return self.hs_uniq, np.add.reduceat(v, self.hs_runstarts)
 
+    def hub_shard_weight_partials(self) -> dict:
+        """Σ shard-edge weights per hub in THIS fragment's hub shard
+        (multiplicity 1.0 per edge when the build is unweighted) — reduced
+        across fragments under an ``add:`` glob key, this is each split
+        hub's TOTAL out-weight W(hub), which weighted PageRank needs where
+        unweighted PageRank uses hub_deg."""
+        if self.hs_idx is None or self.hs_idx.size == 0:
+            return {}
+        w = self.hs_w if self.hs_w is not None else np.ones(self.hs_idx.size)
+        hb = self._hs_by_hub
+        sums = np.add.reduceat(w[hb], self._hs_hub_starts)
+        return {
+            int(self.hub_vids[int(h)]): float(s)
+            for h, s in zip(self._hs_hub_uniq, sums)
+        }
+
+    def hub_apply_weighted(
+        self, hub_scores: dict, hub_w: dict
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Weighted split-hub application: (score[hub]/W[hub])·w(hub, dst)
+        summed per local shard destination — the weighted-diffusion twin of
+        :meth:`hub_apply` (which divides by the unweighted hub_deg)."""
+        if self.hs_idx is None or self.hs_idx.size == 0:
+            return _EMPTY_I64, _EMPTY_F64
+        vals = np.array(
+            [hub_scores[int(v)] / hub_w[int(v)] for v in self.hub_vids],
+            dtype=np.float64,
+        )
+        v = vals[self.hs_idx]
+        if self.hs_w is not None:
+            v = v * self.hs_w
+        return self.hs_uniq, np.add.reduceat(v, self.hs_runstarts)
+
     def hub_apply_min(self, hub_vals: dict) -> tuple[np.ndarray, np.ndarray]:
         """Min of per-hub values per local shard destination (WCC forward)."""
         if self.hs_idx is None or self.hs_idx.size == 0:
@@ -872,13 +905,15 @@ class FragmentActor:
         from graphscope_ray.graph.programs import PROGRAMS
 
         if (
-            algo not in ("pagerank", "wcc", "cdlp", "sssp", "bfs", "hits")
+            algo not in ("pagerank", "pagerank_weighted", "wcc", "cdlp", "sssp",
+                         "bfs", "hits")
             and self.hs_idx is not None
         ):
             raise NotImplementedError(
-                "hub splitting is wired for pagerank/wcc/cdlp/sssp/bfs/hits; "
-                "ucsr-based programs (kcore/kshell/triangles/louvain/voterank) "
-                "need the full local adjacency — build without hub_threshold"
+                "hub splitting is wired for pagerank/pagerank_weighted/wcc/"
+                "cdlp/sssp/bfs/hits; ucsr-based programs (kcore/kshell/"
+                "triangles/louvain/voterank) need the full local adjacency — "
+                "build without hub_threshold"
             )
         params = dict(params)
         cls = params.pop("__program_cls__", None) or PROGRAMS[algo].cls

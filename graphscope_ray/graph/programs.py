@@ -143,17 +143,6 @@ class PageRankWeighted(PageRank):
 
     def init(self) -> dict:
         f = self.frag
-        if f.hub_vids is not None:
-            # Hub-split shards carry hub out-edges (and their weights) outside
-            # the local CSR, so W/dangling computed below would be wrong and
-            # the inherited hub_apply path divides by the *unweighted* hub
-            # degree.  Fail loudly rather than return silently-wrong scores.
-            raise NotImplementedError(
-                "PageRankWeighted does not support hub-split graphs: "
-                "out-edge weights of hub vertices live in hub shards, so the "
-                "per-vertex weight sums would be wrong. Rebuild the graph "
-                "without hub_threshold (or run unweighted pagerank)."
-            )
         n, N = f.n_local, max(f.N, 1)
         self.score = np.full(n, 1.0 / N, dtype=np.float64)
         o = f.out
@@ -162,13 +151,57 @@ class PageRankWeighted(PageRank):
             w = o.weight if o.weight is not None else np.ones(o.n_edges)
             np.add.at(W, np.repeat(np.arange(n), o.deg), w)
         self.dangling = W == 0
+        if f.hub_vids is not None:
+            # a split hub's ENTIRE out-adjacency (and its weights) lives in
+            # the hub shards, so local W is 0 — but a hub was split because
+            # it has > threshold out-edges, so it is never dangling; its
+            # weight sum W(hub) arrives via the add:hub_w glob reduce and
+            # the shard-side weighted apply divides by it (the owner's
+            # invdeg stays 0: the hub pushes nothing through the local CSR).
+            self.dangling[f.owned_hub_locals()] = False
         with np.errstate(divide="ignore"):
-            self.invdeg = np.where(self.dangling, 0.0, 1.0 / W)
-        return {"dangling_sum": float(self.score[self.dangling].sum())}
+            self.invdeg = np.where(W > 0, 1.0 / W, 0.0)
+        out = {
+            "dangling_sum": float(self.score[self.dangling].sum()),
+            **self._hub_stats(),
+        }
+        if f.hub_vids is not None:
+            out["add:hub_w"] = f.hub_shard_weight_partials()
+        return out
+
+    def resume_stats(self) -> dict:
+        out = {
+            "dangling_sum": float(self.score[self.dangling].sum()),
+            **self._hub_stats(),
+        }
+        if self.frag.hub_vids is not None:
+            out["add:hub_w"] = self.frag.hub_shard_weight_partials()
+        return out
 
     def scatter(self, step, glob):
         vals = self.score * self.invdeg
         return _wrap(self.frag.out.push_weighted_sum(vals))
+
+    def gather(self, step, glob, msgs):
+        f = self.frag
+        N = max(f.N, 1)
+        insum = acc_sum(f.n_local, msgs)
+        if f.hs_idx is not None and "hub_scores" in glob:
+            uniq, vals = f.hub_apply_weighted(glob["hub_scores"], glob["add:hub_w"])
+            if len(uniq):
+                insum[uniq] += vals
+        a = self.alpha
+        new = a * insum + (a * glob["dangling_sum"] + (1.0 - a)) / N
+        resid = float(np.abs(new - self.score).sum())
+        self.score = new
+        out = {
+            "residual": resid,
+            "dangling_sum": float(self.score[self.dangling].sum()),
+            **self._hub_stats(),
+        }
+        if f.hub_vids is not None:
+            out["add:hub_w"] = f.hub_shard_weight_partials()
+        return out
 
 
 class PageRankPush(VertexProgram):
