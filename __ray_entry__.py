@@ -1636,6 +1636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_pagerank_locality": td.lg_pagerank_locality,
         "lg_pagerank_push": td.lg_pagerank_push,
         "lg_pagerank_weighted": td.lg_pagerank_weighted,
+        "lg_pagerank_weighted_hub": td.lg_pagerank_weighted_hub,
         "lg_pagerank_converged": td.lg_pagerank_converged,
         "lg_pagerank_p2p": td.lg_pagerank_p2p,
         "lg_wcc": td.lg_wcc,
@@ -1919,6 +1920,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_pagerank_locality": osql.lg_pagerank_sql(rounds=15),
         "lg_pagerank_push": osql.lg_pagerank_push_sql(rounds=15),
         "lg_pagerank_weighted": osql.lg_pagerank_weighted_sql(),
+        "lg_pagerank_weighted_hub": osql.lg_pagerank_weighted_sql(),
         "lg_wcc": osql.lg_wcc_sql(),
         "lg_wcc_phash": osql.lg_wcc_sql(),
         "lg_wcc_compact": osql.lg_wcc_sql(),

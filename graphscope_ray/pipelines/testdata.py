@@ -1281,6 +1281,53 @@ def lg_graph_weighted(sf_dir: str, num_partitions: int = 4) -> Graph:
     return _GRAPH_CACHE[key]
 
 
+def lg_pagerank_weighted_hub(sf_dir: str, rounds: int = 15, alpha: float = 0.85,
+                             hub_threshold: int = 40) -> pd.DataFrame:
+    """Weighted PageRank on a HUB-SPLIT weighted build (round 5: the
+    add:hub_w shard-weight reduce + weighted hub apply) — must match the
+    SAME SQL oracle as the unsplit lg_pagerank_weighted exactly."""
+    key = (sf_dir, "weighted_hub", 4)
+    if key not in _GRAPH_CACHE:
+        # same derived weighted edge table as lg_graph_weighted
+        gplain = lg_graph_weighted(sf_dir)  # ensures the derivation exists
+        del gplain
+        li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+        def _derive(t: pa.Table) -> pa.Table:
+            src = t["l_orderkey"].to_numpy(zero_copy_only=False) % LG_MOD
+            dst = t["l_partkey"].to_numpy(zero_copy_only=False) % LG_MOD
+            keep = src != dst
+            return pa.table(
+                {
+                    "src": pa.array(src[keep].astype(np.int64)),
+                    "dst": pa.array(dst[keep].astype(np.int64)),
+                }
+            )
+
+        from graphscope_ray.utils import hash_groupby_sum
+
+        pairs = li.map_batches(_derive, batch_format="pyarrow")
+        weighted = hash_groupby_sum(pairs, ["src", "dst"], None, "weight",
+                                    num_partitions=8)
+        weighted = weighted.map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("weight"),
+                "weight",
+                pa.array(t["weight"].to_numpy(zero_copy_only=False).astype(np.float64)),
+            ),
+            batch_format="pyarrow",
+        )
+        _GRAPH_CACHE[key] = build_graph(
+            weighted, num_partitions=4, num_vertices=LG_MOD,
+            weight=True, hub_threshold=hub_threshold,
+        )
+    g = _GRAPH_CACHE[key]
+    ds, _ = alg.pagerank_weighted(g, alpha=alpha, tol=0.0, max_rounds=rounds)
+    out = ds.to_pandas()[["vid", "score"]].rename(columns={"vid": "oid"})
+    out["score"] = out["score"].round(8)
+    return out.sort_values("oid").reset_index(drop=True)
+
+
 def lg_sssp_weighted(sf_dir: str) -> pd.DataFrame:
     """Weighted SSSP (Bellman-Ford frontier relaxation) from vertex 0 over
     the multiplicity-weighted lg graph; reached vertices only.  Weights are
