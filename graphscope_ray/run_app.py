@@ -82,6 +82,11 @@ def main(argv=None):
     )
     ap.add_argument("--max-rounds", type=int, default=None)
     ap.add_argument("--hub-threshold", type=int, default=None)
+    ap.add_argument(
+        "--partitioner", choices=("hash", "affinity"), default="hash",
+        help="vertex routing: hash (owner = vid %% P) or the round-5 "
+        "neighbor-affinity locality partitioner (graph/partition.py)",
+    )
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args(argv)
@@ -104,13 +109,29 @@ def main(argv=None):
     # weighted by default when the input carries weights (the reference's
     # golden SSSP fixtures are weighted — run_app.h:96 load_graph_spec)
     has_weight = "weight" in edges.schema().names and not args.unweighted
-    g = build_graph(
-        edges,
-        num_partitions=args.partitions,
-        store_in_edges=True,
-        weight=has_weight,
-        hub_threshold=args.hub_threshold,
-    )
+    if args.partitioner == "affinity":
+        from graphscope_ray.graph.partition import build_graph_locality
+
+        if args.hub_threshold is not None:
+            raise SystemExit("--partitioner affinity does not combine with "
+                             "--hub-threshold (pick one skew strategy)")
+        g = build_graph_locality(
+            edges,
+            num_partitions=args.partitions,
+            store_in_edges=True,
+            weight=has_weight,
+            init="segmented",
+        )
+        # g.vertices_ds maps input ids -> relabeled vids; export_golden
+        # decodes through it, so the output format matches the hash build
+    else:
+        g = build_graph(
+            edges,
+            num_partitions=args.partitions,
+            store_in_edges=True,
+            weight=has_weight,
+            hub_threshold=args.hub_threshold,
+        )
     run_kw = {}
     if args.checkpoint_dir:
         run_kw = {"checkpoint_dir": args.checkpoint_dir, "resume": args.resume}
