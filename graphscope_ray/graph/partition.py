@@ -518,6 +518,10 @@ def build_graph_locality(
     in tests/test_partition.py)."""
     from graphscope_ray.graph.build import build_graph
 
+    # hub_threshold composes: hub-vertex SPLIT handles the head of the
+    # degree distribution on the relabeled graph while the affinity
+    # assignment handles the tail (parity asserted in
+    # tests/test_partition.py::test_affinity_composes_with_hub_split)
     edges = edges.materialize()
     if num_vertices is None:
         mx = edges.max(["src", "dst"])

@@ -131,3 +131,27 @@ def test_boundary_entries_drop_on_community_graph(comm):
     m2 = locality_mapping(asg2, P).materialize()
     loc2 = boundary_message_entries(ds, P, mapping=m2)
     assert loc2["entries"] < 0.35 * base["entries"], (loc2, base)
+
+
+def test_affinity_composes_with_hub_split(comm):
+    """The verdict's exact recipe — hub-vertex SPLIT for the head,
+    neighbor-affinity assignment for the tail: build_graph_locality passes
+    hub_threshold through to the relabeled build; PageRank parity holds."""
+    from graphscope_ray.graph import algorithms as alg
+    from graphscope_ray.graph.build import build_graph
+
+    ds, df, N = comm
+    P = 4
+    gh = build_graph(ds, num_partitions=P, num_vertices=N)
+    prh = alg.pagerank(gh, tol=1e-12, max_rounds=60)[0].to_pandas()
+    gl = build_graph_locality(ds, num_partitions=P, num_vertices=N, rounds=2,
+                              init="segmented", hub_threshold=5)
+    import ray as _ray
+
+    assert _ray.get(gl.actors[0].hub_tables.remote())[0] is not None
+    prl = alg.pagerank(gl, tol=1e-12, max_rounds=60)[0].to_pandas()
+    m = gl.vertices_ds.to_pandas()
+    prl = prl.merge(m, on="vid")[["oid", "score"]]
+    both = prh.merge(prl, left_on="vid", right_on="oid", suffixes=("_h", "_l"))
+    assert len(both) == N
+    np.testing.assert_allclose(both["score_h"], both["score_l"], rtol=0, atol=1e-10)
