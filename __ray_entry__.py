@@ -1490,6 +1490,16 @@ def _q_pg_gremlin_select(sf_dir):
     )
 
 
+def _q_pg_gremlin_coin(sf_dir, p: float = 0.25, salt: int = 3):
+    """Deterministic coin(p): content-stable Bernoulli per element (the
+    Knuth-hash threshold), then a 1-hop groupCount — the SQL twin filters
+    with the identical HUGEINT hash expression."""
+    from graphscope_ray.graph.gremlin import traversal
+
+    g = traversal(_gremlin_pg(sf_dir))
+    return g.V().hasLabel("customer").coin(p, salt=salt).out("places").groupCount()
+
+
 def _q_pg_gremlin_agg(sf_dir):
     """Gremlin scalar terminals sum()/mean()/max()/min() over a values()
     bag — the 2-hop traversal's o_totalprice multiset, distributed
@@ -1763,6 +1773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_gremlin_agg": _q_pg_gremlin_agg,
         "pg_gremlin_path": _q_pg_gremlin_path,
         "pg_gremlin_select": _q_pg_gremlin_select,
+        "pg_gremlin_coin": _q_pg_gremlin_coin,
         "pg_update_column": _q_pg_update_column,
         "train_epoch_order": _q_train_epoch_order,
         "pg_mutations": _q_pg_mutations,
@@ -2045,6 +2056,7 @@ def oracle_sql() -> dict[str, str]:
         "pg_gremlin_agg": osql.pg_gremlin_agg_sql(),
         "pg_gremlin_path": osql.pg_gremlin_path_sql(),
         "pg_gremlin_select": osql.pg_gremlin_select_sql(),
+        "pg_gremlin_coin": osql.pg_gremlin_coin_sql(),
         "pg_update_column": osql.pg_update_column_sql(),
         "train_epoch_order": osql.train_epoch_order_sql(),
         "pg_mutations": osql.pg_mutations_sql(),

@@ -303,6 +303,35 @@ class Traversal:
                 out[lbl] = (_drop(joined, ["__k"]), False)
         return self._derive(_VERTEX, out)
 
+    def coin(self, p: float, salt: int = 0) -> "Traversal":
+        """Gremlin ``coin(p)`` with this repo's sampler contract: the flip
+        is DETERMINISTIC — keep an element iff hash_u64(oid, salt) < p·2⁶⁴
+        (content-stable like every sampler in functions/sampling, so
+        re-runs, repartitioning and the SQL twin agree exactly).  Applies
+        per ELEMENT: all copies of a traverser share the flip (Gremlin
+        flips per traverser — documented divergence, bags stay consistent)."""
+        from graphscope_ray.functions.sampling import hash_u64
+
+        if self._kind != _VERTEX:
+            raise GremlinUnsupported("coin() supports vertex frontiers")
+        if not (0.0 <= p <= 1.0):
+            raise ValueError(f"coin({p})")
+        thresh = np.uint64(min(int(p * 2.0**64), 2**64 - 1))
+
+        def _keep(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "oid" not in t.column_names:
+                return t.slice(0, 0)
+            h = hash_u64(
+                t["oid"].to_numpy(zero_copy_only=False).astype(np.int64), salt
+            )
+            return t.filter(pa.array(h < thresh))
+
+        return self._derive(
+            _VERTEX,
+            {l: (ds.map_batches(_keep, batch_format="pyarrow"), full)
+             for l, (ds, full) in self._state.items()},
+        )
+
     def dedup(self) -> "Traversal":
         if self._kind == _VERTEX:
             cols = ["oid", *self._carry]
@@ -1018,7 +1047,7 @@ class AnonymousTraversal:
         "hasLabel", "has", "hasId", "out", "in_", "both", "outE", "inE",
         "bothE", "outV", "inV", "bothV", "dedup", "limit", "values",
         "where", "union", "repeat", "order", "range", "by", "times", "emit",
-        "sum_", "mean_", "max_", "min_", "as_", "select", "path",
+        "sum_", "mean_", "max_", "min_", "as_", "select", "path", "coin",
     )
 
     def __init__(self, steps: tuple = ()):

@@ -3532,6 +3532,19 @@ def pg_gremlin_path_sql(minbal: int = 9000) -> str:
     )
 
 
+def pg_gremlin_coin_sql(p: float = 0.25, salt: int = 3) -> str:
+    """coin(p) twin: hash_u64(c_custkey, salt) < p*2^64 in HUGEINT, then
+    the places hop's per-order multiplicities."""
+    thresh = min(int(p * 2.0**64), 2**64 - 1)
+    h = _knuth64_expr("c_custkey", salt)
+    return (
+        "SELECT 'order' AS v_label, o_orderkey AS oid, count(*) AS count "
+        "FROM customer JOIN orders ON o_custkey = c_custkey "
+        f"WHERE {h} < CAST('{thresh}' AS HUGEINT) "
+        "GROUP BY o_orderkey ORDER BY v_label, oid"
+    )
+
+
 def pg_gremlin_select_sql(minbal: int = 9000) -> str:
     """as_/select projection = the join pair multiset."""
     return (

@@ -352,3 +352,16 @@ def test_as_select_projection(tiny):
         g.V().hasLabel("person").select("nope")
     with pytest.raises(ValueError):
         g.V().hasLabel("person").as_("x").as_("x")
+
+
+def test_coin_deterministic(tiny):
+    pg, person, post, authored, likes = tiny
+    g = traversal(pg, num_partitions=2)
+    a = g.V().hasLabel("post").coin(0.5, salt=1).to_pandas()
+    b = g.V().hasLabel("post").coin(0.5, salt=1).to_pandas()
+    pd.testing.assert_frame_equal(a, b)  # content-stable flips
+    assert 0 <= len(a) <= 4
+    assert g.V().coin(1.0).count() == 7  # p=1 keeps everything
+    assert g.V().coin(0.0).count() == 0
+    with pytest.raises(ValueError):
+        g.V().coin(1.5)
