@@ -1650,6 +1650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lg_pagerank_converged": td.lg_pagerank_converged,
         "lg_pagerank_p2p": td.lg_pagerank_p2p,
         "lg_wcc": td.lg_wcc,
+        "lg_wcc_locality": td.lg_wcc_locality,
         "lg_wcc_phash": td.lg_wcc_phash,
         "lg_wcc_compact": td.lg_wcc_compact,
         "lg_cdlp": td.lg_cdlp,
@@ -1933,6 +1934,7 @@ def oracle_sql() -> dict[str, str]:
         "lg_pagerank_weighted": osql.lg_pagerank_weighted_sql(),
         "lg_pagerank_weighted_hub": osql.lg_pagerank_weighted_sql(),
         "lg_wcc": osql.lg_wcc_sql(),
+        "lg_wcc_locality": osql.lg_wcc_sql(),
         "lg_wcc_phash": osql.lg_wcc_sql(),
         "lg_wcc_compact": osql.lg_wcc_sql(),
         "lg_cdlp": osql.lg_cdlp_sql(rounds=10),

@@ -318,6 +318,42 @@ def lg_wcc(sf_dir: str) -> pd.DataFrame:
     return df[["oid", "comp_oid"]].sort_values("oid").reset_index(drop=True)
 
 
+def lg_wcc_locality(sf_dir: str) -> pd.DataFrame:
+    """WCC on the LOCALITY-partitioned build (round-5 affinity partitioner
+    through build_graph_from_oids) — component labels come out in relabeled
+    vid space, so canonicalize to min ORIGINAL oid per component; must then
+    match the hash build's lg_wcc SQL oracle exactly."""
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def _derive(t: pa.Table) -> pa.Table:
+        src = t["l_orderkey"].to_numpy(zero_copy_only=False) % LG_MOD
+        dst = t["l_partkey"].to_numpy(zero_copy_only=False) % LG_MOD
+        keep = src != dst
+        return pa.table(
+            {
+                "src_oid": pa.array(src[keep].astype(np.int64)),
+                "dst_oid": pa.array(dst[keep].astype(np.int64)),
+            }
+        )
+
+    edges = li.map_batches(_derive, batch_format="pyarrow")
+    g = build_graph_from_oids(
+        edges,
+        num_partitions=4,
+        view="directed",
+        store_in_edges=True,
+        dedup_edges=True,
+        partitioner="affinity",
+        partitioner_rounds=2,
+    )
+    ds, _ = alg.wcc(g)
+    vmap = g.vertices_ds.to_pandas()
+    df = ds.to_pandas().merge(vmap, on="vid")
+    # canonical relabeling: component label = min original oid in component
+    df["comp_oid"] = df.groupby("comp")["oid"].transform("min")
+    return df[["oid", "comp_oid"]].sort_values("oid").reset_index(drop=True)
+
+
 def _lg_graph_variant(sf_dir: str, **build_kw) -> Graph:
     """The lg edge derivation with non-default build options (memory knobs
     etc.) — uncached, unlike lg_graph."""
