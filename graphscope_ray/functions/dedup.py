@@ -284,10 +284,10 @@ def lsh_candidate_pairs(sig_ds: ray.data.Dataset, bands: int = 16) -> ray.data.D
     with an explicit hash exchange, emit distinct candidate pairs (a<b)
     within each bucket (`_banded_pairs_exchange`)."""
 
-    def _explode(batch: pd.DataFrame) -> pd.DataFrame:
-        return _band_rows(batch, bands)
+    def _explode(t: pa.Table) -> pa.Table:
+        return _band_rows(t, bands)
 
-    exploded = sig_ds.map_batches(_explode, batch_format="pandas")
+    exploded = sig_ds.map_batches(_explode, batch_format="pyarrow")
     return _banded_pairs_exchange(exploded, "band", "band_hash")
 
 
@@ -1073,12 +1073,19 @@ def paragraph_dedup(
 _LSH_PHI = np.uint64(0x9E3779B97F4A7C15)
 
 
-def _band_rows(batch: pd.DataFrame, bands: int) -> pd.DataFrame:
+def _band_rows(t: pa.Table, bands: int) -> pa.Table:
     """(band, band_hash, doc_id) rows — the same banding kernel as
-    lsh_candidate_pairs (combine_rows over each signature slice)."""
+    lsh_candidate_pairs (combine_rows over each signature slice).  Arrow
+    in/out: the list<int64> signature column flattens zero-copy into the
+    (n, num_perm) matrix instead of a per-row np.stack."""
     from graphscope_ray.functions.hashing import combine_rows
+    from graphscope_ray.utils import vecs2d
 
-    sigs = np.stack(batch["sig"].to_numpy())
+    if t.num_rows == 0 or "sig" not in t.column_names:
+        return pa.table({c: pa.array([], pa.int64())
+                         for c in ("band", "band_hash", "doc_id")})
+    sigs = vecs2d(t["sig"], dtype=np.int64)
+    doc = t["doc_id"].to_numpy(zero_copy_only=False)
     n, num_perm = sigs.shape
     r = num_perm // bands
     rows_band, rows_hash, rows_doc = [], [], []
@@ -1087,12 +1094,12 @@ def _band_rows(batch: pd.DataFrame, bands: int) -> pd.DataFrame:
         h = combine_rows(chunk.astype(np.uint64)).astype(np.int64)
         rows_band.append(np.full(n, bix, dtype=np.int64))
         rows_hash.append(h)
-        rows_doc.append(batch["doc_id"].to_numpy())
-    return pd.DataFrame(
+        rows_doc.append(doc)
+    return pa.table(
         {
-            "band": np.concatenate(rows_band),
-            "band_hash": np.concatenate(rows_hash),
-            "doc_id": np.concatenate(rows_doc),
+            "band": pa.array(np.concatenate(rows_band)),
+            "band_hash": pa.array(np.concatenate(rows_hash)),
+            "doc_id": pa.array(np.concatenate(rows_doc)),
         }
     )
 
@@ -1159,26 +1166,32 @@ def build_lsh_index(
 
     sig = minhash_signatures(ds, k=k, num_perm=num_perm, seed=seed).materialize()
 
-    def _explode(batch: pd.DataFrame) -> pd.DataFrame:
-        df = _band_rows(batch, bands)
-        df["pkey"] = _bucket_pkey(
-            df["band"].to_numpy(), df["band_hash"].to_numpy(), bucket_parts
+    def _explode(t: pa.Table) -> pa.Table:
+        tb = _band_rows(t, bands)
+        pkey = _bucket_pkey(
+            tb["band"].to_numpy(zero_copy_only=False),
+            tb["band_hash"].to_numpy(zero_copy_only=False),
+            bucket_parts,
         )
-        return df
+        return tb.append_column("pkey", pa.array(pkey.astype(np.int64)))
 
-    exploded = sig.map_batches(_explode, batch_format="pandas")
+    exploded = sig.map_batches(_explode, batch_format="pyarrow")
     write_partitioned(
         exploded, _os.path.join(path, "buckets"), key="pkey",
         num_buckets=bucket_parts, direct=True,
     )
 
-    def _skey(batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch[["doc_id", "sig"]].copy()
-        out["skey"] = out["doc_id"].to_numpy() % sig_parts
-        return out
+    def _skey(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "sig": pa.array([], pa.list_(pa.int64())),
+                             "skey": pa.array([], pa.int64())})
+        out = t.select(["doc_id", "sig"])
+        skey = t["doc_id"].to_numpy(zero_copy_only=False) % sig_parts
+        return out.append_column("skey", pa.array(skey.astype(np.int64)))
 
     write_partitioned(
-        sig.map_batches(_skey, batch_format="pandas"),
+        sig.map_batches(_skey, batch_format="pyarrow"),
         _os.path.join(path, "sigs"), key="skey", num_buckets=sig_parts,
         direct=True,
     )
@@ -1224,14 +1237,19 @@ def lsh_index_probe(
         new_ds, k=meta["k"], num_perm=num_perm, seed=meta["seed"]
     ).materialize()
 
-    def _explode_new(batch: pd.DataFrame) -> pd.DataFrame:
-        df = _band_rows(batch, bands)
-        df["pkey"] = _bucket_pkey(
-            df["band"].to_numpy(), df["band_hash"].to_numpy(), bucket_parts
+    def _explode_new(t: pa.Table) -> pa.Table:
+        tb = _band_rows(t, bands)
+        pkey = _bucket_pkey(
+            tb["band"].to_numpy(zero_copy_only=False),
+            tb["band_hash"].to_numpy(zero_copy_only=False),
+            bucket_parts,
         )
-        return df.rename(columns={"doc_id": "new_id"})
+        tb = tb.append_column("pkey", pa.array(pkey.astype(np.int64)))
+        return tb.rename_columns(
+            ["new_id" if c == "doc_id" else c for c in tb.column_names]
+        )
 
-    newb = sig_new.map_batches(_explode_new, batch_format="pandas").materialize()
+    newb = sig_new.map_batches(_explode_new, batch_format="pyarrow").materialize()
 
     # touched bucket partitions (<= bucket_parts scalars to the driver)
     touched = sorted(
