@@ -1565,26 +1565,26 @@ def decontaminate_ngram(
         num_partitions=num_partitions,
     )
 
-    def _sgk(df: pd.DataFrame) -> pd.DataFrame:
-        if "g" not in df.columns:
-            return pd.DataFrame({"gk": pd.Series(dtype=object)})
-        return pd.DataFrame({"gk": df["g"].to_numpy()})
+    def _sgk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "g" not in t.column_names:
+            return pa.table({"gk": pa.array([], pa.string())})
+        return pa.table({"gk": t["g"]})
 
     j = hash_join(
         tg,
-        sg.map_batches(_sgk, batch_format="pandas"),
+        sg.map_batches(_sgk, batch_format="pyarrow"),
         left_on="g",
         right_on="gk",
         num_partitions=num_partitions,
     )
 
-    def _doc(df: pd.DataFrame) -> pd.DataFrame:
-        if "doc" not in df.columns:
-            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64)})
-        return pd.DataFrame({"doc_id": df["doc"].to_numpy(np.int64)})
+    def _doc(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        return pa.table({"doc_id": t["doc"].cast(pa.int64())})
 
     return hash_groupby_sum(
-        j.map_batches(_doc, batch_format="pandas"),
+        j.map_batches(_doc, batch_format="pyarrow"),
         ["doc_id"],
         None,
         "n_contaminated",

@@ -190,19 +190,23 @@ def first_touch(
     (user_id, first_ts, first_event_id, first_type)."""
     import pandas as pd
 
+    from graphscope_ray.utils import group_rank
+
     cols = [user_col, ts_col, id_col, type_col]
 
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty or user_col not in df.columns:
-            return pd.DataFrame(
-                {user_col: pd.Series([], dtype=np.int64),
-                 ts_col: pd.Series([], dtype="datetime64[us]"),
-                 id_col: pd.Series([], dtype=np.int64),
-                 type_col: pd.Series([], dtype=object)}
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or user_col not in t.column_names:
+            return pa.table(
+                {user_col: pa.array([], pa.int64()),
+                 ts_col: pa.array([], pa.timestamp("us")),
+                 id_col: pa.array([], pa.int64()),
+                 type_col: pa.array([], pa.string())}
             )
-        return (
-            df.sort_values([ts_col, id_col]).groupby(user_col, as_index=False).head(1)
-        )
+        u = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t[ts_col].to_numpy(zero_copy_only=False).view(np.int64)
+        eid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order, rank = group_rank(u, eid, ts)
+        return t.take(pa.array(order[rank == 0]))
 
     def _merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([ts_col, id_col]).head(1)
@@ -212,7 +216,7 @@ def first_touch(
 
     return (
         ds.select_columns(cols)
-        .map_batches(_partial, batch_format="pandas")
+        .map_batches(_partial, batch_format="pyarrow")
         .groupby(user_col)
         .map_groups(_merge, batch_format="pandas")
     )
@@ -327,18 +331,20 @@ def trending(
         num_partitions=8,
     )
 
-    def _tk_partial(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty or "window_start" not in df.columns:
-            return pd.DataFrame(
-                {"window_start": pd.Series(dtype=np.int64),
-                 type_col: pd.Series(dtype=object),
-                 "n_events": pd.Series(dtype=np.int64)}
+    def _tk_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "window_start" not in t.column_names:
+            return pa.table(
+                {"window_start": pa.array([], pa.int64()),
+                 type_col: pa.array([], pa.string()),
+                 "n_events": pa.array([], pa.int64())}
             )
-        return (
-            df.sort_values(["n_events", type_col], ascending=[False, True])
-            .groupby("window_start", as_index=False)
-            .head(k)
-        )
+        from graphscope_ray.utils import group_rank
+
+        w = t["window_start"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = t[type_col].to_numpy(zero_copy_only=False)
+        order, rank = group_rank(w, ty, -n)
+        return t.take(pa.array(order[rank < k]))
 
     def _tk_merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["n_events", type_col], ascending=[False, True]).head(k)
@@ -347,7 +353,7 @@ def trending(
         return g[["window_start", "rnk", type_col, "n_events"]]
 
     return (
-        counts.map_batches(_tk_partial, batch_format="pandas")
+        counts.map_batches(_tk_partial, batch_format="pyarrow")
         .groupby("window_start")
         .map_groups(_tk_merge, batch_format="pandas")
     )

@@ -46,19 +46,7 @@ def _typed_empty(**cols) -> pa.Table:
     )
 
 
-def _group_rank(primary: np.ndarray, *tiebreak: np.ndarray):
-    """(order, rank-within-group) for rows grouped by ``primary`` and
-    ordered inside each group by the tiebreak keys (last key most
-    significant after primary) — the numpy twin of pandas
-    ``sort_values().groupby().head``/cumcount."""
-    order = np.lexsort((*tiebreak, primary))
-    p = primary[order]
-    idx = np.arange(len(p))
-    newg = np.concatenate([[True], p[1:] != p[:-1]]) if len(p) else np.array([], bool)
-    gidx = np.cumsum(newg) - 1 if len(p) else np.array([], np.int64)
-    starts = idx[newg] if len(p) else np.array([], np.int64)
-    rank = idx - starts[gidx] if len(p) else np.array([], np.int64)
-    return order, rank
+from graphscope_ray.utils import group_rank as _group_rank  # shared numpy kernel
 
 
 def _undirected_simple(

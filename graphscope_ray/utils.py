@@ -141,6 +141,22 @@ def hash_groupby_sum(
     )
 
 
+def group_rank(primary, *tiebreak):
+    """(order, rank-within-group) for rows grouped by ``primary`` and
+    ordered inside each group by the tiebreak keys (last key most
+    significant after primary) — the numpy twin of pandas
+    ``sort_values().groupby().head``/cumcount (shared by metrics.py's
+    cap/top-k partials and windows.py's argmin partials)."""
+    order = np.lexsort((*tiebreak, primary))
+    p = primary[order]
+    idx = np.arange(len(p))
+    newg = np.concatenate([[True], p[1:] != p[:-1]]) if len(p) else np.array([], bool)
+    gidx = np.cumsum(newg) - 1 if len(p) else np.array([], np.int64)
+    starts = idx[newg] if len(p) else np.array([], np.int64)
+    rank = idx - starts[gidx] if len(p) else np.array([], np.int64)
+    return order, rank
+
+
 def zip_with_index(
     ds: "ray.data.Dataset", key: str | list, index_col: str = "vid"
 ) -> "ray.data.Dataset":
